@@ -1,0 +1,63 @@
+"""SparkSession factory tuned for the engine.
+
+Scale rationale (100 TB target, tested on local[32]):
+- AQE on: runtime coalescing + skew-join splitting replace hand-tuned
+  shuffle partition counts when data volume is 1000x the test SF.
+- shuffle.partitions defaults to cores locally; on a real cluster this
+  is overridden (AQE coalesces down from a high initial number).
+- UTC session timezone: the reference stores timestamps in three
+  encodings (SURVEY §1.2); we normalize to tz-naive UTC at one choke
+  point, and the DuckDB oracle comparison requires it.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+ENGINE_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    # testdata events.parquet stores TIMESTAMP(NANOS) (unsupported by
+    # Spark's reader) — read as long, catalog.load converts to micros.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Parquet scans: keep partitions big enough to amortize task setup
+    # but small enough to fit executor memory at high SF.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def apply_engine_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine confs to an existing session.
+
+    Used when the driver hands us a session it built (driver contract:
+    ``entry(spark)``). Only runtime-mutable confs are set here.
+    """
+    for k, v in ENGINE_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on a running session -- keep going
+    return spark
+
+
+def get_session(app_name: str = "smdp_spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SMDP_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in ENGINE_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return apply_engine_confs(spark)
