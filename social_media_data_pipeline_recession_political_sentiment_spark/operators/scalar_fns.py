@@ -1,1 +1,237 @@
-"""(stub — filled in later this round)"""
+"""Scalar-function layer queries (SURVEY §2.7): string / date / JSON
+column expressions, each oracle-checked against DuckDB.
+
+All of these are pure column expressions — JVM-side, whole-stage
+codegen, no Python in the hot path. The reference runs every one of
+them as per-row Python (`re.sub`, `datetime` parsing, dict.get
+guards); that difference IS the scale story for text cleaning at
+100 TB.
+
+Testdata proxies: `documents.text` stands in for comment bodies;
+synthetic URL/HTML decoration is concatenated on so the cleaning
+expressions have something real to remove (the synthetic corpus is
+plain word salad).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.text import (
+    clean_comment,
+    hate_flag,
+    normalize_text,
+    sentiment_bucket,
+    strip_html,
+    strip_urls,
+)
+from ..registry import register
+
+
+@register(
+    "fn_strip_urls",
+    oracle=(
+        "SELECT doc_id, regexp_replace('see https://ex.com/p/' || doc_id || ' ' || text, "
+        "'https?://\\S+', '', 'g') AS cleaned FROM documents"
+    ),
+)
+def fn_strip_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL removal (ref: `Reddit_4chan_Analysis.py:55-57`). A synthetic
+    URL is prepended so the regex provably fires on every row."""
+    d = load(spark, sf_dir, "documents")
+    decorated = F.concat(F.lit("see https://ex.com/p/"), F.col("doc_id"), F.lit(" "), F.col("text"))
+    return d.select("doc_id", strip_urls(decorated).alias("cleaned"))
+
+
+@register(
+    "fn_normalize_text",
+    oracle=(
+        "SELECT doc_id, lower(regexp_replace(text || ' Mixed-CASE!! 42?', "
+        "'[^a-zA-Z0-9\\s]', '', 'g')) AS normalized FROM documents"
+    ),
+)
+def fn_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strip non-alphanumerics + lowercase (ref:
+    `Reddit_4chan_Analysis.py:61`)."""
+    d = load(spark, sf_dir, "documents")
+    decorated = F.concat(F.col("text"), F.lit(" Mixed-CASE!! 42?"))
+    return d.select("doc_id", normalize_text(decorated).alias("normalized"))
+
+
+@register(
+    "udf_clean_comment",
+    oracle=(
+        "SELECT doc_id, trim(lower(regexp_replace(regexp_replace("
+        "'Visit https://spam.example/x?q=1 NOW! ' || text, "
+        "'https?://\\S+', '', 'g'), '[^a-zA-Z0-9\\s]', '', 'g'))) AS cleaned "
+        "FROM documents"
+    ),
+)
+def udf_clean_comment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's composite `clean_comment` (ref:
+    `Reddit_4chan_Analysis.py:55-63`) — re-expressed as a pure
+    expression chain; no UDF needed, despite the reference using one."""
+    d = load(spark, sf_dir, "documents")
+    decorated = F.concat(F.lit("Visit https://spam.example/x?q=1 NOW! "), F.col("text"))
+    return d.select("doc_id", clean_comment(decorated).alias("cleaned"))
+
+
+@register(
+    "fn_strip_html",
+    oracle=(
+        "SELECT doc_id, trim(regexp_replace(replace(replace(replace(replace(replace("
+        "regexp_replace('<p class=\"post\">&gt;&gt;12345 ' || text || ' &amp; more</p>', "
+        "'<[^>]+>', '', 'g'), "
+        "'&amp;', '&'), '&gt;', '>'), '&lt;', '<'), '&quot;', '\"'), '&#039;', ''''), "
+        "'>>\\d+', '', 'g')) AS stripped FROM documents"
+    ),
+)
+def fn_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text (ref: `chan4.py:56-62` — bs4 get_text + entity
+    unescape + `>>` quote-marker removal). 4chan comment markup is
+    synthesized around the document text."""
+    d = load(spark, sf_dir, "documents")
+    decorated = F.concat(
+        F.lit('<p class="post">&gt;&gt;12345 '), F.col("text"), F.lit(" &amp; more</p>")
+    )
+    return d.select("doc_id", strip_html(decorated).alias("stripped"))
+
+
+@register(
+    "fn_epoch_to_ts",
+    oracle=(
+        "SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s, "
+        "to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)) AS ts_roundtrip FROM events"
+    ),
+)
+def fn_epoch_to_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unix epoch seconds ↔ timestamp (ref: `Reddit.py:81`
+    ``datetime.utcfromtimestamp(created_utc)``; `chan4.py:76`).
+    `timestamp_seconds` / long cast — no Python datetime per row."""
+    e = load(spark, sf_dir, "events")
+    epoch_s = F.col("ts").cast("long")
+    return e.select(
+        "event_id",
+        epoch_s.alias("epoch_s"),
+        F.timestamp_seconds(epoch_s).alias("ts_roundtrip"),
+    )
+
+
+@register(
+    "fn_parse_iso_ts",
+    oracle=(
+        "SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS iso, "
+        "strptime(strftime(ts, '%Y-%m-%dT%H:%M:%SZ'), '%Y-%m-%dT%H:%M:%SZ') AS parsed "
+        "FROM events"
+    ),
+)
+def fn_parse_iso_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-8601 'Z' string → timestamp (ref: `Youtube_final.py:59`
+    ``datetime.fromisoformat(s[:-1])`` — the trailing-Z strip). The
+    string column is produced then re-parsed, proving both directions."""
+    e = load(spark, sf_dir, "events")
+    iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    return e.select(
+        "event_id",
+        iso.alias("iso"),
+        F.to_timestamp(iso, "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("parsed"),
+    )
+
+
+@register(
+    "fn_date_format",
+    oracle=(
+        "SELECT event_id, strftime(ts, '%Y-%m-%d') AS d, day(ts) AS dom FROM events"
+    ),
+)
+def fn_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp → 'YYYY-MM-DD' + day-of-month (ref: `Reddit.py:46-47`
+    strftime; `app.py:71,105,222` TO_CHAR/DATE; `app.py:51`
+    strftime('%d') day compare)."""
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("d"),
+        F.dayofmonth("ts").cast("long").alias("dom"),
+    )
+
+
+@register(
+    "fn_json_parse",
+    oracle=(
+        "SELECT event_id, CASE WHEN json_valid(payload) THEN "
+        "CAST(json_extract_string(payload, '$.k') AS BIGINT) END AS k_val FROM ("
+        "  SELECT event_id, CASE WHEN event_id % 10 = 0 THEN '{corrupt' ELSE props END "
+        "  AS payload FROM events)"
+    ),
+)
+def fn_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerant JSON parse: malformed rows yield NULL, not errors (ref:
+    `Reddit.py:103-107` try/except ValueError → skip; `chan4.py:73,89`).
+    Every 10th payload is corrupted to prove the PERMISSIVE path."""
+    e = load(spark, sf_dir, "events")
+    payload = F.when(F.col("event_id") % 10 == 0, F.lit("{corrupt")).otherwise(F.col("props"))
+    parsed = F.from_json(payload, "struct<k: bigint>")
+    return e.select("event_id", parsed.getField("k").alias("k_val"))
+
+
+@register(
+    "fn_null_guards",
+    oracle=(
+        "SELECT event_id, coalesce(CASE WHEN event_type = 'error' THEN NULL "
+        "ELSE value END, 0.0) AS value_or_default FROM events"
+    ),
+)
+def fn_null_guards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-default guards (ref: `Reddit.py:115` ``.get('score', 0)``;
+    `chan4.py:76-83` ``.get(k,'')``). NULLs are injected on the
+    'error' type then coalesced — the typed-schema replacement for
+    dict.get defaults."""
+    e = load(spark, sf_dir, "events")
+    nullable = F.when(F.col("event_type") == "error", F.lit(None).cast("double")).otherwise(
+        F.col("value")
+    )
+    return e.select("event_id", F.coalesce(nullable, F.lit(0.0)).alias("value_or_default"))
+
+
+@register(
+    "fn_sentiment_bucket",
+    oracle=(
+        "SELECT CASE WHEN (value - 100.0) / 200.0 >= 0.05 THEN 'positive' "
+        "WHEN (value - 100.0) / 200.0 <= -0.05 THEN 'negative' "
+        "ELSE 'neutral' END AS sentiment, count(*) AS cnt "
+        "FROM events GROUP BY sentiment"
+    ),
+)
+def fn_sentiment_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VADER compound → bucket CASE with the reference's exact
+    inclusive ±0.05 boundaries (ref: `Reddit_4chan_Analysis.py:150-160`).
+    events.value is rescaled to a pseudo-compound so all three branches
+    fire."""
+    e = load(spark, sf_dir, "events")
+    compound = (F.col("value") - 100.0) / 200.0
+    return (
+        e.groupBy(sentiment_bucket(compound).alias("sentiment"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "fn_hate_flag",
+    oracle=(
+        "SELECT (event_type = 'error' AND value / 330.0 > 0.9) AS is_hate_speech, "
+        "count(*) AS cnt FROM events GROUP BY is_hate_speech"
+    ),
+)
+def fn_hate_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hate flag iff class=='flag' AND confidence strictly > 0.9 (ref:
+    `Reddit_4chan_Analysis.py:19,42-45`). event_type/value proxy the
+    (class, confidence) pair; the > is strict, as in the reference."""
+    e = load(spark, sf_dir, "events")
+    flag = hate_flag(
+        F.when(F.col("event_type") == "error", "flag").otherwise("ok"),
+        F.col("value") / 330.0,
+    )
+    return e.groupBy(flag.alias("is_hate_speech")).agg(F.count("*").alias("cnt"))
