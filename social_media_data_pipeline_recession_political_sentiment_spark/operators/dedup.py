@@ -1,1 +1,191 @@
-"""(stub — filled in later this round)"""
+"""Deduplication operators (SURVEY §2.10 EXT tier): exact, MinHash-LSH,
+SimHash, and exact n-gram Jaccard — the operations a training-data
+pipeline runs over a 100 TB document corpus.
+
+Scale design notes:
+- Exact dedup groups by a 256-bit content hash, not the text itself:
+  the shuffle moves 32-byte keys instead of multi-KB documents.
+- MinHash: signatures are built with per-doc array expressions (one
+  explode + one groupBy = one shuffle); candidate generation is an
+  equi-join on (band, band_hash) — the standard LSH band trick that
+  replaces the O(n^2) pair space with collisions only.
+- SimHash: one explode + one aggregation; the 32 per-bit counters are
+  columns, so the whole signature is computed in a single hash-agg
+  pass, JVM-side.
+- n-gram Jaccard is exact and quadratic in colliding pairs — it is
+  the *verifier* run after LSH candidate generation, never the
+  first-pass algorithm at scale.
+
+The reference has no dedup beyond the per-row INSERT existence probe
+(`Data Collection/Reddit.py:75-80` — covered by `join_anti_dedup`);
+these operators are the north-star extension grounded in the
+`documents` testdata table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+N_MINHASH = 16
+N_BANDS = 4  # 4 rows/band
+SIMHASH_BITS = 32
+SHINGLE_K = 3  # word 3-grams
+JACCARD_THRESHOLD = 0.05
+
+
+def _tokens(col):
+    return F.split(col, " ")
+
+
+def _shingles(col):
+    """Distinct word k-grams as an array column (the UDTF-free shingle
+    explode: SURVEY §2.8 `udtf_explode_shingles`)."""
+    toks = _tokens(col)
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, size(split(text, ' ')) - {SHINGLE_K - 1}), "
+            f"i -> concat_ws(' ', slice(split(text, ' '), i, {SHINGLE_K})))"
+        )
+    )
+
+
+@register(
+    "ext_dedup_exact",
+    oracle=(
+        "SELECT min(doc_id) AS doc_id, count(*) AS n_copies "
+        "FROM documents GROUP BY text"
+    ),
+)
+def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by sha2(text) and keep the lowest doc_id as
+    the canonical copy. Hash-grouping means the shuffle key is 32
+    bytes regardless of document size — the only sane exact-dedup
+    shuffle at 100 TB. (Oracle groups by raw text: identical grouping
+    absent SHA-256 collisions.)"""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.sha2(F.col("text"), 256).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .select("doc_id", "n_copies")
+    )
+
+
+@register("ext_dedup_minhash")  # xxhash64 not available to the SQL oracle
+def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: shingle → 16 minhashes → 4
+    bands of 4 → band-bucket equi-join. Fully deterministic
+    (xxhash64 with fixed per-function salts). Exactness of the
+    banding math is pytest-checked against exact Jaccard
+    (tests/test_dedup.py); no SQL oracle because DuckDB lacks
+    xxhash64."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = d.withColumn("sh", _shingles(F.col("text"))).filter(F.size("sh") > 0)
+    # 16 minhash values, each = min over shingles of a salted xxhash64
+    mh = [
+        F.array_min(F.expr(f"transform(sh, s -> xxhash64({j}, s))")).alias(f"mh{j}")
+        for j in range(N_MINHASH)
+    ]
+    sigs = d.select("doc_id", *mh)
+    # band key = hash of the band's 4 minhash rows
+    rows_per_band = N_MINHASH // N_BANDS
+    bands = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b), *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id", F.posexplode(bands).alias("band_id", "band_hash")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+    return pairs
+
+
+@register("ext_dedup_simhash")  # xxhash64 not available to the SQL oracle
+def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signature per document: token hashes vote ±1 per
+    bit position; the sign vector is the signature. One explode + one
+    hash-agg (the 32 bit-counters are agg columns); near-dups are docs
+    within small Hamming distance — here we emit the signature and a
+    bucket count so identical-signature groups are visible."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("t"))
+    tok = tok.withColumn("h", F.xxhash64(F.lit(7), F.col("t")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    sig_expr = None
+    for i in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig_expr = bit if sig_expr is None else sig_expr + bit
+    return (
+        tok.groupBy("doc_id")
+        .agg(*votes)
+        .select("doc_id", sig_expr.alias("simhash"))
+        .orderBy("doc_id")
+    )
+
+
+_JACCARD_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM toks),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
+"""
+
+
+@register("ext_dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard similarity for every pair sharing at
+    least one shingle. The shingle equi-join prunes the O(n^2) pair
+    space to colliding pairs; per-doc shingle counts join back
+    broadcast. At scale this runs *after* MinHash banding as the
+    exact verifier; standalone here so the oracle can check the
+    whole shingle→join→Jaccard math."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("s"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
