@@ -1,1 +1,149 @@
-"""(stub — filled in later this round)"""
+"""Multimodal column plumbing (SURVEY §2.10 / north star): treat
+image/audio/video as opaque ``binary`` columns with typed metadata,
+and run decode / feature-extract / frame-sample as Arrow-batched
+``mapInPandas`` stages.
+
+The actual media codecs are NOT in this container, so the decode step
+is a clearly-marked deterministic fake (`FakeCodec`) behind the same
+interface a real decoder (PIL/ffmpeg/torchaudio) would implement —
+the Spark-side contract (schema, partitioning, batch shape, UDF
+signature) is real and tested. ``RealCodec`` raises
+NotImplementedError by design.
+
+Scale notes: binary payloads ride the columnar format untouched;
+decode stages are map-only (no shuffle), so media processing scales
+with executors. Frame sampling is a cardinality-expanding mapInPandas
+(the UDTF shape) — output partitioning follows the input, no skew
+introduced.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+FRAME_BYTES = 64  # fake "frame" stride in the synthetic payload
+
+
+class FakeCodec:
+    """Deterministic stand-in for a media decoder: 'decodes' a payload
+    into (byte_sum, n_frames, mean_byte). Purely arithmetic on the
+    raw bytes => reproducible everywhere, no media libs needed."""
+
+    def decode_stats(self, payloads: pd.Series) -> pd.DataFrame:
+        arrs = payloads.map(lambda b: np.frombuffer(b or b"", dtype=np.uint8))
+        return pd.DataFrame(
+            {
+                "byte_sum": arrs.map(lambda a: int(a.sum())),
+                "n_frames": arrs.map(lambda a: int(len(a) // FRAME_BYTES + 1)),
+                "mean_byte": arrs.map(lambda a: float(a.mean()) if len(a) else 0.0),
+            }
+        )
+
+
+class RealCodec:
+    """Where PIL/ffmpeg/torchaudio decoding would plug in. The
+    container ships no media libraries, so this is an explicit stub —
+    the engine plumbing around it is identical."""
+
+    def decode_stats(self, payloads: pd.Series) -> pd.DataFrame:
+        raise NotImplementedError("media codecs are not available in this environment")
+
+
+def attach_media_columns(d: DataFrame) -> DataFrame:
+    """Synthesize the multimodal bronze shape from the documents table:
+    an opaque binary payload plus a typed metadata struct — the schema
+    a real ingest would land (payload from object storage, metadata
+    from the container format)."""
+    payload = F.encode(F.col("text"), "UTF-8")
+    meta = F.struct(
+        F.length(payload).cast("long").alias("n_bytes"),
+        (F.col("n_chars") % 640 + 16).cast("int").alias("width"),
+        (F.col("n_chars") % 480 + 16).cast("int").alias("height"),
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("media_type"),
+    )
+    return d.select("doc_id", payload.alias("payload"), meta.alias("meta"))
+
+
+@register(
+    "ext_mm_metadata",
+    oracle=(
+        "SELECT doc_id, octet_length(encode(text)) AS n_bytes, "
+        "CAST(n_chars % 640 + 16 AS BIGINT) AS width, "
+        "CAST(n_chars % 480 + 16 AS BIGINT) AS height, "
+        "CASE WHEN doc_id % 3 = 0 THEN 'image/png' "
+        "WHEN doc_id % 3 = 1 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type "
+        "FROM documents"
+    ),
+)
+def ext_mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata projection over binary media columns — the
+    catalog query a multimodal pipeline runs constantly (size/dims/
+    type filters) without ever touching payload bytes (column pruning
+    keeps the blobs on disk)."""
+    d = attach_media_columns(load(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.width").cast("long").alias("width"),
+        F.col("meta.height").cast("long").alias("height"),
+        F.col("meta.media_type").alias("media_type"),
+    )
+
+
+@register("ext_mm_decode_stub")  # binary mapInPandas => rows-only; exact values pytest-checked
+def ext_mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract stage: mapInPandas with one codec per
+    partition, Arrow batches of binary payloads in, numeric features
+    out. Swap FakeCodec for RealCodec in a real deployment — nothing
+    else changes."""
+    d = attach_media_columns(load(spark, sf_dir, "documents"))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        codec = FakeCodec()  # one codec init per partition
+        for pdf in batches:
+            stats = codec.decode_stats(pdf["payload"])
+            out = pd.concat([pdf[["doc_id"]].reset_index(drop=True), stats], axis=1)
+            yield out
+
+    return (
+        d.mapInPandas(decode, schema="doc_id long, byte_sum long, n_frames long, mean_byte double")
+        .orderBy("doc_id")
+    )
+
+
+@register("ext_mm_frame_sample")  # cardinality-expanding mapInPandas => rows-only
+def ext_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: emit every k-th FRAME_BYTES window of the
+    payload as its own row (the UDTF/explode shape via mapInPandas).
+    A real video pipeline emits decoded frames here; the fake emits
+    window offsets + checksums, keeping cardinality semantics real."""
+    d = attach_media_columns(load(spark, sf_dir, "documents"))
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = np.frombuffer(payload or b"", dtype=np.uint8)
+                for idx, off in enumerate(range(0, len(buf), FRAME_BYTES * 2)):
+                    frame = buf[off : off + FRAME_BYTES]
+                    rows.append((int(doc_id), idx, int(frame.sum()), len(frame)))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_sum", "frame_len"])
+
+    return (
+        d.mapInPandas(
+            sample, schema="doc_id long, frame_idx long, frame_sum long, frame_len long"
+        )
+        .orderBy("doc_id", "frame_idx")
+    )

@@ -1,1 +1,172 @@
-"""(stub — filled in later this round)"""
+"""Text-analysis operators (SURVEY §2.7 EXT / §2.10): language ID,
+quality scoring, token counting, document fingerprinting, and the
+events `props` map ops — the corpus-cleaning toolkit of a large-scale
+training-data pipeline.
+
+Everything here is pure column expressions (codegen'd, zero Python),
+which is what makes these ops viable over 100 TB of text: a scan +
+map stage with no shuffle at all except where a distribution is
+aggregated.
+
+The reference claims language detection in its README but ships no
+code for it (`README.md:13,35`); quality/token/fingerprint ops are
+north-star extensions grounded in the `documents` table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+# stopword lists per language for the n-gram-free heuristic;
+# deliberately tiny + deterministic (distinct-hit counting).
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "is"],
+    "fr": ["le", "la", "et", "les"],
+    "es": ["el", "los", "que", "y"],
+    "de": ["der", "und", "die", "das"],
+}
+
+_STOPWORDS = ["the", "a", "and", "of", "is", "to", "in"]
+
+
+def _arr_lit(words):
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+@register(
+    "ext_lang_detect",
+    oracle=(
+        "WITH s AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents), "
+        + "h AS (SELECT doc_id, lang, "
+        + ", ".join(
+            f"len(list_intersect(t, {_arr_lit(ws)})) AS h_{lang}"
+            for lang, ws in _LANG_MARKERS.items()
+        )
+        + " FROM s) "
+        "SELECT doc_id, lang, CASE "
+        "WHEN h_en >= h_fr AND h_en >= h_es AND h_en >= h_de THEN 'en' "
+        "WHEN h_fr >= h_es AND h_fr >= h_de THEN 'fr' "
+        "WHEN h_es >= h_de THEN 'es' ELSE 'de' END AS lang_guess FROM h"
+    ),
+)
+def ext_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via stopword-marker hits with a fixed priority
+    order on ties (SURVEY §2.7 `fn_lang_detect` — claimed in the
+    reference README, absent from its code; realized here as a
+    deterministic heuristic; a fasttext pandas UDF would slot in
+    behind the same column contract)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    hits = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in ws])))
+        for lang, ws in _LANG_MARKERS.items()
+    }
+    guess = (
+        F.when(
+            (hits["en"] >= hits["fr"]) & (hits["en"] >= hits["es"]) & (hits["en"] >= hits["de"]),
+            "en",
+        )
+        .when((hits["fr"] >= hits["es"]) & (hits["fr"] >= hits["de"]), "fr")
+        .when(hits["es"] >= hits["de"], "es")
+        .otherwise("de")
+    )
+    return d.select("doc_id", "lang", guess.alias("lang_guess"))
+
+
+@register(
+    "ext_text_quality",
+    oracle=(
+        "WITH m AS (SELECT doc_id, length(text) AS n_chars_m, "
+        "len(string_split(text, ' ')) AS n_tokens, "
+        "CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) "
+        "/ (length(text) + 1) AS punct_ratio, "
+        f"CAST(len(list_intersect(string_split(text, ' '), {_arr_lit(_STOPWORDS)})) AS DOUBLE) "
+        "/ (len(string_split(text, ' ')) + 1) AS stop_ratio "
+        "FROM documents) "
+        "SELECT doc_id, n_chars_m, n_tokens, punct_ratio, stop_ratio, "
+        "(n_tokens >= 10 AND punct_ratio < 0.2) AS is_quality FROM m"
+    ),
+)
+def ext_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length, token count, punctuation
+    ratio, stopword-diversity ratio, and a keep/drop flag — the
+    standard cheap filters (C4/Gopher-style) before expensive dedup
+    stages. All codegen'd expressions."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_chars = F.length("text")
+    n_tokens = F.size(toks)
+    punct = (n_chars - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))).cast(
+        "double"
+    ) / (n_chars + 1)
+    stop = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(w) for w in _STOPWORDS]))
+    ).cast("double") / (n_tokens + 1)
+    return d.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars_m"),
+        n_tokens.cast("long").alias("n_tokens"),
+        punct.alias("punct_ratio"),
+        stop.alias("stop_ratio"),
+        ((n_tokens >= 10) & (punct < 0.2)).alias("is_quality"),
+    )
+
+
+@register(
+    "ext_token_count",
+    oracle=(
+        "SELECT doc_id, len(string_split(trim(text), ' ')) AS ws_tokens, "
+        "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_ish_tokens "
+        "FROM documents"
+    ),
+)
+def ext_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: naive whitespace split and a BPE-ish
+    pre-tokenizer regex (letter runs | digit runs | single symbol) —
+    the cheap token-budget estimator run over every training document."""
+    d = load(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.trim(F.col("text")), " ")).cast("long")
+    bpe = F.size(
+        F.expr(r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)")
+    ).cast("long")
+    return d.select("doc_id", ws.alias("ws_tokens"), bpe.alias("bpe_ish_tokens"))
+
+
+@register(
+    "ext_fingerprint",
+    oracle=(
+        "SELECT doc_id, md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp "
+        "FROM documents"
+    ),
+)
+def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: md5 of whitespace-normalized lowercase
+    text — the join key for cross-snapshot/exact-dup bookkeeping
+    (32-byte key instead of the document)."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.trim(F.lower(F.regexp_replace("text", r"\s+", " ")))
+    return d.select("doc_id", F.md5(norm).alias("fp"))
+
+
+@register(
+    "ext_props_map",
+    oracle=(
+        "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val, "
+        "1 AS n_keys FROM events"
+    ),
+)
+def ext_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the events `props` JSON string to MapType and query keys
+    (SURVEY §2.10 `ext_props_map`): element_at for lookup, map_keys
+    for arity — the pattern for semi-structured sidecar columns."""
+    e = load(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    return e.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_val"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )

@@ -1,1 +1,186 @@
-"""(stub — filled in later this round)"""
+"""Structured Streaming queries (SURVEY §2.9), registered in the
+driver contract. Each runs a REAL streaming query (file source →
+watermark → stateful op → memory sink, drained with availableNow)
+whose final result equals a batch query — so even the streaming tier
+is oracle-checked against DuckDB.
+
+Reference mapping:
+- the collectors are `schedule`-loop pollers with idempotent inserts
+  (`Data Collection/Reddit.py:166-173`, `chan4.py:125-128`,
+  `Youtube_final.py:141-144`); Structured Streaming's micro-batch
+  trigger is the same execution model with state handled by the
+  engine instead of the existence-probe.
+- `availableNow` is the Airflow-DAG batch run (`Airflow.py:10`).
+
+Scale notes: streaming dedup state is bounded by the watermark
+(the reference's probe table grows forever); tumbling counts use
+partial aggregation per micro-batch. The multi-batch behaviors
+(late-row drop, cross-batch dedup) that can't be shown in a single
+drained batch are exercised in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load
+from ..registry import register
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _staged_events_dir(sf_dir: str) -> str:
+    """The file source requires a *directory*; stage the events
+    parquet into /tmp via symlink (testdata is read-only)."""
+    stage = os.path.join(
+        "/tmp/smdp_stream", hashlib.sha1(sf_dir.encode()).hexdigest()[:10], "events"
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    return stage
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (the landed-payload
+    bronze dir of SURVEY §3.1's collector mapping)."""
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .load(_staged_events_dir(sf_dir))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def drain_to_table(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Run the streaming query to completion (availableNow = the
+    DAG-style batch run) into a memory sink; return the sink table."""
+    name = f"sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+@register(
+    "stream_tumbling_count",
+    oracle=(
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS cnt "
+        "FROM events GROUP BY day"
+    ),
+)
+def stream_tumbling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily tumbling-window count as a continuous query (ref:
+    `app.py:44-59` — the manual daily loop; SURVEY §2.9
+    `stream_tumbling_count`). watermark + window('1 day') + count,
+    complete mode; the drained result equals the batch daily counts."""
+    agg = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    out = drain_to_table(agg, "complete")
+    return out.select(F.to_date(F.col("w.start")).alias("day"), "cnt")
+
+
+@register(
+    "stream_dedup",
+    oracle="SELECT count(DISTINCT event_id) AS n_unique FROM events",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked cross-batch dedup (ref: the per-row existence probe
+    `Reddit.py:75-80`, `Youtube_final.py:109-114`; SURVEY §2.9
+    `stream_dedup`). dropDuplicates state is bounded by the watermark
+    — the scalable replacement for an ever-growing probe table. The
+    drained row count equals COUNT(DISTINCT key)."""
+    dedup = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "12 hours")
+        .dropDuplicates(["event_id"])
+    )
+    out = drain_to_table(dedup, "append")
+    return out.agg(F.count("*").alias("n_unique"))
+
+
+@register(
+    "stream_lookback_window",
+    oracle=(
+        "SELECT event_type, count(*) AS cnt FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-29 00:00:00' GROUP BY event_type"
+    ),
+)
+def stream_lookback_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-window ingest filter (ref: `chan4.py:77,93` 3-min
+    window, `Youtube_final.py:45-46,58-61` 12-h lookback — the crude
+    late-data policy). In streaming this is watermark + event-time
+    predicate; late-row *dropping* across batches is asserted in
+    tests/test_streaming.py (needs multiple micro-batches)."""
+    filtered = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .filter(F.col("ts") >= F.lit("2024-01-29 00:00:00").cast("timestamp"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    out = drain_to_table(filtered, "complete")
+    return out
+
+
+_SESSION_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM numbered GROUP BY user_id, sess
+"""
+
+
+@register("stream_sessionize", oracle=_SESSION_ORACLE)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute gap (SURVEY §2.9
+    `stream_sessionize` EXT). Uses Spark's native session_window —
+    the same operator Structured Streaming uses with state; batch
+    form here so the oracle (gaps-and-islands SQL) can check it
+    exactly. session_window.end is max(ts)+gap by definition, so
+    session_end is aggregated as max(ts) to match the SQL notion."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
