@@ -1,0 +1,127 @@
+"""Pipeline composition + maintenance (SURVEY §2.9
+`orchestration_dag`, `maintenance_vacuum`, `cache_memo`).
+
+The reference orchestrates with an Airflow DAG — start → [reddit ∥
+4chan ∥ youtube] → NLP → vacuum → end, 3 retries, hourly
+(`Data Collection/Airflow.py:43-102`). The engine form is medallion
+job chaining: bronze (landed payloads) → silver (normalized unified
+comments) → gold (enriched + aggregates). Task retries come from
+Spark; idempotency comes from the anti-join sinks (streaming/ingest);
+the vacuum task becomes small-file compaction + statistics.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..enrich.hatespeech import enrich_hatespeech
+from ..enrich.sentiment import enrich_sentiment
+from ..functions.text import clean_comment
+from ..registry import register
+
+
+def build_gold_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silver documents → gold enriched table (the an_* stage of the
+    DAG, ref: `Airflow.py:69-78` NLP tasks)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = enrich_sentiment(enrich_hatespeech(d))
+    return out.select(
+        F.col("doc_id").alias("comment_id"),
+        clean_comment(F.col("text")).alias("cleaned_comment"),
+        "is_hate_speech",
+        "hate_speech_confidence",
+        "sentiment",
+        "sentiment_score",
+    )
+
+
+@register(
+    "orchestration_dag",
+    oracle=(
+        "WITH c AS (SELECT doc_id, "
+        "(length(text) - length(replace(text, 'fast', ''))) / 4 AS n_fast, "
+        "(length(text) - length(replace(text, 'big', ''))) / 3 AS n_big, "
+        "(length(text) - length(replace(text, 'slow', ''))) / 4 AS n_slow, "
+        "(length(text) - length(replace(text, 'small', ''))) / 5 AS n_small "
+        "FROM documents), "
+        "s AS (SELECT doc_id, "
+        "(1.0*n_fast + 0.5*n_big - 1.0*n_slow - 0.5*n_small) / "
+        "(1.0*n_fast + 0.5*n_big + 1.0*n_slow + 0.5*n_small + 1.0) AS score FROM c) "
+        "SELECT CASE WHEN score >= 0.05 THEN 'positive' "
+        "WHEN score <= -0.05 THEN 'negative' ELSE 'neutral' END AS sentiment, "
+        "count(*) AS cnt FROM s GROUP BY sentiment"
+    ),
+)
+def orchestration_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DAG's terminal analytic: chain silver → gold enrichment →
+    dashboard aggregate in one declarative plan (ref: `Airflow.py:
+    95-102` task chain; the dashboard's sentiment distribution,
+    `app.py:105-130`). What Airflow runs as three processes with a
+    database between each, Catalyst runs as one fused pipeline."""
+    gold = build_gold_enriched(spark, sf_dir)
+    return gold.groupBy("sentiment").agg(F.count("*").alias("cnt"))
+
+
+@register("maintenance_compact")  # side-effecting job => rows-only
+def maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction + statistics — the engine form of the
+    reference's `VACUUM (VERBOSE, ANALYZE)` task (ref: `Airflow.py:
+    85-90`, TriggerRule.ALL_DONE). Writes a deliberately fragmented
+    copy of events to /tmp, compacts it to size-targeted files, and
+    reports before/after file counts + row conservation. On a lake
+    deployment this is the job that keeps scan task counts sane."""
+    import uuid
+
+    work = f"/tmp/smdp_compact/{uuid.uuid4().hex[:8]}"
+    frag_dir, compact_dir = os.path.join(work, "frag"), os.path.join(work, "compact")
+    e = load(spark, sf_dir, "events")
+    e.repartition(64).write.parquet(frag_dir)  # simulate small-file buildup
+    frag = spark.read.parquet(frag_dir)
+    # compaction: coalesce to ~target file size (here: 4 files)
+    frag.coalesce(4).write.parquet(compact_dir)
+
+    def n_files(d: str) -> int:
+        return sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+
+    compacted = spark.read.parquet(compact_dir)
+    return spark.createDataFrame(
+        [
+            (
+                n_files(frag_dir),
+                n_files(compact_dir),
+                e.count(),
+                compacted.count(),
+            )
+        ],
+        "files_before int, files_after int, rows_before long, rows_after long",
+    )
+
+
+@register(
+    "cache_memo",
+    oracle=(
+        "SELECT event_type, count(*) AS cnt, "
+        "CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM events) AS share "
+        "FROM events GROUP BY event_type"
+    ),
+)
+def cache_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized reuse of an intermediate (ref: `Youtube_final.py:9,
+    13-14,52-56` — the in-process dict cache of API results, cleared
+    per job). Engine form: `.cache()` the filtered/parsed
+    intermediate, derive two results from it (counts + shares) in one
+    plan; unpersist is the per-job clear."""
+    e = load(spark, sf_dir, "events").cache()
+    total = e.count()  # first action materializes the cache
+    out = e.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        (F.count("*").cast("double") / F.lit(total)).alias("share"),
+    )
+    # the per-job cache clear (`Youtube_final.py:135`) is e.unpersist()
+    # once the consumer has collected `out`; left cached here since the
+    # returned plan still reads it.
+    return out

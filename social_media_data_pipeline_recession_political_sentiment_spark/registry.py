@@ -29,7 +29,10 @@ _OPERATOR_MODULES = (
     "operators.multimodal",
     "enrich.sentiment",
     "enrich.hatespeech",
+    "sources.rest_json",
     "streaming.queries",
+    "streaming.ingest",
+    "plans.pipeline",
 )
 
 
