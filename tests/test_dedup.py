@@ -1,0 +1,77 @@
+"""Dedup operator properties (SURVEY §2.10): exact-dedup keeper
+choice, MinHash recall against exact Jaccard, SimHash locality."""
+
+from __future__ import annotations
+
+import pytest
+
+from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+from tests.conftest import SF_SMOKE
+
+
+def _docs_view(spark, rows):
+    """Register a temp documents table and monkey-load via a tmp dir."""
+    import os
+    import tempfile
+
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    tmp = tempfile.mkdtemp(prefix="smdp_dedup_")
+    d.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    return tmp
+
+
+def test_exact_dedup_keeps_min_doc_id(spark):
+    rows = [
+        (10, "alpha beta gamma", "en", "s", 16),
+        (3, "alpha beta gamma", "en", "s", 16),
+        (7, "unique text here", "en", "s", 16),
+    ]
+    tmp = _docs_view(spark, rows)
+    out = {r.doc_id: r.n_copies for r in queries()["ext_dedup_exact"](spark, tmp).collect()}
+    assert out == {3: 2, 7: 1}
+
+
+def test_minhash_finds_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today " * 3
+    near = base.replace("lazy", "sleepy", 1)  # high jaccard
+    far = "completely different words with no overlap whatsoever in any shingle zone " * 3
+    rows = [(1, base, "en", "s", 1), (2, near, "en", "s", 1), (3, far, "en", "s", 1)]
+    tmp = _docs_view(spark, rows)
+    pairs = {(r.doc_a, r.doc_b) for r in queries()["ext_dedup_minhash"](spark, tmp).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_minhash_recall_vs_exact_jaccard(spark):
+    """Every pair with exact jaccard >= 0.5 must be an LSH candidate
+    (banding theory: P(candidate) ~ 1-(1-s^4)^4 = 0.97 at s=0.5 —
+    assert recall on the real corpus)."""
+    exact = queries()["ext_dedup_ngram_jaccard"](spark, SF_SMOKE).collect()
+    strong = {(r.doc_a, r.doc_b) for r in exact if r.jaccard >= 0.5}
+    if not strong:
+        pytest.skip("no strong pairs at this SF")
+    cand = {(r.doc_a, r.doc_b) for r in queries()["ext_dedup_minhash"](spark, SF_SMOKE).collect()}
+    recall = len(strong & cand) / len(strong)
+    assert recall >= 0.9
+
+
+def test_simhash_identical_docs_same_signature(spark):
+    rows = [
+        (1, "one two three four five", "en", "s", 1),
+        (2, "one two three four five", "en", "s", 1),
+        (3, "totally unrelated content block", "en", "s", 1),
+    ]
+    tmp = _docs_view(spark, rows)
+    sig = {r.doc_id: r.simhash for r in queries()["ext_dedup_simhash"](spark, tmp).collect()}
+    assert sig[1] == sig[2]
+    assert sig[1] != sig[3]
+
+
+def test_ngram_jaccard_exact_value(spark):
+    a = "w1 w2 w3 w4"  # shingles: {w1 w2 w3, w2 w3 w4}
+    b = "w1 w2 w3 w5"  # shingles: {w1 w2 w3, w2 w3 w5} -> inter 1, union 3
+    rows = [(1, a, "en", "s", 1), (2, b, "en", "s", 1)]
+    tmp = _docs_view(spark, rows)
+    out = queries()["ext_dedup_ngram_jaccard"](spark, tmp).collect()
+    assert len(out) == 1
+    assert abs(out[0].jaccard - 1 / 3) < 1e-12

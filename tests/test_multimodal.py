@@ -1,0 +1,54 @@
+"""Multimodal plumbing: FakeCodec determinism, frame-sample
+cardinality, RealCodec stub contract (SURVEY §2.10)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from social_media_data_pipeline_recession_political_sentiment_spark.operators.multimodal import (
+    FRAME_BYTES,
+    FakeCodec,
+    RealCodec,
+)
+from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+from tests.conftest import SF_SMOKE
+
+
+def test_fake_codec_exact_stats():
+    payload = bytes(range(10))  # sum 45
+    out = FakeCodec().decode_stats(pd.Series([payload, b""]))
+    assert out["byte_sum"].tolist() == [45, 0]
+    assert out["n_frames"].tolist() == [10 // FRAME_BYTES + 1, 1]
+    assert out["mean_byte"].tolist() == [4.5, 0.0]
+
+
+def test_real_codec_is_an_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        RealCodec().decode_stats(pd.Series([b"x"]))
+
+
+def test_decode_stub_matches_local_computation(spark):
+    out = queries()["ext_mm_decode_stub"](spark, SF_SMOKE).limit(5).collect()
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(50).collect()
+    }
+    for r in out:
+        raw = docs[r.doc_id].encode()
+        assert r.byte_sum == int(np.frombuffer(raw, dtype=np.uint8).sum())
+        assert r.n_frames == len(raw) // FRAME_BYTES + 1
+
+
+def test_frame_sample_cardinality(spark):
+    out = queries()["ext_mm_frame_sample"](spark, SF_SMOKE)
+    per_doc = out.groupBy("doc_id").count().collect()
+    docs = {
+        r.doc_id: len(r.text.encode())
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    }
+    for r in per_doc[:20]:
+        n = docs[r.doc_id]
+        expected = len(range(0, n, FRAME_BYTES * 2))
+        assert r["count"] == expected

@@ -1,0 +1,102 @@
+"""Exact REF semantics of the relational core on micro-fixtures
+(FIXTURES.md §B): boundary behavior the oracle comparison can't
+single out."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from social_media_data_pipeline_recession_political_sentiment_spark import registry
+from tests.conftest import SF_SMOKE
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def comments_fixture(spark):
+    # mirrors comments_for_reddits (Reddit.py:151-161)
+    rows = [
+        ("economy", "p1", "body a", 1, ts("2024-01-01 00:00:00"), "c1"),
+        ("economy", "p1", "body b", 2, ts("2024-01-01 23:59:59"), "c2"),
+        ("jobs", "p2", "body c", 3, ts("2024-01-02 00:00:00"), "c3"),  # == hi boundary
+        ("jobs", "p2", "body d", 4, ts("2024-01-02 00:00:01"), "c4"),
+        ("jobs", "p2", "body d2", 5, ts("2024-01-03 00:00:00"), "c4"),  # dup key, later
+    ]
+    return spark.createDataFrame(
+        rows,
+        "subreddit string, post_id string, body string, score int, "
+        "created_utc timestamp, comment_id string",
+    )
+
+
+def test_half_open_time_range(spark):
+    """ts >= lo AND ts < hi: lo inclusive, hi exclusive (app.py:34-38)."""
+    df = comments_fixture(spark)
+    out = df.filter(
+        (F.col("created_utc") >= "2024-01-01 00:00:00")
+        & (F.col("created_utc") < "2024-01-02 00:00:00")
+    )
+    assert {r.comment_id for r in out.collect()} == {"c1", "c2"}
+
+
+def test_between_inclusive(spark):
+    """BETWEEN is inclusive on both ends (app.py:105 etc.)."""
+    df = comments_fixture(spark)
+    out = df.filter(F.col("created_utc").between("2024-01-01 23:59:59", "2024-01-02 00:00:00"))
+    assert {r.comment_id for r in out.collect()} == {"c2", "c3"}
+
+
+def test_anti_join_dedup_keeps_unseen_only(spark):
+    """The existence-probe semantics (Reddit.py:75-80): a batch row
+    whose key is already in the sink is dropped."""
+    batch = comments_fixture(spark)
+    existing = spark.createDataFrame([("c1",), ("c4",)], "comment_id string")
+    out = batch.join(existing, "comment_id", "left_anti")
+    assert sorted(r.comment_id for r in out.collect()) == ["c2", "c3"]
+
+
+def test_window_rank_latest_picks_latest(spark):
+    """Deterministic latest-per-key replaces order-dependent
+    first-seen (SURVEY §2.5 window_rank_latest)."""
+    from pyspark.sql import Window as W
+
+    df = comments_fixture(spark)
+    w = W.partitionBy("comment_id").orderBy(F.desc("created_utc"))
+    out = df.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    c4 = [r for r in out.collect() if r.comment_id == "c4"][0]
+    assert c4.body == "body d2"  # the later row wins
+    assert out.count() == 4
+
+
+def test_lexical_between_on_text_timestamps(spark):
+    """yt_comments.comment_time is TEXT compared lexically with
+    BETWEEN (app.py:152,244) — ISO-8601 strings sort correctly,
+    which is WHY the reference gets away with it."""
+    rows = [
+        ("v1", "c1", "2024-01-01T10:00:00Z"),
+        ("v1", "c2", "2024-01-02T09:59:59Z"),
+        ("v1", "c3", "2024-01-02T10:00:00Z"),
+    ]
+    df = spark.createDataFrame(rows, "video_id string, comment_id string, comment_time string")
+    out = df.filter(F.col("comment_time").between("2024-01-01T00:00:00Z", "2024-01-02T09:59:59Z"))
+    assert {r.comment_id for r in out.collect()} == {"c1", "c2"}
+
+
+def test_approx_distinct_close_to_exact(spark):
+    q = registry.queries()["agg_approx_distinct"]
+    approx = q(spark, SF_SMOKE).collect()[0].approx_users
+    exact = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet").select("user_id").distinct().count()
+    )
+    assert abs(approx - exact) / exact < 0.05
+
+
+def test_topk_deterministic_under_ties(spark):
+    """Same counts => the key tiebreak decides; two runs agree."""
+    q = registry.queries()["agg_topk_groups"]
+    a = [tuple(r) for r in q(spark, SF_SMOKE).collect()]
+    b = [tuple(r) for r in q(spark, SF_SMOKE).collect()]
+    assert a == b and len(a) == 10

@@ -1,0 +1,69 @@
+"""Similarity search properties: hand-checked cosine ordering,
+LSH recall vs brute force (SURVEY §2.10)."""
+
+from __future__ import annotations
+
+import math
+import os
+import tempfile
+
+from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+from tests.conftest import SF_SMOKE
+
+
+def _emb_dir(spark, rows):
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    tmp = tempfile.mkdtemp(prefix="smdp_sim_")
+    d.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "embeddings.parquet"))
+    return tmp
+
+
+def test_topk_hand_checked_ordering(spark):
+    rows = [
+        (0, [1.0, 0.0], 0),       # query
+        (1, [1.0, 0.1], 0),       # cos ~ .995
+        (2, [1.0, 1.0], 0),       # cos ~ .707
+        (3, [0.0, 1.0], 0),       # cos 0
+        (4, [-1.0, 0.0], 0),      # cos -1
+    ]
+    tmp = _emb_dir(spark, rows)
+    out = [
+        (r.neighbor_id, r.cos)
+        for r in queries()["ext_sim_topk"](spark, tmp).filter("query_id = 0").orderBy("rank").collect()
+    ]
+    assert [n for n, _ in out] == [1, 2, 3, 4]
+    assert abs(out[0][1] - 1 / math.sqrt(1.01)) < 1e-6
+    assert abs(out[1][1] - 1 / math.sqrt(2)) < 1e-6
+
+
+def test_topk_excludes_self_and_caps_k(spark):
+    out = queries()["ext_sim_topk"](spark, SF_SMOKE).collect()
+    by_q = {}
+    for r in out:
+        assert r.neighbor_id != r.query_id
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, 11))
+
+
+def test_lsh_recall_vs_brute_force(spark):
+    """Each query vector's true nearest neighbor (by euclidean, which
+    the LSH buckets) should appear among LSH candidate pairs for a
+    healthy parameterization."""
+    cand = queries()["ext_sim_lsh"](spark, SF_SMOKE).collect()
+    pairs = {(r.vec_a, r.vec_b) for r in cand}
+    assert len(pairs) > 0
+    # brute-force: nearest euclidean neighbor of vec 0..4
+    import numpy as np
+
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=float)
+        for r in spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    }
+    hits = 0
+    for q in range(5):
+        dists = {i: np.linalg.norm(emb[q] - v) for i, v in emb.items() if i != q}
+        nn = min(dists, key=dists.get)
+        if (min(q, nn), max(q, nn)) in pairs:
+            hits += 1
+    assert hits >= 3  # recall >= 60% on the 5 probes for this config

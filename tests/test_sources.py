@@ -1,0 +1,45 @@
+"""REST-JSON source adapter semantics (SURVEY §2.1/§3.1)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+from social_media_data_pipeline_recession_political_sentiment_spark.sources.rest_json import (
+    REDDIT_LISTING_FIXTURE,
+    flatten_reddit_listing,
+    read_landed_pages,
+)
+
+
+def test_flatten_shape_and_types(spark):
+    out = flatten_reddit_listing(read_landed_pages(spark, REDDIT_LISTING_FIXTURE))
+    assert out.columns == ["subreddit", "post_id", "body", "score", "created_utc", "comment_id"]
+    assert dict(out.dtypes)["created_utc"] == "timestamp"
+    rows = out.collect()
+    assert len(rows) == 7  # 5 + 2 incl. the cross-page duplicate
+
+
+def test_null_score_defaults_to_zero(spark):
+    out = flatten_reddit_listing(read_landed_pages(spark, REDDIT_LISTING_FIXTURE))
+    c4 = [r for r in out.collect() if r.comment_id == "c4"][0]
+    assert c4.score == 0  # Reddit.py:115 .get('score', 0)
+
+
+def test_epoch_conversion(spark):
+    out = flatten_reddit_listing(read_landed_pages(spark, REDDIT_LISTING_FIXTURE))
+    c1 = [r for r in out.collect() if r.comment_id == "c1"][0]
+    assert c1.created_utc == dt.datetime(2024, 1, 1, 10, 0, 0)
+
+
+def test_malformed_payload_yields_nulls_not_errors(spark, tmp_path):
+    """PERMISSIVE parsing: a garbage payload line becomes a null row,
+    not an exception (Reddit.py:103-107 try/except-skip analog)."""
+    p = tmp_path / "bad.json"
+    p.write_text('{"kind": "Listing", "data": {"children": [{"data"\nnot json at all\n')
+    out = flatten_reddit_listing(read_landed_pages(spark, str(p)))
+    assert out.count() == 0  # no children -> no rows, and no crash
+
+
+def test_registered_query_runs(spark):
+    assert queries()["scan_rest_json"](spark, "unused").count() == 7

@@ -1,0 +1,136 @@
+"""Streaming semantics that need MULTIPLE micro-batches: cross-batch
+dedup idempotency, late-row handling, windowed counts (SURVEY §2.9,
+FIXTURES.md §B.6)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from social_media_data_pipeline_recession_political_sentiment_spark.sources.rest_json import (
+    REDDIT_LISTING_FIXTURE,
+)
+from social_media_data_pipeline_recession_political_sentiment_spark.streaming.ingest import (
+    ingest_to_silver,
+)
+
+
+def _page(comments):
+    return json.dumps(
+        {
+            "kind": "Listing",
+            "data": {
+                "after": None,
+                "children": [
+                    {
+                        "kind": "t1",
+                        "data": {
+                            "subreddit": sub,
+                            "link_id": "t3_x",
+                            "body": body,
+                            "score": score,
+                            "created_utc": epoch,
+                            "id": cid,
+                        },
+                    }
+                    for (sub, body, score, epoch, cid) in comments
+                ],
+            },
+        }
+    )
+
+
+def test_ingest_end_to_end_dedups_fixture(spark):
+    work = tempfile.mkdtemp(prefix="smdp_stream_")
+    bronze, silver, ckpt = (os.path.join(work, d) for d in ("bronze", "silver", "ckpt"))
+    os.makedirs(bronze)
+    shutil.copy(REDDIT_LISTING_FIXTURE, os.path.join(bronze, "p0.json"))
+    ingest_to_silver(spark, bronze, silver, ckpt).awaitTermination()
+    out = spark.read.parquet(silver)
+    assert out.count() == 6  # 7 raw rows, 1 cross-page duplicate
+    assert out.select("comment_id").distinct().count() == 6
+
+
+def test_ingest_rerun_is_idempotent(spark):
+    """Second run over NEW bronze files carrying already-seen keys
+    must not duplicate silver rows (the reference's existence-probe
+    guarantee, Reddit.py:75-80, as a batch-level anti-join)."""
+    work = tempfile.mkdtemp(prefix="smdp_stream_")
+    bronze, silver, ckpt = (os.path.join(work, d) for d in ("bronze", "silver", "ckpt"))
+    os.makedirs(bronze)
+    with open(os.path.join(bronze, "p0.json"), "w") as f:
+        f.write(_page([("econ", "b1", 1, 1704103200, "k1"), ("econ", "b2", 2, 1704103260, "k2")]))
+    ingest_to_silver(spark, bronze, silver, ckpt).awaitTermination()
+    # new file: one repeat key (k2, different body), one new key
+    with open(os.path.join(bronze, "p1.json"), "w") as f:
+        f.write(_page([("econ", "b2x", 9, 1704103320, "k2"), ("econ", "b3", 3, 1704103380, "k3")]))
+    ingest_to_silver(spark, bronze, silver, os.path.join(work, "ckpt2")).awaitTermination()
+    out = spark.read.parquet(silver)
+    assert out.count() == 3
+    k2 = out.filter("comment_id = 'k2'").collect()
+    assert len(k2) == 1 and k2[0].body == "b2"  # first-seen wins, like the reference
+
+
+def test_watermark_finalized_window_not_reemitted(spark):
+    """The watermark guarantee that matters for the recency-filter
+    semantics: once append mode finalizes+emits a window, a row
+    arriving later for that window is DROPPED — the window is never
+    re-emitted and the late row never counts. (Observed Spark 4.1
+    behavior: late rows for never-finalized windows are still
+    admitted; only finalized windows filter input.)"""
+    import datetime as dt
+    import time
+
+    work = tempfile.mkdtemp(prefix="smdp_late_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    schema = "id long, ts timestamp"
+    batches = [
+        # b0: window [10:00, 11:00) gets 2 rows
+        [(1, "2024-01-02 10:00:00"), (2, "2024-01-02 10:30:00")],
+        # b1: pushes the eviction watermark to 12:00 > 11:00
+        [(4, "2024-01-02 13:00:00")],
+        # b2: watermark 12:00 finalizes+emits the 10:00 window (cnt=2)
+        [(9, "2024-01-02 13:30:00")],
+        # b3: 10:50 is now behind the late-events watermark (12:00,
+        # which lags eviction by one batch in Spark 4) => dropped
+        [(5, "2024-01-02 10:50:00")],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            [(rid, dt.datetime.fromisoformat(t)) for rid, t in rows], schema
+        ).coalesce(1).write.parquet(os.path.join(src, f"b{i}"))
+        time.sleep(1.1)  # distinct mtimes => deterministic batch order
+
+    agg = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "b*"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_sink")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        (p["stateOperators"][0]["numRowsDroppedByWatermark"] if p["stateOperators"] else 0)
+        for p in q.recentProgress
+    )
+    emitted = [
+        (r.w.start.isoformat(), r.cnt)
+        for r in spark.table("late_sink").collect()
+        if r.w.start == dt.datetime(2024, 1, 2, 10, 0)
+    ]
+    assert emitted == [("2024-01-02T10:00:00", 2)]  # one emission, late id 5 excluded
+    assert dropped == 1  # id 5 was dropped by the watermark

@@ -1,0 +1,63 @@
+"""Exact semantics of the text/scalar expression layer (SURVEY §2.7),
+including the reference's weird boundaries."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from social_media_data_pipeline_recession_political_sentiment_spark.functions.text import (
+    clean_comment,
+    hate_flag,
+    normalize_text,
+    sentiment_bucket,
+    strip_html,
+    strip_urls,
+)
+
+
+def one(spark, text, expr):
+    return spark.createDataFrame([(text,)], "t string").select(expr.alias("out")).collect()[0].out
+
+
+def test_strip_urls(spark):
+    assert one(spark, "go https://x.io/a?b=1 now http://y.z end", strip_urls(F.col("t"))) == (
+        "go  now  end"
+    )
+
+
+def test_normalize_text(spark):
+    assert one(spark, "Hello, World! 42_x", normalize_text(F.col("t"))) == "hello world 42x"
+
+
+def test_clean_comment_composite(spark):
+    assert (
+        one(spark, "See https://spam.ex/1 BUY NOW!!!", clean_comment(F.col("t"))) == "see  buy now"
+    )
+
+
+def test_strip_html_tags_entities_quotes(spark):
+    got = one(
+        spark,
+        '<p class="x">&gt;&gt;123 hello &amp; <b>world</b></p>',
+        strip_html(F.col("t")),
+    )
+    assert got == "hello & world"
+
+
+def test_sentiment_bucket_boundaries_inclusive(spark):
+    """>= 0.05 and <= -0.05 are inclusive (Reddit_4chan_Analysis.py:152-158)."""
+    df = spark.createDataFrame(
+        [(0.05,), (0.049999,), (-0.05,), (-0.049999,), (0.0,)], "c double"
+    )
+    got = [r.b for r in df.select(sentiment_bucket(F.col("c")).alias("b")).collect()]
+    assert got == ["positive", "neutral", "negative", "neutral", "neutral"]
+
+
+def test_hate_flag_strictly_above_threshold(spark):
+    """conf > 0.9 strict: exactly 0.9 is NOT flagged (Reddit_4chan_Analysis.py:19,42)."""
+    df = spark.createDataFrame(
+        [("flag", 0.9), ("flag", 0.9000001), ("ok", 0.99), ("flag", None)],
+        "c string, conf double",
+    )
+    got = [r.f for r in df.select(hate_flag(F.col("c"), F.col("conf")).alias("f")).collect()]
+    assert got == [False, True, False, None]
