@@ -104,6 +104,22 @@ def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "udtf_explode_shingles",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents) "
+        "SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1), "
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM toks"
+    ),
+)
+def udtf_explode_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text → distinct word-3-gram rows (SURVEY §2.8 EXT
+    `udtf_explode_shingles` — the table-function primitive under
+    MinHash and Jaccard dedup), exposed standalone so the oracle
+    checks the shingling itself, not just its consumers."""
+    return _exploded_shingles(spark, sf_dir)
+
+
 @register("ext_dedup_minhash")  # xxhash64 not available to the SQL oracle
 def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: shingle → 16 minhashes → 4

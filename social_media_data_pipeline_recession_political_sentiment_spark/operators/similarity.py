@@ -50,18 +50,18 @@ _COS_SQL = (
 )
 
 
-@register(
-    "ext_sim_topk",
-    oracle=(
-        f"WITH c AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS_SQL} AS cos "
-        f"FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id "
-        f"WHERE a.vec_id < {N_QUERY_VECS}) "
-        "SELECT query_id, neighbor_id, cos, rank FROM ("
-        "  SELECT query_id, neighbor_id, cos, row_number() OVER ("
-        "    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM c) "
-        f"WHERE rank <= {TOP_K}"
-    ),
+_TOPK_ORACLE = (
+    f"WITH c AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS_SQL} AS cos "
+    f"FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id "
+    f"WHERE a.vec_id < {N_QUERY_VECS}) "
+    "SELECT query_id, neighbor_id, cos, rank FROM ("
+    "  SELECT query_id, neighbor_id, cos, row_number() OVER ("
+    "    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM c) "
+    f"WHERE rank <= {TOP_K}"
 )
+
+
+@register("ext_sim_topk", oracle=_TOPK_ORACLE)
 def ext_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: broadcast the query vectors, stream
     the corpus through a map-only scoring stage, then a per-query
@@ -83,6 +83,12 @@ def ext_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+# SURVEY §2.3 lists this operator under the id `join_similarity_topk`
+# (§2.10 uses `ext_sim_topk`); register both ids so the §2 inventory
+# maps one-to-one onto `queries()`.
+register("join_similarity_topk", oracle=_TOPK_ORACLE)(ext_sim_topk)
 
 
 @register(

@@ -30,6 +30,7 @@ _OPERATOR_MODULES = (
     "enrich.sentiment",
     "enrich.hatespeech",
     "sources.rest_json",
+    "sources.sinks",
     "streaming.queries",
     "streaming.ingest",
     "plans.pipeline",

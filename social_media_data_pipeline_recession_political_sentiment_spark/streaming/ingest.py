@@ -85,6 +85,49 @@ def ingest_to_silver(
 
 
 @register(
+    "stream_rate_limit",
+    oracle=(
+        "WITH one AS (SELECT count(*) AS n FROM ("
+        "SELECT unnest(data.children) AS c "
+        f"FROM read_json('{REDDIT_LISTING_FIXTURE}', format='newline_delimited', "
+        "columns={'kind': 'VARCHAR', 'data': 'STRUCT(after VARCHAR, children "
+        "STRUCT(kind VARCHAR, data STRUCT(subreddit VARCHAR, link_id VARCHAR, "
+        "body VARCHAR, score BIGINT, created_utc BIGINT, id VARCHAR))[])'}))) "
+        "SELECT CAST(3 AS BIGINT) AS n_batches, CAST(3 * n AS BIGINT) AS n_rows FROM one"
+    ),
+)
+def stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-side ingest rate limiting (SURVEY §2.9 — the engine
+    analog of the reference's 100-req/min token bucket,
+    `Reddit.py:23-24,37-59`): `maxFilesPerTrigger=1` caps each
+    micro-batch at one landed payload file. Three landed files =>
+    exactly three micro-batches, counted via foreachBatch. The
+    HTTP-level backoff itself stays in the fetcher, outside engine
+    semantics."""
+    import shutil
+    import uuid
+
+    work = f"/tmp/smdp_ratelimit/{uuid.uuid4().hex[:8]}"
+    bronze = os.path.join(work, "bronze")
+    os.makedirs(bronze)
+    for i in range(3):
+        shutil.copy(REDDIT_LISTING_FIXTURE, os.path.join(bronze, f"page_{i}.json"))
+
+    batches: list[int] = []
+    flat = flatten_reddit_listing(read_bronze_stream(spark, bronze, max_files_per_trigger=1))
+    q = (
+        flat.writeStream.foreachBatch(lambda b, _e: batches.append(b.count()))
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(
+        [(len(batches), sum(batches))], "n_batches bigint, n_rows bigint"
+    )
+
+
+@register(
     "stream_microbatch",
     # the fixture's duplicate rows are bit-identical, so DISTINCT over
     # the flattened pages equals the streaming dedup result
