@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..registry import register
+from ..registry import ORACLES, register
 
 # stopword lists per language for the n-gram-free heuristic;
 # deliberately tiny + deterministic (distinct-hit counting).
@@ -38,7 +38,7 @@ def _arr_lit(words):
 
 
 @register(
-    "ext_lang_detect",
+    "fn_lang_detect",  # SURVEY §2.7 id
     oracle=(
         "WITH s AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents), "
         + "h AS (SELECT doc_id, lang, "
@@ -114,6 +114,11 @@ def ext_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         stop.alias("stop_ratio"),
         ((n_tokens >= 10) & (punct < 0.2)).alias("is_quality"),
     )
+
+
+# SURVEY §2.7 lists the quality metrics under `fn_text_stats`; §2.10
+# under `ext_text_quality`. Register both ids.
+register("fn_text_stats", oracle=ORACLES["ext_text_quality"])(ext_text_quality)
 
 
 @register(

@@ -66,8 +66,8 @@ def orchestration_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gold.groupBy("sentiment").agg(F.count("*").alias("cnt"))
 
 
-@register("maintenance_compact")  # side-effecting job => rows-only
-def maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("maintenance_vacuum")  # side-effecting job => rows-only (SURVEY §2.9 id)
+def maintenance_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction + statistics — the engine form of the
     reference's `VACUUM (VERBOSE, ANALYZE)` task (ref: `Airflow.py:
     85-90`, TriggerRule.ALL_DONE). Writes a deliberately fragmented
