@@ -7,14 +7,16 @@ Scale design:
   — O(Q*N) work, zero shuffle of the corpus, embarrassingly parallel.
   This is exactly how a 1000-executor batch scorer should run when Q
   is small.
-- The scale path is LSH bucketing (`ext_sim_lsh`): random-hyperplane
-  bucketing via Spark ML's BucketedRandomProjectionLSH turns the
-  cross product into bucket-local joins. Approximate => rows-only
-  driver check + recall-vs-brute-force assertion in
-  tests/test_similarity.py.
-- All vector math is `zip_with`/`aggregate` higher-order expressions
-  on array<double> — JVM-side, no Python, and (verified) bit-exact
-  against the DuckDB oracle's list_dot_product.
+- Two scale paths, both approximate => rows-only driver check +
+  recall-vs-brute-force assertions in tests/test_similarity.py:
+  `ext_sim_lsh` (bucketed random projections; candidate pairs from a
+  bucket equi-join) and `ext_sim_ivf` (k-means coarse quantizer;
+  queries probe only their nearest inverted lists). LSH suits
+  pairwise near-dup mining; IVF suits query-serving top-k.
+- Vector math on the oracle-checked paths is `zip_with`/`aggregate`
+  higher-order expressions on array<double> — JVM-side and bit-exact
+  against the DuckDB oracle's list_dot_product. Hot loops that have
+  no oracle obligation use NumPy over Arrow batches instead.
 """
 
 from __future__ import annotations
@@ -89,6 +91,97 @@ def ext_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (§2.10 uses `ext_sim_topk`); register both ids so the §2 inventory
 # maps one-to-one onto `queries()`.
 register("join_similarity_topk", oracle=_TOPK_ORACLE)(ext_sim_topk)
+
+
+IVF_ITERS = 5
+
+
+@register("ext_sim_ivf")  # approximate => rows-only; recall in pytest
+def ext_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: a k-means coarse quantizer partitions the
+    corpus into nlist inverted lists; each query probes only its
+    nprobe nearest lists, so scored candidates shrink from N to
+    ~N*nprobe/nlist. The quantizer trains on a driver-side sample
+    (the standard IVF recipe — the model is tiny and training data
+    needn't be exhaustive) with deterministic seeding: centroids
+    init from the lowest vec_ids, fixed Lloyd iterations. Corpus
+    assignment + scoring is one map-only stage over Arrow batches
+    with the (centroids, queries) model broadcast; the final top-k
+    is a per-query window rank, same contract as `ext_sim_topk`.
+
+    nlist ~ sqrt(N) and nprobe = nlist/4 scale with corpus size; at
+    100 TB the sample feeding the quantizer comes from `.sample()`
+    instead of `.toPandas()` and assignment lands partitioned by
+    list id for list-local serving."""
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sample = e.toPandas()  # quantizer training set; .sample() at scale
+    ids = sample["vec_id"].to_numpy(dtype=np.int64)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in sample["embedding"]])
+    n = len(ids)
+    nlist = max(2, min(64, int(np.sqrt(n))))
+    nprobe = max(1, nlist // 4)
+
+    order = np.argsort(ids)
+    cent = mat[order[:nlist]].copy()
+    for _ in range(IVF_ITERS):
+        d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for k in range(nlist):
+            members = mat[assign == k]
+            if len(members):
+                cent[k] = members.mean(axis=0)
+
+    # query-side probe sets (queries are the vec_id < N_QUERY_VECS rows)
+    qmask = ids < N_QUERY_VECS
+    q_ids = ids[qmask]
+    q_mat = mat[qmask]
+    qd2 = ((q_mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    probes = np.argsort(qd2, axis=1)[:, :nprobe]
+    q_norm = np.sqrt((q_mat**2).sum(axis=1))
+    bc = spark.sparkContext.broadcast((cent, q_ids, q_mat, probes, q_norm))
+
+    def score(batches):
+        cent_b, q_ids_b, q_mat_b, probes_b, q_norm_b = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            c_mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            c_assign = (
+                ((c_mat[:, None, :] - cent_b[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+            )
+            c_norm = np.sqrt((c_mat**2).sum(axis=1))
+            out_q, out_n, out_cos = [], [], []
+            for qi in range(len(q_ids_b)):
+                cand = np.isin(c_assign, probes_b[qi]) & (c_ids != q_ids_b[qi])
+                if not cand.any():
+                    continue
+                cos = (c_mat[cand] @ q_mat_b[qi]) / (c_norm[cand] * q_norm_b[qi])
+                out_q.append(np.full(cand.sum(), q_ids_b[qi]))
+                out_n.append(c_ids[cand])
+                out_cos.append(cos)
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cos": np.concatenate(out_cos),
+                }
+            )
+
+    scored = e.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        score, "query_id bigint, neighbor_id bigint, cos double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
 
 
 @register(

@@ -148,6 +148,63 @@ def stream_lookback_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _staged_split_events(spark: SparkSession, sf_dir: str, n_splits: int = 3) -> str:
+    """Stage events as n_splits parquet files so a maxFilesPerTrigger=1
+    file source replays them as n_splits distinct micro-batches."""
+    stage = os.path.join(
+        "/tmp/smdp_stream", hashlib.sha1(sf_dir.encode()).hexdigest()[:10], "events_split"
+    )
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        load(spark, sf_dir, "events").select("event_id", "user_id").repartition(
+            n_splits, "event_id"
+        ).write.mode("overwrite").parquet(stage)
+    return stage
+
+
+@register(
+    "stream_stateful_count",
+    oracle="SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id",
+)
+def stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    a per-user running event counter whose keyed state persists across
+    micro-batches — the engine form of any hand-rolled accumulator the
+    reference would keep in process memory (its memo cache,
+    `Youtube_final.py:9,13-14`) but fault-tolerant and partitioned by
+    key. The source replays events as three real micro-batches
+    (maxFilesPerTrigger=1 over three staged files); each batch emits
+    the updated running count, so the final count per user equals the
+    batch GROUP BY — which is what the oracle checks."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = (
+        spark.readStream.schema("event_id bigint, user_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(_staged_split_events(spark, sf_dir))
+    )
+
+    def running_count(key, pdfs, state: GroupState):
+        cnt = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            cnt += len(pdf)
+        state.update((cnt,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [cnt]})
+
+    updates = src.groupBy("user_id").applyInPandasWithState(
+        running_count,
+        outputStructType="user_id bigint, n_events bigint",
+        stateStructType="cnt bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = drain_to_table(updates, "update")
+    # per-batch updates are monotone per user; the last (= max) is the total
+    return out.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
 _SESSION_ORACLE = """
 WITH flagged AS (
   SELECT user_id, ts,

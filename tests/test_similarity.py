@@ -46,6 +46,22 @@ def test_topk_excludes_self_and_caps_k(spark):
         assert sorted(ranks) == list(range(1, 11))
 
 
+def test_ivf_recall_vs_exact_topk(spark):
+    """IVF's approximate top-k should recover most of the exact top-10
+    per query when probing nlist/4 lists."""
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in queries()["ext_sim_topk"](spark, SF_SMOKE).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in queries()["ext_sim_ivf"](spark, SF_SMOKE).collect()
+    }
+    assert len(approx) > 0
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, recall  # nprobe/nlist = 1/4 of lists scanned
+
+
 def test_lsh_recall_vs_brute_force(spark):
     """Each query vector's true nearest neighbor (by euclidean, which
     the LSH buckets) should appear among LSH candidate pairs for a
