@@ -96,6 +96,170 @@ def read_landed_pages(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(REDDIT_LISTING_SCHEMA).json(path)
 
 
+CHAN_THREAD_FIXTURE = os.path.join(_RESOURCES, "chan_thread.json")
+YT_COMMENTS_FIXTURE = os.path.join(_RESOURCES, "yt_comments.json")
+
+# 4chan thread endpoint shape (ref: `chan4.py:73-85`: threads[].posts[]
+# .{no,com,now,name,filename}); `now` is the display-string timestamp
+# the reference stores as TEXT (`chan4.py:24,81`).
+CHAN_THREAD_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "posts",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("no", T.LongType()),
+                        T.StructField("com", T.StringType()),
+                        T.StructField("now", T.StringType()),
+                        T.StructField("name", T.StringType()),
+                        T.StructField("filename", T.StringType()),
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+# YouTube commentThreads shape (ref: `Youtube_final.py:78-82`:
+# items[].snippet.{videoId, topLevelComment.{id, snippet.{textDisplay,
+# publishedAt}}}); publishedAt is the ISO string stored as TEXT
+# (`Youtube_final.py:80,95`).
+YT_COMMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "items",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("id", T.StringType()),
+                        T.StructField(
+                            "snippet",
+                            T.StructType(
+                                [
+                                    T.StructField("videoId", T.StringType()),
+                                    T.StructField(
+                                        "topLevelComment",
+                                        T.StructType(
+                                            [
+                                                T.StructField("id", T.StringType()),
+                                                T.StructField(
+                                                    "snippet",
+                                                    T.StructType(
+                                                        [
+                                                            T.StructField(
+                                                                "textDisplay", T.StringType()
+                                                            ),
+                                                            T.StructField(
+                                                                "publishedAt", T.StringType()
+                                                            ),
+                                                        ]
+                                                    ),
+                                                ),
+                                            ]
+                                        ),
+                                    ),
+                                ]
+                            ),
+                        ),
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+
+_CHAN_STRIP_SQL = (
+    "trim(regexp_replace(replace(replace(replace(replace(replace("
+    "regexp_replace(coalesce(p.com, ''), '<[^>]+>', '', 'g'), "
+    "'&amp;', '&'), '&gt;', '>'), '&lt;', '<'), '&quot;', '\"'), '&#039;', ''''), "
+    "'>>\\d+', '', 'g'))"
+)
+
+
+@register(
+    "scan_chan_json",
+    oracle=(
+        "WITH posts AS (SELECT unnest(posts) AS p "
+        f"FROM read_json('{CHAN_THREAD_FIXTURE}', format='newline_delimited', "
+        "columns={'posts': 'STRUCT(\"no\" BIGINT, com VARCHAR, now VARCHAR, "
+        "name VARCHAR, filename VARCHAR)[]'})) "
+        "SELECT CAST(p.\"no\" AS VARCHAR) AS postnumber, "
+        f"{_CHAN_STRIP_SQL} AS comment, "
+        "p.now AS timestamp_raw, "
+        "strptime(regexp_replace(p.now, '\\(\\w+\\)', ' '), '%m/%d/%y %H:%M:%S') AS ts, "
+        "coalesce(p.name, '') AS name, coalesce(p.filename, '') AS imagefilename "
+        "FROM posts"
+    ),
+)
+def scan_chan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4chan thread payloads → flat post rows (ref: `chan4.py:73-85,
+    90-102`). Reproduces the reference's Thread-table shape
+    (`chan4.py:19-28`: PostNumber TEXT, empty-string defaults) while
+    fixing its TEXT-timestamp problem at the ingest choke point: the
+    raw `now` display string is kept for bronze fidelity AND parsed to
+    a typed `ts` (SURVEY §1.3), so query layers never cast. HTML
+    markup, entities, and >>quote markers are stripped with the
+    expression chain of §2.7 `fn_strip_html`."""
+    from ..functions.text import strip_html
+
+    pages = spark.read.schema(CHAN_THREAD_SCHEMA).json(CHAN_THREAD_FIXTURE)
+    return pages.select(F.explode("posts").alias("p")).select(
+        F.col("p.no").cast("string").alias("postnumber"),
+        strip_html(F.coalesce(F.col("p.com"), F.lit(""))).alias("comment"),
+        F.col("p.now").alias("timestamp_raw"),
+        # the (Day) token is display sugar; Spark's parser (correctly)
+        # refuses day-of-week on parse, so drop it before to_timestamp
+        F.to_timestamp(
+            F.regexp_replace(F.col("p.now"), r"\(\w+\)", " "), "MM/dd/yy HH:mm:ss"
+        ).alias("ts"),
+        F.coalesce(F.col("p.name"), F.lit("")).alias("name"),
+        F.coalesce(F.col("p.filename"), F.lit("")).alias("imagefilename"),
+    )
+
+
+@register(
+    "scan_youtube_json",
+    oracle=(
+        "WITH items AS (SELECT unnest(items) AS i "
+        f"FROM read_json('{YT_COMMENTS_FIXTURE}', format='newline_delimited', "
+        "columns={'items': 'STRUCT(id VARCHAR, snippet STRUCT(videoId VARCHAR, "
+        "topLevelComment STRUCT(id VARCHAR, snippet STRUCT(textDisplay VARCHAR, "
+        "publishedAt VARCHAR))))[]'})), "
+        "flat AS (SELECT DISTINCT i.snippet.videoId AS video_id, "
+        "i.snippet.topLevelComment.id AS comment_id, "
+        "i.snippet.topLevelComment.snippet.publishedAt AS comment_time, "
+        "i.snippet.topLevelComment.snippet.textDisplay AS comment_text FROM items) "
+        "SELECT * FROM flat WHERE comment_time "
+        "BETWEEN '2024-01-01T00:00:00Z' AND '2024-12-31T23:59:59Z'"
+    ),
+)
+def scan_youtube_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YouTube commentThreads payloads → flat comment rows (ref:
+    `Youtube_final.py:78-82`), with the reference's two quirks kept
+    observable: dedup is on the COMPOSITE key (video_id, comment_id)
+    (`Youtube_final.py:109-114` — the same comment_id under another
+    video survives), and the time filter compares the ISO-8601 TEXT
+    lexically with BETWEEN exactly like the dashboard does
+    (`app.py:152,244` — lexical order == chronological order for
+    fixed-width ISO strings)."""
+    pages = spark.read.schema(YT_COMMENTS_SCHEMA).json(YT_COMMENTS_FIXTURE)
+    flat = (
+        pages.select(F.explode("items").alias("i"))
+        .select(
+            F.col("i.snippet.videoId").alias("video_id"),
+            F.col("i.snippet.topLevelComment.id").alias("comment_id"),
+            F.col("i.snippet.topLevelComment.snippet.publishedAt").alias("comment_time"),
+            F.col("i.snippet.topLevelComment.snippet.textDisplay").alias("comment_text"),
+        )
+        .dropDuplicates(["video_id", "comment_id"])
+    )
+    return flat.filter(
+        F.col("comment_time").between("2024-01-01T00:00:00Z", "2024-12-31T23:59:59Z")
+    )
+
+
 @register(
     "scan_rest_json",
     oracle=(

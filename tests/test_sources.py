@@ -43,3 +43,27 @@ def test_malformed_payload_yields_nulls_not_errors(spark, tmp_path):
 
 def test_registered_query_runs(spark):
     assert queries()["scan_rest_json"](spark, "unused").count() == 7
+
+
+def test_chan_flatten_semantics(spark):
+    """4chan adapter: HTML/entity/quote-marker strip, TEXT timestamp
+    kept raw AND parsed typed, empty-string defaults (chan4.py:73-102)."""
+    out = {r.postnumber: r for r in queries()["scan_chan_json"](spark, "unused").collect()}
+    assert len(out) == 5
+    assert out["1001"].comment == "recession incoming & markets down"  # tags+entities+>>quote gone
+    assert out["1001"].timestamp_raw == "01/15/24(Mon)10:30:00"
+    assert out["1001"].ts == dt.datetime(2024, 1, 15, 10, 30, 0)
+    assert out["2001"].comment == "" and out["2001"].name == ""  # empty-string defaults
+    assert out["3001"].comment == ""  # missing com -> ''
+    assert out["2002"].comment == ">implying nothing happens"  # entity-unescaped > kept
+
+
+def test_youtube_composite_key_dedup_and_lookback(spark):
+    """YouTube adapter: (video_id, comment_id) composite dedup keeps
+    the same comment_id under a different video; identical page rows
+    collapse; lexical ISO BETWEEN drops out-of-range comments
+    (Youtube_final.py:109-114, app.py:152)."""
+    rows = queries()["scan_youtube_json"](spark, "unused").collect()
+    keys = {(r.video_id, r.comment_id) for r in rows}
+    assert keys == {("vidA", "c1"), ("vidA", "c2"), ("vidB", "c1")}  # c1 on vidB survives
+    assert all(r.comment_time.startswith("2024") for r in rows)  # 2023 row filtered
