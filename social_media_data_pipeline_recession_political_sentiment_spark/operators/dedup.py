@@ -58,13 +58,18 @@ def _with_shingles(df: DataFrame, out: str = "sh") -> DataFrame:
     than a slice()-per-shingle HOF, which re-splits and allocates a
     sub-array per element."""
     idx = ", ".join(f"tk[i + ({o - 1})]" for o in range(SHINGLE_K))
+    # the short-doc guard is load-bearing: sequence(1, n-2) with n < 3
+    # produces a DESCENDING sequence (Spark's sequence auto-negates the
+    # step), which under ANSI array indexing throws; DuckDB's range()
+    # returns empty for the same bounds. Guard to empty explicitly so
+    # both engines agree: < k tokens => no k-shingles.
     return df.withColumn("tk", _tokens(F.col("text"))).withColumn(
         out,
-        F.array_distinct(
-            F.expr(
-                f"transform(sequence(1, size(tk) - {SHINGLE_K - 1}), "
-                f"i -> concat_ws(' ', {idx}))"
-            )
+        F.expr(
+            f"CASE WHEN size(tk) >= {SHINGLE_K} THEN "
+            f"array_distinct(transform(sequence(1, size(tk) - {SHINGLE_K - 1}), "
+            f"i -> concat_ws(' ', {idx}))) "
+            "ELSE array() END"
         ),
     )
 

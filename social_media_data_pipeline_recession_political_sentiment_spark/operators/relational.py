@@ -423,6 +423,62 @@ def agg_multi_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_salted_skew",
+    oracle="SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for skewed group keys: phase 1
+    aggregates on (key, salt) so a hot key's rows spread over SALT_N
+    reducers; phase 2 merges the partial counts per key. Semantically
+    identical to a plain GROUP BY (which the oracle runs) — the salt
+    is an execution detail. events.event_type has few distinct values
+    (every key is 'hot'), making it the right demo shape: an unsalted
+    groupBy would route each key's entire partial stream through one
+    reducer. At 100 TB this — or AQE's skew-join split, enabled in
+    session.py — is what keeps a power-law key space from stalling a
+    stage on one straggler task."""
+    SALT_N = 8
+    e = load(spark, sf_dir, "events")
+    salted = e.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(SALT_N)))
+    partial = salted.groupBy("event_type", "salt").agg(F.count("*").alias("c"))
+    return partial.groupBy("event_type").agg(F.sum("c").cast("long").alias("cnt"))
+
+
+@register(
+    "sink_partitioned_prune",
+    oracle=(
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS cnt "
+        "FROM events WHERE date_trunc('day', ts) = DATE '2024-01-15' GROUP BY day"
+    ),
+)
+def sink_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned gold write + partition-pruned read (SURVEY §4
+    'write gold/silver parquet partitioned by date; Catalyst prunes
+    automatically'). Writes events hive-partitioned by event date,
+    then reads back one day: the scan's file listing touches only the
+    `day=2024-01-15` directory — at 100 TB the difference between
+    scanning one day and scanning three years. Pruning is visible in
+    `.explain` as PartitionFilters on the scan node."""
+    import hashlib
+    import os
+
+    gold = os.path.join(
+        "/tmp/smdp_gold", hashlib.sha1(sf_dir.encode()).hexdigest()[:10], "events_by_day"
+    )
+    if not os.path.exists(os.path.join(gold, "_SUCCESS")):
+        e = load(spark, sf_dir, "events")
+        e.withColumn("day", F.to_date("ts")).write.mode("overwrite").partitionBy(
+            "day"
+        ).parquet(gold)
+    g = spark.read.parquet(gold)
+    return (
+        g.filter(F.col("day") == F.lit("2024-01-15").cast("date"))
+        .groupBy("day")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 @register("agg_approx_distinct")  # approximate => rows-only driver check
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct users via HLL (SURVEY §2.4 EXT — the

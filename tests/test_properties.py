@@ -1,0 +1,132 @@
+"""Property-based tests (hypothesis) for engine invariants that unit
+examples can't cover exhaustively: cleaning idempotence, bucket
+totality/boundaries, shingle counting, and the salted-agg equivalence
+(SURVEY §5 — the property layer on top of the DuckDB oracle gate).
+
+Properties run through real Spark expressions (one local relation per
+case batch) so they test the engine's semantics, not a Python
+re-implementation.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from social_media_data_pipeline_recession_political_sentiment_spark.functions.text import (
+    clean_comment,
+    normalize_text,
+    sentiment_bucket,
+    strip_urls,
+)
+
+_SETTINGS = dict(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+texts = st.text(
+    alphabet=st.characters(codec="ascii", exclude_characters="\x00"), max_size=80
+)
+scores = st.floats(
+    min_value=-1.0, max_value=1.0, allow_nan=False, allow_infinity=False
+)
+
+
+def _col_out(spark, values, typ, expr):
+    df = spark.createDataFrame([(v,) for v in values], f"t {typ}")
+    return [r.out for r in df.select(expr.alias("out")).collect()]
+
+
+@given(st.lists(texts, min_size=1, max_size=8))
+@settings(**_SETTINGS)
+def test_clean_comment_idempotent(spark, vals):
+    """Cleaning an already-cleaned comment changes nothing (the
+    reference applies its cleaner exactly once, `Reddit_4chan_
+    Analysis.py:55-63`; idempotence makes re-runs safe)."""
+    once = _col_out(spark, vals, "string", clean_comment(F.col("t")))
+    twice = _col_out(spark, once, "string", clean_comment(F.col("t")))
+    assert once == twice
+
+
+@given(st.lists(texts, min_size=1, max_size=8))
+@settings(**_SETTINGS)
+def test_normalize_output_alphabet(spark, vals):
+    """normalize_text output contains only [a-z0-9\\s] (ref regex
+    `[^a-zA-Z0-9\\s]` + lower, `Reddit_4chan_Analysis.py:61`)."""
+    for out in _col_out(spark, vals, "string", normalize_text(F.col("t"))):
+        assert re.fullmatch(r"[a-z0-9\s]*", out), out
+
+
+@given(st.lists(texts, min_size=1, max_size=8))
+@settings(**_SETTINGS)
+def test_strip_urls_leaves_no_http_tokens(spark, vals):
+    for out in _col_out(spark, vals, "string", strip_urls(F.col("t"))):
+        assert not re.search(r"https?://\S", out), out
+
+
+@given(st.lists(scores, min_size=1, max_size=16))
+@settings(**_SETTINGS)
+def test_sentiment_bucket_total_and_boundaries(spark, vals):
+    """Every score lands in exactly one bucket with the reference's
+    inclusive ±0.05 boundaries (`Reddit_4chan_Analysis.py:150-160`)."""
+    outs = _col_out(spark, vals, "double", sentiment_bucket(F.col("t")))
+    for v, out in zip(vals, outs):
+        expected = "positive" if v >= 0.05 else "negative" if v <= -0.05 else "neutral"
+        assert out == expected, (v, out)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=6))
+@settings(**_SETTINGS)
+def test_shingle_count_matches_token_count(spark, n_tokens_list):
+    """A doc with n whitespace tokens yields max(n-2, 0) 3-gram
+    shingles when all tokens are distinct (SURVEY §2.8
+    `udtf_explode_shingles`)."""
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.dedup import (
+        _with_shingles,
+    )
+
+    rows = [
+        (i, " ".join(f"w{i}x{j}" for j in range(n)))
+        for i, n in enumerate(n_tokens_list)
+        if n > 0
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.n for r in _with_shingles(df).select("doc_id", F.size("sh").alias("n")).collect()}
+    for i, n in enumerate(n_tokens_list):
+        if n > 0:
+            assert out[i] == max(n - 2, 0), (n, out[i])
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 10**6)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_salted_agg_equals_plain_groupby(spark, rows):
+    """The two-phase salted aggregation is semantically transparent:
+    identical to a plain GROUP BY count for any input (the §2.4
+    `agg_salted_skew` invariant)."""
+    df = spark.createDataFrame(rows, "k string, ident long")
+    plain = {
+        r.k: r.cnt
+        for r in df.groupBy("k").agg(F.count("*").alias("cnt")).collect()
+    }
+    salted = (
+        df.withColumn("salt", F.pmod(F.xxhash64("ident"), F.lit(4)))
+        .groupBy("k", "salt")
+        .agg(F.count("*").alias("c"))
+        .groupBy("k")
+        .agg(F.sum("c").cast("long").alias("cnt"))
+    )
+    assert {r.k: r.cnt for r in salted.collect()} == plain
