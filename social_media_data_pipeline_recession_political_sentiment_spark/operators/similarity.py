@@ -118,6 +118,10 @@ def ext_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     sample = e.toPandas()  # quantizer training set; .sample() at scale
+    if len(sample) == 0:  # empty corpus => no neighbors
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, cos double, rank bigint"
+        )
     ids = sample["vec_id"].to_numpy(dtype=np.int64)
     mat = np.stack([np.asarray(v, dtype=np.float64) for v in sample["embedding"]])
     n = len(ids)
@@ -220,6 +224,8 @@ def ext_dedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     build = e.toPandas()
+    if len(build) == 0:  # empty corpus => no pairs (np.stack needs rows)
+        return spark.createDataFrame([], "vec_a bigint, vec_b bigint, cos double")
     b_ids = build["vec_id"].to_numpy(dtype=np.int64)
     b_mat = np.stack([np.asarray(v, dtype=np.float64) for v in build["embedding"]])
     bc = spark.sparkContext.broadcast((b_ids, b_mat))
@@ -283,6 +289,8 @@ def ext_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (same broadcast-block role as in ext_dedup_embcos; at corpus
     # scale swap for an embeddings join keyed on vec_id)
     corpus = e.toPandas()
+    if len(corpus) == 0:  # empty corpus => no candidate pairs
+        return spark.createDataFrame([], "vec_a bigint, vec_b bigint, dist double")
     c_ids = corpus["vec_id"].to_numpy(dtype=np.int64)
     c_mat = np.stack([np.asarray(v, dtype=np.float64) for v in corpus["embedding"]])
     id_pos = np.full(c_ids.max() + 1, -1, dtype=np.int64)

@@ -83,3 +83,14 @@ def test_lsh_recall_vs_brute_force(spark):
         if (min(q, nn), max(q, nn)) in pairs:
             hits += 1
     assert hits >= 3  # recall >= 60% on the 5 probes for this config
+
+
+def test_vector_ops_tolerate_empty_corpus(spark):
+    """Empty embeddings table => empty result, not a crash (the
+    broadcast-build paths need rows for np.stack)."""
+    rows = []
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    tmp = tempfile.mkdtemp(prefix="smdp_sim_empty_")
+    d.write.mode("overwrite").parquet(os.path.join(tmp, "embeddings.parquet"))
+    for q in ("ext_dedup_embcos", "ext_sim_ivf", "ext_sim_lsh"):
+        assert queries()[q](spark, tmp).count() == 0, q
