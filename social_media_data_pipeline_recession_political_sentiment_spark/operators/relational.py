@@ -232,7 +232,8 @@ def join_enriched_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_anti_dedup",
     oracle=(
         "SELECT c.c_custkey FROM customer c "
-        "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+        "WHERE NOT EXISTS (SELECT 1 FROM orders o "
+        "WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')"
     ),
 )
 def join_anti_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -240,10 +241,17 @@ def join_anti_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's per-row existence probe before insert (ref:
     `Reddit.py:75-80`, `Youtube_final.py:109-114`,
     `Reddit_4chan_Analysis.py:117-119`). One distributed anti-join per
-    micro-batch replaces 2 DB round-trips per row."""
+    micro-batch replaces 2 DB round-trips per row. The probe side is
+    filtered to urgent orders so the result is non-degenerate at test
+    SF (every customer has *some* order; not every customer has an
+    urgent one)."""
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    return c.join(o, "c_custkey", "left_anti").select("c_custkey")
+    probe = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.join(probe, "c_custkey", "left_anti").select("c_custkey")
 
 
 @register(

@@ -55,6 +55,8 @@ def get_session(app_name: str = "smdp_spark", cpus: int | None = None) -> SparkS
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.driver.memory", os.environ.get("SMDP_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # keep stdout/stderr clean: bench.py's contract is ONE JSON line
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for k, v in ENGINE_CONFS.items():
         builder = builder.config(k, v)
