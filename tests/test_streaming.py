@@ -134,3 +134,56 @@ def test_watermark_finalized_window_not_reemitted(spark):
     ]
     assert emitted == [("2024-01-02T10:00:00", 2)]  # one emission, late id 5 excluded
     assert dropped == 1  # id 5 was dropped by the watermark
+
+
+def test_stateful_count_state_persists_across_batches(spark):
+    """applyInPandasWithState keyed state must carry across
+    micro-batches: a user appearing in every batch emits strictly
+    increasing running counts, one update per batch."""
+    import uuid
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    import pandas as pd
+
+    work = tempfile.mkdtemp(prefix="smdp_state_")
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir)
+    # three files = three micro-batches; user 7 appears in all three
+    batches = [[(1, 7), (2, 8)], [(3, 7)], [(4, 7), (5, 8)]]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "event_id long, user_id long").coalesce(1).write.parquet(
+            os.path.join(src_dir, f"b{i}")
+        )
+    src = (
+        spark.readStream.schema("event_id bigint, user_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src_dir, "b*"))
+    )
+
+    def running_count(key, pdfs, state):
+        cnt = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            cnt += len(pdf)
+        state.update((cnt,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [cnt]})
+
+    updates = src.groupBy("user_id").applyInPandasWithState(
+        running_count,
+        outputStructType="user_id bigint, n_events bigint",
+        stateStructType="cnt bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"state_{uuid.uuid4().hex[:8]}"
+    q = (
+        updates.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    u7 = sorted(
+        r.n_events for r in spark.table(name).filter(F.col("user_id") == 7).collect()
+    )
+    assert u7 == [1, 2, 3]  # one update per batch, state accumulated
