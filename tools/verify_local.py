@@ -13,6 +13,7 @@ from __future__ import annotations
 import datetime as dt
 import hashlib
 import math
+import os
 import sys
 import time
 
@@ -69,7 +70,18 @@ def main():
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    spark = get_session("verify_local")
+    if os.environ.get("SMDP_VERIFY_VANILLA"):
+        # simulate the driver: a session built WITHOUT engine confs;
+        # the contract must self-configure via apply_engine_confs
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("verify_vanilla")
+            .getOrCreate()
+        )
+    else:
+        spark = get_session("verify_local")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
