@@ -125,32 +125,80 @@ def udtf_explode_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exploded_shingles(spark, sf_dir)
 
 
-@register("ext_dedup_minhash")  # xxhash64 not available to the SQL oracle
+# Salted 60-bit hash both engines compute identically: the first 15
+# hex chars of md5('<salt>:<value>') parsed base-16. (xxhash64 would
+# be ~3x faster but DuckDB lacks it — checkability wins; swap the
+# hash function behind _salted_hash for a perf-only deployment.)
+def _salted_hash(salt, col):
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(":", salt, col)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def _salted_hash_sql(salt: str, expr: str) -> str:
+    return f"CAST(('0x' || substr(md5(concat_ws(':', {salt}, {expr})), 1, 15)) AS BIGINT)"
+
+
+_SHINGLE_CTE = (
+    "toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+    "sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1), "
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM toks)"
+)
+
+_ROWS_PER_BAND = N_MINHASH // N_BANDS
+
+_MINHASH_ORACLE = (
+    f"WITH {_SHINGLE_CTE}, "
+    "mh AS (SELECT doc_id, "
+    + ", ".join(
+        f"min({_salted_hash_sql(str(j), 's')}) AS mh{j}" for j in range(N_MINHASH)
+    )
+    + " FROM sh GROUP BY doc_id), "
+    "banded AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, md5(concat_ws(':', {b}, "
+        + ", ".join(f"mh{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND))
+        + ")) AS band_hash FROM mh"
+        for b in range(N_BANDS)
+    )
+    + ") "
+    "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "FROM banded a JOIN banded b ON a.band_id = b.band_id "
+    "AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id "
+    "ORDER BY doc_a, doc_b"
+)
+
+
+@register("ext_dedup_minhash", oracle=_MINHASH_ORACLE)
 def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: shingle → 16 minhashes → 4
-    bands of 4 → band-bucket equi-join. Fully deterministic
-    (xxhash64 with fixed per-function salts). Exactness of the
-    banding math is pytest-checked against exact Jaccard
-    (tests/test_dedup.py); no SQL oracle because DuckDB lacks
-    xxhash64."""
-    # Explode shingles once, then compute the 16 salted xxhash64
-    # columns in whole-stage codegen and min-aggregate per doc — one
-    # shuffle of 16x8-byte signatures. (Bit-identical to a per-doc
-    # `array_min(transform(...))` HOF chain but ~4x faster: HOF
-    # lambdas evaluate interpreted, codegen'd projections don't.)
+    bands of 4 → band-bucket equi-join. Fully deterministic (salted
+    md5-derived 60-bit hashes both engines can compute), so the whole
+    signature + banding math is SQL-oracle-checked; banding recall vs
+    exact Jaccard is additionally pytest-asserted (tests/test_dedup.py).
+
+    Physical shape: explode shingles once, compute the 16 salted hash
+    columns in whole-stage codegen, min-aggregate per doc (map-side
+    partial => the shuffle carries 16x8-byte signatures, not
+    shingles); candidate generation is an equi-join on (band,
+    band_hash) — the LSH trick that replaces the O(n^2) pair space
+    with bucket collisions."""
     exploded = _exploded_shingles(spark, sf_dir)
     sigs = exploded.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.lit(j), F.col("s"))).alias(f"mh{j}")
+            F.min(_salted_hash(F.lit(str(j)), F.col("s"))).alias(f"mh{j}")
             for j in range(N_MINHASH)
         ]
     )
-    # band key = hash of the band's 4 minhash rows
-    rows_per_band = N_MINHASH // N_BANDS
+    # band key = md5 of the band's minhash rows
     bands = F.array(
         *[
-            F.xxhash64(
-                F.lit(b), *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(str(b)),
+                    *[F.col(f"mh{b * _ROWS_PER_BAND + r}") for r in range(_ROWS_PER_BAND)],
+                )
             )
             for b in range(N_BANDS)
         ]
@@ -174,15 +222,35 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
-@register("ext_dedup_simhash")  # xxhash64 not available to the SQL oracle
+_SIMHASH_ORACLE = (
+    "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents), "
+    f"h AS (SELECT doc_id, {_salted_hash_sql(chr(39) + '7' + chr(39), 't')} AS h FROM tok), "
+    "votes AS (SELECT doc_id, "
+    + ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    + " FROM h GROUP BY doc_id) "
+    "SELECT doc_id, "
+    + " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({2**i} AS BIGINT) ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    + " AS simhash FROM votes ORDER BY doc_id"
+)
+
+
+@register("ext_dedup_simhash", oracle=_SIMHASH_ORACLE)
 def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash signature per document: token hashes vote ±1 per
     bit position; the sign vector is the signature. One explode + one
     hash-agg (the 32 bit-counters are agg columns); near-dups are docs
     within small Hamming distance — here we emit the signature and a
-    bucket count so identical-signature groups are visible."""
+    bucket count so identical-signature groups are visible. Salted
+    md5-derived token hashes keep the whole computation SQL-oracle-
+    checkable bit for bit."""
     tok = _load_docs(spark, sf_dir).select("doc_id", F.explode(_tokens(F.col("text"))).alias("t"))
-    tok = tok.withColumn("h", F.xxhash64(F.lit(7), F.col("t")))
+    tok = tok.withColumn("h", _salted_hash(F.lit("7"), F.col("t")))
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
