@@ -102,7 +102,20 @@ def ext_mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ext_mm_decode_stub")  # binary mapInPandas => rows-only; exact values pytest-checked
+# The synthetic corpus is pure ASCII, so UTF-8 byte values equal
+# codepoints and the FakeCodec arithmetic is exactly expressible in
+# SQL — making even the binary mapInPandas path oracle-checked.
+_DECODE_ORACLE = f"""
+WITH chars AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+agg AS (SELECT doc_id, sum(ord(ch)) AS byte_sum, count(*) AS n FROM chars GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.byte_sum, 0) AS byte_sum,
+       octet_length(encode(d.text)) // {FRAME_BYTES} + 1 AS n_frames,
+       CASE WHEN a.n > 0 THEN CAST(a.byte_sum AS DOUBLE) / a.n ELSE 0.0 END AS mean_byte
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register("ext_mm_decode_stub", oracle=_DECODE_ORACLE)
 def ext_mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract stage: mapInPandas with one codec per
     partition, Arrow batches of binary payloads in, numeric features
@@ -123,7 +136,18 @@ def ext_mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ext_mm_frame_sample")  # cardinality-expanding mapInPandas => rows-only
+_FRAME_ORACLE = f"""
+WITH nums AS (SELECT unnest(range(0, (SELECT max(length(text)) FROM documents))) AS p),
+bytes AS (SELECT d.doc_id, n.p, ord(substr(d.text, CAST(n.p + 1 AS INT), 1)) AS b
+          FROM documents d JOIN nums n ON n.p < length(d.text))
+SELECT doc_id, p // {FRAME_BYTES * 2} AS frame_idx, sum(b) AS frame_sum,
+       count(*) AS frame_len
+FROM bytes WHERE p % {FRAME_BYTES * 2} < {FRAME_BYTES}
+GROUP BY doc_id, frame_idx ORDER BY doc_id, frame_idx
+"""
+
+
+@register("ext_mm_frame_sample", oracle=_FRAME_ORACLE)
 def ext_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling: emit every k-th FRAME_BYTES window of the
     payload as its own row (the UDTF/explode shape via mapInPandas).
