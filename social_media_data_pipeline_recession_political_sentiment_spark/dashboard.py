@@ -1,0 +1,245 @@
+"""The reference dashboard's query corpus, re-expressed as engine
+calls (ref: `Analysis Dashboard/app.py` — 13 parametrized SQL routes;
+`Data Analysis/Analysis_queries.ipynb` cells 0-1).
+
+A reference user's daily queries are exactly these routes. Each is a
+plain function `(spark, sf_dir, start, end) -> DataFrame` over gold
+views derived deterministically from the testdata `events` table,
+with the reference's three timestamp encodings preserved on purpose
+(SURVEY §1.2): native timestamps (Reddit/politics), display TEXT
+needing a cast at query time (4chan, `app.py:71,105,222`), and
+ISO-8601 TEXT compared lexically (YouTube, `app.py:152,244`).
+
+Platform mapping onto the synthetic events stream (fixed, arbitrary):
+click=reddit, error=4chan, purchase=youtube, signup=politics.
+Enrichment columns derive from `value` so both engines can compute
+them: sentiment = value>=100 positive / value<30 negative / neutral;
+is_hate_speech = value >= 150, confidence = min(value/200, 0.99).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load
+from .registry import register
+
+PLATFORMS = {
+    "reddit": "click",
+    "chan": "error",
+    "youtube": "purchase",
+    "politics": "signup",
+}
+
+# default route parameters (the Flask routes default to a fixed window,
+# `app.py:290-292`); chosen inside the testdata's January 2024 span
+DEFAULT_START = "2024-01-05"
+DEFAULT_END = "2024-01-25"
+
+
+def _base(spark: SparkSession, sf_dir: str, platform: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == PLATFORMS[platform]
+    )
+    return e.select(
+        F.col("event_id").cast("string").alias("comment_id"),
+        F.col("ts"),
+        F.col("value"),
+    )
+
+
+def raw_comments(spark: SparkSession, sf_dir: str, platform: str) -> DataFrame:
+    """Per-platform raw table with the reference's time encoding:
+    native ts (reddit/politics), TEXT 'yyyy-MM-dd HH:mm:ss' (4chan),
+    ISO-8601 TEXT (youtube)."""
+    b = _base(spark, sf_dir, platform)
+    if platform == "chan":
+        return b.select(
+            F.col("comment_id").alias("postnumber"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("timestamp"),
+        )
+    if platform == "youtube":
+        return b.select(
+            "comment_id",
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("comment_time"),
+        )
+    return b.select("comment_id", F.col("ts").alias("created_utc"))
+
+
+def enriched(spark: SparkSession, sf_dir: str, platform: str) -> DataFrame:
+    """The an_* analysis table for a platform (ref DDL:
+    `Reddit_4chan_Analysis.py:65-77`), derived deterministically."""
+    b = _base(spark, sf_dir, platform)
+    sentiment = (
+        F.when(F.col("value") >= 100, "positive")
+        .when(F.col("value") < 30, "negative")
+        .otherwise("neutral")
+    )
+    return b.select(
+        "comment_id",
+        sentiment.alias("sentiment"),
+        (F.col("value") >= 150).alias("is_hate_speech"),
+        F.least(F.col("value") / 200, F.lit(0.99)).alias("hate_speech_confidence"),
+    )
+
+
+# ---------------------------------------------------------------- routes
+# 1 (app.py:34-38): politics comments in a half-open range, ordered
+def politics_comments(spark, sf_dir, start=DEFAULT_START, end=DEFAULT_END):
+    r = raw_comments(spark, sf_dir, "politics")
+    return (
+        r.filter(
+            (F.col("created_utc") >= F.lit(start).cast("timestamp"))
+            & (F.col("created_utc") < F.lit(end).cast("timestamp"))
+        )
+        .select("created_utc")
+        .orderBy("created_utc")
+    )
+
+
+# 2-4 (app.py:70-77): per-platform volume counts, one per encoding
+def platform_count(spark, sf_dir, platform, start=DEFAULT_START, end=DEFAULT_END):
+    r = raw_comments(spark, sf_dir, platform)
+    if platform == "chan":  # DATE(timestamp) cast on TEXT, app.py:71
+        pred = (F.to_date("timestamp") >= F.lit(start).cast("date")) & (
+            F.to_date("timestamp") < F.lit(end).cast("date")
+        )
+    elif platform == "youtube":  # lexical TEXT compare, app.py:72
+        pred = (F.col("comment_time") >= f"{start}T00:00:00Z") & (
+            F.col("comment_time") < f"{end}T00:00:00Z"
+        )
+    else:
+        pred = (F.col("created_utc") >= F.lit(start).cast("timestamp")) & (
+            F.col("created_utc") < F.lit(end).cast("timestamp")
+        )
+    return r.filter(pred).agg(F.count("*").alias("count"))
+
+
+def _dist(spark, sf_dir, platform, col, start, end):
+    """Routes 5-12 share one shape: enriched JOIN raw on the key,
+    BETWEEN on the platform's time encoding, GROUP BY col
+    (app.py:105-265)."""
+    r = raw_comments(spark, sf_dir, platform)
+    s = enriched(spark, sf_dir, platform)
+    if platform == "chan":  # TO_CHAR(timestamp::date,...) BETWEEN, app.py:105,222
+        key = "postnumber"
+        s = s.withColumnRenamed("comment_id", key)
+        cond = F.date_format(F.to_date("timestamp"), "yyyy-MM-dd").between(start, end)
+    elif platform == "youtube":  # lexical BETWEEN, app.py:152,244
+        key = "comment_id"
+        cond = F.col("comment_time").between(f"{start}T00:00:00Z", f"{end}T23:59:59Z")
+    else:  # native ts BETWEEN, app.py:109,175,198,265
+        key = "comment_id"
+        cond = F.col("created_utc").between(
+            F.lit(start).cast("timestamp"), F.lit(end).cast("timestamp")
+        )
+    return (
+        s.join(r, key, "inner").filter(cond).groupBy(col).agg(F.count("*").alias("count"))
+    )
+
+
+def sentiment_distribution(spark, sf_dir, platform, start=DEFAULT_START, end=DEFAULT_END):
+    return _dist(spark, sf_dir, platform, "sentiment", start, end)
+
+
+def hate_distribution(spark, sf_dir, platform, start=DEFAULT_START, end=DEFAULT_END):
+    return _dist(spark, sf_dir, platform, "is_hate_speech", start, end)
+
+
+# 13 (app.py:44-59): the manual daily-count loop as one aggregation
+def daily_counts(spark, sf_dir, platform="politics", start=DEFAULT_START, end=DEFAULT_END):
+    r = politics_comments(spark, sf_dir, start, end)
+    return (
+        r.groupBy(F.to_date("created_utc").alias("day"))
+        .agg(F.count("*").alias("count"))
+        .orderBy("day")
+    )
+
+
+def all_routes(spark, sf_dir, start=DEFAULT_START, end=DEFAULT_END) -> dict[str, DataFrame]:
+    """Every dashboard route, keyed like the Flask endpoints — the
+    drop-in surface for a reference user."""
+    out = {"politics_comments": politics_comments(spark, sf_dir, start, end)}
+    for p in PLATFORMS:
+        out[f"count_{p}"] = platform_count(spark, sf_dir, p, start, end)
+        out[f"sentiment_{p}"] = sentiment_distribution(spark, sf_dir, p, start, end)
+        out[f"hate_{p}"] = hate_distribution(spark, sf_dir, p, start, end)
+    out["daily_politics"] = daily_counts(spark, sf_dir, "politics", start, end)
+    return out
+
+
+# ------------------------------------------ oracle-checked registrations
+_ENRICH_SQL = (
+    "CASE WHEN value >= 100 THEN 'positive' WHEN value < 30 THEN 'negative' "
+    "ELSE 'neutral' END AS sentiment, (value >= 150) AS is_hate_speech"
+)
+
+
+@register(
+    "dash_count_reddit",
+    oracle=(
+        "SELECT count(*) AS count FROM events WHERE event_type = 'click' "
+        f"AND ts >= TIMESTAMP '{DEFAULT_START} 00:00:00' "
+        f"AND ts < TIMESTAMP '{DEFAULT_END} 00:00:00'"
+    ),
+)
+def dash_count_reddit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route 2 (`app.py:70`): reddit volume count over native
+    timestamps."""
+    return platform_count(spark, sf_dir, "reddit")
+
+
+@register(
+    "dash_sentiment_chan",
+    oracle=(
+        "WITH raw AS (SELECT CAST(event_id AS VARCHAR) AS postnumber, "
+        "strftime(ts, '%Y-%m-%d %H:%M:%S') AS timestamp FROM events WHERE event_type='error'), "
+        f"an AS (SELECT CAST(event_id AS VARCHAR) AS postnumber, {_ENRICH_SQL} "
+        "FROM events WHERE event_type='error') "
+        "SELECT an.sentiment, count(*) AS count FROM an JOIN raw USING (postnumber) "
+        "WHERE strftime(CAST(raw.timestamp AS DATE), '%Y-%m-%d') "
+        f"BETWEEN '{DEFAULT_START}' AND '{DEFAULT_END}' GROUP BY an.sentiment"
+    ),
+)
+def dash_sentiment_chan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route 5 (`app.py:105`): 4chan sentiment distribution — the
+    TEXT-timestamp cast quirk (`TO_CHAR(timestamp::date, ...)
+    BETWEEN`) preserved end to end."""
+    return sentiment_distribution(spark, sf_dir, "chan")
+
+
+@register(
+    "dash_hate_youtube",
+    oracle=(
+        "WITH raw AS (SELECT CAST(event_id AS VARCHAR) AS comment_id, "
+        "strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS comment_time FROM events "
+        "WHERE event_type='purchase'), "
+        f"an AS (SELECT CAST(event_id AS VARCHAR) AS comment_id, {_ENRICH_SQL} "
+        "FROM events WHERE event_type='purchase') "
+        "SELECT an.is_hate_speech, count(*) AS count FROM an JOIN raw USING (comment_id) "
+        f"WHERE raw.comment_time BETWEEN '{DEFAULT_START}T00:00:00Z' "
+        f"AND '{DEFAULT_END}T23:59:59Z' GROUP BY an.is_hate_speech"
+    ),
+)
+def dash_hate_youtube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route 11 (`app.py:244`): YouTube hate-speech distribution — the
+    lexical ISO-TEXT BETWEEN quirk preserved end to end."""
+    return hate_distribution(spark, sf_dir, "youtube")
+
+
+@register(
+    "dash_daily_politics",
+    oracle=(
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS count "
+        "FROM events WHERE event_type = 'signup' "
+        f"AND ts >= TIMESTAMP '{DEFAULT_START} 00:00:00' "
+        f"AND ts < TIMESTAMP '{DEFAULT_END} 00:00:00' GROUP BY day ORDER BY day"
+    ),
+)
+def dash_daily_politics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route 13 (`app.py:44-59`): the manual daily-count pandas loop as
+    a single daily aggregation (the `count/10*5.5` trailing-day
+    extrapolation is presentation-layer, deliberately dropped —
+    SURVEY §7 risk register)."""
+    return daily_counts(spark, sf_dir, "politics")

@@ -34,6 +34,7 @@ _OPERATOR_MODULES = (
     "streaming.queries",
     "streaming.ingest",
     "plans.pipeline",
+    "dashboard",
 )
 
 

@@ -1,0 +1,45 @@
+"""The reference dashboard's 13 routes as engine calls (app.py parity
+surface): every route runs, and the per-encoding quirks hold."""
+
+from __future__ import annotations
+
+from social_media_data_pipeline_recession_political_sentiment_spark import dashboard
+from tests.conftest import SF_SMOKE
+
+
+def test_all_routes_run(spark):
+    routes = dashboard.all_routes(spark, SF_SMOKE)
+    assert len(routes) == 14  # 1 scan + 4 counts + 4 sentiment + 4 hate + 1 daily
+    for name, df in routes.items():
+        assert df.count() >= 0, name  # executes without error
+
+
+def test_counts_agree_across_encodings(spark):
+    """The three time encodings select the same rows for aligned
+    bounds: a platform's count via its encoding equals the native-ts
+    count over the same window."""
+    from pyspark.sql import functions as F
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.catalog import load
+
+    start, end = dashboard.DEFAULT_START, dashboard.DEFAULT_END
+    for platform in ("chan", "youtube"):
+        got = dashboard.platform_count(spark, SF_SMOKE, platform, start, end).collect()[0][
+            "count"
+        ]
+        want = (
+            load(spark, SF_SMOKE, "events")
+            .filter(F.col("event_type") == dashboard.PLATFORMS[platform])
+            .filter(
+                (F.col("ts") >= F.lit(start).cast("timestamp"))
+                & (F.col("ts") < F.lit(end).cast("timestamp"))
+            )
+            .count()
+        )
+        assert got == want, (platform, got, want)
+
+
+def test_sentiment_buckets_partition_rows(spark):
+    out = dashboard.sentiment_distribution(spark, SF_SMOKE, "reddit").collect()
+    assert {r.sentiment for r in out} <= {"positive", "negative", "neutral"}
+    assert sum(r["count"] for r in out) > 0
