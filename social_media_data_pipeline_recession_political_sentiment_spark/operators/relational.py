@@ -431,6 +431,34 @@ def agg_multi_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_IFACE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+       CAST(sum(l_quantity) AS DOUBLE) / count(*) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register("sql_interface", oracle=_SQL_IFACE)
+def sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's second front door: `spark.sql` over registered
+    views (a TPC-H-Q1-shaped pricing summary). The oracle runs the
+    SAME SQL string in DuckDB — dialect-portable by construction.
+    Aggregates stay on integral-valued l_quantity so distributed
+    float summation is order-exact (SURVEY §7: float-agg
+    nondeterminism is the oracle trap; quantity sums are exact in
+    fp64, price sums are not). avg is expressed as exact-sum/count
+    for the same reason."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_IFACE)
+
+
 @register(
     "agg_salted_skew",
     oracle="SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
