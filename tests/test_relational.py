@@ -100,3 +100,22 @@ def test_topk_deterministic_under_ties(spark):
     a = [tuple(r) for r in q(spark, SF_SMOKE).collect()]
     b = [tuple(r) for r in q(spark, SF_SMOKE).collect()]
     assert a == b and len(a) == 10
+
+
+def test_range_join_rewrite_and_fallback(spark):
+    """Non-overlapping intervals take the equi-join rewrite; overlapping
+    intervals fall back to the theta-join and can multi-match — both
+    agree with a naive python evaluation."""
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.relational import (
+        range_join,
+    )
+
+    fact = spark.createDataFrame([(i, float(v)) for i, v in enumerate([5, 50, 99, 150])],
+                                 "id long, value double")
+    disjoint = [("a", 0.0, 50.0), ("b", 50.0, 100.0), ("c", 100.0, 200.0)]
+    got = {(r.id, r.bucket) for r in range_join(fact, "value", disjoint).collect()}
+    assert got == {(0, "a"), (1, "b"), (2, "b"), (3, "c")}
+
+    overlapping = [("x", 0.0, 100.0), ("y", 40.0, 160.0)]
+    got = {(r.id, r.bucket) for r in range_join(fact, "value", overlapping).collect()}
+    assert got == {(0, "x"), (1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "y")}
