@@ -87,6 +87,19 @@ def maintenance_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     def n_files(d: str) -> int:
         return sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
 
+    # the ANALYZE half of VACUUM (VERBOSE, ANALYZE): register the
+    # compacted table and compute catalog statistics, so Catalyst's
+    # cost-based decisions (broadcast thresholds, join reordering)
+    # see fresh row counts/sizes — the reference runs ANALYZE for the
+    # same reason (Postgres planner statistics)
+    tbl = "smdp_compacted_events"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(f"CREATE TABLE {tbl} USING parquet LOCATION '{compact_dir}'")
+    spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS")
+    stats_rows = spark.sql(f"DESCRIBE EXTENDED {tbl}").filter(
+        F.col("col_name") == "Statistics"
+    ).count()
+
     compacted = spark.read.parquet(compact_dir)
     return spark.createDataFrame(
         [
@@ -95,9 +108,11 @@ def maintenance_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n_files(compact_dir),
                 e.count(),
                 compacted.count(),
+                bool(stats_rows),
             )
         ],
-        "files_before int, files_after int, rows_before long, rows_after long",
+        "files_before int, files_after int, rows_before long, rows_after long, "
+        "stats_computed boolean",
     )
 
 
