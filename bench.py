@@ -42,22 +42,42 @@ def main() -> None:
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             df.collect()
-            dt = time.perf_counter() - t0
-            timings[name] = min(timings.get(name, dt), round(dt, 3))
+            dt = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
     total = sum(timings.values())
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "total_query_wall_clock",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": dict(sorted(timings.items())),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    # full-precision per-query record for BASELINE.md / the judge
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+        json.dump(payload, f, indent=1)
+        f.write("\n")
+
+    # The driver keeps only a ~2000-char tail of stdout and parses the
+    # JSON line out of it, so the printed line MUST fit that budget.
+    # Shrink by reducing per-query precision, then (if ever needed) by
+    # dropping the fastest queries — total stays over ALL queries.
+    def _line(qdict):
+        return json.dumps({**payload, "queries": qdict}, separators=(",", ":"))
+
+    for ndigits in (3, 2, 1):
+        q = {k: round(v, ndigits) for k, v in payload["queries"].items()}
+        line = _line(q)
+        if len(line) <= 1900:
+            break
+    while len(line) > 1900 and q:
+        fastest = min(q, key=q.get)
+        del q[fastest]
+        line = _line(q)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -147,11 +147,19 @@ def hate_distribution(spark, sf_dir, platform, start=DEFAULT_START, end=DEFAULT_
     return _dist(spark, sf_dir, platform, "is_hate_speech", start, end)
 
 
-# 13 (app.py:44-59): the manual daily-count loop as one aggregation
+# 13 (app.py:44-59): the manual daily-count loop as one aggregation.
+# Works for every platform by normalizing its time encoding to a day.
 def daily_counts(spark, sf_dir, platform="politics", start=DEFAULT_START, end=DEFAULT_END):
-    r = politics_comments(spark, sf_dir, start, end)
+    r = raw_comments(spark, sf_dir, platform)
+    if platform == "chan":  # TEXT display ts → cast (app.py:71)
+        day = F.to_date("timestamp")
+    elif platform == "youtube":  # ISO TEXT → parse (app.py:152)
+        day = F.to_date(F.to_timestamp("comment_time", "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+    else:  # native ts (reddit/politics)
+        day = F.to_date("created_utc")
     return (
-        r.groupBy(F.to_date("created_utc").alias("day"))
+        r.filter((day >= F.lit(start).cast("date")) & (day < F.lit(end).cast("date")))
+        .groupBy(day.alias("day"))
         .agg(F.count("*").alias("count"))
         .orderBy("day")
     )

@@ -103,7 +103,8 @@ def fn_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_epoch_to_ts",
     oracle=(
         "SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s, "
-        "to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)) AS ts_roundtrip FROM events"
+        "CAST(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)) AS TIMESTAMP) "
+        "AS ts_roundtrip FROM events"
     ),
 )
 def fn_epoch_to_ts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -139,7 +139,7 @@ def stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "body VARCHAR, score BIGINT, created_utc BIGINT, id VARCHAR))[])'}) ) "
         "SELECT DISTINCT c.data.id AS comment_id, c.data.subreddit AS subreddit, "
         "coalesce(c.data.score, 0) AS score, "
-        "to_timestamp(c.data.created_utc) AS created_utc FROM pages"
+        "CAST(to_timestamp(c.data.created_utc) AS TIMESTAMP) AS created_utc FROM pages"
     ),
 )
 def stream_microbatch(spark: SparkSession, sf_dir: str) -> DataFrame:

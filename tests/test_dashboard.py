@@ -43,3 +43,27 @@ def test_sentiment_buckets_partition_rows(spark):
     out = dashboard.sentiment_distribution(spark, SF_SMOKE, "reddit").collect()
     assert {r.sentiment for r in out} <= {"positive", "negative", "neutral"}
     assert sum(r["count"] for r in out) > 0
+
+
+def test_daily_counts_respects_platform(spark):
+    """daily_counts(platform) must aggregate THAT platform's rows
+    (regression: it used to always return politics data)."""
+    from pyspark.sql import functions as F
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.catalog import load
+
+    start, end = dashboard.DEFAULT_START, dashboard.DEFAULT_END
+    for platform in ("politics", "reddit", "chan", "youtube"):
+        rows = dashboard.daily_counts(spark, SF_SMOKE, platform, start, end).collect()
+        want = (
+            load(spark, SF_SMOKE, "events")
+            .filter(F.col("event_type") == dashboard.PLATFORMS[platform])
+            .filter(
+                (F.col("ts") >= F.lit(start).cast("timestamp"))
+                & (F.col("ts") < F.lit(end).cast("timestamp"))
+            )
+            .count()
+        )
+        assert sum(r["count"] for r in rows) == want, (platform, want)
+        days = [r["day"] for r in rows]
+        assert days == sorted(days)

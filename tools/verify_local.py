@@ -41,12 +41,49 @@ def _norm(v):
             return "NaN"
         return f"{v:.9g}"
     if isinstance(v, dt.datetime):
-        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+        s = v.strftime("%Y-%m-%d %H:%M:%S.%f")
+        # encode the offset so TIMESTAMPTZ values can never silently
+        # collide with naive timestamps (the driver treats them apart)
+        if v.tzinfo is not None:
+            s += f"@{v.utcoffset()}"
+        return s
     if isinstance(v, dt.date):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm(x) for x in v) + "]"
     return str(v)
+
+
+def _type_family(t: str) -> str:
+    """Coarse type family for Spark dtype / DuckDB type strings, so a
+    TIMESTAMPTZ-vs-TIMESTAMP (or string-vs-int) oracle mismatch fails
+    locally the way it fails the driver's schema check."""
+    t = str(t).lower()
+    if "time zone" in t or t == "timestamptz":
+        return "timestamptz"
+    if t.startswith("timestamp"):
+        return "timestamp"
+    if t.endswith("[]") or t.startswith(("array", "list")):
+        return "list"
+    if t.startswith("struct"):
+        return "struct"
+    if t.startswith("map"):
+        return "map"
+    if t in ("blob", "binary", "bytea"):
+        return "binary"
+    if t.startswith(("decimal", "numeric")):
+        return "decimal"
+    if t in ("double", "float", "real", "float4", "float8"):
+        return "float"
+    if "int" in t:  # tinyint/smallint/int/bigint/hugeint/u*
+        return "int"
+    if t in ("varchar", "string", "text", "char"):
+        return "string"
+    if t.startswith("bool"):
+        return "bool"
+    if t == "date":
+        return "date"
+    return t
 
 
 def _hash_rows(cols, rows):
@@ -93,6 +130,7 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            stypes = dict(sdf.dtypes)
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
@@ -104,7 +142,8 @@ def main():
             continue
         try:
             res = con.sql(oracles[name])
-            ocols = [d[0] for d in res.description]
+            ocols = list(res.columns)
+            otypes = dict(zip(ocols, (str(t) for t in res.types)))
             orows = res.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {type(e).__name__}: {e}")
@@ -115,6 +154,13 @@ def main():
             problems.append(f"rowcount spark={len(srows)} duckdb={len(orows)}")
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols spark={sorted(scols)} duckdb={sorted(ocols)}")
+        else:
+            for c in sorted(scols):
+                fs, fo = _type_family(stypes[c]), _type_family(otypes[c])
+                if fs != fo:
+                    problems.append(
+                        f"type[{c}] spark={stypes[c]}({fs}) duckdb={otypes[c]}({fo})"
+                    )
         if not problems:
             hs, ho = _hash_rows(scols, srows), _hash_rows(ocols, orows)
             if hs != ho:
