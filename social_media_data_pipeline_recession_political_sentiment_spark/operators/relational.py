@@ -543,16 +543,32 @@ def sink_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct")  # approximate => rows-only driver check
+@register(
+    "agg_approx_distinct",
+    oracle=(
+        "SELECT count(DISTINCT user_id) AS exact_users, true AS approx_ok "
+        "FROM events"
+    ),
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct users via HLL (SURVEY §2.4 EXT — the
-    100 TB-scale form of `SELECT count(DISTINCT ...)`). No oracle:
-    Spark's HLL and DuckDB's approx sketches differ by construction;
-    exactness is asserted separately in tests/test_relational.py
-    against the exact distinct count at small SF."""
-    return (
-        load(spark, sf_dir, "events")
-        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+    100 TB-scale form of `SELECT count(DISTINCT ...)`). Spark's HLL
+    and DuckDB's sketches differ by construction, so the sketch value
+    itself can't be oracle-compared; instead the query is
+    self-validating: it emits the exact distinct count plus a boolean
+    asserting the HLL (rsd=0.01) landed within 5% of it. At 100 TB
+    you run only the sketch side — the exact branch here is the
+    validation harness, not the production path."""
+    out = load(spark, sf_dir, "events").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+    )
+    return out.select(
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("approx_ok"),
     )
 
 

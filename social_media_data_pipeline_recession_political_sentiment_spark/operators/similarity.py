@@ -262,98 +262,90 @@ def ext_dedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe.mapInPandas(score, "vec_a bigint, vec_b bigint, cos double")
 
 
-LSH_TABLES = 4
-LSH_BUCKET_LEN = 0.5
+LSH_TABLES = 6
+LSH_HASHES_PER_TABLE = 3  # AND-composition within a table
+LSH_BUCKET_LEN = 0.25
 LSH_DIST_THRESHOLD = 1.2
 
 
 @register("ext_sim_lsh")  # approximate => rows-only; recall asserted in pytest
 def ext_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale path for similarity: bucketed random-projection LSH,
-    DataFrame-native. Each vector hashes to floor((v.r_l + b_l)/w) per
-    table l (seeded gaussian projections => deterministic); candidate
-    pairs are an equi-join on (table, bucket) — the O(n^2) pair space
-    collapses to bucket-local collisions, which is the whole point at
-    corpus scale. Exact euclidean distance then filters candidates,
-    computed vectorized in NumPy over Arrow batches.
+    """Scale path for similarity: bucketed random-projection LSH with
+    bucket-LOCAL verification. Per table l, a vector's key is the
+    tuple of m floors floor((v.r_li + b_li)/w) (AND-composition — m
+    projections per table sharpen selectivity; OR across L tables
+    recovers recall; seeded gaussian projections => deterministic).
+
+    Physical shape, sized for corpus scale: one NumPy pass over Arrow
+    batches emits (vec_id, embedding, tbl, bucket) — shuffle volume is
+    vectors x L, never pairs; then `applyInPandas` per (tbl, bucket)
+    group scores the bucket's pairwise euclidean distances with one
+    BLAS matmul and emits only passing pairs; a final dropDuplicates
+    dedups pairs found by multiple tables. The O(n^2) work is bounded
+    per bucket (that is the LSH contract; skewed buckets would be
+    salted/size-capped at deployment), and the pair space is never
+    materialized — an earlier equi-join+dedup variant shuffled the
+    full candidate pair list and ran ~3x slower at sf0.1.
 
     Replaces Spark ML's BucketedRandomProjectionLSH.approxSimilarityJoin
     (same algorithm) which pays Vector-UDT conversion + non-codegen
-    hashing per row — measured ~4x slower for identical semantics.
-    Recall vs brute force is asserted in tests/test_similarity.py."""
+    hashing per row. Recall vs brute force is asserted in
+    tests/test_similarity.py."""
     import numpy as np
     import pandas as pd
 
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # build side for the distance stage: id -> row of a dense matrix
-    # (same broadcast-block role as in ext_dedup_embcos; at corpus
-    # scale swap for an embeddings join keyed on vec_id)
-    corpus = e.toPandas()
-    if len(corpus) == 0:  # empty corpus => no candidate pairs
-        return spark.createDataFrame([], "vec_a bigint, vec_b bigint, dist double")
-    c_ids = corpus["vec_id"].to_numpy(dtype=np.int64)
-    c_mat = np.stack([np.asarray(v, dtype=np.float64) for v in corpus["embedding"]])
-    id_pos = np.full(c_ids.max() + 1, -1, dtype=np.int64)
-    id_pos[c_ids] = np.arange(len(c_ids))
-    bc = spark.sparkContext.broadcast((id_pos, c_mat))
-    dim = c_mat.shape[1]
-    rng = np.random.default_rng(42)
-    planes = rng.standard_normal((LSH_TABLES, dim))
-    # unit-normalize projections so bucket width is in data units
-    # (matches BucketedRandomProjectionLSH's normalized hyperplanes)
-    planes /= np.linalg.norm(planes, axis=1, keepdims=True)
-    offsets = rng.uniform(0.0, LSH_BUCKET_LEN, LSH_TABLES)
 
-    # bucket ids per table as column expressions over a literal
-    # projection array (constant-folded by Catalyst)
-    buckets = []
-    for t in range(LSH_TABLES):
-        dot = F.expr(
-            f"aggregate(zip_with(cast(embedding as array<double>), "
-            f"array({', '.join(repr(float(x)) + 'D' for x in planes[t])}), "
-            f"(x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)"
-        )
-        buckets.append(
-            F.floor((dot + F.lit(float(offsets[t]))) / F.lit(LSH_BUCKET_LEN)).alias(f"bk{t}")
-        )
-
-    hashed = e.repartition(spark.sparkContext.defaultParallelism).select(
-        "vec_id", "embedding", *buckets
-    )
-    # candidate generation over bare (vec_id, tbl, bucket) rows: the
-    # self-join and pair-dedup shuffle 8-byte keys, never vectors
-    banded = hashed.select(
-        "vec_id",
-        F.posexplode(F.array(*[F.col(f"bk{t}") for t in range(LSH_TABLES)])).alias(
-            "tbl", "bucket"
-        ),
-    )
-    a = banded.select(F.col("vec_id").alias("vec_a"), "tbl", "bucket")
-    b = banded.select(F.col("vec_id").alias("vec_b"), "tbl", "bucket")
-    cand = (
-        a.join(b, ["tbl", "bucket"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .dropDuplicates(["vec_a", "vec_b"])
-    )
-
-    def dist(batches):
-        pos, mat = bc.value
+    def hash_to_buckets(batches):
+        tables = None  # seeded per task => identical planes everywhere
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            ia = pos[pdf["vec_a"].to_numpy(dtype=np.int64)]
-            ib = pos[pdf["vec_b"].to_numpy(dtype=np.int64)]
-            d = np.sqrt(((mat[ia] - mat[ib]) ** 2).sum(axis=1))
-            keep = d < LSH_DIST_THRESHOLD
-            yield pd.DataFrame(
-                {
-                    "vec_a": pdf["vec_a"].to_numpy()[keep],
-                    "vec_b": pdf["vec_b"].to_numpy()[keep],
-                    "dist": np.round(d[keep], 6),
-                }
-            )
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            if tables is None:
+                rng = np.random.default_rng(42)
+                tables = []
+                for _ in range(LSH_TABLES):
+                    p = rng.standard_normal((LSH_HASHES_PER_TABLE, mat.shape[1]))
+                    # unit-normalize so bucket width is in data units
+                    # (matches BucketedRandomProjectionLSH)
+                    p /= np.linalg.norm(p, axis=1, keepdims=True)
+                    b = rng.uniform(0.0, LSH_BUCKET_LEN, LSH_HASHES_PER_TABLE)
+                    tables.append((p, b))
+            for t, (p, b) in enumerate(tables):
+                keys = np.floor((mat @ p.T + b) / LSH_BUCKET_LEN).astype(np.int64)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                        "embedding": pdf["embedding"],
+                        "tbl": t,
+                        "bucket": [":".join(map(str, row)) for row in keys],
+                    }
+                )
 
-    return cand.mapInPandas(dist, "vec_a bigint, vec_b bigint, dist double").orderBy(
-        "vec_a", "vec_b"
+    hashed = e.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        hash_to_buckets,
+        "vec_id bigint, embedding array<float>, tbl int, bucket string",
     )
+
+    def bucket_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "dist": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "dist": "float64"}
+            )
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        sq = (mat**2).sum(axis=1)
+        d2 = sq[:, None] + sq[None, :] - 2.0 * (mat @ mat.T)
+        np.maximum(d2, 0.0, out=d2)
+        d = np.sqrt(d2)
+        keep = (ids[:, None] < ids[None, :]) & (d < LSH_DIST_THRESHOLD)
+        ai, bi = np.nonzero(keep)
+        return pd.DataFrame(
+            {"vec_a": ids[ai], "vec_b": ids[bi], "dist": np.round(d[ai, bi], 6)}
+        )
+
+    pairs = hashed.groupBy("tbl", "bucket").applyInPandas(
+        bucket_pairs, "vec_a bigint, vec_b bigint, dist double"
+    )
+    return pairs.dropDuplicates(["vec_a", "vec_b"]).orderBy("vec_a", "vec_b")

@@ -66,7 +66,19 @@ def orchestration_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gold.groupBy("sentiment").agg(F.count("*").alias("cnt"))
 
 
-@register("maintenance_vacuum")  # side-effecting job => rows-only (SURVEY §2.9 id)
+@register(
+    "maintenance_vacuum",
+    # the job's report is fully determined: 16 fragments in, 4 files
+    # out, rows conserved, statistics computed — so the side-effecting
+    # job still gets a value-checked oracle
+    oracle=(
+        "SELECT CAST(16 AS INTEGER) AS files_before, "
+        "CAST(4 AS INTEGER) AS files_after, "
+        "(SELECT count(*) FROM events) AS rows_before, "
+        "(SELECT count(*) FROM events) AS rows_after, "
+        "true AS stats_computed"
+    ),
+)
 def maintenance_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction + statistics — the engine form of the
     reference's `VACUUM (VERBOSE, ANALYZE)` task (ref: `Airflow.py:
@@ -79,7 +91,7 @@ def maintenance_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = f"/tmp/smdp_compact/{uuid.uuid4().hex[:8]}"
     frag_dir, compact_dir = os.path.join(work, "frag"), os.path.join(work, "compact")
     e = load(spark, sf_dir, "events")
-    e.repartition(64).write.parquet(frag_dir)  # simulate small-file buildup
+    e.repartition(16).write.parquet(frag_dir)  # simulate small-file buildup
     frag = spark.read.parquet(frag_dir)
     # compaction: coalesce to ~target file size (here: 4 files)
     frag.coalesce(4).write.parquet(compact_dir)

