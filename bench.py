@@ -71,9 +71,9 @@ def main() -> None:
     for ndigits in (3, 2, 1):
         q = {k: round(v, ndigits) for k, v in payload["queries"].items()}
         line = _line(q)
-        if len(line) <= 1900:
+        if len(line) <= 1980:
             break
-    while len(line) > 1900 and q:
+    while len(line) > 1980 and q:
         fastest = min(q, key=q.get)
         del q[fastest]
         line = _line(q)
