@@ -139,6 +139,14 @@ def _salted_hash_sql(salt: str, expr: str) -> str:
     return f"CAST(('0x' || substr(md5(concat_ws(':', {salt}, {expr})), 1, 15)) AS BIGINT)"
 
 
+# Two-hash composition (Kirsch–Mitzenmacher): the j-th MinHash function
+# is (h1 + j*h2') mod 2^60 with h2' = h2 mod 2^55, so each shingle pays
+# TWO md5 evaluations instead of N_MINHASH — identical arithmetic on
+# both engines, and j*h2' + h1 < 2^61 never overflows int64.
+_MH_MOD = 1 << 60
+_MH_STEP_MOD = 1 << 55
+
+
 _SHINGLE_CTE = (
     "toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
     "sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1), "
@@ -149,11 +157,14 @@ _ROWS_PER_BAND = N_MINHASH // N_BANDS
 
 _MINHASH_ORACLE = (
     f"WITH {_SHINGLE_CTE}, "
+    "hashed AS (SELECT doc_id, "
+    f"{_salted_hash_sql(chr(39) + '1' + chr(39), 's')} AS h1, "
+    f"{_salted_hash_sql(chr(39) + '2' + chr(39), 's')} % {_MH_STEP_MOD} AS h2 FROM sh), "
     "mh AS (SELECT doc_id, "
     + ", ".join(
-        f"min({_salted_hash_sql(str(j), 's')}) AS mh{j}" for j in range(N_MINHASH)
+        f"min((h1 + {j} * h2) % {_MH_MOD}) AS mh{j}" for j in range(N_MINHASH)
     )
-    + " FROM sh GROUP BY doc_id), "
+    + " FROM hashed GROUP BY doc_id), "
     "banded AS ("
     + " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_id, md5(concat_ws(':', {b}, "
@@ -177,16 +188,20 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature + banding math is SQL-oracle-checked; banding recall vs
     exact Jaccard is additionally pytest-asserted (tests/test_dedup.py).
 
-    Physical shape: explode shingles once, compute the 16 salted hash
-    columns in whole-stage codegen, min-aggregate per doc (map-side
-    partial => the shuffle carries 16x8-byte signatures, not
-    shingles); candidate generation is an equi-join on (band,
-    band_hash) — the LSH trick that replaces the O(n^2) pair space
-    with bucket collisions."""
+    Physical shape: explode shingles once, md5-hash each shingle TWICE
+    (two-hash composition — the 16 MinHash functions are
+    (h1 + j*h2') mod 2^60, so hashing cost is O(2) not O(16) per
+    shingle), min-aggregate per doc (map-side partial => the shuffle
+    carries 16x8-byte signatures, not shingles); candidate generation
+    is an equi-join on (band, band_hash) — the LSH trick that replaces
+    the O(n^2) pair space with bucket collisions."""
     exploded = _exploded_shingles(spark, sf_dir)
-    sigs = exploded.groupBy("doc_id").agg(
+    h1 = _salted_hash(F.lit("1"), F.col("s"))
+    h2 = _salted_hash(F.lit("2"), F.col("s")) % F.lit(_MH_STEP_MOD)
+    hashed = exploded.select("doc_id", h1.alias("h1"), h2.alias("h2"))
+    sigs = hashed.groupBy("doc_id").agg(
         *[
-            F.min(_salted_hash(F.lit(str(j)), F.col("s"))).alias(f"mh{j}")
+            F.min((F.col("h1") + F.lit(j) * F.col("h2")) % F.lit(_MH_MOD)).alias(f"mh{j}")
             for j in range(N_MINHASH)
         ]
     )
