@@ -721,3 +721,24 @@ def union_platforms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("last_ts"),
         )
     )
+
+
+@register(
+    "agg_cube",
+    oracle=(
+        "SELECT event_type, (value >= 100) AS high_value, count(*) AS cnt "
+        "FROM events GROUP BY CUBE (event_type, (value >= 100))"
+    ),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (platform, value-band) — the idiomatic generalization
+    of the cross-platform sentiment matrix (SURVEY §2.4
+    `agg_multi_dim`, `README.md:20-24`): every subtotal combination in
+    one pass. Spark plans cube as a single expand + hash agg, so the
+    input is scanned once no matter how many grouping sets."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.select("event_type", (F.col("value") >= 100).alias("high_value"))
+        .cube("event_type", "high_value")
+        .agg(F.count("*").alias("cnt"))
+    )

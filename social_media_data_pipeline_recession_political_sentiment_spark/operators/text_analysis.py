@@ -175,3 +175,59 @@ def ext_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "k").alias("k_val"),
         F.size(F.map_keys(m)).alias("n_keys"),
     )
+
+
+@register(
+    "ext_corpus_curation",
+    oracle=(
+        "WITH m AS (SELECT doc_id, lang, text, "
+        "len(string_split(text, ' ')) AS n_tokens, "
+        "CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) "
+        "/ (length(text) + 1) AS punct_ratio FROM documents), "
+        "q AS (SELECT doc_id, lang, n_tokens, "
+        "md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp, "
+        "row_number() OVER (PARTITION BY md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) "
+        "ORDER BY doc_id) AS rn "
+        "FROM m WHERE n_tokens >= 10 AND punct_ratio < 0.2) "
+        "SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens "
+        "FROM q WHERE rn = 1 GROUP BY lang ORDER BY lang"
+    ),
+)
+def ext_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation in ONE declarative plan — the gold
+    pipeline a training-data run executes nightly: cheap quality
+    filters first (so expensive stages see fewer rows), exact dedup on
+    a 32-byte fingerprint (first-seen canonical via window rank — the
+    deterministic form of the reference's first-seen existence probe,
+    `Reddit.py:75-80`), then the per-language document/token budget.
+
+    Scale shape: the filter is a scan-local map stage; the dedup
+    shuffles (fingerprint, doc_id, lang, n_tokens) — never text; the
+    final rollup is a partial+final hash agg over the survivors. No
+    stage sees document bodies after the fingerprint is computed."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    n_chars = F.length("text")
+    punct = (n_chars - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))).cast(
+        "double"
+    ) / (n_chars + 1)
+    fp = F.md5(F.trim(F.lower(F.regexp_replace("text", r"\s+", " "))))
+    q = (
+        d.filter((n_tokens >= 10) & (punct < 0.2))
+        .select("doc_id", "lang", n_tokens.alias("n_tokens"), fp.alias("fp"))
+    )
+    canon = (
+        q.withColumn("rn", F.row_number().over(W.partitionBy("fp").orderBy("doc_id")))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        canon.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .orderBy("lang")
+    )

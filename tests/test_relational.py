@@ -122,3 +122,14 @@ def test_range_join_rewrite_and_fallback(spark):
     overlapping = [("x", 0.0, 100.0), ("y", 40.0, 160.0)]
     got = {(r.id, r.bucket) for r in range_join(fact, "value", overlapping).collect()}
     assert got == {(0, "x"), (1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "y")}
+
+
+def test_cube_contains_grand_total(spark):
+    """cube() emits the grand-total row (both keys NULL) equal to the
+    table count, and per-type subtotals sum to it."""
+    out = registry.queries()["agg_cube"](spark, SF_SMOKE).collect()
+    total = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    grand = [r for r in out if r.event_type is None and r.high_value is None]
+    assert len(grand) == 1 and grand[0].cnt == total
+    per_type = sum(r.cnt for r in out if r.event_type is not None and r.high_value is None)
+    assert per_type == total

@@ -61,3 +61,20 @@ def test_hate_flag_strictly_above_threshold(spark):
     )
     got = [r.f for r in df.select(hate_flag(F.col("c"), F.col("conf")).alias("f")).collect()]
     assert got == [False, True, False, None]
+
+
+def test_corpus_curation_monotone(spark):
+    """Curation output only shrinks the corpus: per-lang kept docs
+    never exceed raw docs, and every kept doc passed quality."""
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+    from tests.conftest import SF_SMOKE
+
+    out = {r.lang: r.n_docs for r in queries()["ext_corpus_curation"](spark, SF_SMOKE).collect()}
+    raw = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    raw = {r.lang: r["count"] for r in raw}
+    assert out and all(out[lang] <= raw.get(lang, 0) for lang in out)
