@@ -742,3 +742,67 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube("event_type", "high_value")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle=(
+        "SELECT o_orderpriority, count(*) AS n_items, "
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    ),
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact-fact join via bucketing: both sides are
+    written `bucketBy(8, key)` + `sortBy(key)` as catalog tables, so
+    the join's distribution requirement is satisfied by the storage
+    layout and the SortMergeJoin runs with NO Exchange on either side
+    (verify: `.explain` shows no Exchange between scans and join).
+
+    This is THE pattern for repeated large joins at 100 TB: pay the
+    bucketed write once, then every subsequent orders-lineitem join —
+    nightly enrichment, backfills, dashboard rollups — skips both
+    shuffles. Bucket count scales with data volume (8 here; thousands
+    on a cluster); co-location needs equal bucket counts on both
+    sides. The bucketed tables are created once per sf_dir and reused
+    across calls (idempotent setup, like any lakehouse table build).
+    The merge hint pins the join strategy Catalyst would pick at
+    cluster scale — at test SF it would otherwise broadcast the tiny
+    orders side and the bucketed layout would never be exercised."""
+    import hashlib
+    import shutil
+    from urllib.parse import urlparse
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    names = {}
+    for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        name = f"smdp_bkt_{tbl}_{tag}"
+        if not spark.catalog.tableExists(name):
+            # a prior session may have left the managed location behind
+            # (in-memory catalog, durable warehouse dir): clear it so
+            # the rebuild is idempotent
+            stale = os.path.join(wh, name)
+            if wh and os.path.isdir(stale):
+                shutil.rmtree(stale)
+            (
+                load(spark, sf_dir, tbl)
+                .write.bucketBy(8, key)
+                .sortBy(key)
+                .mode("overwrite")
+                .format("parquet")
+                .saveAsTable(name)
+            )
+        names[tbl] = name
+    o = spark.table(names["orders"]).hint("merge")
+    li = spark.table(names["lineitem"])
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -133,3 +133,20 @@ def test_cube_contains_grand_total(spark):
     assert len(grand) == 1 and grand[0].cnt == total
     per_type = sum(r.cnt for r in out if r.event_type is not None and r.high_value is None)
     assert per_type == total
+
+
+def test_bucketed_join_has_no_shuffle_below_join(spark):
+    """The bucketed layout must satisfy the join's distribution
+    requirement: no Exchange between the bucketed scans and the
+    SortMergeJoin."""
+    import io
+    import contextlib
+
+    df = registry.queries()["join_bucketed_colocated"](spark, SF_SMOKE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    below_join = plan.split("SortMergeJoin")[1].split("(1) Scan")[0]
+    assert "Exchange" not in below_join
+    assert "SortMergeJoin" in plan
