@@ -806,3 +806,70 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "join_asof",
+    oracle=(
+        "WITH snap AS (SELECT event_type, "
+        "to_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)) "
+        "AT TIME ZONE 'UTC' AS snap_ts, "
+        "max(value) AS snap_max FROM events GROUP BY 1, 2) "
+        "SELECT e.event_id, e.event_type, s.snap_ts, s.snap_max "
+        "FROM events e ASOF JOIN snap s "
+        "ON e.event_type = s.event_type AND e.ts >= s.snap_ts"
+    ),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — an operator Spark's DataFrame API lacks natively:
+    each event picks the LATEST 6-hourly snapshot row at or before its
+    event time, per key. (The time-series/point-in-time lookup every
+    feature-store and market-data pipeline needs; DuckDB checks it
+    with its native ASOF JOIN.)
+
+    Scale design — composition of existing ops, not a range join:
+    union the (tagged) snapshot and event streams, then one window
+    pass per key ordered by (t, tag) carries the last non-null
+    snapshot forward onto each event row (`last(ignorenulls)` over an
+    unbounded-preceding frame). ONE shuffle on the key, state O(1) per
+    row — versus a broadcast-nested-loop range join's O(events x
+    snapshots) per key. Snapshots sort before events at equal t so an
+    event exactly on a snapshot matches it (>= semantics)."""
+    e = load(spark, sf_dir, "events")
+    snap_ts = F.timestamp_seconds((F.col("ts").cast("long") / 21600).cast("long") * 21600)
+    snap = (
+        e.groupBy("event_type", snap_ts.alias("snap_ts"))
+        .agg(F.max("value").alias("snap_max"))
+    )
+    tagged_snap = snap.select(
+        "event_type",
+        F.col("snap_ts").alias("t"),
+        F.lit(None).cast("long").alias("event_id"),
+        "snap_ts",
+        "snap_max",
+        F.lit(0).alias("tag"),
+    )
+    tagged_ev = e.select(
+        "event_type",
+        F.col("ts").alias("t"),
+        "event_id",
+        F.lit(None).cast("timestamp").alias("snap_ts"),
+        F.lit(None).cast("double").alias("snap_max"),
+        F.lit(1).alias("tag"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("t", "tag")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    u = tagged_snap.unionByName(tagged_ev)
+    filled = u.select(
+        "event_id",
+        "event_type",
+        "tag",
+        F.last("snap_ts", ignorenulls=True).over(w).alias("snap_ts"),
+        F.last("snap_max", ignorenulls=True).over(w).alias("snap_max"),
+    )
+    return filled.filter(F.col("tag") == 1).select(
+        "event_id", "event_type", "snap_ts", "snap_max"
+    )
