@@ -76,10 +76,14 @@ def enrich_hatespeech(df: DataFrame, text_col: str = "text", scorer_cls=KeywordS
 
 @register(
     "udf_hatespeech_api",
+    # 0.2/0.1 MUST be DOUBLE literals: DuckDB would otherwise do exact
+    # DECIMAL arithmetic (0.2+0.1 = 0.3) while Spark/NumPy produce the
+    # IEEE double 0.30000000000000004 — a value-hash mismatch that only
+    # surfaces on rows with that keyword mix (seen at sf0.1)
     oracle=(
-        "WITH c AS (SELECT doc_id, least(0.99, "
-        "0.2 * (length(text) - length(replace(text, 'dup', ''))) / 3 + "
-        "0.1 * (length(text) - length(replace(text, 'hash', ''))) / 4) AS conf "
+        "WITH c AS (SELECT doc_id, least(CAST(0.99 AS DOUBLE), "
+        "CAST(0.2 AS DOUBLE) * (length(text) - length(replace(text, 'dup', ''))) / 3 + "
+        "CAST(0.1 AS DOUBLE) * (length(text) - length(replace(text, 'hash', ''))) / 4) AS conf "
         "FROM documents) "
         "SELECT doc_id, conf AS hate_speech_confidence, "
         "(CASE WHEN conf >= 0.5 THEN 'flag' ELSE 'ok' END = 'flag' AND conf > 0.9) "
@@ -102,8 +106,9 @@ def udf_hatespeech_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(length(text) - length(replace(text, 'big', ''))) / 3 AS n_big, "
         "(length(text) - length(replace(text, 'slow', ''))) / 4 AS n_slow, "
         "(length(text) - length(replace(text, 'small', ''))) / 5 AS n_small, "
-        "least(0.99, 0.2 * (length(text) - length(replace(text, 'dup', ''))) / 3 + "
-        "0.1 * (length(text) - length(replace(text, 'hash', ''))) / 4) AS conf "
+        "least(CAST(0.99 AS DOUBLE), "
+        "CAST(0.2 AS DOUBLE) * (length(text) - length(replace(text, 'dup', ''))) / 3 + "
+        "CAST(0.1 AS DOUBLE) * (length(text) - length(replace(text, 'hash', ''))) / 4) AS conf "
         "FROM documents), "
         "s AS (SELECT doc_id, text, conf, "
         "(1.0*n_fast + 0.5*n_big - 1.0*n_slow - 0.5*n_small) / "
