@@ -55,11 +55,15 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
-    # full-precision per-query record for BASELINE.md / the judge
-    here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
-        json.dump(payload, f, indent=1)
-        f.write("\n")
+    # full-precision per-query record for BASELINE.md / the judge;
+    # best-effort side channel — never let it kill the primary output
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+            json.dump(payload, f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass
 
     # The driver keeps only a ~2000-char tail of stdout and parses the
     # JSON line out of it, so the printed line MUST fit that budget.

@@ -49,6 +49,17 @@ def _base(spark: SparkSession, sf_dir: str, platform: str) -> DataFrame:
     )
 
 
+def day_expr(platform: str):
+    """The platform's day-of-comment expression over its raw table —
+    the single dispatch site for the reference's three time encodings
+    (native ts / display TEXT / ISO TEXT)."""
+    if platform == "chan":  # TEXT display ts → cast (app.py:71)
+        return F.to_date("timestamp")
+    if platform == "youtube":  # ISO TEXT → parse (app.py:152)
+        return F.to_date(F.to_timestamp("comment_time", "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+    return F.to_date("created_utc")  # native ts (reddit/politics)
+
+
 def raw_comments(spark: SparkSession, sf_dir: str, platform: str) -> DataFrame:
     """Per-platform raw table with the reference's time encoding:
     native ts (reddit/politics), TEXT 'yyyy-MM-dd HH:mm:ss' (4chan),
@@ -151,12 +162,7 @@ def hate_distribution(spark, sf_dir, platform, start=DEFAULT_START, end=DEFAULT_
 # Works for every platform by normalizing its time encoding to a day.
 def daily_counts(spark, sf_dir, platform="politics", start=DEFAULT_START, end=DEFAULT_END):
     r = raw_comments(spark, sf_dir, platform)
-    if platform == "chan":  # TEXT display ts → cast (app.py:71)
-        day = F.to_date("timestamp")
-    elif platform == "youtube":  # ISO TEXT → parse (app.py:152)
-        day = F.to_date(F.to_timestamp("comment_time", "yyyy-MM-dd'T'HH:mm:ss'Z'"))
-    else:  # native ts (reddit/politics)
-        day = F.to_date("created_utc")
+    day = day_expr(platform)
     return (
         r.filter((day >= F.lit(start).cast("date")) & (day < F.lit(end).cast("date")))
         .groupBy(day.alias("day"))

@@ -769,7 +769,10 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     across calls (idempotent setup, like any lakehouse table build).
     The merge hint pins the join strategy Catalyst would pick at
     cluster scale — at test SF it would otherwise broadcast the tiny
-    orders side and the bucketed layout would never be exercised."""
+    orders side and the bucketed layout would never be exercised.
+    Setup assumes the single-process harness and static source data
+    (concurrent first-calls sharing one warehouse dir could race on
+    the rebuild; a lakehouse deployment owns this via its catalog)."""
     import hashlib
     import shutil
     from urllib.parse import urlparse

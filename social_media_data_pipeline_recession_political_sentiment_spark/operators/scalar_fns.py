@@ -103,7 +103,7 @@ def fn_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_epoch_to_ts",
     oracle=(
         "SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s, "
-        "CAST(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)) AS TIMESTAMP) "
+        "(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)) AT TIME ZONE 'UTC') "
         "AS ts_roundtrip FROM events"
     ),
 )

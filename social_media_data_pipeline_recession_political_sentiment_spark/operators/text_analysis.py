@@ -141,11 +141,16 @@ def ext_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", ws.alias("ws_tokens"), bpe.alias("bpe_ish_tokens"))
 
 
+# explicit whitespace class: Java regex \s includes \x0B, RE2's does
+# not — the literal class keeps Spark and the DuckDB oracle bit-equal
+_WS_CLASS = "[ \\t\\n\\f\\r]+"
+
+
 @register(
     "ext_fingerprint",
     oracle=(
-        "SELECT doc_id, md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp "
-        "FROM documents"
+        f"SELECT doc_id, md5(trim(lower(regexp_replace(text, '{_WS_CLASS}', ' ', 'g')))) "
+        "AS fp FROM documents"
     ),
 )
 def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -153,7 +158,7 @@ def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     text — the join key for cross-snapshot/exact-dup bookkeeping
     (32-byte key instead of the document)."""
     d = load(spark, sf_dir, "documents")
-    norm = F.trim(F.lower(F.regexp_replace("text", r"\s+", " ")))
+    norm = F.trim(F.lower(F.regexp_replace("text", _WS_CLASS, " ")))
     return d.select("doc_id", F.md5(norm).alias("fp"))
 
 
@@ -185,8 +190,8 @@ def ext_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) "
         "/ (length(text) + 1) AS punct_ratio FROM documents), "
         "q AS (SELECT doc_id, lang, n_tokens, "
-        "md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp, "
-        "row_number() OVER (PARTITION BY md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) "
+        f"md5(trim(lower(regexp_replace(text, '{_WS_CLASS}', ' ', 'g')))) AS fp, "
+        f"row_number() OVER (PARTITION BY md5(trim(lower(regexp_replace(text, '{_WS_CLASS}', ' ', 'g')))) "
         "ORDER BY doc_id) AS rn "
         "FROM m WHERE n_tokens >= 10 AND punct_ratio < 0.2) "
         "SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens "
@@ -214,7 +219,7 @@ def ext_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     punct = (n_chars - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))).cast(
         "double"
     ) / (n_chars + 1)
-    fp = F.md5(F.trim(F.lower(F.regexp_replace("text", r"\s+", " "))))
+    fp = F.md5(F.trim(F.lower(F.regexp_replace("text", _WS_CLASS, " "))))
     q = (
         d.filter((n_tokens >= 10) & (punct < 0.2))
         .select("doc_id", "lang", n_tokens.alias("n_tokens"), fp.alias("fp"))

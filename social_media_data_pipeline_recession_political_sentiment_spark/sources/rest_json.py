@@ -270,7 +270,7 @@ def scan_youtube_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         "body VARCHAR, score BIGINT, created_utc BIGINT, id VARCHAR))[])'}) ) "
         "SELECT c.data.subreddit AS subreddit, c.data.link_id AS post_id, "
         "c.data.body AS body, coalesce(c.data.score, 0) AS score, "
-        "CAST(to_timestamp(c.data.created_utc) AS TIMESTAMP) AS created_utc, "
+        "(to_timestamp(c.data.created_utc) AT TIME ZONE 'UTC') AS created_utc, "
         "c.data.id AS comment_id FROM pages"
     ),
 )

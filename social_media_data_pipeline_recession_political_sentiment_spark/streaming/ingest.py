@@ -83,13 +83,20 @@ def ingest_to_silver(
     writer = deduped.writeStream.foreachBatch(upsert).option("checkpointLocation", checkpoint_dir)
     trigger = {"availableNow": True} if available_now else {"processingTime": "1 seconds"}
     # dedup state partitions bind to shuffle.partitions when the first
-    # micro-batch is planned (start() is async), so for drained runs the
-    # pinned conf must outlive the whole drain; cluster deployments size
-    # this to key cardinality instead
+    # micro-batch is planned (start() is async), so the pinned conf must
+    # stay active until batch 0 has been planned: drained runs hold it
+    # for the whole drain; processingTime runs hold it until the query
+    # reports progress. Cluster deployments size this to cardinality.
     with scoped_shuffle_partitions(spark, 4):
         q = writer.trigger(**trigger).start()
         if available_now:
             q.awaitTermination()
+        else:
+            import time
+
+            deadline = time.monotonic() + 30
+            while not q.recentProgress and time.monotonic() < deadline:
+                time.sleep(0.1)
     return q
 
 
@@ -149,7 +156,7 @@ def stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "body VARCHAR, score BIGINT, created_utc BIGINT, id VARCHAR))[])'}) ) "
         "SELECT DISTINCT c.data.id AS comment_id, c.data.subreddit AS subreddit, "
         "coalesce(c.data.score, 0) AS score, "
-        "CAST(to_timestamp(c.data.created_utc) AS TIMESTAMP) AS created_utc FROM pages"
+        "(to_timestamp(c.data.created_utc) AT TIME ZONE 'UTC') AS created_utc FROM pages"
     ),
 )
 def stream_microbatch(spark: SparkSession, sf_dir: str) -> DataFrame:

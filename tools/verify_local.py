@@ -73,6 +73,8 @@ def _type_family(t: str) -> str:
         return "binary"
     if t.startswith(("decimal", "numeric")):
         return "decimal"
+    if t.startswith("interval"):
+        return "interval"
     if t in ("double", "float", "real", "float4", "float8"):
         return "float"
     if "int" in t:  # tinyint/smallint/int/bigint/hugeint/u*
