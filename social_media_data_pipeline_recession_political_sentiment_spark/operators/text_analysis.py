@@ -236,3 +236,66 @@ def ext_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# Java-regex/RE2-compatible email shape (no lookaround, no \w classes)
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+
+
+@register(
+    "ext_pii_redact",
+    oracle=(
+        "WITH deco AS (SELECT doc_id, "
+        "text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com' AS t "
+        "FROM documents) "
+        f"SELECT doc_id, regexp_replace(t, '{_EMAIL_RE}', '[EMAIL]', 'g') AS redacted, "
+        f"CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_redactions "
+        "FROM deco"
+    ),
+)
+def ext_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub — the redaction pass every training corpus runs
+    before tokenization. Emails are synthesized onto the documents
+    (the testdata has none) then redacted and counted; the regex is
+    written in the Java-regex/RE2 common subset so Spark and the
+    DuckDB oracle agree byte for byte. Pure codegen'd expressions:
+    a scan-local map stage, no shuffle, viable over 100 TB."""
+    d = load(spark, sf_dir, "documents")
+    deco = F.concat(
+        F.col("text"), F.lit(" contact: user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com"),
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_replace(deco, _EMAIL_RE, "[EMAIL]").alias("redacted"),
+        F.size(F.regexp_extract_all(deco, F.lit(_EMAIL_RE), 0)).cast("long").alias(
+            "n_redactions"
+        ),
+    )
+
+
+@register(
+    "ext_data_split",
+    oracle=(
+        "WITH b AS (SELECT doc_id, "
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 "
+        "AS bucket FROM documents) "
+        "SELECT doc_id, bucket, CASE WHEN bucket < 8 THEN 'train' "
+        "WHEN bucket < 9 THEN 'val' ELSE 'test' END AS split FROM b"
+    ),
+)
+def ext_data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by hashing the
+    stable document key (md5-derived 60-bit int mod 10) — the
+    reproducible-split primitive for training pipelines: assignment is
+    a pure function of the key, so it is stable across runs, engines,
+    partitionings and corpus growth (no sampling state, no shuffle)."""
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 10
+    )
+    split = (
+        F.when(bucket < 8, "train").when(bucket < 9, "val").otherwise("test")
+    )
+    return d.select("doc_id", bucket.alias("bucket"), split.alias("split"))
