@@ -171,3 +171,56 @@ def ext_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "frame_idx")
     )
+
+
+RESIZE_BOX = 224  # target box (the standard vision-model input side)
+
+_RESIZE_ORACLE = f"""
+WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+                  CAST(n_chars % 640 + 16 AS BIGINT) AS w,
+                  CAST(n_chars % 480 + 16 AS BIGINT) AS h
+           FROM documents),
+s AS (SELECT doc_id, n_bytes, w, h,
+             least(CAST({RESIZE_BOX} AS DOUBLE) / w,
+                   CAST({RESIZE_BOX} AS DOUBLE) / h) AS scale FROM m)
+SELECT doc_id,
+       CAST(floor(w * scale) AS BIGINT) AS new_width,
+       CAST(floor(h * scale) AS BIGINT) AS new_height,
+       CAST(floor(n_bytes * scale * scale) AS BIGINT) AS est_bytes
+FROM s ORDER BY doc_id
+"""
+
+
+@register("ext_mm_resize_stub", oracle=_RESIZE_ORACLE)
+def ext_mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage: fit each media item into a 224x224 box preserving
+    aspect ratio — mapInPandas plumbing with one 'codec' per
+    partition, metadata in, new geometry + estimated payload size out.
+    A real deployment swaps the arithmetic for PIL/ffmpeg scaling and
+    emits the resized payload bytes in the same batch shape; the fake
+    keeps every Spark-side concern (schema, Arrow batching, map-only
+    no-shuffle stage) real, and the arithmetic is IEEE-identical in
+    the SQL oracle."""
+    d = attach_media_columns(load(spark, sf_dir, "documents"))
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w = pdf["meta"].map(lambda m: m["width"]).astype("float64")
+            h = pdf["meta"].map(lambda m: m["height"]).astype("float64")
+            n = pdf["meta"].map(lambda m: m["n_bytes"]).astype("float64")
+            scale = np.minimum(RESIZE_BOX / w, RESIZE_BOX / h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "new_width": np.floor(w * scale).astype("int64"),
+                    "new_height": np.floor(h * scale).astype("int64"),
+                    "est_bytes": np.floor(n * scale * scale).astype("int64"),
+                }
+            )
+
+    return (
+        d.mapInPandas(
+            resize, schema="doc_id long, new_width long, new_height long, est_bytes long"
+        )
+        .orderBy("doc_id")
+    )
