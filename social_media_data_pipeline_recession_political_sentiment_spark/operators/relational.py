@@ -876,3 +876,31 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filled.filter(F.col("tag") == 1).select(
         "event_id", "event_type", "snap_ts", "snap_max"
     )
+
+
+@register(
+    "agg_percentiles",
+    oracle=(
+        "SELECT event_type, quantile_cont(value, 0.5) AS p50, "
+        "quantile_cont(value, 0.95) AS p95, "
+        "CAST(approx_quantile(value, 0.5) IS NOT NULL AS BOOLEAN) AS sketch_ok "
+        "FROM events GROUP BY event_type"
+    ),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group median/p95 (latency-style distribution reporting).
+    Exact `percentile` here is bit-identical to DuckDB's quantile_cont
+    (same sorted linear interpolation), so the values hash-match; the
+    sketch_ok flag asserts the scale path — `percentile_approx`
+    (Greenwald-Khanna, mergeable, bounded memory) — produced a value
+    within the group's [min, max]. At 100 TB you run only the sketch:
+    exact percentile needs the group's values collected per key, the
+    sketch streams with O(1/eps) state and merges across partitions."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+        F.expr(
+            "percentile_approx(value, 0.5, 1000) BETWEEN min(value) AND max(value)"
+        ).alias("sketch_ok"),
+    )
