@@ -184,38 +184,119 @@ def all_routes(spark, sf_dir, start=DEFAULT_START, end=DEFAULT_END) -> dict[str,
 
 
 # ------------------------------------------ oracle-checked registrations
+# All 13 Flask routes (`app.py:34-265`) register with oracles. The SQL is
+# built by the three helpers below so each platform's time-encoding quirk
+# is written exactly once on the oracle side too.
 _ENRICH_SQL = (
     "CASE WHEN value >= 100 THEN 'positive' WHEN value < 30 THEN 'negative' "
     "ELSE 'neutral' END AS sentiment, (value >= 150) AS is_hate_speech"
 )
 
 
+def _raw_sql(platform: str) -> str:
+    et = PLATFORMS[platform]
+    if platform == "chan":
+        cols = (
+            "CAST(event_id AS VARCHAR) AS postnumber, "
+            "strftime(ts, '%Y-%m-%d %H:%M:%S') AS timestamp"
+        )
+    elif platform == "youtube":
+        cols = (
+            "CAST(event_id AS VARCHAR) AS comment_id, "
+            "strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS comment_time"
+        )
+    else:
+        cols = "CAST(event_id AS VARCHAR) AS comment_id, ts AS created_utc"
+    return f"SELECT {cols} FROM events WHERE event_type='{et}'"
+
+
+def _count_oracle(platform: str, start: str = DEFAULT_START, end: str = DEFAULT_END) -> str:
+    raw = _raw_sql(platform)
+    if platform == "chan":  # DATE(timestamp) cast on TEXT, app.py:71
+        pred = f"CAST(timestamp AS DATE) >= DATE '{start}' AND CAST(timestamp AS DATE) < DATE '{end}'"
+    elif platform == "youtube":  # lexical TEXT compare, app.py:72
+        pred = f"comment_time >= '{start}T00:00:00Z' AND comment_time < '{end}T00:00:00Z'"
+    else:
+        pred = (
+            f"created_utc >= TIMESTAMP '{start} 00:00:00' "
+            f"AND created_utc < TIMESTAMP '{end} 00:00:00'"
+        )
+    return f"WITH raw AS ({raw}) SELECT count(*) AS count FROM raw WHERE {pred}"
+
+
+def _dist_oracle(platform: str, col: str, start: str = DEFAULT_START, end: str = DEFAULT_END) -> str:
+    et = PLATFORMS[platform]
+    key = "postnumber" if platform == "chan" else "comment_id"
+    if platform == "chan":  # TO_CHAR(timestamp::date,...) BETWEEN, app.py:105,222
+        cond = (
+            "strftime(CAST(raw.timestamp AS DATE), '%Y-%m-%d') "
+            f"BETWEEN '{start}' AND '{end}'"
+        )
+    elif platform == "youtube":  # lexical BETWEEN, app.py:152,244
+        cond = f"raw.comment_time BETWEEN '{start}T00:00:00Z' AND '{end}T23:59:59Z'"
+    else:  # native ts BETWEEN, app.py:109,175,198,265
+        cond = (
+            f"raw.created_utc BETWEEN TIMESTAMP '{start} 00:00:00' "
+            f"AND TIMESTAMP '{end} 00:00:00'"
+        )
+    return (
+        f"WITH raw AS ({_raw_sql(platform)}), "
+        f"an AS (SELECT CAST(event_id AS VARCHAR) AS {key}, {_ENRICH_SQL} "
+        f"FROM events WHERE event_type='{et}') "
+        f"SELECT an.{col}, count(*) AS count FROM an JOIN raw USING ({key}) "
+        f"WHERE {cond} GROUP BY an.{col}"
+    )
+
+
 @register(
-    "dash_count_reddit",
+    "dash_politics_comments",
     oracle=(
-        "SELECT count(*) AS count FROM events WHERE event_type = 'click' "
-        f"AND ts >= TIMESTAMP '{DEFAULT_START} 00:00:00' "
-        f"AND ts < TIMESTAMP '{DEFAULT_END} 00:00:00'"
+        f"WITH raw AS ({_raw_sql('politics')}) SELECT created_utc FROM raw "
+        f"WHERE created_utc >= TIMESTAMP '{DEFAULT_START} 00:00:00' "
+        f"AND created_utc < TIMESTAMP '{DEFAULT_END} 00:00:00' ORDER BY created_utc"
     ),
 )
+def dash_politics_comments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route 1 (`app.py:34-38`): politics comments in a half-open time
+    range, ordered by comment time."""
+    return politics_comments(spark, sf_dir)
+
+
+@register("dash_count_reddit", oracle=_count_oracle("reddit"))
 def dash_count_reddit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Route 2 (`app.py:70`): reddit volume count over native
     timestamps."""
     return platform_count(spark, sf_dir, "reddit")
 
 
-@register(
-    "dash_sentiment_chan",
-    oracle=(
-        "WITH raw AS (SELECT CAST(event_id AS VARCHAR) AS postnumber, "
-        "strftime(ts, '%Y-%m-%d %H:%M:%S') AS timestamp FROM events WHERE event_type='error'), "
-        f"an AS (SELECT CAST(event_id AS VARCHAR) AS postnumber, {_ENRICH_SQL} "
-        "FROM events WHERE event_type='error') "
-        "SELECT an.sentiment, count(*) AS count FROM an JOIN raw USING (postnumber) "
-        "WHERE strftime(CAST(raw.timestamp AS DATE), '%Y-%m-%d') "
-        f"BETWEEN '{DEFAULT_START}' AND '{DEFAULT_END}' GROUP BY an.sentiment"
-    ),
-)
+@register("dash_count_chan", oracle=_count_oracle("chan"))
+def dash_count_chan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route 3 (`app.py:71`): 4chan volume count — DATE() cast over the
+    display-TEXT timestamp."""
+    return platform_count(spark, sf_dir, "chan")
+
+
+@register("dash_count_youtube", oracle=_count_oracle("youtube"))
+def dash_count_youtube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route 4 (`app.py:72`): YouTube volume count — lexical compare on
+    ISO-8601 TEXT."""
+    return platform_count(spark, sf_dir, "youtube")
+
+
+@register("dash_count_politics", oracle=_count_oracle("politics"))
+def dash_count_politics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route 2 politics variant (`app.py:70,175`): volume count over
+    native timestamps."""
+    return platform_count(spark, sf_dir, "politics")
+
+
+@register("dash_sentiment_reddit", oracle=_dist_oracle("reddit", "sentiment"))
+def dash_sentiment_reddit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route 6 (`app.py:109`): reddit sentiment distribution."""
+    return sentiment_distribution(spark, sf_dir, "reddit")
+
+
+@register("dash_sentiment_chan", oracle=_dist_oracle("chan", "sentiment"))
 def dash_sentiment_chan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Route 5 (`app.py:105`): 4chan sentiment distribution — the
     TEXT-timestamp cast quirk (`TO_CHAR(timestamp::date, ...)
@@ -223,23 +304,43 @@ def dash_sentiment_chan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sentiment_distribution(spark, sf_dir, "chan")
 
 
-@register(
-    "dash_hate_youtube",
-    oracle=(
-        "WITH raw AS (SELECT CAST(event_id AS VARCHAR) AS comment_id, "
-        "strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS comment_time FROM events "
-        "WHERE event_type='purchase'), "
-        f"an AS (SELECT CAST(event_id AS VARCHAR) AS comment_id, {_ENRICH_SQL} "
-        "FROM events WHERE event_type='purchase') "
-        "SELECT an.is_hate_speech, count(*) AS count FROM an JOIN raw USING (comment_id) "
-        f"WHERE raw.comment_time BETWEEN '{DEFAULT_START}T00:00:00Z' "
-        f"AND '{DEFAULT_END}T23:59:59Z' GROUP BY an.is_hate_speech"
-    ),
-)
+@register("dash_sentiment_youtube", oracle=_dist_oracle("youtube", "sentiment"))
+def dash_sentiment_youtube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route 7 (`app.py:152`): YouTube sentiment distribution — lexical
+    ISO-TEXT BETWEEN."""
+    return sentiment_distribution(spark, sf_dir, "youtube")
+
+
+@register("dash_sentiment_politics", oracle=_dist_oracle("politics", "sentiment"))
+def dash_sentiment_politics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route 8 (`app.py:175`): politics sentiment distribution."""
+    return sentiment_distribution(spark, sf_dir, "politics")
+
+
+@register("dash_hate_reddit", oracle=_dist_oracle("reddit", "is_hate_speech"))
+def dash_hate_reddit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route 9 (`app.py:198`): reddit hate-speech distribution."""
+    return hate_distribution(spark, sf_dir, "reddit")
+
+
+@register("dash_hate_chan", oracle=_dist_oracle("chan", "is_hate_speech"))
+def dash_hate_chan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route 10 (`app.py:222`): 4chan hate-speech distribution — TEXT
+    timestamp cast quirk."""
+    return hate_distribution(spark, sf_dir, "chan")
+
+
+@register("dash_hate_youtube", oracle=_dist_oracle("youtube", "is_hate_speech"))
 def dash_hate_youtube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Route 11 (`app.py:244`): YouTube hate-speech distribution — the
     lexical ISO-TEXT BETWEEN quirk preserved end to end."""
     return hate_distribution(spark, sf_dir, "youtube")
+
+
+@register("dash_hate_politics", oracle=_dist_oracle("politics", "is_hate_speech"))
+def dash_hate_politics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route 12 (`app.py:265`): politics hate-speech distribution."""
+    return hate_distribution(spark, sf_dir, "politics")
 
 
 @register(

@@ -219,6 +219,72 @@ def scan_chan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHAN_CATALOG_FIXTURE = os.path.join(_RESOURCES, "chan_catalog.json")
+
+# 4chan catalog endpoint shape (ref: `chan4.py:89-102`: pages[] each
+# {page, threads[]} with the same post fields as the thread endpoint).
+CHAN_CATALOG_SCHEMA = T.StructType(
+    [
+        T.StructField("page", T.LongType()),
+        T.StructField(
+            "threads",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("no", T.LongType()),
+                        T.StructField("com", T.StringType()),
+                        T.StructField("now", T.StringType()),
+                        T.StructField("name", T.StringType()),
+                        T.StructField("filename", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+@register(
+    "scan_chan_catalog",
+    oracle=(
+        "WITH pages AS (SELECT page, unnest(threads) AS p "
+        f"FROM read_json('{CHAN_CATALOG_FIXTURE}', format='newline_delimited', "
+        "columns={'page': 'BIGINT', 'threads': 'STRUCT(\"no\" BIGINT, com VARCHAR, "
+        "now VARCHAR, name VARCHAR, filename VARCHAR)[]'})) "
+        "SELECT CAST(page AS VARCHAR) AS pagenumber, "
+        "CAST(p.\"no\" AS VARCHAR) AS postnumber, "
+        "p.now AS timestamp_raw, "
+        "strptime(regexp_replace(p.now, '\\(\\w+\\)', ' '), '%m/%d/%y %H:%M:%S') AS ts, "
+        "coalesce(p.name, '') AS name, "
+        f"{_CHAN_STRIP_SQL} AS comment, "
+        "coalesce(p.filename, '') AS imagefilename "
+        "FROM pages"
+    ),
+)
+def scan_chan_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4chan catalog payloads → flat thread rows in the reference's
+    Catalog-table shape (`chan4.py:29-39`: Thread columns plus
+    `PageNumber TEXT`, populated from `page['page']` at
+    `chan4.py:90-102`). Same ingest-time fixes as `scan_chan_json`:
+    raw display TEXT kept for bronze fidelity, typed `ts` parsed once,
+    HTML/entities/quote markers stripped with the §2.7 expression
+    chain."""
+    from ..functions.text import strip_html
+
+    pages = spark.read.schema(CHAN_CATALOG_SCHEMA).json(CHAN_CATALOG_FIXTURE)
+    return pages.select(F.col("page"), F.explode("threads").alias("p")).select(
+        F.col("page").cast("string").alias("pagenumber"),
+        F.col("p.no").cast("string").alias("postnumber"),
+        F.col("p.now").alias("timestamp_raw"),
+        F.to_timestamp(
+            F.regexp_replace(F.col("p.now"), r"\(\w+\)", " "), "MM/dd/yy HH:mm:ss"
+        ).alias("ts"),
+        F.coalesce(F.col("p.name"), F.lit("")).alias("name"),
+        strip_html(F.coalesce(F.col("p.com"), F.lit(""))).alias("comment"),
+        F.coalesce(F.col("p.filename"), F.lit("")).alias("imagefilename"),
+    )
+
+
 @register(
     "scan_youtube_json",
     oracle=(
