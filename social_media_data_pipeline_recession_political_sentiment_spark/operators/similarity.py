@@ -94,6 +94,7 @@ register("join_similarity_topk", oracle=_TOPK_ORACLE)(ext_sim_topk)
 
 
 IVF_ITERS = 5
+IVF_TRAIN_CAP = 4096  # quantizer training rows collected to the driver
 
 
 @register("ext_sim_ivf")  # approximate => rows-only; recall in pytest
@@ -101,23 +102,30 @@ def ext_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: a k-means coarse quantizer partitions the
     corpus into nlist inverted lists; each query probes only its
     nprobe nearest lists, so scored candidates shrink from N to
-    ~N*nprobe/nlist. The quantizer trains on a driver-side sample
-    (the standard IVF recipe — the model is tiny and training data
-    needn't be exhaustive) with deterministic seeding: centroids
-    init from the lowest vec_ids, fixed Lloyd iterations. Corpus
-    assignment + scoring is one map-only stage over Arrow batches
-    with the (centroids, queries) model broadcast; the final top-k
-    is a per-query window rank, same contract as `ext_sim_topk`.
+    ~N*nprobe/nlist. The quantizer trains on a BOUNDED driver-side
+    sample (the standard IVF recipe — the model is tiny and training
+    data needn't be exhaustive): at most IVF_TRAIN_CAP rows picked by
+    deterministic hash order (`TakeOrderedAndProject`, a per-partition
+    top-K merge — never a full collect, never a full sort), so driver
+    memory is O(cap × dim) no matter the corpus size. Deterministic
+    seeding: centroids init from the lowest vec_ids of the sample,
+    fixed Lloyd iterations. Corpus assignment + scoring is one
+    map-only stage over Arrow batches with the (centroids, queries)
+    model broadcast; the final top-k is a per-query window rank, same
+    contract as `ext_sim_topk`.
 
-    nlist ~ sqrt(N) and nprobe = nlist/4 scale with corpus size; at
-    100 TB the sample feeding the quantizer comes from `.sample()`
-    instead of `.toPandas()` and assignment lands partitioned by
-    list id for list-local serving."""
+    nlist ~ sqrt(n_train) and nprobe = nlist/4; at deployment scale
+    assignment lands partitioned by list id for list-local serving."""
     import numpy as np
     import pandas as pd
 
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    sample = e.toPandas()  # quantizer training set; .sample() at scale
+    # pseudo-random but deterministic sample: order by murmur3(vec_id)
+    sample = (
+        e.orderBy(F.hash("vec_id").asc(), F.col("vec_id").asc())
+        .limit(IVF_TRAIN_CAP)
+        .toPandas()
+    )
     if len(sample) == 0:  # empty corpus => no neighbors
         return spark.createDataFrame(
             [], "query_id bigint, neighbor_id bigint, cos double, rank bigint"
@@ -128,21 +136,36 @@ def ext_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     nlist = max(2, min(64, int(np.sqrt(n))))
     nprobe = max(1, nlist // 4)
 
+    def _nearest(x: "np.ndarray", c: "np.ndarray") -> "np.ndarray":
+        # argmin over ||x-c||² = x²+c²-2xcᵀ: one BLAS matmul instead of
+        # an (n, k, dim) broadcast temp
+        d2 = (x**2).sum(axis=1)[:, None] + (c**2).sum(axis=1)[None, :] - 2.0 * (x @ c.T)
+        return d2.argmin(axis=1)
+
     order = np.argsort(ids)
     cent = mat[order[:nlist]].copy()
     for _ in range(IVF_ITERS):
-        d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
+        assign = _nearest(mat, cent)
         for k in range(nlist):
             members = mat[assign == k]
             if len(members):
                 cent[k] = members.mean(axis=0)
 
-    # query-side probe sets (queries are the vec_id < N_QUERY_VECS rows)
-    qmask = ids < N_QUERY_VECS
-    q_ids = ids[qmask]
-    q_mat = mat[qmask]
-    qd2 = ((q_mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    # query-side probe sets (vec_id < N_QUERY_VECS): tiny, collected
+    # directly — independent of the training sample so bounding the
+    # sample can never drop a query vector
+    qpdf = e.filter(F.col("vec_id") < N_QUERY_VECS).toPandas()
+    if len(qpdf) == 0:  # no query vectors => no neighbors
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, cos double, rank bigint"
+        )
+    q_ids = qpdf["vec_id"].to_numpy(dtype=np.int64)
+    q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in qpdf["embedding"]])
+    qd2 = (
+        (q_mat**2).sum(axis=1)[:, None]
+        + (cent**2).sum(axis=1)[None, :]
+        - 2.0 * (q_mat @ cent.T)
+    )
     probes = np.argsort(qd2, axis=1)[:, :nprobe]
     q_norm = np.sqrt((q_mat**2).sum(axis=1))
     bc = spark.sparkContext.broadcast((cent, q_ids, q_mat, probes, q_norm))
@@ -155,8 +178,10 @@ def ext_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             c_mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
             c_assign = (
-                ((c_mat[:, None, :] - cent_b[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
-            )
+                (c_mat**2).sum(axis=1)[:, None]
+                + (cent_b**2).sum(axis=1)[None, :]
+                - 2.0 * (c_mat @ cent_b.T)
+            ).argmin(axis=1)
             c_norm = np.sqrt((c_mat**2).sum(axis=1))
             out_q, out_n, out_cos = [], [], []
             for qi in range(len(q_ids_b)):
@@ -188,6 +213,9 @@ def ext_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMBCOS_BLOCKS = 8  # triangle-join block count; tasks hold ≤ 2N/B vectors
+
+
 @register(
     "ext_dedup_embcos",
     oracle=(
@@ -200,35 +228,45 @@ def ext_dedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos >= threshold) — the
     semantic-dedup primitive for training corpora.
 
-    Physical strategy: blockwise scoring via ``mapInPandas``. The
-    corpus block is the broadcast *build side* (same role as a
-    broadcast hash join's build side); the probe side streams through
-    a map-only stage, and each Arrow batch scores against the block
-    with NumPy — no pair-wise shuffle, no per-pair interpreted
-    expression. This is ~40x faster than evaluating a higher-order
-    `aggregate(zip_with(...))` per pair in a nested-loop join.
+    Physical strategy: a distributed *block triangle join*. The corpus
+    is hashed into B blocks (blk = vec_id mod B); each vector is
+    replicated to the B unordered block-pair groups it participates in
+    (shuffle volume N×B rows — vectors, never pairs), and one
+    `applyInPandas` task per group (i ≤ j) scores block i against
+    block j with NumPy. Every unordered vector pair lands in exactly
+    one group, so the result is EXACT — identical to the all-pairs SQL
+    oracle — while no task ever holds more than 2N/B vectors and the
+    driver never collects the corpus (the previous implementation's
+    `e.toPandas()` build side was the one non-distributed step; at
+    100 TB, B scales with corpus size to keep 2N/B in executor
+    memory). For *approximate* mining at a much lower O(N²/B) cost,
+    compose `ext_sim_lsh` buckets with this same scorer instead.
 
     Numeric contract: the dot product accumulates column-by-column in
     index order (``acc += a_i*b_i`` starting from 0.0), which is
     bit-identical to the sequential fold Spark's `aggregate` HOF and
     DuckDB's `list_dot_product` perform — so results hash-match the
     SQL oracle exactly, not just approximately.
-
-    Scale path: all-pairs is O(N^2/2) no matter the engine; at corpus
-    scale run this same blockwise scorer *bucket-local* after
-    `ext_sim_lsh` bucketing, where each bucket's block fits executor
-    memory. The broadcast block here plays that bucket's role.
     """
     import numpy as np
     import pandas as pd
 
+    B = EMBCOS_BLOCKS
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    build = e.toPandas()
-    if len(build) == 0:  # empty corpus => no pairs (np.stack needs rows)
-        return spark.createDataFrame([], "vec_a bigint, vec_b bigint, cos double")
-    b_ids = build["vec_id"].to_numpy(dtype=np.int64)
-    b_mat = np.stack([np.asarray(v, dtype=np.float64) for v in build["embedding"]])
-    bc = spark.sparkContext.broadcast((b_ids, b_mat))
+    # replicate: a vector in block g joins group (min(g,o), max(g,o))
+    # for every o — B copies per vector, each group seeing each of its
+    # two blocks exactly once
+    rep = (
+        e.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(B)).cast("int"))
+        .withColumn("o", F.explode(F.array(*[F.lit(i) for i in range(B)])))
+        .select(
+            F.least("blk", "o").alias("bi"),
+            F.greatest("blk", "o").alias("bj"),
+            "blk",
+            "vec_id",
+            "embedding",
+        )
+    )
 
     def _seq_self_dot(m: "np.ndarray") -> "np.ndarray":
         # left-to-right fold over dimensions: bit-equal to the SQL
@@ -238,28 +276,46 @@ def ext_dedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc += m[:, i] * m[:, i]
         return acc
 
-    def score(batches):
-        ids_b, mat_b = bc.value
-        norm_b = np.sqrt(_seq_self_dot(mat_b))
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ids_a = pdf["vec_id"].to_numpy(dtype=np.int64)
-            mat_a = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-            dots = np.zeros((len(ids_a), len(ids_b)))
-            for i in range(mat_a.shape[1]):
-                dots += np.outer(mat_a[:, i], mat_b[:, i])
-            norm_a = np.sqrt(_seq_self_dot(mat_a))
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = dots / (norm_a[:, None] * norm_b[None, :])
-            keep = (ids_a[:, None] < ids_b[None, :]) & (cos >= COS_DUP_THRESHOLD)
-            ai, bi = np.nonzero(keep)
-            yield pd.DataFrame(
-                {"vec_a": ids_a[ai], "vec_b": ids_b[bi], "cos": cos[ai, bi]}
-            )
+    _EMPTY = {"vec_a": "int64", "vec_b": "int64", "cos": "float64"}
 
-    probe = e.repartition(spark.sparkContext.defaultParallelism)
-    return probe.mapInPandas(score, "vec_a bigint, vec_b bigint, cos double")
+    def score_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
+        if bi == bj:
+            a = b = pdf
+        else:  # cross group: block i rows vs block j rows only
+            a = pdf[pdf["blk"] == bi]
+            b = pdf[pdf["blk"] == bj]
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame({c: [] for c in _EMPTY}).astype(_EMPTY)
+        ids_a = a["vec_id"].to_numpy(dtype=np.int64)
+        ids_b = b["vec_id"].to_numpy(dtype=np.int64)
+        mat_a = np.stack([np.asarray(v, dtype=np.float64) for v in a["embedding"]])
+        mat_b = np.stack([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
+        dots = np.zeros((len(ids_a), len(ids_b)))
+        for i in range(mat_a.shape[1]):
+            dots += np.outer(mat_a[:, i], mat_b[:, i])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = dots / (
+                np.sqrt(_seq_self_dot(mat_a))[:, None]
+                * np.sqrt(_seq_self_dot(mat_b))[None, :]
+            )
+        if bi == bj:  # upper triangle within the block
+            keep = ids_a[:, None] < ids_b[None, :]
+        else:  # cross blocks: every pair counts, either id may be smaller
+            keep = np.ones((len(ids_a), len(ids_b)), dtype=bool)
+        keep &= cos >= COS_DUP_THRESHOLD
+        ai, bix = np.nonzero(keep)
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(ids_a[ai], ids_b[bix]),
+                "vec_b": np.maximum(ids_a[ai], ids_b[bix]),
+                "cos": cos[ai, bix],
+            }
+        )
+
+    return rep.groupBy("bi", "bj").applyInPandas(
+        score_group, "vec_a bigint, vec_b bigint, cos double"
+    )
 
 
 LSH_TABLES = 6
