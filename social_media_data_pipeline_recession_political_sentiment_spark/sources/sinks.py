@@ -93,20 +93,36 @@ def sink_create_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sink_batched_commit",
     oracle=(
-        "SELECT CAST(ceil(count(*) / 5000.0) AS BIGINT) AS n_files, "
-        "count(*) AS n_rows FROM events"
+        "SELECT count(*) AS n_rows, true AS files_ok, true AS cap_ok FROM events"
     ),
 )
 def sink_batched_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Commit-every-N-rows intent (`Reddit_4chan_Analysis.py:
     135-137`; broken there — the counter never increments) as the
     engine's `maxRecordsPerFile`: each landed file is a completed
-    5000-row commit unit, so a failed task re-lands only its own
-    files. Returns (files landed, rows landed) for the oracle's
-    ceil(n/5000) check."""
+    ≤5000-row commit unit, so a failed task re-lands only its own
+    files. Writers stay PARALLEL — every task splits its own partition
+    into commit units independently, no single-writer funnel — so the
+    exact file count is per-task, not global. The checked contract is
+    therefore the per-task semantics: rows conserved, at least
+    ceil(rows/5000) files landed, and no file exceeding the commit
+    unit (per-file row counts read back via the `_metadata.file_path`
+    scan column, itself a distributed aggregation)."""
     sink = os.path.join(_workdir("batched"), "events_sink")
     e = load(spark, sf_dir, "events")
-    e.coalesce(1).write.option("maxRecordsPerFile", 5000).parquet(sink)
-    n_files = sum(1 for f in os.listdir(sink) if f.endswith(".parquet"))
-    n_rows = spark.read.parquet(sink).count()
-    return spark.createDataFrame([(n_files, n_rows)], "n_files bigint, n_rows bigint")
+    e.write.option("maxRecordsPerFile", 5000).parquet(sink)
+    per_file = (
+        spark.read.parquet(sink)
+        .groupBy(F.col("_metadata.file_path").alias("f"))
+        .agg(F.count("*").alias("rows"))
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("rows").alias("n_rows"),
+            F.max("rows").alias("max_file_rows"),
+        )
+    )
+    return per_file.select(
+        "n_rows",
+        (F.col("n_files") >= F.ceil(F.col("n_rows") / 5000.0)).alias("files_ok"),
+        (F.col("max_file_rows") <= 5000).alias("cap_ok"),
+    )

@@ -67,3 +67,27 @@ def test_youtube_composite_key_dedup_and_lookback(spark):
     keys = {(r.video_id, r.comment_id) for r in rows}
     assert keys == {("vidA", "c1"), ("vidA", "c2"), ("vidB", "c1")}  # c1 on vidB survives
     assert all(r.comment_time.startswith("2024") for r in rows)  # 2023 row filtered
+
+
+def test_chan_catalog_shape(spark):
+    """Catalog adapter: Thread columns plus PageNumber TEXT
+    (chan4.py:29-39), page propagated to every thread row
+    (chan4.py:90-102)."""
+    out = queries()["scan_chan_catalog"](spark, "unused")
+    assert out.columns == [
+        "pagenumber", "postnumber", "timestamp_raw", "ts", "name", "comment", "imagefilename",
+    ]
+    rows = {r.postnumber: r for r in out.collect()}
+    assert len(rows) == 6
+    assert rows["1001"].pagenumber == "1" and rows["3002"].pagenumber == "3"
+    assert rows["1001"].comment == "recession incoming & markets down"
+    assert rows["3001"].ts == dt.datetime(2024, 1, 17, 8, 15, 45)
+
+
+def test_batched_commit_parallel_writers(spark):
+    """Commit-unit semantics without a single-writer funnel: rows
+    conserved, >= ceil(rows/5000) files, no file over the 5000-row
+    commit unit (Reddit_4chan_Analysis.py:135-137 intent)."""
+    row = queries()["sink_batched_commit"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert row.files_ok and row.cap_ok
+    assert row.n_rows == 1000  # sf0.001 events row count, conserved
