@@ -77,10 +77,15 @@ def main() -> None:
         line = _line(q)
         if len(line) <= 1980:
             break
+    dropped = []
     while len(line) > 1980 and q:
         fastest = min(q, key=q.get)
+        dropped.append(fastest)
         del q[fastest]
         line = _line(q)
+    if dropped:  # full record stays in BENCH_FULL.json
+        print(f"bench: dropped {len(dropped)} fastest from line: "
+              f"{','.join(dropped)}", file=sys.stderr)
     print(line)
 
 

@@ -565,7 +565,15 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXPAND. A single agg with two DISTINCT aggregates would trigger
     Catalyst's expand-based rewrite (one input replica per distinct
     agg), measured 3.5x slower."""
-    keys = load(spark, sf_dir, "events").select("user_id").distinct()
+    # NULL keys excluded on both sides: SQL count(DISTINCT x) ignores
+    # NULLs, while distinct()+count(*) would count one — a latent
+    # off-by-one if a fixture ever carries a NULL user_id
+    keys = (
+        load(spark, sf_dir, "events")
+        .select("user_id")
+        .filter(F.col("user_id").isNotNull())
+        .distinct()
+    )
     out = keys.agg(
         F.count("*").alias("exact_users"),
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
@@ -777,7 +785,18 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     from urllib.parse import urlparse
 
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    # tag covers path AND a source-data fingerprint (mtime+size of each
+    # side), so regenerating the fixtures in place invalidates the
+    # cached bucketed tables instead of silently serving stale data
+    fp = sf_dir
+    for tbl in ("orders", "lineitem"):
+        p = os.path.join(sf_dir, f"{tbl}.parquet")
+        try:
+            st = os.stat(p)
+            fp += f"|{tbl}:{st.st_mtime_ns}:{st.st_size}"
+        except OSError:
+            fp += f"|{tbl}:missing"
+    tag = hashlib.sha1(fp.encode()).hexdigest()[:8]
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     names = {}
     for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):

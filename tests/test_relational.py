@@ -5,6 +5,7 @@ single out."""
 from __future__ import annotations
 
 import datetime as dt
+import re
 
 from pyspark.sql import functions as F
 
@@ -147,6 +148,9 @@ def test_bucketed_join_has_no_shuffle_below_join(spark):
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     plan = buf.getvalue()
-    below_join = plan.split("SortMergeJoin")[1].split("(1) Scan")[0]
-    assert "Exchange" not in below_join
-    assert "SortMergeJoin" in plan
+    # guard first: if Catalyst ever picks a different join, fail with
+    # the real regression, not an IndexError from the slicing below
+    assert "SortMergeJoin" in plan, f"expected SortMergeJoin, plan:\n{plan}"
+    m = re.search(r"SortMergeJoin(.*?)\(\d+\) Scan", plan, re.DOTALL)
+    assert m, f"no scan section under the join, plan:\n{plan}"
+    assert "Exchange" not in m.group(1)
