@@ -66,3 +66,46 @@ def test_sentiment_bucket_on_scored_docs(spark):
     )
     rows = {r.doc_id: r.sentiment for r in enrich_sentiment(df).collect()}
     assert rows == {1: "positive", 2: "negative", 3: "neutral"}
+
+
+def test_vader_mini_rules_fixture_buckets():
+    """Vendored-lexicon VADER rules reproduce the real scorer's bucket
+    behavior on unambiguous fixtures (±0.05 thresholds,
+    Reddit_4chan_Analysis.py:152-158): valence lookup, negation flip,
+    booster amplification, '!' emphasis, caps emphasis, compound
+    normalization bounds."""
+    from social_media_data_pipeline_recession_political_sentiment_spark.enrich.sentiment import (
+        VaderMiniAnalyzer,
+    )
+
+    a = VaderMiniAnalyzer()
+    texts = pd.Series(
+        [
+            "This is great, I love it!",
+            "terrible awful hate everything",
+            "the quarterly report was filed on schedule",
+            "not good at all",
+            "very good",
+            "good",
+            "this is GREAT",
+        ]
+    )
+    s = a.score(texts)
+    buckets = ["positive" if v >= 0.05 else "negative" if v <= -0.05 else "neutral" for v in s]
+    assert buckets == ["positive", "negative", "neutral", "negative", "positive", "positive", "positive"]
+    assert all(-1.0 < v < 1.0 for v in s)  # compound normalization bounds
+    assert s[4] > s[5]  # 'very' boosts
+    assert s[6] > s[5]  # ALL-CAPS emphasis on mixed-case text
+    assert s[3] < 0 < s[5]  # negation flips 'good'
+
+
+def test_enrich_sentiment_vader_path(spark):
+    """The use_vader path runs through the same pandas-UDF plumbing and
+    bucket expression as the oracle path."""
+    df = spark.createDataFrame(
+        [("a", "I love this, it is great!"), ("b", "awful terrible scam")],
+        "id string, text string",
+    )
+    out = {r.id: r for r in enrich_sentiment(df, use_vader=True).collect()}
+    assert out["a"].sentiment == "positive" and out["a"].sentiment_score > 0.05
+    assert out["b"].sentiment == "negative" and out["b"].sentiment_score < -0.05
