@@ -322,6 +322,7 @@ LSH_TABLES = 6
 LSH_HASHES_PER_TABLE = 3  # AND-composition within a table
 LSH_BUCKET_LEN = 0.25
 LSH_DIST_THRESHOLD = 1.2
+LSH_BUCKET_CAP = 1024  # salt buckets above this size (skew guard)
 
 
 @register("ext_sim_lsh")  # approximate => rows-only; recall asserted in pytest
@@ -384,24 +385,71 @@ def ext_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id bigint, embedding array<float>, tbl int, bucket string",
     )
 
+    # Skew guard: a degenerate bucket (e.g. an all-identical-vector
+    # corpus collapses into ONE bucket per table) would hand a single
+    # task O(N²) work. Buckets above LSH_BUCKET_CAP are salted into
+    # S = ceil(size/cap) sub-blocks and scored as the triangle of
+    # block pairs — every unordered pair still lands in exactly one
+    # (sub_a, sub_b) group, so recall is untouched while per-task work
+    # is bounded by (2·cap)². Bucket sizes come from a window count on
+    # the same (tbl, bucket) shuffle key the grouping needs anyway.
+    salted = (
+        hashed.withColumn(
+            "bsz", F.count("*").over(W.partitionBy("tbl", "bucket"))
+        )
+        .withColumn(
+            "nsalt", F.ceil(F.col("bsz") / F.lit(LSH_BUCKET_CAP)).cast("int")
+        )
+        .withColumn("g", F.pmod(F.col("vec_id"), F.col("nsalt")).cast("int"))
+        .withColumn("o", F.explode(F.sequence(F.lit(0), F.col("nsalt") - 1)))
+        .select(
+            "tbl",
+            "bucket",
+            F.least("g", "o").alias("sub_a"),
+            F.greatest("g", "o").alias("sub_b"),
+            "g",
+            "vec_id",
+            "embedding",
+        )
+    )
+
+    _EMPTY = {"vec_a": "int64", "vec_b": "int64", "dist": "float64"}
+
     def bucket_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        if len(pdf) < 2:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "dist": []}).astype(
-                {"vec_a": "int64", "vec_b": "int64", "dist": "float64"}
-            )
-        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-        sq = (mat**2).sum(axis=1)
-        d2 = sq[:, None] + sq[None, :] - 2.0 * (mat @ mat.T)
+        sa, sb = int(pdf["sub_a"].iloc[0]), int(pdf["sub_b"].iloc[0])
+        if sa == sb:
+            a = b = pdf
+        else:  # cross sub-blocks of a salted bucket
+            a = pdf[pdf["g"] == sa]
+            b = pdf[pdf["g"] == sb]
+        if len(a) == 0 or len(b) == 0 or len(pdf) < 2:
+            return pd.DataFrame({c: [] for c in _EMPTY}).astype(_EMPTY)
+        ids_a = a["vec_id"].to_numpy(dtype=np.int64)
+        ids_b = b["vec_id"].to_numpy(dtype=np.int64)
+        mat_a = np.stack([np.asarray(v, dtype=np.float64) for v in a["embedding"]])
+        mat_b = np.stack([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
+        d2 = (
+            (mat_a**2).sum(axis=1)[:, None]
+            + (mat_b**2).sum(axis=1)[None, :]
+            - 2.0 * (mat_a @ mat_b.T)
+        )
         np.maximum(d2, 0.0, out=d2)
         d = np.sqrt(d2)
-        keep = (ids[:, None] < ids[None, :]) & (d < LSH_DIST_THRESHOLD)
+        if sa == sb:  # upper triangle within the sub-block
+            keep = ids_a[:, None] < ids_b[None, :]
+        else:  # cross: every pair counts, either id may be smaller
+            keep = np.ones((len(ids_a), len(ids_b)), dtype=bool)
+        keep &= d < LSH_DIST_THRESHOLD
         ai, bi = np.nonzero(keep)
         return pd.DataFrame(
-            {"vec_a": ids[ai], "vec_b": ids[bi], "dist": np.round(d[ai, bi], 6)}
+            {
+                "vec_a": np.minimum(ids_a[ai], ids_b[bi]),
+                "vec_b": np.maximum(ids_a[ai], ids_b[bi]),
+                "dist": np.round(d[ai, bi], 6),
+            }
         )
 
-    pairs = hashed.groupBy("tbl", "bucket").applyInPandas(
+    pairs = salted.groupBy("tbl", "bucket", "sub_a", "sub_b").applyInPandas(
         bucket_pairs, "vec_a bigint, vec_b bigint, dist double"
     )
     return pairs.dropDuplicates(["vec_a", "vec_b"]).orderBy("vec_a", "vec_b")

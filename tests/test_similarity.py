@@ -94,3 +94,37 @@ def test_vector_ops_tolerate_empty_corpus(spark):
     d.write.mode("overwrite").parquet(os.path.join(tmp, "embeddings.parquet"))
     for q in ("ext_dedup_embcos", "ext_sim_ivf", "ext_sim_lsh"):
         assert queries()[q](spark, tmp).count() == 0, q
+
+
+def test_lsh_degenerate_bucket_salting(spark, monkeypatch):
+    """All-identical-vector corpus: every vector lands in ONE bucket
+    per table. The skew guard must salt that bucket into bounded
+    sub-block pairs while still finding every one of the C(n,2)
+    zero-distance pairs exactly once."""
+    import social_media_data_pipeline_recession_political_sentiment_spark.operators.similarity as sim
+
+    monkeypatch.setattr(sim, "LSH_BUCKET_CAP", 40)
+    n = 200
+    rows = [(i, [1.0, 2.0, 3.0, 4.0], 0) for i in range(n)]
+    tmp = _emb_dir(spark, rows)
+    out = queries()["ext_sim_lsh"](spark, tmp).collect()
+    assert len(out) == n * (n - 1) // 2  # every pair, no dupes, none lost
+    assert all(r.dist == 0.0 for r in out)
+
+
+def test_lsh_salting_preserves_pairs_vs_unsalted(spark, monkeypatch):
+    """Forcing salting on a normal corpus must not change the result
+    set (triangle cover is exact, not approximate)."""
+    import random
+
+    import social_media_data_pipeline_recession_political_sentiment_spark.operators.similarity as sim
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(8)], 0) for i in range(120)
+    ]
+    tmp = _emb_dir(spark, rows)
+    baseline = {(r.vec_a, r.vec_b) for r in queries()["ext_sim_lsh"](spark, tmp).collect()}
+    monkeypatch.setattr(sim, "LSH_BUCKET_CAP", 16)
+    salted = {(r.vec_a, r.vec_b) for r in queries()["ext_sim_lsh"](spark, tmp).collect()}
+    assert salted == baseline
