@@ -89,11 +89,34 @@ AUDIT = {
         "from band-bucket equi-collisions, not an O(n^2) pair join",
     ),
     "ext_sim_lsh": (
-        "ArrowEvalPython/MapInPandas hash stage, then one Exchange on "
-        "(tbl, bucket) into FlatMapGroupsInPandas, then pair dedup",
+        "MapInPandas hash stage, Window count on (tbl, bucket), "
+        "salt explode, one Exchange into FlatMapGroupsInPandas, pair dedup",
         "shuffle volume is vectors x L tables (never candidate "
-        "pairs); the quadratic distance work is bucket-local NumPy "
-        "bounded by bucket size — the LSH contract at corpus scale",
+        "pairs); the quadratic distance work is bucket-local NumPy, "
+        "and buckets above LSH_BUCKET_CAP are salted into sub-block "
+        "pair groups so per-task work is bounded even for degenerate "
+        "all-identical corpora",
+    ),
+    "ext_dedup_embcos": (
+        "Generate (explode of B block copies) above the embeddings "
+        "scan, one Exchange on (bi, bj) into FlatMapGroupsInPandas",
+        "the exact all-pairs triangle join distributes as N x B "
+        "vector rows (never pairs, never a driver collect); each of "
+        "the B(B+1)/2 tasks holds at most 2N/B vectors, so B scales "
+        "with corpus size to fit executor memory",
+    ),
+    "dash_sentiment_chan": (
+        "the an_* side and raw side are two projections of the SAME "
+        "events scan joined on the key; one side broadcast",
+        "the dashboard's enriched-JOIN-raw shape keeps the TEXT "
+        "timestamp cast out of the scan (bronze fidelity) while the "
+        "join stays broadcast at dashboard-filter cardinalities",
+    ),
+    "sink_batched_commit": (
+        "parallel parquet write with maxRecordsPerFile, then a "
+        "distributed per-file count via the _metadata.file_path column",
+        "commit units are per task, not per job: no coalesce(1) "
+        "funnel, a failed task re-lands only its own <=5000-row files",
     ),
 }
 
