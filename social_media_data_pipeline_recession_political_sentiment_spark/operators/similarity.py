@@ -323,35 +323,22 @@ LSH_HASHES_PER_TABLE = 3  # AND-composition within a table
 LSH_BUCKET_LEN = 0.25
 LSH_DIST_THRESHOLD = 1.2
 LSH_BUCKET_CAP = 1024  # salt buckets above this size (skew guard)
+EMBCOS_LSH_BUCKET_LEN = 1.0  # unit-sphere mining: w ~ threshold distance
 
 
-@register("ext_sim_lsh")  # approximate => rows-only; recall asserted in pytest
-def ext_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale path for similarity: bucketed random-projection LSH with
-    bucket-LOCAL verification. Per table l, a vector's key is the
-    tuple of m floors floor((v.r_li + b_li)/w) (AND-composition — m
-    projections per table sharpen selectivity; OR across L tables
-    recovers recall; seeded gaussian projections => deterministic).
-
-    Physical shape, sized for corpus scale: one NumPy pass over Arrow
-    batches emits (vec_id, embedding, tbl, bucket) — shuffle volume is
-    vectors x L, never pairs; then `applyInPandas` per (tbl, bucket)
-    group scores the bucket's pairwise euclidean distances with one
-    BLAS matmul and emits only passing pairs; a final dropDuplicates
-    dedups pairs found by multiple tables. The O(n^2) work is bounded
-    per bucket (that is the LSH contract; skewed buckets would be
-    salted/size-capped at deployment), and the pair space is never
-    materialized — an earlier equi-join+dedup variant shuffled the
-    full candidate pair list and ran ~3x slower at sf0.1.
-
-    Replaces Spark ML's BucketedRandomProjectionLSH.approxSimilarityJoin
-    (same algorithm) which pays Vector-UDT conversion + non-codegen
-    hashing per row. Recall vs brute force is asserted in
-    tests/test_similarity.py."""
+def lsh_candidate_pairs(
+    spark: SparkSession,
+    e: DataFrame,
+    dist_threshold: float,
+    bucket_len: float = LSH_BUCKET_LEN,
+) -> DataFrame:
+    """Core of the salted random-projection LSH join: (vec_id,
+    embedding) rows in, deduped (vec_a, vec_b, dist) pairs under
+    ``dist_threshold`` out. Shared by `ext_sim_lsh` (raw-space mining)
+    and `ext_dedup_embcos_lsh` (cosine mining on normalized vectors,
+    where cos ≥ t ⟺ dist ≤ sqrt(2−2t))."""
     import numpy as np
     import pandas as pd
-
-    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
     def hash_to_buckets(batches):
         tables = None  # seeded per task => identical planes everywhere
@@ -367,10 +354,10 @@ def ext_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     # unit-normalize so bucket width is in data units
                     # (matches BucketedRandomProjectionLSH)
                     p /= np.linalg.norm(p, axis=1, keepdims=True)
-                    b = rng.uniform(0.0, LSH_BUCKET_LEN, LSH_HASHES_PER_TABLE)
+                    b = rng.uniform(0.0, bucket_len, LSH_HASHES_PER_TABLE)
                     tables.append((p, b))
             for t, (p, b) in enumerate(tables):
-                keys = np.floor((mat @ p.T + b) / LSH_BUCKET_LEN).astype(np.int64)
+                keys = np.floor((mat @ p.T + b) / bucket_len).astype(np.int64)
                 yield pd.DataFrame(
                     {
                         "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
@@ -439,7 +426,7 @@ def ext_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             keep = ids_a[:, None] < ids_b[None, :]
         else:  # cross: every pair counts, either id may be smaller
             keep = np.ones((len(ids_a), len(ids_b)), dtype=bool)
-        keep &= d < LSH_DIST_THRESHOLD
+        keep &= d < dist_threshold
         ai, bi = np.nonzero(keep)
         return pd.DataFrame(
             {
@@ -452,4 +439,67 @@ def ext_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = salted.groupBy("tbl", "bucket", "sub_a", "sub_b").applyInPandas(
         bucket_pairs, "vec_a bigint, vec_b bigint, dist double"
     )
-    return pairs.dropDuplicates(["vec_a", "vec_b"]).orderBy("vec_a", "vec_b")
+    return pairs.dropDuplicates(["vec_a", "vec_b"])
+
+
+@register("ext_sim_lsh")  # approximate => rows-only; recall asserted in pytest
+def ext_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for similarity: bucketed random-projection LSH with
+    bucket-LOCAL verification. Per table l, a vector's key is the
+    tuple of m floors floor((v.r_li + b_li)/w) (AND-composition — m
+    projections per table sharpen selectivity; OR across L tables
+    recovers recall; seeded gaussian projections => deterministic).
+
+    Physical shape, sized for corpus scale: one NumPy pass over Arrow
+    batches emits (vec_id, embedding, tbl, bucket) — shuffle volume is
+    vectors x L, never pairs; then `applyInPandas` per bucket group
+    scores the bucket's pairwise euclidean distances with one BLAS
+    matmul and emits only passing pairs; a final dropDuplicates dedups
+    pairs found by multiple tables. The O(n^2) work is bounded per
+    bucket, with oversized buckets salted into sub-block pair groups
+    (see `lsh_candidate_pairs`), and the pair space is never
+    materialized — an earlier equi-join+dedup variant shuffled the
+    full candidate pair list and ran ~3x slower at sf0.1.
+
+    Replaces Spark ML's BucketedRandomProjectionLSH.approxSimilarityJoin
+    (same algorithm) which pays Vector-UDT conversion + non-codegen
+    hashing per row. Recall vs brute force is asserted in
+    tests/test_similarity.py."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return lsh_candidate_pairs(spark, e, LSH_DIST_THRESHOLD).orderBy("vec_a", "vec_b")
+
+
+@register("ext_dedup_embcos_lsh")  # approximate => rows-only; recall in pytest
+def ext_dedup_embcos_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed APPROXIMATE scale path for embedding-cosine
+    near-dup mining: normalize vectors JVM-side to the unit sphere
+    (where cos ≥ t ⟺ euclidean dist ≤ sqrt(2−2t)), reuse the salted
+    LSH bucketing, and convert surviving distances back to cosines
+    (cos = 1 − d²/2). Versus the exact `ext_dedup_embcos` triangle
+    join this replaces O(N²) scored pairs with bucket-local work at
+    the cost of recall — the classic SemDeDup-style trade. Recall vs
+    the exact operator is asserted in tests/test_similarity.py."""
+    import math
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("dv")
+    )
+    nrm = F.sqrt(F.expr(_DOT.format(a="dv", b="dv")))
+    unit = (
+        e.withColumn("nrm", nrm)
+        .filter(F.col("nrm") > 0)
+        .select(
+            "vec_id",
+            F.expr("transform(dv, x -> cast(x / nrm as float))").alias("embedding"),
+        )
+    )
+    dist_t = math.sqrt(2.0 - 2.0 * COS_DUP_THRESHOLD)
+    # wider buckets than the raw-space miner: threshold distances on
+    # the unit sphere are O(1), so w must be of the same order for
+    # near-threshold pairs to collide
+    pairs = lsh_candidate_pairs(spark, unit, dist_t, bucket_len=EMBCOS_LSH_BUCKET_LEN)
+    return pairs.select(
+        "vec_a",
+        "vec_b",
+        (1.0 - F.col("dist") * F.col("dist") / 2.0).alias("cos"),
+    ).orderBy("vec_a", "vec_b")

@@ -100,7 +100,14 @@ def maintenance_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     frag.coalesce(4).write.parquet(compact_dir)
 
     def n_files(d: str) -> int:
-        return sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+        # Hadoop FileSystem API, not os.listdir: works against any
+        # supported filesystem (HDFS/S3A/local) on a real deployment
+        jvm = spark.sparkContext._jvm
+        jsc = spark.sparkContext._jsc
+        path = jvm.org.apache.hadoop.fs.Path(d)
+        fs = path.getFileSystem(jsc.hadoopConfiguration())
+        it = fs.listStatus(path)
+        return sum(1 for st in it if st.getPath().getName().endswith(".parquet"))
 
     # the ANALYZE half of VACUUM (VERBOSE, ANALYZE): register the
     # compacted table and compute catalog statistics, so Catalyst's

@@ -128,3 +128,17 @@ def test_lsh_salting_preserves_pairs_vs_unsalted(spark, monkeypatch):
     monkeypatch.setattr(sim, "LSH_BUCKET_CAP", 16)
     salted = {(r.vec_a, r.vec_b) for r in queries()["ext_sim_lsh"](spark, tmp).collect()}
     assert salted == baseline
+
+
+def test_embcos_lsh_recall_vs_exact(spark):
+    """The composed approximate miner (unit-normalize -> salted LSH ->
+    cosine back-conversion) recovers most exact near-dup pairs, and
+    every returned cosine clears the threshold."""
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in queries()["ext_dedup_embcos"](spark, SF_SMOKE).collect()
+    }
+    rows = queries()["ext_dedup_embcos_lsh"](spark, SF_SMOKE).collect()
+    approx = {(r.vec_a, r.vec_b) for r in rows}
+    assert all(r.cos >= 0.4 - 1e-9 for r in rows)
+    assert len(exact & approx) / max(len(exact), 1) >= 0.8
