@@ -58,6 +58,11 @@ def register(name: str, oracle: Optional[str] = None):
 # order. Round 3 front-loads the set that has never been inside the
 # driver's window (VERDICT r2 item 1) plus everything new/rewritten this
 # round; the relational/scalar core (green in r1+r2) rotates to the back.
+# After r3 every oracle-bearing query has had a hard driver check in
+# some round (only ext_dedup_embcos_lsh — rows-only by design — hasn't).
+# ROTATION RULE for future rounds: front-load (1) anything added or
+# rewritten since the last round, (2) the queries whose last hard check
+# is oldest; tests/test_registry.py locks the list against typos.
 _WINDOW_PRIORITY = (
     # never driver-checked, oracle-bearing (VERDICT r2 "untested")
     "fn_lang_detect",
