@@ -255,6 +255,46 @@ def join_anti_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_star_schema",
+    oracle=(
+        "SELECT p.p_brand, count(*) AS n_items, "
+        "CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+        "round(max(l.l_extendedprice), 2) AS max_price "
+        "FROM lineitem l "
+        "JOIN part p ON l.l_partkey = p.p_partkey "
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+        "WHERE p.p_size <= 20 AND s.s_acctbal > 0 "
+        "GROUP BY p.p_brand ORDER BY p.p_brand"
+    ),
+)
+def join_star_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema rollup: the lineitem fact joined to TWO broadcast
+    dimensions (part, supplier) with dimension-side filters, grouped
+    by a dimension attribute — the shape of every enrichment-table ⋈
+    dimension report in the reference's dashboard generalized to
+    multiple dims (`Analysis Dashboard/app.py:105-265`). At 100 TB the
+    fact side streams through back-to-back BroadcastHashJoins with
+    zero fact shuffle before the aggregation; dimension filters apply
+    before the broadcast, shrinking the build side. Aggregates are
+    order-independent (count / integer sum / max), keeping the result
+    bit-stable under any partitioning."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") <= 20)
+    s = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 0)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
     "join_broadcast_dim",
     oracle=(
         "SELECT c.c_custkey, c.c_name FROM customer c "
