@@ -122,6 +122,58 @@ register("fn_text_stats", oracle=ORACLES["ext_text_quality"])(ext_text_quality)
 
 
 @register(
+    "ext_text_repetition",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+        "bg AS (SELECT doc_id, greatest(len(t) - 1, 0) AS n_bigrams, "
+        "len(list_distinct(list_transform(range(1, len(t)), "
+        "i -> t[i] || ' ' || t[i+1]))) AS n_distinct_bigrams FROM toks) "
+        "SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, "
+        "CAST(n_distinct_bigrams AS BIGINT) AS n_distinct_bigrams, "
+        "CASE WHEN n_bigrams = 0 THEN CAST(0.0 AS DOUBLE) "
+        "ELSE 1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams END AS rep_frac, "
+        "(n_bigrams > 0 AND 1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams > 0.2) "
+        "AS is_repetitive FROM bg"
+    ),
+)
+def ext_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: duplicate word-bigram fraction
+    per document (1 − distinct/total bigrams) plus a >0.2 drop flag —
+    the cheap repetition filter run before dedup in training-corpus
+    curation (boilerplate/spam detection). Pure codegen expressions:
+    one split, one transform, one array_distinct; no shuffle, no UDF."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.expr(
+        "CASE WHEN size(tk) >= 2 THEN "
+        "array_distinct(transform(sequence(1, size(tk) - 1), "
+        "i -> concat_ws(' ', tk[i - 1], tk[i]))) "
+        "ELSE array() END"
+    )
+    n_bg = F.greatest(F.size("tk") - 1, F.lit(0)).cast("long")
+    n_distinct = F.size("bg").cast("long")
+    rep = F.when(F.col("n_bigrams") == 0, F.lit(0.0)).otherwise(
+        1.0 - F.col("n_distinct_bigrams").cast("double") / F.col("n_bigrams")
+    )
+    return (
+        d.withColumn("tk", toks)
+        .withColumn("bg", bigrams)
+        .select(
+            "doc_id",
+            n_bg.alias("n_bigrams"),
+            n_distinct.alias("n_distinct_bigrams"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_distinct_bigrams",
+            rep.alias("rep_frac"),
+            ((F.col("n_bigrams") > 0) & (rep > 0.2)).alias("is_repetitive"),
+        )
+    )
+
+
+@register(
     "ext_token_count",
     oracle=(
         "SELECT doc_id, len(string_split(trim(text), ' ')) AS ws_tokens, "
