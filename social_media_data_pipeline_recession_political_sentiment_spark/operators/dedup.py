@@ -325,3 +325,42 @@ def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+
+
+@register(
+    "ext_dedup_cluster_pick",
+    oracle=(
+        "WITH k AS (SELECT doc_id, n_chars, "
+        "md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS ckey FROM documents), "
+        "r AS (SELECT doc_id, ckey, "
+        "row_number() OVER (PARTITION BY ckey ORDER BY n_chars DESC, doc_id) AS rn, "
+        "count(*) OVER (PARTITION BY ckey) AS cluster_size FROM k) "
+        "SELECT doc_id AS canonical_id, ckey, cluster_size FROM r WHERE rn = 1"
+    ),
+)
+def ext_dedup_cluster_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: group exact-normalized duplicates
+    into clusters (md5 of whitespace-collapsed lowercased text) and
+    keep ONE representative per cluster — longest text wins, doc_id
+    breaks ties. This is the step after any dedup pass that only finds
+    PAIRS (`ext_dedup_exact` drops rows; MinHash/SimHash emit edges):
+    a corpus builder must also decide which copy survives. One shuffle
+    on the 32-hex cluster key — uniform by construction, so no skew at
+    100 TB — then rank + per-cluster count ride the same sorted
+    partition (single Window exchange, two functions, one pass)."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    ckey = F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    k = d.select("doc_id", "n_chars", ckey.alias("ckey"))
+    w = W.partitionBy("ckey").orderBy(F.desc("n_chars"), "doc_id")
+    wc = W.partitionBy("ckey")
+    r = k.select(
+        "doc_id",
+        "ckey",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("cluster_size"),
+    )
+    return r.filter(F.col("rn") == 1).select(
+        F.col("doc_id").alias("canonical_id"), "ckey", "cluster_size"
+    )

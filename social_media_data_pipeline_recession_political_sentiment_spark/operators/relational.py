@@ -963,3 +963,55 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "percentile_approx(value, 0.5, 1000) BETWEEN min(value) AND max(value)"
         ).alias("sketch_ok"),
     )
+
+
+@register(
+    "agg_rollup",
+    oracle=(
+        "SELECT source, lang, count(*) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars "
+        "FROM documents GROUP BY ROLLUP (source, lang)"
+    ),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (source, lang) — hierarchical subtotals for the
+    corpus-composition report every training-data pipeline publishes
+    (per-source totals, per-source-per-language, grand total). The
+    hierarchy-prefix sibling of `agg_cube` (SURVEY §2.4): Catalyst
+    plans rollup as one Expand + partial hash-agg, so the 100 TB scan
+    happens once and the subtotal rows ride the same single shuffle
+    with map-side combine."""
+    d = load(spark, sf_dir, "documents")
+    return d.rollup("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
+    "window_lag_delta",
+    oracle=(
+        "SELECT event_id, user_id, "
+        "epoch_us(ts) - epoch_us(lag(ts) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us "
+        "FROM events"
+    ),
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap via LAG (SURVEY §2.5 — the sessionize
+    primitive `stream_sessionize` uses in streaming form, here as the
+    batch window). Gaps are exact integer microseconds
+    (`unix_micros`/`epoch_us` on both sides) so the oracle hash can
+    never drift on float truncation; NULL marks each user's first
+    event. One shuffle on user_id, then a per-partition sort —
+    identical shape at 100 TB, where user_id cardinality gives even
+    key distribution and AQE handles any hot user."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))).alias(
+            "gap_us"
+        ),
+    )

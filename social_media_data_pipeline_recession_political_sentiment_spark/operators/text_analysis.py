@@ -351,3 +351,87 @@ def ext_data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(bucket < 8, "train").when(bucket < 9, "val").otherwise("test")
     )
     return d.select("doc_id", bucket.alias("bucket"), split.alias("split"))
+
+
+@register(
+    "ext_tfidf_topterms",
+    oracle=(
+        "WITH t AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) "
+        "AS term FROM documents), "
+        "c AS (SELECT count(*) AS n FROM documents), "
+        "d AS (SELECT term, count(*) AS df FROM t WHERE term <> '' GROUP BY term) "
+        "SELECT term, df, ln(CAST(n AS DOUBLE) / df) AS idf "
+        "FROM d, c ORDER BY df DESC, term LIMIT 20"
+    ),
+)
+def ext_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus document-frequency table: top-20 terms by DF plus their
+    IDF — the vocabulary/stopword census step of a training-data
+    pipeline (and the input to any TF-IDF ranker). Terms are deduped
+    per document BEFORE the explode (`array_distinct`), so the shuffle
+    carries one row per (doc, term) not per token occurrence; the
+    groupBy gets map-side partial counts and the corpus size joins in
+    as a broadcast scalar. At 100 TB the only full-width data motion
+    is the term-keyed count shuffle — top-k then runs on the tiny
+    aggregated side (TakeOrderedAndProject, no global sort)."""
+    d = load(spark, sf_dir, "documents")
+    terms = d.select(
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("term")
+    ).filter(F.col("term") != "")
+    n = d.agg(F.count("*").alias("n"))
+    dfreq = terms.groupBy("term").agg(F.count("*").alias("df"))
+    return (
+        dfreq.crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            "df",
+            F.log(F.col("n").cast("double") / F.col("df")).alias("idf"),
+        )
+        .orderBy(F.desc("df"), "term")
+        .limit(20)
+    )
+
+
+@register(
+    "ext_quality_gate",
+    oracle=(
+        "WITH s AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents), "
+        "m AS (SELECT doc_id, n_chars, len(w) AS n_words, "
+        f"len(list_intersect(w, {_arr_lit(_STOPWORDS)})) AS stop_hits FROM s) "
+        "SELECT doc_id, n_words, stop_hits, "
+        "CAST(n_chars - n_words + 1 AS DOUBLE) / n_words AS mean_wlen "
+        "FROM m WHERE n_words BETWEEN 5 AND 1000 "
+        "AND stop_hits >= 1 "
+        "AND CAST(n_chars - n_words + 1 AS DOUBLE) / n_words BETWEEN 2 AND 12"
+    ),
+)
+def ext_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite quality gate: keep documents whose word
+    count, mean word length and stopword presence all land in sane
+    ranges (the rule-stack every LLM corpus cleaner runs before dedup;
+    cf. Rae et al. 2021 §A1). Mean word length derives from n_chars
+    and the word count (chars minus the n_words-1 separators, exact
+    integer math then one IEEE division, so the oracle hash is stable).
+    Pure codegen'd column expressions — a scan-local filter with no
+    shuffle, the cheapest possible 100 TB pass; on a cluster the gate
+    runs fused into the scan of whatever op follows it."""
+    d = load(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n_words = F.size(w)
+    stop_hits = F.size(
+        F.array_intersect(w, F.array(*[F.lit(s) for s in _STOPWORDS]))
+    )
+    mean_wlen = (
+        (F.col("n_chars") - n_words + F.lit(1)).cast("double") / n_words
+    )
+    m = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        stop_hits.alias("stop_hits"),
+        mean_wlen.alias("mean_wlen"),
+    )
+    return m.filter(
+        F.col("n_words").between(5, 1000)
+        & (F.col("stop_hits") >= 1)
+        & F.col("mean_wlen").between(2, 12)
+    )

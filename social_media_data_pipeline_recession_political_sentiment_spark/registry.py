@@ -63,6 +63,9 @@ def register(name: str, oracle: Optional[str] = None):
 # ROTATION RULE for future rounds: front-load (1) anything added or
 # rewritten since the last round, (2) the queries whose last hard check
 # is oldest; tests/test_registry.py locks the list against typos.
+# Added mid-r3 AFTER the window froze (=> front-load these in r4):
+# join_star_schema, ext_text_repetition, agg_rollup, window_lag_delta,
+# ext_tfidf_topterms, ext_quality_gate, ext_dedup_cluster_pick.
 _WINDOW_PRIORITY = (
     # never driver-checked, oracle-bearing (VERDICT r2 "untested")
     "fn_lang_detect",

@@ -75,3 +75,29 @@ def test_ngram_jaccard_exact_value(spark):
     out = queries()["ext_dedup_ngram_jaccard"](spark, tmp).collect()
     assert len(out) == 1
     assert abs(out[0].jaccard - 1 / 3) < 1e-12
+
+
+def test_cluster_pick_longest_then_min_id(spark):
+    # docs 1/2 normalize identically (whitespace + case) -> one cluster;
+    # same n_chars, so min doc_id (1) is canonical; doc 9 is its own cluster
+    rows = [
+        (2, "Alpha  Beta\tGamma", "en", "s", 17),
+        (1, "alpha beta gamma", "en", "s", 17),
+        (9, "solo document", "en", "s", 13),
+    ]
+    tmp = _docs_view(spark, rows)
+    out = {
+        r.canonical_id: r.cluster_size
+        for r in queries()["ext_dedup_cluster_pick"](spark, tmp).collect()
+    }
+    assert out == {1: 2, 9: 1}
+
+
+def test_cluster_pick_prefers_longer_text(spark):
+    rows = [
+        (5, "same words", "en", "s", 10),
+        (6, "same  words", "en", "s", 11),  # same cluster, more chars -> wins
+    ]
+    tmp = _docs_view(spark, rows)
+    out = queries()["ext_dedup_cluster_pick"](spark, tmp).collect()
+    assert len(out) == 1 and out[0].canonical_id == 6 and out[0].cluster_size == 2

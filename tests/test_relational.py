@@ -154,3 +154,37 @@ def test_bucketed_join_has_no_shuffle_below_join(spark):
     m = re.search(r"SortMergeJoin(.*?)\(\d+\) Scan", plan, re.DOTALL)
     assert m, f"no scan section under the join, plan:\n{plan}"
     assert "Exchange" not in m.group(1)
+
+
+def test_rollup_grand_total_consistent(spark):
+    """ROLLUP hierarchy: the grand-total row equals the sum of the
+    per-source subtotal rows, which equals the sum of the leaves."""
+    from tests.conftest import SF_SMOKE
+
+    rows = registry.queries()["agg_rollup"](spark, SF_SMOKE).collect()
+    grand = [r for r in rows if r.source is None and r.lang is None]
+    per_source = [r for r in rows if r.source is not None and r.lang is None]
+    leaves = [r for r in rows if r.source is not None and r.lang is not None]
+    assert len(grand) == 1
+    assert grand[0].n_docs == sum(r.n_docs for r in per_source) == sum(
+        r.n_docs for r in leaves
+    )
+    assert grand[0].total_chars == sum(r.total_chars for r in leaves)
+
+
+def test_lag_delta_nonnegative_and_null_first(spark):
+    """Each user's first event has NULL gap; all others are >= 0
+    because the window orders by ts."""
+    from tests.conftest import SF_SMOKE
+
+    rows = registry.queries()["window_lag_delta"](spark, SF_SMOKE).collect()
+    users = {}
+    nulls = 0
+    for r in rows:
+        users.setdefault(r.user_id, 0)
+        users[r.user_id] += 1
+        if r.gap_us is None:
+            nulls += 1
+        else:
+            assert r.gap_us >= 0
+    assert nulls == len(users)  # exactly one NULL (the first event) per user

@@ -78,3 +78,29 @@ def test_corpus_curation_monotone(spark):
     )
     raw = {r.lang: r["count"] for r in raw}
     assert out and all(out[lang] <= raw.get(lang, 0) for lang in out)
+
+
+def test_quality_gate_only_shrinks_and_bounds_hold(spark):
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+    from tests.conftest import SF_SMOKE
+
+    rows = queries()["ext_quality_gate"](spark, SF_SMOKE).collect()
+    total = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert 0 < len(rows) <= total
+    for r in rows:
+        assert 5 <= r.n_words <= 1000
+        assert r.stop_hits >= 1
+        assert 2.0 <= r.mean_wlen <= 12.0
+
+
+def test_tfidf_topterms_df_bounded_by_corpus(spark):
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+    from tests.conftest import SF_SMOKE
+
+    rows = queries()["ext_tfidf_topterms"](spark, SF_SMOKE).collect()
+    total = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert len(rows) == 20
+    dfs = [r.df for r in rows]
+    assert dfs == sorted(dfs, reverse=True)  # ranked by document frequency
+    assert all(0 < r.df <= total for r in rows)
+    assert all(r.idf >= 0.0 for r in rows)  # df <= N -> ln(N/df) >= 0
