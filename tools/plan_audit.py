@@ -118,6 +118,27 @@ AUDIT = {
         "commit units are per task, not per job: no coalesce(1) "
         "funnel, a failed task re-lands only its own <=5000-row files",
     ),
+    "agg_rollup": (
+        "one Expand feeding partial/final HashAggregate over a single "
+        "Exchange",
+        "all rollup grouping sets ride one scan and one shuffle; "
+        "subtotal rows are generated map-side, not by re-reading",
+    ),
+    "ext_tfidf_topterms": (
+        "array_distinct before Generate(explode); one Exchange on "
+        "term; BroadcastNestedLoopJoin for the scalar corpus size; "
+        "TakeOrderedAndProject",
+        "the shuffle carries (doc, term) pairs not token occurrences, "
+        "the corpus size joins as a broadcast scalar, and top-k never "
+        "sorts the full vocabulary",
+    ),
+    "ext_dedup_cluster_pick": (
+        "two Window nodes (row_number + count) sharing ONE Exchange "
+        "on the md5 cluster key",
+        "rank and cluster-size reuse the same hash distribution and "
+        "sort — one shuffle total, and the 32-hex key is uniform by "
+        "construction so no reducer skew at 100 TB",
+    ),
 }
 
 
