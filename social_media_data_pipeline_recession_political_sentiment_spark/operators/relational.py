@@ -1015,3 +1015,54 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gap_us"
         ),
     )
+
+
+@register(
+    "join_salted_skew",
+    oracle=(
+        "WITH d AS (SELECT event_type, max(value) AS type_max "
+        "FROM events GROUP BY event_type) "
+        "SELECT e.event_id, e.event_type, d.type_max, "
+        "(e.value > CAST(0.5 AS DOUBLE) * d.type_max) AS above_half "
+        "FROM events e JOIN d USING (event_type)"
+    ),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted replicated join for a skewed join key — the join-side
+    sibling of `agg_salted_skew`. events.event_type has a handful of
+    values, so an unsalted shuffle join would funnel each key's entire
+    fact stream through one reducer. Here the fact side gets a random
+    salt in [0, SALT_N) (deterministic: hash of the row key) and the
+    dim side is replicated once per salt via explode, so the join key
+    becomes (event_type, salt) and every hot key fans out over SALT_N
+    reducers. Semantically identical to the plain join the oracle
+    runs (dim = per-type max, fact rows flagged against half of it) —
+    salting is pure execution detail.
+
+    At this dim size you would just `broadcast()` (join_broadcast_dim);
+    salting is THE pattern when BOTH sides are too big to broadcast
+    and the key is power-law — replication cost is |dim| x SALT_N,
+    traded against eliminating the straggler reducer. AQE's skew-join
+    split handles moderate skew automatically; explicit salting covers
+    the extreme keys AQE can only split at partition granularity."""
+    SALT_N = 8
+    e = load(spark, sf_dir, "events")
+    # max (not avg): exact and order-independent under any partitioning,
+    # so the oracle hash can never drift on float summation order
+    dim = e.groupBy("event_type").agg(F.max("value").alias("type_max"))
+    dim_rep = dim.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(SALT_N)]))
+    )
+    fact = e.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(SALT_N)))
+    # shuffle_hash hint pins the shuffle join: at test SF Catalyst would
+    # broadcast the tiny replicated dim and the salt would never shape
+    # the exchange (at the pattern's real scale neither side broadcasts)
+    return (
+        fact.join(dim_rep.hint("shuffle_hash"), ["event_type", "salt"])
+        .select(
+            "event_id",
+            "event_type",
+            "type_max",
+            (F.col("value") > F.lit(0.5) * F.col("type_max")).alias("above_half"),
+        )
+    )

@@ -435,3 +435,44 @@ def ext_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("stop_hits") >= 1)
         & F.col("mean_wlen").between(2, 12)
     )
+
+
+@register(
+    "ext_url_domains",
+    oracle=(
+        "WITH dec AS (SELECT doc_id, text || ' see https://mirror' "
+        "|| CAST(doc_id % 20 AS VARCHAR) || '.example.org/d/' "
+        "|| CAST(doc_id AS VARCHAR) AS t FROM documents), "
+        "u AS (SELECT doc_id, regexp_extract(t, 'https?://([^/ ]+)', 1) "
+        "AS domain FROM dec) "
+        "SELECT domain, count(*) AS n_docs FROM u "
+        "WHERE domain <> '' GROUP BY domain"
+    ),
+)
+def ext_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document census — the provenance report every web
+    corpus publishes (and the input to domain-level filtering/
+    reweighting a la C4/RefinedWeb). The fixture text carries no URLs,
+    so each doc is decorated with a deterministic synthetic URL (same
+    device as `ext_pii_redact`'s email decoration) and the domain is
+    pulled back out with a regex in the Java/RE2 common subset both
+    engines parse identically. Extraction is a scan-local codegen'd
+    map; the only shuffle is the domain-keyed count with map-side
+    partials — domains are zipf-ish at corpus scale, which the salted
+    / AQE agg patterns (`agg_salted_skew`) absorb."""
+    d = load(spark, sf_dir, "documents")
+    deco = F.concat(
+        F.col("text"),
+        F.lit(" see https://mirror"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit(".example.org/d/"),
+        F.col("doc_id").cast("string"),
+    )
+    u = d.select(
+        F.regexp_extract(deco, r"https?://([^/ ]+)", 1).alias("domain")
+    )
+    return (
+        u.filter(F.col("domain") != "")
+        .groupBy("domain")
+        .agg(F.count("*").alias("n_docs"))
+    )

@@ -188,3 +188,23 @@ def test_lag_delta_nonnegative_and_null_first(spark):
         else:
             assert r.gap_us >= 0
     assert nulls == len(users)  # exactly one NULL (the first event) per user
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting is execution detail: result set equals the unsalted
+    join, and the join exchange is keyed on (event_type, salt)."""
+    from tests.conftest import SF_SMOKE
+
+    out = registry.queries()["join_salted_skew"](spark, SF_SMOKE)
+    e = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    dim = e.groupBy("event_type").agg(F.max("value").alias("type_max"))
+    plain = e.join(dim, "event_type").select(
+        "event_id",
+        "event_type",
+        "type_max",
+        (F.col("value") > F.lit(0.5) * F.col("type_max")).alias("above_half"),
+    )
+    assert out.count() == plain.count()
+    assert out.exceptAll(plain).count() == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "salt" in plan and "ShuffledHashJoin" in plan

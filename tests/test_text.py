@@ -104,3 +104,16 @@ def test_tfidf_topterms_df_bounded_by_corpus(spark):
     assert dfs == sorted(dfs, reverse=True)  # ranked by document frequency
     assert all(0 < r.df <= total for r in rows)
     assert all(r.idf >= 0.0 for r in rows)  # df <= N -> ln(N/df) >= 0
+
+
+def test_url_domains_partitions_corpus(spark):
+    """Every doc lands in exactly one of the 20 synthetic domains."""
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+    from tests.conftest import SF_SMOKE
+
+    rows = queries()["ext_url_domains"](spark, SF_SMOKE).collect()
+    total = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert len(rows) == 20
+    assert sum(r.n_docs for r in rows) == total
+    assert all(r.domain.startswith("mirror") and r.domain.endswith(".example.org")
+               for r in rows)
