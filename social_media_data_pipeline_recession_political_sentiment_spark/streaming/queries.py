@@ -251,3 +251,42 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "session_start", "session_end", "n_events")
     )
+
+
+@register(
+    "stream_join_static",
+    oracle=(
+        "WITH d AS (SELECT event_type, max(value) AS type_max "
+        "FROM events GROUP BY event_type) "
+        "SELECT e.event_id, e.event_type, "
+        "(e.value >= CAST(0.9 AS DOUBLE) * d.type_max) AS is_extreme "
+        "FROM events e JOIN d USING (event_type)"
+    ),
+)
+def stream_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static enrichment join: the event stream joins a static
+    dimension (per-type max, batch-computed) under append mode — the
+    canonical Structured Streaming pattern for enriching a live feed
+    against reference data (the streaming form of the reference's
+    per-row lookup before INSERT, `Reddit.py:75-80`). The static side
+    re-resolves every micro-batch (so a slowly-changing dim is picked
+    up without restarting the query) and broadcasts, keeping the join
+    stateless: no watermark, no state store, each batch joins and
+    emits. Drained output equals the batch join the oracle runs.
+    max(value) (not avg) keeps the dim exact under any partitioning,
+    and the 0.9 factor is the same IEEE double literal on both sides,
+    so the hash comparison is airtight."""
+    dim = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.max("value").alias("type_max"))
+    )
+    enriched = stream_events(spark, sf_dir).join(
+        F.broadcast(dim), "event_type"
+    )
+    out = drain_to_table(enriched, "append")
+    return out.select(
+        "event_id",
+        "event_type",
+        (F.col("value") >= F.lit(0.9) * F.col("type_max")).alias("is_extreme"),
+    )

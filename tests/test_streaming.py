@@ -187,3 +187,20 @@ def test_stateful_count_state_persists_across_batches(spark):
         r.n_events for r in spark.table(name).filter(F.col("user_id") == 7).collect()
     )
     assert u7 == [1, 2, 3]  # one update per batch, state accumulated
+
+
+def test_stream_join_static_matches_batch_join(spark):
+    """Stream-static enrichment drains to exactly the batch join: same
+    cardinality as the fact side, every type's max flagged extreme."""
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+    from tests.conftest import SF_SMOKE
+
+    out = queries()["stream_join_static"](spark, SF_SMOKE)
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    assert out.count() == events.count()  # inner join on a total dim
+    # per type, at least one row (the max itself) must be extreme
+    types_with_extreme = {
+        r.event_type for r in out.filter("is_extreme").select("event_type").distinct().collect()
+    }
+    all_types = {r.event_type for r in events.select("event_type").distinct().collect()}
+    assert types_with_extreme == all_types
