@@ -18,6 +18,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import types as T
+
 from ..catalog import load
 from ..registry import ORACLES, register
 
@@ -475,4 +480,47 @@ def ext_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
         u.filter(F.col("domain") != "")
         .groupBy("domain")
         .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@F.pandas_udf(T.StringType())
+def _nfc_normalize(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """Iterator pandas UDF: Arrow-batched NFC normalization (the one
+    text op Spark has no built-in for; unicodedata is C-backed)."""
+    import unicodedata
+
+    for batch in batches:
+        yield batch.map(
+            lambda s: unicodedata.normalize("NFC", s) if s is not None else None
+        )
+
+
+@register(
+    "fn_unicode_nfc",
+    oracle=(
+        "WITH dec AS (SELECT doc_id, text || ' café ' || chr(233) AS t "
+        "FROM documents) "
+        "SELECT doc_id, nfc_normalize(t) AS nfc, "
+        "(nfc_normalize(t) = t) AS was_normal FROM dec"
+    ),
+)
+def fn_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization — the first pass of any text-corpus
+    pipeline (combining-mark sequences like 'e'+U+0301 collapse to the
+    precomposed form, so downstream dedup/fingerprint hashing treats
+    visually-identical strings identically). Spark has no built-in
+    normalizer, so this is the showcase for the SANCTIONED slow path
+    (SURVEY §2.8): an Arrow-batched pandas UDF (`unicodedata` is
+    C-backed; the batch transfer, not the loop, dominates) rather than
+    a row-at-a-time Python UDF. The fixture text is ASCII, so each doc
+    is decorated with a decomposed 'café' to make the op observable;
+    the oracle runs DuckDB's native nfc_normalize — both sides
+    implement the same Unicode standard, making the hash comparison
+    exact. Scan-local map, no shuffle; at 100 TB this pays one
+    Python-worker Arrow round-trip per partition."""
+    d = load(spark, sf_dir, "documents")
+    deco = F.concat(F.col("text"), F.lit(" café é"))
+    out = d.select("doc_id", _nfc_normalize(deco).alias("nfc"), deco.alias("t"))
+    return out.select(
+        "doc_id", "nfc", (F.col("nfc") == F.col("t")).alias("was_normal")
     )

@@ -117,3 +117,14 @@ def test_url_domains_partitions_corpus(spark):
     assert sum(r.n_docs for r in rows) == total
     assert all(r.domain.startswith("mirror") and r.domain.endswith(".example.org")
                for r in rows)
+
+
+def test_unicode_nfc_collapses_combining_marks(spark):
+    """Decomposed e+COMBINING ACUTE collapses to precomposed; rows in
+    the fixture are decorated so none is already normal."""
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+    from tests.conftest import SF_SMOKE
+
+    rows = queries()["fn_unicode_nfc"](spark, SF_SMOKE).collect()
+    assert rows and all(not r.was_normal for r in rows)  # 'café' is decomposed
+    assert all("café é" in r.nfc for r in rows)  # precomposed form
