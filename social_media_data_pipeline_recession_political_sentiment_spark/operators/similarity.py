@@ -503,3 +503,40 @@ def ext_dedup_embcos_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_b",
         (1.0 - F.col("dist") * F.col("dist") / 2.0).alias("cos"),
     ).orderBy("vec_a", "vec_b")
+
+
+@register(
+    "ext_emb_norm",
+    oracle=(
+        "WITH n AS (SELECT vec_id, label, "
+        "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), "
+        "CAST(embedding AS DOUBLE[]))) AS l2_norm FROM embeddings) "
+        "SELECT vec_id, label, l2_norm, "
+        "(abs(l2_norm - CAST(1.0 AS DOUBLE)) <= CAST(0.01 AS DOUBLE)) "
+        "AS near_unit FROM n"
+    ),
+)
+def ext_emb_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding L2-norm census — the sanity pass before any cosine
+    workload (un-normalized or zero vectors poison ANN indexes and
+    distance thresholds; production pipelines gate on it). Norm² is
+    the same float32→float64 sequential fold the similarity operators
+    use (`aggregate`/`zip_with` ≙ DuckDB `list_dot_product`), so the
+    hash comparison is exact. Scan-local map over the vector column,
+    no shuffle — at 100 TB this fuses into whatever embedding op runs
+    next."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("dv")
+    )
+    norm = F.sqrt(
+        F.expr(
+            "aggregate(zip_with(dv, dv, (x, y) -> x * y), "
+            "cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+    )
+    return e.select(
+        "vec_id",
+        "label",
+        norm.alias("l2_norm"),
+        (F.abs(norm - F.lit(1.0)) <= F.lit(0.01)).alias("near_unit"),
+    )

@@ -66,7 +66,8 @@ def register(name: str, oracle: Optional[str] = None):
 # Added mid-r3 AFTER the window froze (=> front-load these in r4):
 # join_star_schema, ext_text_repetition, agg_rollup, window_lag_delta,
 # ext_tfidf_topterms, ext_quality_gate, ext_dedup_cluster_pick,
-# join_salted_skew, ext_url_domains, stream_join_static, fn_unicode_nfc.
+# join_salted_skew, ext_url_domains, stream_join_static, fn_unicode_nfc,
+# ext_emb_norm.
 _WINDOW_PRIORITY = (
     # never driver-checked, oracle-bearing (VERDICT r2 "untested")
     "fn_lang_detect",

@@ -142,3 +142,14 @@ def test_embcos_lsh_recall_vs_exact(spark):
     approx = {(r.vec_a, r.vec_b) for r in rows}
     assert all(r.cos >= 0.4 - 1e-9 for r in rows)
     assert len(exact & approx) / max(len(exact), 1) >= 0.8
+
+
+def test_emb_norm_census_positive_and_flag_consistent(spark):
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+    from tests.conftest import SF_SMOKE
+
+    rows = queries()["ext_emb_norm"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.l2_norm > 0.0
+        assert r.near_unit == (abs(r.l2_norm - 1.0) <= 0.01)
