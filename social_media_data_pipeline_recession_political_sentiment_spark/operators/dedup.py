@@ -364,3 +364,88 @@ def ext_dedup_cluster_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.filter(F.col("rn") == 1).select(
         F.col("doc_id").alias("canonical_id"), "ckey", "cluster_size"
     )
+
+
+_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM toks),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+pairs AS (SELECT doc_a, doc_b FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(node, lbl) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node
+"""
+
+
+@register("ext_dedup_components", oracle=_COMPONENTS_ORACLE)
+def ext_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-duplicate pair graph — the
+    step every pairwise dedup pass (MinHash bands, SimHash, Jaccard
+    verify) needs next: pairs (a,b),(b,c) must collapse into ONE
+    cluster {a,b,c} before a canonical doc can be picked
+    (`ext_dedup_cluster_pick` is the intra-cluster half). Component id
+    = min doc_id reachable; edges here are the exact-Jaccard pairs so
+    the whole graph is oracle-reproducible (the oracle walks it with a
+    recursive CTE).
+
+    Iterative min-label propagation as a driver-coordinated loop of
+    DataFrame ops: each round every node takes the min of its own and
+    its neighbors' labels — O(diameter) rounds, each a distributed
+    join + agg (diameter is tiny for dedup graphs, which are
+    near-cliques). `localCheckpoint` cuts the growing lineage per
+    round (the classic Spark iterative-algorithm trap); the edge list
+    is re-partitioned on src once and reused every round. At larger
+    diameters you'd switch to large-star/small-star (Kiveris et al.,
+    "Connected Components in MapReduce"), same DataFrame vocabulary."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    pairs = ext_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .repartition("src")
+        .localCheckpoint()  # materialize once; reused every round
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("lbl")).localCheckpoint()
+    # labels only ever decrease, so convergence <=> the label sum stops
+    # moving — one scalar agg per round instead of a join + count
+    # (decimal(38,0) keeps the sum exact at any corpus size)
+    prev_sum = labels.agg(
+        F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
+    for _ in range(50):  # >= graph diameter; dedup graphs converge in a few
+        prop = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("lbl").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(prop, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nbr_min"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("doc_id", F.col("lbl").alias("component"))

@@ -101,3 +101,20 @@ def test_cluster_pick_prefers_longer_text(spark):
     tmp = _docs_view(spark, rows)
     out = queries()["ext_dedup_cluster_pick"](spark, tmp).collect()
     assert len(out) == 1 and out[0].canonical_id == 6 and out[0].cluster_size == 2
+
+
+def test_components_merge_transitive_pairs(spark):
+    # chain a-b, b-c (shared shingles) must collapse into one component
+    base = "one two three four five six seven eight nine ten eleven twelve"
+    b = base + " extra tail words here making it longer for shingles"
+    c = "zz yy " + base
+    rows = [
+        (1, base, "en", "s", len(base)),
+        (2, b, "en", "s", len(b)),
+        (3, c, "en", "s", len(c)),
+        (9, "totally unrelated corpus entry with distinct vocabulary entirely", "en", "s", 64),
+    ]
+    tmp = _docs_view(spark, rows)
+    out = {r.doc_id: r.component for r in queries()["ext_dedup_components"](spark, tmp).collect()}
+    assert out[1] == out[2] == out[3] == 1  # one cluster, min id label
+    assert out[9] == 9  # singleton keeps its own id
