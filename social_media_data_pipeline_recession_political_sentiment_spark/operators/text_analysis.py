@@ -524,3 +524,35 @@ def fn_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "nfc", (F.col("nfc") == F.col("t")).alias("was_normal")
     )
+
+
+@register(
+    "ext_sample_per_group",
+    oracle=(
+        "WITH r AS (SELECT doc_id, lang, row_number() OVER "
+        "(PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) "
+        "AS rn FROM documents) "
+        "SELECT doc_id, lang, rn FROM r WHERE rn <= 50"
+    ),
+)
+def ext_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language quota sample (50 docs/lang) — corpus
+    balancing: cap the dominant language without starving the tail.
+    Rank within each language by md5(key): a pure function of the key,
+    so the sample is stable across runs, engines and partitionings
+    (same contract as `ext_data_split`) yet uniformly random in
+    distribution. One shuffle on lang; `WindowGroupLimit` pushes the
+    rn<=50 cap into the sort so no partition ranks more than ~50 rows
+    per key. With millions of groups you'd swap row_number for a
+    per-group hash-threshold filter (approx quota, no sort at all) —
+    here groups are few and the exact quota is the point."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 50)
+    )

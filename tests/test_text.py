@@ -128,3 +128,18 @@ def test_unicode_nfc_collapses_combining_marks(spark):
     rows = queries()["fn_unicode_nfc"](spark, SF_SMOKE).collect()
     assert rows and all(not r.was_normal for r in rows)  # 'café' is decomposed
     assert all("café é" in r.nfc for r in rows)  # precomposed form
+
+
+def test_sample_per_group_quota_and_determinism(spark):
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+    from tests.conftest import SF_SMOKE
+
+    a = queries()["ext_sample_per_group"](spark, SF_SMOKE).collect()
+    b = queries()["ext_sample_per_group"](spark, SF_SMOKE).collect()
+    assert sorted((r.doc_id, r.rn) for r in a) == sorted((r.doc_id, r.rn) for r in b)
+    per_lang = {}
+    for r in a:
+        per_lang.setdefault(r.lang, []).append(r.rn)
+    for lang, rns in per_lang.items():
+        assert len(rns) <= 50
+        assert sorted(rns) == list(range(1, len(rns) + 1))  # dense quota ranks
