@@ -139,6 +139,25 @@ AUDIT = {
         "sort — one shuffle total, and the 32-hex key is uniform by "
         "construction so no reducer skew at 100 TB",
     ),
+    "ext_sample_per_group": (
+        "map-side WindowGroupLimit below the Exchange AND a final one "
+        "above it",
+        "each input partition pre-trims to the quota before the "
+        "shuffle, so the exchange moves at most ~quota rows per "
+        "(partition, lang) — not the corpus",
+    ),
+    "fn_unicode_nfc": (
+        "one ArrowEvalPython stage over the scan, nothing else",
+        "the sanctioned slow path stays a single scan-local "
+        "Arrow-batched Python stage — no shuffle, no per-row "
+        "round-trips; everything before/after remains codegen'd",
+    ),
+    "join_salted_skew": (
+        "ShuffledHashJoin keyed on (event_type, salt); Generate "
+        "(explode) replicating the dim ×8",
+        "the hot key's fact rows hash over 8 reducers instead of 1 — "
+        "the exchange key carries the salt, which is the whole point",
+    ),
 }
 
 
