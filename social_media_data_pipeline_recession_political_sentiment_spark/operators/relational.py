@@ -1066,3 +1066,33 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("value") > F.lit(0.5) * F.col("type_max")).alias("above_half"),
         )
     )
+
+
+@register(
+    "agg_hourly_heatmap",
+    oracle=(
+        "SELECT (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7 "
+        "AS dow, extract(hour FROM ts) AS hour, count(*) AS cnt "
+        "FROM events GROUP BY dow, hour"
+    ),
+)
+def agg_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity heatmap — the posting-cadence
+    matrix behind the reference dashboard's daily charts
+    (`app.py:44-59`), one level finer. Day-of-week is computed as
+    epoch-day arithmetic ((days_since_1970 + 4) % 7, Monday=0..Sunday=6)
+    instead of each engine's dayofweek() — Spark counts Sunday=1 while
+    DuckDB counts Sunday=0, so the portable form is also the
+    oracle-stable one. Single partial+final hash agg over 168 cells:
+    at 100 TB the map-side combine collapses each partition to ≤168
+    rows before the one tiny shuffle."""
+    e = load(spark, sf_dir, "events")
+    dow = (F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")) + 4) % 7
+    return (
+        e.select(
+            dow.cast("bigint").alias("dow"),
+            F.hour("ts").cast("bigint").alias("hour"),
+        )
+        .groupBy("dow", "hour")
+        .agg(F.count("*").alias("cnt"))
+    )

@@ -67,7 +67,8 @@ def register(name: str, oracle: Optional[str] = None):
 # join_star_schema, ext_text_repetition, agg_rollup, window_lag_delta,
 # ext_tfidf_topterms, ext_quality_gate, ext_dedup_cluster_pick,
 # join_salted_skew, ext_url_domains, stream_join_static, fn_unicode_nfc,
-# ext_emb_norm, ext_dedup_components, ext_sample_per_group.
+# ext_emb_norm, ext_dedup_components, ext_sample_per_group,
+# agg_hourly_heatmap.
 _WINDOW_PRIORITY = (
     # never driver-checked, oracle-bearing (VERDICT r2 "untested")
     "fn_lang_detect",

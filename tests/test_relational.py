@@ -208,3 +208,13 @@ def test_salted_join_matches_plain_join(spark):
     assert out.exceptAll(plain).count() == 0
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "salt" in plan and "ShuffledHashJoin" in plan
+
+
+def test_hourly_heatmap_cells_and_conservation(spark):
+    from tests.conftest import SF_SMOKE
+
+    rows = registry.queries()["agg_hourly_heatmap"](spark, SF_SMOKE).collect()
+    total = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    assert sum(r.cnt for r in rows) == total
+    assert all(0 <= r.dow <= 6 and 0 <= r.hour <= 23 for r in rows)
+    assert len(rows) <= 168
