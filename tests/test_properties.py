@@ -130,3 +130,43 @@ def test_salted_agg_equals_plain_groupby(spark, rows):
         .agg(F.sum("c").cast("long").alias("cnt"))
     )
     assert {r.k: r.cnt for r in salted.collect()} == plain
+
+
+@given(st.lists(texts, min_size=1, max_size=8))
+@settings(**_SETTINGS)
+def test_nfc_normalization_idempotent(spark, vals):
+    """NFC(NFC(x)) == NFC(x) for arbitrary input (Unicode guarantees
+    normalization is idempotent; the UDF must preserve that)."""
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.text_analysis import (
+        _nfc_normalize,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "t string")
+    out = df.select(
+        _nfc_normalize(F.col("t")).alias("once"),
+    ).select(
+        "once", _nfc_normalize(F.col("once")).alias("twice")
+    )
+    assert all(r.once == r.twice for r in out.collect())
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=30))
+@settings(**_SETTINGS)
+def test_data_split_total_and_stable(spark, ids):
+    """Every key lands in exactly one split, and re-running assigns
+    identical buckets (pure function of the key)."""
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+    import os, tempfile
+
+    rows = [(i, "x", "en", "s", 1) for i in set(ids)]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_prop_")
+    d.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    q = queries()["ext_data_split"]
+    a = {r.doc_id: (r.bucket, r.split) for r in q(spark, tmp).collect()}
+    b = {r.doc_id: (r.bucket, r.split) for r in q(spark, tmp).collect()}
+    assert a == b
+    assert set(a) == {r[0] for r in rows}
+    assert all(0 <= v[0] <= 9 and v[1] in ("train", "val", "test") for v in a.values())
