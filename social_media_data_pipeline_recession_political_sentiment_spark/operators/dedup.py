@@ -411,10 +411,16 @@ def ext_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Connected Components in MapReduce"), same DataFrame vocabulary."""
     docs = load(spark, sf_dir, "documents").select("doc_id")
     pairs = ext_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # self-loops make each round a single join+agg: a node's new label
+    # is min over ALL incoming edges, its own label arriving via the
+    # self-edge (no second left-join to merge it back)
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .unionByName(
+            docs.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst"))
         )
         .repartition("src")
         .localCheckpoint()  # materialize once; reused every round
@@ -427,19 +433,10 @@ def ext_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
     ).collect()[0]["s"]
     for _ in range(50):  # >= graph diameter; dedup graphs converge in a few
-        prop = (
+        labels = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("lbl").alias("nbr_min"))
-        )
-        labels = (
-            labels.join(prop, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("nbr_min"), F.col("lbl"))
-                ).alias("lbl"),
-            )
+            .agg(F.min("lbl").alias("lbl"))
             .localCheckpoint()
         )
         cur_sum = labels.agg(
