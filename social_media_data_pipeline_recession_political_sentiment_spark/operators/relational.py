@@ -1096,3 +1096,58 @@ def agg_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("dow", "hour")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+@register(
+    "join_semi_exists",
+    oracle=(
+        "SELECT o_orderkey, o_orderpriority FROM orders o "
+        "WHERE EXISTS (SELECT 1 FROM lineitem l "
+        "WHERE l.l_orderkey = o.o_orderkey "
+        "AND l.l_quantity >= CAST(45 AS DOUBLE))"
+    ),
+)
+def join_semi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a left-semi join — the positive half of the
+    reference's existence probe (`Reddit.py:75-80` checks NOT EXISTS
+    before insert; `join_anti_dedup` is that anti half). Semi join
+    emits each left row at most once with no right columns, so the
+    build side carries only the join key: at 100 TB the probe
+    `lineitem` reduces to a distinct-key stream and nothing from it is
+    ever materialized into the output. The quantity predicate reaches
+    the parquet scan (PushedFilters) before the join."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    return o.join(
+        li, o.o_orderkey == li.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_orderpriority")
+
+
+@register(
+    "agg_running_total",
+    oracle=(
+        "WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, "
+        "count(*) AS cnt FROM events GROUP BY day) "
+        "SELECT day, cnt, CAST(sum(cnt) OVER "
+        "(ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        "AS BIGINT) AS running FROM d"
+    ),
+)
+def agg_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative daily counts — the dashboard's daily chart
+    (`app.py:44-59`) as a running total, adding the unbounded-
+    preceding window frame to the window vocabulary (rank and lag are
+    covered elsewhere). Aggregates first (one shuffle to ≤ |days|
+    rows), THEN windows over the tiny daily series in a single
+    partition — the right order at 100 TB: the global-ordered frame
+    only ever sees one row per day, never raw events. Exact integer
+    sums, so the oracle hash is stable."""
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return daily.select(
+        "day", "cnt", F.sum("cnt").over(w).cast("long").alias("running")
+    )

@@ -218,3 +218,32 @@ def test_hourly_heatmap_cells_and_conservation(spark):
     assert sum(r.cnt for r in rows) == total
     assert all(0 <= r.dow <= 6 and 0 <= r.hour <= 23 for r in rows)
     assert len(rows) <= 168
+
+
+def test_semi_join_no_duplication_and_membership(spark):
+    """Semi join emits each qualifying order exactly once, regardless
+    of how many lineitems match."""
+    from tests.conftest import SF_SMOKE
+
+    out = registry.queries()["join_semi_exists"](spark, SF_SMOKE)
+    assert out.count() == out.select("o_orderkey").distinct().count()
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").filter("l_quantity >= 45")
+    qualifying = {r.l_orderkey for r in li.select("l_orderkey").distinct().collect()}
+    orders = {r.o_orderkey for r in
+              spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select("o_orderkey").collect()}
+    assert {r.o_orderkey for r in out.collect()} == qualifying & orders
+
+
+def test_running_total_monotone_and_ends_at_total(spark):
+    from tests.conftest import SF_SMOKE
+
+    rows = sorted(
+        registry.queries()["agg_running_total"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.day,
+    )
+    total = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    acc = 0
+    for r in rows:
+        acc += r.cnt
+        assert r.running == acc
+    assert acc == total
