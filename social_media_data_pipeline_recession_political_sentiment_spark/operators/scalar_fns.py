@@ -15,6 +15,8 @@ plain word salad).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -236,3 +238,35 @@ def fn_hate_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value") / 330.0,
     )
     return e.groupBy(flag.alias("is_hate_speech")).agg(F.count("*").alias("cnt"))
+
+
+@F.pandas_udf("double")
+def _value_range(v: pd.Series) -> float:
+    """Grouped-agg pandas UDF (the UDAF surface): per-group
+    max - min. Arrow ships each group's column once; max/min are
+    order-independent so the result is bit-exact under any
+    partitioning."""
+    return float(v.max() - v.min())
+
+
+@register(
+    "udaf_value_range",
+    oracle=(
+        "SELECT event_type, max(value) - min(value) AS vrange "
+        "FROM events GROUP BY event_type"
+    ),
+)
+def udaf_value_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate via a GROUPED_AGG pandas UDF — the UDAF seam
+    (SURVEY §2.8: the reference has none; this is the harness a real
+    one — e.g. a t-digest or an HLL merge — would plug into). The
+    chosen aggregate (per-type value range) is deliberately
+    order-independent and builtin-checkable, so the slow-path plumbing
+    is exercised while the oracle stays exact. Production code uses
+    the builtin `max - min` (codegen'd, partial-aggregated); a pandas
+    UDAF forces a full shuffle of raw values per group — the docstring
+    price tag that justifies reaching for builtins first."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        _value_range(F.col("value")).alias("vrange")
+    )

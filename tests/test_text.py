@@ -143,3 +143,17 @@ def test_sample_per_group_quota_and_determinism(spark):
     for lang, rns in per_lang.items():
         assert len(rns) <= 50
         assert sorted(rns) == list(range(1, len(rns) + 1))  # dense quota ranks
+
+
+def test_udaf_value_range_matches_builtin(spark):
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+    from tests.conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+
+    got = {r.event_type: r.vrange
+           for r in queries()["udaf_value_range"](spark, SF_SMOKE).collect()}
+    exp = {r.event_type: r.vrange for r in
+           spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+           .groupBy("event_type")
+           .agg((F.max("value") - F.min("value")).alias("vrange")).collect()}
+    assert got == exp  # bit-exact: max/min are order-independent
