@@ -411,6 +411,12 @@ def ext_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Connected Components in MapReduce"), same DataFrame vocabulary."""
     docs = load(spark, sf_dir, "documents").select("doc_id")
     pairs = ext_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return _label_propagate(docs, pairs)
+
+
+def _label_propagate(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Min-label propagation over an undirected pair graph; returns
+    (doc_id, component) with component = min reachable doc_id."""
     # self-loops make each round a single join+agg: a node's new label
     # is min over ALL incoming edges, its own label arriving via the
     # self-edge (no second left-join to merge it back)
@@ -446,3 +452,93 @@ def ext_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev_sum = cur_sum
     return labels.select("doc_id", F.col("lbl").alias("component"))
+
+
+E2E_MIN_TOKENS = 10
+
+_PIPELINE_ORACLE = f"""
+WITH RECURSIVE f AS (SELECT doc_id, text, n_chars FROM documents
+          WHERE len(string_split(text, ' ')) >= {E2E_MIN_TOKENS}),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM f),
+sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM toks),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+pairs AS (SELECT doc_a, doc_b FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(node, lbl) AS (
+    SELECT doc_id, doc_id FROM f
+    UNION
+    SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node),
+ranked AS (SELECT c.doc_id, c.component,
+           row_number() OVER (PARTITION BY c.component
+                              ORDER BY d.n_chars DESC, c.doc_id) AS rn,
+           count(*) OVER (PARTITION BY c.component) AS cluster_size
+           FROM comp c JOIN f d ON d.doc_id = c.doc_id)
+SELECT doc_id AS keep_id, component, cluster_size FROM ranked WHERE rn = 1
+"""
+
+
+@register("ext_dedup_pipeline", oracle=_PIPELINE_ORACLE)
+def ext_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END dedup: quality gate → candidate pairs → connected
+    components → canonical pick, composed as one operator — the whole
+    chain a training-data run executes, each stage an op this module
+    already proves in isolation. Output is the surviving corpus: one
+    keeper per near-dup cluster with its cluster size.
+
+    Stage shapes at 100 TB: the token gate is scan-local (rows never
+    shuffled); pairs shuffle 8-byte shingle hashes of SURVIVORS only
+    (cheap stages first); label propagation runs O(diameter) join+agg
+    rounds; the pick is two window functions on one exchange. At
+    deployment the exact-Jaccard pair stage swaps for MinHash banding
+    (`ext_dedup_minhash`) — same downstream graph machinery, sub-
+    quadratic candidate generation; exact pairs keep this composition
+    oracle-checkable end to end (recursive CTE on the DuckDB side)."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    f = d.filter(F.size(_tokens(F.col("text"))) >= E2E_MIN_TOKENS)
+    f = f.repartition(spark.sparkContext.defaultParallelism)
+
+    sh = _with_shingles(f).select(
+        "doc_id", F.explode_outer("sh").alias("s")
+    ).filter(F.col("s").isNotNull())
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    pairs = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+
+    comp = _label_propagate(f.select("doc_id"), pairs)
+    ranked = comp.join(f.select("doc_id", "n_chars"), "doc_id")
+    w = W.partitionBy("component").orderBy(F.desc("n_chars"), "doc_id")
+    wc = W.partitionBy("component")
+    r = ranked.select(
+        "doc_id",
+        "component",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("cluster_size"),
+    )
+    return r.filter(F.col("rn") == 1).select(
+        F.col("doc_id").alias("keep_id"), "component", "cluster_size"
+    )

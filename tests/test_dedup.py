@@ -118,3 +118,17 @@ def test_components_merge_transitive_pairs(spark):
     out = {r.doc_id: r.component for r in queries()["ext_dedup_components"](spark, tmp).collect()}
     assert out[1] == out[2] == out[3] == 1  # one cluster, min id label
     assert out[9] == 9  # singleton keeps its own id
+
+
+def test_pipeline_keeps_one_per_cluster_and_filters_short(spark):
+    base = "one two three four five six seven eight nine ten eleven twelve"
+    rows = [
+        (1, base, "en", "s", len(base)),
+        (2, base + " extra tail words appended here", "en", "s", len(base) + 32),
+        (7, "too short", "en", "s", 9),  # < 10 tokens -> gated out
+        (9, "a completely different long document with its own unique vocabulary inside", "en", "s", 75),
+    ]
+    tmp = _docs_view(spark, rows)
+    out = {r.keep_id: r.cluster_size
+           for r in queries()["ext_dedup_pipeline"](spark, tmp).collect()}
+    assert out == {2: 2, 9: 1}  # doc 2 wins cluster {1,2} on n_chars; 7 gated
