@@ -158,6 +158,13 @@ AUDIT = {
         "the hot key's fact rows hash over 8 reducers instead of 1 — "
         "the exchange key carries the salt, which is the whole point",
     ),
+    "join_semi_exists": (
+        "LeftSemi join; PushedFilters with the quantity bound on the "
+        "lineitem scan; 1-column build-side ReadSchema",
+        "the probe side reduces to its join key before the join and "
+        "the predicate skips row groups at the scan — nothing from "
+        "lineitem is ever materialized into the output",
+    ),
 }
 
 
