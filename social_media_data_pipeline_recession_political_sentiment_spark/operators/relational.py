@@ -1151,3 +1151,64 @@ def agg_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "day", "cnt", F.sum("cnt").over(w).cast("long").alias("running")
     )
+
+
+@register(
+    "join_multihop_topk",
+    oracle=(
+        "SELECT l.l_orderkey, "
+        "CAST(sum(CAST(round(l.l_extendedprice * (100 - CAST(l.l_discount AS DOUBLE) * 100)) AS BIGINT)) AS BIGINT) "
+        "AS revenue_cents, o.o_orderdate "
+        "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+        "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+        "WHERE c.c_mktsegment = 'BUILDING' "
+        "AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00' "
+        "AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00' "
+        "GROUP BY l.l_orderkey, o.o_orderdate "
+        "ORDER BY revenue_cents DESC, l.l_orderkey LIMIT 10"
+    ),
+)
+def join_multihop_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-hop analytic join (the TPC-H Q3 'shipping priority'
+    shape): segment-filtered customers → date-filtered orders →
+    lineitems shipped after the cutoff, grouped per order, top-10 by
+    revenue. The deepest multi-join in the suite, and each hop prunes:
+    all three filters reach their parquet scans, the filtered customer
+    keys broadcast into orders, and the reduced customer⋈orders side
+    broadcasts into the lineitem stream, so at test SF the fact table
+    never shuffles before the aggregate and top-k finishes as
+    TakeOrderedAndProject. At 100 TB the explicit broadcast of the
+    orders hop stops fitting and AQE demotes exactly that join to a
+    shuffle on orderkey — the filters and the customer broadcast keep
+    their shape. Revenue aggregates as integer CENTS
+    (per-row double math is deterministic, the rounded cents then sum
+    exactly in any order), so the oracle hash cannot drift on float
+    summation order — the same contract as the quantity sums
+    elsewhere."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (100 - F.col("l_discount").cast("double") * 100)
+    ).cast("long")
+    return (
+        li.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(cents).cast("long").alias("revenue_cents"))
+        .select("l_orderkey", "revenue_cents", "o_orderdate")
+        .orderBy(F.desc("revenue_cents"), "l_orderkey")
+        .limit(10)
+    )

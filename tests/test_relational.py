@@ -247,3 +247,13 @@ def test_running_total_monotone_and_ends_at_total(spark):
         acc += r.cnt
         assert r.running == acc
     assert acc == total
+
+
+def test_multihop_topk_ordered_and_bounded(spark):
+    from tests.conftest import SF_SMOKE
+
+    rows = registry.queries()["join_multihop_topk"](spark, SF_SMOKE).collect()
+    assert len(rows) <= 10
+    revs = [r.revenue_cents for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    assert all(r.revenue_cents > 0 for r in rows)
