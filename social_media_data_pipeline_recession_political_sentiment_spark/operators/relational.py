@@ -1212,3 +1212,38 @@ def join_multihop_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue_cents"), "l_orderkey")
         .limit(10)
     )
+
+
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "agg_pivot_matrix",
+    oracle=(
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS day, "
+        + ", ".join(
+            f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}"
+            for t in _PIVOT_TYPES
+        )
+        + " FROM events GROUP BY day"
+    ),
+)
+def agg_pivot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day × event-type PIVOT — the wide-table display shape behind
+    the dashboard's cross-platform matrix (`README.md:20-24`;
+    `agg_multi_dim` is the long form). The pivot values are pinned
+    explicitly: with them, Catalyst compiles the pivot to ONE hash
+    aggregate of conditional counts (exactly the oracle's CASE sums)
+    — without them Spark must first run a distinct scan to discover
+    the columns, an extra full pass you never want at 100 TB (and a
+    schema that can silently change between runs)."""
+    e = load(spark, sf_dir, "events")
+    out = (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", list(_PIVOT_TYPES))
+        .count()
+    )
+    # pivot leaves missing cells NULL; the matrix wants zeros
+    return out.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _PIVOT_TYPES]
+    )

@@ -257,3 +257,13 @@ def test_multihop_topk_ordered_and_bounded(spark):
     revs = [r.revenue_cents for r in rows]
     assert revs == sorted(revs, reverse=True)
     assert all(r.revenue_cents > 0 for r in rows)
+
+
+def test_pivot_matrix_conserves_events(spark):
+    from tests.conftest import SF_SMOKE
+
+    rows = registry.queries()["agg_pivot_matrix"](spark, SF_SMOKE).collect()
+    total = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    cols = ["click", "error", "purchase", "signup", "view"]
+    assert sum(sum(r[c] for c in cols) for r in rows) == total
+    assert all(all(r[c] >= 0 for c in cols) for r in rows)
