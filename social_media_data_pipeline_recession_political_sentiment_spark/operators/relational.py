@@ -1247,3 +1247,34 @@ def agg_pivot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _PIVOT_TYPES]
     )
+
+
+@register(
+    "agg_unpivot_long",
+    oracle=(
+        "WITH wide AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, "
+        + ", ".join(
+            f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}"
+            for t in _PIVOT_TYPES
+        )
+        + " FROM events GROUP BY day) "
+        "SELECT day, event_type, cnt FROM wide "
+        "UNPIVOT (cnt FOR event_type IN ("
+        + ", ".join(_PIVOT_TYPES)
+        + "))"
+    ),
+)
+def agg_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) — the inverse reshape of `agg_pivot_matrix`:
+    wide day × type counts back to tidy (day, event_type, cnt) rows,
+    the shape every downstream groupBy/join wants. Spark compiles
+    `unpivot` to an Expand (each input row emits one row per value
+    column) — a pure map-side operator: no shuffle beyond the one the
+    wide aggregate already paid, so reshaping is free at any scale.
+    Both engines drop NULL cells in UNPIVOT; the wide source
+    zero-fills first, so day×type cells absent from the data survive
+    as explicit zeros on both sides."""
+    wide = agg_pivot_matrix(spark, sf_dir)
+    return wide.unpivot(
+        "day", list(_PIVOT_TYPES), "event_type", "cnt"
+    ).select("day", "event_type", "cnt")

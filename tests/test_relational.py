@@ -267,3 +267,16 @@ def test_pivot_matrix_conserves_events(spark):
     cols = ["click", "error", "purchase", "signup", "view"]
     assert sum(sum(r[c] for c in cols) for r in rows) == total
     assert all(all(r[c] >= 0 for c in cols) for r in rows)
+
+
+def test_unpivot_roundtrips_pivot(spark):
+    from tests.conftest import SF_SMOKE
+
+    wide = registry.queries()["agg_pivot_matrix"](spark, SF_SMOKE)
+    tidy = registry.queries()["agg_unpivot_long"](spark, SF_SMOKE)
+    assert tidy.count() == wide.count() * 5
+    wide_total = sum(
+        sum(r[c] for c in ("click", "error", "purchase", "signup", "view"))
+        for r in wide.collect()
+    )
+    assert sum(r.cnt for r in tidy.collect()) == wide_total
