@@ -165,6 +165,14 @@ AUDIT = {
         "the predicate skips row groups at the scan — nothing from "
         "lineitem is ever materialized into the output",
     ),
+    "join_multihop_topk": (
+        "three pushed-filter scans; customer broadcast into orders, "
+        "the reduced pair broadcast into lineitem; "
+        "TakeOrderedAndProject on the cents aggregate",
+        "each hop prunes before the next, the fact table never "
+        "shuffles pre-aggregate at test SF, and AQE demotes only the "
+        "orders hop to a shuffle when the broadcast stops fitting",
+    ),
 }
 
 
