@@ -126,3 +126,38 @@ def sink_batched_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_files") >= F.ceil(F.col("n_rows") / 5000.0)).alias("files_ok"),
         (F.col("max_file_rows") <= 5000).alias("cap_ok"),
     )
+
+
+@register(
+    "scan_schema_evolution",
+    oracle=(
+        "SELECT event_type, count(*) AS n_rows, "
+        "count(CASE WHEN event_id % 2 = 0 THEN value END) AS n_valued "
+        "FROM events GROUP BY event_type"
+    ),
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: a sink whose early files lack a column
+    the later files carry — the normal state of any long-lived 100 TB
+    table (columns get added; history is never rewritten). Odd
+    event_ids land first WITHOUT `value` (the v1 schema), even ids
+    after WITH it; `mergeSchema=true` reconciles by name at read time
+    and v1 rows surface `value` as NULL — which the aggregate makes
+    observable (n_valued counts only evolved rows). Merge cost is
+    footer-only at planning; the data path still reads each file with
+    its own schema, so evolution costs nothing per row."""
+    sink = os.path.join(_workdir("evolve"), "events_evolving")
+    e = load(spark, sf_dir, "events")
+    # v1 files: the column doesn't exist yet
+    e.filter(F.col("event_id") % 2 == 1).select("event_id", "ts", "event_type").write.mode(
+        "append"
+    ).parquet(sink)
+    # v2 files: schema grew a column
+    e.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "ts", "event_type", "value"
+    ).write.mode("append").parquet(sink)
+    merged = spark.read.option("mergeSchema", "true").parquet(sink)
+    return merged.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.count("value").alias("n_valued"),
+    )

@@ -91,3 +91,14 @@ def test_batched_commit_parallel_writers(spark):
     row = queries()["sink_batched_commit"](spark, "/root/testdata/sf0.001").collect()[0]
     assert row.files_ok and row.cap_ok
     assert row.n_rows == 1000  # sf0.001 events row count, conserved
+
+
+def test_schema_evolution_nulls_only_on_v1_rows(spark):
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+    from tests.conftest import SF_SMOKE
+
+    rows = queries()["scan_schema_evolution"](spark, SF_SMOKE).collect()
+    e = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    assert sum(r.n_rows for r in rows) == e.count()
+    evolved = e.filter("event_id % 2 = 0 AND value IS NOT NULL").count()
+    assert sum(r.n_valued for r in rows) == evolved
