@@ -556,3 +556,95 @@ def ext_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= 50)
     )
+
+
+SHARD_TOKENS = 2000
+
+
+@register(
+    "ext_shard_manifest",
+    oracle=(
+        "WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, "
+        "md5(CAST(doc_id AS VARCHAR)) AS k FROM documents), "
+        "c AS (SELECT doc_id, n_tokens, "
+        "CAST(sum(n_tokens) OVER (ORDER BY k, doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "- n_tokens AS tok_offset FROM d) "
+        f"SELECT doc_id, n_tokens, tok_offset, tok_offset // {SHARD_TOKENS} "
+        "AS shard_id FROM c"
+    ),
+)
+def ext_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest: lay the corpus out in a deterministic
+    hash order, assign every document its global token offset, and
+    bin it into fixed-token shards — the bookkeeping step that turns a
+    corpus into webdataset-style training shards.
+
+    The global running sum is computed as a DISTRIBUTED TWO-PHASE
+    PREFIX SUM, not a single-partition global window (the naive
+    `Window.orderBy(...)` with no partition key funnels 100 TB through
+    one task — the classic scale trap this operator exists to avoid):
+    phase 1 range-partitions on the hash order, sorts within
+    partitions, and computes partition-local cumsums + per-partition
+    totals (one `mapInPandas` pass); phase 2 turns the P partition
+    totals (P scalars, driver-side) into starting offsets and adds
+    them back map-side. Data moves through exactly one range-exchange;
+    nothing ever serializes through a single reducer."""
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("k"),
+    )
+    n_parts = max(2, spark.sparkContext.defaultParallelism)
+    ranged = d.repartitionByRange(n_parts, "k", "doc_id").sortWithinPartitions(
+        "k", "doc_id"
+    )
+
+    def _local_cumsum(batches):
+        pid = None
+        rows = []
+        for pdf in batches:
+            rows.append(pdf)
+        pdf = (
+            pd.concat(rows)
+            if rows
+            else pd.DataFrame(columns=["doc_id", "n_tokens", "k"])
+        )
+        if len(pdf):
+            pdf["local_off"] = pdf["n_tokens"].cumsum() - pdf["n_tokens"]
+        else:
+            pdf["local_off"] = pd.Series(dtype="int64")
+        yield pdf[["doc_id", "n_tokens", "k", "local_off"]]
+
+    local = ranged.mapInPandas(
+        _local_cumsum,
+        "doc_id long, n_tokens long, k string, local_off long",
+        # preservesPartitioning-equivalent: mapInPandas is 1:1 per
+        # partition, so the range order survives
+    ).withColumn("pid", F.spark_partition_id())
+
+    # phase 2: P scalar totals -> starting offsets (tiny, driver-side)
+    totals = (
+        local.groupBy("pid").agg(F.sum("n_tokens").alias("t")).collect()
+    )
+    sums = {r.pid: r.t for r in totals}
+    offsets, acc = {}, 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+    off_expr = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        ),
+        F.col("pid"),
+    )
+    return local.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("local_off") + off_expr).alias("tok_offset"),
+        ((F.col("local_off") + off_expr) / SHARD_TOKENS).cast("long").alias(
+            "shard_id"
+        ),
+    )

@@ -157,3 +157,23 @@ def test_udaf_value_range_matches_builtin(spark):
            .groupBy("event_type")
            .agg((F.max("value") - F.min("value")).alias("vrange")).collect()}
     assert got == exp  # bit-exact: max/min are order-independent
+
+
+def test_shard_manifest_offsets_contiguous(spark):
+    """Offsets tile the token stream exactly: sorted by offset, each
+    doc starts where the previous ended, and shard ids are monotone."""
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.text_analysis import SHARD_TOKENS
+    from tests.conftest import SF_SMOKE
+
+    rows = sorted(
+        queries()["ext_shard_manifest"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.tok_offset,
+    )
+    acc = 0
+    for r in rows:
+        assert r.tok_offset == acc
+        assert r.shard_id == acc // SHARD_TOKENS
+        acc += r.n_tokens
+    total = sum(r.n_tokens for r in rows)
+    assert acc == total
