@@ -19,6 +19,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..catalog import load
 from ..functions.text import (
@@ -240,7 +241,7 @@ def fn_hate_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy(flag.alias("is_hate_speech")).agg(F.count("*").alias("cnt"))
 
 
-@F.pandas_udf("double")
+@F.pandas_udf(T.DoubleType())
 def _value_range(v: pd.Series) -> float:
     """Grouped-agg pandas UDF (the UDAF surface): per-group
     max - min. Arrow ships each group's column once; max/min are

@@ -29,3 +29,23 @@ def test_rows_only_queries_are_the_documented_approximate_set():
     rows_only = sorted(set(qs) - set(os_))
     # genuinely non-SQL-expressible (approximate ANN) ops only
     assert rows_only == ["ext_dedup_embcos_lsh", "ext_sim_ivf", "ext_sim_lsh"]
+
+
+def test_registry_imports_without_spark_session():
+    """The driver may enumerate queries()/oracle_sql() BEFORE creating
+    its SparkSession; registration must never need a live context
+    (regression: a DDL-string pandas_udf return type parses at import
+    time and crashes sessionless)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import __spark_entry__ as e; "
+        "qs = e.queries(); os_ = e.oracle_sql(); "
+        "assert len(qs) >= 120 and len(os_) >= 117"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code], cwd="/root/repo",
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
