@@ -542,3 +542,43 @@ def ext_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.filter(F.col("rn") == 1).select(
         F.col("doc_id").alias("keep_id"), "component", "cluster_size"
     )
+
+
+EVAL_SET_MAX_ID = 10  # fixture's stand-in eval set: doc_id < 10
+CONTAM_MIN_SHARED = 3
+
+
+@register(
+    "ext_contamination_check",
+    oracle=(
+        f"WITH {_SHINGLE_CTE}, "
+        f"e AS (SELECT DISTINCT s FROM sh WHERE doc_id < {EVAL_SET_MAX_ID}), "
+        f"c AS (SELECT doc_id, s FROM sh WHERE doc_id >= {EVAL_SET_MAX_ID}) "
+        "SELECT c.doc_id, count(*) AS n_shared FROM c JOIN e USING (s) "
+        f"GROUP BY c.doc_id HAVING count(*) >= {CONTAM_MIN_SHARED}"
+    ),
+)
+def ext_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination sweep: flag training documents sharing
+    ≥ K word-3-grams with the eval set (docs `doc_id <
+    EVAL_SET_MAX_ID` stand in for the benchmark) — the
+    decontamination pass every LLM data pipeline runs before
+    training (cf. GPT-3 appx C / PaLM §6). Asymmetric by design:
+    the eval side is tiny, so its DISTINCT shingle set broadcasts
+    and the 100 TB corpus side streams through a map-side hash join
+    — no shuffle of corpus shingles at all; only the per-doc match
+    counts (a handful of rows) aggregate. Shingles are already
+    distinct per doc, so count(*) counts distinct shared shingles."""
+    sh = _exploded_shingles(spark, sf_dir)
+    ev = (
+        sh.filter(F.col("doc_id") < EVAL_SET_MAX_ID)
+        .select("s")
+        .distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") >= EVAL_SET_MAX_ID)
+    return (
+        corpus.join(F.broadcast(ev), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= CONTAM_MIN_SHARED)
+    )

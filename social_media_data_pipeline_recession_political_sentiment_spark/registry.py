@@ -70,7 +70,7 @@ def register(name: str, oracle: Optional[str] = None):
 # ext_emb_norm, ext_dedup_components, ext_sample_per_group,
 # agg_hourly_heatmap, join_semi_exists, agg_running_total, udaf_value_range,
 # ext_dedup_pipeline, join_multihop_topk, agg_pivot_matrix, agg_unpivot_long,
-# scan_schema_evolution, ext_shard_manifest.
+# scan_schema_evolution, ext_shard_manifest, ext_contamination_check.
 _WINDOW_PRIORITY = (
     # never driver-checked, oracle-bearing (VERDICT r2 "untested")
     "fn_lang_detect",

@@ -132,3 +132,17 @@ def test_pipeline_keeps_one_per_cluster_and_filters_short(spark):
     out = {r.keep_id: r.cluster_size
            for r in queries()["ext_dedup_pipeline"](spark, tmp).collect()}
     assert out == {2: 2, 9: 1}  # doc 2 wins cluster {1,2} on n_chars; 7 gated
+
+
+def test_contamination_flags_overlapping_doc_only(spark):
+    ev = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    contaminated = "prefix words then " + ev + " and a suffix"
+    clean = "entirely different vocabulary with no shared trigrams at all present"
+    rows = [
+        (1, ev, "en", "s", len(ev)),               # eval set (doc_id < 10)
+        (20, contaminated, "en", "s", len(contaminated)),
+        (30, clean, "en", "s", len(clean)),
+    ]
+    tmp = _docs_view(spark, rows)
+    out = {r.doc_id for r in queries()["ext_contamination_check"](spark, tmp).collect()}
+    assert out == {20}
