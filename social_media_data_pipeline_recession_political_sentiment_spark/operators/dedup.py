@@ -414,9 +414,14 @@ def ext_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _label_propagate(docs, pairs)
 
 
+LABEL_PROP_MAX_ROUNDS = 50  # >= graph diameter; dedup graphs converge in a few
+
+
 def _label_propagate(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """Min-label propagation over an undirected pair graph; returns
-    (doc_id, component) with component = min reachable doc_id."""
+    (doc_id, component) with component = min reachable doc_id.
+    Raises RuntimeError if the graph's effective diameter exceeds
+    LABEL_PROP_MAX_ROUNDS instead of returning unconverged labels."""
     # self-loops make each round a single join+agg: a node's new label
     # is min over ALL incoming edges, its own label arriving via the
     # self-edge (no second left-join to merge it back)
@@ -438,7 +443,8 @@ def _label_propagate(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     prev_sum = labels.agg(
         F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
     ).collect()[0]["s"]
-    for _ in range(50):  # >= graph diameter; dedup graphs converge in a few
+    converged = False
+    for _ in range(LABEL_PROP_MAX_ROUNDS):
         labels = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
@@ -449,8 +455,19 @@ def _label_propagate(docs: DataFrame, pairs: DataFrame) -> DataFrame:
             F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # a silent exit here would return WRONG component labels for any
+        # graph whose effective diameter exceeds the round budget (e.g. a
+        # >LABEL_PROP_MAX_ROUNDS-long chain of near-dup docs) — fail loud;
+        # the fix at that scale is large-star/small-star, not more rounds
+        raise RuntimeError(
+            f"label propagation did not converge within {LABEL_PROP_MAX_ROUNDS} "
+            "rounds: pair-graph diameter exceeds the budget; switch to "
+            "large-star/small-star (Kiveris et al.) for this graph"
+        )
     return labels.select("doc_id", F.col("lbl").alias("component"))
 
 

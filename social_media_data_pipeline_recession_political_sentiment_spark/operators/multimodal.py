@@ -107,8 +107,8 @@ def ext_mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SQL — making even the binary mapInPandas path oracle-checked.
 _DECODE_ORACLE = f"""
 WITH chars AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
-agg AS (SELECT doc_id, sum(ord(ch)) AS byte_sum, count(*) AS n FROM chars GROUP BY doc_id)
-SELECT d.doc_id, coalesce(a.byte_sum, 0) AS byte_sum,
+agg AS (SELECT doc_id, CAST(sum(ord(ch)) AS BIGINT) AS byte_sum, count(*) AS n FROM chars GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(a.byte_sum, 0) AS BIGINT) AS byte_sum,
        octet_length(encode(d.text)) // {FRAME_BYTES} + 1 AS n_frames,
        CASE WHEN a.n > 0 THEN CAST(a.byte_sum AS DOUBLE) / a.n ELSE 0.0 END AS mean_byte
 FROM documents d LEFT JOIN agg a USING (doc_id)
@@ -140,7 +140,7 @@ _FRAME_ORACLE = f"""
 WITH nums AS (SELECT unnest(range(0, (SELECT max(length(text)) FROM documents))) AS p),
 bytes AS (SELECT d.doc_id, n.p, ord(substr(d.text, CAST(n.p + 1 AS INT), 1)) AS b
           FROM documents d JOIN nums n ON n.p < length(d.text))
-SELECT doc_id, p // {FRAME_BYTES * 2} AS frame_idx, sum(b) AS frame_sum,
+SELECT doc_id, p // {FRAME_BYTES * 2} AS frame_idx, CAST(sum(b) AS BIGINT) AS frame_sum,
        count(*) AS frame_len
 FROM bytes WHERE p % {FRAME_BYTES * 2} < {FRAME_BYTES}
 GROUP BY doc_id, frame_idx ORDER BY doc_id, frame_idx

@@ -506,6 +506,46 @@ def ext_dedup_embcos_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_dedup_embcos_lsh_verify",
+    oracle=(
+        f"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_COS_SQL} AS cos "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        f"WHERE {_COS_SQL} >= {COS_DUP_THRESHOLD}"
+    ),
+)
+def ext_dedup_embcos_lsh_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable contract for the APPROXIMATE cosine-dedup path
+    (`ext_dedup_embcos_lsh` itself is rows-only): take the LSH
+    candidate pairs and re-score them with the exact sequential-fold
+    cosine JVM-side (`aggregate`/`zip_with` ≙ DuckDB
+    `list_dot_product`, bit-identical), keeping only pairs at or above
+    the threshold. Two guarantees become hash-checkable: PRECISION is
+    exact by construction (every emitted pair provably satisfies
+    cos ≥ t — deterministic even when recall isn't), and equality with
+    the brute-force oracle additionally certifies 100% RECALL at the
+    driver's SF (measured 1.0 at sf0.001 and sf0.01; a bucketing
+    regression that drops a true pair now FAILS the driver check
+    instead of hiding in a rows-only entry). Statistical recall at
+    other scales stays asserted in tests/test_similarity.py.
+
+    Scale shape: candidates ≪ corpus, so the re-score is two vec_id
+    equi-joins (pairs against the embeddings table) + a scan-local
+    fold — no new quadratic stage."""
+    cand = ext_dedup_embcos_lsh(spark, sf_dir).select("vec_a", "vec_b")
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    joined = (
+        cand.join(e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va")), "vec_a")
+        .join(e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")), "vec_b")
+    )
+    return (
+        joined.select("vec_a", "vec_b", _cosine("va", "vb").alias("cos"))
+        .filter(F.col("cos") >= COS_DUP_THRESHOLD)
+    )
+
+
+@register(
     "ext_emb_norm",
     oracle=(
         "WITH n AS (SELECT vec_id, label, "

@@ -365,7 +365,7 @@ def ext_data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AS term FROM documents), "
         "c AS (SELECT count(*) AS n FROM documents), "
         "d AS (SELECT term, count(*) AS df FROM t WHERE term <> '' GROUP BY term) "
-        "SELECT term, df, ln(CAST(n AS DOUBLE) / df) AS idf "
+        "SELECT term, df, round(ln(CAST(n AS DOUBLE) / df), 6) AS idf "
         "FROM d, c ORDER BY df DESC, term LIMIT 20"
     ),
 )
@@ -390,7 +390,11 @@ def ext_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "term",
             "df",
-            F.log(F.col("n").cast("double") / F.col("df")).alias("idf"),
+            # round(…, 6) on BOTH sides: Java Math.log and libm ln differ
+            # in the last ULP, which the bit-stable oracle contract can't
+            # tolerate — 6dp is far above the ULP and far below any
+            # ranking-relevant precision
+            F.round(F.log(F.col("n").cast("double") / F.col("df")), 6).alias("idf"),
         )
         .orderBy(F.desc("df"), "term")
         .limit(20)
@@ -624,6 +628,12 @@ def ext_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # preservesPartitioning-equivalent: mapInPandas is 1:1 per
         # partition, so the range order survives
     ).withColumn("pid", F.spark_partition_id())
+    # Materialize before the two actions below: the totals collect and
+    # the final projection must read the SAME partitioning — without
+    # this, both actions recompute the lineage independently and any
+    # nondeterminism in scan splits / future AQE changes could
+    # misassign global offsets silently.
+    local = local.localCheckpoint(eager=True)
 
     # phase 2: P scalar totals -> starting offsets (tiny, driver-side)
     totals = (

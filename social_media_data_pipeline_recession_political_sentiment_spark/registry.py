@@ -55,77 +55,74 @@ def register(name: str, oracle: Optional[str] = None):
 # The driver's CORRECTNESS report hard-checks only the FIRST 50 queries
 # in registration order. Queries named here are emitted first (in this
 # order) by queries()/oracles(); everything else follows in registration
-# order. Round 3 front-loads the set that has never been inside the
-# driver's window (VERDICT r2 item 1) plus everything new/rewritten this
-# round; the relational/scalar core (green in r1+r2) rotates to the back.
-# After r3 every oracle-bearing query has had a hard driver check in
-# some round (only ext_dedup_embcos_lsh — rows-only by design — hasn't).
-# ROTATION RULE for future rounds: front-load (1) anything added or
-# rewritten since the last round, (2) the queries whose last hard check
-# is oldest; tests/test_registry.py locks the list against typos.
-# Added mid-r3 AFTER the window froze (=> front-load these in r4):
-# join_star_schema, ext_text_repetition, agg_rollup, window_lag_delta,
-# ext_tfidf_topterms, ext_quality_gate, ext_dedup_cluster_pick,
-# join_salted_skew, ext_url_domains, stream_join_static, fn_unicode_nfc,
-# ext_emb_norm, ext_dedup_components, ext_sample_per_group,
-# agg_hourly_heatmap, join_semi_exists, agg_running_total, udaf_value_range,
-# ext_dedup_pipeline, join_multihop_topk, agg_pivot_matrix, agg_unpivot_long,
-# scan_schema_evolution, ext_shard_manifest, ext_contamination_check.
+# order.
+# ROTATION RULE: front-load (1) anything added or rewritten since the
+# last round, (2) the queries whose last hard check is oldest;
+# tests/test_registry.py locks the list against typos.
+# Round 4 window (VERDICT r3 item 1): the 26 queries that have NEVER
+# been inside any round's window (added mid-r3 after the r3 window
+# froze, list from VERDICT r3 §2 "untested"), then the two mm stubs
+# whose oracle HUGEINT casts were fixed this round, the new
+# ext_dedup_embcos_lsh_verify contract, join_similarity_topk (oldest
+# hard check, r1), and 20 r2-green relational-core queries (oldest
+# remaining checks) to fill the 50.
+# Last hard check per query: see VERDICT.md r3 coverage tables.
 _WINDOW_PRIORITY = (
-    # never driver-checked, oracle-bearing (VERDICT r2 "untested")
-    "fn_lang_detect",
-    "ext_text_quality",
-    "fn_text_stats",
-    "ext_token_count",
-    "ext_fingerprint",
-    "ext_props_map",
-    "ext_corpus_curation",
-    "ext_pii_redact",
-    "ext_data_split",
-    "ext_mm_metadata",
+    # -- 26 never driver-checked (VERDICT r3 "untested") --
+    "scan_schema_evolution",
+    "join_star_schema",
+    "join_salted_skew",
+    "join_semi_exists",
+    "join_multihop_topk",
+    "agg_rollup",
+    "agg_hourly_heatmap",
+    "agg_pivot_matrix",
+    "agg_unpivot_long",
+    "window_lag_delta",
+    "agg_running_total",
+    "fn_unicode_nfc",
+    "udaf_value_range",
+    "stream_join_static",
+    "ext_dedup_embcos_lsh",  # rows-only by design; verify twin below
+    "ext_dedup_cluster_pick",
+    "ext_dedup_components",
+    "ext_dedup_pipeline",
+    "ext_contamination_check",
+    "ext_emb_norm",
+    "ext_text_repetition",
+    "ext_quality_gate",
+    "ext_tfidf_topterms",
+    "ext_url_domains",
+    "ext_sample_per_group",
+    "ext_shard_manifest",
+    # -- oracle fixed this round (r3 FAIL: DuckDB HUGEINT vs BIGINT) --
     "ext_mm_decode_stub",
     "ext_mm_frame_sample",
-    "ext_mm_resize_stub",
-    "udf_vader_sentiment",
-    "udf_hatespeech_api",
-    "enrich_table",
-    "scan_chan_json",
-    "scan_chan_catalog",
-    "scan_youtube_json",
-    "scan_rest_json",
-    "sink_insert",
-    "sink_create_table",
-    "sink_batched_commit",
-    "stream_tumbling_count",
-    "stream_dedup",
-    "stream_lookback_window",
-    "stream_stateful_count",
-    "stream_sessionize",
-    "stream_rate_limit",
-    "stream_microbatch",
-    "orchestration_dag",
-    "maintenance_vacuum",
-    "cache_memo",
-    # all 13 dashboard routes (9 newly registered this round)
-    "dash_count_reddit",
-    "dash_count_chan",
-    "dash_count_youtube",
-    "dash_count_politics",
-    "dash_politics_comments",
-    "dash_sentiment_reddit",
-    "dash_sentiment_chan",
-    "dash_sentiment_youtube",
-    "dash_sentiment_politics",
-    "dash_hate_reddit",
-    "dash_hate_chan",
-    "dash_hate_youtube",
-    "dash_hate_politics",
-    "dash_daily_politics",
-    # rewritten this round / only r1-checked (join_similarity_topk is
-    # r1-green and unchanged, so it cedes its slot and rotates next round)
-    "ext_dedup_embcos",
-    "ext_sim_ivf",
-    "ext_sim_lsh",
+    # -- new this round: hash-checkable contract for the approx path --
+    "ext_dedup_embcos_lsh_verify",
+    # -- oldest hard check (r1) --
+    "join_similarity_topk",
+    # -- oldest r2-green (relational core), fills the window to 50 --
+    "scan_csv",
+    "scan_table",
+    "project_flatten_json",
+    "project_columns",
+    "filter_time_range",
+    "filter_between",
+    "filter_recency",
+    "filter_cast_date",
+    "filter_nonempty",
+    "join_enriched_raw",
+    "join_anti_dedup",
+    "join_broadcast_dim",
+    "join_range",
+    "join_bucketed_colocated",
+    "join_asof",
+    "agg_count_star",
+    "agg_group_count",
+    "agg_topk_groups",
+    "agg_daily_counts",
+    "agg_distinct_tuples",
 )
 
 

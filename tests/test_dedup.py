@@ -146,3 +146,33 @@ def test_contamination_flags_overlapping_doc_only(spark):
     tmp = _docs_view(spark, rows)
     out = {r.doc_id for r in queries()["ext_contamination_check"](spark, tmp).collect()}
     assert out == {20}
+
+
+def test_label_propagate_path_graph_adversarial_diameter(spark):
+    # dedup graphs are near-cliques (diameter ~2); a PATH graph is the
+    # adversarial case — labels move one hop per round, so a path of N
+    # edges needs ~N rounds. Assert convergence + correct labels well
+    # inside the round budget.
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators import dedup as dd
+
+    n = 12  # diameter 12 path: 0-1-2-...-12
+    docs = spark.createDataFrame([(i,) for i in range(n + 1)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: r.component for r in dd._label_propagate(docs, pairs).collect()}
+    assert out == {i: 0 for i in range(n + 1)}  # all reach min label 0
+
+
+def test_label_propagate_raises_on_diameter_overflow(spark, monkeypatch):
+    # a diameter > round budget must FAIL LOUD, not return wrong labels
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators import dedup as dd
+
+    monkeypatch.setattr(dd, "LABEL_PROP_MAX_ROUNDS", 3)
+    n = 10  # needs ~10 rounds; budget is 3
+    docs = spark.createDataFrame([(i,) for i in range(n + 1)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd._label_propagate(docs, pairs).collect()

@@ -24,6 +24,13 @@ def test_window_priority_leads_registration_order():
     assert in_priority == expect
 
 
+def test_window_priority_fills_driver_window_exactly():
+    # the driver hard-checks the first 50; fewer wastes slots, more
+    # silently pushes tail entries out of the window
+    assert len(registry._WINDOW_PRIORITY) == 50
+    assert len(set(registry._WINDOW_PRIORITY)) == 50
+
+
 def test_rows_only_queries_are_the_documented_approximate_set():
     qs, os_ = registry.queries(), registry.oracles()
     rows_only = sorted(set(qs) - set(os_))

@@ -27,6 +27,22 @@ def main() -> int:
         return 1
     bench = json.load(open(BENCH))["queries"]
 
+    # BENCH_FULL must cover the ENTIRE registry — a thin bench file
+    # would silently thin every future BASELINE.md column
+    sys.path.insert(0, "/root/repo")
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import (
+        queries as _registry_queries,
+    )
+
+    registered = set(_registry_queries())
+    missing = registered - set(bench)
+    if missing:
+        print(
+            f"BENCH_FULL.json is missing {len(missing)} registered queries "
+            f"(rerun bench.py): {sorted(missing)[:10]}..."
+        )
+        return 1
+
     lines = open(BASELINE).read().splitlines()
     hdr_i = next(i for i, l in enumerate(lines) if l.startswith("| query ID"))
     header = [c.strip() for c in lines[hdr_i].strip("|").split("|")]
@@ -70,6 +86,12 @@ def main() -> int:
         f"**{_tot(c):.3f}**" for c in range(3, len(header))
     ]
     out.append("| " + " | ".join(totals) + " |")
+    # preserve anything after the table (notes, later sections) — the
+    # old totals row itself is regenerated above
+    tail_i = end_i
+    if tail_i < len(lines) and lines[tail_i].startswith("| **total"):
+        tail_i += 1
+    out.extend(lines[tail_i:])
     open(BASELINE, "w").write("\n".join(out) + "\n")
     print(f"appended {round_tag}: {len(bench)} benched, {len(order)} total rows")
     return 0

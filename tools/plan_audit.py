@@ -105,6 +105,14 @@ AUDIT = {
         "the B(B+1)/2 tasks holds at most 2N/B vectors, so B scales "
         "with corpus size to fit executor memory",
     ),
+    "ext_dedup_embcos_lsh_verify": (
+        "the LSH candidate-pair subtree feeding two vec_id equi-joins "
+        "against the embeddings scan; the exact-cosine re-score is a "
+        "codegen'd aggregate/zip_with projection above the joins",
+        "the approximate path's hash-checkable contract costs only "
+        "two joins linear in candidate pairs plus a scan-local fold — "
+        "no new quadratic stage rides on top of the bucketed miner",
+    ),
     "dash_sentiment_chan": (
         "the an_* side and raw side are two projections of the SAME "
         "events scan joined on the key; one side broadcast",
