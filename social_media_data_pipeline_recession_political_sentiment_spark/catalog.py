@@ -28,14 +28,29 @@ TABLES = (
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table (columnar parquet scan; SURVEY §2.1
-    `scan_table`, reference `Data Analysis/Reddit_4chan_Analysis.py:106-113`)."""
+    `scan_table`, reference `Data Analysis/Reddit_4chan_Analysis.py:106-113`).
+
+    Timestamp normalization (the "one choke point" of session.py's
+    docstring): driver testdata has shipped ts columns in two parquet
+    encodings across rounds — TIMESTAMP(NANOS) (unreadable by Spark's
+    vectorized reader; arrives as a long of nanos under
+    spark.sql.legacy.parquet.nanosAsLong=true) and plain
+    timestamp[us] without timezone (read as TIMESTAMP_NTZ since
+    Spark's parquet reader infers NTZ for non-UTC-adjusted
+    timestamps). Both are normalized to TimestampType here so every
+    operator downstream sees ONE timestamp type. The NTZ bridge is
+    `to_utc_timestamp(c, "UTC")` — wall clock interpreted as UTC,
+    session-timezone-INDEPENDENT (a plain cast would re-interpret in
+    whatever session tz the driver's SparkSession carries), and its
+    epoch equals DuckDB's `epoch_us` on the same naive column, which
+    the oracle comparison requires."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # events.ts is parquet TIMESTAMP(NANOS); with
-    # spark.sql.legacy.parquet.nanosAsLong=true it arrives as a long of
-    # nanos — normalize to TimestampType (micros, truncating like the
-    # DuckDB oracle does).
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # legacy nanos encoding: long of nanos -> micros TimestampType
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(f.name, F.to_utc_timestamp(f.name, "UTC"))
     return df
 
 

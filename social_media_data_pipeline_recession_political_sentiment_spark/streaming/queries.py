@@ -36,7 +36,7 @@ from ..session import scoped_shuffle_partitions
 EVENTS_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("ts", T.TimestampNTZType()),  # parquet timestamp[us], no tz
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -66,7 +66,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("parquet")
         .load(_staged_events_dir(sf_dir))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # same NTZ->TimestampType bridge as catalog.load: wall clock
+    # interpreted as UTC, session-tz-independent, matches the oracle
+    return raw.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
 
 
 def drain_to_table(
