@@ -22,6 +22,12 @@ ENGINE_CONFS: dict[str, str] = {
     # testdata events.parquet stores TIMESTAMP(NANOS) (unsupported by
     # Spark's reader) — read as long, catalog.load converts to micros.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # plain timestamp[us] parquet columns: read as TimestampType AT THE
+    # SCAN (not TIMESTAMP_NTZ) so timestamp predicates still push down
+    # to row-group stats; session tz is UTC (above) so the epoch equals
+    # DuckDB's epoch_us on the same naive column. catalog.load keeps an
+    # NTZ->TimestampType bridge for sessions missing this conf.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
