@@ -471,6 +471,123 @@ def _label_propagate(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     return labels.select("doc_id", F.col("lbl").alias("component"))
 
 
+LSS_MAX_ROUNDS = 30  # O(log^2 n) bound; real graphs converge in a handful
+
+
+@register("ext_dedup_components_lss", oracle=_COMPONENTS_ORACLE)
+def ext_dedup_components_lss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the high-diameter path that `ext_dedup_components`'
+    label propagation names as its fallback, implemented for real.
+
+    Same input graph (exact-Jaccard near-dup pairs), same output
+    contract (doc_id -> component = min reachable doc_id), same
+    recursive-CTE oracle — so the driver hash-checks that both
+    algorithms agree with the ground truth.
+
+    Why this exists: label propagation runs O(diameter) rounds — fine
+    for near-clique dedup graphs, quadratic-feeling on a chain of
+    near-duplicate documents (crawl shards often produce exactly
+    that: boilerplate chains). Star contraction converges in
+    O(log^2 n) rounds REGARDLESS of diameter: each large-star hangs
+    every node's larger neighbors onto its minimum, each small-star
+    re-points smaller neighbors at the running minimum, and the graph
+    collapses toward one star per component. Each round is two
+    (min-agg + join) passes over the edge list — the same shuffle
+    vocabulary as one label-prop round, just with a provably bounded
+    round count."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    pairs = ext_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return _large_small_star(docs, pairs)
+
+
+def _large_small_star(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Alternating star contraction; returns (doc_id, component).
+
+    Edge invariant between rounds: edges are kept directed
+    large->small (u > v), one row per distinct pair. Convergence is
+    detected on a fixed point of the exact edge multiset summary
+    (count + decimal sum of src and dst) — two scalars per round, no
+    data collected. Raises RuntimeError on round-budget overflow
+    (can't happen under the O(log^2 n) bound unless the input edge
+    list is adversarially degenerate)."""
+    spark = docs.sparkSession
+    # canonical directed edges u > v, self-loop-free
+    e = (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _summary(edges: DataFrame):
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("u").cast("decimal(38,0)")).alias("su"),
+            F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
+        ).collect()[0]
+        return (row["n"], row["su"], row["sv"])
+
+    prev = _summary(e)
+    converged = False
+    for _ in range(LSS_MAX_ROUNDS):
+        # -- large-star: per node u over the UNDIRECTED adjacency,
+        #    m(u) = min(N(u) ∪ {u}); emit (x, m(u)) for x in N(u), x > u
+        adj = e.select("u", "v").unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = adj.groupBy("u").agg(F.min("v").alias("mn")).select(
+            "u", F.least("u", "mn").alias("m")
+        )
+        e = (
+            adj.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            # v > u >= m(u), so (v, m) is already directed large->small
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # -- small-star: edges are directed u -> {smaller neighbors};
+        #    m(u) = min of them; re-point every smaller neighbor AND u
+        #    itself at m(u)
+        sm = e.groupBy("u").agg(F.min("v").alias("m"))
+        e = (
+            e.join(sm, "u")
+            .select(F.col("v").alias("x"), "m")
+            .unionByName(sm.select(F.col("u").alias("x"), "m"))
+            .where(F.col("x") != F.col("m"))
+            .select(
+                F.greatest("x", "m").alias("u"), F.least("x", "m").alias("v")
+            )
+            .distinct()
+            .localCheckpoint()  # cut lineage; both stars above are lazy
+        )
+        cur = _summary(e)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"large-star/small-star did not reach an edge fixed point in "
+            f"{LSS_MAX_ROUNDS} rounds (O(log^2 n) expected) — degenerate "
+            "input edge list?"
+        )
+    # fixed point = one star per component: every non-root points at its
+    # component min. Isolated docs are their own component.
+    return (
+        docs.join(e.select(F.col("u").alias("doc_id"), "v"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("v"), F.col("doc_id")).alias("component"),
+        )
+    )
+
+
 E2E_MIN_TOKENS = 10
 
 _PIPELINE_ORACLE = f"""

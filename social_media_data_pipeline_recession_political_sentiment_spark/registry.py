@@ -100,6 +100,8 @@ _WINDOW_PRIORITY = (
     "ext_mm_frame_sample",
     # -- new this round: hash-checkable contract for the approx path --
     "ext_dedup_embcos_lsh_verify",
+    # -- new this round: large-star/small-star CC (high-diameter path) --
+    "ext_dedup_components_lss",
     # -- oldest hard check (r1) --
     "join_similarity_topk",
     # -- oldest r2-green (relational core), fills the window to 50 --
@@ -122,7 +124,6 @@ _WINDOW_PRIORITY = (
     "agg_group_count",
     "agg_topk_groups",
     "agg_daily_counts",
-    "agg_distinct_tuples",
 )
 
 

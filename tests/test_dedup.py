@@ -176,3 +176,57 @@ def test_label_propagate_raises_on_diameter_overflow(spark, monkeypatch):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         dd._label_propagate(docs, pairs).collect()
+
+
+def _lss_labels(spark, n_nodes, edge_list):
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame([(i,) for i in range(n_nodes)], "doc_id long")
+    pairs = spark.createDataFrame(edge_list, "doc_a long, doc_b long")
+    return {r.doc_id: r.component for r in dd._large_small_star(docs, pairs).collect()}
+
+
+def test_lss_path_graph_beyond_label_prop_budget(spark):
+    # a 60-edge path exceeds LABEL_PROP_MAX_ROUNDS=50 (label prop would
+    # raise); star contraction must converge inside its O(log^2 n)
+    # budget and still label every node with the path minimum
+    n = 61
+    out = _lss_labels(spark, n, [(i, i + 1) for i in range(n - 1)])
+    assert out == {i: 0 for i in range(n)}
+
+
+def test_lss_matches_label_propagation_on_random_graph(spark):
+    import random
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators import dedup as dd
+
+    rng = random.Random(42)
+    n = 80
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(60)
+    ]  # sparse: multiple components, self-loops, dup edges
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    lp = {r.doc_id: r.component for r in dd._label_propagate(docs, pairs).collect()}
+    lss = _lss_labels(spark, n, edges)
+    assert lss == lp
+
+
+def test_lss_isolated_nodes_and_clique(spark):
+    # clique {0..4} + isolated {5,6}: roots at 0, selves elsewhere
+    edges = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    out = _lss_labels(spark, 7, edges)
+    assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 6}
+
+
+def test_lss_agrees_with_label_prop_on_real_pairs(spark):
+    # the registered query at smoke SF must equal ext_dedup_components
+    a = {
+        (r.doc_id, r.component)
+        for r in queries()["ext_dedup_components_lss"](spark, SF_SMOKE).collect()
+    }
+    b = {
+        (r.doc_id, r.component)
+        for r in queries()["ext_dedup_components"](spark, SF_SMOKE).collect()
+    }
+    assert a == b
