@@ -116,6 +116,20 @@ def ext_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nlist ~ sqrt(n_train) and nprobe = nlist/4; at deployment scale
     assignment lands partitioned by list id for list-local serving."""
+    scored = _ivf_scored(spark, sf_dir, probe_all=False)
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def _ivf_scored(spark: SparkSession, sf_dir: str, probe_all: bool) -> DataFrame:
+    """IVF candidate generation + NumPy scoring; `probe_all=True`
+    probes every inverted list (nprobe = nlist), making the candidate
+    set provably exhaustive — the seam `ext_sim_ivf_exhaustive`'s
+    exactness contract exercises."""
     import numpy as np
     import pandas as pd
 
@@ -128,13 +142,13 @@ def ext_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if len(sample) == 0:  # empty corpus => no neighbors
         return spark.createDataFrame(
-            [], "query_id bigint, neighbor_id bigint, cos double, rank bigint"
+            [], "query_id bigint, neighbor_id bigint, cos double"
         )
     ids = sample["vec_id"].to_numpy(dtype=np.int64)
     mat = np.stack([np.asarray(v, dtype=np.float64) for v in sample["embedding"]])
     n = len(ids)
     nlist = max(2, min(64, int(np.sqrt(n))))
-    nprobe = max(1, nlist // 4)
+    nprobe = nlist if probe_all else max(1, nlist // 4)
 
     def _nearest(x: "np.ndarray", c: "np.ndarray") -> "np.ndarray":
         # argmin over ||x-c||² = x²+c²-2xcᵀ: one BLAS matmul instead of
@@ -157,7 +171,7 @@ def ext_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     qpdf = e.filter(F.col("vec_id") < N_QUERY_VECS).toPandas()
     if len(qpdf) == 0:  # no query vectors => no neighbors
         return spark.createDataFrame(
-            [], "query_id bigint, neighbor_id bigint, cos double, rank bigint"
+            [], "query_id bigint, neighbor_id bigint, cos double"
         )
     q_ids = qpdf["vec_id"].to_numpy(dtype=np.int64)
     q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in qpdf["embedding"]])
@@ -202,8 +216,55 @@ def ext_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    scored = e.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+    return e.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
         score, "query_id bigint, neighbor_id bigint, cos double"
+    )
+
+
+@register("ext_sim_ivf_exhaustive", oracle=_TOPK_ORACLE)
+def ext_sim_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable exactness contract for the IVF path
+    (`ext_sim_ivf` itself is rows-only): run the SAME IVF machinery —
+    bounded quantizer training, Lloyd iterations, corpus assignment,
+    probe-set candidate generation over Arrow batches — but probe ALL
+    nlist inverted lists. With nprobe = nlist the inverted lists must
+    partition the corpus, so the candidate set is provably every
+    non-self vector and the top-k must equal brute force
+    (`ext_sim_topk`'s oracle) EXACTLY. A bug anywhere in the pipeline
+    — a row dropped or duplicated by assignment, a batch skipped, a
+    query vector lost to the training-sample cap — breaks the
+    row-count or value hash, where a rows-only entry would hide it.
+    What stays unverified by the driver is only the probe RESTRICTION
+    (the approximation itself), which tests/test_similarity.py bounds
+    with recall assertions.
+
+    The emitted cos is re-scored JVM-side (`aggregate`/`zip_with`
+    sequential fold ≙ DuckDB `list_dot_product`, bit-identical) via
+    two vec_id equi-joins — the NumPy/BLAS dot used for candidate
+    scoring reorders float adds and cannot satisfy the bit-stable
+    oracle contract. Candidates ≪ corpus² so the re-score is linear
+    in candidate count; the exhaustive variant is a VERIFICATION
+    query (driver SF), never the serving path."""
+    cand = _ivf_scored(spark, sf_dir, probe_all=True).select(
+        "query_id", "neighbor_id"
+    )
+    e = load(spark, sf_dir, "embeddings")
+    ev = _with_double_vec(e, "v")
+    joined = (
+        cand.join(
+            F.broadcast(
+                ev.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+                .filter(F.col("query_id") < N_QUERY_VECS)
+            ),
+            "query_id",
+        )
+        .join(
+            ev.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")),
+            "neighbor_id",
+        )
+    )
+    scored = joined.select(
+        "query_id", "neighbor_id", _cosine("qv", "cv").alias("cos")
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (

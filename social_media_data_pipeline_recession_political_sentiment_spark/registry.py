@@ -102,6 +102,8 @@ _WINDOW_PRIORITY = (
     "ext_dedup_embcos_lsh_verify",
     # -- new this round: large-star/small-star CC (high-diameter path) --
     "ext_dedup_components_lss",
+    # -- new this round: IVF probe-all exactness contract --
+    "ext_sim_ivf_exhaustive",
     # -- oldest hard check (r1) --
     "join_similarity_topk",
     # -- oldest r2-green (relational core), fills the window to 50 --
@@ -123,7 +125,6 @@ _WINDOW_PRIORITY = (
     "agg_count_star",
     "agg_group_count",
     "agg_topk_groups",
-    "agg_daily_counts",
 )
 
 

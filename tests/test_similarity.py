@@ -153,3 +153,19 @@ def test_emb_norm_census_positive_and_flag_consistent(spark):
     for r in rows:
         assert r.l2_norm > 0.0
         assert r.near_unit == (abs(r.l2_norm - 1.0) <= 0.01)
+
+
+def test_ivf_exhaustive_equals_brute_force(spark):
+    # probe-all IVF must degrade to exact brute force: same (query,
+    # neighbor, rank) triples as ext_sim_topk at smoke SF
+    from tests.conftest import SF_SMOKE
+
+    a = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in queries()["ext_sim_ivf_exhaustive"](spark, SF_SMOKE).collect()
+    }
+    b = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in queries()["ext_sim_topk"](spark, SF_SMOKE).collect()
+    }
+    assert a == b

@@ -105,6 +105,14 @@ AUDIT = {
         "the B(B+1)/2 tasks holds at most 2N/B vectors, so B scales "
         "with corpus size to fit executor memory",
     ),
+    "ext_sim_ivf_exhaustive": (
+        "mapInPandas candidate stage feeding a broadcast query-side "
+        "join + a vec_id equi-join, then WindowGroupLimit under the "
+        "rank filter",
+        "the IVF exactness contract re-scores candidates JVM-side "
+        "with one broadcast and one linear join — no quadratic stage "
+        "beyond the probe-all candidate set it exists to verify",
+    ),
     "ext_dedup_embcos_lsh_verify": (
         "the LSH candidate-pair subtree feeding two vec_id equi-joins "
         "against the embeddings scan; the exact-cosine re-score is a "
