@@ -402,6 +402,83 @@ def ext_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_lm_unigram_score",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+        "FROM documents), "
+        "t AS (SELECT doc_id, term FROM toks WHERE term <> ''), "
+        "tot AS (SELECT count(*) AS n FROM t), "
+        "freq AS (SELECT term, count(*) AS c FROM t GROUP BY term), "
+        "lp AS (SELECT term, CAST(round(ln(CAST(c AS DOUBLE) / n) * 1000000) "
+        "AS BIGINT) AS lp_micro FROM freq, tot) "
+        "SELECT t.doc_id, count(*) AS n_tokens, "
+        "CAST(sum(lp.lp_micro) AS BIGINT) AS logprob_micro, "
+        "CAST(CAST(sum(lp.lp_micro) AS BIGINT) AS DOUBLE) / count(*) AS avg_logprob_micro "
+        "FROM t JOIN lp USING (term) GROUP BY t.doc_id"
+    ),
+)
+def ext_lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model document score — the CCNet/Gopher-style
+    LM quality filter: train a unigram LM on the corpus itself (term
+    frequency / total tokens), then score every document by the sum
+    and per-token mean of its tokens' log-probabilities. Documents
+    whose tokens are systematically rare (boilerplate soup, OCR noise,
+    wrong-language fragments) score low and get filtered before
+    training.
+
+    Bit-stable oracle contract: per-term ln(p) is scaled to integer
+    MICRO-NATS (`round(ln(p)*1e6) AS BIGINT`) before any aggregation,
+    so the per-doc sum is an exact integer — order-independent under
+    any partitioning, immune to float-summation drift and to the
+    Java-Math.log-vs-libm last-ULP gap (rounded away at 1e-6 nats,
+    far above ULP, far below any filtering-relevant precision). The
+    mean is one exact-int / exact-int division — a single IEEE op,
+    identical on both engines. The DuckDB side casts `sum()` back to
+    BIGINT (HUGEINT otherwise — the r3 multimodal lesson).
+
+    Scale shape: one token explode feeding two consumers — a
+    term-keyed count shuffle (map-side partial agg) to build the LM,
+    and a term-keyed join to score; the corpus total joins in as a
+    broadcast scalar. Both shuffles are hash-partitioned on term —
+    uniform unless a stopword dominates, which AQE skew-split covers.
+    At 100 TB the LM table itself is the thing to bound: cap the
+    vocabulary to top-K terms with an OOV floor (the standard CCNet
+    recipe) and the score join becomes a broadcast. Docs with zero
+    tokens have no LM evidence and are omitted (inner join), matching
+    the oracle."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tot = toks.agg(F.count("*").alias("n_total"))
+    freq = toks.groupBy("term").agg(F.count("*").alias("c"))
+    lp = freq.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.round(
+            F.log(F.col("c").cast("double") / F.col("n_total")) * F.lit(1000000.0)
+        )
+        .cast("long")
+        .alias("lp_micro"),
+    )
+    return (
+        toks.join(lp, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("lp_micro").alias("logprob_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "logprob_micro",
+            (F.col("logprob_micro").cast("double") / F.col("n_tokens")).alias(
+                "avg_logprob_micro"
+            ),
+        )
+    )
+
+
+@register(
     "ext_quality_gate",
     oracle=(
         "WITH s AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents), "

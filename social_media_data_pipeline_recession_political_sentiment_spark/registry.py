@@ -104,6 +104,8 @@ _WINDOW_PRIORITY = (
     "ext_dedup_components_lss",
     # -- new this round: IVF probe-all exactness contract --
     "ext_sim_ivf_exhaustive",
+    # -- new this round: CCNet-style unigram LM quality score --
+    "ext_lm_unigram_score",
     # -- oldest hard check (r1) --
     "join_similarity_topk",
     # -- oldest r2-green (relational core), fills the window to 50 --
@@ -124,7 +126,6 @@ _WINDOW_PRIORITY = (
     "join_asof",
     "agg_count_star",
     "agg_group_count",
-    "agg_topk_groups",
 )
 
 

@@ -177,3 +177,25 @@ def test_shard_manifest_offsets_contiguous(spark):
         acc += r.n_tokens
     total = sum(r.n_tokens for r in rows)
     assert acc == total
+
+
+def test_lm_unigram_score_ranks_rare_token_docs_lower(spark):
+    # doc 3 is made of corpus-rare tokens => lower avg logprob than the
+    # docs built from the repeated common phrase
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+    from tests.test_dedup import _docs_view
+
+    common = "the cat sat on the mat " * 5
+    rows = [
+        (1, common.strip(), "en", "s", 1),
+        (2, common.strip(), "en", "s", 1),
+        (3, "zyx qwv jkl pqr stu", "en", "s", 1),
+    ]
+    tmp = _docs_view(spark, rows)
+    out = {
+        r.doc_id: r for r in queries()["ext_lm_unigram_score"](spark, tmp).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[3].avg_logprob_micro < out[1].avg_logprob_micro
+    assert out[1].logprob_micro == out[2].logprob_micro  # identical docs
+    assert out[3].n_tokens == 5
