@@ -401,6 +401,89 @@ def ext_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_CAPACITY = 512  # tokens per packed context window
+
+
+@register(
+    "ext_pack_sequences",
+    oracle=(
+        "WITH RECURSIVE d AS (SELECT doc_id, lang, "
+        "len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens, "
+        "row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn "
+        "FROM documents), "
+        "p(lang, rn, doc_id, n_tokens, bin_id, bin_offset) AS ("
+        "  SELECT lang, rn, doc_id, n_tokens, CAST(0 AS BIGINT), CAST(0 AS BIGINT) "
+        "  FROM d WHERE rn = 1 "
+        "  UNION ALL "
+        "  SELECT d.lang, d.rn, d.doc_id, d.n_tokens, "
+        f"  CASE WHEN p.bin_offset + p.n_tokens + d.n_tokens <= {PACK_CAPACITY} "
+        "    THEN p.bin_id ELSE p.bin_id + 1 END, "
+        f"  CASE WHEN p.bin_offset + p.n_tokens + d.n_tokens <= {PACK_CAPACITY} "
+        "    THEN p.bin_offset + p.n_tokens ELSE CAST(0 AS BIGINT) END "
+        "  FROM p JOIN d ON d.lang = p.lang AND d.rn = p.rn + 1) "
+        "SELECT doc_id, lang, n_tokens, bin_id, bin_offset FROM p"
+    ),
+)
+def ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the step that assembles documents into
+    fixed-capacity training context windows: walk each language's
+    documents in deterministic doc_id order and greedily NEXT-FIT
+    them into bins of PACK_CAPACITY tokens (a doc that would overflow
+    the open bin starts a new one; an overlong doc gets its own bin).
+    Emits (doc_id, lang, n_tokens, bin_id, bin_offset) — bin ids are
+    scoped per language, offsets are token positions inside the bin.
+
+    Packing is inherently a sequential recurrence (each placement
+    depends on the running bin fill), so it CANNOT be a window
+    function; it runs as `applyInPandas` over the packing domain —
+    one linear pandas scan per group, the same shape as the block
+    joins elsewhere in this repo. The domain here is the language
+    (data-defined, so the DuckDB oracle reproduces it with a
+    recursive CTE). At 100 TB the domain is the range-partitioned
+    shard instead — identical applyInPandas body over
+    `repartitionByRange(doc_id)` partitions with bin ids stitched by
+    the `ext_shard_manifest` two-phase prefix sum — because bins
+    never need to span shards (tail waste per shard is < one bin,
+    negligible at millions of bins/shard). Token counts and bin ids
+    are exact integers end to end — nothing float touches the
+    contract."""
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, offs = [], []
+        bin_id, nxt = 0, 0
+        first = True
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if first:
+                bin_id, off = 0, 0
+                first = False
+            elif nxt + n <= PACK_CAPACITY:
+                off = nxt
+            else:
+                bin_id, off = bin_id + 1, 0
+            bins.append(bin_id)
+            offs.append(off)
+            nxt = off + n
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        pdf["bin_offset"] = pd.Series(offs, dtype="int64")
+        return pdf[["doc_id", "lang", "n_tokens", "bin_id", "bin_offset"]]
+
+    return d.groupBy("lang").applyInPandas(
+        pack,
+        "doc_id bigint, lang string, n_tokens bigint, bin_id bigint, bin_offset bigint",
+    )
+
+
 @register(
     "ext_lm_unigram_score",
     oracle=(

@@ -62,10 +62,11 @@ def register(name: str, oracle: Optional[str] = None):
 # Round 4 window (VERDICT r3 item 1): the 26 queries that have NEVER
 # been inside any round's window (added mid-r3 after the r3 window
 # froze, list from VERDICT r3 §2 "untested"), then the two mm stubs
-# whose oracle HUGEINT casts were fixed this round, the new
-# ext_dedup_embcos_lsh_verify contract, join_similarity_topk (oldest
-# hard check, r1), and 20 r2-green relational-core queries (oldest
-# remaining checks) to fill the 50.
+# whose oracle HUGEINT casts were fixed this round, the five queries
+# NEW in r4 (two exactness contracts for approx paths, LSS components,
+# LM score, sequence packing), join_similarity_topk (oldest hard
+# check, r1), and r2-green relational-core queries (oldest remaining
+# checks) to fill the 50.
 # Last hard check per query: see VERDICT.md r3 coverage tables.
 _WINDOW_PRIORITY = (
     # -- 26 never driver-checked (VERDICT r3 "untested") --
@@ -106,6 +107,8 @@ _WINDOW_PRIORITY = (
     "ext_sim_ivf_exhaustive",
     # -- new this round: CCNet-style unigram LM quality score --
     "ext_lm_unigram_score",
+    # -- new this round: next-fit sequence packing --
+    "ext_pack_sequences",
     # -- oldest hard check (r1) --
     "join_similarity_topk",
     # -- oldest r2-green (relational core), fills the window to 50 --
@@ -125,7 +128,6 @@ _WINDOW_PRIORITY = (
     "join_bucketed_colocated",
     "join_asof",
     "agg_count_star",
-    "agg_group_count",
 )
 
 

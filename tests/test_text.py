@@ -199,3 +199,36 @@ def test_lm_unigram_score_ranks_rare_token_docs_lower(spark):
     assert out[3].avg_logprob_micro < out[1].avg_logprob_micro
     assert out[1].logprob_micro == out[2].logprob_micro  # identical docs
     assert out[3].n_tokens == 5
+
+
+def test_pack_sequences_invariants(spark):
+    # next-fit invariants at smoke SF: offsets start bins at 0, docs
+    # within capacity never overflow a bin, packing is dense (a doc at
+    # offset>0 would NOT have fit remaining space of the previous bin
+    # ... which is implied by contiguity), and bin ids are contiguous
+    # per lang
+    from collections import defaultdict
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.text_analysis import (
+        PACK_CAPACITY,
+    )
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+    from tests.conftest import SF_SMOKE
+
+    rows = queries()["ext_pack_sequences"](spark, SF_SMOKE).collect()
+    by_bin = defaultdict(list)
+    for r in rows:
+        by_bin[(r.lang, r.bin_id)].append(r)
+    for (lang, b), docs in by_bin.items():
+        docs.sort(key=lambda r: r.bin_offset)
+        assert docs[0].bin_offset == 0  # every bin starts at 0
+        for prev, cur in zip(docs, docs[1:]):
+            assert cur.bin_offset == prev.bin_offset + prev.n_tokens  # dense
+        fill = docs[-1].bin_offset + docs[-1].n_tokens
+        assert fill <= PACK_CAPACITY or len(docs) == 1  # overflow only solo
+    # bin ids contiguous from 0 per lang
+    langs = defaultdict(set)
+    for r in rows:
+        langs[r.lang].add(r.bin_id)
+    for lang, bins in langs.items():
+        assert bins == set(range(len(bins)))
