@@ -95,6 +95,60 @@ def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INCR_BASE_BUCKETS = 8  # md5 buckets 0-7 = base corpus, 8-9 = increment
+
+
+@register(
+    "ext_dedup_incremental",
+    oracle=(
+        "WITH b AS (SELECT doc_id, text FROM documents "
+        "WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) "
+        f"% 10 < {INCR_BASE_BUCKETS}), "
+        "i AS (SELECT doc_id, text FROM documents "
+        "WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) "
+        f"% 10 >= {INCR_BASE_BUCKETS}) "
+        "SELECT i.doc_id, "
+        "EXISTS (SELECT 1 FROM b WHERE b.text = i.text) AS dup_of_base "
+        "FROM i"
+    ),
+)
+def ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-corpus dedup — the nightly-ingest pattern: a
+    new increment must be deduped AGAINST THE EXISTING BASE CORPUS,
+    not just within itself. Emits every increment doc with a
+    dup-of-base flag (the keep-set is the false rows; emitting the
+    flag instead of filtering keeps the oracle contract total). The
+    base/increment split is the same md5-bucket device as
+    `ext_data_split` so it is a pure function of doc_id — stable
+    across engines and partitionings.
+
+    Scale shape: both sides reduce to 32-byte sha2 fingerprints
+    before any shuffle, then ONE left-semi-shaped hash join on the
+    fingerprint — the increment (small, one day's crawl) shuffles
+    against the base's fingerprint set; at 100 TB the base
+    fingerprints live as a bucketed table so the join is co-located
+    (zero base shuffle per increment, `join_bucketed_colocated`'s
+    layout), with a bloom-filter prefilter dropping the ~99% of
+    increment rows that match nothing before the join. (Oracle
+    compares raw text: identical absent SHA-256 collisions.)"""
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 10
+    )
+    bucketed = d.select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("h"), bucket.alias("b")
+    )
+    base = bucketed.filter(F.col("b") < INCR_BASE_BUCKETS).select("h").distinct()
+    incr = bucketed.filter(F.col("b") >= INCR_BASE_BUCKETS).select("doc_id", "h")
+    return (
+        incr.join(base.withColumn("dup", F.lit(True)), "h", "left")
+        .select(
+            "doc_id", F.coalesce(F.col("dup"), F.lit(False)).alias("dup_of_base")
+        )
+    )
+
+
 def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) rows. Uses ``explode_outer`` + a post-explode
     null filter instead of plain ``explode``: Catalyst's

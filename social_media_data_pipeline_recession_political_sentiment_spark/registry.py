@@ -109,6 +109,8 @@ _WINDOW_PRIORITY = (
     "ext_lm_unigram_score",
     # -- new this round: next-fit sequence packing --
     "ext_pack_sequences",
+    # -- new this round: cross-corpus incremental dedup --
+    "ext_dedup_incremental",
     # -- oldest hard check (r1) --
     "join_similarity_topk",
     # -- oldest r2-green (relational core), fills the window to 50 --
@@ -127,7 +129,6 @@ _WINDOW_PRIORITY = (
     "join_range",
     "join_bucketed_colocated",
     "join_asof",
-    "agg_count_star",
 )
 
 

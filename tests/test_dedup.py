@@ -230,3 +230,26 @@ def test_lss_agrees_with_label_prop_on_real_pairs(spark):
         for r in queries()["ext_dedup_components"](spark, SF_SMOKE).collect()
     }
     assert a == b
+
+
+def test_incremental_dedup_flags_match_base_membership(spark):
+    import hashlib
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.dedup import (
+        INCR_BASE_BUCKETS,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "text").collect()
+
+    def bucket(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % 10
+
+    base_texts = {r.text for r in docs if bucket(r.doc_id) < INCR_BASE_BUCKETS}
+    incr = {r.doc_id: r.text for r in docs if bucket(r.doc_id) >= INCR_BASE_BUCKETS}
+    out = {
+        r.doc_id: r.dup_of_base
+        for r in queries()["ext_dedup_incremental"](spark, SF_SMOKE).collect()
+    }
+    assert set(out) == set(incr)  # exactly the increment rows, flag total
+    for doc_id, flag in out.items():
+        assert flag == (incr[doc_id] in base_texts)
