@@ -1278,3 +1278,56 @@ def agg_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         "day", list(_PIVOT_TYPES), "event_type", "cnt"
     ).select("day", "event_type", "cnt")
+
+
+MOVING_RANGE_US = 6 * 3600 * 1_000_000  # 6-hour trailing window, micros
+
+
+@register(
+    "window_moving_range",
+    oracle=(
+        "WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS t, "
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events) "
+        "SELECT event_id, event_type, "
+        "CAST(count(*) OVER w AS BIGINT) AS n_6h, "
+        "CAST(sum(cents) OVER w AS BIGINT) AS cents_6h "
+        "FROM e WINDOW w AS (PARTITION BY event_type ORDER BY t "
+        f"RANGE BETWEEN {MOVING_RANGE_US} PRECEDING AND CURRENT ROW)"
+    ),
+)
+def window_moving_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based moving aggregate — the RANGE-interval window frame
+    (SURVEY §2.5 depth: rank, lag, rows-frame running total are
+    covered elsewhere; this is the frame type the others can't
+    express): for every event, the count and exact-cents value sum of
+    ALL events of its type in the trailing 6 hours — variable-width
+    by TIME, not by row count, so bursts widen the frame and quiet
+    periods shrink it (the rate/burst monitor every ingest pipeline
+    wants).
+
+    One shuffle on event_type, then a per-partition sort; Spark's
+    window RANGE frame advances two pointers over the sorted run —
+    O(n) per partition, state bounded by the densest 6h burst. Same
+    shape at 100 TB with event_type (or a composite key) keeping
+    partitions balanced. Value sums are exact integer cents
+    (`round(value*100)`), the repo's bit-stable device for float
+    aggregates; the frame bound is epoch SECONDS on both sides, so
+    frame membership is integer-exact too."""
+    e = load(spark, sf_dir, "events")
+    base = e.select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("t")
+        .rangeBetween(-MOVING_RANGE_US, W.currentRow)
+    )
+    return base.select(
+        "event_id",
+        "event_type",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_6h"),
+        F.sum("cents").over(w).cast("long").alias("cents_6h"),
+    )

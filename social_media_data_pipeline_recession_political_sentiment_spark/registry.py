@@ -111,6 +111,8 @@ _WINDOW_PRIORITY = (
     "ext_pack_sequences",
     # -- new this round: cross-corpus incremental dedup --
     "ext_dedup_incremental",
+    # -- new this round: RANGE-interval moving window frame --
+    "window_moving_range",
     # -- oldest hard check (r1) --
     "join_similarity_topk",
     # -- oldest r2-green (relational core), fills the window to 50 --
@@ -128,7 +130,6 @@ _WINDOW_PRIORITY = (
     "join_broadcast_dim",
     "join_range",
     "join_bucketed_colocated",
-    "join_asof",
 )
 
 

@@ -280,3 +280,16 @@ def test_unpivot_roundtrips_pivot(spark):
         for r in wide.collect()
     )
     assert sum(r.cnt for r in tidy.collect()) == wide_total
+
+
+def test_moving_range_includes_self_and_is_bounded(spark):
+    from tests.conftest import SF_SMOKE
+
+    rows = registry.queries()["window_moving_range"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.n_6h >= 1  # the frame always contains the current row
+    # an event alone in its 6h window carries exactly its own cents
+    e = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    total = e.count()
+    assert len(rows) == total
