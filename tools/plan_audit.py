@@ -105,6 +105,37 @@ AUDIT = {
         "the B(B+1)/2 tasks holds at most 2N/B vectors, so B scales "
         "with corpus size to fit executor memory",
     ),
+    "ext_lm_unigram_score": (
+        "one token explode feeding a term-keyed partial/final "
+        "HashAggregate pair (the LM) and a term-keyed score join; "
+        "BroadcastExchange only for the corpus-total scalar",
+        "both shuffles are hash-partitioned on term with map-side "
+        "partials; per-term ln(p) lands as integer micro-nats before "
+        "aggregation so sums are exact under any partitioning — at "
+        "scale a top-K vocab cap turns the score join into a broadcast",
+    ),
+    "ext_pack_sequences": (
+        "one Exchange on lang into FlatMapGroupsInPandas; token "
+        "counts computed scan-local before the shuffle",
+        "the sequential next-fit recurrence runs one linear pandas "
+        "scan per packing domain; only (doc_id, lang, n_tokens) rows "
+        "shuffle — never text — and the domain swaps to bounded "
+        "range-partitioned shards at scale",
+    ),
+    "ext_dedup_incremental": (
+        "sha2 projections on both sides below one hash join keyed on "
+        "the 32-byte fingerprint; distinct on the base side",
+        "documents reduce to fingerprints before any shuffle; at "
+        "scale the base side is a bucketed table (zero base shuffle "
+        "per increment) with a bloom prefilter on the increment",
+    ),
+    "window_moving_range": (
+        "one Exchange on event_type, per-partition Sort, a single "
+        "Window node computing both RANGE-frame aggregates",
+        "the variable-width time frame advances two pointers over "
+        "each sorted run — O(n) per partition, state bounded by the "
+        "densest 6h burst, both aggregates share one frame pass",
+    ),
     "ext_sim_ivf_exhaustive": (
         "mapInPandas candidate stage feeding a broadcast query-side "
         "join + a vec_id equi-join, then WindowGroupLimit under the "
