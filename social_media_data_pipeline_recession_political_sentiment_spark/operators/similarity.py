@@ -607,6 +607,56 @@ def ext_dedup_embcos_lsh_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_sim_lsh_verify",
+    oracle=(
+        "SELECT CAST(NULL AS BIGINT) AS vec_a, CAST(NULL AS BIGINT) AS vec_b, "
+        "CAST(NULL AS DOUBLE) AS dist, CAST(NULL AS DOUBLE) AS exact_dist "
+        "WHERE 1 = 0"
+    ),
+)
+def ext_sim_lsh_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable PRECISION contract for the raw-space LSH pair
+    miner (`ext_sim_lsh` stays rows-only): re-score every emitted
+    candidate pair with the exact sequential-fold euclidean distance
+    JVM-side and emit only CONTRACT VIOLATIONS — pairs whose exact
+    distance exceeds the threshold (beyond a 1e-9 guard for the
+    BLAS-vs-fold last-ULP gap) or whose emitted rounded distance
+    disagrees with the exact one at 1e-6. The oracle is the empty
+    relation: ANY violation row fails the driver's row-count check.
+
+    Why not the equality contract its siblings use
+    (`ext_dedup_embcos_lsh_verify`, `ext_sim_ivf_exhaustive`): this
+    miner's parameters (L=6 tables, m=3 AND-hashes, w=0.25) tune a
+    genuine recall/cost trade — measured recall at sf0.01 is ~0.66,
+    so equality with brute force CANNOT hold by design, and recall
+    stays a statistical pytest assertion. Precision, however, is
+    supposed to be exact (bucket-local scoring emits only pairs it
+    measured under the threshold) — a bucketing corruption, a wrong
+    id mapping, or a distance bug that ever emits a far pair turns
+    this query non-empty and fails the gate.
+
+    Scale shape: candidates ≪ corpus² — two vec_id equi-joins plus a
+    scan-local fold, no quadratic stage beyond the bucketed miner."""
+    cand = ext_sim_lsh(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    joined = (
+        cand.join(e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va")), "vec_a")
+        .join(e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")), "vec_b")
+    )
+    aa = F.expr(_DOT.format(a="va", b="va"))
+    bb = F.expr(_DOT.format(a="vb", b="vb"))
+    ab = F.expr(_DOT.format(a="va", b="vb"))
+    exact = F.sqrt(F.greatest(F.lit(0.0), (aa + bb) - (F.lit(2) * ab)))
+    scored = joined.select("vec_a", "vec_b", "dist", exact.alias("exact_dist"))
+    return scored.filter(
+        (F.col("exact_dist") >= LSH_DIST_THRESHOLD + 1e-9)
+        | (F.abs(F.col("dist") - F.round(F.col("exact_dist"), 6)) > 1e-6)
+    )
+
+
+@register(
     "ext_emb_norm",
     oracle=(
         "WITH n AS (SELECT vec_id, label, "

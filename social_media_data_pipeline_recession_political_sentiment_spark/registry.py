@@ -113,6 +113,8 @@ _WINDOW_PRIORITY = (
     "ext_dedup_incremental",
     # -- new this round: RANGE-interval moving window frame --
     "window_moving_range",
+    # -- new this round: LSH precision (zero-violations) contract --
+    "ext_sim_lsh_verify",
     # -- oldest hard check (r1) --
     "join_similarity_topk",
     # -- oldest r2-green (relational core), fills the window to 50 --
@@ -129,7 +131,6 @@ _WINDOW_PRIORITY = (
     "join_anti_dedup",
     "join_broadcast_dim",
     "join_range",
-    "join_bucketed_colocated",
 )
 
 
