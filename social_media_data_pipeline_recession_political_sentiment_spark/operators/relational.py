@@ -1331,3 +1331,87 @@ def window_moving_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("long").alias("n_6h"),
         F.sum("cents").over(w).cast("long").alias("cents_6h"),
     )
+
+
+IVL_LEN_US = 3600 * 1_000_000  # interval length (and bin width): 1 hour
+
+
+@register(
+    "join_interval_overlap",
+    oracle=(
+        "WITH a AS (SELECT event_id, epoch_us(ts) AS s, "
+        f"epoch_us(ts) + {IVL_LEN_US} AS e FROM events WHERE event_type = 'error'), "
+        "b AS (SELECT event_id, epoch_us(ts) AS s, "
+        f"epoch_us(ts) + {IVL_LEN_US} AS e FROM events WHERE event_type = 'purchase') "
+        "SELECT a.event_id AS a_id, b.event_id AS b_id, "
+        "least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us "
+        "FROM a JOIN b ON a.s <= b.e AND b.s <= a.e"
+    ),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join — interval × interval, the join class
+    `join_range`'s point-in-interval rewrite can't serve (incident
+    windows × deployment windows, session × session, genomics-style
+    range intersection). Here: 1-hour windows after every 'error'
+    event against 1-hour windows after every 'purchase' event;
+    overlap length in exact integer microseconds.
+
+    Scale design — the BINNED interval join, not a θ-join: a naive
+    `ON a.s <= b.e AND b.s <= a.e` compiles to a broadcast
+    nested-loop (O(|A|·|B|) comparisons). Instead both sides explode
+    into time bins of width W = the max interval length (≤ 2 bins
+    per interval), the join becomes an EQUI-join on bin (+ the exact
+    overlap predicate as a post-filter), and Catalyst gets a
+    shuffle-hash join whose comparisons are only bin-local — work
+    scales with temporal density, not |A|·|B|. Each overlapping pair
+    is claimed by exactly ONE bin — the bin of max(a.s, b.s), which
+    overlap guarantees lies inside both intervals — so no
+    dedup shuffle is needed after the join. All arithmetic is
+    integer micros end to end."""
+    e = load(spark, sf_dir, "events")
+
+    def side(ev_type: str) -> DataFrame:
+        return e.filter(F.col("event_type") == ev_type).select(
+            F.col("event_id").alias(f"{ev_type}_id"),
+            F.unix_micros("ts").alias(f"{ev_type}_s"),
+            (F.unix_micros("ts") + F.lit(IVL_LEN_US)).alias(f"{ev_type}_e"),
+        )
+
+    a = side("error").withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"error_s div {IVL_LEN_US}"),
+                F.expr(f"error_e div {IVL_LEN_US}"),
+            )
+        ),
+    )
+    b = side("purchase").withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"purchase_s div {IVL_LEN_US}"),
+                F.expr(f"purchase_e div {IVL_LEN_US}"),
+            )
+        ),
+    )
+    return (
+        a.join(b, "bin")
+        .filter(
+            (F.col("error_s") <= F.col("purchase_e"))
+            & (F.col("purchase_s") <= F.col("error_e"))
+            # one canonical bin per pair: the bin of the later start
+            & (
+                F.col("bin")
+                == F.expr(f"greatest(error_s, purchase_s) div {IVL_LEN_US}")
+            )
+        )
+        .select(
+            F.col("error_id").alias("a_id"),
+            F.col("purchase_id").alias("b_id"),
+            (
+                F.least("error_e", "purchase_e")
+                - F.greatest("error_s", "purchase_s")
+            ).alias("overlap_us"),
+        )
+    )

@@ -115,6 +115,8 @@ _WINDOW_PRIORITY = (
     "window_moving_range",
     # -- new this round: LSH precision (zero-violations) contract --
     "ext_sim_lsh_verify",
+    # -- new this round: binned interval-overlap join --
+    "join_interval_overlap",
     # -- oldest hard check (r1) --
     "join_similarity_topk",
     # -- oldest r2-green (relational core), fills the window to 50 --
@@ -130,7 +132,6 @@ _WINDOW_PRIORITY = (
     "join_enriched_raw",
     "join_anti_dedup",
     "join_broadcast_dim",
-    "join_range",
 )
 
 

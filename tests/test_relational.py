@@ -293,3 +293,32 @@ def test_moving_range_includes_self_and_is_bounded(spark):
     e = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
     total = e.count()
     assert len(rows) == total
+
+
+def test_interval_overlap_matches_naive_join(spark):
+    from tests.conftest import SF_SMOKE
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.relational import (
+        IVL_LEN_US,
+    )
+
+    out = registry.queries()["join_interval_overlap"](spark, SF_SMOKE)
+    rows = out.collect()
+    # binned result == naive theta join, pairwise unique, bounded overlap
+    e = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    a = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("a_id"), F.unix_micros("ts").alias("sa")
+    )
+    b = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("b_id"), F.unix_micros("ts").alias("sb")
+    )
+    naive = a.crossJoin(b).filter(
+        (F.col("sa") <= F.col("sb") + IVL_LEN_US)
+        & (F.col("sb") <= F.col("sa") + IVL_LEN_US)
+    )
+    assert {(r.a_id, r.b_id) for r in rows} == {
+        (r.a_id, r.b_id) for r in naive.collect()
+    }
+    assert len(rows) == len({(r.a_id, r.b_id) for r in rows})  # no dup pairs
+    for r in rows:
+        assert 0 <= r.overlap_us <= IVL_LEN_US

@@ -105,6 +105,16 @@ AUDIT = {
         "the B(B+1)/2 tasks holds at most 2N/B vectors, so B scales "
         "with corpus size to fit executor memory",
     ),
+    "join_interval_overlap": (
+        "a hash join (broadcast here, shuffle-hash at scale) keyed on "
+        "the time bin, with the exact overlap predicate as the join "
+        "condition's post-filter — NO BroadcastNestedLoopJoin node",
+        "exploding intervals into <=2 W-width bins turns the interval "
+        "theta-join into an equi-join whose comparisons are bin-local "
+        "— work scales with temporal density, not |A|x|B|; the "
+        "max(start)-bin claim makes pairs unique without a dedup "
+        "shuffle",
+    ),
     "ext_lm_unigram_score": (
         "one token explode feeding a term-keyed partial/final "
         "HashAggregate pair (the LM) and a term-keyed score join; "
