@@ -1415,3 +1415,30 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_us"),
         )
     )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle=(
+        "SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, "
+        "count(*) AS cnt FROM events "
+        "GROUP BY GROUPING SETS ((event_type), (CAST(date_trunc('day', ts) AS DATE)), ())"
+    ),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the third member of the subtotal
+    family (CUBE = all 2^n sets, ROLLUP = the hierarchy prefix sets,
+    GROUPING SETS = exactly the sets you name): per-platform totals,
+    per-day totals, and the grand total in ONE pass, WITHOUT the
+    (platform × day) cross cells a cube would also compute. Spark
+    plans it as a single Expand (one input row → one row per matching
+    set) above one hash aggregate — the input is scanned once, and
+    skipping the cross cells cuts the expand factor from 4 to 3
+    (at real dimensionality: from 2^n to |sets|, the whole point of
+    naming sets at 100 TB)."""
+    e = load(spark, sf_dir, "events")
+    d = e.select("event_type", F.to_date("ts").alias("day"))
+    return (
+        d.groupingSets([["event_type"], ["day"], []], "event_type", "day")
+        .agg(F.count("*").alias("cnt"))
+    )

@@ -117,6 +117,8 @@ _WINDOW_PRIORITY = (
     "ext_sim_lsh_verify",
     # -- new this round: binned interval-overlap join --
     "join_interval_overlap",
+    # -- new this round: explicit grouping-sets subtotals --
+    "agg_grouping_sets",
     # -- oldest hard check (r1) --
     "join_similarity_topk",
     # -- oldest r2-green (relational core), fills the window to 50 --
@@ -131,7 +133,6 @@ _WINDOW_PRIORITY = (
     "filter_nonempty",
     "join_enriched_raw",
     "join_anti_dedup",
-    "join_broadcast_dim",
 )
 
 
