@@ -105,6 +105,13 @@ AUDIT = {
         "the B(B+1)/2 tasks holds at most 2N/B vectors, so B scales "
         "with corpus size to fit executor memory",
     ),
+    "agg_grouping_sets": (
+        "a single Expand node (3 projections: type, day, grand total) "
+        "above one partial/final HashAggregate pair",
+        "named subtotal sets scan the input once with expand factor "
+        "|sets| instead of a cube's 2^n — the projection list IS the "
+        "cost model at scale",
+    ),
     "join_interval_overlap": (
         "a hash join (broadcast here, shuffle-hash at scale) keyed on "
         "the time bin, with the exact overlap predicate as the join "
