@@ -62,11 +62,12 @@ def register(name: str, oracle: Optional[str] = None):
 # Round 4 window (VERDICT r3 item 1): the 26 queries that have NEVER
 # been inside any round's window (added mid-r3 after the r3 window
 # froze, list from VERDICT r3 §2 "untested"), then the two mm stubs
-# whose oracle HUGEINT casts were fixed this round, the five queries
-# NEW in r4 (two exactness contracts for approx paths, LSS components,
-# LM score, sequence packing), join_similarity_topk (oldest hard
-# check, r1), and r2-green relational-core queries (oldest remaining
-# checks) to fill the 50.
+# whose oracle HUGEINT casts were fixed this round, the TEN queries
+# NEW in r4 (three falsifiable contracts for the approximate paths,
+# LSS components, LM score, sequence packing, incremental dedup,
+# RANGE-frame window, interval-overlap join, grouping sets),
+# join_similarity_topk (oldest hard check, r1), and r2-green
+# relational-core queries (oldest remaining checks) to fill the 50.
 # Last hard check per query: see VERDICT.md r3 coverage tables.
 _WINDOW_PRIORITY = (
     # -- 26 never driver-checked (VERDICT r3 "untested") --
