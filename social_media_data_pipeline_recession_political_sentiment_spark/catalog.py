@@ -39,19 +39,33 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Spark's parquet reader infers NTZ for non-UTC-adjusted
     timestamps). Both are normalized to TimestampType here so every
     operator downstream sees ONE timestamp type. The NTZ bridge is
-    `to_utc_timestamp(c, "UTC")` — wall clock interpreted as UTC,
-    session-timezone-INDEPENDENT (a plain cast would re-interpret in
-    whatever session tz the driver's SparkSession carries), and its
-    epoch equals DuckDB's `epoch_us` on the same naive column, which
-    the oracle comparison requires."""
+    `make_timestamp(..., 'UTC')` over the NTZ wall-clock components —
+    the components are session-tz-independent by definition and the
+    explicit 'UTC' zone argument pins the interpretation, so the
+    resulting epoch equals DuckDB's `epoch_us` on the same naive
+    column REGARDLESS of the session timezone.
+    (`to_utc_timestamp(ntz, 'UTC')` and a plain cast both coerce NTZ
+    through the SESSION zone first — verified empirically under an
+    America/New_York session — and would shift every epoch on a
+    non-UTC driver session.)"""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # legacy nanos encoding: long of nanos -> micros TimestampType
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     for f in df.schema.fields:
         if isinstance(f.dataType, T.TimestampNTZType):
-            df = df.withColumn(f.name, F.to_utc_timestamp(f.name, "UTC"))
+            df = df.withColumn(f.name, ntz_as_utc_instant(f.name))
     return df
+
+
+def ntz_as_utc_instant(col: str):
+    """TIMESTAMP_NTZ -> TimestampType with the wall clock interpreted
+    as UTC, independent of `spark.sql.session.timeZone` (see `load`)."""
+    return F.expr(
+        f"make_timestamp(year({col}), month({col}), day({col}), "
+        f"hour({col}), minute({col}), "
+        f"cast(extract(second from {col}) as decimal(16,6)), 'UTC')"
+    )
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions.hashing import doc_bucket, doc_bucket_sql
 from ..registry import register
 
 N_MINHASH = 16
@@ -102,11 +103,9 @@ INCR_BASE_BUCKETS = 8  # md5 buckets 0-7 = base corpus, 8-9 = increment
     "ext_dedup_incremental",
     oracle=(
         "WITH b AS (SELECT doc_id, text FROM documents "
-        "WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) "
-        f"% 10 < {INCR_BASE_BUCKETS}), "
+        f"WHERE {doc_bucket_sql('doc_id')} < {INCR_BASE_BUCKETS}), "
         "i AS (SELECT doc_id, text FROM documents "
-        "WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) "
-        f"% 10 >= {INCR_BASE_BUCKETS}) "
+        f"WHERE {doc_bucket_sql('doc_id')} >= {INCR_BASE_BUCKETS}) "
         "SELECT i.doc_id, "
         "EXISTS (SELECT 1 FROM b WHERE b.text = i.text) AS dup_of_base "
         "FROM i"
@@ -132,10 +131,7 @@ def ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     increment rows that match nothing before the join. (Oracle
     compares raw text: identical absent SHA-256 collisions.)"""
     d = load(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("long") % 10
-    )
+    bucket = doc_bucket("doc_id")
     bucketed = d.select(
         "doc_id", F.sha2(F.col("text"), 256).alias("h"), bucket.alias("b")
     )
@@ -525,7 +521,7 @@ def _label_propagate(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     return labels.select("doc_id", F.col("lbl").alias("component"))
 
 
-LSS_MAX_ROUNDS = 30  # O(log^2 n) bound; real graphs converge in a handful
+LSS_MAX_ROUNDS = 64  # covers the O(log^2 n) bound at any feasible corpus size
 
 
 @register("ext_dedup_components_lss", oracle=_COMPONENTS_ORACLE)
@@ -561,11 +557,15 @@ def _large_small_star(docs: DataFrame, pairs: DataFrame) -> DataFrame:
 
     Edge invariant between rounds: edges are kept directed
     large->small (u > v), one row per distinct pair. Convergence is
-    detected on a fixed point of the exact edge multiset summary
-    (count + decimal sum of src and dst) — two scalars per round, no
-    data collected. Raises RuntimeError on round-budget overflow
-    (can't happen under the O(log^2 n) bound unless the input edge
-    list is adversarially degenerate)."""
+    detected on a fixed point of an order-independent edge-set
+    fingerprint: count plus the decimal sum of per-edge xxhash64(u, v)
+    — a coordinate-sum summary like (sum u, sum v) is NOT sound (two
+    different edge sets, e.g. {(3,1),(4,2)} and {(4,1),(3,2)}, sum
+    identically), while colliding the hash-sum requires a 64-bit
+    multiset-sum collision. Two scalars per round, no data collected.
+    Raises RuntimeError on round-budget overflow (can't happen under
+    the O(log^2 n) bound unless the input edge list is adversarially
+    degenerate)."""
     spark = docs.sparkSession
     # canonical directed edges u > v, self-loop-free
     e = (
@@ -581,10 +581,9 @@ def _large_small_star(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     def _summary(edges: DataFrame):
         row = edges.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("u").cast("decimal(38,0)")).alias("su"),
-            F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("hs"),
         ).collect()[0]
-        return (row["n"], row["su"], row["sv"])
+        return (row["n"], row["hs"])
 
     prev = _summary(e)
     converged = False

@@ -1311,8 +1311,9 @@ def window_moving_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape at 100 TB with event_type (or a composite key) keeping
     partitions balanced. Value sums are exact integer cents
     (`round(value*100)`), the repo's bit-stable device for float
-    aggregates; the frame bound is epoch SECONDS on both sides, so
-    frame membership is integer-exact too."""
+    aggregates; the frame bound is integer epoch MICROSECONDS on
+    both sides (`unix_micros` on the Spark side, `epoch_us` in the
+    oracle), so frame membership is integer-exact too."""
     e = load(spark, sf_dir, "events")
     base = e.select(
         "event_id",

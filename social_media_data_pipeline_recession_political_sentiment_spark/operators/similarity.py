@@ -63,6 +63,19 @@ _TOPK_ORACLE = (
 )
 
 
+def _rank_topk(scored: DataFrame) -> DataFrame:
+    """Per-query top-k with the repo's deterministic tie-break
+    (cos DESC, neighbor_id ASC) — the ONE place the ranking contract
+    lives; ext_sim_topk, ext_sim_ivf and ext_sim_ivf_exhaustive all
+    share it so their outputs can never diverge on a tie rule."""
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 @register("ext_sim_topk", oracle=_TOPK_ORACLE)
 def ext_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: broadcast the query vectors, stream
@@ -79,12 +92,7 @@ def ext_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", _cosine("qv", "cv").alias("cos"))
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "cos", "rank")
-    )
+    return _rank_topk(scored)
 
 
 # SURVEY §2.3 lists this operator under the id `join_similarity_topk`
@@ -117,12 +125,7 @@ def ext_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     nlist ~ sqrt(n_train) and nprobe = nlist/4; at deployment scale
     assignment lands partitioned by list id for list-local serving."""
     scored = _ivf_scored(spark, sf_dir, probe_all=False)
-    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "cos", "rank")
-    )
+    return _rank_topk(scored)
 
 
 def _ivf_scored(spark: SparkSession, sf_dir: str, probe_all: bool) -> DataFrame:
@@ -266,12 +269,7 @@ def ext_sim_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = joined.select(
         "query_id", "neighbor_id", _cosine("qv", "cv").alias("cos")
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "cos", "rank")
-    )
+    return _rank_topk(scored)
 
 
 EMBCOS_BLOCKS = 8  # triangle-join block count; tasks hold ≤ 2N/B vectors
@@ -637,8 +635,14 @@ def ext_sim_lsh_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: candidates ≪ corpus² — two vec_id equi-joins plus a
     scan-local fold, no quadratic stage beyond the bucketed miner."""
-    cand = ext_sim_lsh(spark, sf_dir)
-    e = load(spark, sf_dir, "embeddings").select(
+    # lsh_candidate_pairs directly, NOT ext_sim_lsh: the registered
+    # miner ends in a presentation orderBy whose global sort the two
+    # joins below would immediately destroy
+    emb = load(spark, sf_dir, "embeddings")
+    cand = lsh_candidate_pairs(
+        spark, emb.select("vec_id", "embedding"), LSH_DIST_THRESHOLD
+    )
+    e = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     joined = (
@@ -652,7 +656,11 @@ def ext_sim_lsh_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = joined.select("vec_a", "vec_b", "dist", exact.alias("exact_dist"))
     return scored.filter(
         (F.col("exact_dist") >= LSH_DIST_THRESHOLD + 1e-9)
-        | (F.abs(F.col("dist") - F.round(F.col("exact_dist"), 6)) > 1e-6)
+        # 1.5e-6, not 1e-6: one legitimate rounding-unit of disagreement
+        # (np.round half-even vs Spark HALF_UP at a .5e-6 boundary) is a
+        # double difference of ~1.0000000000288e-06 — the slack must
+        # genuinely admit one grid step
+        | (F.abs(F.col("dist") - F.round(F.col("exact_dist"), 6)) > 1.5e-6)
     )
 
 

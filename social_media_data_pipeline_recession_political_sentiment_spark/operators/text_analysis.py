@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import types as T
 
 from ..catalog import load
+from ..functions.hashing import doc_bucket, doc_bucket_sql
 from ..registry import ORACLES, register
 
 # stopword lists per language for the n-gram-free heuristic;
@@ -335,7 +336,7 @@ def ext_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_data_split",
     oracle=(
         "WITH b AS (SELECT doc_id, "
-        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 "
+        f"{doc_bucket_sql('doc_id')} "
         "AS bucket FROM documents) "
         "SELECT doc_id, bucket, CASE WHEN bucket < 8 THEN 'train' "
         "WHEN bucket < 9 THEN 'val' ELSE 'test' END AS split FROM b"
@@ -348,10 +349,7 @@ def ext_data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     a pure function of the key, so it is stable across runs, engines,
     partitionings and corpus growth (no sampling state, no shuffle)."""
     d = load(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("long") % 10
-    )
+    bucket = doc_bucket("doc_id")
     split = (
         F.when(bucket < 8, "train").when(bucket < 9, "val").otherwise("test")
     )
@@ -407,9 +405,9 @@ PACK_CAPACITY = 512  # tokens per packed context window
 @register(
     "ext_pack_sequences",
     oracle=(
-        "WITH RECURSIVE d AS (SELECT doc_id, lang, "
+        "WITH RECURSIVE d AS (SELECT doc_id, coalesce(lang, '') AS lang, "
         "len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens, "
-        "row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn "
+        "row_number() OVER (PARTITION BY coalesce(lang, '') ORDER BY doc_id) AS rn "
         "FROM documents), "
         "p(lang, rn, doc_id, n_tokens, bin_id, bin_offset) AS ("
         "  SELECT lang, rn, doc_id, n_tokens, CAST(0 AS BIGINT), CAST(0 AS BIGINT) "
@@ -451,7 +449,9 @@ def ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select(
         "doc_id",
-        "lang",
+        # coalesce: NULL = NULL is never true in SQL, so a NULL-lang
+        # group would silently diverge from the oracle's recursive join
+        F.coalesce(F.col("lang"), F.lit("")).alias("lang"),
         F.size(
             F.filter(F.split(F.col("text"), " "), lambda t: t != "")
         ).cast("long").alias("n_tokens"),

@@ -29,14 +29,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..catalog import load
+from ..catalog import load, ntz_as_utc_instant
 from ..registry import register
 from ..session import scoped_shuffle_partitions
 
 EVENTS_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.TimestampNTZType()),  # parquet timestamp[us], no tz
+        T.StructField("ts", T.TimestampNTZType()),  # placeholder; see stream_events
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -60,15 +60,31 @@ def _staged_events_dir(sf_dir: str) -> str:
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (the landed-payload
-    bronze dir of SURVEY §3.1's collector mapping)."""
-    raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .format("parquet")
-        .load(_staged_events_dir(sf_dir))
+    bronze dir of SURVEY §3.1's collector mapping).
+
+    The ts encoding has varied across driver testdata generations
+    (TIMESTAMP(NANOS)-as-long, plain timestamp[us] read as NTZ or —
+    with the engine conf — as TimestampType), so instead of
+    hardcoding one encoding in the stream schema, a one-file batch
+    read probes what this data actually decodes to under the current
+    session confs, and the stream declares that type and applies the
+    matching normalization — the same choke-point contract as
+    catalog.load."""
+    staged = _staged_events_dir(sf_dir)
+    probed = spark.read.parquet(staged).schema["ts"].dataType
+    schema = T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", probed)
+            for f in EVENTS_STREAM_SCHEMA.fields
+        ]
     )
-    # same NTZ->TimestampType bridge as catalog.load: wall clock
-    # interpreted as UTC, session-tz-independent, matches the oracle
-    return raw.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
+    raw = spark.readStream.schema(schema).format("parquet").load(staged)
+    if isinstance(probed, T.LongType):  # legacy nanos-as-long encoding
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(probed, T.TimestampNTZType):
+        # session-tz-independent wall-clock-as-UTC bridge (catalog.load)
+        return raw.withColumn("ts", ntz_as_utc_instant("ts"))
+    return raw
 
 
 def drain_to_table(

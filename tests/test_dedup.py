@@ -253,3 +253,21 @@ def test_incremental_dedup_flags_match_base_membership(spark):
     assert set(out) == set(incr)  # exactly the increment rows, flag total
     for doc_id, flag in out.items():
         assert flag == (incr[doc_id] in base_texts)
+
+
+def test_lss_summary_distinguishes_coordinate_sum_collisions(spark):
+    # {(3,1),(4,2)} and {(4,1),(3,2)} have identical (count, sum u,
+    # sum v) — the old convergence summary collided on them and could
+    # declare a false fixed point; the hash-sum fingerprint must not
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators import dedup as dd
+    from pyspark.sql import functions as F
+
+    def summary(edges):
+        df = spark.createDataFrame(edges, "u long, v long")
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("hs"),
+        ).collect()[0]
+        return (row["n"], row["hs"])
+
+    assert summary([(3, 1), (4, 2)]) != summary([(4, 1), (3, 2)])

@@ -102,3 +102,30 @@ def test_schema_evolution_nulls_only_on_v1_rows(spark):
     assert sum(r.n_rows for r in rows) == e.count()
     evolved = e.filter("event_id % 2 = 0 AND value IS NOT NULL").count()
     assert sum(r.n_valued for r in rows) == evolved
+
+
+def test_ntz_bridge_is_session_timezone_independent(spark):
+    # the NTZ->TimestampType bridge must interpret the wall clock as
+    # UTC no matter what session timezone the (driver's) session
+    # carries; to_utc_timestamp/cast coerce through the session zone
+    # and would shift the epoch by the zone offset
+    from pyspark.sql import functions as F
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.catalog import (
+        ntz_as_utc_instant,
+    )
+
+    key = "spark.sql.session.timeZone"
+    old = spark.conf.get(key)
+    try:
+        for tz in ("UTC", "America/New_York", "Asia/Tokyo"):
+            spark.conf.set(key, tz)
+            df = spark.sql(
+                "SELECT TIMESTAMP_NTZ '2020-01-01 00:00:00.123456' AS ts"
+            )
+            got = df.select(
+                F.unix_micros(ntz_as_utc_instant("ts")).alias("u")
+            ).collect()[0]["u"]
+            assert got == 1577836800123456, (tz, got)
+    finally:
+        spark.conf.set(key, old)
