@@ -170,3 +170,81 @@ def test_data_split_total_and_stable(spark, ids):
     assert a == b
     assert set(a) == {r[0] for r in rows}
     assert all(0 <= v[0] <= 9 and v[1] in ("train", "val", "test") for v in a.values())
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=700), min_size=0, max_size=40)
+)
+@settings(**_SETTINGS)
+def test_next_fit_packing_matches_sequential_reference(spark, token_counts):
+    """ext_pack_sequences' applyInPandas body must equal the plain
+    sequential next-fit recurrence for arbitrary token counts
+    (including zero-token and over-capacity docs)."""
+    import pandas as pd
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.text_analysis import (
+        PACK_CAPACITY,
+        ext_pack_sequences,
+    )
+
+    # reference: pure-python next-fit in doc_id order
+    expect = {}
+    bin_id, nxt, first = 0, 0, True
+    for i, n in enumerate(token_counts):
+        if first:
+            bin_id, off, first = 0, 0, False
+        elif nxt + n <= PACK_CAPACITY:
+            off = nxt
+        else:
+            bin_id, off = bin_id + 1, 0
+        expect[i] = (n, bin_id, off)
+        nxt = off + n
+
+    # engine: run the registered operator over a synthetic docs dir
+    # (text = n single-char tokens so the token count equals n)
+    import os
+    import tempfile
+
+    rows = [
+        (i, " ".join(["x"] * n) if n else "", "en", "s", 1)
+        for i, n in enumerate(token_counts)
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_pack_prop_")
+    d.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmp, "documents.parquet")
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.bin_id, r.bin_offset)
+        for r in ext_pack_sequences(spark, tmp).collect()
+    }
+    assert got == expect
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=25),
+            st.integers(min_value=0, max_value=25),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_lss_equals_label_propagation_property(spark, edges):
+    """Star contraction and label propagation must agree on arbitrary
+    small graphs (self-loops, duplicate edges, isolated nodes)."""
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators import dedup as dd
+
+    n = 26
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long") if edges else (
+        spark.createDataFrame([], "doc_a long, doc_b long")
+    )
+    lp = {r.doc_id: r.component for r in dd._label_propagate(docs, pairs).collect()}
+    lss = {r.doc_id: r.component for r in dd._large_small_star(docs, pairs).collect()}
+    assert lss == lp
