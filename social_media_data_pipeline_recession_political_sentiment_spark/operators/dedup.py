@@ -769,3 +769,36 @@ def ext_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= CONTAM_MIN_SHARED)
     )
+
+
+@register(
+    "ext_ngram_census",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+        "sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1), "
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM toks) "
+        "SELECT s AS shingle, count(*) AS df FROM sh GROUP BY s "
+        "ORDER BY df DESC, s LIMIT 20"
+    ),
+)
+def ext_ngram_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word-3-gram census: the top-20 shingles by document
+    frequency — the boilerplate detector (navigation chrome, license
+    headers, template sentences surface instantly) and the statistic
+    behind contamination triage (`ext_contamination_check` asks about
+    SPECIFIC eval shingles; this reports the corpus's own heavy
+    hitters). Reuses the shared shingle explode (`_exploded_shingles`,
+    distinct per doc, so df counts documents not occurrences).
+
+    Scale shape: the only full-width motion is the shingle-keyed
+    count shuffle with map-side partials; top-20 runs as
+    TakeOrderedAndProject over the aggregated side — no global sort.
+    Same plan family as `ext_tfidf_topterms` one level up the n-gram
+    ladder."""
+    sh = _exploded_shingles(spark, sf_dir)
+    return (
+        sh.groupBy(F.col("s").alias("shingle"))
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), "shingle")
+        .limit(20)
+    )

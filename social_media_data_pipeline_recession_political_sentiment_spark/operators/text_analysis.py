@@ -818,3 +818,63 @@ def ext_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shard_id"
         ),
     )
+
+
+def _mix_hash_sql(col: str) -> str:
+    """DuckDB twin of the salted 60-bit mixture hash below."""
+    return (
+        f"CAST(('0x' || substr(md5('mix:' || CAST({col} AS VARCHAR)), 1, 15)) AS BIGINT)"
+    )
+
+
+@register(
+    "ext_sample_mixture",
+    oracle=(
+        "WITH d AS (SELECT doc_id, source, "
+        f"{doc_bucket_sql('source')} + 1 AS weight_tenths, "
+        f"({_mix_hash_sql('doc_id')} % 1000) AS roll FROM documents) "
+        "SELECT source, weight_tenths, count(*) AS n_docs, "
+        "CAST(sum(CASE WHEN roll < weight_tenths * 100 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_kept FROM d GROUP BY source, weight_tenths"
+    ),
+)
+def ext_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-based mixture sampling — the training-mixture weighting
+    step (sample source s at rate w_s to hit a target data mix),
+    distinct from `ext_sample_per_group`'s hard quota: a KEEP decision
+    is a pure function of the document key, so the sample is stable
+    across runs, engines, partitionings and corpus growth, and
+    adding documents to a source never flips earlier decisions (the
+    property reservoir/quota sampling lacks). Per-source weights here
+    derive deterministically from the source name (md5 bucket + 1
+    tenths, i.e. 0.1..1.0) so the oracle reproduces them; a real run
+    would broadcast a curated weights table instead — same plan.
+
+    The keep rule is integer-exact end to end: a salted 60-bit md5 of
+    doc_id mod 1000 rolls against weight_tenths*100, so both engines
+    agree bit-for-bit (no float thresholds). Scale shape: scan-local
+    keep flag (zero shuffle), then one per-source count aggregation
+    with map-side partials — the census this query emits; the kept
+    corpus itself would just be the filter without the groupBy."""
+    d = load(spark, sf_dir, "documents")
+    wt = (doc_bucket("source") + 1).alias("weight_tenths")
+    roll = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    return (
+        d.select("source", wt, roll.alias("roll"))
+        .groupBy("source", "weight_tenths")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.col("roll") < F.col("weight_tenths") * 100, 1).otherwise(0)
+            ).cast("long").alias("n_kept"),
+        )
+    )

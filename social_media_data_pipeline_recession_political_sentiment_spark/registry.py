@@ -120,6 +120,9 @@ _WINDOW_PRIORITY = (
     "join_interval_overlap",
     # -- new this round: explicit grouping-sets subtotals --
     "agg_grouping_sets",
+    # -- new this round: mixture sampling + n-gram census --
+    "ext_sample_mixture",
+    "ext_ngram_census",
     # -- oldest hard check (r1) --
     "join_similarity_topk",
     # -- oldest r2-green (relational core), fills the window to 50 --
@@ -132,8 +135,6 @@ _WINDOW_PRIORITY = (
     "filter_recency",
     "filter_cast_date",
     "filter_nonempty",
-    "join_enriched_raw",
-    "join_anti_dedup",
 )
 
 

@@ -232,3 +232,17 @@ def test_pack_sequences_invariants(spark):
         langs[r.lang].add(r.bin_id)
     for lang, bins in langs.items():
         assert bins == set(range(len(bins)))
+
+
+def test_sample_mixture_rates_are_deterministic_and_bounded(spark):
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+    from tests.conftest import SF_SMOKE
+
+    a = {(r.source, r.weight_tenths, r.n_docs, r.n_kept)
+         for r in queries()["ext_sample_mixture"](spark, SF_SMOKE).collect()}
+    b = {(r.source, r.weight_tenths, r.n_docs, r.n_kept)
+         for r in queries()["ext_sample_mixture"](spark, SF_SMOKE).collect()}
+    assert a == b  # pure function of the data, stable across runs
+    for source, wt, n_docs, n_kept in a:
+        assert 1 <= wt <= 10
+        assert 0 <= n_kept <= n_docs
