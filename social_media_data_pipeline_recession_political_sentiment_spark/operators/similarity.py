@@ -664,6 +664,136 @@ def ext_sim_lsh_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LSH_RECALL_FLOOR_MILLIS = 500  # measured ~660 at sf0.001/sf0.01 (r5)
+_D2_THRESHOLD = LSH_DIST_THRESHOLD * LSH_DIST_THRESHOLD
+
+
+def _exact_dist2_pairs(spark: SparkSession, e: DataFrame, d2_threshold: float) -> DataFrame:
+    """Brute-force (vec_a, vec_b) pairs with squared euclidean distance
+    under ``d2_threshold`` — the distributed block triangle join of
+    `ext_dedup_embcos`, specialized to distance. d² is computed as
+    aa + bb − 2·ab with each dot accumulated IN INDEX ORDER (the
+    sequential fold DuckDB's `list_dot_product` performs), so the
+    threshold comparison is bit-identical to the SQL oracle — no
+    BLAS-reordering flakiness at the boundary. Exact and quadratic by
+    contract: this is the verification denominator, never a serving
+    path; per-task memory stays ≤ 2N/B vectors."""
+    import numpy as np
+    import pandas as pd
+
+    B = EMBCOS_BLOCKS
+    rep = (
+        e.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(B)).cast("int"))
+        .withColumn("o", F.explode(F.array(*[F.lit(i) for i in range(B)])))
+        .select(
+            F.least("blk", "o").alias("bi"),
+            F.greatest("blk", "o").alias("bj"),
+            "blk",
+            "vec_id",
+            "embedding",
+        )
+    )
+
+    _EMPTY = {"vec_a": "int64", "vec_b": "int64"}
+
+    def score_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
+        if bi == bj:
+            a = b = pdf
+        else:
+            a = pdf[pdf["blk"] == bi]
+            b = pdf[pdf["blk"] == bj]
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame({c: [] for c in _EMPTY}).astype(_EMPTY)
+        ids_a = a["vec_id"].to_numpy(dtype=np.int64)
+        ids_b = b["vec_id"].to_numpy(dtype=np.int64)
+        mat_a = np.stack([np.asarray(v, dtype=np.float64) for v in a["embedding"]])
+        mat_b = np.stack([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
+        # index-order folds (≙ DuckDB list_dot_product accumulation)
+        aa = np.zeros(len(ids_a))
+        bb = np.zeros(len(ids_b))
+        ab = np.zeros((len(ids_a), len(ids_b)))
+        for i in range(mat_a.shape[1]):
+            aa += mat_a[:, i] * mat_a[:, i]
+            bb += mat_b[:, i] * mat_b[:, i]
+            ab += np.outer(mat_a[:, i], mat_b[:, i])
+        d2 = aa[:, None] + bb[None, :] - 2.0 * ab
+        if bi == bj:
+            keep = ids_a[:, None] < ids_b[None, :]
+        else:
+            keep = np.ones((len(ids_a), len(ids_b)), dtype=bool)
+        keep &= d2 < d2_threshold
+        ai, bix = np.nonzero(keep)
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(ids_a[ai], ids_b[bix]),
+                "vec_b": np.maximum(ids_a[ai], ids_b[bix]),
+            }
+        )
+
+    return rep.groupBy("bi", "bj").applyInPandas(
+        score_group, "vec_a bigint, vec_b bigint"
+    )
+
+
+@register(
+    "ext_sim_lsh_recall",
+    oracle=(
+        "WITH bf AS (SELECT count(*) AS total_pairs FROM embeddings a "
+        "JOIN embeddings b ON a.vec_id < b.vec_id WHERE "
+        "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) "
+        "+ list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) "
+        "- 2 * list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) "
+        f"< {_D2_THRESHOLD!r}) "
+        f"SELECT total_pairs, CAST({LSH_RECALL_FLOOR_MILLIS} AS BIGINT) "
+        "AS recall_floor_millis, TRUE AS meets_floor FROM bf"
+    ),
+)
+def ext_sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible RECALL contract for the LSH pair miner — the
+    half `ext_sim_lsh_verify` (precision) leaves open (VERDICT r4,
+    What's-missing #3): one row
+
+        (total_pairs, recall_floor_millis, meets_floor)
+
+    where total_pairs is the BRUTE-FORCE count of unordered pairs
+    under LSH_DIST_THRESHOLD (exact — the block triangle join with
+    index-order folds, bit-identical to the oracle's
+    list_dot_product arithmetic, so the denominator hash-matches
+    DuckDB exactly) and meets_floor asserts found·1000 ≥
+    total·LSH_RECALL_FLOOR_MILLIS over the miner's candidate count —
+    pure integer arithmetic, no float recall value in the contract.
+    The oracle pins total_pairs and expects meets_floor = TRUE: a
+    bucketing regression that drops recall below the floor (measured
+    ~660 millis at sf0.001/sf0.01 with the seeded projections; floor
+    500 leaves honest noise margin) flips the boolean and fails the
+    driver's value hash. The exact FOUND count can't be
+    SQL-expressed (seeded gaussian projections), so the precise
+    recall value stays a pytest assertion
+    (tests/test_similarity.py) — what the driver certifies is the
+    floor, which is the part a regression would break.
+
+    Scale shape: the miner side is the production path (vectors×L
+    shuffle); the brute-force denominator is quadratic BY CONTRACT
+    and runs only at verification SF — the same asymmetry as
+    `ext_sim_ivf_exhaustive`."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    found = lsh_candidate_pairs(spark, e, LSH_DIST_THRESHOLD).agg(
+        F.count("*").alias("found")
+    )
+    total = _exact_dist2_pairs(spark, e, _D2_THRESHOLD).agg(
+        F.count("*").alias("total_pairs")
+    )
+    return total.crossJoin(F.broadcast(found)).select(
+        "total_pairs",
+        F.lit(LSH_RECALL_FLOOR_MILLIS).cast("long").alias("recall_floor_millis"),
+        (
+            F.col("found") * F.lit(1000)
+            >= F.col("total_pairs") * F.lit(LSH_RECALL_FLOOR_MILLIS)
+        ).alias("meets_floor"),
+    )
+
+
 @register(
     "ext_emb_norm",
     oracle=(

@@ -226,6 +226,115 @@ def test_next_fit_packing_matches_sequential_reference(spark, token_counts):
 @given(
     st.lists(
         st.tuples(
+            st.integers(min_value=0, max_value=1000),  # doc_id: spans >= 4 shards
+            st.integers(min_value=0, max_value=700),  # n_tokens
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pack_sequences_shard_stitch_matches_reference(spark, docs):
+    """The range-sharded packer must equal the pure-python model:
+    next-fit packing WITHIN each (lang, shard) domain, language-global
+    bin ids stitched as shard-local id + sum of earlier shards' bin
+    counts. A single-language corpus spread over many doc_id shards is
+    exactly the skew case the sharded domain exists for (VERDICT r4:
+    one-task-per-language packing)."""
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.text_analysis import (
+        PACK_CAPACITY,
+        PACK_SHARD_WIDTH,
+        ext_pack_sequences,
+    )
+
+    # pure-python reference: per-shard next-fit, then prefix-sum stitch
+    by_shard: dict[int, list[tuple[int, int]]] = {}
+    for doc_id, n in docs:
+        by_shard.setdefault(doc_id // PACK_SHARD_WIDTH, []).append((doc_id, n))
+    expect = {}
+    bin_base = 0
+    for shard in sorted(by_shard):
+        bin_id, nxt, first = 0, 0, True
+        for doc_id, n in sorted(by_shard[shard]):
+            if first:
+                bin_id, off, first = 0, 0, False
+            elif nxt + n <= PACK_CAPACITY:
+                off = nxt
+            else:
+                bin_id, off = bin_id + 1, 0
+            expect[doc_id] = (n, bin_base + bin_id, off)
+            nxt = off + n
+        bin_base += bin_id + 1
+
+    rows = [
+        (doc_id, " ".join(["x"] * n) if n else "", "en", "s", 1)
+        for doc_id, n in docs
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_pack_shard_")
+    d.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmp, "documents.parquet")
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.bin_id, r.bin_offset)
+        for r in ext_pack_sequences(spark, tmp).collect()
+    }
+    assert got == expect
+
+
+def test_pack_sequences_multi_shard_single_language(spark):
+    """Deterministic anchor for the property above: one language, 5
+    shards, every shard holding multiple bins — global bin ids must be
+    strictly increasing across shard boundaries with no reuse."""
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.text_analysis import (
+        PACK_SHARD_WIDTH,
+        ext_pack_sequences,
+    )
+
+    # 10 docs per shard x 5 shards, 200 tokens each => ~2-3 bins/shard
+    rows = [
+        (s * PACK_SHARD_WIDTH + i, " ".join(["x"] * 200), "en", "s", 1)
+        for s in range(5)
+        for i in range(10)
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_pack_ms_")
+    d.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmp, "documents.parquet")
+    )
+    out = sorted(
+        ext_pack_sequences(spark, tmp).collect(), key=lambda r: r.doc_id
+    )
+    assert len(out) == 50
+    shard_bins: dict[int, set[int]] = {}
+    for r in out:
+        shard_bins.setdefault(r.doc_id // PACK_SHARD_WIDTH, set()).add(r.bin_id)
+    assert len(shard_bins) == 5
+    prev_max = -1
+    for s in sorted(shard_bins):
+        # bins of consecutive shards tile [0, total) without overlap
+        assert min(shard_bins[s]) == prev_max + 1
+        prev_max = max(shard_bins[s])
+    # 2 docs of 200 tokens fit a 512 bin, a third doesn't => 5 bins of
+    # 10 docs per shard
+    assert prev_max + 1 == 25
+
+
+@given(
+    st.lists(
+        st.tuples(
             st.integers(min_value=0, max_value=25),
             st.integers(min_value=0, max_value=25),
         ),
