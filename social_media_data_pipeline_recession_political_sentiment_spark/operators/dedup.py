@@ -24,6 +24,8 @@ these operators are the north-star extension grounded in the
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -99,18 +101,18 @@ def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 INCR_BASE_BUCKETS = 8  # md5 buckets 0-7 = base corpus, 8-9 = increment
 
 
-@register(
-    "ext_dedup_incremental",
-    oracle=(
-        "WITH b AS (SELECT doc_id, text FROM documents "
-        f"WHERE {doc_bucket_sql('doc_id')} < {INCR_BASE_BUCKETS}), "
-        "i AS (SELECT doc_id, text FROM documents "
-        f"WHERE {doc_bucket_sql('doc_id')} >= {INCR_BASE_BUCKETS}) "
-        "SELECT i.doc_id, "
-        "EXISTS (SELECT 1 FROM b WHERE b.text = i.text) AS dup_of_base "
-        "FROM i"
-    ),
+_INCR_ORACLE = (
+    "WITH b AS (SELECT doc_id, text FROM documents "
+    f"WHERE {doc_bucket_sql('doc_id')} < {INCR_BASE_BUCKETS}), "
+    "i AS (SELECT doc_id, text FROM documents "
+    f"WHERE {doc_bucket_sql('doc_id')} >= {INCR_BASE_BUCKETS}) "
+    "SELECT i.doc_id, "
+    "EXISTS (SELECT 1 FROM b WHERE b.text = i.text) AS dup_of_base "
+    "FROM i"
 )
+
+
+@register("ext_dedup_incremental", oracle=_INCR_ORACLE)
 def ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental cross-corpus dedup — the nightly-ingest pattern: a
     new increment must be deduped AGAINST THE EXISTING BASE CORPUS,
@@ -142,6 +144,68 @@ def ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", F.coalesce(F.col("dup"), F.lit(False)).alias("dup_of_base")
         )
+    )
+
+
+@register("ext_dedup_incremental_bucketed", oracle=_INCR_ORACLE)
+def ext_dedup_incremental_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ext_dedup_incremental` with its documented 100 TB layout
+    actually built: the base corpus's DISTINCT sha2 fingerprints are
+    written ONCE as a `bucketBy(8, h)` + `sortBy(h)` catalog table
+    (the `join_bucketed_colocated` device), so every nightly
+    increment joins against the base WITH NO EXCHANGE on the base
+    side — the plan shuffles only the increment into the bucket
+    layout (an in-partition Sort remains on the bucketed scan: Spark
+    takes distribution from the bucket layout but, by default, not
+    file order). Same semantics and oracle as the plain operator;
+    what changes is who pays per night: amortized one bucketed write
+    vs re-shuffling the (at scale, enormous) base fingerprint set on
+    every ingest. PLANS.md captures the exchange-free base scan.
+    The remaining scale knob — a bloom filter built from the base
+    buckets to pre-drop the ~99% of increment rows matching nothing
+    before the join — stays documented, not built: it changes cost,
+    not the join's layout contract. Setup is idempotent per
+    (sf_dir, source mtime) like the other bucketed fixture."""
+    import hashlib
+    import shutil
+    from urllib.parse import urlparse
+
+    fp = sf_dir
+    p = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(p)
+        fp += f"|documents:{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        fp += "|documents:missing"
+    tag = hashlib.sha1(fp.encode()).hexdigest()[:8]
+    name = f"smdp_bkt_basefp_{tag}"
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+
+    d = load(spark, sf_dir, "documents")
+    bucket = doc_bucket("doc_id")
+    fingerprinted = d.select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("h"), bucket.alias("b")
+    )
+    if not spark.catalog.tableExists(name):
+        stale = os.path.join(wh, name)
+        if wh and os.path.isdir(stale):
+            shutil.rmtree(stale)
+        (
+            fingerprinted.filter(F.col("b") < INCR_BASE_BUCKETS)
+            .select("h")
+            .distinct()
+            .write.bucketBy(8, "h")
+            .sortBy("h")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    base = spark.table(name).withColumn("dup", F.lit(True)).hint("merge")
+    incr = fingerprinted.filter(F.col("b") >= INCR_BASE_BUCKETS).select(
+        "doc_id", "h"
+    )
+    return incr.join(base, "h", "left").select(
+        "doc_id", F.coalesce(F.col("dup"), F.lit(False)).alias("dup_of_base")
     )
 
 

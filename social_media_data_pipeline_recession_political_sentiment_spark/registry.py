@@ -59,82 +59,79 @@ def register(name: str, oracle: Optional[str] = None):
 # ROTATION RULE: front-load (1) anything added or rewritten since the
 # last round, (2) the queries whose last hard check is oldest;
 # tests/test_registry.py locks the list against typos.
-# Round 4 window (VERDICT r3 item 1): the 26 queries that have NEVER
-# been inside any round's window (added mid-r3 after the r3 window
-# froze, list from VERDICT r3 §2 "untested"), then the two mm stubs
-# whose oracle HUGEINT casts were fixed this round, the TEN queries
-# NEW in r4 (three falsifiable contracts for the approximate paths,
-# LSS components, LM score, sequence packing, incremental dedup,
-# RANGE-frame window, interval-overlap join, grouping sets),
-# join_similarity_topk (oldest hard check, r1), and r2-green
-# relational-core queries (oldest remaining checks) to fill the 50.
-# Last hard check per query: see VERDICT.md r3 coverage tables.
+# Round 5 window (VERDICT r4 item 2): queries added or rewritten this
+# round first — the range-sharded ext_pack_sequences rewrite, the new
+# LSH recall-floor contract, the new bucketed-base incremental dedup —
+# then the STALEST tags: sql_interface (last hard check r2, called out
+# by the verdict) and the 40 remaining r2-green relational / scalar /
+# dedup-core queries (every one two windows old), filled to 50 with
+# the oldest r3-green source scans/sinks. Zero overlap with the r4
+# window, leaving every query <= 2 rounds stale.
+# Last hard check per query: see VERDICT.md r4 coverage tables.
 _WINDOW_PRIORITY = (
-    # -- 26 never driver-checked (VERDICT r3 "untested") --
-    "scan_schema_evolution",
-    "join_star_schema",
-    "join_salted_skew",
-    "join_semi_exists",
-    "join_multihop_topk",
-    "agg_rollup",
-    "agg_hourly_heatmap",
-    "agg_pivot_matrix",
-    "agg_unpivot_long",
-    "window_lag_delta",
-    "agg_running_total",
-    "fn_unicode_nfc",
-    "udaf_value_range",
-    "stream_join_static",
-    "ext_dedup_embcos_lsh",  # rows-only by design; verify twin below
-    "ext_dedup_cluster_pick",
-    "ext_dedup_components",
-    "ext_dedup_pipeline",
-    "ext_contamination_check",
-    "ext_emb_norm",
-    "ext_text_repetition",
-    "ext_quality_gate",
-    "ext_tfidf_topterms",
-    "ext_url_domains",
-    "ext_sample_per_group",
-    "ext_shard_manifest",
-    # -- oracle fixed this round (r3 FAIL: DuckDB HUGEINT vs BIGINT) --
-    "ext_mm_decode_stub",
-    "ext_mm_frame_sample",
-    # -- new this round: hash-checkable contract for the approx path --
-    "ext_dedup_embcos_lsh_verify",
-    # -- new this round: large-star/small-star CC (high-diameter path) --
-    "ext_dedup_components_lss",
-    # -- new this round: IVF probe-all exactness contract --
-    "ext_sim_ivf_exhaustive",
-    # -- new this round: CCNet-style unigram LM quality score --
-    "ext_lm_unigram_score",
-    # -- new this round: next-fit sequence packing --
+    # -- rewritten this round: bounded (lang, shard) packing domains --
     "ext_pack_sequences",
-    # -- new this round: cross-corpus incremental dedup --
-    "ext_dedup_incremental",
-    # -- new this round: RANGE-interval moving window frame --
-    "window_moving_range",
-    # -- new this round: LSH precision (zero-violations) contract --
-    "ext_sim_lsh_verify",
-    # -- new this round: binned interval-overlap join --
-    "join_interval_overlap",
-    # -- new this round: explicit grouping-sets subtotals --
-    "agg_grouping_sets",
-    # -- new this round: mixture sampling + n-gram census --
-    "ext_sample_mixture",
-    "ext_ngram_census",
-    # -- oldest hard check (r1) --
-    "join_similarity_topk",
-    # -- oldest r2-green (relational core), fills the window to 50 --
-    "scan_csv",
-    "scan_table",
-    "project_flatten_json",
-    "project_columns",
-    "filter_time_range",
-    "filter_between",
-    "filter_recency",
-    "filter_cast_date",
-    "filter_nonempty",
+    # -- new this round: integer-exact LSH recall-floor contract --
+    "ext_sim_lsh_recall",
+    # -- new this round: exchange-free bucketed-base incremental dedup --
+    "ext_dedup_incremental_bucketed",
+    # -- stalest tag (r2), named first by the r4 verdict --
+    "sql_interface",
+    # -- r2-green joins --
+    "join_enriched_raw",
+    "join_anti_dedup",
+    "join_broadcast_dim",
+    "join_range",
+    "join_bucketed_colocated",
+    "join_asof",
+    # -- r2-green aggregations --
+    "agg_count_star",
+    "agg_group_count",
+    "agg_topk_groups",
+    "agg_daily_counts",
+    "agg_distinct_tuples",
+    "agg_multi_dim",
+    "agg_approx_distinct",
+    "agg_cube",
+    "agg_percentiles",
+    "agg_salted_skew",
+    # -- r2-green window / sort / limit --
+    "sort_by_time",
+    "sort_desc_limit",
+    "limit_n",
+    "window_rank_latest",
+    # -- r2-green set ops --
+    "union_pages",
+    "union_platforms",
+    # -- r2-green scalar functions --
+    "fn_strip_urls",
+    "fn_normalize_text",
+    "fn_strip_html",
+    "fn_epoch_to_ts",
+    "fn_parse_iso_ts",
+    "fn_date_format",
+    "fn_json_parse",
+    "fn_null_guards",
+    "fn_sentiment_bucket",
+    "fn_hate_flag",
+    # -- r2-green UDF tier --
+    "udf_clean_comment",
+    "udtf_explode_shingles",
+    # -- r2-green dedup/similarity core --
+    "ext_dedup_exact",
+    "ext_dedup_minhash",
+    "ext_dedup_simhash",
+    "ext_dedup_ngram_jaccard",
+    "ext_sim_topk",
+    # -- r2-green partition-pruned sink --
+    "sink_partitioned_prune",
+    # -- oldest r3-green (source scans + sinks), fills the 50 --
+    "scan_rest_json",
+    "scan_chan_json",
+    "scan_chan_catalog",
+    "scan_youtube_json",
+    "sink_insert",
+    "sink_create_table",
 )
 
 

@@ -53,6 +53,11 @@ def _staged_events_dir(sf_dir: str) -> str:
     )
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
+    # exists() follows symlinks: a link left dangling by a testdata
+    # regeneration would crash the eager ts-type probe below, so
+    # re-create it when the target is gone
+    if os.path.lexists(link) and not os.path.exists(link):
+        os.remove(link)
     if not os.path.exists(link):
         os.symlink(f"{sf_dir}/events.parquet", link)
     return stage

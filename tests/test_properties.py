@@ -357,3 +357,45 @@ def test_lss_equals_label_propagation_property(spark, edges):
     lp = {r.doc_id: r.component for r in dd._label_propagate(docs, pairs).collect()}
     lss = {r.doc_id: r.component for r in dd._large_small_star(docs, pairs).collect()}
     assert lss == lp
+
+
+def test_path_graph_at_label_prop_budget_boundary(spark, monkeypatch):
+    """Adversarial diameter: on a path graph label propagation needs
+    ~diameter rounds, so just past the round budget it must fail LOUD
+    (RuntimeError — never silently wrong labels), while large-star/
+    small-star converges on the same graph within a budget of the
+    O(log² n) order. The budget is monkeypatched small so the
+    boundary is exercised without a 50-round fixture."""
+    import pytest
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators import dedup as dd
+
+    budget = 6
+    monkeypatch.setattr(dd, "LABEL_PROP_MAX_ROUNDS", budget)
+    n = 12  # path diameter 11 > budget; convergence also needs a
+    # fixpoint-observation round, so budget 6 is well past exhausted
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd._label_propagate(docs, pairs).collect()
+
+    # the same graph, a same-order budget: star contraction converges
+    monkeypatch.setattr(dd, "LSS_MAX_ROUNDS", 12)  # ≈ log2(12)² ≈ 13
+    lss = {
+        r.doc_id: r.component
+        for r in dd._large_small_star(docs, pairs).collect()
+    }
+    assert lss == {i: 0 for i in range(n)}
+
+    # boundary sanity: a graph whose diameter fits the budget converges
+    short = spark.createDataFrame(
+        [(i, i + 1) for i in range(3)], "doc_a long, doc_b long"
+    )
+    short_docs = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    lp = {
+        r.doc_id: r.component
+        for r in dd._label_propagate(short_docs, short).collect()
+    }
+    assert lp == {i: 0 for i in range(4)}

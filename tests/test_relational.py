@@ -289,10 +289,29 @@ def test_moving_range_includes_self_and_is_bounded(spark):
     assert rows
     for r in rows:
         assert r.n_6h >= 1  # the frame always contains the current row
-    # an event alone in its 6h window carries exactly its own cents
     e = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
     total = e.count()
     assert len(rows) == total
+    # an event ALONE in its 6h window (n_6h == 1) carries exactly its
+    # own cents — engine-side round/cast so the reference values use
+    # the same HALF_UP rounding as the operator
+    from social_media_data_pipeline_recession_political_sentiment_spark.catalog import (
+        load as cat_load,
+    )
+
+    own_cents = {
+        r.event_id: r.cents
+        for r in cat_load(spark, SF_SMOKE, "events")
+        .select(
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .collect()
+    }
+    lonely = [r for r in rows if r.n_6h == 1]
+    assert lonely, "fixture has no event alone in its 6h window"
+    for r in lonely:
+        assert r.cents_6h == own_cents[r.event_id]
 
 
 def test_interval_overlap_matches_naive_join(spark):

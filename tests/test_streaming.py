@@ -204,3 +204,22 @@ def test_stream_join_static_matches_batch_join(spark):
     }
     all_types = {r.event_type for r in events.select("event_type").distinct().collect()}
     assert types_with_extreme == all_types
+
+
+def test_tumbling_count_equals_batch_daily_counts(spark):
+    """SURVEY §2.9 ≡ §2.4 equivalence claim, asserted: the drained
+    streaming tumbling daily count must reproduce the batch
+    `agg_daily_counts` result exactly over the same fixture — same
+    days, same counts, nothing extra on either side."""
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+    from tests.conftest import SF_SMOKE
+
+    batch = {
+        r.day: r.cnt
+        for r in queries()["agg_daily_counts"](spark, SF_SMOKE).collect()
+    }
+    stream = {
+        r.day: r.cnt
+        for r in queries()["stream_tumbling_count"](spark, SF_SMOKE).collect()
+    }
+    assert stream == batch

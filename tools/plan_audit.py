@@ -132,12 +132,26 @@ AUDIT = {
         "scale a top-K vocab cap turns the score join into a broadcast",
     ),
     "ext_pack_sequences": (
-        "one Exchange on lang into FlatMapGroupsInPandas; token "
-        "counts computed scan-local before the shuffle",
+        "the checkpointed per-(lang, shard) pack output read twice: "
+        "once direct, once through a partial/final HashAggregate + "
+        "tiny Window into a BroadcastExchange for the bin-base stitch "
+        "join (the pack stage itself — one Exchange on (lang, shard) "
+        "into FlatMapGroupsInPandas — sits behind the localCheckpoint "
+        "boundary)",
         "the sequential next-fit recurrence runs one linear pandas "
-        "scan per packing domain; only (doc_id, lang, n_tokens) rows "
-        "shuffle — never text — and the domain swaps to bounded "
-        "range-partitioned shards at scale",
+        "scan per BOUNDED packing domain (lang, doc_id-range shard — "
+        "never a whole language in one task); only (doc_id, lang, "
+        "shard, n_tokens) rows shuffle, and the language-global bin "
+        "ids come from a prefix-sum window over one row per shard, "
+        "broadcast back — no per-doc global window anywhere",
+    ),
+    "ext_dedup_incremental_bucketed": (
+        "SortMergeJoin on the fingerprint with Exchange ONLY on the "
+        "increment side; the base scan shows Bucketed: true with no "
+        "Exchange (only an in-partition Sort)",
+        "the nightly increment joins a base written bucketBy(8, h) "
+        "once — per-ingest cost is shuffling the small increment, "
+        "never the 100 TB base fingerprint set",
     ),
     "ext_dedup_incremental": (
         "sha2 projections on both sides below one hash join keyed on "
