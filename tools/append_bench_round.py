@@ -73,6 +73,17 @@ def main() -> int:
         order.append(name)
     order.sort()
 
+    # BASELINE.md must now cover the ENTIRE registry too — a query
+    # registered but missing a frozen row would silently escape ratio
+    # tracking forever (the r4 ext_sample_mixture/ext_ngram_census gap)
+    missing_rows = registered - set(order)
+    if missing_rows:
+        print(
+            f"BASELINE.md still missing {len(missing_rows)} registered "
+            f"queries after append: {sorted(missing_rows)[:10]}..."
+        )
+        return 1
+
     def _tot(col: int) -> float:
         return sum(float(rows[n][col]) for n in order if rows[n][col] not in ("—", ""))
 
