@@ -269,8 +269,10 @@ _SHINGLE_CTE = (
 
 _ROWS_PER_BAND = N_MINHASH // N_BANDS
 
-_MINHASH_ORACLE = (
-    f"WITH {_SHINGLE_CTE}, "
+# MinHash signature + banding + candidate CTE chain over a shingle
+# relation named `sh` — shared by the standalone candidate oracle and
+# the minhash-fronted pipeline oracle so the two can never diverge.
+_MH_CAND_CTES = (
     "hashed AS (SELECT doc_id, "
     f"{_salted_hash_sql(chr(39) + '1' + chr(39), 's')} AS h1, "
     f"{_salted_hash_sql(chr(39) + '2' + chr(39), 's')} % {_MH_STEP_MOD} AS h2 FROM sh), "
@@ -286,33 +288,27 @@ _MINHASH_ORACLE = (
         + ")) AS band_hash FROM mh"
         for b in range(N_BANDS)
     )
-    + ") "
-    "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    + "), "
+    "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
     "FROM banded a JOIN banded b ON a.band_id = b.band_id "
-    "AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id "
-    "ORDER BY doc_a, doc_b"
+    "AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)"
+)
+
+_MINHASH_ORACLE = (
+    f"WITH {_SHINGLE_CTE}, {_MH_CAND_CTES} "
+    "SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b"
 )
 
 
-@register("ext_dedup_minhash", oracle=_MINHASH_ORACLE)
-def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates: shingle → 16 minhashes → 4
-    bands of 4 → band-bucket equi-join. Fully deterministic (salted
-    md5-derived 60-bit hashes both engines can compute), so the whole
-    signature + banding math is SQL-oracle-checked; banding recall vs
-    exact Jaccard is additionally pytest-asserted (tests/test_dedup.py).
-
-    Physical shape: explode shingles once, md5-hash each shingle TWICE
-    (two-hash composition — the 16 MinHash functions are
-    (h1 + j*h2') mod 2^60, so hashing cost is O(2) not O(16) per
-    shingle), min-aggregate per doc (map-side partial => the shuffle
-    carries 16x8-byte signatures, not shingles); candidate generation
-    is an equi-join on (band, band_hash) — the LSH trick that replaces
-    the O(n^2) pair space with bucket collisions."""
-    exploded = _exploded_shingles(spark, sf_dir)
+def _minhash_candidates(sh: DataFrame) -> DataFrame:
+    """Banded-MinHash candidate pairs (doc_a < doc_b, distinct) from
+    (doc_id, s) shingle rows — the sub-quadratic candidate generator
+    shared by `ext_dedup_minhash` (standalone, oracle-checked) and
+    `ext_dedup_pipeline_minhash` (composed into the production dedup
+    chain). See `ext_dedup_minhash` for the physical-shape notes."""
     h1 = _salted_hash(F.lit("1"), F.col("s"))
     h2 = _salted_hash(F.lit("2"), F.col("s")) % F.lit(_MH_STEP_MOD)
-    hashed = exploded.select("doc_id", h1.alias("h1"), h2.alias("h2"))
+    hashed = sh.select("doc_id", h1.alias("h1"), h2.alias("h2"))
     sigs = hashed.groupBy("doc_id").agg(
         *[
             F.min((F.col("h1") + F.lit(j) * F.col("h2")) % F.lit(_MH_MOD)).alias(f"mh{j}")
@@ -337,7 +333,7 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (
+    return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -346,9 +342,27 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
-        .orderBy("doc_a", "doc_b")
     )
-    return pairs
+
+
+@register("ext_dedup_minhash", oracle=_MINHASH_ORACLE)
+def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: shingle → 16 minhashes → 4
+    bands of 4 → band-bucket equi-join. Fully deterministic (salted
+    md5-derived 60-bit hashes both engines can compute), so the whole
+    signature + banding math is SQL-oracle-checked; banding recall vs
+    exact Jaccard is additionally pytest-asserted (tests/test_dedup.py).
+
+    Physical shape: explode shingles once, md5-hash each shingle TWICE
+    (two-hash composition — the 16 MinHash functions are
+    (h1 + j*h2') mod 2^60, so hashing cost is O(2) not O(16) per
+    shingle), min-aggregate per doc (map-side partial => the shuffle
+    carries 16x8-byte signatures, not shingles); candidate generation
+    is an equi-join on (band, band_hash) — the LSH trick that replaces
+    the O(n^2) pair space with bucket collisions."""
+    return _minhash_candidates(_exploded_shingles(spark, sf_dir)).orderBy(
+        "doc_a", "doc_b"
+    )
 
 
 _SIMHASH_ORACLE = (
@@ -768,6 +782,106 @@ def ext_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    pairs = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+
+    comp = _label_propagate(f.select("doc_id"), pairs)
+    ranked = comp.join(f.select("doc_id", "n_chars"), "doc_id")
+    w = W.partitionBy("component").orderBy(F.desc("n_chars"), "doc_id")
+    wc = W.partitionBy("component")
+    r = ranked.select(
+        "doc_id",
+        "component",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("cluster_size"),
+    )
+    return r.filter(F.col("rn") == 1).select(
+        F.col("doc_id").alias("keep_id"), "component", "cluster_size"
+    )
+
+
+_PIPELINE_MINHASH_ORACLE = f"""
+WITH RECURSIVE f AS (SELECT doc_id, text, n_chars FROM documents
+          WHERE len(string_split(text, ' ')) >= {E2E_MIN_TOKENS}),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM f),
+sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM toks),
+{_MH_CAND_CTES},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+          FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+          GROUP BY 1, 2),
+pairs AS (SELECT doc_a, doc_b FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(node, lbl) AS (
+    SELECT doc_id, doc_id FROM f
+    UNION
+    SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node),
+ranked AS (SELECT c.doc_id, c.component,
+           row_number() OVER (PARTITION BY c.component
+                              ORDER BY d.n_chars DESC, c.doc_id) AS rn,
+           count(*) OVER (PARTITION BY c.component) AS cluster_size
+           FROM comp c JOIN f d ON d.doc_id = c.doc_id)
+SELECT doc_id AS keep_id, component, cluster_size FROM ranked WHERE rn = 1
+"""
+
+
+@register("ext_dedup_pipeline_minhash", oracle=_PIPELINE_MINHASH_ORACLE)
+def ext_dedup_pipeline_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION-shape end-to-end dedup chain: quality gate →
+    banded-MinHash candidates (sub-quadratic) → exact-Jaccard verify
+    RESTRICTED to candidates → connected components → canonical pick.
+    `ext_dedup_pipeline` proves the same composition with exhaustive
+    exact-Jaccard pairs; its docstring promises that "at deployment
+    the exact-Jaccard pair stage swaps for MinHash banding" — this
+    operator IS that swap, still hash-checked end to end because the
+    banding arithmetic is deterministic salted-md5 math the DuckDB
+    oracle reproduces (candidate recall < 1 is part of the contract,
+    not noise: both engines compute the identical candidate set).
+
+    Stage shapes at 100 TB: gate scan-local; signatures reduce
+    map-side to 16×8-byte minhashes before the one doc-keyed shuffle
+    (never shingle text); candidates come from band-bucket
+    equi-collisions; the Jaccard verify joins shingles ONLY for
+    candidate pairs (cost linear in candidates × shingles/doc, never
+    all-pairs — the piece the exhaustive pipeline can't claim);
+    components and pick reuse the proven label-prop/window machinery.
+    The shingle relation is localCheckpointed once and feeds all four
+    consumers (signatures, sizes, both verify sides)."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    f = d.filter(F.size(_tokens(F.col("text"))) >= E2E_MIN_TOKENS)
+    f = f.repartition(spark.sparkContext.defaultParallelism)
+
+    sh = (
+        _with_shingles(f)
+        .select("doc_id", F.explode_outer("sh").alias("s"))
+        .filter(F.col("s").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    cand = _minhash_candidates(sh)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("i"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))

@@ -75,6 +75,8 @@ _WINDOW_PRIORITY = (
     "ext_sim_lsh_recall",
     # -- new this round: exchange-free bucketed-base incremental dedup --
     "ext_dedup_incremental_bucketed",
+    # -- new this round: minhash-fronted production dedup chain --
+    "ext_dedup_pipeline_minhash",
     # -- stalest tag (r2), named first by the r4 verdict --
     "sql_interface",
     # -- r2-green joins --
@@ -131,7 +133,6 @@ _WINDOW_PRIORITY = (
     "scan_chan_catalog",
     "scan_youtube_json",
     "sink_insert",
-    "sink_create_table",
 )
 
 

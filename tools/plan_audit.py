@@ -145,6 +145,16 @@ AUDIT = {
         "ids come from a prefix-sum window over one row per shard, "
         "broadcast back — no per-doc global window anywhere",
     ),
+    "ext_dedup_pipeline_minhash": (
+        "the minhash signature agg (16 partial-min columns) and band "
+        "equi-join feeding a candidate-keyed Jaccard verify join over "
+        "the checkpointed shingle relation; label-prop rounds sit "
+        "behind the localCheckpoint boundary",
+        "candidates come from band-bucket collisions (never an "
+        "all-pairs shingle join) and exact Jaccard is computed ONLY "
+        "for candidate pairs — the sub-quadratic production chain, "
+        "hash-checked end to end",
+    ),
     "ext_dedup_incremental_bucketed": (
         "SortMergeJoin on the fingerprint with Exchange ONLY on the "
         "increment side; the base scan shows Bucketed: true with no "
