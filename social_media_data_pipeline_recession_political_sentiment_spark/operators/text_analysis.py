@@ -404,6 +404,64 @@ PACK_SHARD_WIDTH = 200  # doc_id range width of one packing domain
 
 _PACK_SHARD_SQL = f"CAST(floor(doc_id / {PACK_SHARD_WIDTH}) AS BIGINT)"
 
+# Next-fit recurrence folds (see ext_pack_sequences). Parsed via
+# `_cached_expr` once per process — F.expr's SQL parse of these trees
+# costs ~0.3 s and needs a live SparkContext, so neither import-time
+# parsing nor per-call parsing is acceptable.
+_NBINS_FOLD_SQL = f"""
+  aggregate(
+    docs,
+    named_struct('bin', cast(0 as bigint), 'nxt', cast(-1 as bigint)),
+    (acc, x) -> CASE
+      WHEN acc.nxt < 0 THEN named_struct(
+        'bin', cast(0 as bigint), 'nxt', x.n_tokens)
+      WHEN acc.nxt + x.n_tokens <= {PACK_CAPACITY} THEN named_struct(
+        'bin', acc.bin, 'nxt', acc.nxt + x.n_tokens)
+      ELSE named_struct(
+        'bin', acc.bin + cast(1 as bigint), 'nxt', x.n_tokens)
+    END,
+    acc -> acc.bin + cast(1 as bigint)
+  )
+"""
+
+_PACK_FOLD_SQL = f"""
+  aggregate(
+    docs,
+    named_struct('bin', bin_base, 'nxt', cast(-1 as bigint),
+      'out', cast(array() as array<struct<bin_id:bigint,bin_offset:bigint>>)),
+    (acc, x) -> CASE
+      WHEN acc.nxt < 0 THEN named_struct(
+        'bin', bin_base, 'nxt', x.n_tokens,
+        'out', array(named_struct('bin_id', bin_base,
+                                  'bin_offset', cast(0 as bigint))))
+      WHEN acc.nxt + x.n_tokens <= {PACK_CAPACITY} THEN named_struct(
+        'bin', acc.bin, 'nxt', acc.nxt + x.n_tokens,
+        'out', array_append(acc.out, named_struct('bin_id', acc.bin,
+                                                  'bin_offset', acc.nxt)))
+      ELSE named_struct(
+        'bin', acc.bin + cast(1 as bigint), 'nxt', x.n_tokens,
+        'out', array_append(acc.out, named_struct(
+          'bin_id', acc.bin + cast(1 as bigint),
+          'bin_offset', cast(0 as bigint))))
+    END,
+    acc -> zip_with(docs, acc.out, (d, b) -> named_struct(
+      'doc_id', d.doc_id, 'n_tokens', d.n_tokens,
+      'bin_id', b.bin_id, 'bin_offset', b.bin_offset))
+  )
+"""
+
+_EXPR_CACHE: dict = {}
+
+
+def _cached_expr(sql: str):
+    """Parse-once cache for big HOF expressions (Columns are immutable
+    expression trees — safe to share across DataFrames/queries)."""
+    col = _EXPR_CACHE.get(sql)
+    if col is None:
+        col = F.expr(sql)
+        _EXPR_CACHE[sql] = col
+    return col
+
 
 @register(
     "ext_pack_sequences",
@@ -446,25 +504,30 @@ def ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Packing is inherently a sequential recurrence (each placement
     depends on the running bin fill), so it CANNOT be a window
-    function; it runs as `applyInPandas` over the packing DOMAIN —
-    one linear pandas scan per group. The domain is NOT the whole
-    language (an English-dominated 100 TB corpus would put most of
-    the data in one task — the scale defect VERDICT r4 flagged): it
-    is (lang, shard) with shard = floor(doc_id / PACK_SHARD_WIDTH), a
-    pure function of the row, so per-task work is bounded by
+    function; it runs as a JVM-side `aggregate` HOF fold over each
+    packing DOMAIN's doc list (sorted `collect_list`, one linear
+    codegen pass per group — no Python, no Arrow transfer). The
+    domain is NOT the whole language (an English-dominated 100 TB
+    corpus would put most of the data in one task — the scale defect
+    VERDICT r4 flagged): it is (lang, shard) with shard =
+    floor(doc_id / PACK_SHARD_WIDTH), a pure function of the row, so
+    per-task work and per-group array size are bounded by
     PACK_SHARD_WIDTH documents no matter how skewed the language mix
     is, and the DuckDB oracle reproduces the exact same domains with
     a recursive CTE partitioned the same way. Bins never span shards
     (tail waste per shard is < one bin — negligible against the
     thousands of bins a shard holds at production width); language-
     global bin ids are stitched back on with a TWO-PHASE PREFIX SUM,
-    the `ext_shard_manifest` device: phase 1 packs every shard
-    independently, phase 2 turns the per-shard bin counts (one row
-    per shard, never per doc) into per-shard starting offsets via a
-    window over that tiny aggregate, broadcast-joined back. Token
+    the `ext_shard_manifest` device: phase 2 derives per-shard bin
+    counts with a scalar-state fold and runs a window over ONE SLIM
+    ROW PER SHARD (lang, shard, nbins) — never over documents, never
+    moving the packed arrays — then broadcast-joins the per-shard
+    starting bin ids back and seeds the row-emitting fold with them,
+    so the expensive fold appears exactly once in the plan. The two
+    branches each re-scan the 3-column pruned projection (cheap; a
+    deployment that minds it persists the grouped relation). Token
     counts and bin ids are exact integers end to end — nothing float
     touches the contract."""
-    import pandas as pd
     from pyspark.sql import Window as W
 
     d = load(spark, sf_dir, "documents").select(
@@ -478,44 +541,18 @@ def ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("n_tokens"),
     )
 
-    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        bins, offs = [], []
-        bin_id, nxt = 0, 0
-        first = True
-        for n in pdf["n_tokens"]:
-            n = int(n)
-            if first:
-                bin_id, off = 0, 0
-                first = False
-            elif nxt + n <= PACK_CAPACITY:
-                off = nxt
-            else:
-                bin_id, off = bin_id + 1, 0
-            bins.append(bin_id)
-            offs.append(off)
-            nxt = off + n
-        pdf["bin_id"] = pd.Series(bins, dtype="int64")
-        pdf["bin_offset"] = pd.Series(offs, dtype="int64")
-        return pdf[["doc_id", "lang", "shard", "n_tokens", "bin_id", "bin_offset"]]
-
-    packed = d.groupBy("lang", "shard").applyInPandas(
-        pack,
-        "doc_id bigint, lang string, shard bigint, n_tokens bigint, "
-        "bin_id bigint, bin_offset bigint",
+    # one row per (lang, shard): docs sorted by doc_id (struct sort =
+    # lexicographic on the leading field)
+    g = d.groupBy("lang", "shard").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "n_tokens"))).alias("docs")
     )
-    # Materialize once: the per-shard bin counts below and the final
-    # projection both read `packed`; without this each action would
-    # re-run the pack shuffle (determinism holds either way — the
-    # checkpoint is for cost and lineage, the shard_manifest pattern).
-    packed = packed.localCheckpoint(eager=True)
 
-    # phase 2: per-(lang, shard) bin counts -> language-global starting
-    # bin ids. One row per shard, so the per-lang running sum is a
-    # window over a tiny aggregate, never over documents.
-    nb = packed.groupBy("lang", "shard").agg(
-        (F.max("bin_id") + F.lit(1)).alias("nbins")
-    )
+    # phase 2 FIRST: per-shard bin counts from a SCALAR fold (state =
+    # (open bin, next offset) only — the expensive row-emitting fold
+    # below then appears exactly once in the plan, keeping per-call
+    # analysis cost flat), prefix-summed per language over one slim
+    # row per shard, never over documents.
+    nb = g.select("lang", "shard", _cached_expr(_NBINS_FOLD_SQL).alias("nbins"))
     w = (
         W.partitionBy("lang")
         .orderBy("shard")
@@ -526,12 +563,20 @@ def ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         F.coalesce(F.sum("nbins").over(w), F.lit(0)).alias("bin_base"),
     )
-    return packed.join(F.broadcast(base), ["lang", "shard"]).select(
-        "doc_id",
-        "lang",
-        "n_tokens",
-        (F.col("bin_id") + F.col("bin_base")).alias("bin_id"),
-        "bin_offset",
+
+    # join the starting bin id on, then run the next-fit recurrence
+    # ONCE, seeded at bin_base, emitting (bin_id, bin_offset) aligned
+    # with the sorted docs; zip_with restores the per-doc rows
+    return (
+        g.join(F.broadcast(base), ["lang", "shard"])
+        .select("lang", F.explode(_cached_expr(_PACK_FOLD_SQL)).alias("p"))
+        .select(
+            F.col("p.doc_id").alias("doc_id"),
+            "lang",
+            F.col("p.n_tokens").alias("n_tokens"),
+            F.col("p.bin_id").alias("bin_id"),
+            F.col("p.bin_offset").alias("bin_offset"),
+        )
     )
 
 

@@ -271,3 +271,28 @@ def test_lss_summary_distinguishes_coordinate_sum_collisions(spark):
         return (row["n"], row["hs"])
 
     assert summary([(3, 1), (4, 2)]) != summary([(4, 1), (3, 2)])
+
+
+def test_minhash_pipeline_refines_exhaustive_pipeline(spark):
+    """MinHash candidate pairs are a SUBSET of the exact-Jaccard pairs
+    (banding only loses edges, never invents them), so the minhash
+    chain's components must REFINE the exhaustive chain's: at least as
+    many clusters, the same gated corpus covered, and every minhash
+    keeper's cluster no larger than the exhaustive cluster containing
+    the same component id space would allow."""
+    from tests.conftest import SF_SMOKE
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+
+    exact = queries()["ext_dedup_pipeline"](spark, SF_SMOKE).collect()
+    mh = queries()["ext_dedup_pipeline_minhash"](spark, SF_SMOKE).collect()
+    # refinement => cluster count can only grow when edges are dropped
+    assert len(mh) >= len(exact)
+    # both partition the same gated corpus: total membership matches
+    assert sum(r.cluster_size for r in mh) == sum(r.cluster_size for r in exact)
+    # component ids are min-doc_ids: every exact component min is also
+    # a minhash component min (dropping edges can split a cluster but
+    # its minimum element stays a minimum of some sub-cluster)
+    exact_comps = {r.component for r in exact}
+    mh_comps = {r.component for r in mh}
+    assert exact_comps <= mh_comps

@@ -132,18 +132,18 @@ AUDIT = {
         "scale a top-K vocab cap turns the score join into a broadcast",
     ),
     "ext_pack_sequences": (
-        "the checkpointed per-(lang, shard) pack output read twice: "
-        "once direct, once through a partial/final HashAggregate + "
-        "tiny Window into a BroadcastExchange for the bin-base stitch "
-        "join (the pack stage itself — one Exchange on (lang, shard) "
-        "into FlatMapGroupsInPandas — sits behind the localCheckpoint "
-        "boundary)",
-        "the sequential next-fit recurrence runs one linear pandas "
-        "scan per BOUNDED packing domain (lang, doc_id-range shard — "
-        "never a whole language in one task); only (doc_id, lang, "
-        "shard, n_tokens) rows shuffle, and the language-global bin "
-        "ids come from a prefix-sum window over one row per shard, "
-        "broadcast back — no per-doc global window anywhere",
+        "two branches of the (lang, shard) collect_list aggregate: a "
+        "slim scalar-fold + tiny Window into a BroadcastExchange for "
+        "the bin-base stitch, and the probe side running the "
+        "row-emitting fold + Generate(explode) exactly once — no "
+        "Python stage at all",
+        "the sequential next-fit recurrence runs as a codegen'd JVM "
+        "aggregate-HOF fold per BOUNDED packing domain (lang, "
+        "doc_id-range shard — never a whole language in one task); "
+        "only (doc_id, lang, shard, n_tokens) rows shuffle, and the "
+        "language-global bin ids come from a prefix-sum window over "
+        "one row per shard, broadcast back — no per-doc global window "
+        "anywhere",
     ),
     "ext_dedup_pipeline_minhash": (
         "the minhash signature agg (16 partial-min columns) and band "
