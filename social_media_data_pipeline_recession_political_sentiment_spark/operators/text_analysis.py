@@ -408,45 +408,47 @@ _PACK_SHARD_SQL = f"CAST(floor(doc_id / {PACK_SHARD_WIDTH}) AS BIGINT)"
 # `_cached_expr` once per process — F.expr's SQL parse of these trees
 # costs ~0.3 s and needs a live SparkContext, so neither import-time
 # parsing nor per-call parsing is acceptable.
+# Fold-state design, tuned for PER-CALL PLAN COST (the execution is
+# 0.1 s; the repeated Catalyst passes over the expression tree were
+# the bench cost): (1) the state is a flat array<bigint>
+# [bin, nxt, code...] — no struct types for the optimizer to coerce
+# across CASE branches; (2) the initial state (bin = start − 1,
+# nxt = CAPACITY + 1) makes the FIRST document take the ordinary
+# overflow branch (nxt + n > CAP always since n ≥ 0), so there is no
+# first-element special case; (3) each placement is one bigint code
+# bin·ENC + offset (offset ≤ CAPACITY < ENC), decoded by div/pmod in
+# the final projection.
+_PACK_ENC = 1024  # > PACK_CAPACITY so (bin, offset) packs losslessly
+
 _NBINS_FOLD_SQL = f"""
   aggregate(
     docs,
-    named_struct('bin', cast(0 as bigint), 'nxt', cast(-1 as bigint)),
+    array(cast(-1 as bigint), cast({PACK_CAPACITY + 1} as bigint)),
     (acc, x) -> CASE
-      WHEN acc.nxt < 0 THEN named_struct(
-        'bin', cast(0 as bigint), 'nxt', x.n_tokens)
-      WHEN acc.nxt + x.n_tokens <= {PACK_CAPACITY} THEN named_struct(
-        'bin', acc.bin, 'nxt', acc.nxt + x.n_tokens)
-      ELSE named_struct(
-        'bin', acc.bin + cast(1 as bigint), 'nxt', x.n_tokens)
+      WHEN element_at(acc, 2) + x.n_tokens <= {PACK_CAPACITY}
+        THEN array(element_at(acc, 1), element_at(acc, 2) + x.n_tokens)
+      ELSE array(element_at(acc, 1) + 1, x.n_tokens)
     END,
-    acc -> acc.bin + cast(1 as bigint)
+    acc -> element_at(acc, 1) + 1
   )
 """
 
 _PACK_FOLD_SQL = f"""
   aggregate(
     docs,
-    named_struct('bin', bin_base, 'nxt', cast(-1 as bigint),
-      'out', cast(array() as array<struct<bin_id:bigint,bin_offset:bigint>>)),
+    array(bin_base - 1, cast({PACK_CAPACITY + 1} as bigint)),
     (acc, x) -> CASE
-      WHEN acc.nxt < 0 THEN named_struct(
-        'bin', bin_base, 'nxt', x.n_tokens,
-        'out', array(named_struct('bin_id', bin_base,
-                                  'bin_offset', cast(0 as bigint))))
-      WHEN acc.nxt + x.n_tokens <= {PACK_CAPACITY} THEN named_struct(
-        'bin', acc.bin, 'nxt', acc.nxt + x.n_tokens,
-        'out', array_append(acc.out, named_struct('bin_id', acc.bin,
-                                                  'bin_offset', acc.nxt)))
-      ELSE named_struct(
-        'bin', acc.bin + cast(1 as bigint), 'nxt', x.n_tokens,
-        'out', array_append(acc.out, named_struct(
-          'bin_id', acc.bin + cast(1 as bigint),
-          'bin_offset', cast(0 as bigint))))
+      WHEN element_at(acc, 2) + x.n_tokens <= {PACK_CAPACITY}
+        THEN concat(
+          array(element_at(acc, 1), element_at(acc, 2) + x.n_tokens),
+          slice(acc, 3, size(acc) - 2),
+          array(element_at(acc, 1) * {_PACK_ENC} + element_at(acc, 2)))
+      ELSE concat(
+          array(element_at(acc, 1) + 1, x.n_tokens),
+          slice(acc, 3, size(acc) - 2),
+          array((element_at(acc, 1) + 1) * {_PACK_ENC}))
     END,
-    acc -> zip_with(docs, acc.out, (d, b) -> named_struct(
-      'doc_id', d.doc_id, 'n_tokens', d.n_tokens,
-      'bin_id', b.bin_id, 'bin_offset', b.bin_offset))
+    acc -> slice(acc, 3, size(acc) - 2)
   )
 """
 
@@ -535,7 +537,14 @@ def ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         # coalesce: NULL = NULL is never true in SQL, so a NULL-lang
         # group would silently diverge from the oracle's recursive join
         F.coalesce(F.col("lang"), F.lit("")).alias("lang"),
-        F.floor(F.col("doc_id") / PACK_SHARD_WIDTH).cast("long").alias("shard"),
+        # coalesce ALSO proves the join keys non-null: without it the
+        # stitch join infers isnotnull filters on the probe branch
+        # only, the two agg subtrees stop being identical, and
+        # ReusedExchange can't share their shuffle (doc_id is never
+        # actually null in the testdata contract)
+        F.coalesce(
+            F.floor(F.col("doc_id") / PACK_SHARD_WIDTH).cast("long"), F.lit(0)
+        ).alias("shard"),
         F.size(
             F.filter(F.split(F.col("text"), " "), lambda t: t != "")
         ).cast("long").alias("n_tokens"),
@@ -565,17 +574,23 @@ def ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # join the starting bin id on, then run the next-fit recurrence
-    # ONCE, seeded at bin_base, emitting (bin_id, bin_offset) aligned
-    # with the sorted docs; zip_with restores the per-doc rows
+    # ONCE, seeded at bin_base, emitting one bigint code per doc
+    # aligned with the sorted docs; posexplode + element_at restores
+    # the per-doc rows, div/pmod decodes (bin_id, bin_offset)
+    doc = F.element_at(F.col("docs"), F.col("pos") + 1)
     return (
         g.join(F.broadcast(base), ["lang", "shard"])
-        .select("lang", F.explode(_cached_expr(_PACK_FOLD_SQL)).alias("p"))
         .select(
-            F.col("p.doc_id").alias("doc_id"),
             "lang",
-            F.col("p.n_tokens").alias("n_tokens"),
-            F.col("p.bin_id").alias("bin_id"),
-            F.col("p.bin_offset").alias("bin_offset"),
+            "docs",
+            F.posexplode(_cached_expr(_PACK_FOLD_SQL)).alias("pos", "code"),
+        )
+        .select(
+            doc["doc_id"].alias("doc_id"),
+            "lang",
+            doc["n_tokens"].alias("n_tokens"),
+            F.expr(f"code div {_PACK_ENC}").alias("bin_id"),
+            F.pmod(F.col("code"), F.lit(_PACK_ENC)).alias("bin_offset"),
         )
     )
 
