@@ -794,6 +794,141 @@ def ext_sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KNN_K = 3
+
+
+@register(
+    "ext_sim_knn_graph",
+    oracle=(
+        f"WITH c AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, "
+        f"{_COS_SQL} AS cos FROM embeddings a JOIN embeddings b "
+        "ON b.vec_id != a.vec_id), "
+        "r AS (SELECT vec_id, neighbor_id, cos, row_number() OVER ("
+        "PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank FROM c) "
+        f"SELECT vec_id, neighbor_id, cos, rank FROM r WHERE rank <= {KNN_K}"
+    ),
+)
+def ext_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN graph over the WHOLE corpus (every vector's top-k
+    cosine neighbors) — the input SemDeDup-style semantic clustering
+    and graph-based curation build on, distinct from `ext_sim_topk`'s
+    few-queries serving shape.
+
+    Physical strategy: the block triangle join of `ext_dedup_embcos`
+    plus a PER-BLOCK PARTIAL TOP-K — the map-side-combine idea
+    applied to kNN. Each of the B(B+1)/2 block-pair tasks scores its
+    two blocks with NumPy and emits only each vector's k best
+    neighbors WITHIN THAT PAIR (both directions), so the shuffle into
+    the final per-vector window carries ≤ N·B·k candidate rows —
+    never the N² pair space. Exactness: under the total order
+    (cos DESC, neighbor_id ASC) the global top-k is always a subset
+    of the union of per-block top-ks, so the window rank over
+    candidates equals the rank over all pairs. Cosines accumulate
+    IN INDEX ORDER (the `list_dot_product` sequential fold), so
+    values, ordering, and therefore ranks are bit-identical to the
+    SQL oracle. Quadratic compute by contract (it is the EXACT
+    graph); at 100 TB the same per-block partial top-k rides the
+    LSH/IVF candidate generators instead of the full triangle."""
+    import numpy as np
+    import pandas as pd
+
+    B = EMBCOS_BLOCKS
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rep = (
+        e.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(B)).cast("int"))
+        .withColumn("o", F.explode(F.array(*[F.lit(i) for i in range(B)])))
+        .select(
+            F.least("blk", "o").alias("bi"),
+            F.greatest("blk", "o").alias("bj"),
+            "blk",
+            "vec_id",
+            "embedding",
+        )
+    )
+
+    _EMPTY = {"vec_id": "int64", "neighbor_id": "int64", "cos": "float64"}
+
+    def _fold_dots(mat_a, mat_b):
+        # index-order accumulation ≙ the SQL engines' sequential fold
+        aa = np.zeros(mat_a.shape[0])
+        bb = np.zeros(mat_b.shape[0])
+        ab = np.zeros((mat_a.shape[0], mat_b.shape[0]))
+        for i in range(mat_a.shape[1]):
+            aa += mat_a[:, i] * mat_a[:, i]
+            bb += mat_b[:, i] * mat_b[:, i]
+            ab += np.outer(mat_a[:, i], mat_b[:, i])
+        return aa, bb, ab
+
+    def _partial_topk(ids_q, ids_n, cos, self_mask=None):
+        # per row of cos: k best columns under (cos DESC, neighbor ASC)
+        out_q, out_n, out_c = [], [], []
+        for r in range(cos.shape[0]):
+            row = cos[r]
+            valid = np.ones(len(ids_n), dtype=bool)
+            if self_mask is not None:
+                valid &= ids_n != ids_q[r]
+            idx = np.nonzero(valid)[0]
+            if len(idx) == 0:
+                continue
+            order = np.lexsort((ids_n[idx], -row[idx]))[:KNN_K]
+            pick = idx[order]
+            out_q.append(np.full(len(pick), ids_q[r]))
+            out_n.append(ids_n[pick])
+            out_c.append(row[pick])
+        if not out_q:
+            return None
+        return (
+            np.concatenate(out_q),
+            np.concatenate(out_n),
+            np.concatenate(out_c),
+        )
+
+    def score_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
+        if bi == bj:
+            a = b = pdf
+        else:
+            a = pdf[pdf["blk"] == bi]
+            b = pdf[pdf["blk"] == bj]
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame({c: [] for c in _EMPTY}).astype(_EMPTY)
+        ids_a = a["vec_id"].to_numpy(dtype=np.int64)
+        ids_b = b["vec_id"].to_numpy(dtype=np.int64)
+        mat_a = np.stack([np.asarray(v, dtype=np.float64) for v in a["embedding"]])
+        mat_b = np.stack([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
+        aa, bb, ab = _fold_dots(mat_a, mat_b)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = ab / (np.sqrt(aa)[:, None] * np.sqrt(bb)[None, :])
+        parts = []
+        same = bi == bj
+        p = _partial_topk(ids_a, ids_b, cos, self_mask=same or None)
+        if p is not None:
+            parts.append(p)
+        if not same:  # reverse direction: block j's vectors vs block i
+            p = _partial_topk(ids_b, ids_a, cos.T)
+            if p is not None:
+                parts.append(p)
+        if not parts:
+            return pd.DataFrame({c: [] for c in _EMPTY}).astype(_EMPTY)
+        return pd.DataFrame(
+            {
+                "vec_id": np.concatenate([x[0] for x in parts]),
+                "neighbor_id": np.concatenate([x[1] for x in parts]),
+                "cos": np.concatenate([x[2] for x in parts]),
+            }
+        )
+
+    cand = rep.groupBy("bi", "bj").applyInPandas(
+        score_group, "vec_id bigint, neighbor_id bigint, cos double"
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= KNN_K)
+        .select("vec_id", "neighbor_id", "cos", "rank")
+    )
+
+
 @register(
     "ext_emb_norm",
     oracle=(

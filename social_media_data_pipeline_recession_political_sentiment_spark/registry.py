@@ -77,6 +77,8 @@ _WINDOW_PRIORITY = (
     "ext_dedup_incremental_bucketed",
     # -- new this round: minhash-fronted production dedup chain --
     "ext_dedup_pipeline_minhash",
+    # -- new this round: exact corpus kNN graph (partial top-k merge) --
+    "ext_sim_knn_graph",
     # -- stalest tag (r2), named first by the r4 verdict --
     "sql_interface",
     # -- r2-green joins --
@@ -127,12 +129,11 @@ _WINDOW_PRIORITY = (
     "ext_sim_topk",
     # -- r2-green partition-pruned sink --
     "sink_partitioned_prune",
-    # -- oldest r3-green (source scans + sinks), fills the 50 --
+    # -- oldest r3-green (source scans), fills the 50 --
     "scan_rest_json",
     "scan_chan_json",
     "scan_chan_catalog",
     "scan_youtube_json",
-    "sink_insert",
 )
 
 

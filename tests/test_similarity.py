@@ -92,7 +92,7 @@ def test_vector_ops_tolerate_empty_corpus(spark):
     d = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
     tmp = tempfile.mkdtemp(prefix="smdp_sim_empty_")
     d.write.mode("overwrite").parquet(os.path.join(tmp, "embeddings.parquet"))
-    for q in ("ext_dedup_embcos", "ext_sim_ivf", "ext_sim_lsh"):
+    for q in ("ext_dedup_embcos", "ext_sim_ivf", "ext_sim_lsh", "ext_sim_knn_graph"):
         assert queries()[q](spark, tmp).count() == 0, q
 
 

@@ -145,6 +145,15 @@ AUDIT = {
         "one row per shard, broadcast back — no per-doc global window "
         "anywhere",
     ),
+    "ext_sim_knn_graph": (
+        "Generate (B block copies) above the embeddings scan, one "
+        "Exchange on (bi, bj) into FlatMapGroupsInPandas, then a "
+        "per-vector Window rank over the partial-top-k candidates",
+        "each block-pair task emits only k best neighbors per vector "
+        "per direction, so the window shuffle carries <= N*B*k rows "
+        "— the exact kNN graph without ever shuffling the N^2 pair "
+        "space",
+    ),
     "ext_dedup_pipeline_minhash": (
         "the minhash signature agg (16 partial-min columns) and band "
         "equi-join feeding a candidate-keyed Jaccard verify join over "
