@@ -794,6 +794,62 @@ def ext_sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ext_dedup_semantic",
+    oracle=(
+        "WITH RECURSIVE p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        f"WHERE {_COS_SQL} >= {COS_DUP_THRESHOLD}), "
+        "edges AS (SELECT vec_a AS src, vec_b AS dst FROM p "
+        "UNION ALL SELECT vec_b, vec_a FROM p), "
+        "reach(node, lbl) AS ("
+        "  SELECT vec_id, vec_id FROM embeddings "
+        "  UNION "
+        "  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node), "
+        "comp AS (SELECT node AS vec_id, min(lbl) AS component "
+        "FROM reach GROUP BY node), "
+        "sz AS (SELECT component, count(*) AS cluster_size FROM comp "
+        "GROUP BY component) "
+        "SELECT c.vec_id, c.component, s.cluster_size, "
+        "(c.vec_id = c.component) AS is_keeper "
+        "FROM comp c JOIN sz s USING (component)"
+    ),
+)
+def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped SEMANTIC dedup end to end: exact embedding-
+    cosine near-dup pairs (`ext_dedup_embcos`, cos ≥ threshold) →
+    connected components via large-star/small-star → full cluster
+    assignment with a keeper flag (keeper = the component's min
+    vec_id; downstreams drop `NOT is_keeper` rows). Composes three
+    proven stages into the pipeline a semantic-dedup run actually
+    executes, and stays hash-checked end to end (recursive-CTE
+    oracle over the same threshold join).
+
+    Scale shapes are inherited: the pair stage is the block triangle
+    join (exact by contract — the production swap is the salted-LSH
+    miner `ext_dedup_embcos_lsh`, same downstream graph machinery);
+    components run O(log² n) star-contraction rounds regardless of
+    cluster-chain diameter; sizes ride one window on the component
+    key. Output is the full assignment, not just keepers, so
+    retention ratios per cluster are visible to curation reports."""
+    from .dedup import _large_small_star
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id")
+    pairs = ext_dedup_embcos(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    comp = _large_small_star(
+        e.select(F.col("vec_id").alias("doc_id")), pairs
+    ).select(F.col("doc_id").alias("vec_id"), "component")
+    w = W.partitionBy("component")
+    return comp.select(
+        "vec_id",
+        "component",
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("vec_id") == F.col("component")).alias("is_keeper"),
+    )
+
+
 KNN_K = 3
 
 

@@ -79,6 +79,8 @@ _WINDOW_PRIORITY = (
     "ext_dedup_pipeline_minhash",
     # -- new this round: exact corpus kNN graph (partial top-k merge) --
     "ext_sim_knn_graph",
+    # -- new this round: SemDeDup-shaped semantic dedup composition --
+    "ext_dedup_semantic",
     # -- stalest tag (r2), named first by the r4 verdict --
     "sql_interface",
     # -- r2-green joins --
@@ -133,7 +135,6 @@ _WINDOW_PRIORITY = (
     "scan_rest_json",
     "scan_chan_json",
     "scan_chan_catalog",
-    "scan_youtube_json",
 )
 
 
