@@ -154,6 +154,16 @@ AUDIT = {
         "— the exact kNN graph without ever shuffling the N^2 pair "
         "space",
     ),
+    "ext_dedup_semantic": (
+        "the embcos triangle-join subtree (Generate + Exchange on "
+        "(bi, bj) into FlatMapGroupsInPandas) feeding the star-"
+        "contraction rounds behind localCheckpoint boundaries, then "
+        "one Window on component",
+        "the semantic-dedup chain keeps every stage distributed: "
+        "pairs never leave executors, components converge in "
+        "O(log^2 n) rounds with two scalars per round driver-side, "
+        "and sizes ride a single component-keyed window",
+    ),
     "ext_dedup_pipeline_minhash": (
         "the minhash signature agg (16 partial-min columns) and band "
         "equi-join feeding a candidate-keyed Jaccard verify join over "
