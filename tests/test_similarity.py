@@ -169,3 +169,44 @@ def test_ivf_exhaustive_equals_brute_force(spark):
         for r in queries()["ext_sim_topk"](spark, SF_SMOKE).collect()
     }
     assert a == b
+
+
+def test_knn_graph_tie_break_on_identical_vectors(spark):
+    """All-identical vectors make every cosine tie at 1.0; the graph
+    must resolve ranks deterministically by neighbor_id ascending —
+    the classic flake source for top-k operators — and respect the
+    cross-block partial top-k (ids chosen to span several blocks)."""
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.similarity import (
+        KNN_K,
+    )
+
+    n = 6  # ids 0..5 span blocks 0..5 of the 8-block triangle join
+    rows = [(i, [1.0, 2.0], 0) for i in range(n)]
+    tmp = _emb_dir(spark, rows)
+    out = queries()["ext_sim_knn_graph"](spark, tmp).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.vec_id, []).append((r.rank, r.neighbor_id, r.cos))
+    assert set(got) == set(range(n))
+    for v, neigh in got.items():
+        neigh.sort()
+        expect_ids = [i for i in range(n) if i != v][:KNN_K]
+        assert [x[1] for x in neigh] == expect_ids, (v, neigh)
+        assert all(abs(x[2] - 1.0) < 1e-12 for x in neigh)
+
+
+def test_semantic_dedup_keeper_invariants(spark):
+    """Exactly one keeper per component, keeper id == component id,
+    cluster sizes partition the corpus."""
+    out = queries()["ext_dedup_semantic"](spark, SF_SMOKE).collect()
+    comps = {}
+    for r in out:
+        comps.setdefault(r.component, []).append(r)
+    total = 0
+    for comp, members in comps.items():
+        keepers = [r for r in members if r.is_keeper]
+        assert len(keepers) == 1 and keepers[0].vec_id == comp
+        assert {r.cluster_size for r in members} == {len(members)}
+        total += len(members)
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    assert total == emb.count()

@@ -246,3 +246,32 @@ def test_sample_mixture_rates_are_deterministic_and_bounded(spark):
     for source, wt, n_docs, n_kept in a:
         assert 1 <= wt <= 10
         assert 0 <= n_kept <= n_docs
+
+
+def test_pack_sequences_null_lang_groups_with_empty_string(spark):
+    """NULL lang must pack in the '' group (the coalesce device that
+    keeps the Spark side aligned with the oracle's recursive join —
+    NULL = NULL is never true in SQL)."""
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.text_analysis import (
+        ext_pack_sequences,
+    )
+
+    rows = [
+        (0, "a b c", None, "s", 1),
+        (1, "d e", "", "s", 1),
+        (2, "f g h i", None, "s", 1),
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_pack_null_")
+    d.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmp, "documents.parquet")
+    )
+    out = sorted(ext_pack_sequences(spark, tmp).collect(), key=lambda r: r.doc_id)
+    assert [r.lang for r in out] == ["", "", ""]
+    # one shared '' domain => sequential next-fit over doc_id order
+    assert [(r.bin_id, r.bin_offset) for r in out] == [(0, 0), (0, 3), (0, 5)]
