@@ -210,3 +210,35 @@ def test_semantic_dedup_keeper_invariants(spark):
         total += len(members)
     emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
     assert total == emb.count()
+
+
+def test_knn_graph_matches_numpy_brute_force_random(spark):
+    """Seeded random corpus: the block-partial-top-k kNN graph must
+    equal a straightforward NumPy brute force under the same
+    (cos DESC, id ASC) order — guards the exactness argument (global
+    top-k ⊆ union of per-block top-ks) beyond the driver fixtures."""
+    import random
+
+    import numpy as np
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.similarity import (
+        KNN_K,
+    )
+
+    rng = random.Random(11)
+    n, dim = 97, 6  # odd n: blocks of unequal sizes
+    rows = [(i, [rng.gauss(0, 1) for _ in range(dim)], 0) for i in range(n)]
+    tmp = _emb_dir(spark, rows)
+    got = {
+        (r.vec_id, r.rank): r.neighbor_id
+        for r in queries()["ext_sim_knn_graph"](spark, tmp).collect()
+    }
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    cos = (mat @ mat.T) / np.outer(norms, norms)
+    for v in range(n):
+        order = sorted(
+            (i for i in range(n) if i != v), key=lambda i: (-cos[v, i], i)
+        )[:KNN_K]
+        for rank, nb in enumerate(order, start=1):
+            assert got[(v, rank)] == nb, (v, rank, nb, got[(v, rank)])
