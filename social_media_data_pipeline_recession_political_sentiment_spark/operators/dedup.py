@@ -980,3 +980,81 @@ def ext_ngram_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("df"), "shingle")
         .limit(20)
     )
+
+
+PASSAGE_W = 8  # words per passage window
+
+_PASSAGE_ORACLE = f"""
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+c AS (
+  SELECT doc_id,
+         unnest(generate_series(0, CAST(ceil(len(w) / {PASSAGE_W}.0) AS BIGINT) - 1)) AS idx,
+         unnest(list_transform(
+             generate_series(0, CAST(ceil(len(w) / {PASSAGE_W}.0) AS BIGINT) - 1),
+             i -> array_to_string(w[i * {PASSAGE_W} + 1 : i * {PASSAGE_W} + {PASSAGE_W}], ' '))) AS passage
+  FROM s),
+k AS (SELECT doc_id, idx, passage,
+             row_number() OVER (PARTITION BY passage ORDER BY doc_id, idx) = 1 AS keep
+      FROM c)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN keep THEN passage END, ' ' ORDER BY idx), '') AS dedup_text
+FROM k GROUP BY doc_id
+"""
+
+
+@register("ext_dedup_passage", oracle=_PASSAGE_ORACLE)
+def ext_dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level dedup (CCNet-style): documents are cut into
+    non-overlapping W-word passages, exact-duplicate passages are
+    removed CORPUS-WIDE keeping only the first occurrence (ordered by
+    (doc_id, idx)), and each document is re-assembled from its
+    surviving passages. This is the sub-document sibling of
+    `ext_dedup_exact` — boilerplate (navigation chrome, license
+    headers, quoted reposts) repeats at passage granularity even when
+    whole documents are unique, and web-corpus pipelines run exactly
+    this pass before training (the reference dedups whole rows only,
+    `Data Collection/Reddit.py:75-80`).
+
+    Plan: split + posexplode are scan-local; the first-occurrence
+    window partitions by the PASSAGE so the shuffle key is the dedup
+    key itself and each window group is one passage's tiny duplicate
+    set; re-assembly is a second hash shuffle on doc_id with
+    `array_sort(collect_list(struct(idx, passage)))` restoring
+    document order without a sort exchange. At 100 TB both shuffles
+    are plain hash-partition motions — no all-pairs stage, no driver
+    state; a hot passage (the corpus's top boilerplate string) lands
+    one skewed window group, which AQE splits, and the canonical-copy
+    choice stays deterministic because the order key (doc_id, idx) is
+    total. CASE-wrapped collect_list drops non-kept rows JVM-side, so
+    only surviving passages ride the second shuffle."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    chunks = d.select("doc_id", F.split("text", " ").alias("w")).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(w) / {PASSAGE_W}.0) as int) - 1), "
+                f"i -> array_join(slice(w, i * {PASSAGE_W} + 1, {PASSAGE_W}), ' '))"
+            )
+        ).alias("idx", "passage"),
+    )
+    first = F.row_number().over(
+        W.partitionBy("passage").orderBy("doc_id", "idx")
+    )
+    kept = chunks.withColumn("keep", first == 1)
+    return kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_passages"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.coalesce(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "CASE WHEN keep THEN struct(idx, passage) END)), s -> s.passage)"
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("dedup_text"),
+    )

@@ -1017,6 +1017,67 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+_SESSIONIZE_ORACLE = f"""
+WITH s AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+                  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+g AS (SELECT *, CASE WHEN us - lag(us) OVER w > {SESSION_GAP_US}
+                     OR lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+t AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      FROM g)
+SELECT user_id, session_seq, min(us) AS start_us, max(us) AS end_us,
+       CAST(count(*) AS BIGINT) AS n_events, CAST(sum(cents) AS BIGINT) AS cents_sum
+FROM t GROUP BY user_id, session_seq
+"""
+
+
+@register("agg_sessionize_batch", oracle=_SESSIONIZE_ORACLE)
+def agg_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization — the gaps-and-islands twin of
+    `stream_sessionize` (SURVEY §2.9): a session breaks after a
+    30-minute inactivity gap, computed as LAG + a running sum of
+    session-start flags. All arithmetic is exact integer microseconds
+    and cents (the `window_lag_delta` device), so the oracle hash
+    cannot drift on float truncation, and pytest pins this batch form
+    ≡ the streaming state-timeout form on a shared fixture.
+
+    Plan: ONE shuffle on user_id serves the lag window, the running
+    sum (same partition + order, so Catalyst chains the Window nodes
+    over a single sort), and the final per-session hash agg. At
+    100 TB user_id distributes evenly and the per-user sort is
+    bounded by per-user event counts; no global sort, no driver
+    state."""
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    new_s = (F.col("us") - F.lag("us").over(w) > SESSION_GAP_US) | F.lag("us").over(
+        w
+    ).isNull()
+    return (
+        e.withColumn("new_s", new_s.cast("long"))
+        .withColumn(
+            "session_seq",
+            F.sum("new_s").over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("us").alias("start_us"),
+            F.max("us").alias("end_us"),
+            F.count("*").alias("n_events"),
+            F.sum("cents").alias("cents_sum"),
+        )
+    )
+
+
 @register(
     "join_salted_skew",
     oracle=(

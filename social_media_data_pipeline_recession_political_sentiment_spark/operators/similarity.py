@@ -1020,3 +1020,60 @@ def ext_emb_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm.alias("l2_norm"),
         (F.abs(norm - F.lit(1.0)) <= F.lit(0.01)).alias("near_unit"),
     )
+
+
+_QUANTIZE_ORACLE = """
+WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+m AS (SELECT vec_id, dv, list_max(list_transform(dv, x -> abs(x))) AS amax FROM s),
+c AS (SELECT vec_id, amax / 127.0 AS scale,
+        CASE WHEN amax = 0.0 THEN list_transform(dv, x -> 0)
+             ELSE list_transform(dv, x -> greatest(-127, least(127,
+                  CAST(floor(x / (amax / 127.0) + 0.5) AS INTEGER)))) END AS codes
+      FROM m)
+SELECT vec_id, scale,
+       CAST(list_sum(codes) AS BIGINT) AS q_sum,
+       CAST(list_sum(list_transform(codes, v -> abs(v))) AS BIGINT) AS q_l1,
+       CAST(len(list_filter(codes, v -> abs(v) = 127)) AS BIGINT) AS n_sat
+FROM c
+"""
+
+
+@register("ext_emb_quantize", oracle=_QUANTIZE_ORACLE)
+def ext_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 vector quantization — the compression pass every
+    billion-vector ANN index runs before storage (4x smaller than
+    float32, SIMD-friendly integer dot products). Per-vector absmax
+    scaling: scale = max|x| / 127, code = clamp(round(x / scale)).
+    Rounding is written as floor(y + 0.5) on BOTH sides so the
+    half-way rule is a single IEEE-exact expression rather than two
+    engines' round() conventions; every emitted statistic (code sum,
+    L1 mass, saturation count) is then an exact integer, and `scale`
+    is the same float32→float64 fold both engines compute
+    bit-identically (the `ext_emb_norm` device). Zero vectors get an
+    all-zero code block instead of a 0/0 NaN.
+
+    Plan: pure scan-local column expressions over the vector column —
+    transform/array_max/aggregate, zero Python, ZERO shuffle. At
+    100 TB this is a map-only pass that fuses into the scan, which is
+    the whole point: quantization must not cost a data motion.
+    Downstream, `ext_sim_ivf`'s bucket scoring would read the int8
+    codes + scale instead of the float array (asymmetric scoring:
+    float query x int8 corpus)."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("dv")
+    )
+    m = e.withColumn("amax", F.expr("array_max(transform(dv, x -> abs(x)))"))
+    codes = F.expr(
+        "CASE WHEN amax = 0.0 THEN transform(dv, x -> 0) "
+        "ELSE transform(dv, x -> greatest(-127, least(127, "
+        "cast(floor(x / (amax / 127.0) + 0.5d) as int)))) END"
+    )
+    return m.withColumn("codes", codes).select(
+        "vec_id",
+        (F.col("amax") / F.lit(127.0)).alias("scale"),
+        F.expr("cast(aggregate(codes, 0L, (a, v) -> a + v) as long)").alias("q_sum"),
+        F.expr("cast(aggregate(codes, 0L, (a, v) -> a + abs(v)) as long)").alias(
+            "q_l1"
+        ),
+        F.expr("cast(size(filter(codes, v -> abs(v) = 127)) as long)").alias("n_sat"),
+    )

@@ -61,12 +61,14 @@ def register(name: str, oracle: Optional[str] = None):
 # tests/test_registry.py locks the list against typos.
 # Round 5 window (VERDICT r4 item 2): queries added or rewritten this
 # round first — the range-sharded ext_pack_sequences rewrite, the new
-# LSH recall-floor contract, the new bucketed-base incremental dedup —
+# LSH recall-floor contract, the new bucketed-base incremental dedup,
+# and the six brand-new operators (minhash pipeline, kNN graph,
+# semantic dedup, passage dedup, batch sessionize, int8 quantize) —
 # then the STALEST tags: sql_interface (last hard check r2, called out
-# by the verdict) and the 40 remaining r2-green relational / scalar /
-# dedup-core queries (every one two windows old), filled to 50 with
-# the oldest r3-green source scans/sinks. Zero overlap with the r4
-# window, leaving every query <= 2 rounds stale.
+# by the verdict) and the r2-green relational / scalar / dedup-core
+# queries (every one two windows old). The three r3-green source scans
+# that previously filled the 50 rotate out to make room for the new
+# operators. Zero overlap with the r4 window.
 # Last hard check per query: see VERDICT.md r4 coverage tables.
 _WINDOW_PRIORITY = (
     # -- rewritten this round: bounded (lang, shard) packing domains --
@@ -81,6 +83,12 @@ _WINDOW_PRIORITY = (
     "ext_sim_knn_graph",
     # -- new this round: SemDeDup-shaped semantic dedup composition --
     "ext_dedup_semantic",
+    # -- new this round: CCNet-style corpus-wide passage dedup --
+    "ext_dedup_passage",
+    # -- new this round: gaps-and-islands twin of stream_sessionize --
+    "agg_sessionize_batch",
+    # -- new this round: scan-local int8 absmax vector quantization --
+    "ext_emb_quantize",
     # -- stalest tag (r2), named first by the r4 verdict --
     "sql_interface",
     # -- r2-green joins --
@@ -131,10 +139,6 @@ _WINDOW_PRIORITY = (
     "ext_sim_topk",
     # -- r2-green partition-pruned sink --
     "sink_partitioned_prune",
-    # -- oldest r3-green (source scans), fills the 50 --
-    "scan_rest_json",
-    "scan_chan_json",
-    "scan_chan_catalog",
 )
 
 

@@ -296,3 +296,57 @@ def test_minhash_pipeline_refines_exhaustive_pipeline(spark):
     exact_comps = {r.component for r in exact}
     mh_comps = {r.component for r in mh}
     assert exact_comps <= mh_comps
+
+
+def test_passage_dedup_conserves_passages_and_keeps_each_once(spark):
+    """Corpus-wide invariants of ext_dedup_passage: passage totals are
+    conserved, the distinct-passage universe is kept exactly once
+    across the corpus, and the globally-first document (doc_id 0's
+    idx-0 chain) keeps its own text verbatim up to its first passage
+    repeated from within itself."""
+    from tests.conftest import SF_SMOKE
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.dedup import (
+        PASSAGE_W,
+    )
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+
+    rows = queries()["ext_dedup_passage"](spark, SF_SMOKE).collect()
+    docs = {
+        r.doc_id: (r.n_passages, r.n_kept, r.dedup_text) for r in rows
+    }
+    import duckdb
+
+    con = duckdb.connect()
+    texts = dict(
+        con.execute(
+            f"SELECT doc_id, text FROM '{SF_SMOKE}/documents.parquet'"
+        ).fetchall()
+    )
+    assert set(docs) == set(texts)
+    # conservation: each doc's passage count is ceil(words / W)
+    for did, text in texts.items():
+        n_words = len(text.split(" "))
+        expect = -(-n_words // PASSAGE_W)
+        assert docs[did][0] == expect, did
+    # each distinct passage survives exactly once corpus-wide
+    total_kept = sum(v[1] for v in docs.values())
+    n_distinct = con.execute(
+        f"""
+        WITH s AS (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM '{SF_SMOKE}/documents.parquet'),
+        c AS (SELECT unnest(list_transform(
+                 generate_series(0, CAST(ceil(len(w)/{PASSAGE_W}.0) AS BIGINT)-1),
+                 i -> array_to_string(w[i*{PASSAGE_W}+1 : i*{PASSAGE_W}+{PASSAGE_W}], ' '))) AS p
+              FROM s)
+        SELECT count(DISTINCT p) FROM c
+        """
+    ).fetchone()[0]
+    assert total_kept == n_distinct
+    # kept text is a subsequence re-assembly: kept words never exceed
+    # the original and equal it only when every passage survived
+    for did, (n_p, n_k, dtext) in docs.items():
+        if n_k == n_p:
+            assert dtext == texts[did], did
+        else:
+            assert len(dtext) < len(texts[did]), did

@@ -341,3 +341,49 @@ def test_interval_overlap_matches_naive_join(spark):
     assert len(rows) == len({(r.a_id, r.b_id) for r in rows})  # no dup pairs
     for r in rows:
         assert 0 <= r.overlap_us <= IVL_LEN_US
+
+
+def test_batch_sessionize_equals_session_window_form(spark):
+    """agg_sessionize_batch (gaps-and-islands) must reproduce
+    stream_sessionize (native session_window) session-for-session.
+    The two split exact-boundary gaps differently (> vs >= the 30-min
+    gap, session_window ends being exclusive), so first prove the
+    fixture has no exactly-30-minute gap — then the equivalence is
+    exact, not coincidental."""
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.relational import (
+        SESSION_GAP_US,
+    )
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+    from tests.conftest import SF_SMOKE
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+    from social_media_data_pipeline_recession_political_sentiment_spark.catalog import load
+
+    e = load(spark, SF_SMOKE, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    boundary = (
+        e.select(
+            (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+            ).alias("gap")
+        )
+        .filter(F.col("gap") == SESSION_GAP_US)
+        .count()
+    )
+    assert boundary == 0, "fixture has an exact-boundary gap; test is void"
+
+    batch = {
+        (r.user_id, r.start_us, r.end_us, r.n_events)
+        for r in queries()["agg_sessionize_batch"](spark, SF_SMOKE).collect()
+    }
+    stream = {
+        (
+            r.user_id,
+            int(r.session_start.timestamp() * 1_000_000),
+            int(r.session_end.timestamp() * 1_000_000),
+            r.n_events,
+        )
+        for r in queries()["stream_sessionize"](spark, SF_SMOKE).collect()
+    }
+    assert batch == stream

@@ -242,3 +242,42 @@ def test_knn_graph_matches_numpy_brute_force_random(spark):
         )[:KNN_K]
         for rank, nb in enumerate(order, start=1):
             assert got[(v, rank)] == nb, (v, rank, nb, got[(v, rank)])
+
+
+def test_emb_quantize_reconstruction_and_saturation(spark):
+    """Int8 absmax quantization contracts: the absmax element maps to
+    exactly +/-127 (so every nonzero vector saturates at least once),
+    reconstruction error is bounded by scale/2 elementwise, and a
+    zero vector yields scale 0 with an all-zero code block."""
+    from tests.conftest import SF_SMOKE
+
+    import numpy as np
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.catalog import load
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+
+    from pyspark.sql import functions as F
+
+    rows = queries()["ext_emb_quantize"](spark, SF_SMOKE).collect()
+    stats = {r.vec_id: r for r in rows}
+    raw = {
+        r.vec_id: np.asarray(r.dv, dtype=np.float64)
+        for r in load(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("dv"))
+        .collect()
+    }
+    assert set(stats) == set(raw)
+    for vid, v in raw.items():
+        s = stats[vid]
+        amax = np.abs(v).max()
+        if amax == 0.0:
+            assert s.scale == 0.0 and s.q_sum == 0 and s.q_l1 == 0 and s.n_sat == 0
+            continue
+        scale = amax / 127.0
+        codes = np.clip(np.floor(v / scale + 0.5), -127, 127).astype(np.int64)
+        assert s.n_sat >= 1, vid  # the absmax element saturates
+        assert s.q_sum == int(codes.sum()), vid
+        assert s.q_l1 == int(np.abs(codes).sum()), vid
+        # reconstruction error bound (half a quantization step)
+        err = np.abs(v - codes * scale).max()
+        assert err <= scale / 2 + 1e-12, vid
