@@ -164,6 +164,29 @@ AUDIT = {
         "O(log^2 n) rounds with two scalars per round driver-side, "
         "and sizes ride a single component-keyed window",
     ),
+    "ext_dedup_passage": (
+        "scan-local Generate (passage posexplode), Exchange on the "
+        "passage into one Window, then partial/final "
+        "ObjectHashAggregate around the doc_id Exchange",
+        "both shuffles are plain hash partitions keyed on the dedup "
+        "key and the document; re-assembly order comes from "
+        "array_sort inside the agg, so no global sort ever runs",
+    ),
+    "agg_sessionize_batch": (
+        "ONE Exchange on user_id under a single Sort feeding BOTH "
+        "Window nodes and the partial/final HashAggregate pair with "
+        "no further exchange",
+        "lag, the running session counter, and the per-session agg "
+        "all reuse the same user_id distribution — sessionizing "
+        "100 TB of events costs exactly one data motion",
+    ),
+    "ext_emb_quantize": (
+        "Project chain directly over the parquet scan - no Exchange "
+        "anywhere in the plan",
+        "quantization is a map-only pass that fuses into the scan; "
+        "at 100 TB it adds zero data motion to whatever index build "
+        "consumes the codes",
+    ),
     "ext_dedup_pipeline_minhash": (
         "the minhash signature agg (16 partial-min columns) and band "
         "equi-join feeding a candidate-keyed Jaccard verify join over "
