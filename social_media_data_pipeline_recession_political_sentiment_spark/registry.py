@@ -89,6 +89,8 @@ _WINDOW_PRIORITY = (
     "agg_sessionize_batch",
     # -- new this round: scan-local int8 absmax vector quantization --
     "ext_emb_quantize",
+    # -- new this round: top-k over the compressed int8 index --
+    "ext_sim_topk_int8",
     # -- stalest tag (r2), named first by the r4 verdict --
     "sql_interface",
     # -- r2-green joins --
@@ -137,8 +139,6 @@ _WINDOW_PRIORITY = (
     "ext_dedup_simhash",
     "ext_dedup_ngram_jaccard",
     "ext_sim_topk",
-    # -- r2-green partition-pruned sink --
-    "sink_partitioned_prune",
 )
 
 

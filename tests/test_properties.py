@@ -399,3 +399,85 @@ def test_path_graph_at_label_prop_budget_boundary(spark, monkeypatch):
         for r in dd._label_propagate(short_docs, short).collect()
     }
     assert lp == {i: 0 for i in range(4)}
+
+
+def test_passage_dedup_matches_sequential_reference(spark):
+    """ext_dedup_passage vs a pure-Python first-occurrence scan on a
+    seeded random corpus engineered for heavy passage reuse: chunking,
+    corpus-wide keep decisions, and re-assembly must agree exactly
+    regardless of Spark partitioning."""
+    import random
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.dedup import (
+        PASSAGE_W,
+    )
+
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(12)]
+    # small vocab + shared phrase pool => passages repeat across docs
+    phrases = [
+        " ".join(rng.choices(vocab, k=PASSAGE_W)) for _ in range(10)
+    ]
+    docs = []
+    for did in range(40):
+        parts = []
+        for _ in range(rng.randint(1, 5)):
+            if rng.random() < 0.6:
+                parts.append(phrases[rng.randrange(len(phrases))])
+            else:
+                parts.append(
+                    " ".join(rng.choices(vocab, k=rng.randint(1, 11)))
+                )
+        docs.append((did, " ".join(parts)))
+
+    # sequential reference: first occurrence in (doc_id, idx) order
+    seen: set[str] = set()
+    expect = {}
+    for did, text in docs:
+        words = text.split(" ")
+        chunks = [
+            " ".join(words[i : i + PASSAGE_W])
+            for i in range(0, len(words), PASSAGE_W)
+        ]
+        kept = []
+        for ch in chunks:
+            if ch not in seen:
+                seen.add(ch)
+                kept.append(ch)
+        expect[did] = (len(chunks), len(kept), " ".join(kept))
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(7)
+    chunks = df.select("doc_id", F.split("text", " ").alias("w")).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(w) / {PASSAGE_W}.0) as int) - 1), "
+                f"i -> array_join(slice(w, i * {PASSAGE_W} + 1, {PASSAGE_W}), ' '))"
+            )
+        ).alias("idx", "passage"),
+    )
+    first = F.row_number().over(W.partitionBy("passage").orderBy("doc_id", "idx"))
+    got = {
+        r.doc_id: (r.n_passages, r.n_kept, r.dedup_text)
+        for r in chunks.withColumn("keep", first == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_passages"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.coalesce(
+                F.array_join(
+                    F.expr(
+                        "transform(array_sort(collect_list("
+                        "CASE WHEN keep THEN struct(idx, passage) END)), s -> s.passage)"
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            ).alias("dedup_text"),
+        )
+        .collect()
+    }
+    assert got == expect

@@ -281,3 +281,51 @@ def test_emb_quantize_reconstruction_and_saturation(spark):
         # reconstruction error bound (half a quantization step)
         err = np.abs(v - codes * scale).max()
         assert err <= scale / 2 + 1e-12, vid
+
+
+def test_int8_topk_recall_vs_float_topk(spark):
+    """Quantized-index ranking contract: int8 scores are a faithful
+    compression of the float ranking — per-query top-k overlap >= 80%
+    on the fixture, and every int_dot the operator emits equals the
+    NumPy integer dot of the independently re-derived codes."""
+    from tests.conftest import SF_SMOKE
+
+    import numpy as np
+
+    from pyspark.sql import functions as F
+    from social_media_data_pipeline_recession_political_sentiment_spark.catalog import load
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.similarity import (
+        TOP_K,
+    )
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+
+    int8 = queries()["ext_sim_topk_int8"](spark, SF_SMOKE).collect()
+    flt = queries()["ext_sim_topk"](spark, SF_SMOKE).collect()
+    by_q_int8, by_q_flt = {}, {}
+    for r in int8:
+        by_q_int8.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in flt:
+        by_q_flt.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(by_q_int8) == set(by_q_flt)
+    for qid in by_q_flt:
+        overlap = len(by_q_int8[qid] & by_q_flt[qid]) / TOP_K
+        assert overlap >= 0.8, (qid, overlap)
+
+    raw = {
+        r.vec_id: np.asarray(r.dv, dtype=np.float64)
+        for r in load(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("dv"))
+        .collect()
+    }
+
+    def codes(v):
+        amax = np.abs(v).max()
+        if amax == 0.0:
+            return np.zeros(len(v), dtype=np.int64)
+        return np.clip(np.floor(v / (amax / 127.0) + 0.5), -127, 127).astype(
+            np.int64
+        )
+
+    for r in int8:
+        expect = int(codes(raw[r.query_id]) @ codes(raw[r.neighbor_id]))
+        assert r.int_dot == expect, (r.query_id, r.neighbor_id)

@@ -187,6 +187,16 @@ AUDIT = {
         "at 100 TB it adds zero data motion to whatever index build "
         "consumes the codes",
     ),
+    "ext_sim_topk_int8": (
+        "BroadcastNestedLoopJoin with the 5-row quantized query side "
+        "as build, then WindowGroupLimit BELOW the Exchange (partial "
+        "per-partition top-k) before the final Window rank",
+        "the corpus streams once through a map-only int8 scoring "
+        "stage and each partition pre-trims to k rows per query, so "
+        "the rank shuffle carries <= partitions*queries*k rows - "
+        "never the N*queries candidate set; an int8-code table also "
+        "reads 4x fewer bytes than float32",
+    ),
     "ext_dedup_pipeline_minhash": (
         "the minhash signature agg (16 partial-min columns) and band "
         "equi-join feeding a candidate-keyed Jaccard verify join over "
