@@ -58,11 +58,13 @@ class RealCodec:
         raise NotImplementedError("media codecs are not available in this environment")
 
 
-def attach_media_columns(d: DataFrame) -> DataFrame:
+def attach_media_columns(d: DataFrame, keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """Synthesize the multimodal bronze shape from the documents table:
     an opaque binary payload plus a typed metadata struct — the schema
     a real ingest would land (payload from object storage, metadata
-    from the container format)."""
+    from the container format). ``keep_cols`` passes source columns
+    through beside the media shape (e.g. the caption text for pair
+    curation)."""
     payload = F.encode(F.col("text"), "UTF-8")
     meta = F.struct(
         F.length(payload).cast("long").alias("n_bytes"),
@@ -73,7 +75,9 @@ def attach_media_columns(d: DataFrame) -> DataFrame:
         .otherwise("video/mp4")
         .alias("media_type"),
     )
-    return d.select("doc_id", payload.alias("payload"), meta.alias("meta"))
+    return d.select(
+        "doc_id", *keep_cols, payload.alias("payload"), meta.alias("meta")
+    )
 
 
 @register(
@@ -223,4 +227,71 @@ def ext_mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
             resize, schema="doc_id long, new_width long, new_height long, est_bytes long"
         )
         .orderBy("doc_id")
+    )
+
+
+MIN_CAPTION_WORDS = 5
+MIN_PIXELS = 64 * 64
+ASPECT_MAX = 3.0  # keep 1/3 <= w/h <= 3
+
+_PAIR_FILTER_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id, text,
+         CAST(n_chars % 640 + 16 AS BIGINT) AS width,
+         CAST(n_chars % 480 + 16 AS BIGINT) AS height,
+         doc_id % 3 = 0 AS is_image,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS caption_words
+  FROM documents)
+SELECT doc_id, is_image,
+       CAST(width AS DOUBLE) / height AS aspect,
+       width * height AS n_pixels,
+       caption_words,
+       (is_image
+        AND width * height >= {MIN_PIXELS}
+        AND CAST(width AS DOUBLE) / height <= {ASPECT_MAX}
+        AND CAST(width AS DOUBLE) / height >= 1.0 / {ASPECT_MAX}
+        AND caption_words >= {MIN_CAPTION_WORDS}) AS keep
+FROM m
+"""
+
+
+@register("ext_mm_pair_filter", oracle=_PAIR_FILTER_ORACLE)
+def ext_mm_pair_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image–text pair curation (the LAION/DataComp recipe): gate each
+    candidate pair on media geometry (minimum pixel count, aspect
+    ratio within [1/3, 3]) and caption substance (word count floor),
+    emitting the keep decision alongside every gating feature so the
+    curation report is one query. The media side reads ONLY the typed
+    metadata struct (`ext_mm_metadata`'s device) — the payload blob
+    column is pruned at the parquet scan, which is what makes this
+    runnable over petabytes of media: the filter touches kilobytes of
+    metadata per image, never the image.
+
+    Totality contract: every doc is emitted with its flag (filtering
+    is the consumer's one-line `WHERE keep`), so the oracle compares
+    the full decision surface, not just survivors. Pure scan-local
+    column expressions — zero shuffle, zero Python."""
+    d = attach_media_columns(load(spark, sf_dir, "documents"), keep_cols=("text",))
+    j = d.select(
+        "doc_id",
+        F.col("meta.width").cast("long").alias("width"),
+        F.col("meta.height").cast("long").alias("height"),
+        (F.col("meta.media_type") == "image/png").alias("is_image"),
+        F.size(F.split("text", " ")).cast("long").alias("caption_words"),
+    )
+    aspect = F.col("width").cast("double") / F.col("height")
+    keep = (
+        F.col("is_image")
+        & (F.col("width") * F.col("height") >= F.lit(MIN_PIXELS))
+        & (aspect <= F.lit(ASPECT_MAX))
+        & (aspect >= F.lit(1.0) / F.lit(ASPECT_MAX))
+        & (F.col("caption_words") >= F.lit(MIN_CAPTION_WORDS))
+    )
+    return j.select(
+        "doc_id",
+        "is_image",
+        aspect.alias("aspect"),
+        (F.col("width") * F.col("height")).alias("n_pixels"),
+        "caption_words",
+        keep.alias("keep"),
     )

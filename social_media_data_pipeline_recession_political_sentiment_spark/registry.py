@@ -68,7 +68,10 @@ def register(name: str, oracle: Optional[str] = None):
 # by the verdict) and the r2-green relational / scalar / dedup-core
 # queries (every one two windows old). The three r3-green source scans
 # that previously filled the 50 rotate out to make room for the new
-# operators. Zero overlap with the r4 window.
+# operators. Zero overlap with the r4 window. The four new-op slots
+# displaced the three r3-green source scans plus sink_partitioned_prune
+# (r2) — sink_partitioned_prune is the FIRST stale tag the r6 window
+# must re-burn.
 # Last hard check per query: see VERDICT.md r4 coverage tables.
 _WINDOW_PRIORITY = (
     # -- rewritten this round: bounded (lang, shard) packing domains --
@@ -91,6 +94,8 @@ _WINDOW_PRIORITY = (
     "ext_emb_quantize",
     # -- new this round: top-k over the compressed int8 index --
     "ext_sim_topk_int8",
+    # -- new this round: LAION-style image-text pair curation gate --
+    "ext_mm_pair_filter",
     # -- stalest tag (r2), named first by the r4 verdict --
     "sql_interface",
     # -- r2-green joins --
@@ -138,7 +143,9 @@ _WINDOW_PRIORITY = (
     "ext_dedup_minhash",
     "ext_dedup_simhash",
     "ext_dedup_ngram_jaccard",
-    "ext_sim_topk",
+    # ext_sim_topk (r2) yields its slot: join_similarity_topk runs the
+    # SAME function (hard-checked r4) and the r5 window's int8/recall
+    # entries exercise the shared fold + rank helpers.
 )
 
 

@@ -52,3 +52,33 @@ def test_frame_sample_cardinality(spark):
         n = docs[r.doc_id]
         expected = len(range(0, n, FRAME_BYTES * 2))
         assert r["count"] == expected
+
+
+def test_pair_filter_decision_surface(spark):
+    """ext_mm_pair_filter invariants: only image-typed docs can be
+    kept, every keep satisfies all four gates when recomputed from
+    the emitted features, and the fixture exercises both outcomes."""
+    from tests.conftest import SF_SMOKE
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.multimodal import (
+        ASPECT_MAX,
+        MIN_CAPTION_WORDS,
+        MIN_PIXELS,
+    )
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+
+    rows = queries()["ext_mm_pair_filter"](spark, SF_SMOKE).collect()
+    assert rows
+    kept = [r for r in rows if r.keep]
+    dropped = [r for r in rows if not r.keep]
+    assert kept and dropped  # fixture exercises both branches
+    for r in rows:
+        expect = (
+            r.is_image
+            and r.n_pixels >= MIN_PIXELS
+            and 1.0 / ASPECT_MAX <= r.aspect <= ASPECT_MAX
+            and r.caption_words >= MIN_CAPTION_WORDS
+        )
+        assert r.keep == expect, r.doc_id
+    # non-images can never be kept
+    assert all(r.is_image for r in kept)

@@ -197,6 +197,14 @@ AUDIT = {
         "never the N*queries candidate set; an int8-code table also "
         "reads 4x fewer bytes than float32",
     ),
+    "ext_mm_pair_filter": (
+        "WholeStageCodegen Project chain over ONE parquet scan - no "
+        "Exchange; the synthesized payload binary never appears as an "
+        "output column",
+        "pair curation reads typed metadata only; on a real media "
+        "table column pruning leaves petabytes of blobs on disk "
+        "while the filter streams kilobytes of struct fields",
+    ),
     "ext_dedup_pipeline_minhash": (
         "the minhash signature agg (16 partial-min columns) and band "
         "equi-join feeding a candidate-keyed Jaccard verify join over "
