@@ -640,6 +640,14 @@ def ext_lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     recipe) and the score join becomes a broadcast. Docs with zero
     tokens have no LM evidence and are omitted (inner join), matching
     the oracle."""
+    return _lm_doc_scores(spark, sf_dir)
+
+
+def _lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared unigram-LM scorer: (doc_id, n_tokens, logprob_micro,
+    avg_logprob_micro) with the integer micro-nats contract —
+    `ext_lm_unigram_score` emits it directly and
+    `ext_lm_perplexity_buckets` ranks over it."""
     d = load(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
@@ -988,4 +996,115 @@ def ext_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("roll") < F.col("weight_tenths") * 100, 1).otherwise(0)
             ).cast("long").alias("n_kept"),
         )
+    )
+
+
+PPL_BUCKETS = 3  # CCNet head / middle / tail
+
+_PPL_BUCKETS_ORACLE = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+t AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+tot AS (SELECT count(*) AS n FROM t),
+freq AS (SELECT term, count(*) AS c FROM t GROUP BY term),
+lp AS (SELECT term, CAST(round(ln(CAST(c AS DOUBLE) / n) * 1000000)
+       AS BIGINT) AS lp_micro FROM freq, tot),
+scores AS (SELECT t.doc_id, count(*) AS n_tokens,
+           CAST(CAST(sum(lp.lp_micro) AS BIGINT) AS DOUBLE) / count(*)
+             AS avg_logprob_micro
+           FROM t JOIN lp USING (term) GROUP BY t.doc_id),
+n AS (SELECT count(*) AS n_docs FROM scores),
+ranked AS (SELECT doc_id, n_tokens, avg_logprob_micro,
+           CAST(row_number() OVER (ORDER BY avg_logprob_micro DESC, doc_id)
+                AS BIGINT) AS rank
+           FROM scores)
+SELECT doc_id, n_tokens, avg_logprob_micro, rank,
+       CASE CAST(((rank - 1) * 3) // n_docs AS BIGINT)
+            WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+FROM ranked, n
+"""
+
+
+@register("ext_lm_perplexity_buckets", oracle=_PPL_BUCKETS_ORACLE)
+def ext_lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split: rank every document by its
+    unigram-LM score (best per-token log-prob first) and cut the
+    corpus into three equal-count perplexity buckets — the mixture
+    knob CCNet-style pipelines expose (train mostly on head, sample
+    middle, drop or down-weight tail).
+
+    The global rank is the `ext_shard_manifest` DISTRIBUTED TWO-PHASE
+    device, not a single-partition `Window.orderBy` (the one-reducer
+    funnel that cannot run at 100 TB): phase 1 range-partitions on
+    (avg DESC, doc_id), sorts within partitions, and assigns
+    partition-local ranks in one `mapInPandas` pass; phase 2 collects
+    P per-partition COUNTS (P scalars), prefix-sums them driver-side,
+    and adds the starting offset back map-side. Bucket ids are then
+    pure integer arithmetic `((rank-1)*3) div N` — no percentile
+    estimation, no float thresholds, exact and engine-agnostic. At
+    production scale the ranking input would be the bounded-vocab LM
+    score (see `ext_lm_unigram_score`); the two-phase rank itself
+    moves each row exactly once through the range exchange.
+
+    Scores ride the same integer micro-nats contract as
+    `ext_lm_unigram_score`; the avg is one exact-int/exact-int IEEE
+    division, so ordering (and therefore every rank and bucket) is
+    bit-reproducible against the oracle."""
+    import pandas as pd
+
+    scores = _lm_doc_scores(spark, sf_dir).select(
+        "doc_id", "n_tokens", "avg_logprob_micro"
+    )
+    n_parts = max(2, spark.sparkContext.defaultParallelism)
+    ranged = scores.repartitionByRange(
+        n_parts, F.col("avg_logprob_micro").desc(), F.col("doc_id")
+    ).sortWithinPartitions(F.col("avg_logprob_micro").desc(), F.col("doc_id"))
+
+    def _local_rank(batches):
+        rows = []
+        for pdf in batches:
+            rows.append(pdf)
+        pdf = (
+            pd.concat(rows)
+            if rows
+            else pd.DataFrame(
+                columns=["doc_id", "n_tokens", "avg_logprob_micro"]
+            )
+        )
+        pdf = pdf.reset_index(drop=True)
+        pdf["local_rank"] = pdf.index.astype("int64")
+        yield pdf[["doc_id", "n_tokens", "avg_logprob_micro", "local_rank"]]
+
+    local = ranged.mapInPandas(
+        _local_rank,
+        "doc_id long, n_tokens long, avg_logprob_micro double, local_rank long",
+    ).withColumn("pid", F.spark_partition_id())
+    # same materialization rule as ext_shard_manifest: the counts
+    # collect and the final projection must observe ONE partitioning
+    local = local.localCheckpoint(eager=True)
+
+    counts = local.groupBy("pid").agg(F.count("*").alias("c")).collect()
+    sums = {r.pid: r.c for r in counts}
+    n_docs = sum(sums.values())
+    offsets, acc = {}, 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+    off_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+        F.col("pid"),
+    )
+    rank = (F.col("local_rank") + off_expr + F.lit(1)).cast("long")
+    ranked = local.select(
+        "doc_id", "n_tokens", "avg_logprob_micro", rank.alias("rank")
+    )
+    bucket_ix = F.expr(f"((rank - 1) * {PPL_BUCKETS}) div {n_docs}")
+    return ranked.select(
+        "doc_id",
+        "n_tokens",
+        "avg_logprob_micro",
+        "rank",
+        F.when(bucket_ix == 0, "head")
+        .when(bucket_ix == 1, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
     )

@@ -96,6 +96,8 @@ _WINDOW_PRIORITY = (
     "ext_sim_topk_int8",
     # -- new this round: LAION-style image-text pair curation gate --
     "ext_mm_pair_filter",
+    # -- new this round: CCNet head/middle/tail two-phase-rank split --
+    "ext_lm_perplexity_buckets",
     # -- stalest tag (r2), named first by the r4 verdict --
     "sql_interface",
     # -- r2-green joins --
@@ -140,7 +142,9 @@ _WINDOW_PRIORITY = (
     "udtf_explode_shingles",
     # -- r2-green dedup/similarity core --
     "ext_dedup_exact",
-    "ext_dedup_minhash",
+    # ext_dedup_minhash (r2) yields its slot: the r5 window's
+    # ext_dedup_pipeline_minhash runs the full banding chain against
+    # a recursive-CTE oracle, covering the same machinery end to end.
     "ext_dedup_simhash",
     "ext_dedup_ngram_jaccard",
     # ext_sim_topk (r2) yields its slot: join_similarity_topk runs the

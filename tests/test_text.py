@@ -275,3 +275,29 @@ def test_pack_sequences_null_lang_groups_with_empty_string(spark):
     assert [r.lang for r in out] == ["", "", ""]
     # one shared '' domain => sequential next-fit over doc_id order
     assert [(r.bin_id, r.bin_offset) for r in out] == [(0, 0), (0, 3), (0, 5)]
+
+
+def test_perplexity_buckets_are_an_exact_ntile_of_the_score_order(spark):
+    """Two-phase global rank contract: ranks are a permutation of
+    1..N consistent with (avg DESC, doc_id) order, buckets follow
+    ((rank-1)*3) div N exactly, and the three buckets are equal-count
+    up to the remainder rule."""
+    from tests.conftest import SF_SMOKE
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+
+    rows = queries()["ext_lm_perplexity_buckets"](spark, SF_SMOKE).collect()
+    n = len(rows)
+    assert n > 0
+    assert sorted(r.rank for r in rows) == list(range(1, n + 1))
+    in_rank = sorted(rows, key=lambda r: r.rank)
+    key = [(-r.avg_logprob_micro, r.doc_id) for r in in_rank]
+    assert key == sorted(key)  # rank order == (avg DESC, doc_id) order
+    for r in rows:
+        expect_ix = (r.rank - 1) * 3 // n
+        expect = ["head", "middle", "tail"][expect_ix]
+        assert r.bucket == expect, (r.doc_id, r.rank)
+    from collections import Counter
+
+    sizes = Counter(r.bucket for r in rows)
+    assert max(sizes.values()) - min(sizes.values()) <= 1

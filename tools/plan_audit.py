@@ -205,6 +205,13 @@ AUDIT = {
         "table column pruning leaves petabytes of blobs on disk "
         "while the filter streams kilobytes of struct fields",
     ),
+    "ext_lm_perplexity_buckets": (
+        "RangePartitioning Exchange into MapInPandas (partition-local "
+        "ranks), no global single-partition Window anywhere",
+        "the corpus-wide rank moves each row exactly once through a "
+        "range exchange; phase 2 is P driver-side scalars, so the "
+        "head/middle/tail split never funnels data through one task",
+    ),
     "ext_dedup_pipeline_minhash": (
         "the minhash signature agg (16 partial-min columns) and band "
         "equi-join feeding a candidate-keyed Jaccard verify join over "
