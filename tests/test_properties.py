@@ -481,3 +481,120 @@ def test_passage_dedup_matches_sequential_reference(spark):
         .collect()
     }
     assert got == expect
+
+
+def test_sessionize_matches_sequential_reference_with_boundary_gaps(spark):
+    """Batch sessionization vs a pure-Python gaps-and-islands scan on
+    a seeded random event stream that INCLUDES exactly-30-minute gaps
+    — pinning the operator's boundary rule (gap == threshold stays in
+    the same session; only gap > threshold splits) under arbitrary
+    Spark partitioning."""
+    import random
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.relational import (
+        SESSION_GAP_US,
+    )
+
+    rng = random.Random(20260814)
+    rows = []
+    eid = 0
+    for uid in range(6):
+        us = rng.randrange(10**15)
+        for _ in range(rng.randint(3, 40)):
+            rows.append((eid, uid, us, rng.randrange(-500, 500)))
+            eid += 1
+            r = rng.random()
+            if r < 0.25:
+                us += SESSION_GAP_US  # exact boundary: must NOT split
+            elif r < 0.5:
+                us += SESSION_GAP_US + 1  # just past: must split
+            else:
+                us += rng.randrange(1, SESSION_GAP_US)
+
+    # sequential reference
+    expect = {}
+    by_user: dict[int, list] = {}
+    for e, u, us, c in sorted(rows, key=lambda t: (t[1], t[2], t[0])):
+        by_user.setdefault(u, []).append((us, c))
+    for u, evs in by_user.items():
+        seq = 0
+        prev = None
+        for us, c in evs:
+            if prev is None or us - prev > SESSION_GAP_US:
+                seq += 1
+                expect[(u, seq)] = [us, us, 0, 0]
+            s = expect[(u, seq)]
+            s[1] = us
+            s[2] += 1
+            s[3] += c
+            prev = us
+    expect = {k: tuple(v) for k, v in expect.items()}
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, us long, cents long"
+    ).repartition(5)
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    new_s = (F.col("us") - F.lag("us").over(w) > SESSION_GAP_US) | F.lag(
+        "us"
+    ).over(w).isNull()
+    got = {
+        (r.user_id, r.session_seq): (r.start_us, r.end_us, r.n_events, r.cents_sum)
+        for r in df.withColumn("new_s", new_s.cast("long"))
+        .withColumn(
+            "session_seq",
+            F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("us").alias("start_us"),
+            F.max("us").alias("end_us"),
+            F.count("*").alias("n_events"),
+            F.sum("cents").alias("cents_sum"),
+        )
+        .collect()
+    }
+    assert got == expect
+
+
+def test_int8_quantize_adversarial_vectors(spark):
+    """The absmax int8 scheme on hostile inputs: all-zero vectors,
+    single-spike vectors, tiny magnitudes, sign-heavy vectors — codes
+    must match the NumPy replication elementwise and stay in
+    [-127, 127]."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.similarity import (
+        _with_int8_codes,
+    )
+
+    vecs = [
+        (0, [0.0, 0.0, 0.0, 0.0]),
+        (1, [1e30, 0.0, -1e30, 1.0]),
+        (2, [1e-30, -1e-30, 5e-31, 0.0]),
+        (3, [-1.0, -1.0, -1.0, -1.0]),
+        (4, [0.1, -0.2, 0.3, -0.4]),
+        (5, [127.0, -127.0, 63.5, -63.5]),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: (r.scale, list(r.codes))
+        for r in _with_int8_codes(df).collect()
+    }
+    for vid, v in vecs:
+        a = np.asarray(v, dtype=np.float64)
+        amax = np.abs(a).max()
+        if amax == 0.0:
+            assert got[vid] == (0.0, [0, 0, 0, 0])
+            continue
+        scale = amax / 127.0
+        codes = np.clip(np.floor(a / scale + 0.5), -127, 127).astype(np.int64)
+        assert got[vid][0] == scale, vid
+        assert got[vid][1] == codes.tolist(), vid
+        assert all(-127 <= c <= 127 for c in got[vid][1])
