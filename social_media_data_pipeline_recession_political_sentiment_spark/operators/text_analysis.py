@@ -1108,3 +1108,90 @@ def ext_lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+_DATACARD_ORACLE = (
+    "WITH s AS (SELECT doc_id, source, lang, n_chars, text, "
+    "string_split(text, ' ') AS w FROM documents), "
+    "m AS (SELECT source, lang, n_chars, len(w) AS n_words, "
+    f"len(list_intersect(w, {_arr_lit(_STOPWORDS)})) AS stop_hits, "
+    "row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM s), "
+    "g AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(n_words) AS BIGINT) AS n_tokens, "
+    "CAST(sum(n_chars) AS BIGINT) AS total_chars, "
+    "CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs, "
+    "CAST(sum(CASE WHEN n_words BETWEEN 5 AND 1000 AND stop_hits >= 1 "
+    "AND CAST(n_chars - n_words + 1 AS DOUBLE) / n_words BETWEEN 2 AND 12 "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_gate "
+    "FROM m GROUP BY source, lang) "
+    "SELECT source, lang, n_docs, n_tokens, total_chars, n_dup_docs, "
+    "n_pass_gate, CAST(n_dup_docs AS DOUBLE) / n_docs AS dup_rate, "
+    "CAST(n_pass_gate AS DOUBLE) / n_docs AS gate_rate FROM g"
+)
+
+
+@register("ext_corpus_datacard", oracle=_DATACARD_ORACLE)
+def ext_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card statistics — the per-(source, language) table
+    every corpus release publishes (docs, tokens, chars, duplicate
+    rate, quality-gate pass rate in one query). Duplicate status is
+    CORPUS-WIDE (a doc is a dup if any lower doc_id anywhere holds
+    the same text — `ext_dedup_exact`'s canonical-copy rule), so the
+    card reports true global redundancy, not per-source redundancy.
+
+    Plan: one scan computes words/stopwords/gate flags codegen-side;
+    the dup flag costs one window keyed on sha2(text) (shuffle key =
+    32-byte hash, tiny groups — the exact-dedup shuffle); the card
+    itself is one (source, lang) hash agg with map-side partials over
+    a handful of groups. Rates are exact-int / exact-int single IEEE
+    divisions, so the hash contract holds. At 100 TB this is two
+    bounded shuffles — the same motions `ext_dedup_exact` already
+    pays — emitting a kilobyte-scale report."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n_words = F.size(w)
+    stop_hits = F.size(
+        F.array_intersect(w, F.array(*[F.lit(s) for s in _STOPWORDS]))
+    )
+    mean_wlen = (
+        (F.col("n_chars") - n_words + F.lit(1)).cast("double") / n_words
+    )
+    rn = F.row_number().over(
+        W.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    )
+    m = d.select(
+        "source",
+        "lang",
+        "n_chars",
+        n_words.alias("n_words"),
+        stop_hits.alias("stop_hits"),
+        mean_wlen.alias("mean_wlen"),
+        rn.alias("rn"),
+    )
+    gate = (
+        F.col("n_words").between(5, 1000)
+        & (F.col("stop_hits") >= 1)
+        & F.col("mean_wlen").between(2, 12)
+    )
+    g = m.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("n_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum((F.col("rn") > 1).cast("long")).alias("n_dup_docs"),
+        F.sum(gate.cast("long")).alias("n_pass_gate"),
+    )
+    return g.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "total_chars",
+        "n_dup_docs",
+        "n_pass_gate",
+        (F.col("n_dup_docs").cast("double") / F.col("n_docs")).alias("dup_rate"),
+        (F.col("n_pass_gate").cast("double") / F.col("n_docs")).alias(
+            "gate_rate"
+        ),
+    )

@@ -68,10 +68,12 @@ def register(name: str, oracle: Optional[str] = None):
 # by the verdict) and the r2-green relational / scalar / dedup-core
 # queries (every one two windows old). The three r3-green source scans
 # that previously filled the 50 rotate out to make room for the new
-# operators. Zero overlap with the r4 window. The four new-op slots
-# displaced the three r3-green source scans plus sink_partitioned_prune
-# (r2) — sink_partitioned_prune is the FIRST stale tag the r6 window
-# must re-burn.
+# operators. Zero overlap with the r4 window. The new-op slots
+# displaced the three r3-green source scans plus four r2 tags:
+# sink_partitioned_prune (no transitive cover — the FIRST tag the r6
+# window must re-burn), and ext_sim_topk / ext_dedup_minhash /
+# ext_dedup_ngram_jaccard, whose machinery is transitively
+# oracle-checked inside this window (see inline notes below).
 # Last hard check per query: see VERDICT.md r4 coverage tables.
 _WINDOW_PRIORITY = (
     # -- rewritten this round: bounded (lang, shard) packing domains --
@@ -98,6 +100,8 @@ _WINDOW_PRIORITY = (
     "ext_mm_pair_filter",
     # -- new this round: CCNet head/middle/tail two-phase-rank split --
     "ext_lm_perplexity_buckets",
+    # -- new this round: per-(source, lang) dataset-card report --
+    "ext_corpus_datacard",
     # -- stalest tag (r2), named first by the r4 verdict --
     "sql_interface",
     # -- r2-green joins --
@@ -146,7 +150,9 @@ _WINDOW_PRIORITY = (
     # ext_dedup_pipeline_minhash runs the full banding chain against
     # a recursive-CTE oracle, covering the same machinery end to end.
     "ext_dedup_simhash",
-    "ext_dedup_ngram_jaccard",
+    # ext_dedup_ngram_jaccard (r2) yields its slot: pipeline_minhash's
+    # candidate-restricted exact-Jaccard verify stage is oracle-checked
+    # in this same window, covering the jaccard machinery.
     # ext_sim_topk (r2) yields its slot: join_similarity_topk runs the
     # SAME function (hard-checked r4) and the r5 window's int8/recall
     # entries exercise the shared fold + rank helpers.

@@ -301,3 +301,29 @@ def test_perplexity_buckets_are_an_exact_ntile_of_the_score_order(spark):
 
     sizes = Counter(r.bucket for r in rows)
     assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+def test_datacard_totals_and_cross_checks(spark):
+    """The dataset card must reconcile with the primitives it reports
+    on: group totals sum to the corpus, dup counts equal
+    ext_dedup_exact's non-canonical copies, gate counts equal
+    ext_quality_gate's survivors, and rates recompute from counts."""
+    from tests.conftest import SF_SMOKE
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+
+    import duckdb
+
+    card = queries()["ext_corpus_datacard"](spark, SF_SMOKE).collect()
+    n_corpus = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchone()[0]
+    assert sum(r.n_docs for r in card) == n_corpus
+    dups = queries()["ext_dedup_exact"](spark, SF_SMOKE).collect()
+    assert sum(r.n_dup_docs for r in card) == sum(r.n_copies - 1 for r in dups)
+    gated = queries()["ext_quality_gate"](spark, SF_SMOKE).count()
+    assert sum(r.n_pass_gate for r in card) == gated
+    for r in card:
+        assert r.dup_rate == r.n_dup_docs / r.n_docs
+        assert r.gate_rate == r.n_pass_gate / r.n_docs
+        assert 0 <= r.dup_rate <= 1 and 0 <= r.gate_rate <= 1

@@ -205,6 +205,13 @@ AUDIT = {
         "table column pruning leaves petabytes of blobs on disk "
         "while the filter streams kilobytes of struct fields",
     ),
+    "ext_corpus_datacard": (
+        "one Window keyed on sha2(text) feeding partial/final "
+        "HashAggregate on (source, lang)",
+        "the card pays exactly the exact-dedup shuffle (32-byte hash "
+        "key) plus one tiny keyed agg; the report stays kilobytes no "
+        "matter the corpus size",
+    ),
     "ext_lm_perplexity_buckets": (
         "RangePartitioning Exchange into MapInPandas (partition-local "
         "ranks), no global single-partition Window anywhere",
