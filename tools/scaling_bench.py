@@ -1,0 +1,80 @@
+"""Scaling-curve evidence: time headline operators across the three
+driver scale factors (sf0.001 / sf0.01 / sf0.1 — 100x data growth)
+and report per-query growth ratios. Near-linear (or sub-linear)
+wall-clock growth across two decades of data is the empirical
+counterpart of the plan audits in PLANS.md: the shuffles these plans
+declare really do scale with data, not with pair-space.
+
+    python tools/scaling_bench.py        # prints table + markdown
+
+Timings are best-of-2 on a warm session, so JVM/codegen startup is
+excluded; the absolute numbers are host-load sensitive (same caveat
+as BASELINE.md's calibration protocol) but the RATIOS are what
+matter: an O(n^2) operator would show ~100x growth on the last
+column, a linear one ~10x or less (small SFs are overhead-bound, so
+ratios below the data growth are expected and fine).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+REPO = "/root/repo"
+sys.path.insert(0, REPO)
+
+from social_media_data_pipeline_recession_political_sentiment_spark.registry import (  # noqa: E402
+    queries,
+)
+from social_media_data_pipeline_recession_political_sentiment_spark.session import (  # noqa: E402
+    get_session,
+)
+
+SFS = ("sf0.001", "sf0.01", "sf0.1")
+HEADLINERS = (
+    "ext_dedup_pipeline",
+    "ext_dedup_pipeline_minhash",
+    "ext_sim_knn_graph",
+    "ext_dedup_passage",
+    "agg_sessionize_batch",
+    "ext_lm_perplexity_buckets",
+    "ext_corpus_datacard",
+)
+
+
+def main() -> int:
+    spark = get_session("scaling-bench")
+    qs = queries()
+    rows = []
+    for name in HEADLINERS:
+        fn = qs[name]
+        cells = []
+        for sf in SFS:
+            sf_dir = f"/root/testdata/{sf}"
+            fn(spark, sf_dir).count()  # warm
+            best = min(
+                _timed(fn, spark, sf_dir) for _ in range(2)
+            )
+            cells.append(best)
+        rows.append((name, cells))
+        print(name, ["%.2fs" % c for c in cells], flush=True)
+
+    print("\n| query | sf0.001 (s) | sf0.01 (s) | sf0.1 (s) | 0.01→0.1 growth (data 10×) |")
+    print("|---|---|---|---|---|")
+    for name, cells in rows:
+        growth = cells[2] / cells[1] if cells[1] else float("nan")
+        print(
+            f"| `{name}` | {cells[0]:.2f} | {cells[1]:.2f} | {cells[2]:.2f} "
+            f"| {growth:.1f}× |"
+        )
+    return 0
+
+
+def _timed(fn, spark, sf_dir) -> float:
+    t = time.time()
+    fn(spark, sf_dir).count()
+    return time.time() - t
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
