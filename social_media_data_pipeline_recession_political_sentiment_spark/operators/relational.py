@@ -1504,3 +1504,156 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.groupingSets([["event_type"], ["day"], []], "event_type", "day")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+_FUNNEL_ORACLE = """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+s1 AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view'
+       GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN s1 USING (user_id)
+       WHERE event_type = 'click' AND us > t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN s2 USING (user_id)
+       WHERE event_type = 'purchase' AND us > t2 GROUP BY e.user_id),
+n AS (SELECT (SELECT count(*) FROM s1) AS n1,
+             (SELECT count(*) FROM s2) AS n2,
+             (SELECT count(*) FROM s3) AS n3)
+SELECT 'view' AS step, CAST(1 AS BIGINT) AS step_ix,
+       CAST(n1 AS BIGINT) AS n_users, CAST(n1 AS DOUBLE) / n1 AS conversion
+FROM n
+UNION ALL
+SELECT 'click', CAST(2 AS BIGINT), CAST(n2 AS BIGINT),
+       CAST(n2 AS DOUBLE) / n1 FROM n
+UNION ALL
+SELECT 'purchase', CAST(3 AS BIGINT), CAST(n3 AS BIGINT),
+       CAST(n3 AS DOUBLE) / n1 FROM n
+"""
+
+
+@register("agg_funnel_steps", oracle=_FUNNEL_ORACLE)
+def agg_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel (view → click → purchase): a user counts
+    for step k only with an event STRICTLY AFTER their qualifying
+    step-(k−1) time — the product-analytics staple the reference's
+    dashboard family stops short of. First-qualifying times chain as
+    per-user min-aggs: filter step k's events, join the (user, t_{k−1})
+    set, keep later events, min per user. All times are exact integer
+    microseconds; conversion rates are exact-int/exact-int divisions.
+
+    Scale shape: each stage is one user_id-keyed hash agg plus one
+    user_id equi-join — the SAME shuffle key end to end, so at 100 TB
+    the funnel reuses one partitioning across stages (and the step-k
+    user set only ever shrinks). The 3-scalar summary collapses via a
+    1-row broadcast cross join, then explodes to the three report
+    rows driver-free."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    s1 = (
+        e.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .filter(F.col("us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(s2, "user_id")
+        .filter(F.col("us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    n1 = s1.agg(F.count("*").alias("n1"))
+    n2 = s2.agg(F.count("*").alias("n2"))
+    n3 = s3.agg(F.count("*").alias("n3"))
+    one = n1.crossJoin(F.broadcast(n2)).crossJoin(F.broadcast(n3))
+    steps = F.array(
+        F.struct(
+            F.lit("view").alias("step"),
+            F.lit(1).cast("long").alias("step_ix"),
+            F.col("n1").cast("long").alias("n_users"),
+        ),
+        F.struct(
+            F.lit("click").alias("step"),
+            F.lit(2).cast("long").alias("step_ix"),
+            F.col("n2").cast("long").alias("n_users"),
+        ),
+        F.struct(
+            F.lit("purchase").alias("step"),
+            F.lit(3).cast("long").alias("step_ix"),
+            F.col("n3").cast("long").alias("n_users"),
+        ),
+    )
+    return (
+        one.select(F.col("n1"), F.explode(steps).alias("s"))
+        .select(
+            F.col("s.step").alias("step"),
+            F.col("s.step_ix").alias("step_ix"),
+            F.col("s.n_users").alias("n_users"),
+            (F.col("s.n_users").cast("double") / F.col("n1")).alias("conversion"),
+        )
+    )
+
+
+_RETENTION_ORACLE = """
+WITH a AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+           FROM events),
+c AS (SELECT user_id, min(d) AS cohort_date FROM a GROUP BY user_id),
+sizes AS (SELECT cohort_date, CAST(count(*) AS BIGINT) AS cohort_size
+          FROM c GROUP BY cohort_date),
+act AS (SELECT c.cohort_date, date_diff('day', c.cohort_date, a.d) AS day_offset,
+               CAST(count(*) AS BIGINT) AS n_active
+        FROM a JOIN c USING (user_id) GROUP BY c.cohort_date, day_offset)
+SELECT act.cohort_date, CAST(day_offset AS BIGINT) AS day_offset, n_active,
+       cohort_size, CAST(n_active AS DOUBLE) / cohort_size AS retention
+FROM act JOIN sizes USING (cohort_date)
+"""
+
+
+@register("agg_retention_cohorts", oracle=_RETENTION_ORACLE)
+def agg_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users cohorted by first-active day,
+    counted on every later active day as an offset from their cohort
+    date — the (cohort × day-offset) triangle every growth dashboard
+    renders. Counts are exact (the (user, day) activity set is
+    DISTINCT first, so a user counts once per day); retention is one
+    exact-int/exact-int division.
+
+    Scale shape: dedup-to-days and first-day cohorting are user-keyed
+    hash aggs on the same key (one shuffle reused); the matrix agg is
+    keyed on (cohort_date, day_offset) — bounded by days², tiny
+    forever. No windows, no driver loops; at 100 TB the only big
+    motion is the initial per-user shuffle the sessionize/funnel
+    family already pays."""
+    a = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"))
+        .distinct()
+    )
+    c = a.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    sizes = c.groupBy("cohort_date").agg(F.count("*").alias("cohort_size"))
+    act = (
+        a.join(c, "user_id")
+        .groupBy(
+            "cohort_date",
+            F.datediff(F.col("d"), F.col("cohort_date")).cast("long").alias(
+                "day_offset"
+            ),
+        )
+        .agg(F.count("*").alias("n_active"))
+    )
+    return act.join(sizes, "cohort_date").select(
+        "cohort_date",
+        "day_offset",
+        "n_active",
+        "cohort_size",
+        (F.col("n_active").cast("double") / F.col("cohort_size")).alias(
+            "retention"
+        ),
+    )

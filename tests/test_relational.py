@@ -387,3 +387,79 @@ def test_batch_sessionize_equals_session_window_form(spark):
         for r in queries()["stream_sessionize"](spark, SF_SMOKE).collect()
     }
     assert batch == stream
+
+
+def test_funnel_is_monotone_and_strictly_ordered(spark):
+    """Funnel invariants: step counts never grow down the funnel, the
+    first step's conversion is exactly 1.0, and a hand-built fixture
+    proves strict ordering (a purchase BEFORE the click must not
+    count, same-timestamp events must not count)."""
+    from tests.conftest import SF_SMOKE
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+
+    rows = sorted(
+        queries()["agg_funnel_steps"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.step_ix,
+    )
+    assert [r.step for r in rows] == ["view", "click", "purchase"]
+    assert rows[0].conversion == 1.0
+    assert rows[0].n_users >= rows[1].n_users >= rows[2].n_users
+
+    # strict-order fixture: user 1 converts fully; user 2's purchase
+    # precedes the click; user 3's click shares the view's timestamp
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    ev = [
+        (1, "view", 0), (1, "click", 10), (1, "purchase", 20),
+        (2, "view", 0), (2, "purchase", 5), (2, "click", 10),
+        (3, "view", 0), (3, "click", 0),
+    ]
+    df = spark.createDataFrame(
+        [(i, u, t, base + dt.timedelta(minutes=m)) for i, (u, t, m) in enumerate(ev)],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    from pyspark.sql import functions as F
+
+    e = df.select("user_id", "event_type", F.unix_micros("ts").alias("us"))
+    s1 = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("us").alias("t1"))
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id").filter(F.col("us") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("us").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id").filter(F.col("us") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("us").alias("t3"))
+    )
+    assert {r.user_id for r in s1.collect()} == {1, 2, 3}
+    assert {r.user_id for r in s2.collect()} == {1, 2}  # user 3: same-ts click
+    assert {r.user_id for r in s3.collect()} == {1}  # user 2: purchase too early
+
+
+def test_retention_matrix_reconciles(spark):
+    """Retention invariants: day 0 retention is exactly 1.0 for every
+    cohort, cohort sizes sum to the distinct user count, offsets are
+    non-negative, and n_active never exceeds cohort_size."""
+    from tests.conftest import SF_SMOKE
+
+    import duckdb
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+
+    rows = queries()["agg_retention_cohorts"](spark, SF_SMOKE).collect()
+    assert rows
+    day0 = {r.cohort_date: r for r in rows if r.day_offset == 0}
+    cohorts = {r.cohort_date for r in rows}
+    assert set(day0) == cohorts  # every cohort has its day-0 row
+    for r in day0.values():
+        assert r.n_active == r.cohort_size and r.retention == 1.0
+    n_users = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM '{SF_SMOKE}/events.parquet'"
+    ).fetchone()[0]
+    assert sum(r.cohort_size for r in day0.values()) == n_users
+    for r in rows:
+        assert r.day_offset >= 0
+        assert 0 < r.n_active <= r.cohort_size
