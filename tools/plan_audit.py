@@ -205,6 +205,22 @@ AUDIT = {
         "table column pruning leaves petabytes of blobs on disk "
         "while the filter streams kilobytes of struct fields",
     ),
+    "agg_funnel_steps": (
+        "every HashAggregate and SortMergeJoin/ShuffledHashJoin in "
+        "the step chain keyed on user_id - one partitioning reused; "
+        "final summary via 1-row BroadcastNestedLoopJoins + Generate",
+        "the funnel never reshuffles on a new key: step filters "
+        "shrink the user set under the same hash distribution, and "
+        "the report rows materialize from three scalars",
+    ),
+    "agg_retention_cohorts": (
+        "user_id-keyed partial/final HashAggregates feeding a "
+        "(cohort_date, day_offset) agg and a broadcast-sized join "
+        "with the cohort sizes",
+        "the only full-width motion is the per-user shuffle; the "
+        "matrix side is bounded by days^2 rows regardless of corpus "
+        "size",
+    ),
     "ext_corpus_datacard": (
         "one Window keyed on sha2(text) feeding partial/final "
         "HashAggregate on (source, lang)",
