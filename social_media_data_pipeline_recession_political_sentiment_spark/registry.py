@@ -74,9 +74,10 @@ def register(name: str, oracle: Optional[str] = None):
 # window must re-burn), and ext_sim_topk / ext_dedup_minhash /
 # ext_dedup_ngram_jaccard, whose machinery is transitively
 # oracle-checked inside this window (see inline notes below).
-# agg_funnel_steps and agg_retention_cohorts (added after the window
-# filled; locally verified at all three SFs + vanilla session) join
-# sink_partitioned_prune at the head of the r6 rotation.
+# agg_funnel_steps, agg_retention_cohorts, and ext_sim_ivf_recall
+# (added after the window filled; each locally verified at all three
+# SFs + vanilla session) join sink_partitioned_prune at the head of
+# the r6 rotation.
 # Last hard check per query: see VERDICT.md r4 coverage tables.
 _WINDOW_PRIORITY = (
     # -- rewritten this round: bounded (lang, shard) packing domains --

@@ -56,3 +56,27 @@ def test_registry_imports_without_spark_session():
         capture_output=True, text=True, timeout=300,
     )
     assert r.returncode == 0, r.stderr[-2000:]
+
+
+def test_every_oracle_parses_in_duckdb():
+    """Fast dialect guard: EXPLAIN every registered oracle against
+    DuckDB views of the sf0.001 tables. Catches SQL typos and
+    DuckDB-dialect regressions in seconds without executing the full
+    correctness gate (the driver and tools/verify_local.py execute
+    them for real)."""
+    import duckdb
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.catalog import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '/root/testdata/sf0.001/{t}.parquet'"
+        )
+    bad = {}
+    for name, sql in registry.oracles().items():
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as exc:  # pragma: no cover - failure reporting
+            bad[name] = str(exc).splitlines()[0]
+    assert not bad, bad
