@@ -1657,3 +1657,53 @@ def agg_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention"
         ),
     )
+
+
+WAU_WINDOW_DAYS = 7
+
+_ROLLING_WAU_ORACLE = """
+WITH a AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+           FROM events),
+days AS (SELECT DISTINCT d AS day FROM a),
+w AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+      FROM days JOIN a ON a.d BETWEEN day - 6 AND day GROUP BY day),
+dau AS (SELECT d AS day, CAST(count(*) AS BIGINT) AS dau FROM a GROUP BY d)
+SELECT day, dau, wau FROM dau JOIN w USING (day)
+"""
+
+
+@register("agg_rolling_wau", oracle=_ROLLING_WAU_ORACLE)
+def agg_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU: per calendar day, the distinct actives that day and in
+    the trailing 7-day window — the canonical engagement metric, and
+    the canonical NON-DECOMPOSABLE window aggregate (distinct over a
+    sliding window has no partial merge, so no windowed sum trick
+    applies). The exact formulation: dedup activity to (user, day)
+    once, then join the small day dimension to the activity table on
+    the 7-day range and count distincts per day.
+
+    Scale shape: the only corpus-width motion is the (user, day)
+    dedup shuffle (shared with `agg_retention_cohorts`). The range
+    join broadcasts the DAY side — bounded by the calendar (a few
+    thousand rows after years), never by users — so activity streams
+    map-side and expands at most 7× before the per-day distinct agg,
+    which Spark executes as the standard two-phase
+    (day, user) → day expand. No per-user state, no window over the
+    full corpus."""
+    a = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"))
+        .distinct()
+    )
+    days = a.select(F.col("d").alias("day")).distinct()
+    wau = (
+        a.join(
+            F.broadcast(days),
+            (F.col("d") <= F.col("day"))
+            & (F.col("d") >= F.date_sub(F.col("day"), WAU_WINDOW_DAYS - 1)),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    dau = a.groupBy(F.col("d").alias("day")).agg(F.count("*").alias("dau"))
+    return dau.join(wau, "day").select("day", "dau", "wau")

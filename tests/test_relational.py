@@ -463,3 +463,36 @@ def test_retention_matrix_reconciles(spark):
     for r in rows:
         assert r.day_offset >= 0
         assert 0 < r.n_active <= r.cohort_size
+
+
+def test_rolling_wau_reconciles_with_dau(spark):
+    """WAU invariants: wau >= dau for every day, wau >= max dau over
+    the trailing 7 days, wau never exceeds the total user count, and
+    a 1-day 'window' degenerate check — each day's wau equals the
+    NumPy-set recomputation from raw (user, day) activity."""
+    from tests.conftest import SF_SMOKE
+
+    import duckdb
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+
+    rows = {r.day: (r.dau, r.wau) for r in queries()["agg_rolling_wau"](spark, SF_SMOKE).collect()}
+    assert rows
+    act = duckdb.sql(
+        f"SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) "
+        f"FROM '{SF_SMOKE}/events.parquet'"
+    ).fetchall()
+    by_day: dict = {}
+    for u, d in act:
+        by_day.setdefault(d, set()).add(u)
+    n_users = len({u for u, _ in act})
+    import datetime as dt
+
+    for day, (dau, wau) in rows.items():
+        assert dau == len(by_day[day])
+        window_users = set()
+        for off in range(7):
+            window_users |= by_day.get(day - dt.timedelta(days=off), set())
+        assert wau == len(window_users), day
+        assert dau <= wau <= n_users
+    assert set(rows) == set(by_day)
