@@ -1058,3 +1058,105 @@ def ext_dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(""),
         ).alias("dedup_text"),
     )
+
+
+PR_ITERS = 5
+PR_INIT_MICRO = 1_000_000
+PR_BASE_MICRO = 150_000  # 0.15 damping base, micro-prob units
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled-iteration DuckDB twin of ext_graph_pagerank: K LEFT-
+    JOIN/GROUP-BY blocks instead of a recursive CTE (aggregation in
+    the recursive term is engine-dependent; unrolling is portable and
+    the iteration count is a fixed constant of the operator)."""
+    head = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM toks),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+pairs AS (SELECT doc_a, doc_b FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}),
+edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+deg AS (SELECT s, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY s),
+s0 AS (SELECT doc_id, CAST({PR_INIT_MICRO} AS BIGINT) AS score FROM documents)"""
+    blocks = []
+    for k in range(1, PR_ITERS + 1):
+        blocks.append(
+            f""",
+s{k} AS (SELECT n.doc_id,
+         CAST({PR_BASE_MICRO} + (85 * COALESCE(c.t, 0)) // 100 AS BIGINT) AS score
+         FROM documents n LEFT JOIN (
+           SELECT e.d AS doc_id, CAST(SUM(p.score // g.outdeg) AS BIGINT) AS t
+           FROM edges e JOIN s{k - 1} p ON p.doc_id = e.s
+           JOIN deg g ON g.s = e.s
+           GROUP BY e.d) c USING (doc_id))"""
+        )
+    return (
+        head
+        + "".join(blocks)
+        + f" SELECT doc_id, score AS score_micro FROM s{PR_ITERS}"
+    )
+
+
+@register("ext_graph_pagerank", oracle=_pagerank_oracle())
+def ext_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-dup similarity graph — graph-based
+    authority scoring, the third iterative-graph algorithm beside
+    label propagation and large-star/small-star: a document tied into
+    a dense near-dup neighborhood accumulates score (template hub),
+    an isolated document settles at the damping base. Web-scale
+    curation uses exactly this family as a quality prior
+    (PageRank/harmonic centrality over the link graph).
+
+    Exactness device: ALL arithmetic is integer micro-probability —
+    contributions are `score div outdeg`, the damped update is
+    `150000 + (85·Σ) div 100` — so every iteration is exact BIGINT
+    math with a fixed truncation rule, reproducible bit-for-bit
+    against the oracle's unrolled SQL (no float mass, no convergence
+    epsilon; the iteration count is part of the operator contract).
+    Dangling-node mass is dropped rather than redistributed — same
+    rule on both sides, documented deviation from textbook PR.
+
+    Scale shape: the edge+degree table builds once and
+    localCheckpoints; each of the K rounds is one src-keyed hash join
+    (scores are (id, long) pairs — narrow) and one dst-keyed sum agg,
+    the label-propagation motion pattern. No driver-side graph state;
+    K is fixed, not data-dependent."""
+    pairs = ext_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
+    ).union(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
+    deg = edges.groupBy("s").agg(F.count("*").alias("outdeg"))
+    edges_deg = edges.join(deg, "s").localCheckpoint(eager=True)
+
+    nodes = load(spark, sf_dir, "documents").select("doc_id")
+    scores = nodes.withColumn(
+        "score", F.lit(PR_INIT_MICRO).cast("long")
+    ).localCheckpoint(eager=True)
+    for _ in range(PR_ITERS):
+        contrib = edges_deg.join(
+            scores.select(F.col("doc_id").alias("s"), "score"), "s"
+        ).select(
+            F.col("d").alias("doc_id"),
+            F.expr("score div outdeg").alias("c"),
+        )
+        tot = contrib.groupBy("doc_id").agg(F.sum("c").alias("t"))
+        scores = (
+            nodes.join(tot, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.expr(
+                    f"cast({PR_BASE_MICRO} + (85 * coalesce(t, 0L)) div 100 "
+                    "as bigint)"
+                ).alias("score"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return scores.select("doc_id", F.col("score").alias("score_micro"))

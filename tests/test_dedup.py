@@ -350,3 +350,50 @@ def test_passage_dedup_conserves_passages_and_keeps_each_once(spark):
             assert dtext == texts[did], did
         else:
             assert len(dtext) < len(texts[did]), did
+
+
+def test_pagerank_matches_sequential_integer_reference(spark):
+    """ext_graph_pagerank vs a pure-Python replication of the exact
+    integer recurrence on the same Jaccard pair graph: every score
+    must match bit-for-bit after PR_ITERS rounds, isolated documents
+    settle at the damping base, and edged documents never fall below
+    it."""
+    from tests.conftest import SF_SMOKE
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.dedup import (
+        PR_BASE_MICRO,
+        PR_INIT_MICRO,
+        PR_ITERS,
+    )
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in queries()["ext_dedup_ngram_jaccard"](spark, SF_SMOKE).collect()
+    ]
+    got = {
+        r.doc_id: r.score_micro
+        for r in queries()["ext_graph_pagerank"](spark, SF_SMOKE).collect()
+    }
+
+    edges: dict[int, list[int]] = {}
+    for a, b in pairs:
+        edges.setdefault(a, []).append(b)
+        edges.setdefault(b, []).append(a)
+    score = {d: PR_INIT_MICRO for d in got}
+    for _ in range(PR_ITERS):
+        tot = {d: 0 for d in got}
+        for s, outs in edges.items():
+            c = score[s] // len(outs)
+            for d in outs:
+                tot[d] += c
+        score = {d: PR_BASE_MICRO + (85 * tot[d]) // 100 for d in got}
+
+    assert got == score
+    for d, sc in got.items():
+        if d not in edges:
+            assert sc == PR_BASE_MICRO, d
+        else:
+            assert sc >= PR_BASE_MICRO, d
+    assert any(d not in edges for d in got)  # fixture has isolated docs
+    assert any(d in edges for d in got)  # ...and connected ones
