@@ -205,6 +205,22 @@ AUDIT = {
         "table column pruning leaves petabytes of blobs on disk "
         "while the filter streams kilobytes of struct fields",
     ),
+    "agg_rolling_wau": (
+        "one (user, day) dedup HashAggregate, then "
+        "BroadcastNestedLoopJoin with the DAY side as build feeding "
+        "the two-phase distinct agg",
+        "the calendar side broadcasts (bounded by days, not users); "
+        "activity expands at most 7x map-side before aggregation - "
+        "no per-user state, no full-corpus window",
+    ),
+    "ext_graph_pagerank": (
+        "per-round: one src-keyed join of narrow (id, long) scores "
+        "against the localCheckpointed edge+degree table + one "
+        "dst-keyed partial/final HashAggregate",
+        "the label-propagation motion pattern with a FIXED round "
+        "count; scores are 16 bytes/row, so each round moves the id "
+        "space, never documents",
+    ),
     "agg_funnel_steps": (
         "every HashAggregate and SortMergeJoin/ShuffledHashJoin in "
         "the step chain keyed on user_id - one partitioning reused; "
