@@ -80,3 +80,25 @@ def test_every_oracle_parses_in_duckdb():
         except Exception as exc:  # pragma: no cover - failure reporting
             bad[name] = str(exc).splitlines()[0]
     assert not bad, bad
+
+
+def test_bench_and_baseline_cover_the_entire_registry():
+    """BENCH_FULL.json and BASELINE.md's frozen table must each carry
+    a row for every registered query — the same assert
+    tools/append_bench_round.py makes at append time, enforced here
+    continuously so a new operator can't land without its bench and
+    baseline bookkeeping."""
+    import json
+
+    reg = set(registry.queries())
+    bench = set(json.load(open("/root/repo/BENCH_FULL.json"))["queries"])
+    assert reg - bench == set(), f"bench missing: {sorted(reg - bench)}"
+
+    lines = open("/root/repo/BASELINE.md").read().splitlines()
+    hdr = next(i for i, l in enumerate(lines) if l.startswith("| query ID"))
+    frozen = set()
+    for l in lines[hdr + 2 :]:
+        if not l.startswith("| `"):
+            break  # stop at the table end — appendix rows reuse the format
+        frozen.add(l.split("`")[1])
+    assert reg - frozen == set(), f"baseline missing: {sorted(reg - frozen)}"
