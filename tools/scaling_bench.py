@@ -39,6 +39,9 @@ HEADLINERS = (
     "agg_sessionize_batch",
     "ext_lm_perplexity_buckets",
     "ext_corpus_datacard",
+    "ext_graph_pagerank",
+    "agg_rolling_wau",
+    "agg_funnel_steps",
 )
 
 
