@@ -1707,3 +1707,95 @@ def agg_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dau = a.groupBy(F.col("d").alias("day")).agg(F.count("*").alias("dau"))
     return dau.join(wau, "day").select("day", "dau", "wau")
+
+
+ANOMALY_LOOKBACK = 7
+ANOMALY_Z = 2.0
+
+_ANOMALY_ORACLE = f"""
+WITH d AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+w AS (SELECT event_type, day, n,
+        CAST(count(n) OVER tw AS BIGINT) AS n_prior,
+        CAST(sum(n) OVER tw AS BIGINT) AS s,
+        CAST(sum(n * n) OVER tw AS BIGINT) AS ss
+      FROM d WINDOW tw AS (PARTITION BY event_type ORDER BY day
+        ROWS BETWEEN {ANOMALY_LOOKBACK} PRECEDING AND 1 PRECEDING)),
+z AS (SELECT event_type, day, n, n_prior,
+        CASE WHEN n_prior = {ANOMALY_LOOKBACK}
+             THEN CAST(s AS DOUBLE) / {ANOMALY_LOOKBACK} END AS mean_7d,
+        CASE WHEN n_prior = {ANOMALY_LOOKBACK}
+             AND CAST(ss AS DOUBLE) / {ANOMALY_LOOKBACK}
+                 - (CAST(s AS DOUBLE) / {ANOMALY_LOOKBACK})
+                   * (CAST(s AS DOUBLE) / {ANOMALY_LOOKBACK}) > 0
+             THEN (CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / {ANOMALY_LOOKBACK})
+                  / sqrt(CAST(ss AS DOUBLE) / {ANOMALY_LOOKBACK}
+                         - (CAST(s AS DOUBLE) / {ANOMALY_LOOKBACK})
+                           * (CAST(s AS DOUBLE) / {ANOMALY_LOOKBACK}))
+        END AS z
+      FROM w)
+SELECT event_type, day, n, mean_7d, z,
+       coalesce(abs(z) > {ANOMALY_Z}, FALSE) AS is_anomaly
+FROM z
+"""
+
+
+@register("agg_ingest_anomaly", oracle=_ANOMALY_ORACLE)
+def agg_ingest_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest anomaly detector: per (event_type, day), flag days whose
+    volume sits more than 2σ from the trailing-7-day mean — the
+    pipeline-health monitor every ingest (the reference's collectors
+    included) should run, and the data-drift tripwire a training
+    pipeline puts on its daily document counts. z is NULL (never a
+    flag) until a full 7-day history exists or when the window has
+    zero variance, so cold starts and flat streams can't false-alarm.
+
+    Exactness: daily counts, window counts, Σ and Σ² are all exact
+    BIGINTs; mean/variance/z derive from them through ONE shared
+    expression tree on both engines (the s/7, ss/7 − mean² forms are
+    written identically), so even the float z hash-matches.
+
+    Scale shape: the corpus-width motion is the single (type, day)
+    count agg with map-side partials. The trailing window partitions
+    by event_type over DAYS — cardinality bounded by the calendar,
+    not the corpus — so the 'global' window is a few-thousand-row
+    problem forever."""
+    d = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    tw = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-ANOMALY_LOOKBACK, -1)
+    )
+    w = d.select(
+        "event_type",
+        "day",
+        "n",
+        F.count("n").over(tw).alias("n_prior"),
+        F.sum("n").over(tw).alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(tw).alias("ss"),
+    )
+    lb = float(ANOMALY_LOOKBACK)
+    mean = F.col("s").cast("double") / F.lit(lb)
+    var = F.col("ss").cast("double") / F.lit(lb) - mean * mean
+    full = F.col("n_prior") == ANOMALY_LOOKBACK
+    z = F.when(
+        full & (var > 0), (F.col("n").cast("double") - mean) / F.sqrt(var)
+    )
+    return w.select(
+        "event_type",
+        "day",
+        "n",
+        F.when(full, mean).alias("mean_7d"),
+        z.alias("z"),
+        F.coalesce(F.abs(z) > F.lit(ANOMALY_Z), F.lit(False)).alias(
+            "is_anomaly"
+        ),
+    )

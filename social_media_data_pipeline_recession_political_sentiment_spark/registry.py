@@ -75,7 +75,7 @@ def register(name: str, oracle: Optional[str] = None):
 # ext_dedup_ngram_jaccard, whose machinery is transitively
 # oracle-checked inside this window (see inline notes below).
 # agg_funnel_steps, agg_retention_cohorts, agg_rolling_wau,
-# ext_graph_pagerank, and ext_sim_ivf_recall
+# agg_ingest_anomaly, ext_graph_pagerank, and ext_sim_ivf_recall
 # (added after the window filled; each locally verified at all three
 # SFs + vanilla session) join sink_partitioned_prune at the head of
 # the r6 rotation.

@@ -496,3 +496,41 @@ def test_rolling_wau_reconciles_with_dau(spark):
         assert wau == len(window_users), day
         assert dau <= wau <= n_users
     assert set(rows) == set(by_day)
+
+
+def test_ingest_anomaly_cold_start_and_zscore_replication(spark):
+    """Anomaly invariants: the first 7 days per type never flag (cold
+    start), z replicates the NumPy computation from the emitted daily
+    counts exactly, and flags fire iff |z| > 2."""
+    from tests.conftest import SF_SMOKE
+
+    import numpy as np
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.relational import (
+        ANOMALY_LOOKBACK,
+        ANOMALY_Z,
+    )
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+
+    rows = queries()["agg_ingest_anomaly"](spark, SF_SMOKE).collect()
+    assert rows
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: r.day)
+        counts = [r.n for r in rs]
+        for i, r in enumerate(rs):
+            if i < ANOMALY_LOOKBACK:
+                assert r.z is None and not r.is_anomaly, (et, r.day)
+                continue
+            window = np.array(counts[i - ANOMALY_LOOKBACK : i], dtype=np.float64)
+            mean = window.sum() / ANOMALY_LOOKBACK
+            var = (window**2).sum() / ANOMALY_LOOKBACK - mean * mean
+            if var > 0:
+                z = (r.n - mean) / np.sqrt(var)
+                assert r.z is not None
+                assert abs(r.z - z) < 1e-9, (et, r.day)
+                assert r.is_anomaly == (abs(r.z) > ANOMALY_Z)
+            else:
+                assert r.z is None and not r.is_anomaly
