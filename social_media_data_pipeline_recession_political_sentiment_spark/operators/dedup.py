@@ -1160,3 +1160,112 @@ def ext_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return scores.select("doc_id", F.col("score").alias("score_micro"))
+
+
+# ------------------------------------------------ corpus snapshot diff
+
+# Deterministic two-snapshot simulation over the documents fixture
+# (pure functions of doc_id, stable across engines/partitionings):
+#   v1 = docs with doc_id % 7 != 0          (so v2-only rows exist)
+#   v2 = docs with doc_id % 5 != 0, where doc_id % 3 == 0 rows carry
+#        a revised text (so changed rows exist)
+_DIFF_REV_SUFFIX = " [rev2]"
+
+_DIFF_ORACLE = f"""
+WITH v1 AS (SELECT doc_id, sha256(text) AS fp FROM documents WHERE doc_id % 7 <> 0),
+v2 AS (SELECT doc_id,
+         sha256(CASE WHEN doc_id % 3 = 0 THEN text || '{_DIFF_REV_SUFFIX}' ELSE text END) AS fp
+       FROM documents WHERE doc_id % 5 <> 0)
+SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+       CASE WHEN v1.doc_id IS NULL THEN 'added'
+            WHEN v2.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status,
+       v1.fp AS fp_v1, v2.fp AS fp_v2
+FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL OR v1.fp <> v2.fp
+"""
+
+
+@register("ext_dataset_diff", oracle=_DIFF_ORACLE)
+def ext_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff — the release-to-release audit every
+    dataset publisher runs: which documents were added, removed, or
+    content-changed between snapshot v1 and snapshot v2 (unchanged
+    rows are excluded, so the output is the delta, not the corpus).
+    The reference's nightly re-collection implicitly produces such
+    deltas (SURVEY §3.1); here the diff is a first-class operator.
+
+    Scale shape: each snapshot reduces to (doc_id, 32-byte sha2
+    fingerprint) IN THE SCAN — document text never shuffles — then
+    ONE full-outer hash join keyed on doc_id. At 100 TB both
+    snapshots live as doc_id-bucketed tables (the
+    `ext_dedup_incremental_bucketed` layout), making the diff join
+    exchange-free; AQE handles the (rare) hot-key skew. Status
+    derivation is a codegen CASE over null-ness + fingerprint
+    inequality — no second pass."""
+    d = load(spark, sf_dir, "documents")
+    v1 = d.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("fp_v1")
+    )
+    v2 = (
+        d.filter(F.col("doc_id") % 5 != 0)
+        .select(
+            "doc_id",
+            F.sha2(
+                F.when(
+                    F.col("doc_id") % 3 == 0,
+                    F.concat(F.col("text"), F.lit(_DIFF_REV_SUFFIX)),
+                ).otherwise(F.col("text")),
+                256,
+            ).alias("fp_v2"),
+        )
+    )
+    j = v1.join(v2, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("fp_v1").isNull(), "added")
+        .when(F.col("fp_v2").isNull(), "removed")
+        .otherwise("changed")
+    )
+    return j.select("doc_id", status.alias("status"), "fp_v1", "fp_v2").filter(
+        F.col("fp_v1").isNull()
+        | F.col("fp_v2").isNull()
+        | (F.col("fp_v1") != F.col("fp_v2"))
+    )
+
+
+# ------------------------------------------- duplicate-cluster census
+
+_CENSUS_ORACLE = """
+WITH c AS (SELECT sha256(text) AS fp, CAST(count(*) AS BIGINT) AS sz
+           FROM documents GROUP BY 1)
+SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(sz) AS BIGINT) AS n_docs
+FROM c GROUP BY 1
+"""
+
+
+@register("ext_dedup_cluster_census", oracle=_CENSUS_ORACLE)
+def ext_dedup_cluster_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram: how many exact-duplicate
+    clusters of each size the corpus holds and how many documents
+    they cover (size 1 = unique docs). The one-page duplication
+    profile a data card quotes ("12% of docs sit in clusters ≥ 2")
+    and the sanity check run before and after any dedup pass —
+    `ext_corpus_datacard` reports the corpus-wide rate; this is its
+    per-cluster-size decomposition.
+
+    Scale shape: pass 1 is the exact-dedup shuffle (keyed on the
+    sha2 fingerprint computed in the scan, map-side partial counts);
+    pass 2 re-keys the CLUSTER table (already ~unique-docs-sized,
+    far smaller than the corpus) on the integer size — a
+    calendar-bounded-style tiny agg. Nothing wider than
+    (fingerprint, count) ever moves."""
+    d = load(spark, sf_dir, "documents")
+    clusters = (
+        d.select(F.sha2(F.col("text"), 256).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("sz"))
+    )
+    return clusters.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count("*").alias("n_clusters"), F.sum("sz").alias("n_docs")
+    )

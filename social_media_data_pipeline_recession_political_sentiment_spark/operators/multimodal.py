@@ -295,3 +295,193 @@ def ext_mm_pair_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "caption_words",
         keep.alias("keep"),
     )
+
+
+# ------------------------------------------ perceptual-hash near-dup
+
+PHASH_BLOCKS = 64  # 64-bit hash = one bit per payload block
+PHASH_BANDS = 4  # 4 × 16-bit bands => exact for hamming <= 3
+PHASH_HAMMING_MAX = PHASH_BANDS - 1  # pigeonhole guarantee bound
+
+# Simulated re-encode: for every 5th doc a second payload lands that
+# differs by ONE byte (last byte swapped for '.') — the same-image,
+# different-encoder scenario phash dedup exists to catch. A pure
+# function of (doc_id, text), so identical on both engines.
+PHASH_REENC_OFFSET = 1_000_000_000
+PHASH_REENC_MOD = 5
+
+_PHASH_CORPUS_SQL = f"""
+media AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {PHASH_REENC_OFFSET},
+         substr(text, 1, length(text) - 1) || '.'
+  FROM documents WHERE doc_id % {PHASH_REENC_MOD} = 0 AND length(text) > 1)
+"""
+
+# Per-doc 16-bit phash bands, expressed identically to the pandas
+# stage: bit b (b = (i·64)//n per 0-based byte index i) is set when
+# block_sum · n > total_sum · block_count — an ALL-INTEGER
+# cross-multiplied form of "block mean > global mean", so both
+# engines compare exact BIGINTs, never floats. The corpus is pure
+# ASCII (see _DECODE_ORACLE), so ord(char) == payload byte.
+_PHASH_BANDS_SQL = f"""
+{_PHASH_CORPUS_SQL},
+idx AS (SELECT doc_id, text,
+               unnest(generate_series(1, length(text))) AS i
+        FROM media),
+pos AS (SELECT doc_id, ord(text[CAST(i AS INT)]) AS v,
+               ((i - 1) * {PHASH_BLOCKS}) // length(text) AS b
+        FROM idx),
+blk AS (SELECT doc_id, b, CAST(sum(v) AS BIGINT) AS bsum,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM pos GROUP BY doc_id, b),
+tot AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM pos GROUP BY doc_id),
+bits AS (SELECT blk.doc_id, blk.b,
+               CASE WHEN blk.bsum * tot.n > tot.s * blk.cnt
+                    THEN 1 ELSE 0 END AS bit
+         FROM blk JOIN tot ON blk.doc_id = tot.doc_id),
+bands AS (SELECT d.doc_id,
+  CAST(coalesce(sum(CASE WHEN bit = 1 AND b // 16 = 0 THEN 1 << (b % 16) END), 0) AS BIGINT) AS b0,
+  CAST(coalesce(sum(CASE WHEN bit = 1 AND b // 16 = 1 THEN 1 << (b % 16) END), 0) AS BIGINT) AS b1,
+  CAST(coalesce(sum(CASE WHEN bit = 1 AND b // 16 = 2 THEN 1 << (b % 16) END), 0) AS BIGINT) AS b2,
+  CAST(coalesce(sum(CASE WHEN bit = 1 AND b // 16 = 3 THEN 1 << (b % 16) END), 0) AS BIGINT) AS b3
+  FROM media d LEFT JOIN bits ON d.doc_id = bits.doc_id GROUP BY d.doc_id)
+"""
+
+_PHASH_ORACLE = f"""
+WITH {_PHASH_BANDS_SQL}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+          + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+            AS BIGINT) AS hamming
+FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+    <= {PHASH_HAMMING_MAX}
+"""
+
+
+def _phash_bands(media: DataFrame) -> DataFrame:
+    """Arrow-batched block-mean perceptual hash over binary payloads:
+    bit b = 1 iff block b's byte mean exceeds the payload's global
+    mean (compared cross-multiplied in int64 so the bit is exact),
+    emitted as four 16-bit band integers. This is the real pHash
+    STRUCTURE (block statistics -> threshold bits) minus only the
+    DCT a real image codec would front it with — which is exactly
+    the `FakeCodec` seam: swap `decode` for PIL + DCT and the rest
+    of the operator is unchanged."""
+    import pandas as pd
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(payload or b"", dtype=np.uint8)
+                n = len(arr)
+                bands = [0, 0, 0, 0]
+                if n:
+                    idx = (np.arange(n, dtype=np.int64) * PHASH_BLOCKS) // n
+                    bsum = np.zeros(PHASH_BLOCKS, dtype=np.int64)
+                    cnt = np.zeros(PHASH_BLOCKS, dtype=np.int64)
+                    np.add.at(bsum, idx, arr.astype(np.int64))
+                    np.add.at(cnt, idx, 1)
+                    s = int(arr.sum(dtype=np.int64))
+                    bits = bsum * n > s * cnt
+                    for b in np.flatnonzero(bits):
+                        bands[int(b) // 16] |= 1 << (int(b) % 16)
+                rows.append((int(doc_id), *bands))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "b0", "b1", "b2", "b3"]
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        decode, schema="doc_id long, b0 long, b1 long, b2 long, b3 long"
+    )
+
+
+@register("ext_mm_dedup_phash", oracle=_PHASH_ORACLE)
+def ext_mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate mining over binary media
+    payloads — the image-dedup stage every multimodal training
+    pipeline runs (LAION/DataComp dedupe on exactly this shape): a
+    64-bit block-mean phash per payload, band-bucketed candidate
+    mining, exact Hamming verify at distance <= 3.
+
+    EXACT, not approximate: 4 bands x 16 bits means any pair within
+    Hamming 3 differs in <= 3 bands, so by pigeonhole it collides on
+    at least one full band — the miner provably finds every
+    qualifying pair, and the oracle brute-forces all pairs to prove
+    it (the `ext_dedup_simhash` banding argument on the media tier).
+
+    The fixture corpus has no organic byte-level near-dups (measured
+    min pairwise Hamming 10), so the ingest plants the scenario the
+    operator exists for: every 5th payload also lands as a simulated
+    RE-ENCODE differing in one byte (pure function of doc_id — the
+    `ext_dataset_diff` snapshot-simulation device). Most re-encode
+    pairs land at Hamming <= 3 and are found; the occasional one
+    drifting past the bound is honestly dropped on both engines —
+    phash dedup's real precision/recall trade, reproduced exactly.
+
+    Scale shape: the phash is a map-only Arrow stage (payload bytes
+    never shuffle — the 100 TB of blobs stay on disk; only 4x16-bit
+    bands move). Mining explodes each doc to 4 (band_idx, value)
+    keys — shuffle = 4 rows/doc — then a bucket self-join whose
+    fan-out is bounded by bucket occupancy; band width is the knob
+    (wider bands => fewer, cleaner candidates) and salting splits
+    the degenerate all-same-band bucket, as in the LSH miner.
+    Hamming verify is codegen xor/bit_count on the bands."""
+    d = load(spark, sf_dir, "documents")
+    reenc = (
+        d.filter(
+            (F.col("doc_id") % PHASH_REENC_MOD == 0)
+            & (F.length("text") > 1)
+        )
+        .select(
+            (F.col("doc_id") + PHASH_REENC_OFFSET).alias("doc_id"),
+            F.concat(
+                F.expr("substr(text, 1, length(text) - 1)"), F.lit(".")
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    media = attach_media_columns(d.select(*reenc.columns).unionByName(reenc))
+    bands = _phash_bands(media)
+    exploded = bands.select(
+        "doc_id",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("bi", "bv"),
+    )
+    cand = (
+        exploded.alias("a")
+        .join(
+            exploded.alias("b"),
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(c).alias(f"a_{c}") for c in ("b0", "b1", "b2", "b3")],
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(c).alias(f"b_{c}") for c in ("b0", "b1", "b2", "b3")],
+    )
+    ham = sum(
+        F.expr(f"bit_count(a_b{j} ^ b_b{j})") for j in range(PHASH_BANDS)
+    )
+    return (
+        cand.join(left, "doc_a")
+        .join(right, "doc_b")
+        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+    )

@@ -1799,3 +1799,86 @@ def agg_ingest_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_anomaly"
         ),
     )
+
+
+# --------------------------------------------- EWMA volume smoothing
+
+EWMA_ALPHA_PCT = 30  # α = 0.30, fixed-point percent
+EWMA_MICRO = 1_000_000  # state carried in integer micro-units
+
+_EWMA_ORACLE = f"""
+WITH RECURSIVE d AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY CAST(date_trunc('day', ts) AS DATE)) AS rn
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT event_type, day, n, rn,
+         CAST(n * {EWMA_MICRO} AS BIGINT) AS ewma_micros
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.event_type, d.day, d.n, d.rn,
+         CAST(({EWMA_ALPHA_PCT} * d.n * {EWMA_MICRO}
+               + (100 - {EWMA_ALPHA_PCT}) * r.ewma_micros) // 100 AS BIGINT)
+  FROM d JOIN r ON d.event_type = r.event_type AND d.rn = r.rn + 1)
+SELECT event_type, day, n, ewma_micros FROM r
+"""
+
+
+@register("agg_ewma_volume", oracle=_EWMA_ORACLE)
+def agg_ewma_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily event volume per
+    event_type (α=0.30) — the classic trend smoother behind every
+    ops dashboard's "7-day trend" line and the drift baseline a
+    training-data pipeline tracks per source. Companion to
+    `agg_ingest_anomaly`: that flags outlier DAYS; this emits the
+    smoothed SERIES.
+
+    Exactness: EWMA's per-step integer floor-division makes the
+    closed-form (geometric-weights) rewrite inexact, so the
+    recurrence itself is the contract — state in integer micro-units,
+    s₁ = n₁·10⁶, sₜ = (30·nₜ·10⁶ + 70·sₜ₋₁) div 100 — and the oracle
+    runs the IDENTICAL recurrence as a recursive CTE. All positive
+    BIGINTs, so Spark/pandas/DuckDB division semantics coincide and
+    the result hash-matches bit-for-bit.
+
+    Scale shape: identical to `agg_ingest_anomaly` — the only
+    corpus-width motion is the (type, day) count agg with map-side
+    partials. The recurrence is honestly sequential per type, but it
+    runs over the AGGREGATED daily series whose length is bounded by
+    the calendar (≤ days × types rows forever, regardless of corpus
+    size), so the per-group applyInPandas task is a
+    few-thousand-row problem at any scale — the same
+    calendar-bounded argument, not the `ext_pack_sequences`
+    single-task-per-corpus-slice trap."""
+    import pandas as pd
+
+    d = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        s = 0
+        out = []
+        for i, n in enumerate(int(x) for x in pdf["n"]):
+            if i == 0:
+                s = n * EWMA_MICRO
+            else:
+                s = (
+                    EWMA_ALPHA_PCT * n * EWMA_MICRO
+                    + (100 - EWMA_ALPHA_PCT) * s
+                ) // 100
+            out.append(s)
+        pdf["ewma_micros"] = pd.Series(out, dtype="int64")
+        return pdf
+
+    return d.groupBy("event_type").applyInPandas(
+        ewma, schema="event_type string, day date, n long, ewma_micros long"
+    )

@@ -397,3 +397,54 @@ def test_pagerank_matches_sequential_integer_reference(spark):
             assert sc >= PR_BASE_MICRO, d
     assert any(d not in edges for d in got)  # fixture has isolated docs
     assert any(d in edges for d in got)  # ...and connected ones
+
+
+def test_dataset_diff_statuses_partition_by_id_arithmetic(spark):
+    """ext_dataset_diff: status must equal the set arithmetic of the
+    two snapshot membership predicates, changed rows are exactly the
+    revised (%3 == 0) intersection rows, and no unchanged row leaks."""
+    from tests.conftest import SF_SMOKE
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+
+    rows = queries()["ext_dataset_diff"](spark, SF_SMOKE).collect()
+    assert rows
+    by_status = {}
+    for r in rows:
+        by_status.setdefault(r.status, set()).add(r.doc_id)
+    ids = {
+        r.doc_id
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    }
+    v1 = {i for i in ids if i % 7 != 0}
+    v2 = {i for i in ids if i % 5 != 0}
+    assert by_status.get("added", set()) == v2 - v1
+    assert by_status.get("removed", set()) == v1 - v2
+    # revised text => changed; unrevised intersection rows are
+    # unchanged and must NOT appear at all
+    assert by_status.get("changed", set()) == {
+        i for i in v1 & v2 if i % 3 == 0
+    }
+    for r in rows:
+        if r.status == "added":
+            assert r.fp_v1 is None and r.fp_v2 is not None
+        elif r.status == "removed":
+            assert r.fp_v1 is not None and r.fp_v2 is None
+        else:
+            assert r.fp_v1 != r.fp_v2
+
+
+def test_cluster_census_conserves_documents(spark):
+    """ext_dedup_cluster_census: n_docs = cluster_size * n_clusters on
+    every row, and the histogram covers the corpus exactly once."""
+    from tests.conftest import SF_SMOKE
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+
+    rows = queries()["ext_dedup_cluster_census"](spark, SF_SMOKE).collect()
+    assert rows
+    total = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == total
+    for r in rows:
+        assert r.n_docs == r.cluster_size * r.n_clusters
+        assert r.cluster_size >= 1 and r.n_clusters >= 1

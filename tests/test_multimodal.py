@@ -6,6 +6,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from social_media_data_pipeline_recession_political_sentiment_spark.operators.multimodal import (
     FRAME_BYTES,
@@ -82,3 +83,34 @@ def test_pair_filter_decision_surface(spark):
         assert r.keep == expect, r.doc_id
     # non-images can never be kept
     assert all(r.is_image for r in kept)
+
+
+def test_phash_finds_planted_reencodes_within_bound(spark):
+    """ext_mm_dedup_phash: every emitted pair is ordered and within
+    the Hamming bound, and the planted one-byte re-encodes are found
+    at high recall (the odd pair legitimately drifts past 3 bits)."""
+    from tests.conftest import SF_SMOKE
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.multimodal import (
+        PHASH_HAMMING_MAX,
+        PHASH_REENC_MOD,
+        PHASH_REENC_OFFSET,
+    )
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+
+    rows = queries()["ext_mm_dedup_phash"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert 0 <= r.hamming <= PHASH_HAMMING_MAX
+    found = {(r.doc_a, r.doc_b) for r in rows}
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    planted = {
+        (r.doc_id, r.doc_id + PHASH_REENC_OFFSET)
+        for r in docs.filter(
+            (F.col("doc_id") % PHASH_REENC_MOD == 0) & (F.length("text") > 1)
+        ).collect()
+    }
+    assert planted
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.9, recall

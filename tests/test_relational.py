@@ -534,3 +534,36 @@ def test_ingest_anomaly_cold_start_and_zscore_replication(spark):
                 assert r.is_anomaly == (abs(r.z) > ANOMALY_Z)
             else:
                 assert r.z is None and not r.is_anomaly
+
+
+def test_ewma_matches_independent_sequential_recompute(spark):
+    """agg_ewma_volume: recompute the integer recurrence sequentially
+    from independently-aggregated daily counts and require bit
+    equality; first day must carry n * 1e6 exactly."""
+    from tests.conftest import SF_SMOKE
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.relational import (
+        EWMA_ALPHA_PCT,
+        EWMA_MICRO,
+    )
+
+    rows = registry.queries()["agg_ewma_volume"](spark, SF_SMOKE).collect()
+    assert rows
+    daily = {}
+    for r in (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .groupBy("event_type", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"))
+        .count()
+        .collect()
+    ):
+        daily.setdefault(r.event_type, {})[r.day] = r["count"]
+    got = {(r.event_type, r.day): (r.n, r.ewma_micros) for r in rows}
+    assert len(got) == sum(len(v) for v in daily.values())
+    for et, series in daily.items():
+        s = 0
+        for i, day in enumerate(sorted(series)):
+            n = series[day]
+            if i == 0:
+                s = n * EWMA_MICRO
+            else:
+                s = (EWMA_ALPHA_PCT * n * EWMA_MICRO + (100 - EWMA_ALPHA_PCT) * s) // 100
+            assert got[(et, day)] == (n, s), (et, day)
