@@ -1882,3 +1882,144 @@ def agg_ewma_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("event_type").applyInPandas(
         ewma, schema="event_type string, day date, n long, ewma_micros long"
     )
+
+
+# --------------------------------------------- nearest as-of join
+
+_ASOF_NEAREST_ORACLE = """
+WITH snap AS (SELECT event_type,
+        to_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT))
+          AT TIME ZONE 'UTC' AS snap_ts,
+        max(value) AS snap_max
+      FROM events GROUP BY 1, 2),
+b AS (SELECT e.event_id, e.event_type, e.ts,
+        s.snap_ts AS b_ts, s.snap_max AS b_max
+      FROM events e ASOF JOIN snap s
+      ON e.event_type = s.event_type AND e.ts >= s.snap_ts),
+f AS (SELECT e.event_id, s.snap_ts AS f_ts, s.snap_max AS f_max
+      FROM events e ASOF LEFT JOIN snap s
+      ON e.event_type = s.event_type AND e.ts < s.snap_ts)
+SELECT b.event_id, b.event_type,
+       CASE WHEN f.f_ts IS NULL
+              OR epoch_us(b.ts) - epoch_us(b.b_ts)
+                 <= epoch_us(f.f_ts) - epoch_us(b.ts)
+            THEN b.b_ts ELSE f.f_ts END AS snap_ts,
+       CASE WHEN f.f_ts IS NULL
+              OR epoch_us(b.ts) - epoch_us(b.b_ts)
+                 <= epoch_us(f.f_ts) - epoch_us(b.ts)
+            THEN b.b_max ELSE f.f_max END AS snap_max
+FROM b JOIN f ON b.event_id = f.event_id
+"""
+
+
+@register("join_asof_nearest", oracle=_ASOF_NEAREST_ORACLE)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor as-of join: each event picks the CLOSEST
+    6-hourly snapshot in time, looking both directions (ties and
+    exact hits go backward; forward is strictly-after). `join_asof`
+    is the point-in-time (no-lookahead) form for features; nearest
+    is the reconciliation form — aligning two sensors/feeds where
+    neither side is authoritative. DuckDB checks it as one backward
+    ASOF JOIN + one forward ASOF LEFT JOIN + a CASE on the gaps.
+
+    Scale shape: the same union-and-window device as `join_asof`,
+    run in BOTH directions over ONE exchange: backward carry =
+    `last(ignorenulls)` over unbounded-preceding, forward carry =
+    `first(ignorenulls)` over unbounded-following — same partitioning
+    and sort order, so Catalyst plans one shuffle + one sort feeding
+    both frames. Gap comparison is exact integer epoch seconds.
+    O(1) state per row; never a per-key nested-loop range join."""
+    e = load(spark, sf_dir, "events")
+    snap_ts = F.timestamp_seconds(
+        (F.col("ts").cast("long") / 21600).cast("long") * 21600
+    )
+    snap = e.groupBy("event_type", snap_ts.alias("snap_ts")).agg(
+        F.max("value").alias("snap_max")
+    )
+    tagged_snap = snap.select(
+        "event_type",
+        F.col("snap_ts").alias("t"),
+        F.lit(None).cast("long").alias("event_id"),
+        "snap_ts",
+        "snap_max",
+        F.lit(0).alias("tag"),
+    )
+    tagged_ev = e.select(
+        "event_type",
+        F.col("ts").alias("t"),
+        "event_id",
+        F.lit(None).cast("timestamp").alias("snap_ts"),
+        F.lit(None).cast("double").alias("snap_max"),
+        F.lit(1).alias("tag"),
+    )
+    back = (
+        W.partitionBy("event_type")
+        .orderBy("t", "tag")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fwd = (
+        W.partitionBy("event_type")
+        .orderBy("t", "tag")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    u = tagged_snap.unionByName(tagged_ev)
+    filled = u.select(
+        "event_id",
+        "event_type",
+        "tag",
+        F.unix_micros(F.col("t")).alias("t_us"),
+        F.last("snap_ts", ignorenulls=True).over(back).alias("b_ts"),
+        F.last("snap_max", ignorenulls=True).over(back).alias("b_max"),
+        F.first("snap_ts", ignorenulls=True).over(fwd).alias("f_ts"),
+        F.first("snap_max", ignorenulls=True).over(fwd).alias("f_max"),
+    ).filter(F.col("tag") == 1)
+    # forward sees the CURRENT row too, but event rows carry NULL
+    # snap cols, and an equal-t snapshot sorts before the event — so
+    # f_* is genuinely the strictly-later snapshot
+    # gap compare in exact integer MICROSECONDS: a whole-second cast
+    # would flip ties for events sitting at the precise midpoint with
+    # a fractional-second offset (observed in the sf0.1 fixture)
+    take_back = F.col("f_ts").isNull() | (
+        F.col("t_us") - F.unix_micros(F.col("b_ts"))
+        <= F.unix_micros(F.col("f_ts")) - F.col("t_us")
+    )
+    return filled.select(
+        "event_id",
+        "event_type",
+        F.when(take_back, F.col("b_ts")).otherwise(F.col("f_ts")).alias("snap_ts"),
+        F.when(take_back, F.col("b_max")).otherwise(F.col("f_max")).alias("snap_max"),
+    )
+
+
+# ------------------------------------------- retry/duplicate-fire flag
+
+RETRY_WINDOW_S = 3600
+
+_RETRY_ORACLE = f"""
+SELECT event_id,
+       coalesce(epoch(ts) - lag(epoch(ts)) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id)
+         <= {RETRY_WINDOW_S}, FALSE) AS is_retry
+FROM events
+"""
+
+
+@register("window_dedup_recent", oracle=_RETRY_ORACLE)
+def window_dedup_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retry/duplicate-fire detection: an event is a retry when the
+    SAME (user, event_type) fired within the previous hour — the
+    telemetry-dedup pass run before any counting pipeline (the batch
+    twin of `stream_dedup`'s watermarked drop, but flagging instead
+    of dropping so downstream chooses the policy).
+
+    Scale shape: one window keyed on (user_id, event_type) ordered by
+    (ts, event_id) — the tie-break makes the lag deterministic under
+    any partitioning. Key cardinality is users x types (high, so no
+    hot partition), state is one lag value per row, and the gap
+    compare is exact integer epoch seconds on both engines."""
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        F.coalesce(gap <= RETRY_WINDOW_S, F.lit(False)).alias("is_retry"),
+    )

@@ -1195,3 +1195,44 @@ def ext_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gate_rate"
         ),
     )
+
+
+# ------------------------------------------ doc-length log histogram
+
+_LENHIST_ORACLE = """
+SELECT CAST(length(bin(n_chars)) AS BIGINT) AS log2_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1
+"""
+
+
+@register("ext_length_histogram", oracle=_LENHIST_ORACLE)
+def ext_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log₂-bucketed document-length histogram — the length
+    distribution every data card plots and the input to truncation /
+    packing budget decisions (`ext_pack_sequences`' window size is
+    chosen off exactly this curve). Bucket = number of binary digits
+    of n_chars (floor(log₂)+1), computed via the `bin()` string
+    length on BOTH engines so the bucket edge is integer-exact —
+    never floor(log2(x)) on a float, whose 2ᵏ boundaries are at the
+    mercy of libm rounding.
+
+    Scale shape: scan-local bucket expression (codegen) + one tiny
+    agg keyed on ≤64 buckets with map-side partials; AQE coalesces
+    the shuffle to almost nothing. No doc text is read (column
+    pruning keeps the scan to the n_chars column)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(
+            F.length(F.bin(F.col("n_chars"))).cast("long").alias("log2_bucket")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

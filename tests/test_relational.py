@@ -567,3 +567,66 @@ def test_ewma_matches_independent_sequential_recompute(spark):
             else:
                 s = (EWMA_ALPHA_PCT * n * EWMA_MICRO + (100 - EWMA_ALPHA_PCT) * s) // 100
             assert got[(et, day)] == (n, s), (et, day)
+
+
+def test_asof_nearest_picks_minimal_gap_with_backward_ties(spark):
+    """join_asof_nearest: every event's snapshot is the true nearest
+    6-hourly snapshot of its type (python bisect reference), with
+    ties and exact hits resolved backward."""
+    import bisect
+
+    rows = registry.queries()["join_asof_nearest"](spark, SF_SMOKE).collect()
+    assert rows
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+
+    def micros(ts):
+        return (
+            int(ts.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+            + ts.microsecond
+        )
+
+    snaps = {}
+    for r in ev:
+        t = micros(r.ts) // 1_000_000
+        snaps.setdefault(r.event_type, set()).add(t // 21600 * 21600 * 1_000_000)
+    snaps = {k: sorted(v) for k, v in snaps.items()}
+    ts_by_id = {r.event_id: micros(r.ts) for r in ev}
+    for r in rows:
+        t = ts_by_id[r.event_id]
+        s = snaps[r.event_type]
+        i = bisect.bisect_right(s, t)
+        back = s[i - 1]  # floor snapshot always exists (derived from ts)
+        fwd = s[i] if i < len(s) else None
+        if fwd is None or t - back <= fwd - t:
+            expect = back
+        else:
+            expect = fwd
+        assert micros(r.snap_ts) == expect, r.event_id
+    # fixture exercises both directions
+    got = {micros(r.snap_ts) - ts_by_id[r.event_id] > 0 for r in rows}
+    assert got == {True, False}
+
+
+def test_dedup_recent_matches_sequential_gap_scan(spark):
+    """window_dedup_recent: recompute the retry flag from per-(user,
+    type) sorted sequences and require equality; both flag values
+    must occur in the fixture."""
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.relational import (
+        RETRY_WINDOW_S,
+    )
+
+    rows = registry.queries()["window_dedup_recent"](spark, SF_SMOKE).collect()
+    got = {r.event_id: r.is_retry for r in rows}
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+    seqs = {}
+    for r in ev:
+        seqs.setdefault((r.user_id, r.event_type), []).append(
+            (int(r.ts.timestamp()), r.event_id)
+        )
+    expect = {}
+    for seq in seqs.values():
+        seq.sort()
+        for i, (t, eid) in enumerate(seq):
+            expect[eid] = i > 0 and t - seq[i - 1][0] <= RETRY_WINDOW_S
+    assert got == expect
+    assert set(got.values()) == {True, False}

@@ -327,3 +327,19 @@ def test_datacard_totals_and_cross_checks(spark):
         assert r.dup_rate == r.n_dup_docs / r.n_docs
         assert r.gate_rate == r.n_pass_gate / r.n_docs
         assert 0 <= r.dup_rate <= 1 and 0 <= r.gate_rate <= 1
+
+
+def test_length_histogram_buckets_are_powers_of_two(spark):
+    """ext_length_histogram: buckets partition the corpus, and every
+    bucket's min/max sit inside [2^(b-1), 2^b)."""
+    from tests.conftest import SF_SMOKE
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+
+    rows = queries()["ext_length_histogram"](spark, SF_SMOKE).collect()
+    assert rows
+    total = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == total
+    for r in rows:
+        lo, hi = 2 ** (r.log2_bucket - 1), 2**r.log2_bucket
+        assert lo <= r.min_chars <= r.max_chars < hi
+        assert r.min_chars * r.n_docs <= r.total_chars <= r.max_chars * r.n_docs
