@@ -1269,3 +1269,55 @@ def ext_dedup_cluster_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clusters.groupBy(F.col("sz").alias("cluster_size")).agg(
         F.count("*").alias("n_clusters"), F.sum("sz").alias("n_docs")
     )
+
+
+# ------------------------------------------- near-dup degree census
+
+_DEGREE_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM toks),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+pairs AS (SELECT doc_a, doc_b FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}),
+edges AS (SELECT doc_a AS v FROM pairs UNION ALL SELECT doc_b FROM pairs),
+deg AS (SELECT v AS doc_id, CAST(count(*) AS BIGINT) AS degree
+        FROM edges GROUP BY 1)
+SELECT coalesce(d.degree, 0) AS degree, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents n LEFT JOIN deg d USING (doc_id) GROUP BY 1
+"""
+
+
+@register("ext_graph_degree_census", oracle=_DEGREE_ORACLE)
+def ext_graph_degree_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the near-dup similarity graph (degree 0 =
+    isolated docs included): the one-glance shape report on a dedup
+    graph — a heavy tail here means template hubs, which predicts
+    both `ext_dedup_components` round counts and where
+    `ext_graph_pagerank` mass will concentrate. Run it BEFORE the
+    iterative algorithms to choose label-prop vs LSS.
+
+    Scale shape: reuses the sub-quadratic pair miner, then two keyed
+    count aggs — node-keyed degree (≤2 rows per pair in motion) and
+    degree-keyed histogram over the already-node-sized table. The
+    isolated-doc row costs one broadcast-ish left join of (doc_id)
+    against the degree table."""
+    pairs = ext_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(F.col("doc_a").alias("v")).union(
+        pairs.select(F.col("doc_b").alias("v"))
+    )
+    deg = edges.groupBy(F.col("v").alias("doc_id")).agg(
+        F.count("*").alias("degree")
+    )
+    nodes = load(spark, sf_dir, "documents").select("doc_id")
+    return (
+        nodes.join(deg, "doc_id", "left")
+        .select(F.coalesce(F.col("degree"), F.lit(0)).alias("degree"))
+        .groupBy("degree")
+        .agg(F.count("*").alias("n_docs"))
+    )

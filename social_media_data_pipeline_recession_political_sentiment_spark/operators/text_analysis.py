@@ -1236,3 +1236,179 @@ def ext_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+# ----------------------------------------------- vocabulary census
+
+_VOCAB_ORACLE = """
+WITH t AS (SELECT coalesce(lang, 'und') AS lang,
+                  unnest(string_split(text, ' ')) AS term FROM documents),
+tc AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS c
+       FROM t WHERE term <> '' GROUP BY 1, 2),
+v AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+      FROM tc GROUP BY 1),
+d AS (SELECT coalesce(lang, 'und') AS lang,
+             CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1)
+SELECT d.lang, d.n_docs, v.n_tokens, v.n_types, v.n_hapax,
+       CAST(v.n_types * 1000000 // v.n_tokens AS BIGINT) AS ttr_micro
+FROM d LEFT JOIN v USING (lang)
+"""
+
+
+@register("ext_vocab_census", oracle=_VOCAB_ORACLE)
+def ext_vocab_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary census: token count, type (distinct
+    term) count, hapax-legomenon count, and type-token ratio — the
+    lexical-diversity block of a dataset card, and the drift signal
+    between corpus releases (a collapsing TTR or exploding hapax rate
+    means boilerplate flooding or OCR noise respectively).
+    Complements `ext_tfidf_topterms` (top-k document frequencies) and
+    `ext_ngram_census` (top-k n-grams) with corpus-LEVEL scalars.
+
+    Exactness: every stat is an exact BIGINT; TTR is scaled to
+    integer micro-units via int floor-division (all positive, so
+    Spark `div` ≡ DuckDB `//`). NULL langs fold to 'und' BEFORE the
+    join on both engines (a NULL join key would silently drop the
+    group in Spark's inner join semantics).
+
+    Scale shape: one (lang, term)-keyed count shuffle with map-side
+    partials — the `ext_lm_unigram_score` LM-build motion — then a
+    lang-keyed re-agg of the already-aggregated term table (vocab-
+    sized, not corpus-sized) and a broadcast-sized join against the
+    per-lang doc counts. Nothing wider than (lang, term, count) ever
+    moves; stopword-term skew is absorbed because the heavy terms
+    are still one row per (lang, term) after the partial agg."""
+    d = load(spark, sf_dir, "documents")
+    lang = F.coalesce(F.col("lang"), F.lit("und")).alias("lang")
+    tc = (
+        d.select(lang, F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("lang", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    v = tc.groupBy("lang").agg(
+        F.count("*").alias("n_types"),
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+    )
+    nd = d.groupBy(lang).agg(F.count("*").alias("n_docs"))
+    return nd.join(v, "lang", "left").select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.expr("n_types * 1000000 div n_tokens").alias("ttr_micro"),
+    )
+
+
+# ------------------------------------------- URL canonicalization
+
+# The fixture text carries no URLs (the `ext_url_domains` device), so
+# each doc is decorated with ONE of three deliberately-messy variant
+# forms of the same logical URL — uppercase scheme/host + www. +
+# trailing slash, utm_* tracking params, or a #fragment — as a pure
+# function of doc_id. Several docs share each canonical URL and a
+# shared URL arrives in up to all three variant forms, so the census
+# demonstrates real consolidation.
+_URL_VARIANT_SQL = """
+CASE doc_id % 3
+  WHEN 0 THEN 'HTTPS://WWW.Mirror' || CAST(doc_id % 20 AS VARCHAR)
+    || '.EXAMPLE.org/p/' || CAST(doc_id % 25 AS VARCHAR) || '/'
+  WHEN 1 THEN 'https://mirror' || CAST(doc_id % 20 AS VARCHAR)
+    || '.example.org/p/' || CAST(doc_id % 25 AS VARCHAR)
+    || '?utm_source=feed&utm_campaign=c' || CAST(doc_id % 25 AS VARCHAR)
+  ELSE 'https://mirror' || CAST(doc_id % 20 AS VARCHAR)
+    || '.example.org/p/' || CAST(doc_id % 25 AS VARCHAR) || '#sec'
+END
+"""
+
+_URL_CANON_ORACLE = f"""
+WITH raw AS (SELECT doc_id, {_URL_VARIANT_SQL} AS u FROM documents),
+split_head AS (SELECT doc_id, u,
+        regexp_extract(u, '(?i)^(https?://[^/]*)', 1) AS head FROM raw),
+lowered AS (SELECT doc_id, u,
+        lower(head) || substr(u, length(head) + 1) AS c FROM split_head),
+c1 AS (SELECT doc_id, u, replace(c, 'https://www.', 'https://') AS c FROM lowered),
+c2 AS (SELECT doc_id, u, regexp_replace(c, '#[^ ]*$', '', 'g') AS c FROM c1),
+c3 AS (SELECT doc_id, u,
+        regexp_replace(c, '[?&]utm_[a-z]+=[^&# ]*', '', 'g') AS c FROM c2),
+canon AS (SELECT doc_id, u, regexp_replace(c, '/$', '', 'g') AS url FROM c3)
+SELECT url, CAST(count(*) AS BIGINT) AS n_refs,
+       CAST(count(DISTINCT u) AS BIGINT) AS n_variants
+FROM canon GROUP BY url
+"""
+
+
+@register("ext_url_canonical", oracle=_URL_CANON_ORACLE)
+def ext_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization census — the dedup pass every crawler
+    frontier and link-corpus pipeline runs BEFORE fetching or joining
+    on URLs: lowercase scheme+host, drop `www.`, strip fragments and
+    `utm_*` tracking params, trim the trailing slash, then count
+    references and surviving raw variants per canonical URL.
+    (CommonCrawl-style pipelines key nearly everything on exactly
+    this canonical form.)
+
+    Engine-portability notes baked into the expression: the
+    replacement step avoids regex BACKREFERENCES entirely (Spark
+    wants `$1`, RE2 wants `\\1` — a silent divergence trap) by
+    splitting scheme+host with `regexp_extract` and re-concatenating;
+    DuckDB's `regexp_replace` gets the explicit `'g'` flag Spark
+    implies. All patterns sit in the Java/RE2 common subset with the
+    `(?i)` inline flag.
+
+    Scale shape: canonicalization is scan-local codegen string work;
+    the only shuffle is the canonical-URL-keyed count (+ distinct
+    variant count, a two-phase agg on (url, u)). Hot URLs are real at
+    crawl scale — the salted/AQE agg patterns apply unchanged."""
+    d = load(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 20).cast("string")
+    p = (F.col("doc_id") % 25).cast("string")
+    u = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("HTTPS://WWW.Mirror"), k, F.lit(".EXAMPLE.org/p/"), p, F.lit("/")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("https://mirror"), k, F.lit(".example.org/p/"), p,
+                F.lit("?utm_source=feed&utm_campaign=c"), p,
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://mirror"), k, F.lit(".example.org/p/"), p, F.lit("#sec")
+            )
+        )
+    )
+    raw = d.select(u.alias("u"))
+    canon = raw.select(
+        F.col("u"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.expr(
+                        "replace(concat(lower(regexp_extract(u, '(?i)^(https?://[^/]*)', 1)), "
+                        "substr(u, length(regexp_extract(u, '(?i)^(https?://[^/]*)', 1)) + 1)), "
+                        "'https://www.', 'https://')"
+                    ),
+                    r"#[^ ]*$",
+                    "",
+                ),
+                r"[?&]utm_[a-z]+=[^&# ]*",
+                "",
+            ),
+            r"/$",
+            "",
+        ).alias("url"),
+    )
+    return canon.groupBy("url").agg(
+        F.count("*").alias("n_refs"),
+        F.countDistinct("u").alias("n_variants"),
+    )

@@ -448,3 +448,18 @@ def test_cluster_census_conserves_documents(spark):
     for r in rows:
         assert r.n_docs == r.cluster_size * r.n_clusters
         assert r.cluster_size >= 1 and r.n_clusters >= 1
+
+
+def test_degree_census_satisfies_handshake_lemma(spark):
+    """ext_graph_degree_census: Σ degree·n_docs = 2·|pairs|, node
+    conservation holds, and the isolated-doc row is present."""
+    from tests.conftest import SF_SMOKE
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+
+    rows = queries()["ext_graph_degree_census"](spark, SF_SMOKE).collect()
+    assert rows
+    total = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == total
+    n_pairs = queries()["ext_dedup_ngram_jaccard"](spark, SF_SMOKE).count()
+    assert sum(r.degree * r.n_docs for r in rows) == 2 * n_pairs
+    assert any(r.degree == 0 for r in rows)  # fixture has isolated docs

@@ -343,3 +343,52 @@ def test_length_histogram_buckets_are_powers_of_two(spark):
         lo, hi = 2 ** (r.log2_bucket - 1), 2**r.log2_bucket
         assert lo <= r.min_chars <= r.max_chars < hi
         assert r.min_chars * r.n_docs <= r.total_chars <= r.max_chars * r.n_docs
+
+
+def test_vocab_census_matches_python_recount(spark):
+    """ext_vocab_census: recompute tokens/types/hapax per lang in
+    python and require equality, including the exact TTR division."""
+    from tests.conftest import SF_SMOKE
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+
+    rows = queries()["ext_vocab_census"](spark, SF_SMOKE).collect()
+    assert rows
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    counts, ndocs = {}, {}
+    for r in docs:
+        lang = r.lang if r.lang is not None else "und"
+        ndocs[lang] = ndocs.get(lang, 0) + 1
+        lc = counts.setdefault(lang, {})
+        for t in (r.text or "").split(" "):
+            if t:
+                lc[t] = lc.get(t, 0) + 1
+    assert {r.lang for r in rows} == set(ndocs)
+    for r in rows:
+        lc = counts[r.lang]
+        assert r.n_docs == ndocs[r.lang]
+        assert r.n_types == len(lc)
+        assert r.n_tokens == sum(lc.values())
+        assert r.n_hapax == sum(1 for c in lc.values() if c == 1)
+        assert r.ttr_micro == r.n_types * 1_000_000 // r.n_tokens
+        assert r.n_hapax <= r.n_types <= r.n_tokens
+
+
+def test_url_canonical_collapses_all_variant_forms(spark):
+    """ext_url_canonical: every canonical URL is fully normalized (no
+    case/www/params/fragment/trailing slash survives), references are
+    conserved, and at least one URL consolidates multiple variants."""
+    import re
+
+    from tests.conftest import SF_SMOKE
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+
+    rows = queries()["ext_url_canonical"](spark, SF_SMOKE).collect()
+    assert rows
+    pat = re.compile(r"^https://mirror\d+\.example\.org/p/\d+$")
+    for r in rows:
+        assert pat.fullmatch(r.url), r.url
+        assert 1 <= r.n_variants <= 3
+        assert r.n_refs >= r.n_variants
+    total = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert sum(r.n_refs for r in rows) == total
+    assert any(r.n_variants >= 2 for r in rows)
