@@ -367,6 +367,84 @@ AUDIT = {
         "shuffles pre-aggregate at test SF, and AQE demotes only the "
         "orders hop to a shuffle when the broadcast stops fitting",
     ),
+    "join_asof_nearest": (
+        "ONE Exchange on event_type feeding two Sorts (asc + desc) "
+        "and two Window operators, all four carries running "
+        "unbounded-PRECEDING frames",
+        "both directions pay one shuffle; running frames evaluate "
+        "incrementally — the (currentRow, unboundedFollowing) form "
+        "rescans the suffix per row, O(n²) per key (measured 53 s "
+        "vs 1.3 s at sf0.1)",
+    ),
+    "window_dedup_recent": (
+        "one Window keyed (user_id, event_type) ordered (ts, "
+        "event_id); lag + comparison only, no join",
+        "key cardinality users × types spreads the sort; the flag "
+        "derives from one O(1)-state lag — no self-join, no range "
+        "join, nothing wider than (id, ts) in the shuffle",
+    ),
+    "ext_dataset_diff": (
+        "two pushed-filter scans computing sha2 IN the scan stage; "
+        "SortMergeJoin FullOuter on doc_id; no Exchange after the "
+        "join",
+        "text never shuffles — both sides reduce to (doc_id, 64-hex) "
+        "before the full-outer join; at 100 TB the bucketed layout "
+        "removes even that exchange (incremental-dedup device)",
+    ),
+    "ext_dedup_cluster_census": (
+        "two HashAggregates with partial_count map-side; second agg "
+        "keyed on the integer size over the already-aggregated "
+        "cluster table",
+        "pass 1 is the exact-dedup shuffle (32-byte keys); pass 2 "
+        "re-keys a vocab-sized table — corpus width moves exactly "
+        "once",
+    ),
+    "agg_ewma_volume": (
+        "(type, day) HashAggregate with partial_count, then ONE "
+        "ArrowEvalPython/FlatMapGroupsInPandas over the aggregated "
+        "series",
+        "the pandas recurrence runs on the calendar-bounded daily "
+        "series (days × types rows forever), not the corpus — the "
+        "only corpus-width motion is the count agg",
+    ),
+    "ext_mm_dedup_phash": (
+        "MapInPandas for the phash (no shuffle before it); Generate "
+        "(posexplode) to 4 band rows/doc; band-keyed "
+        "ShuffledHashJoin; bit_count codegen in the verify",
+        "payload bytes stay in the scan stage — only 4×16-bit bands "
+        "move; mining shuffle is 4 rows/doc and the Hamming verify "
+        "is pure JVM bit math on the narrow candidate set",
+    ),
+    "ext_vocab_census": (
+        "(lang, term) HashAggregate with partial_count; lang-keyed "
+        "re-agg over the vocab-sized table; broadcast-ish join with "
+        "per-lang doc counts",
+        "the single corpus-width motion is the term count shuffle — "
+        "types/hapax/TTR all derive from the aggregated vocabulary, "
+        "which is sublinear in corpus size",
+    ),
+    "ext_url_canonical": (
+        "scan-local codegen'd regexp chain (no Python); one "
+        "two-phase HashAggregate on (url, u) for the distinct "
+        "variant count",
+        "canonicalization costs zero data motion; the census is one "
+        "keyed count shuffle — hot-URL skew falls to the AQE/salt "
+        "patterns unchanged",
+    ),
+    "ext_length_histogram": (
+        "n_chars-only ReadSchema (text pruned); HashAggregate on "
+        "≤64 bucket keys with partial aggregation",
+        "a data-card histogram over 100 TB that reads ONE integer "
+        "column and shuffles ≤64 rows per task",
+    ),
+    "ext_graph_degree_census": (
+        "the shingle pair-miner stages, then two HashAggregates "
+        "(node-keyed, degree-keyed) and a left join against the "
+        "doc_id-only scan",
+        "degree derivation moves ≤2 rows per mined pair; the "
+        "histogram agg runs over node-sized data; isolated docs "
+        "cost one narrow outer join",
+    ),
 }
 
 
