@@ -42,6 +42,12 @@ HEADLINERS = (
     "ext_graph_pagerank",
     "agg_rolling_wau",
     "agg_funnel_steps",
+    "ext_mm_dedup_phash",
+    "ext_dataset_diff",
+    "ext_vocab_census",
+    "join_asof_nearest",
+    "ext_url_canonical",
+    "ext_graph_degree_census",
 )
 
 
