@@ -1412,3 +1412,57 @@ def ext_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_refs"),
         F.countDistinct("u").alias("n_variants"),
     )
+
+
+# ------------------------------------------- per-language top terms
+
+TOPTERMS_PER_LANG_K = 5
+
+_TOPTERMS_LANG_ORACLE = f"""
+WITH t AS (SELECT coalesce(lang, 'und') AS lang, doc_id,
+                  unnest(list_distinct(string_split(text, ' '))) AS term
+           FROM documents),
+dfreq AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS df
+          FROM t WHERE term <> '' GROUP BY 1, 2),
+ranked AS (SELECT lang, term, df,
+        CAST(row_number() OVER (PARTITION BY lang
+                                ORDER BY df DESC, term) AS BIGINT) AS rank
+      FROM dfreq)
+SELECT lang, term, df, rank FROM ranked WHERE rank <= {TOPTERMS_PER_LANG_K}
+"""
+
+
+@register("ext_topterms_per_lang", oracle=_TOPTERMS_LANG_ORACLE)
+def ext_topterms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K terms by document frequency PER LANGUAGE — the per-group
+    form of `ext_tfidf_topterms`' global top-20 (the per-language
+    stopword/keyword profile a multilingual corpus report shows, and
+    the seed list for per-language stopword filters). Deterministic
+    tie-break: (df DESC, term ASC), identical rank on both engines.
+
+    Scale shape: per-doc `array_distinct` before the explode (one row
+    per (doc, term)), one (lang, term)-keyed count shuffle with
+    map-side partials — then the rank window runs over the VOCAB-
+    sized aggregate, and Spark's WindowGroupLimit pushes the K bound
+    below the sort, so no partition ever sorts more than it keeps
+    plus a bounded frontier. Never a global top-K over raw tokens."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    lang = F.coalesce(F.col("lang"), F.lit("und")).alias("lang")
+    dfreq = (
+        d.select(
+            lang,
+            F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("lang", "term")
+        .agg(F.count("*").alias("df"))
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("df"), "term")
+    return (
+        dfreq.select(
+            "lang", "term", "df", F.row_number().over(w).cast("long").alias("rank")
+        )
+        .filter(F.col("rank") <= TOPTERMS_PER_LANG_K)
+    )

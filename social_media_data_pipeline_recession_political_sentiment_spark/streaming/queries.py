@@ -313,3 +313,80 @@ def stream_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         (F.col("value") >= F.lit(0.9) * F.col("type_max")).alias("is_extreme"),
     )
+
+
+# ------------------------------------------- stream-stream interval join
+
+ATTRIB_WINDOW_S = 3600  # click attributes to a view within 1 hour
+
+_STREAM_JOIN_STREAM_ORACLE = f"""
+SELECT v.event_id AS view_id, c.event_id AS click_id,
+       epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+FROM events v JOIN events c
+  ON v.user_id = c.user_id
+ AND v.event_type = 'view' AND c.event_type = 'click'
+ AND c.ts >= v.ts
+ AND c.ts <= v.ts + INTERVAL {ATTRIB_WINDOW_S} SECONDS
+"""
+
+
+@register("stream_join_stream", oracle=_STREAM_JOIN_STREAM_ORACLE)
+def stream_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join — the one major Structured
+    Streaming join class the tier didn't yet exercise: a click stream
+    attributes to the SAME USER's view stream within a 1-hour event-
+    time window, both sides watermarked so the state store can expire
+    buffered rows. (The ad-tech/funnel attribution shape;
+    `stream_join_static` covers the stateless dim-enrichment class,
+    this covers the stateful two-stream class.)
+
+    Correctness contract: with availableNow over the staged fixture
+    the drained inner join is deterministic and equals the batch
+    interval join the oracle runs — gap emitted in exact integer
+    microseconds. Watermarks bound STATE, not results, here: nothing
+    arrives later than watermark - delay within the drain.
+
+    Scale shape: Spark plans this as a stream-stream join keyed on
+    user_id with event-time range pruning: each side's state store
+    holds only rows younger than watermark + window (1h + 10min), so
+    state is O(per-user recent activity), not O(stream). The join
+    shuffle keys on user_id — high cardinality, no hot key. The time
+    condition must be ON the join (not a post-filter) or state never
+    expires — that is the operator's whole design point."""
+    views = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "10 minutes")
+    )
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    joined = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (
+            F.col("c_ts")
+            <= F.col("v_ts") + F.expr(f"INTERVAL {ATTRIB_WINDOW_S} SECONDS")
+        ),
+    ).select(
+        "view_id",
+        "click_id",
+        (F.unix_micros(F.col("c_ts")) - F.unix_micros(F.col("v_ts"))).alias(
+            "gap_us"
+        ),
+    )
+    out = drain_to_table(joined, "append")
+    return out

@@ -223,3 +223,33 @@ def test_tumbling_count_equals_batch_daily_counts(spark):
         for r in queries()["stream_tumbling_count"](spark, SF_SMOKE).collect()
     }
     assert stream == batch
+
+
+def test_stream_stream_join_equals_batch_interval_join(spark):
+    """stream_join_stream drains to exactly the batch interval join:
+    same (view, click) pairs, same microsecond gaps, all within the
+    attribution window."""
+    from tests.conftest import SF_SMOKE
+    from social_media_data_pipeline_recession_political_sentiment_spark.streaming.queries import (
+        ATTRIB_WINDOW_S,
+        stream_join_stream,
+    )
+
+    rows = stream_join_stream(spark, SF_SMOKE).collect()
+    assert rows
+    got = {(r.view_id, r.click_id): r.gap_us for r in rows}
+    e = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    v = [(r.event_id, r.user_id, r.ts) for r in e.filter(F.col("event_type") == "view").collect()]
+    c = [(r.event_id, r.user_id, r.ts) for r in e.filter(F.col("event_type") == "click").collect()]
+
+    def us(ts):
+        import datetime as dt
+
+        return int(ts.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000 + ts.microsecond
+
+    expect = {}
+    for vid, vu, vt in v:
+        for cid, cu, ct in c:
+            if vu == cu and 0 <= us(ct) - us(vt) <= ATTRIB_WINDOW_S * 1_000_000:
+                expect[(vid, cid)] = us(ct) - us(vt)
+    assert got == expect

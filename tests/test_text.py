@@ -392,3 +392,33 @@ def test_url_canonical_collapses_all_variant_forms(spark):
     total = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
     assert sum(r.n_refs for r in rows) == total
     assert any(r.n_variants >= 2 for r in rows)
+
+
+def test_topterms_per_lang_ranks_and_bounds(spark):
+    """ext_topterms_per_lang: ranks are 1..K dense per lang, df is
+    non-increasing along rank, and rank-1 df equals the lang's true
+    max document frequency."""
+    from tests.conftest import SF_SMOKE
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.text_analysis import (
+        TOPTERMS_PER_LANG_K,
+    )
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+
+    rows = queries()["ext_topterms_per_lang"](spark, SF_SMOKE).collect()
+    assert rows
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    df_true = {}
+    for d in docs:
+        lang = d.lang if d.lang is not None else "und"
+        for t in set((d.text or "").split(" ")) - {""}:
+            key = df_true.setdefault(lang, {})
+            key[t] = key.get(t, 0) + 1
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= TOPTERMS_PER_LANG_K
+        assert all(a.df >= b.df for a, b in zip(rs, rs[1:]))
+        assert rs[0].df == max(df_true[lang].values())
