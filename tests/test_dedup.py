@@ -463,3 +463,31 @@ def test_degree_census_satisfies_handshake_lemma(spark):
     n_pairs = queries()["ext_dedup_ngram_jaccard"](spark, SF_SMOKE).count()
     assert sum(r.degree * r.n_docs for r in rows) == 2 * n_pairs
     assert any(r.degree == 0 for r in rows)  # fixture has isolated docs
+
+
+def test_minhash_eval_reconciles_with_truth_and_candidates(spark):
+    """ext_dedup_minhash_eval: tp+fn must equal the exact-Jaccard
+    truth count, tp+fp the banded candidate count, and the permilles
+    the integer floor-divisions of those cells."""
+    from tests.conftest import SF_SMOKE
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.dedup import (
+        _exploded_shingles,
+        _minhash_candidates,
+    )
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+
+    (row,) = queries()["ext_dedup_minhash_eval"](spark, SF_SMOKE).collect()
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in queries()["ext_dedup_ngram_jaccard"](spark, SF_SMOKE).collect()
+    }
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in _minhash_candidates(_exploded_shingles(spark, SF_SMOKE)).collect()
+    }
+    assert row.tp == len(truth & cand)
+    assert row.fn == len(truth - cand)
+    assert row.fp == len(cand - truth)
+    assert row.precision_permille == row.tp * 1000 // (row.tp + row.fp)
+    assert row.recall_permille == row.tp * 1000 // (row.tp + row.fn)
+    assert row.tp > 0  # banding does find the strong dups
