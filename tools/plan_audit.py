@@ -445,6 +445,21 @@ AUDIT = {
         "histogram agg runs over node-sized data; isolated docs "
         "cost one narrow outer join",
     ),
+    "ext_topterms_per_lang": (
+        "(lang, term) HashAggregate with partial_count; "
+        "WindowGroupLimit below the rank sort",
+        "the rank window runs over the vocab-sized aggregate and "
+        "the group-limit bounds every partition's sort to K plus a "
+        "frontier — never a global sort of raw tokens",
+    ),
+    "ext_dedup_minhash_eval": (
+        "the shingle-collision truth join and the banded-signature "
+        "equi-join feeding a pair-keyed FULL outer join; final "
+        "3-scalar HashAggregate",
+        "both pair sets are sub-quadratic products of existing "
+        "miners; the confusion join moves only (id, id, bool) rows "
+        "and the matrix reduces to three scalars map-side",
+    ),
 }
 
 
