@@ -2031,3 +2031,105 @@ def window_dedup_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.coalesce(gap <= RETRY_WINDOW_S, F.lit(False)).alias("is_retry"),
     )
+
+
+# --------------------------------------------- dense time-spine fill
+
+_SPINE_ORACLE = """
+WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+b AS (SELECT date_trunc('hour', min(ts)) AS h0,
+             date_trunc('hour', max(ts)) AS h1 FROM events),
+spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts
+          FROM b),
+t AS (SELECT DISTINCT event_type FROM events)
+SELECT t.event_type, s.hour_ts, coalesce(h.n, 0) AS n
+FROM t CROSS JOIN spine s
+LEFT JOIN h ON h.event_type = t.event_type AND h.hour_ts = s.hour_ts
+"""
+
+
+@register("agg_time_spine_fill", oracle=_SPINE_ORACLE)
+def agg_time_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly resample with zero-filled gaps: every (event_type,
+    hour) cell between the corpus's first and last hour, 0 where
+    nothing happened. Sparse group-by output silently hides outages —
+    charting, anomaly scoring (`agg_ingest_anomaly`'s windows assume
+    dense days), and rate SLOs all need the explicit zero rows; this
+    is the gap-fill/resample operator every time-series store ships.
+
+    Scale shape: the corpus-width motion is the (type, hour) count
+    agg with map-side partials. The spine derives from a 2-scalar
+    min/max agg and explodes driver-free via `sequence()` — its size
+    is calendar-bounded (hours × types forever, regardless of
+    corpus), so the grid cross-join and the left join against the
+    hourly counts are broadcast-sized. No UDF, no driver loop."""
+    e = load(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_ts")
+    )
+    types = e.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(spine))
+    return grid.join(hourly, ["event_type", "hour_ts"], "left").select(
+        "event_type",
+        "hour_ts",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+    )
+
+
+# --------------------------------------------- per-user lifetime facts
+
+_LIFETIME_ORACLE = """
+SELECT user_id,
+       min(ts) AS first_ts, max(ts) AS last_ts,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT CAST(date_trunc('day', ts) AS DATE)) AS BIGINT)
+         AS active_days,
+       CAST(datediff('day', CAST(date_trunc('day', min(ts)) AS DATE),
+                     CAST(date_trunc('day', max(ts)) AS DATE)) AS BIGINT)
+         AS lifetime_days
+FROM events GROUP BY user_id
+"""
+
+
+@register("agg_user_lifetime", oracle=_LIFETIME_ORACLE)
+def agg_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifetime facts table: first/last seen, event count,
+    distinct active days, and calendar lifetime span — the "user
+    dimension" every analytics warehouse materializes once and joins
+    everywhere (and the churn-model feature block). Complements the
+    cohort (`agg_retention_cohorts`) and DAU/WAU (`agg_rolling_wau`)
+    views with the user-grain rollup.
+
+    Scale shape: ONE user-keyed agg; the distinct-days count is the
+    standard two-phase (user, day) → user expand — no window, no
+    self-join. User cardinality spreads the shuffle; min/max/count
+    all combine map-side. lifetime_days is an exact integer date
+    difference on both engines."""
+    e = load(spark, sf_dir, "events")
+    day = F.to_date(F.date_trunc("day", F.col("ts")))
+    return e.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.count("*").alias("n_events"),
+        F.countDistinct(day).alias("active_days"),
+        F.datediff(
+            F.to_date(F.date_trunc("day", F.max("ts"))),
+            F.to_date(F.date_trunc("day", F.min("ts"))),
+        )
+        .cast("long")
+        .alias("lifetime_days"),
+    )

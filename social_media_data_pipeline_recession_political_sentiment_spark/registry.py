@@ -80,7 +80,8 @@ def register(name: str, oracle: Optional[str] = None):
 # ext_mm_dedup_phash, join_asof_nearest, window_dedup_recent,
 # ext_length_histogram, ext_vocab_census, ext_url_canonical,
 # ext_graph_degree_census, ext_topterms_per_lang,
-# stream_join_stream, and ext_dedup_minhash_eval (added after the
+# stream_join_stream, ext_dedup_minhash_eval, agg_time_spine_fill,
+# and agg_user_lifetime (added after the
 # window filled; each locally
 # verified at all three SFs + vanilla session) join
 # sink_partitioned_prune at the head of the r6 rotation.

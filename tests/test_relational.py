@@ -630,3 +630,40 @@ def test_dedup_recent_matches_sequential_gap_scan(spark):
             expect[eid] = i > 0 and t - seq[i - 1][0] <= RETRY_WINDOW_S
     assert got == expect
     assert set(got.values()) == {True, False}
+
+
+def test_time_spine_fill_is_dense_and_conserving(spark):
+    """agg_time_spine_fill: the grid is exactly types × contiguous
+    hours, gap rows are zero, and the non-zero cells conserve the
+    corpus event count."""
+    rows = registry.queries()["agg_time_spine_fill"](spark, SF_SMOKE).collect()
+    assert rows
+    e = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    total = e.count()
+    assert sum(r.n for r in rows) == total
+    types = {r.event_type for r in rows}
+    hours = sorted({r.hour_ts for r in rows})
+    assert len(rows) == len(types) * len(hours)
+    for a, b in zip(hours, hours[1:]):
+        assert (b - a).total_seconds() == 3600  # contiguous spine
+    assert any(r.n == 0 for r in rows)  # fixture has real gaps
+
+
+def test_user_lifetime_invariants_and_sample_recompute(spark):
+    """agg_user_lifetime: per-user facts reconcile with a python
+    recompute and satisfy the structural inequalities."""
+    rows = registry.queries()["agg_user_lifetime"](spark, SF_SMOKE).collect()
+    assert rows
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r.ts)
+    assert len(rows) == len(by_user)
+    for r in rows:
+        ts = by_user[r.user_id]
+        assert r.first_ts == min(ts) and r.last_ts == max(ts)
+        assert r.n_events == len(ts)
+        assert r.active_days == len({t.date() for t in ts})
+        assert r.lifetime_days == (max(ts).date() - min(ts).date()).days
+        assert r.active_days <= r.lifetime_days + 1
+        assert r.n_events >= r.active_days
