@@ -1466,3 +1466,122 @@ def ext_topterms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= TOPTERMS_PER_LANG_K)
     )
+
+
+# ------------------------------------------- language-ID evaluation
+
+# Confusion oracle wraps the REGISTERED fn_lang_detect oracle verbatim
+# (same device as the shared minhash CTEs): the eval can never drift
+# from the classifier it scores.
+_LANG_EVAL_ORACLE = (
+    "WITH base AS ({base}) "
+    "SELECT coalesce(lang, 'und') AS true_lang, lang_guess AS pred_lang, "
+    "CAST(count(*) AS BIGINT) AS n "
+    "FROM base GROUP BY 1, 2"
+)
+
+
+def _lang_eval_oracle() -> str:
+    return _LANG_EVAL_ORACLE.format(base=ORACLES["fn_lang_detect"])
+
+
+@register("ext_lang_id_eval", oracle=None)
+def ext_lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the `fn_lang_detect` heuristic
+    scored against the corpus's labeled lang column — the
+    classifier-quality report run before trusting any lang-keyed
+    curation decision (split quotas, per-lang quality gates, mixture
+    weights all key on predicted language). Off-diagonal mass IS the
+    curation risk, quantified.
+
+    Oracle registered at import via the registry's fn_lang_detect
+    SQL wrapped in one GROUP BY — eval and classifier share a single
+    definition, so they cannot drift apart.
+
+    Scale shape: the classifier is scan-local codegen
+    (array_intersect over the split tokens); the matrix is one
+    (true, pred) keyed count agg — ≤ langs² rows out of map-side
+    partials."""
+    base = ext_lang_detect(spark, sf_dir)
+    return base.groupBy(
+        F.coalesce(F.col("lang"), F.lit("und")).alias("true_lang"),
+        F.col("lang_guess").alias("pred_lang"),
+    ).agg(F.count("*").alias("n"))
+
+
+ORACLES["ext_lang_id_eval"] = _lang_eval_oracle()
+
+
+# ------------------------------------------- tokenize to vocab ids
+
+VOCAB_K = 24  # top-K vocabulary; OOV maps to id = VOCAB_K
+# (the synthetic corpus draws from a ~31-term pool, so K=24 makes the
+# OOV path REAL at every SF; a production run sets K to 30k-100k)
+
+_TOKENIZE_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+pos AS (SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS p FROM t),
+tok AS (SELECT doc_id, p, arr[CAST(p AS INT)] AS term FROM pos
+        WHERE arr[CAST(p AS INT)] <> ''),
+freq AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+ranked AS (SELECT term, row_number() OVER (ORDER BY c DESC, term) - 1 AS id
+           FROM freq),
+vocab AS (SELECT term, CAST(id AS BIGINT) AS id FROM ranked WHERE id < {VOCAB_K})
+SELECT tok.doc_id,
+       list(coalesce(vocab.id, {VOCAB_K}) ORDER BY tok.p) AS ids,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN vocab.id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov
+FROM tok LEFT JOIN vocab USING (term)
+GROUP BY tok.doc_id
+"""
+
+
+@register("ext_tokenize_ids", oracle=_TOKENIZE_ORACLE)
+def ext_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize documents to vocabulary ids: corpus-frequency top-K
+    vocab (rank = id, deterministic (count DESC, term) order), OOV →
+    id K — the text→ids step between cleaning and
+    `ext_pack_sequences` that every LM data pipeline runs, with the
+    OOV count per doc as the vocabulary-coverage signal. Order
+    preserved exactly: ids[i] is token i of the document.
+
+    Scale shape: vocab build is one term-keyed count with map-side
+    partials, then the top-K rank runs on the aggregated vocabulary
+    and BROADCASTS (K is small by construction — the real-tokenizer
+    analogue is a broadcast trie); tokenization is posexplode → 
+    broadcast-hash lookup → one doc-keyed re-assembly agg whose
+    shuffle carries (doc, pos, id) ints, never text. Docs with zero
+    non-empty tokens are omitted on both engines (inner grouping)."""
+    d = load(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), " ")).alias("p", "term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    freq = tok.groupBy("term").agg(F.count("*").alias("c"))
+    from pyspark.sql import Window as W
+
+    # top-K FIRST via orderBy().limit() => TakeOrderedAndProject
+    # (distributed partial top-K merge); the unpartitioned rank
+    # window then runs over K rows BY CONSTRUCTION — never a
+    # single-partition sort of the full (at scale, huge) vocabulary
+    topk = freq.orderBy(F.desc("c"), "term").limit(VOCAB_K)
+    rank = F.row_number().over(W.orderBy(F.desc("c"), "term")) - 1
+    vocab = topk.select("term", rank.cast("long").alias("id"))
+    joined = tok.join(F.broadcast(vocab), "term", "left").select(
+        "doc_id",
+        "p",
+        F.coalesce(F.col("id"), F.lit(VOCAB_K).cast("long")).alias("id"),
+        F.col("id").isNull().alias("oov"),
+    )
+    return joined.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("p", "id"))),
+            lambda s: s["id"],
+        ).alias("ids"),
+        F.count("*").alias("n_tokens"),
+        F.sum(F.col("oov").cast("long")).alias("n_oov"),
+    )

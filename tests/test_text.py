@@ -422,3 +422,59 @@ def test_topterms_per_lang_ranks_and_bounds(spark):
         assert len(rs) <= TOPTERMS_PER_LANG_K
         assert all(a.df >= b.df for a, b in zip(rs, rs[1:]))
         assert rs[0].df == max(df_true[lang].values())
+
+
+def test_lang_id_eval_reconciles_with_classifier(spark):
+    """ext_lang_id_eval: the matrix cells reproduce a direct count
+    over the classifier's output and cover the corpus exactly."""
+    from tests.conftest import SF_SMOKE
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+
+    rows = queries()["ext_lang_id_eval"](spark, SF_SMOKE).collect()
+    assert rows
+    base = queries()["fn_lang_detect"](spark, SF_SMOKE).collect()
+    expect = {}
+    for r in base:
+        key = (r.lang if r.lang is not None else "und", r.lang_guess)
+        expect[key] = expect.get(key, 0) + 1
+    assert {(r.true_lang, r.pred_lang): r.n for r in rows} == expect
+    assert sum(r.n for r in rows) == len(base)
+
+
+def test_tokenize_ids_roundtrips_python_vocab(spark):
+    """ext_tokenize_ids: rebuild the top-K vocab in python and require
+    every document's id sequence, token count, and OOV count to match
+    exactly (order included)."""
+    from tests.conftest import SF_SMOKE
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.text_analysis import (
+        VOCAB_K,
+    )
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+
+    rows = queries()["ext_tokenize_ids"](spark, SF_SMOKE).collect()
+    assert rows
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    freq = {}
+    toks = {}
+    for d in docs:
+        ts = [t for t in (d.text or "").split(" ") if t]
+        if ts:
+            toks[d.doc_id] = ts
+        for t in ts:
+            freq[t] = freq.get(t, 0) + 1
+    vocab = {
+        t: i
+        for i, (t, _) in enumerate(
+            sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:VOCAB_K]
+        )
+    }
+    assert len(rows) == len(toks)
+    for r in rows:
+        ts = toks[r.doc_id]
+        ids = [vocab.get(t, VOCAB_K) for t in ts]
+        assert list(r.ids) == ids, r.doc_id
+        assert r.n_tokens == len(ts)
+        assert r.n_oov == sum(1 for t in ts if t not in vocab)
+    # OOV occurs exactly when the corpus vocabulary exceeds K (the
+    # smoke fixture's whole vocab can fit inside 256 ids)
+    assert any(r.n_oov > 0 for r in rows) == (len(freq) > VOCAB_K)
