@@ -2133,3 +2133,54 @@ def agg_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("lifetime_days"),
     )
+
+
+# --------------------------------------------- inter-event gap profile
+
+_GAP_ORACLE = """
+WITH g AS (SELECT event_type,
+        epoch_us(ts) - lag(epoch_us(ts)) OVER (
+            PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+      FROM events)
+SELECT event_type,
+       CAST(count(gap_us) AS BIGINT) AS n_gaps,
+       quantile_cont(gap_us, 0.5) AS p50_gap_us,
+       quantile_cont(gap_us, 0.95) AS p95_gap_us,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us
+FROM g WHERE gap_us IS NOT NULL GROUP BY event_type
+"""
+
+
+@register("agg_interevent_gap", oracle=_GAP_ORACLE)
+def agg_interevent_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap profile per event_type: median / p95 / max gap
+    between consecutive events — the arrival-process health metric
+    behind freshness SLOs ("p95 ingest silence < X min") and the
+    empirical input to `agg_ingest_anomaly`'s window sizing. Gaps in
+    exact integer MICROseconds ((ts, event_id) tie-broken lag, the
+    `window_dedup_recent` determinism device); the percentile
+    interpolation is the same sorted-linear rule on both engines
+    (the `agg_percentiles` contract).
+
+    Scale shape: one lag window + one agg, both keyed on event_type.
+    Type cardinality is LOW, so at 100 TB this exact form has hot
+    partitions — the same trade `agg_percentiles` documents: the
+    production path swaps `percentile` for `percentile_approx`
+    (mergeable GK sketch, map-side partials, no per-key value
+    collection) and computes gaps inside (type, day) domains with
+    boundary stitching; the exact form here is the validation
+    harness for that sketch."""
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    g = load(spark, sf_dir, "events").select(
+        "event_type",
+        (
+            F.unix_micros(F.col("ts"))
+            - F.lag(F.unix_micros(F.col("ts"))).over(w)
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return g.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.expr("percentile(gap_us, 0.5)").alias("p50_gap_us"),
+        F.expr("percentile(gap_us, 0.95)").alias("p95_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )

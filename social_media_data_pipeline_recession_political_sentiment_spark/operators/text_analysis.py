@@ -1585,3 +1585,97 @@ def ext_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_tokens"),
         F.sum(F.col("oov").cast("long")).alias("n_oov"),
     )
+
+
+# ------------------------------------------- bigram PMI collocations
+
+PMI_MIN_COUNT = 5  # noise floor for collocation candidates
+PMI_TOP_K = 20
+
+_PMI_ORACLE = f"""
+WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+uni AS (SELECT unnest(w) AS term FROM t),
+u AS (SELECT term, CAST(count(*) AS BIGINT) AS c
+      FROM uni WHERE term <> '' GROUP BY 1),
+n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM u),
+pos AS (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i FROM t),
+bi AS (SELECT w[CAST(i AS INT)] AS a, w[CAST(i AS INT) + 1] AS b FROM pos
+       WHERE w[CAST(i AS INT)] <> '' AND w[CAST(i AS INT) + 1] <> ''),
+m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM bi),
+b2 AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_pair FROM bi GROUP BY 1, 2)
+SELECT b2.a || ' ' || b2.b AS bigram, b2.n_pair,
+       round(ln(CAST(b2.n_pair AS DOUBLE) * n.n * n.n
+                / (m.m * ua.c * ub.c)), 6) AS pmi
+FROM b2, n, m
+JOIN u ua ON ua.term = b2.a
+JOIN u ub ON ub.term = b2.b
+WHERE b2.n_pair >= {PMI_MIN_COUNT}
+ORDER BY pmi DESC, bigram LIMIT {PMI_TOP_K}
+"""
+
+
+@register("ext_bigram_pmi", oracle=_PMI_ORACLE)
+def ext_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K adjacent-bigram collocations by pointwise mutual
+    information — the association miner behind phrase detection
+    (word2vec-style phrase merging, "new york"-type units before
+    tokenizer training) and a boilerplate signal `ext_ngram_census`'s
+    raw counts can't give (PMI surfaces pairs that co-occur far above
+    chance, not just often). Noise floor n_pair >= 5.
+
+    Bit-stable float contract: PMI = ln(n_pair·N²/(M·c_a·c_b))
+    written as ONE identical expression tree on both engines (all
+    factors exact BIGINTs cast up to double), rounded to 6dp — the
+    `ext_tfidf_topterms` idf device, above ULP noise, below any
+    ranking-relevant precision. Ties on rounded PMI break on the
+    bigram string.
+
+    Scale shape: two keyed count shuffles (unigram, bigram) with
+    map-side partials; N and M join in as broadcast scalars; the
+    unigram side joins the AGGREGATED bigram table (vocab²-bounded,
+    post-floor far smaller). Top-K is TakeOrderedAndProject. The
+    bigram explode is map-side — no pair-space blowup beyond
+    adjacency."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.split(F.col("text"), " ").alias("w"))
+    uni = toks.select(F.explode("w").alias("term")).filter(F.col("term") != "")
+    u = uni.groupBy("term").agg(F.count("*").alias("c"))
+    n = u.agg(F.sum("c").alias("n"))
+    bi = (
+        toks.select(
+            F.posexplode(F.expr("slice(w, 1, size(w) - 1)")).alias("i0", "a"),
+            F.col("w"),
+        )
+        .select("a", F.expr("w[i0 + 1]").alias("b"))
+        .filter((F.col("a") != "") & (F.col("b") != ""))
+    )
+    m = bi.agg(F.count("*").alias("m"))
+    b2 = (
+        bi.groupBy("a", "b")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= PMI_MIN_COUNT)
+    )
+    ua = u.select(F.col("term").alias("a"), F.col("c").alias("ca"))
+    ub = u.select(F.col("term").alias("b"), F.col("c").alias("cb"))
+    pmi = F.round(
+        F.log(
+            F.col("n_pair").cast("double")
+            * F.col("n")
+            * F.col("n")
+            / (F.col("m") * F.col("ca") * F.col("cb"))
+        ),
+        6,
+    )
+    return (
+        b2.join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.concat_ws(" ", "a", "b").alias("bigram"),
+            "n_pair",
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "bigram")
+        .limit(PMI_TOP_K)
+    )

@@ -81,7 +81,8 @@ def register(name: str, oracle: Optional[str] = None):
 # ext_length_histogram, ext_vocab_census, ext_url_canonical,
 # ext_graph_degree_census, ext_topterms_per_lang,
 # stream_join_stream, ext_dedup_minhash_eval, agg_time_spine_fill,
-# agg_user_lifetime, ext_lang_id_eval, and ext_tokenize_ids (added
+# agg_user_lifetime, ext_lang_id_eval, ext_tokenize_ids,
+# ext_bigram_pmi, and agg_interevent_gap (added
 # after the window filled; each locally
 # verified at all three SFs + vanilla session) join
 # sink_partitioned_prune at the head of the r6 rotation.

@@ -667,3 +667,33 @@ def test_user_lifetime_invariants_and_sample_recompute(spark):
         assert r.lifetime_days == (max(ts).date() - min(ts).date()).days
         assert r.active_days <= r.lifetime_days + 1
         assert r.n_events >= r.active_days
+
+
+def test_interevent_gap_profile_recompute(spark):
+    """agg_interevent_gap: gaps recomputed sequentially per type must
+    reproduce count/max exactly and the percentiles via the sorted
+    linear-interpolation rule."""
+    rows = registry.queries()["agg_interevent_gap"](spark, SF_SMOKE).collect()
+    assert rows
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+
+    def us(ts):
+        return int(ts.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000 + ts.microsecond
+
+    seq = {}
+    for r in ev:
+        seq.setdefault(r.event_type, []).append((us(r.ts), r.event_id))
+
+    def q(vals, p):
+        vals = sorted(vals)
+        k = (len(vals) - 1) * p
+        lo, hi = int(k), min(int(k) + 1, len(vals) - 1)
+        return vals[lo] + (vals[hi] - vals[lo]) * (k - lo)
+
+    for r in rows:
+        s = sorted(seq[r.event_type])
+        gaps = [b[0] - a[0] for a, b in zip(s, s[1:])]
+        assert r.n_gaps == len(gaps)
+        assert r.max_gap_us == max(gaps)
+        assert abs(r.p50_gap_us - q(gaps, 0.5)) < 1e-6 * max(1, q(gaps, 0.5))
+        assert abs(r.p95_gap_us - q(gaps, 0.95)) < 1e-6 * max(1, q(gaps, 0.95))

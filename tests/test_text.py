@@ -478,3 +478,41 @@ def test_tokenize_ids_roundtrips_python_vocab(spark):
     # OOV occurs exactly when the corpus vocabulary exceeds K (the
     # smoke fixture's whole vocab can fit inside 256 ids)
     assert any(r.n_oov > 0 for r in rows) == (len(freq) > VOCAB_K)
+
+
+def test_bigram_pmi_matches_python_recompute(spark):
+    """ext_bigram_pmi: rebuild unigram/bigram counts in python and
+    require the emitted PMI (6dp) and ranking to match."""
+    import math
+
+    from tests.conftest import SF_SMOKE
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.text_analysis import (
+        PMI_MIN_COUNT,
+        PMI_TOP_K,
+    )
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+
+    rows = queries()["ext_bigram_pmi"](spark, SF_SMOKE).collect()
+    assert rows and len(rows) <= PMI_TOP_K
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    uni, bi = {}, {}
+    m = 0
+    for d in docs:
+        w = (d.text or "").split(" ")
+        for t in w:
+            if t:
+                uni[t] = uni.get(t, 0) + 1
+        for a, b in zip(w, w[1:]):
+            if a and b:
+                bi[(a, b)] = bi.get((a, b), 0) + 1
+                m += 1
+    n = sum(uni.values())
+    cand = []
+    for (a, b), c in bi.items():
+        if c >= PMI_MIN_COUNT:
+            pmi = round(math.log(c * n * n / (m * uni[a] * uni[b])), 6)
+            cand.append((f"{a} {b}", c, pmi))
+    cand.sort(key=lambda x: (-x[2], x[0]))
+    expect = cand[:PMI_TOP_K]
+    got = [(r.bigram, r.n_pair, round(r.pmi, 6)) for r in rows]
+    assert got == expect
