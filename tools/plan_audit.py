@@ -460,6 +460,42 @@ AUDIT = {
         "miners; the confusion join moves only (id, id, bool) rows "
         "and the matrix reduces to three scalars map-side",
     ),
+    "agg_time_spine_fill": (
+        "(type, hour) HashAggregate; 2-scalar min/max agg exploding "
+        "into the spine; BroadcastNestedLoopJoin for the tiny grid "
+        "cross; broadcast left join against hourly counts",
+        "the spine is calendar-bounded so every join after the one "
+        "count shuffle is broadcast-sized — zero-filling 100 TB "
+        "costs one agg",
+    ),
+    "agg_user_lifetime": (
+        "ONE user-keyed HashAggregate with partial min/max/count; "
+        "expand for the distinct-day count",
+        "no window, no self-join; user cardinality spreads the "
+        "shuffle and every stat combines map-side",
+    ),
+    "ext_tokenize_ids": (
+        "term-count HashAggregate then TakeOrderedAndProject(24) "
+        "BEFORE the rank window; BroadcastHashJoin for the vocab "
+        "lookup; doc-keyed re-assembly agg",
+        "the unpartitioned rank sees exactly K rows by construction "
+        "— never the full vocabulary; the re-assembly shuffle "
+        "carries (doc, pos, id) ints, not text",
+    ),
+    "ext_bigram_pmi": (
+        "two count HashAggregates (unigram, bigram); broadcast "
+        "scalar N and M; broadcast unigram joins onto the floored "
+        "bigram table; TakeOrderedAndProject(20)",
+        "adjacency bounds the explode; the PMI join runs on the "
+        "aggregated, count-floored bigram table, far below vocab²",
+    ),
+    "agg_interevent_gap": (
+        "one Window (lag) and one HashAggregate, both keyed "
+        "event_type",
+        "exact-percentile-per-type honestly collects per key — the "
+        "documented production path is percentile_approx over "
+        "(type, day) domains; the lag itself is O(1) state",
+    ),
 }
 
 
