@@ -2184,3 +2184,94 @@ def agg_interevent_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(gap_us, 0.95)").alias("p95_gap_us"),
         F.max("gap_us").alias("max_gap_us"),
     )
+
+
+# --------------------------------------------- as-of join with TTL
+
+ASOF_TOLERANCE_S = 10800  # 3h freshness bound (half the snapshot period)
+
+_ASOF_TOL_ORACLE = f"""
+WITH snap AS (SELECT event_type,
+        to_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT))
+          AT TIME ZONE 'UTC' AS snap_ts,
+        max(value) AS snap_max
+      FROM events GROUP BY 1, 2),
+b AS (SELECT e.event_id, e.event_type, e.ts,
+        s.snap_ts AS b_ts, s.snap_max AS b_max
+      FROM events e ASOF JOIN snap s
+      ON e.event_type = s.event_type AND e.ts >= s.snap_ts)
+SELECT event_id, event_type,
+       epoch_us(ts) - epoch_us(b_ts) <= {ASOF_TOLERANCE_S} * CAST(1000000 AS BIGINT)
+         AS fresh,
+       CASE WHEN epoch_us(ts) - epoch_us(b_ts)
+                 <= {ASOF_TOLERANCE_S} * CAST(1000000 AS BIGINT) THEN b_ts END AS snap_ts,
+       CASE WHEN epoch_us(ts) - epoch_us(b_ts)
+                 <= {ASOF_TOLERANCE_S} * CAST(1000000 AS BIGINT) THEN b_max END AS snap_max
+FROM b
+"""
+
+
+@register("join_asof_tolerance", oracle=_ASOF_TOL_ORACLE)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time as-of join with a freshness TTL (pandas
+    merge_asof's `tolerance`): the backward snapshot only counts if
+    it is at most 3 h old at event time; staler matches become NULL
+    with an explicit fresh flag — the difference between "join the
+    last known feature value" and "join it only if it isn't stale",
+    which is what feature-store reads actually require.
+
+    Same one-exchange union-and-window plan as `join_asof`; the TTL
+    is a codegen CASE on the exact integer microsecond gap (the
+    `join_asof_nearest` device), so the tolerance adds zero data
+    motion."""
+    e = load(spark, sf_dir, "events")
+    snap_ts = F.timestamp_seconds(
+        (F.col("ts").cast("long") / 21600).cast("long") * 21600
+    )
+    snap = e.groupBy("event_type", snap_ts.alias("snap_ts")).agg(
+        F.max("value").alias("snap_max")
+    )
+    tagged_snap = snap.select(
+        "event_type",
+        F.col("snap_ts").alias("t"),
+        F.lit(None).cast("long").alias("event_id"),
+        "snap_ts",
+        "snap_max",
+        F.lit(0).alias("tag"),
+    )
+    tagged_ev = e.select(
+        "event_type",
+        F.col("ts").alias("t"),
+        "event_id",
+        F.lit(None).cast("timestamp").alias("snap_ts"),
+        F.lit(None).cast("double").alias("snap_max"),
+        F.lit(1).alias("tag"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("t", "tag")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = (
+        tagged_snap.unionByName(tagged_ev)
+        .select(
+            "event_id",
+            "event_type",
+            "tag",
+            F.unix_micros(F.col("t")).alias("t_us"),
+            F.last("snap_ts", ignorenulls=True).over(w).alias("b_ts"),
+            F.last("snap_max", ignorenulls=True).over(w).alias("b_max"),
+        )
+        .filter(F.col("tag") == 1)
+    )
+    fresh = (
+        F.col("t_us") - F.unix_micros(F.col("b_ts"))
+        <= ASOF_TOLERANCE_S * 1_000_000
+    )
+    return filled.select(
+        "event_id",
+        "event_type",
+        fresh.alias("fresh"),
+        F.when(fresh, F.col("b_ts")).alias("snap_ts"),
+        F.when(fresh, F.col("b_max")).alias("snap_max"),
+    )

@@ -1679,3 +1679,93 @@ def ext_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "bigram")
         .limit(PMI_TOP_K)
     )
+
+
+# -------------------------------------- exact stratified allocation
+
+STRAT_SAMPLE = 100  # total sample size, allocated proportionally
+
+_STRAT_ORACLE = f"""
+WITH d AS (SELECT doc_id, coalesce(lang, 'und') AS lang FROM documents),
+c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+a AS (SELECT lang, n, n * {STRAT_SAMPLE} // t.total AS base,
+             (n * {STRAT_SAMPLE}) % t.total AS rem
+      FROM c, t),
+rk AS (SELECT lang, base, rem,
+        row_number() OVER (ORDER BY rem DESC, lang) AS rr,
+        (SELECT {STRAT_SAMPLE} - sum(base) FROM a) AS leftover
+       FROM a),
+al AS (SELECT lang,
+        CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT)
+          AS alloc
+       FROM rk),
+r AS (SELECT doc_id, lang, CAST(row_number() OVER (PARTITION BY lang
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+      FROM d)
+SELECT r.doc_id, r.lang, r.rn, al.alloc
+FROM r JOIN al USING (lang) WHERE r.rn <= al.alloc
+"""
+
+
+@register("ext_sample_stratified_exact", oracle=_STRAT_ORACLE)
+def ext_sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact proportional stratified sample by largest-remainder
+    (Hamilton) allocation: the TOTAL sample size is exact (100 docs),
+    each language's share is floor(n·S/N) plus one for the largest
+    fractional remainders — the balanced-eval-set allocator.
+    `ext_sample_per_group` fixes a per-group quota and
+    `ext_sample_mixture` a per-source rate; neither can promise an
+    exact total under proportionality, which is this operator's
+    whole contract.
+
+    Determinism: allocation is pure integer arithmetic (floor-div,
+    mod, remainder rank tie-broken on lang); within-language
+    selection is the md5-key rank (`ext_sample_per_group`'s device).
+    Row count is exactly S whenever the corpus has ≥ S docs.
+
+    Scale shape: allocation runs on the LANGUAGE table — group-count
+    cardinality, never corpus — so its unpartitioned remainder-rank
+    window sees a handful of rows by construction (the
+    `ext_tokenize_ids` bounded-window argument). Selection is one
+    lang-keyed window with WindowGroupLimit bounding each sort at
+    the language's allocation."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("lang"), F.lit("und")).alias("lang")
+    )
+    c = d.groupBy("lang").agg(F.count("*").alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    a = c.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n",
+        F.expr(f"n * {STRAT_SAMPLE} div total").alias("base"),
+        F.expr(f"(n * {STRAT_SAMPLE}) % total").alias("rem"),
+    )
+    leftover = a.agg(
+        (F.lit(STRAT_SAMPLE) - F.sum("base")).alias("leftover")
+    )
+    rr = F.row_number().over(W.orderBy(F.desc("rem"), "lang"))
+    al = (
+        a.crossJoin(F.broadcast(leftover))
+        .select("lang", "base", "leftover", rr.alias("rr"))
+        .select(
+            "lang",
+            (
+                F.col("base")
+                + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("alloc"),
+        )
+    )
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    r = d.select(
+        "doc_id", "lang", F.row_number().over(w).cast("long").alias("rn")
+    )
+    return r.join(F.broadcast(al), "lang").filter(
+        F.col("rn") <= F.col("alloc")
+    ).select("doc_id", "lang", "rn", "alloc")

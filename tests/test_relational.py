@@ -697,3 +697,28 @@ def test_interevent_gap_profile_recompute(spark):
         assert r.max_gap_us == max(gaps)
         assert abs(r.p50_gap_us - q(gaps, 0.5)) < 1e-6 * max(1, q(gaps, 0.5))
         assert abs(r.p95_gap_us - q(gaps, 0.95)) < 1e-6 * max(1, q(gaps, 0.95))
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    """join_asof_tolerance: fresh rows carry the same snapshot as
+    join_asof; stale rows (gap > TTL) are NULLed with fresh=False,
+    and the fixture exercises both."""
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.relational import (
+        ASOF_TOLERANCE_S,
+    )
+
+    tol = {r.event_id: r for r in registry.queries()["join_asof_tolerance"](spark, SF_SMOKE).collect()}
+    plain = {r.event_id: r for r in registry.queries()["join_asof"](spark, SF_SMOKE).collect()}
+    ev = {r.event_id: r.ts for r in spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()}
+    assert set(tol) == set(plain)
+    seen = set()
+    for eid, r in tol.items():
+        gap = (ev[eid] - plain[eid].snap_ts).total_seconds()
+        fresh = gap <= ASOF_TOLERANCE_S
+        seen.add(fresh)
+        assert r.fresh == fresh
+        if fresh:
+            assert r.snap_ts == plain[eid].snap_ts and r.snap_max == plain[eid].snap_max
+        else:
+            assert r.snap_ts is None and r.snap_max is None
+    assert seen == {True, False}

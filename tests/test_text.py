@@ -516,3 +516,41 @@ def test_bigram_pmi_matches_python_recompute(spark):
     expect = cand[:PMI_TOP_K]
     got = [(r.bigram, r.n_pair, round(r.pmi, 6)) for r in rows]
     assert got == expect
+
+
+def test_stratified_exact_total_and_hamilton_allocation(spark):
+    """ext_sample_stratified_exact: the sample totals exactly S, each
+    language's allocation matches a python largest-remainder
+    recompute, and within-language picks follow the md5 rank."""
+    import hashlib
+
+    from tests.conftest import SF_SMOKE
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.text_analysis import (
+        STRAT_SAMPLE,
+    )
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+
+    rows = queries()["ext_sample_stratified_exact"](spark, SF_SMOKE).collect()
+    assert len(rows) == STRAT_SAMPLE
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    by_lang = {}
+    for d in docs:
+        by_lang.setdefault(d.lang if d.lang is not None else "und", []).append(d.doc_id)
+    total = sum(len(v) for v in by_lang.values())
+    base = {k: len(v) * STRAT_SAMPLE // total for k, v in by_lang.items()}
+    rem = {k: (len(v) * STRAT_SAMPLE) % total for k, v in by_lang.items()}
+    leftover = STRAT_SAMPLE - sum(base.values())
+    for k in sorted(rem, key=lambda k: (-rem[k], k))[:leftover]:
+        base[k] += 1
+    got_alloc = {}
+    for r in rows:
+        got_alloc[r.lang] = got_alloc.get(r.lang, 0) + 1
+        assert r.alloc == base[r.lang]
+    assert got_alloc == {k: v for k, v in base.items() if v > 0}
+    # within-lang selection = lowest md5(doc_id) ranks
+    for lang, ids in by_lang.items():
+        if base.get(lang, 0) == 0:
+            continue
+        ranked = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        expect = set(ranked[: base[lang]])
+        assert {r.doc_id for r in rows if r.lang == lang} == expect
