@@ -1416,3 +1416,59 @@ def ext_dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("tp * 1000 div (tp + fn)"),
         ).alias("recall_permille"),
     )
+
+
+# -------------------------------------- per-doc duplication profile
+
+_DUP_PROFILE_ORACLE = f"""
+WITH {_SHINGLE_CTE},
+df AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY s)
+SELECT sh.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared,
+       CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) * 1000 // count(*)
+            AS BIGINT) AS dup_permille
+FROM sh JOIN df USING (s)
+GROUP BY sh.doc_id
+"""
+
+
+@register("ext_doc_dup_profile", oracle=_DUP_PROFILE_ORACLE)
+def ext_doc_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplication profile: the fraction of a document's
+    word-3-grams that appear in ANY other document (CCNet's per-doc
+    duplicate-ratio curation signal — scored per doc, unlike
+    `ext_dedup_passage` which rewrites the corpus, and unlike
+    `ext_dedup_cluster_census` which profiles whole-doc clusters).
+    High dup_permille = boilerplate/template suspect even when no
+    single pair crosses a near-dup threshold. Docs with < 3 words
+    have no shingles and are omitted (same rule as the miners).
+
+    Exactness: counts are BIGINTs, the ratio is an integer
+    floor-division in permille. A shingle with df ≥ 2 counts as
+    shared for EVERY doc carrying it, including exact-dup twins.
+
+    Scale shape: the shared-shingle signal reuses the one
+    shingle-keyed count shuffle every dedup op here pays, then one
+    shingle-keyed join back and a doc-keyed agg — no pair space at
+    all, strictly cheaper than any pairwise miner. At 100 TB the df
+    table is the corpus's distinct-shingle census; a bloom filter
+    over df≥2 shingles turns the join into a map-side probe."""
+    sh = _exploded_shingles(spark, sf_dir)
+    df = sh.groupBy("s").agg(F.count("*").alias("df"))
+    shared = F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+    return (
+        sh.join(df, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            shared.alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_shared",
+            F.expr("n_shared * 1000 div n_shingles").alias("dup_permille"),
+        )
+    )

@@ -485,3 +485,61 @@ def ext_mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
     )
+
+
+# ----------------------------------------- media dedup end-to-end
+
+_PHASH_CLUSTER_ORACLE = f"""
+WITH RECURSIVE {_PHASH_BANDS_SQL},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+      + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+      <= {PHASH_HAMMING_MAX}),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(node, lbl) AS (
+    SELECT doc_id, doc_id FROM media
+    UNION
+    SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS media_id, min(lbl) AS component,
+       min(lbl) = node AS is_keeper
+FROM reach GROUP BY node
+"""
+
+
+@register("ext_mm_phash_cluster", oracle=_PHASH_CLUSTER_ORACLE)
+def ext_mm_phash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media dedup END TO END: phash near-dup pairs → connected
+    components → keeper per cluster (component = min reachable
+    media id; the keeper is that minimum — originals, having the
+    smaller ids, win over their planted re-encodes by construction).
+    The multimodal twin of `ext_dedup_pipeline`: what a LAION-style
+    image pipeline actually ships, not just its pair stage.
+
+    Composition of proven parts: `ext_mm_dedup_phash`'s exact
+    band-mined pairs feed the O(log² n) large-star/small-star
+    contraction (`ext_dedup_components_lss`'s machinery); the oracle
+    replays pairs + transitive closure as one recursive CTE over the
+    same simulated media corpus. Isolated media are their own
+    keepers.
+
+    Scale shape: inherits the map-only phash and 4-rows/doc mining
+    shuffle; the components loop moves (id, id) edges only, rounds
+    bounded O(log² n) regardless of cluster diameter."""
+    from .dedup import _large_small_star
+
+    d = load(spark, sf_dir, "documents")
+    reenc_ids = d.filter(
+        (F.col("doc_id") % PHASH_REENC_MOD == 0) & (F.length("text") > 1)
+    ).select((F.col("doc_id") + PHASH_REENC_OFFSET).alias("doc_id"))
+    media_ids = d.select("doc_id").unionByName(reenc_ids)
+    pairs = ext_mm_dedup_phash(spark, sf_dir).select("doc_a", "doc_b")
+    comp = _large_small_star(media_ids, pairs)
+    return comp.select(
+        F.col("doc_id").alias("media_id"),
+        "component",
+        (F.col("component") == F.col("doc_id")).alias("is_keeper"),
+    )

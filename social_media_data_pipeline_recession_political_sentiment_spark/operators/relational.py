@@ -2275,3 +2275,44 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("b_ts")).alias("snap_ts"),
         F.when(fresh, F.col("b_max")).alias("snap_max"),
     )
+
+
+# --------------------------------------------- event-type transitions
+
+_TRANSITIONS_ORACLE = """
+WITH g AS (SELECT user_id, event_type,
+        lag(event_type) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev_type
+      FROM events)
+SELECT prev_type AS from_type, event_type AS to_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM g WHERE prev_type IS NOT NULL GROUP BY 1, 2
+"""
+
+
+@register("agg_event_transitions", oracle=_TRANSITIONS_ORACLE)
+def agg_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix (Markov first-order
+    counts): how often event B directly follows event A in a user's
+    timeline — empirical funnel discovery (`agg_funnel_steps` checks
+    a GIVEN order; this finds which orders actually happen) and the
+    behavioral fingerprint behind bot/spam heuristics.
+
+    Determinism: the (ts, event_id) tie-broken lag — the
+    `window_dedup_recent` device — makes each user's sequence, and
+    therefore every transition count, partition-independent.
+
+    Scale shape: one user-keyed lag window (high key cardinality,
+    O(1) state) and one (from, to)-keyed count agg over ≤ types²
+    output with map-side partials. Each user's first event emits no
+    transition."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type").over(w).alias("from_type"),
+    )
+    return (
+        g.filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )

@@ -83,7 +83,8 @@ def register(name: str, oracle: Optional[str] = None):
 # stream_join_stream, ext_dedup_minhash_eval, agg_time_spine_fill,
 # agg_user_lifetime, ext_lang_id_eval, ext_tokenize_ids,
 # ext_bigram_pmi, agg_interevent_gap, ext_sample_stratified_exact,
-# and join_asof_tolerance (added
+# join_asof_tolerance, ext_mm_phash_cluster, ext_doc_dup_profile,
+# and agg_event_transitions (added
 # after the window filled; each locally
 # verified at all three SFs + vanilla session) join
 # sink_partitioned_prune at the head of the r6 rotation.

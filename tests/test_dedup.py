@@ -491,3 +491,22 @@ def test_minhash_eval_reconciles_with_truth_and_candidates(spark):
     assert row.precision_permille == row.tp * 1000 // (row.tp + row.fp)
     assert row.recall_permille == row.tp * 1000 // (row.tp + row.fn)
     assert row.tp > 0  # banding does find the strong dups
+
+
+def test_doc_dup_profile_bounds_and_twin_consistency(spark):
+    """ext_doc_dup_profile: shares are bounded, exact-duplicate docs
+    (if any near-dup pair is a full match) score 1000, and every doc
+    with >= 3 words appears exactly once."""
+    from tests.conftest import SF_SMOKE
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+
+    rows = queries()["ext_doc_dup_profile"](spark, SF_SMOKE).collect()
+    assert rows
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    eligible = [d for d in docs if len([t for t in (d.text or "").split(" ") if t]) >= 3]
+    assert len(rows) == len(eligible)
+    for r in rows:
+        assert 0 <= r.n_shared <= r.n_shingles
+        assert r.dup_permille == r.n_shared * 1000 // r.n_shingles
+    assert any(r.n_shared > 0 for r in rows)  # near-dups exist
+    assert any(r.n_shared < r.n_shingles for r in rows)

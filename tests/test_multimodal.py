@@ -114,3 +114,29 @@ def test_phash_finds_planted_reencodes_within_bound(spark):
     assert planted
     recall = len(found & planted) / len(planted)
     assert recall >= 0.9, recall
+
+
+def test_phash_cluster_keepers_and_reencode_collapse(spark):
+    """ext_mm_phash_cluster: exactly one keeper per component, the
+    keeper is the component minimum, every media id appears once,
+    and planted re-encode pairs that the miner found share their
+    original's cluster."""
+    from tests.conftest import SF_SMOKE
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+
+    rows = queries()["ext_mm_phash_cluster"](spark, SF_SMOKE).collect()
+    assert rows
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r)
+    for comp, members in by_comp.items():
+        keepers = [m for m in members if m.is_keeper]
+        assert len(keepers) == 1
+        assert keepers[0].media_id == comp == min(m.media_id for m in members)
+    pairs = queries()["ext_mm_dedup_phash"](spark, SF_SMOKE).collect()
+    comp_of = {r.media_id: r.component for r in rows}
+    assert len(comp_of) == len(rows)
+    for p in pairs:
+        assert comp_of[p.doc_a] == comp_of[p.doc_b]
+    assert len(by_comp) < len(rows)  # some clusters are non-trivial

@@ -722,3 +722,22 @@ def test_asof_tolerance_nulls_stale_matches(spark):
         else:
             assert r.snap_ts is None and r.snap_max is None
     assert seen == {True, False}
+
+
+def test_event_transitions_conserve_and_match_recompute(spark):
+    """agg_event_transitions: total transitions = events - users with
+    events, and the matrix equals a python recompute."""
+    rows = registry.queries()["agg_event_transitions"](spark, SF_SMOKE).collect()
+    assert rows
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+    seq = {}
+    for r in ev:
+        seq.setdefault(r.user_id, []).append((r.ts, r.event_id, r.event_type))
+    expect = {}
+    for s in seq.values():
+        s.sort()
+        for a, b in zip(s, s[1:]):
+            k = (a[2], b[2])
+            expect[k] = expect.get(k, 0) + 1
+    assert {(r.from_type, r.to_type): r.n for r in rows} == expect
+    assert sum(r.n for r in rows) == len(ev) - len(seq)
