@@ -1472,3 +1472,55 @@ def ext_doc_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_shared * 1000 div n_shingles").alias("dup_permille"),
         )
     )
+
+
+# -------------------------------------- near-dup component census
+
+_COMP_CENSUS_ORACLE = f"""
+WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM toks),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+pairs AS (SELECT doc_a, doc_b FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(node, lbl) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+cs AS (SELECT component, CAST(count(*) AS BIGINT) AS sz FROM comp GROUP BY 1)
+SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(sz) AS BIGINT) AS n_docs
+FROM cs GROUP BY 1
+"""
+
+
+@register("ext_dedup_component_census", oracle=_COMP_CENSUS_ORACLE)
+def ext_dedup_component_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup cluster-size histogram: the `ext_dedup_cluster_census`
+    shape over transitive near-dup components instead of exact-hash
+    clusters — together they bracket the corpus's duplication
+    spectrum (exact twins vs template families), and the delta
+    between the two tables is itself the template-rewrite signal a
+    data card should quote.
+
+    Scale shape: pair miner (sub-quadratic) → LSS components
+    (O(log² n) rounds of (id, id) motion) → component-keyed count →
+    size-keyed count over the already-component-sized table. The
+    histogram stages add two tiny keyed aggs on top of machinery
+    the dedup chain already pays for."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    pairs = ext_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    comp = _large_small_star(d, pairs)
+    cs = comp.groupBy("component").agg(F.count("*").alias("sz"))
+    return cs.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count("*").alias("n_clusters"), F.sum("sz").alias("n_docs")
+    )

@@ -2316,3 +2316,61 @@ def agg_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("from_type", "to_type")
         .agg(F.count("*").alias("n"))
     )
+
+
+# --------------------------------------------- user concentration (Gini)
+
+_GINI_ORACLE = """
+WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+r AS (SELECT x, CAST(row_number() OVER (ORDER BY x, user_id) AS BIGINT) AS i FROM c),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS tot,
+             CAST(sum(i * x) AS BIGINT) AS wsum FROM r)
+SELECT n AS n_users, tot AS total_events,
+       CAST(2 * wsum - (n + 1) * tot AS DOUBLE) / (n * tot) AS gini
+FROM s
+"""
+
+
+@register("agg_user_gini", oracle=_GINI_ORACLE)
+def agg_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event volume — the concentration
+    scalar behind "top 1% of users produce X% of content" claims, a
+    bot/brigading tripwire on the reference's comment firehose, and
+    (run over docs-per-domain) the corpus-balance metric a curation
+    report quotes. 0 = uniform, →1 = one user is the firehose.
+
+    Exactness: Gini = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) over ascending
+    (x, user_id)-ranked counts — numerator and denominator are exact
+    BIGINTs, the final division is ONE IEEE op, identical on both
+    engines.
+
+    Scale shape: the corpus-width motion is the user-keyed count agg.
+    The rank then runs over the AGGREGATED user table — honest
+    caveat: that global sort is users-sized, fine up to hundreds of
+    millions; past that the documented path is the two-phase
+    partition-prefix rank (`ext_shard_manifest`'s device, rank =
+    local rank + broadcast per-partition offsets) which computes the
+    same Σi·xᵢ without a single-partition window."""
+    c = load(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count("*").alias("x")
+    )
+    r = c.select(
+        "x",
+        F.row_number()
+        .over(W.orderBy("x", "user_id"))
+        .cast("long")
+        .alias("i"),
+    )
+    s = r.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("tot"),
+        F.sum(F.col("i") * F.col("x")).alias("wsum"),
+    )
+    return s.select(
+        F.col("n").alias("n_users"),
+        F.col("tot").alias("total_events"),
+        (
+            (2 * F.col("wsum") - (F.col("n") + 1) * F.col("tot")).cast("double")
+            / (F.col("n") * F.col("tot"))
+        ).alias("gini"),
+    )

@@ -84,7 +84,8 @@ def register(name: str, oracle: Optional[str] = None):
 # agg_user_lifetime, ext_lang_id_eval, ext_tokenize_ids,
 # ext_bigram_pmi, agg_interevent_gap, ext_sample_stratified_exact,
 # join_asof_tolerance, ext_mm_phash_cluster, ext_doc_dup_profile,
-# and agg_event_transitions (added
+# agg_event_transitions, ext_dedup_component_census, and
+# agg_user_gini (added
 # after the window filled; each locally
 # verified at all three SFs + vanilla session) join
 # sink_partitioned_prune at the head of the r6 rotation.

@@ -510,3 +510,26 @@ def test_doc_dup_profile_bounds_and_twin_consistency(spark):
         assert r.dup_permille == r.n_shared * 1000 // r.n_shingles
     assert any(r.n_shared > 0 for r in rows)  # near-dups exist
     assert any(r.n_shared < r.n_shingles for r in rows)
+
+
+def test_component_census_consistent_with_components(spark):
+    """ext_dedup_component_census: conserves docs, n_docs = size ×
+    clusters per row, and reconciles with the LSS component labels."""
+    from tests.conftest import SF_SMOKE
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+
+    rows = queries()["ext_dedup_component_census"](spark, SF_SMOKE).collect()
+    assert rows
+    total = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == total
+    for r in rows:
+        assert r.n_docs == r.cluster_size * r.n_clusters
+    comp = queries()["ext_dedup_components_lss"](spark, SF_SMOKE).collect()
+    sizes = {}
+    for c in comp:
+        sizes[c.component] = sizes.get(c.component, 0) + 1
+    hist = {}
+    for sz in sizes.values():
+        hist[sz] = hist.get(sz, 0) + 1
+    assert {r.cluster_size: r.n_clusters for r in rows} == hist
+    assert any(r.cluster_size >= 2 for r in rows)  # near-dup families exist

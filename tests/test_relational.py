@@ -741,3 +741,21 @@ def test_event_transitions_conserve_and_match_recompute(spark):
             expect[k] = expect.get(k, 0) + 1
     assert {(r.from_type, r.to_type): r.n for r in rows} == expect
     assert sum(r.n for r in rows) == len(ev) - len(seq)
+
+
+def test_user_gini_matches_python_formula(spark):
+    """agg_user_gini: the coefficient equals the closed-form python
+    recompute and sits in [0, 1)."""
+    (row,) = registry.queries()["agg_user_gini"](spark, SF_SMOKE).collect()
+    counts = sorted(
+        r["count"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    n, tot = len(counts), sum(counts)
+    wsum = sum((i + 1) * x for i, x in enumerate(counts))
+    assert row.n_users == n and row.total_events == tot
+    assert row.gini == (2 * wsum - (n + 1) * tot) / (n * tot)
+    assert 0 <= row.gini < 1
