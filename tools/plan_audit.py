@@ -496,6 +496,53 @@ AUDIT = {
         "documented production path is percentile_approx over "
         "(type, day) domains; the lag itself is O(1) state",
     ),
+    "ext_sample_stratified_exact": (
+        "lang-count HashAggregate; the remainder-rank window over "
+        "the LANGUAGE table; broadcast allocation join; lang-keyed "
+        "md5-rank window with WindowGroupLimit",
+        "allocation arithmetic runs on group-count cardinality — "
+        "its unpartitioned window sees a handful of rows by "
+        "construction; selection sorts are bounded at each "
+        "language's allocation",
+    ),
+    "join_asof_tolerance": (
+        "the join_asof union plan: ONE Exchange on event_type, one "
+        "Sort, one Window; the TTL is a Project-level CASE",
+        "freshness bounding adds zero data motion — the stale check "
+        "is codegen arithmetic on the carried snapshot",
+    ),
+    "ext_mm_phash_cluster": (
+        "MapInPandas phash + band-keyed mining feeding the "
+        "iterative LSS join/agg rounds over (id, id) edges",
+        "the media payloads never shuffle; components move edge "
+        "pairs only, rounds bounded O(log² n)",
+    ),
+    "ext_doc_dup_profile": (
+        "one shingle-keyed count HashAggregate, one shingle-keyed "
+        "join back, one doc-keyed agg — NO pair join anywhere",
+        "per-doc dup scoring costs strictly less than any pairwise "
+        "miner; at 100 TB a bloom over df>=2 shingles turns the "
+        "join into a map-side probe",
+    ),
+    "agg_event_transitions": (
+        "one Window (lag) keyed user_id; one (from, to) "
+        "HashAggregate with partial counts",
+        "high-cardinality window key spreads the sort; the matrix "
+        "output is bounded by types² regardless of corpus",
+    ),
+    "ext_dedup_component_census": (
+        "the pair-miner stages, LSS rounds, then two HashAggregates "
+        "(component-keyed, size-keyed)",
+        "histogram stages add two tiny aggs over component-sized "
+        "data on top of the dedup chain's existing motion",
+    ),
+    "agg_user_gini": (
+        "user-keyed count HashAggregate; rank window over the "
+        "aggregated user table; 3-scalar final agg",
+        "corpus width moves once (the count agg); the global rank "
+        "runs on users-sized data with the partition-prefix rank "
+        "documented past that",
+    ),
 }
 
 
