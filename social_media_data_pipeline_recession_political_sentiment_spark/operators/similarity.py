@@ -1227,3 +1227,105 @@ def ext_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= F.col("total_slots") * F.lit(IVF_RECALL_FLOOR_MILLIS)
         ).alias("meets_floor"),
     )
+
+
+# ------------------------------------------- label balance report
+
+_LABEL_BALANCE_ORACLE = """
+WITH c AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
+           FROM embeddings GROUP BY 1),
+t AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS total,
+             CAST(max(n_vecs) AS BIGINT) AS mx FROM c)
+SELECT c.label, c.n_vecs,
+       CAST(c.n_vecs * 1000 // t.total AS BIGINT) AS share_permille,
+       CAST(c.n_vecs * 1000 // t.mx AS BIGINT) AS ratio_to_max_permille
+FROM c, t
+"""
+
+
+@register("ext_label_balance", oracle=_LABEL_BALANCE_ORACLE)
+def ext_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-label balance report over the embedding corpus: per
+    label the vector count, corpus share, and ratio to the largest
+    class — the class-imbalance audit run before any sampling /
+    reweighting decision (`ext_sample_mixture`'s weights and a
+    loss-reweighting config are both read off this table).
+
+    Exact integer permilles; the totals cross in as a broadcast
+    2-scalar aggregate. One label-keyed count with map-side partials
+    is the only corpus-width motion."""
+    c = load(spark, sf_dir, "embeddings").groupBy("label").agg(
+        F.count("*").alias("n_vecs")
+    )
+    t = c.agg(
+        F.sum("n_vecs").alias("total"), F.max("n_vecs").alias("mx")
+    )
+    return c.crossJoin(F.broadcast(t)).select(
+        "label",
+        "n_vecs",
+        F.expr("n_vecs * 1000 div total").alias("share_permille"),
+        F.expr("n_vecs * 1000 div mx").alias("ratio_to_max_permille"),
+    )
+
+
+# -------------------------------------- class centroids (int8 space)
+
+_CENTROID_ORACLE = """
+WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+m AS (SELECT vec_id, dv, list_max(list_transform(dv, x -> abs(x))) AS amax FROM q),
+c AS (SELECT vec_id,
+        CASE WHEN amax = 0.0 THEN list_transform(dv, x -> CAST(0 AS BIGINT))
+             ELSE list_transform(dv, x -> CAST(greatest(-127, least(127,
+                  CAST(floor(x / (amax / 127.0) + 0.5) AS INTEGER))) AS BIGINT))
+        END AS codes
+      FROM m),
+lab AS (SELECT e.vec_id, e.label, c.codes FROM embeddings e
+        JOIN c ON c.vec_id = e.vec_id),
+pos AS (SELECT label, codes, unnest(generate_series(1, len(codes))) AS d
+        FROM lab),
+cell AS (SELECT label, CAST(d - 1 AS BIGINT) AS dim,
+                CAST(sum(codes[CAST(d AS INT)]) AS BIGINT) AS code_sum,
+                CAST(count(*) AS BIGINT) AS n_vecs
+         FROM pos GROUP BY 1, 2)
+SELECT label, dim, n_vecs, code_sum,
+       CAST(code_sum * 1000000 // n_vecs AS BIGINT) AS centroid_micros
+FROM cell
+"""
+
+
+@register("ext_emb_centroids_int8", oracle=_CENTROID_ORACLE)
+def ext_emb_centroids_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label class centroids in int8 code space — the class
+    prototypes behind nearest-centroid classification, SemDeDup-style
+    cluster seeding, and drift monitoring between embedding model
+    versions. Computed over `ext_emb_quantize`'s codes rather than
+    raw floats BECAUSE float summation is order-dependent (a
+    non-starter for the hash contract and for reproducible centroids
+    across partitionings) while int8 code sums are exact BIGINTs
+    under any aggregation order; the mean is an integer
+    micro-division.
+
+    Scale shape: quantization stays scan-local; the transpose
+    explode emits (label, dim, code) ints and the (label, dim)
+    keyed agg takes map-side partials, so per-task output is bounded
+    by labels × dims regardless of corpus size. No driver-side
+    vectors."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    codes = _with_int8_codes(load(spark, sf_dir, "embeddings")).select(
+        "vec_id", "codes"
+    )
+    lab = e.join(codes, "vec_id")
+    cell = (
+        lab.select(
+            "label", F.posexplode(F.col("codes")).alias("dim", "code")
+        )
+        .groupBy("label", "dim")
+        .agg(F.sum("code").alias("code_sum"), F.count("*").alias("n_vecs"))
+    )
+    return cell.select(
+        "label",
+        F.col("dim").cast("long").alias("dim"),
+        "n_vecs",
+        "code_sum",
+        F.expr("code_sum * 1000000 div n_vecs").alias("centroid_micros"),
+    )

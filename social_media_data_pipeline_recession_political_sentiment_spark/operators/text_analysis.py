@@ -1769,3 +1769,64 @@ def ext_sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.join(F.broadcast(al), "lang").filter(
         F.col("rn") <= F.col("alloc")
     ).select("doc_id", "lang", "rn", "alloc")
+
+
+# ------------------------------------------- hashtag/mention census
+
+# The fixture text carries no social markup (the `ext_url_domains`
+# device), so each doc is decorated with a deterministic hashtag and
+# mention as pure functions of doc_id.
+_TAGS_DECOR_SQL = (
+    "text || ' #topic' || CAST(doc_id % 7 AS VARCHAR) "
+    "|| ' @user' || CAST(doc_id % 13 AS VARCHAR)"
+)
+
+_TAGS_ORACLE = f"""
+WITH dec AS (SELECT doc_id, {_TAGS_DECOR_SQL} AS t FROM documents),
+h AS (SELECT doc_id, unnest(regexp_extract_all(t, '#[a-z0-9_]+')) AS tag,
+             'hashtag' AS kind FROM dec
+      UNION ALL
+      SELECT doc_id, unnest(regexp_extract_all(t, '@[a-z0-9_]+')) AS tag,
+             'mention' AS kind FROM dec)
+SELECT tag, kind, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM h GROUP BY 1, 2
+"""
+
+
+@register("ext_social_tags", oracle=_TAGS_ORACLE)
+def ext_social_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashtag / mention census — the reference's own domain (its
+    dashboard reports by subreddit; a hashtag census is the same
+    report for tag-addressed platforms): extract `#tag` and `@user`
+    tokens and count distinct documents per marker. Both patterns
+    sit in the Java/RE2 common subset; per-doc dedup via
+    count(DISTINCT doc_id) so a tag spammed inside one doc counts
+    once.
+
+    Scale shape: extraction is scan-local `regexp_extract_all`
+    codegen; the census is one (tag, kind)-keyed two-phase distinct
+    agg. Viral tags are the canonical hot keys — the salted/AQE agg
+    patterns apply unchanged."""
+    d = load(spark, sf_dir, "documents")
+    deco = F.concat(
+        F.col("text"),
+        F.lit(" #topic"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(" @user"),
+        (F.col("doc_id") % 13).cast("string"),
+    )
+    dec = d.select("doc_id", deco.alias("t"))
+    h = dec.select(
+        "doc_id",
+        F.explode(F.expr("regexp_extract_all(t, '#[a-z0-9_]+', 0)")).alias("tag"),
+        F.lit("hashtag").alias("kind"),
+    ).unionByName(
+        dec.select(
+            "doc_id",
+            F.explode(F.expr("regexp_extract_all(t, '@[a-z0-9_]+', 0)")).alias("tag"),
+            F.lit("mention").alias("kind"),
+        )
+    )
+    return h.groupBy("tag", "kind").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )

@@ -329,3 +329,45 @@ def test_int8_topk_recall_vs_float_topk(spark):
     for r in int8:
         expect = int(codes(raw[r.query_id]) @ codes(raw[r.neighbor_id]))
         assert r.int_dot == expect, (r.query_id, r.neighbor_id)
+
+
+def test_label_balance_shares_and_centroid_reconstruction(spark):
+    """ext_label_balance shares sum to ~1000; ext_emb_centroids_int8
+    cells reconcile with a per-label numpy recompute of quantized
+    code sums."""
+    import numpy as np
+
+    from tests.conftest import SF_SMOKE
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+
+    bal = queries()["ext_label_balance"](spark, SF_SMOKE).collect()
+    total = sum(r.n_vecs for r in bal)
+    assert total == spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").count()
+    assert all(r.share_permille == r.n_vecs * 1000 // total for r in bal)
+    mx = max(r.n_vecs for r in bal)
+    assert any(r.ratio_to_max_permille == 1000 and r.n_vecs == mx for r in bal)
+
+    cells = queries()["ext_emb_centroids_int8"](spark, SF_SMOKE).collect()
+    embs = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    sums, counts = {}, {}
+    for r in embs:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        amax = np.abs(v).max()
+        codes = (
+            np.zeros(len(v), dtype=np.int64)
+            if amax == 0.0
+            else np.clip(np.floor(v / (amax / 127.0) + 0.5), -127, 127).astype(np.int64)
+        )
+        sums[r.label] = sums.get(r.label, np.zeros(len(v), dtype=np.int64)) + codes
+        counts[r.label] = counts.get(r.label, 0) + 1
+    def truncdiv(a, b):
+        # Spark `div` and DuckDB `//` truncate toward zero on
+        # negatives; python // floors — recompute with their rule
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    for c in cells:
+        assert c.code_sum == int(sums[c.label][c.dim])
+        assert c.n_vecs == counts[c.label]
+        assert c.centroid_micros == truncdiv(c.code_sum * 1_000_000, c.n_vecs)
+    assert len(cells) == len(sums) * len(next(iter(sums.values())))

@@ -554,3 +554,24 @@ def test_stratified_exact_total_and_hamilton_allocation(spark):
         ranked = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
         expect = set(ranked[: base[lang]])
         assert {r.doc_id for r in rows if r.lang == lang} == expect
+
+
+def test_social_tags_census_counts(spark):
+    """ext_social_tags: 7 hashtags + 13 mentions, each counting the
+    docs whose id falls in its residue class."""
+    from tests.conftest import SF_SMOKE
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+
+    rows = queries()["ext_social_tags"](spark, SF_SMOKE).collect()
+    tags = {(r.tag, r.kind): r.n_docs for r in rows}
+    ids = [
+        r.doc_id
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    for k in range(7):
+        assert tags[(f"#topic{k}", "hashtag")] == sum(1 for i in ids if i % 7 == k)
+    for k in range(13):
+        assert tags[(f"@user{k}", "mention")] == sum(1 for i in ids if i % 13 == k)
+    assert len(tags) == 20
