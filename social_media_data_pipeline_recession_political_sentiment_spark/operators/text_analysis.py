@@ -1830,3 +1830,93 @@ def ext_social_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.groupBy("tag", "kind").agg(
         F.countDistinct("doc_id").alias("n_docs")
     )
+
+
+# ------------------------------------------- per-doc curation scorecard
+
+# Oracle assembled at import from the REGISTERED component oracles
+# (quality gate, unigram LM, dup profile, lang detect) — the
+# `ext_lang_id_eval` no-drift device, scaled up: the scorecard can
+# never disagree with the operators it summarizes.
+_SCORECARD_KEEP_DUP_MAX = 900  # permille; template suspects drop
+
+
+def _scorecard_oracle() -> str:
+    return f"""
+WITH gate AS ({ORACLES["ext_quality_gate"]}),
+lm AS ({ORACLES["ext_lm_unigram_score"]}),
+dup AS ({ORACLES["ext_doc_dup_profile"]}),
+lg AS ({ORACLES["fn_lang_detect"]})
+SELECT d.doc_id,
+       gate.doc_id IS NOT NULL AS gate_pass,
+       lm.avg_logprob_micro,
+       dup.dup_permille,
+       coalesce(lg.lang_guess = lg.lang, FALSE) AS lang_match,
+       (gate.doc_id IS NOT NULL
+        AND coalesce(dup.dup_permille, 0) <= {_SCORECARD_KEEP_DUP_MAX})
+         AS keep
+FROM documents d
+LEFT JOIN gate ON gate.doc_id = d.doc_id
+LEFT JOIN lm ON lm.doc_id = d.doc_id
+LEFT JOIN dup ON dup.doc_id = d.doc_id
+JOIN lg ON lg.doc_id = d.doc_id
+"""
+
+
+@register("ext_curation_scorecard", oracle=None)
+def ext_curation_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE curation decision table: every document with its quality-
+    gate verdict, unigram-LM score, duplicate-shingle ratio, lang-ID
+    agreement, and the composed keep flag (gate AND dup ≤ 900‰) —
+    the per-doc artifact a corpus release materializes so every
+    drop is auditable (datacards aggregate it; this is the row-level
+    evidence). Composes four proven operators; the oracle is
+    assembled verbatim from their REGISTERED oracle SQL so scorecard
+    and components cannot drift.
+
+    Scale shape: all four inputs are scan-local or
+    one-keyed-shuffle passes already costed elsewhere; the scorecard
+    adds doc_id-keyed left joins of narrow score columns — at 100 TB
+    these run exchange-free over doc_id-bucketed score tables (the
+    `ext_dedup_incremental_bucketed` layout), which is exactly how a
+    release pipeline lays out per-doc metrics."""
+    from ..operators.dedup import ext_doc_dup_profile
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    gate = ext_quality_gate(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("g")
+    )
+    lm = _lm_doc_scores(spark, sf_dir).select("doc_id", "avg_logprob_micro")
+    dup = ext_doc_dup_profile(spark, sf_dir).select("doc_id", "dup_permille")
+    lg = ext_lang_detect(spark, sf_dir).select("doc_id", "lang", "lang_guess")
+    out = (
+        d.join(gate, "doc_id", "left")
+        .join(lm, "doc_id", "left")
+        .join(dup, "doc_id", "left")
+        .join(lg, "doc_id")
+    )
+    gate_pass = F.coalesce(F.col("g"), F.lit(False))
+    return out.select(
+        "doc_id",
+        gate_pass.alias("gate_pass"),
+        "avg_logprob_micro",
+        "dup_permille",
+        F.coalesce(F.col("lang_guess") == F.col("lang"), F.lit(False)).alias(
+            "lang_match"
+        ),
+        (
+            gate_pass
+            & (
+                F.coalesce(F.col("dup_permille"), F.lit(0))
+                <= _SCORECARD_KEEP_DUP_MAX
+            )
+        ).alias("keep"),
+    )
+
+
+# ensure the dup-profile oracle is registered even when this module
+# is imported directly (registry.load_all imports dedup first, but a
+# bare `import text_analysis` — e.g. from a test — does not)
+from . import dedup as _dedup  # noqa: E402, F401
+
+ORACLES["ext_curation_scorecard"] = _scorecard_oracle()

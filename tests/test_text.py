@@ -575,3 +575,28 @@ def test_social_tags_census_counts(spark):
     for k in range(13):
         assert tags[(f"@user{k}", "mention")] == sum(1 for i in ids if i % 13 == k)
     assert len(tags) == 20
+
+
+def test_curation_scorecard_reconciles_with_components(spark):
+    """ext_curation_scorecard: one row per doc; gate_pass matches the
+    quality gate's keep-set; keep implies the composed rule; the
+    fixture exercises keeps and drops."""
+    from tests.conftest import SF_SMOKE
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.text_analysis import (
+        _SCORECARD_KEEP_DUP_MAX,
+    )
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+
+    rows = queries()["ext_curation_scorecard"](spark, SF_SMOKE).collect()
+    total = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert len(rows) == total
+    gate_ids = {r.doc_id for r in queries()["ext_quality_gate"](spark, SF_SMOKE).collect()}
+    dup = {r.doc_id: r.dup_permille for r in queries()["ext_doc_dup_profile"](spark, SF_SMOKE).collect()}
+    for r in rows:
+        assert r.gate_pass == (r.doc_id in gate_ids)
+        assert r.dup_permille == dup.get(r.doc_id)
+        assert r.keep == (
+            r.gate_pass and (r.dup_permille or 0) <= _SCORECARD_KEEP_DUP_MAX
+        )
+    keeps = {r.keep for r in rows}
+    assert keeps == {True, False}
