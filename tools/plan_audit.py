@@ -543,6 +543,26 @@ AUDIT = {
         "runs on users-sized data with the partition-prefix rank "
         "documented past that",
     ),
+    "ext_social_tags": (
+        "scan-local regexp_extract_all + Generate (explode); one "
+        "(tag, kind)-keyed two-phase distinct HashAggregate",
+        "extraction costs no data motion; viral-tag hot keys fall "
+        "to the salted/AQE agg patterns",
+    ),
+    "ext_emb_centroids_int8": (
+        "scan-local quantization expressions; Generate (posexplode) "
+        "to (label, dim, code); one HashAggregate with partial sums",
+        "int8 code sums stay exact under map-side combine, so the "
+        "per-task output is bounded at labels × dims — reproducible "
+        "centroids float sums cannot give",
+    ),
+    "ext_curation_scorecard": (
+        "the four component pipelines feeding doc_id-keyed "
+        "SortMergeJoins of narrow score columns",
+        "each component's motion is costed on its own line; the "
+        "scorecard adds only id-keyed joins that go exchange-free "
+        "over bucketed score tables at release scale",
+    ),
 }
 
 

@@ -48,6 +48,14 @@ HEADLINERS = (
     "join_asof_nearest",
     "ext_url_canonical",
     "ext_graph_degree_census",
+    "ext_dedup_minhash_eval",
+    "ext_tokenize_ids",
+    "ext_doc_dup_profile",
+    "ext_mm_phash_cluster",
+    "ext_curation_scorecard",
+    "ext_bigram_pmi",
+    "agg_event_transitions",
+    "stream_join_stream",
 )
 
 
