@@ -598,3 +598,143 @@ def test_int8_quantize_adversarial_vectors(spark):
         assert got[vid][0] == scale, vid
         assert got[vid][1] == codes.tolist(), vid
         assert all(-127 <= c <= 127 for c in got[vid][1])
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=20),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(**_SETTINGS)
+def test_ewma_recurrence_property(spark, series_list):
+    """agg_ewma_volume's integer recurrence, run through the real
+    applyInPandas stage over arbitrary per-type daily series, equals
+    a sequential reference — including the first-day seed and the
+    per-step floor division."""
+    import datetime as dt
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.relational import (
+        EWMA_ALPHA_PCT,
+        EWMA_MICRO,
+    )
+
+    rows = []
+    for t, series in enumerate(series_list):
+        for i, n in enumerate(series):
+            rows.append((f"t{t}", dt.date(2024, 1, 1) + dt.timedelta(days=i), n))
+    df = spark.createDataFrame(rows, "event_type string, day date, n long")
+
+    # run the identical pandas stage the operator uses, over this frame
+    import pandas as pd
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        s, out = 0, []
+        for i, n in enumerate(int(x) for x in pdf["n"]):
+            s = (
+                n * EWMA_MICRO
+                if i == 0
+                else (EWMA_ALPHA_PCT * n * EWMA_MICRO + (100 - EWMA_ALPHA_PCT) * s) // 100
+            )
+            out.append(s)
+        pdf["ewma_micros"] = pd.Series(out, dtype="int64")
+        return pdf
+
+    got = {
+        (r.event_type, r.day): r.ewma_micros
+        for r in df.groupBy("event_type")
+        .applyInPandas(ewma, schema="event_type string, day date, n long, ewma_micros long")
+        .collect()
+    }
+    for t, series in enumerate(series_list):
+        s = 0
+        for i, n in enumerate(series):
+            s = (
+                n * EWMA_MICRO
+                if i == 0
+                else (EWMA_ALPHA_PCT * n * EWMA_MICRO + (100 - EWMA_ALPHA_PCT) * s) // 100
+            )
+            assert got[(f"t{t}", dt.date(2024, 1, 1) + dt.timedelta(days=i))] == s
+
+
+@given(
+    st.lists(
+        st.text(alphabet=st.characters(codec="ascii", min_codepoint=32, max_codepoint=126), min_size=0, max_size=200),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**_SETTINGS)
+def test_phash_bands_match_sql_definition(spark, texts_):
+    """The pandas phash stage and the oracle's SQL band definition
+    agree on arbitrary printable-ASCII payloads (block assignment,
+    integer cross-multiplied threshold, band packing)."""
+    import duckdb
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.multimodal import (
+        _phash_bands,
+        attach_media_columns,
+    )
+
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts_)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {
+        r.doc_id: (r.b0, r.b1, r.b2, r.b3)
+        for r in _phash_bands(attach_media_columns(df)).collect()
+    }
+    con = duckdb.connect()
+    con.register("media_py", __import__("pandas").DataFrame(
+        {"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]}
+    ))
+    sql = """
+WITH media AS (SELECT doc_id, text FROM media_py),
+idx AS (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i FROM media),
+pos AS (SELECT doc_id, ord(text[CAST(i AS INT)]) AS v,
+               ((i - 1) * 64) // length(text) AS b FROM idx),
+blk AS (SELECT doc_id, b, CAST(sum(v) AS BIGINT) AS bsum,
+               CAST(count(*) AS BIGINT) AS cnt FROM pos GROUP BY doc_id, b),
+tot AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n FROM pos GROUP BY doc_id),
+bits AS (SELECT blk.doc_id, blk.b,
+               CASE WHEN blk.bsum * tot.n > tot.s * blk.cnt THEN 1 ELSE 0 END AS bit
+         FROM blk JOIN tot ON blk.doc_id = tot.doc_id),
+bands AS (SELECT d.doc_id,
+  CAST(coalesce(sum(CASE WHEN bit = 1 AND b // 16 = 0 THEN 1 << (b % 16) END), 0) AS BIGINT) AS b0,
+  CAST(coalesce(sum(CASE WHEN bit = 1 AND b // 16 = 1 THEN 1 << (b % 16) END), 0) AS BIGINT) AS b1,
+  CAST(coalesce(sum(CASE WHEN bit = 1 AND b // 16 = 2 THEN 1 << (b % 16) END), 0) AS BIGINT) AS b2,
+  CAST(coalesce(sum(CASE WHEN bit = 1 AND b // 16 = 3 THEN 1 << (b % 16) END), 0) AS BIGINT) AS b3
+  FROM media d LEFT JOIN bits ON d.doc_id = bits.doc_id GROUP BY d.doc_id)
+SELECT doc_id, b0, b1, b2, b3 FROM bands
+"""
+    expect = {r[0]: (r[1], r[2], r[3], r[4]) for r in con.sql(sql).fetchall()}
+    assert got == expect
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=400), min_size=1, max_size=8)
+)
+@settings(**_SETTINGS)
+def test_largest_remainder_allocation_properties(spark, group_sizes):
+    """Hamilton allocation over arbitrary group sizes: totals exactly
+    S when the population allows, every allocation is within 1 of
+    the exact proportional share, and no group exceeds its size."""
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.text_analysis import (
+        STRAT_SAMPLE,
+    )
+
+    total = sum(group_sizes)
+    base = {i: n * STRAT_SAMPLE // total for i, n in enumerate(group_sizes)}
+    rem = {i: (n * STRAT_SAMPLE) % total for i, n in enumerate(group_sizes)}
+    leftover = STRAT_SAMPLE - sum(base.values())
+    for i in sorted(rem, key=lambda i: (-rem[i], i))[:leftover]:
+        base[i] += 1
+    assert sum(base.values()) == STRAT_SAMPLE
+    for i, n in enumerate(group_sizes):
+        exact = n * STRAT_SAMPLE / total
+        assert abs(base[i] - exact) < 1.0
+        if total >= STRAT_SAMPLE:
+            assert base[i] <= max(n, 1)
