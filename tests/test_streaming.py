@@ -253,3 +253,85 @@ def test_stream_stream_join_equals_batch_interval_join(spark):
             if vu == cu and 0 <= us(ct) - us(vt) <= ATTRIB_WINDOW_S * 1_000_000:
                 expect[(vid, cid)] = us(ct) - us(vt)
     assert got == expect
+
+
+def test_stream_stream_join_buffers_state_across_batches(spark):
+    """A click arriving BATCHES AFTER its view must still join: the
+    stream-stream join's state store buffers the unmatched view
+    until the window closes. Views land in batch 0, matching clicks
+    in batches 1-2; a click outside the 1h window never joins."""
+    import time
+    import uuid
+
+    import datetime as dt
+
+    work = tempfile.mkdtemp(prefix="smdp_ssj_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+
+    def t(s):
+        return dt.datetime.fromisoformat(s)
+
+    batches = [
+        # batch 0: two views, no clicks yet
+        [
+            (1, 100, "view", t("2024-01-02 10:00:00")),
+            (2, 200, "view", t("2024-01-02 10:05:00")),
+        ],
+        # batch 1: click for user 100 inside the window
+        [(3, 100, "click", t("2024-01-02 10:20:00"))],
+        # batch 2: click for user 200 inside the window, plus one for
+        # user 100 OUTSIDE the 1h window (must not join)
+        [
+            (4, 200, "click", t("2024-01-02 10:59:00")),
+            (5, 100, "click", t("2024-01-02 11:30:00")),
+        ],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(src, f"b{i}")
+        )
+        time.sleep(1.1)  # distinct mtimes => deterministic batch order
+
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "b*"))
+    )
+    views = (
+        raw.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "10 minutes")
+    )
+    clicks = (
+        raw.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    joined = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 3600 SECONDS")),
+    ).select("view_id", "click_id")
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.view_id, r.click_id) for r in spark.table(name).collect()}
+    # cross-batch matches joined; the out-of-window click did not
+    assert got == {(1, 3), (2, 4)}
