@@ -358,3 +358,152 @@ def dash_daily_politics(spark: SparkSession, sf_dir: str) -> DataFrame:
     extrapolation is presentation-layer, deliberately dropped —
     SURVEY §7 risk register)."""
     return daily_counts(spark, sf_dir, "politics")
+
+
+# ---------------------------------------- one-pass dashboard summary
+
+def _summary_oracle(start: str = DEFAULT_START, end: str = DEFAULT_END) -> str:
+    """Replays each route family's predicate over the platform's OWN
+    time encoding (TEXT casts and lexical compares included), so the
+    one-pass operator's ts-derived predicates are independently
+    cross-checked."""
+    branches = []
+    for p in PLATFORMS:
+        raw = _raw_sql(p)
+        if p == "chan":
+            key = "postnumber"
+            in_count = (
+                f"CAST(r.timestamp AS DATE) >= DATE '{start}' "
+                f"AND CAST(r.timestamp AS DATE) < DATE '{end}'"
+            )
+            in_dist = (
+                f"strftime(CAST(r.timestamp AS DATE), '%Y-%m-%d') "
+                f"BETWEEN '{start}' AND '{end}'"
+            )
+        elif p == "youtube":
+            key = "comment_id"
+            in_count = (
+                f"r.comment_time >= '{start}T00:00:00Z' "
+                f"AND r.comment_time < '{end}T00:00:00Z'"
+            )
+            in_dist = (
+                f"r.comment_time BETWEEN '{start}T00:00:00Z' "
+                f"AND '{end}T23:59:59Z'"
+            )
+        else:
+            key = "comment_id"
+            in_count = (
+                f"r.created_utc >= TIMESTAMP '{start} 00:00:00' "
+                f"AND r.created_utc < TIMESTAMP '{end} 00:00:00'"
+            )
+            in_dist = (
+                f"r.created_utc BETWEEN TIMESTAMP '{start} 00:00:00' "
+                f"AND TIMESTAMP '{end} 00:00:00'"
+            )
+        branches.append(
+            f"SELECT '{p}' AS platform, an.sentiment, an.is_hate_speech, "
+            f"({in_count}) AS in_count, ({in_dist}) AS in_dist "
+            f"FROM ({raw}) r JOIN (SELECT CAST(event_id AS VARCHAR) AS {key}, "
+            f"{_ENRICH_SQL} FROM events WHERE event_type='{PLATFORMS[p]}') an "
+            f"USING ({key})"
+        )
+    u = " UNION ALL ".join(branches)
+    return (
+        f"WITH plat AS ({u}) "
+        "SELECT platform, sentiment, is_hate_speech, "
+        "CAST(sum(CASE WHEN in_count THEN 1 ELSE 0 END) AS BIGINT) AS n_count_window, "
+        "CAST(sum(CASE WHEN in_dist THEN 1 ELSE 0 END) AS BIGINT) AS n_dist_window "
+        "FROM plat WHERE in_count OR in_dist "
+        "GROUP BY GROUPING SETS ((platform), (platform, sentiment), "
+        "(platform, is_hate_speech))"
+    )
+
+
+@register("dash_summary_onepass", oracle=_summary_oracle())
+def dash_summary_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENTIRE per-platform dashboard in ONE query: all four count
+    routes and all eight distribution routes (`app.py:64-265`) as a
+    single scan + single GROUPING SETS aggregate — the columnar-
+    engine answer to the reference serving 12 separate SQL round
+    trips per page load. Grouping-set rows: (platform) carries the
+    count-route number in n_count_window; (platform, sentiment) and
+    (platform, is_hate_speech) carry the distribution numbers in
+    n_dist_window.
+
+    The routes' time predicates differ per platform AND per family
+    (half-open vs BETWEEN, TEXT casts, lexical ISO compares), so the
+    one-pass derives each as a ts-native expression: the lexical
+    'YYYY-MM-DDTHH:MM:SSZ' compare truncates to seconds, making
+    `comment_time <= 'endT23:59:59Z'` ⟺ `ts < end+1 day` and
+    `comment_time < 'endT00:00:00Z'` ⟺ `ts < end` — equivalences the
+    oracle PROVES by replaying the original TEXT predicates over the
+    encoded columns. pytest additionally reconciles every cell
+    against the 12 individual routes.
+
+    Scale shape: one events scan (ts, event_type, value pruned), one
+    Expand(3) + hash aggregate — versus 12 scans and 12 aggregates;
+    at dashboard QPS this is the difference between a cached
+    one-job summary and hammering the warehouse."""
+    start, end = DEFAULT_START, DEFAULT_END
+    e = load(spark, sf_dir, "events")
+    platform = (
+        F.when(F.col("event_type") == "click", "reddit")
+        .when(F.col("event_type") == "error", "chan")
+        .when(F.col("event_type") == "purchase", "youtube")
+        .when(F.col("event_type") == "signup", "politics")
+    )
+    s_ts = F.lit(start).cast("timestamp")
+    e_ts = F.lit(end).cast("timestamp")
+    e_next = F.date_add(F.lit(end).cast("date"), 1).cast("timestamp")
+    sentiment = (
+        F.when(F.col("value") >= 100, "positive")
+        .when(F.col("value") < 30, "negative")
+        .otherwise("neutral")
+    )
+    native_count = (F.col("ts") >= s_ts) & (F.col("ts") < e_ts)
+    in_count = (
+        F.when(
+            F.col("platform") == "chan",
+            (F.to_date("ts") >= F.lit(start).cast("date"))
+            & (F.to_date("ts") < F.lit(end).cast("date")),
+        ).otherwise(native_count)  # native ts AND the lexical-ISO form
+    )
+    in_dist = (
+        F.when(
+            F.col("platform") == "chan",
+            F.to_date("ts").between(
+                F.lit(start).cast("date"), F.lit(end).cast("date")
+            ),
+        )
+        .when(
+            F.col("platform") == "youtube",
+            (F.col("ts") >= s_ts) & (F.col("ts") < e_next),
+        )
+        .otherwise((F.col("ts") >= s_ts) & (F.col("ts") <= e_ts))
+    )
+    d = (
+        e.filter(F.col("event_type").isin(*PLATFORMS.values()))
+        .select(
+            platform.alias("platform"),
+            sentiment.alias("sentiment"),
+            (F.col("value") >= 150).alias("is_hate_speech"),
+            "ts",
+        )
+        .select(
+            "platform",
+            "sentiment",
+            "is_hate_speech",
+            in_count.alias("in_count"),
+            in_dist.alias("in_dist"),
+        )
+        .filter(F.col("in_count") | F.col("in_dist"))
+    )
+    return d.groupingSets(
+        [["platform"], ["platform", "sentiment"], ["platform", "is_hate_speech"]],
+        "platform",
+        "sentiment",
+        "is_hate_speech",
+    ).agg(
+        F.sum(F.col("in_count").cast("long")).alias("n_count_window"),
+        F.sum(F.col("in_dist").cast("long")).alias("n_dist_window"),
+    )

@@ -85,8 +85,8 @@ def register(name: str, oracle: Optional[str] = None):
 # ext_bigram_pmi, agg_interevent_gap, ext_sample_stratified_exact,
 # join_asof_tolerance, ext_mm_phash_cluster, ext_doc_dup_profile,
 # agg_event_transitions, ext_dedup_component_census, agg_user_gini,
-# ext_social_tags, ext_label_balance, ext_emb_centroids_int8, and
-# ext_curation_scorecard
+# ext_social_tags, ext_label_balance, ext_emb_centroids_int8,
+# ext_curation_scorecard, and dash_summary_onepass
 # (added after the window filled; each locally
 # verified at all three SFs + vanilla session) join
 # sink_partitioned_prune at the head of the r6 rotation.

@@ -67,3 +67,29 @@ def test_daily_counts_respects_platform(spark):
         assert sum(r["count"] for r in rows) == want, (platform, want)
         days = [r["day"] for r in rows]
         assert days == sorted(days)
+
+
+def test_summary_onepass_reconciles_all_twelve_routes(spark):
+    """dash_summary_onepass: every cell equals the corresponding
+    individual route's number — 4 count routes and 8 distribution
+    routes reproduced from one scan."""
+    from tests.conftest import SF_SMOKE
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+
+    qs = queries()
+    rows = qs["dash_summary_onepass"](spark, SF_SMOKE).collect()
+    cells = {
+        (r.platform, r.sentiment, r.is_hate_speech): (r.n_count_window, r.n_dist_window)
+        for r in rows
+    }
+    for p in ("reddit", "chan", "youtube", "politics"):
+        (cnt_row,) = qs[f"dash_count_{p}"](spark, SF_SMOKE).collect()
+        assert cells[(p, None, None)][0] == cnt_row["count"], p
+        sent = {r.sentiment: r["count"] for r in qs[f"dash_sentiment_{p}"](spark, SF_SMOKE).collect()}
+        for s, n in sent.items():
+            assert cells[(p, s, None)][1] == n, (p, s)
+        # summary emits no cell for sentiments absent in the window
+        assert {k[1] for k in cells if k[0] == p and k[1] is not None} == set(sent)
+        hate = {r.is_hate_speech: r["count"] for r in qs[f"dash_hate_{p}"](spark, SF_SMOKE).collect()}
+        for h, n in hate.items():
+            assert cells[(p, None, h)][1] == n, (p, h)
