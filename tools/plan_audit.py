@@ -563,6 +563,13 @@ AUDIT = {
         "scorecard adds only id-keyed joins that go exchange-free "
         "over bucketed score tables at release scale",
     ),
+    "dash_summary_onepass": (
+        "ONE FileScan (ts, event_type, value ReadSchema) feeding "
+        "Expand(3) + a single HashAggregate with partial "
+        "aggregation",
+        "twelve dashboard routes collapse to one scan and one "
+        "shuffle; the expand factor is |sets| = 3, not 2^n",
+    ),
 }
 
 
