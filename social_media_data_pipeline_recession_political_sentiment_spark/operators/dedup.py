@@ -1201,11 +1201,16 @@ def ext_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshots live as doc_id-bucketed tables (the
     `ext_dedup_incremental_bucketed` layout), making the diff join
     exchange-free; AQE handles the (rare) hot-key skew. Status
-    derivation is a codegen CASE over null-ness + fingerprint
-    inequality — no second pass."""
+    derivation is a codegen CASE over explicit presence markers
+    carried through the join (NOT fingerprint null-ness — sha2 of a
+    NULL text is NULL, so fp-null conflates "row absent" with "row
+    present, text null"; the booleans keep those distinct and match
+    the oracle's doc_id-based logic) — no second pass."""
     d = load(spark, sf_dir, "documents")
     v1 = d.filter(F.col("doc_id") % 7 != 0).select(
-        "doc_id", F.sha2(F.col("text"), 256).alias("fp_v1")
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("fp_v1"),
+        F.lit(True).alias("in_v1"),
     )
     v2 = (
         d.filter(F.col("doc_id") % 5 != 0)
@@ -1218,18 +1223,20 @@ def ext_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).otherwise(F.col("text")),
                 256,
             ).alias("fp_v2"),
+            F.lit(True).alias("in_v2"),
         )
     )
     j = v1.join(v2, "doc_id", "full_outer")
+    in1 = F.coalesce("in_v1", F.lit(False))
+    in2 = F.coalesce("in_v2", F.lit(False))
     status = (
-        F.when(F.col("fp_v1").isNull(), "added")
-        .when(F.col("fp_v2").isNull(), "removed")
-        .otherwise("changed")
+        F.when(~in1, "added").when(~in2, "removed").otherwise("changed")
     )
-    return j.select("doc_id", status.alias("status"), "fp_v1", "fp_v2").filter(
-        F.col("fp_v1").isNull()
-        | F.col("fp_v2").isNull()
-        | (F.col("fp_v1") != F.col("fp_v2"))
+    # keep-filter mirrors the oracle: both-present rows survive only on
+    # a STRICT fp inequality (NULL-fp pairs drop, as v1.fp <> v2.fp is
+    # NULL in SQL), single-side rows always survive
+    return j.filter(~in1 | ~in2 | (F.col("fp_v1") != F.col("fp_v2"))).select(
+        "doc_id", status.alias("status"), "fp_v1", "fp_v2"
     )
 
 

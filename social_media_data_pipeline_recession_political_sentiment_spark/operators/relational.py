@@ -2005,9 +2005,9 @@ RETRY_WINDOW_S = 3600
 
 _RETRY_ORACLE = f"""
 SELECT event_id,
-       coalesce(epoch(ts) - lag(epoch(ts)) OVER (
+       coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER (
            PARTITION BY user_id, event_type ORDER BY ts, event_id)
-         <= {RETRY_WINDOW_S}, FALSE) AS is_retry
+         <= {RETRY_WINDOW_S} * CAST(1000000 AS BIGINT), FALSE) AS is_retry
 FROM events
 """
 
@@ -2024,12 +2024,17 @@ def window_dedup_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ts, event_id) — the tie-break makes the lag deterministic under
     any partitioning. Key cardinality is users x types (high, so no
     hot partition), state is one lag value per row, and the gap
-    compare is exact integer epoch seconds on both engines."""
+    compare is exact integer epoch MICROseconds on both engines
+    (`unix_micros` vs DuckDB `epoch_us`) — comparing truncated whole
+    seconds against a fractional-second oracle flips the flag for
+    any pair whose truncated gap lands exactly on the boundary."""
     w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
     return load(spark, sf_dir, "events").select(
         "event_id",
-        F.coalesce(gap <= RETRY_WINDOW_S, F.lit(False)).alias("is_retry"),
+        F.coalesce(gap <= RETRY_WINDOW_S * 1_000_000, F.lit(False)).alias(
+            "is_retry"
+        ),
     )
 
 
@@ -2345,32 +2350,61 @@ def agg_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines.
 
     Scale shape: the corpus-width motion is the user-keyed count agg.
-    The rank then runs over the AGGREGATED user table — honest
-    caveat: that global sort is users-sized, fine up to hundreds of
-    millions; past that the documented path is the two-phase
-    partition-prefix rank (`ext_shard_manifest`'s device, rank =
-    local rank + broadcast per-partition offsets) which computes the
-    same Σi·xᵢ without a single-partition window."""
+    The rank over the aggregated user table is the
+    `ext_lm_perplexity_buckets` DISTRIBUTED TWO-PHASE device, not a
+    single-partition `Window.orderBy` (the one-reducer funnel that
+    cannot rank billions of users): phase 1 range-partitions on
+    (x, user_id) and folds each partition to THREE exact scalars —
+    count, Σx, and Σ(local_rank·x) — in one sorted `mapInPandas`
+    pass; phase 2 collects the P summary rows (P scalars, not data),
+    prefix-sums the counts into rank offsets, and combines
+    Σi·xᵢ = Σ_p [wl_p + offset_p·Σx_p] exactly. Every user row moves
+    exactly once (the range exchange); nothing user-sized ever lands
+    on one task. Products run in arbitrary-precision Python ints so
+    wsum is exact wherever the oracle's BIGINT is."""
+    import pandas as pd
+
     c = load(spark, sf_dir, "events").groupBy("user_id").agg(
         F.count("*").alias("x")
     )
-    r = c.select(
-        "x",
-        F.row_number()
-        .over(W.orderBy("x", "user_id"))
-        .cast("long")
-        .alias("i"),
+    n_parts = max(2, spark.sparkContext.defaultParallelism)
+    ranged = (
+        c.repartitionByRange(n_parts, F.col("x"), F.col("user_id"))
+        .sortWithinPartitions("x", "user_id")
+        .withColumn("pid", F.spark_partition_id())
     )
-    s = r.agg(
-        F.count("*").alias("n"),
-        F.sum("x").alias("tot"),
-        F.sum(F.col("i") * F.col("x")).alias("wsum"),
+
+    def _part_summary(batches):
+        import numpy as np
+
+        pid, cnt, sx, wl = None, 0, 0, 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["pid"].iloc[0])
+            xs = pdf["x"].astype(object).to_numpy()
+            ranks = np.arange(cnt + 1, cnt + len(xs) + 1, dtype=object)
+            cnt += len(xs)
+            sx += int(xs.sum())
+            wl += int((ranks * xs).sum())
+        if cnt:
+            yield pd.DataFrame(
+                {"pid": [pid], "cnt": [cnt], "sx": [sx], "wl": [wl]}
+            )
+
+    parts = ranged.mapInPandas(
+        _part_summary, "pid int, cnt long, sx long, wl long"
+    ).collect()
+    n = tot = wsum = 0
+    off = 0
+    for row in sorted(parts, key=lambda r: r.pid):
+        wsum += row.wl + off * row.sx
+        off += row.cnt
+        n += row.cnt
+        tot += row.sx
+    gini = (
+        float(2 * wsum - (n + 1) * tot) / float(n * tot) if n and tot else None
     )
-    return s.select(
-        F.col("n").alias("n_users"),
-        F.col("tot").alias("total_events"),
-        (
-            (2 * F.col("wsum") - (F.col("n") + 1) * F.col("tot")).cast("double")
-            / (F.col("n") * F.col("tot"))
-        ).alias("gini"),
+    return spark.createDataFrame(
+        [(n, tot, gini)], "n_users long, total_events long, gini double"
     )

@@ -1605,7 +1605,7 @@ m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM bi),
 b2 AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_pair FROM bi GROUP BY 1, 2)
 SELECT b2.a || ' ' || b2.b AS bigram, b2.n_pair,
        round(ln(CAST(b2.n_pair AS DOUBLE) * n.n * n.n
-                / (m.m * ua.c * ub.c)), 6) AS pmi
+                / (CAST(m.m AS DOUBLE) * ua.c * ub.c)), 6) AS pmi
 FROM b2, n, m
 JOIN u ua ON ua.term = b2.a
 JOIN u ub ON ub.term = b2.b
@@ -1624,8 +1624,12 @@ def ext_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     chance, not just often). Noise floor n_pair >= 5.
 
     Bit-stable float contract: PMI = ln(n_pair·N²/(M·c_a·c_b))
-    written as ONE identical expression tree on both engines (all
-    factors exact BIGINTs cast up to double), rounded to 6dp — the
+    written as ONE identical expression tree on both engines, with
+    the FIRST factor of numerator AND denominator cast to double so
+    every product runs in float — int64 products of corpus-sized
+    counts overflow at web scale (DuckDB raises, non-ANSI Spark
+    silently wraps), so neither side may multiply BIGINTs. Rounded
+    to 6dp — the
     `ext_tfidf_topterms` idf device, above ULP noise, below any
     ranking-relevant precision. Ties on rounded PMI break on the
     bigram string.
@@ -1662,7 +1666,7 @@ def ext_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_pair").cast("double")
             * F.col("n")
             * F.col("n")
-            / (F.col("m") * F.col("ca") * F.col("cb"))
+            / (F.col("m").cast("double") * F.col("ca") * F.col("cb"))
         ),
         6,
     )
