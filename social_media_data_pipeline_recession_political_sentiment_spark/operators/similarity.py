@@ -115,7 +115,14 @@ def ext_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     data needn't be exhaustive): at most IVF_TRAIN_CAP rows picked by
     deterministic hash order (`TakeOrderedAndProject`, a per-partition
     top-K merge — never a full collect, never a full sort), so driver
-    memory is O(cap × dim) no matter the corpus size. Deterministic
+    memory is O(cap × dim) no matter the corpus size — a CONTRACT
+    asserted by tests/test_similarity.py (the cap binds at every SF).
+    In the billion-vector regime where even a capped driver sample
+    underfits the quantizer, the in-engine alternative is
+    `pyspark.ml.clustering.KMeans` (kmeans|| init) trained
+    distributed on the full corpus, then its centroid matrix broadcast
+    into the identical assignment/scoring stage below — the seam is
+    the `cent` ndarray, nothing else changes. Deterministic
     seeding: centroids init from the lowest vec_ids of the sample,
     fixed Lloyd iterations. Corpus assignment + scoring is one
     map-only stage over Arrow batches with the (centroids, queries)

@@ -63,15 +63,23 @@ def ext_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID via stopword-marker hits with a fixed priority
     order on ties (SURVEY §2.7 `fn_lang_detect` — claimed in the
     reference README, absent from its code; realized here as a
-    deterministic heuristic; a fasttext pandas UDF would slot in
-    behind the same column contract)."""
+    deterministic heuristic). A real model (fasttext/langdetect)
+    slots in behind the SAME column contract via
+    `detect_language(..., model_loader=...)` — see below; the
+    heuristic stays the hermetic default so the oracle contract
+    never depends on an external model file."""
     d = load(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
+    return detect_language(d).select("doc_id", "lang", "lang_guess")
+
+
+def _heuristic_lang_guess(text_col: str):
+    """The stopword-marker heuristic as a pure column expression."""
+    toks = F.split(F.col(text_col), " ")
     hits = {
         lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in ws])))
         for lang, ws in _LANG_MARKERS.items()
     }
-    guess = (
+    return (
         F.when(
             (hits["en"] >= hits["fr"]) & (hits["en"] >= hits["es"]) & (hits["en"] >= hits["de"]),
             "en",
@@ -80,7 +88,79 @@ def ext_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(hits["es"] >= hits["de"], "es")
         .otherwise("de")
     )
-    return d.select("doc_id", "lang", guess.alias("lang_guess"))
+
+
+def load_real_langid_model():
+    """Best-effort loader for a real language-ID model. Returns an
+    object with ``predict(pd.Series[str]) -> pd.Series[str]`` (ISO
+    codes), or None when no model library is installed (this
+    container ships neither fasttext nor langdetect — the seam is
+    exercised by tests/test_text.py with a fake model)."""
+    try:  # pragma: no cover - model libs absent in the test container
+        import fasttext  # noqa: F401
+
+        class _FastText:
+            def __init__(self):
+                # lid.176.ftz is the published fasttext LID model; the
+                # deployment bakes it into the image / ships it via
+                # spark.files
+                self._m = fasttext.load_model("lid.176.ftz")
+
+            def predict(self, texts: pd.Series) -> pd.Series:
+                labels, _ = self._m.predict(
+                    [t.replace("\n", " ") for t in texts.fillna("")]
+                )
+                return pd.Series(
+                    [ls[0].replace("__label__", "") if ls else "und" for ls in labels],
+                    index=texts.index,
+                )
+
+        return _FastText()
+    except Exception:
+        pass
+    try:  # pragma: no cover
+        from langdetect import detect
+
+        class _LangDetect:
+            def predict(self, texts: pd.Series) -> pd.Series:
+                def _one(t):
+                    try:
+                        return detect(t)
+                    except Exception:
+                        return "und"
+
+                return texts.fillna("").map(_one)
+
+        return _LangDetect()
+    except Exception:
+        return None
+
+
+def detect_language(df: DataFrame, text_col: str = "text", model_loader=None) -> DataFrame:
+    """Append ``lang_guess`` to ``df`` — THE language-ID seam.
+
+    ``model_loader`` is a zero-arg callable returning a model with
+    ``predict(pd.Series) -> pd.Series`` or None. When it yields a
+    model, scoring runs as an ITERATOR pandas UDF: the model loads
+    ONCE per executor task (not per row/batch — exactly how a
+    20 MB+ fasttext binary must be amortized on a 1000-executor
+    cluster), then scores Arrow batches vectorized. When it yields
+    None (the hermetic default), the codegen stopword heuristic runs
+    instead. Either way the output contract is identical, so every
+    downstream consumer (`ext_topterms_per_lang`, `ext_lang_id_eval`,
+    `ext_corpus_datacard`) is model-agnostic."""
+    if model_loader is None or model_loader() is None:
+        return df.withColumn("lang_guess", _heuristic_lang_guess(text_col))
+
+    def _score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # load ON THE EXECUTOR, once per task — the model object never
+        # rides the closure (a fasttext binary doesn't pickle)
+        model = model_loader()
+        for texts in batches:
+            yield model.predict(texts).astype(str)
+
+    udf = F.pandas_udf(_score, T.StringType())
+    return df.withColumn("lang_guess", udf(F.col(text_col)))
 
 
 @register(

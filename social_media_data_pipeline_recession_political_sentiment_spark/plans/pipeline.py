@@ -162,3 +162,93 @@ def cache_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once the consumer has collected `out`; left cached here since the
     # returned plan still reads it.
     return out
+
+
+# ------------------------------------------ medallion chain end-to-end
+
+# Batch-SQL twin of the drained streaming chain: flatten the landed
+# fixture, dedup (fixture duplicates are bit-identical, so DISTINCT ==
+# the stream's watermarked/anti-join dedup), then the gold enrichment
+# formulas (identical to enrich_table's oracle, over the comment body).
+def _medallion_oracle() -> str:
+    from ..sources.rest_json import REDDIT_LISTING_FIXTURE
+
+    return (
+        "WITH pages AS (SELECT unnest(data.children) AS c "
+        f"FROM read_json('{REDDIT_LISTING_FIXTURE}', format='newline_delimited', "
+        "columns={'kind': 'VARCHAR', 'data': 'STRUCT(after VARCHAR, children "
+        "STRUCT(kind VARCHAR, data STRUCT(subreddit VARCHAR, link_id VARCHAR, "
+        "body VARCHAR, score BIGINT, created_utc BIGINT, id VARCHAR))[])'}) ), "
+        "u AS (SELECT DISTINCT c.data.id AS comment_id, c.data.body AS text "
+        "FROM pages), "
+        "c2 AS (SELECT comment_id, text, "
+        "(length(text) - length(replace(text, 'fast', ''))) / 4 AS n_fast, "
+        "(length(text) - length(replace(text, 'big', ''))) / 3 AS n_big, "
+        "(length(text) - length(replace(text, 'slow', ''))) / 4 AS n_slow, "
+        "(length(text) - length(replace(text, 'small', ''))) / 5 AS n_small, "
+        "least(CAST(0.99 AS DOUBLE), "
+        "CAST(0.2 AS DOUBLE) * (length(text) - length(replace(text, 'dup', ''))) / 3 + "
+        "CAST(0.1 AS DOUBLE) * (length(text) - length(replace(text, 'hash', ''))) / 4) AS conf "
+        "FROM u), "
+        "s AS (SELECT comment_id, text, conf, "
+        "(1.0*n_fast + 0.5*n_big - 1.0*n_slow - 0.5*n_small) / "
+        "(1.0*n_fast + 0.5*n_big + 1.0*n_slow + 0.5*n_small + 1.0) AS sentiment_score "
+        "FROM c2) "
+        "SELECT comment_id, "
+        "trim(lower(regexp_replace(regexp_replace(text, 'https?://\\S+', '', 'g'), "
+        "'[^a-zA-Z0-9\\s]', '', 'g'))) AS cleaned_comment, "
+        "(CASE WHEN conf >= 0.5 THEN 'flag' ELSE 'ok' END = 'flag' AND conf > 0.9) "
+        "AS is_hate_speech, conf AS hate_speech_confidence, "
+        "CASE WHEN sentiment_score >= 0.05 THEN 'positive' "
+        "WHEN sentiment_score <= -0.05 THEN 'negative' ELSE 'neutral' END AS sentiment, "
+        "sentiment_score FROM s"
+    )
+
+
+@register("stream_medallion_gold", oracle=_medallion_oracle())
+def stream_medallion_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE Airflow DAG as one drained medallion chain (ref:
+    `Airflow.py:95-102` collect → NLP → store): land the listing
+    fixture TWICE in bronze (simulating two poll cycles that re-fetch
+    overlapping pages), drain the bronze → silver streaming ingest
+    with availableNow (flatten → watermark dedup → anti-join append,
+    streaming/ingest.py), then build the gold enrichment table off the
+    silver parquet. Output equals the pure-batch gold computation on
+    the same payloads — the exactly-once evidence for the chain: the
+    doubled bronze input changes NOTHING downstream.
+
+    Scale shape: each micro-batch shuffles only its own rows for the
+    dedup state; the silver anti-join broadcasts sink KEYS, not rows;
+    the gold enrichment is three narrow Arrow-batched stages with zero
+    shuffles (`enrich_table`'s plan). On a cluster the drain is the
+    nightly `availableNow` catch-up run over whatever the fetchers
+    landed — state and shuffle bound by new data, not corpus size."""
+    import shutil
+    import uuid
+
+    from ..sources.rest_json import REDDIT_LISTING_FIXTURE
+    from ..streaming.ingest import ingest_to_silver
+
+    work = f"/tmp/smdp_medallion/{uuid.uuid4().hex[:8]}"
+    bronze, silver, ckpt = (
+        os.path.join(work, d) for d in ("bronze", "silver", "ckpt")
+    )
+    os.makedirs(bronze)
+    for i in range(2):
+        shutil.copy(REDDIT_LISTING_FIXTURE, os.path.join(bronze, f"page_{i}.json"))
+    q = ingest_to_silver(spark, bronze, silver, ckpt)
+    q.awaitTermination()
+    silver_df = spark.read.parquet(silver).select(
+        "comment_id", F.col("body").alias("text")
+    )
+    from ..enrich.sentiment import enrich_sentiment
+
+    gold = enrich_sentiment(enrich_hatespeech(silver_df))
+    return gold.select(
+        "comment_id",
+        clean_comment(F.col("text")).alias("cleaned_comment"),
+        "is_hate_speech",
+        "hate_speech_confidence",
+        "sentiment",
+        "sentiment_score",
+    )

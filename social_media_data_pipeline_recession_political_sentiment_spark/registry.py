@@ -59,119 +59,89 @@ def register(name: str, oracle: Optional[str] = None):
 # ROTATION RULE: front-load (1) anything added or rewritten since the
 # last round, (2) the queries whose last hard check is oldest;
 # tests/test_registry.py locks the list against typos.
-# Round 5 window (VERDICT r4 item 2): queries added or rewritten this
-# round first — the range-sharded ext_pack_sequences rewrite, the new
-# LSH recall-floor contract, the new bucketed-base incremental dedup,
-# and the six brand-new operators (minhash pipeline, kNN graph,
-# semantic dedup, passage dedup, batch sessionize, int8 quantize) —
-# then the STALEST tags: sql_interface (last hard check r2, called out
-# by the verdict) and the r2-green relational / scalar / dedup-core
-# queries (every one two windows old). The three r3-green source scans
-# that previously filled the 50 rotate out to make room for the new
-# operators. Zero overlap with the r4 window. The new-op slots
-# displaced the three r3-green source scans plus four r2 tags:
-# sink_partitioned_prune (no transitive cover — the FIRST tag the r6
-# window must re-burn), and ext_sim_topk / ext_dedup_minhash /
-# ext_dedup_ngram_jaccard, whose machinery is transitively
-# oracle-checked inside this window (see inline notes below).
-# agg_funnel_steps, agg_retention_cohorts, agg_rolling_wau,
-# agg_ingest_anomaly, ext_graph_pagerank, ext_sim_ivf_recall,
-# ext_dataset_diff, ext_dedup_cluster_census, agg_ewma_volume,
-# ext_mm_dedup_phash, join_asof_nearest, window_dedup_recent,
-# ext_length_histogram, ext_vocab_census, ext_url_canonical,
-# ext_graph_degree_census, ext_topterms_per_lang,
-# stream_join_stream, ext_dedup_minhash_eval, agg_time_spine_fill,
-# agg_user_lifetime, ext_lang_id_eval, ext_tokenize_ids,
-# ext_bigram_pmi, agg_interevent_gap, ext_sample_stratified_exact,
-# join_asof_tolerance, ext_mm_phash_cluster, ext_doc_dup_profile,
-# agg_event_transitions, ext_dedup_component_census, agg_user_gini,
-# ext_social_tags, ext_label_balance, ext_emb_centroids_int8,
-# ext_curation_scorecard, and dash_summary_onepass
-# (added after the window filled; each locally
-# verified at all three SFs + vanilla session) join
-# sink_partitioned_prune at the head of the r6 rotation.
-# Last hard check per query: see VERDICT.md r4 coverage tables.
+# Round 6 window (VERDICT r5 items 1-3): this is the burn-down round.
+# Head = the five queries added or semantics-touched in r6
+# (stream_medallion_gold NEW; agg_user_gini two-phase-rank rewrite;
+# the three ADVICE contract fixes window_dedup_recent / ext_bigram_pmi
+# / ext_dataset_diff), followed by ALL 33 remaining never-driver-
+# sampled r5 queries, then the four r2 tags (sink_partitioned_prune —
+# no transitive cover, named first by the verdict — plus
+# ext_dedup_minhash / ext_dedup_ngram_jaccard / ext_sim_topk, ending
+# their documented transitive-cover deferrals), then eight r3 tags
+# picked for least transitive cover (the enrichment UDF pair +
+# enrich_table, the curation/pii/split trio, the r6-touched
+# fn_lang_detect seam, ext_dedup_embcos). After this window every
+# registered query has a hard driver check and no tag is older than
+# r3. Zero overlap with the r5 window.
+# PLANNED r7 HEAD (rotation invariant — no tag older than 3 rounds):
+# the seven r3 source/sink scans the verdict reserves for r7
+# (scan_rest_json, scan_chan_json, scan_chan_catalog,
+# scan_youtube_json, sink_insert, sink_create_table,
+# sink_batched_commit), then the remaining r3 tags: the 14 dash_*
+# routes, stream_microbatch/dedup/lookback/tumbling/rate_limit/
+# sessionize/stateful_count, orchestration_dag, maintenance_vacuum,
+# cache_memo, ext_fingerprint, ext_props_map, ext_text_quality,
+# fn_text_stats, ext_token_count, ext_sim_lsh, ext_sim_ivf — 41 tags,
+# leaving ~9 slots for r7-new work.
 _WINDOW_PRIORITY = (
-    # -- rewritten this round: bounded (lang, shard) packing domains --
-    "ext_pack_sequences",
-    # -- new this round: integer-exact LSH recall-floor contract --
-    "ext_sim_lsh_recall",
-    # -- new this round: exchange-free bucketed-base incremental dedup --
-    "ext_dedup_incremental_bucketed",
-    # -- new this round: minhash-fronted production dedup chain --
-    "ext_dedup_pipeline_minhash",
-    # -- new this round: exact corpus kNN graph (partial top-k merge) --
-    "ext_sim_knn_graph",
-    # -- new this round: SemDeDup-shaped semantic dedup composition --
-    "ext_dedup_semantic",
-    # -- new this round: CCNet-style corpus-wide passage dedup --
-    "ext_dedup_passage",
-    # -- new this round: gaps-and-islands twin of stream_sessionize --
-    "agg_sessionize_batch",
-    # -- new this round: scan-local int8 absmax vector quantization --
-    "ext_emb_quantize",
-    # -- new this round: top-k over the compressed int8 index --
-    "ext_sim_topk_int8",
-    # -- new this round: LAION-style image-text pair curation gate --
-    "ext_mm_pair_filter",
-    # -- new this round: CCNet head/middle/tail two-phase-rank split --
-    "ext_lm_perplexity_buckets",
-    # -- new this round: per-(source, lang) dataset-card report --
-    "ext_corpus_datacard",
-    # -- stalest tag (r2), named first by the r4 verdict --
-    "sql_interface",
-    # -- r2-green joins --
-    "join_enriched_raw",
-    "join_anti_dedup",
-    "join_broadcast_dim",
-    "join_range",
-    "join_bucketed_colocated",
-    "join_asof",
-    # -- r2-green aggregations --
-    "agg_count_star",
-    "agg_group_count",
-    "agg_topk_groups",
-    "agg_daily_counts",
-    "agg_distinct_tuples",
-    "agg_multi_dim",
-    "agg_approx_distinct",
-    "agg_cube",
-    "agg_percentiles",
-    "agg_salted_skew",
-    # -- r2-green window / sort / limit --
-    "sort_by_time",
-    "sort_desc_limit",
-    "limit_n",
-    "window_rank_latest",
-    # -- r2-green set ops --
-    "union_pages",
-    "union_platforms",
-    # -- r2-green scalar functions --
-    "fn_strip_urls",
-    "fn_normalize_text",
-    "fn_strip_html",
-    "fn_epoch_to_ts",
-    "fn_parse_iso_ts",
-    "fn_date_format",
-    "fn_json_parse",
-    "fn_null_guards",
-    "fn_sentiment_bucket",
-    "fn_hate_flag",
-    # -- r2-green UDF tier --
-    "udf_clean_comment",
-    "udtf_explode_shingles",
-    # -- r2-green dedup/similarity core --
-    "ext_dedup_exact",
-    # ext_dedup_minhash (r2) yields its slot: the r5 window's
-    # ext_dedup_pipeline_minhash runs the full banding chain against
-    # a recursive-CTE oracle, covering the same machinery end to end.
-    "ext_dedup_simhash",
-    # ext_dedup_ngram_jaccard (r2) yields its slot: pipeline_minhash's
-    # candidate-restricted exact-Jaccard verify stage is oracle-checked
-    # in this same window, covering the jaccard machinery.
-    # ext_sim_topk (r2) yields its slot: join_similarity_topk runs the
-    # SAME function (hard-checked r4) and the r5 window's int8/recall
-    # entries exercise the shared fold + rank helpers.
+    # -- new this round: drained bronze→silver→gold medallion chain --
+    "stream_medallion_gold",
+    # -- rewritten this round: distributed two-phase Σi·xᵢ rank --
+    "agg_user_gini",
+    # -- contract fixed this round: integer-microsecond gap compare --
+    "window_dedup_recent",
+    # -- contract fixed this round: overflow-free double PMI --
+    "ext_bigram_pmi",
+    # -- contract fixed this round: explicit presence markers --
+    "ext_dataset_diff",
+    # -- never driver-sampled (registered late in r5) --
+    "agg_funnel_steps",
+    "agg_retention_cohorts",
+    "agg_rolling_wau",
+    "agg_ingest_anomaly",
+    "agg_ewma_volume",
+    "agg_time_spine_fill",
+    "agg_user_lifetime",
+    "agg_interevent_gap",
+    "agg_event_transitions",
+    "join_asof_nearest",
+    "join_asof_tolerance",
+    "stream_join_stream",
+    "dash_summary_onepass",
+    "ext_graph_pagerank",
+    "ext_graph_degree_census",
+    "ext_dedup_cluster_census",
+    "ext_dedup_component_census",
+    "ext_dedup_minhash_eval",
+    "ext_doc_dup_profile",
+    "ext_sim_ivf_recall",
+    "ext_label_balance",
+    "ext_emb_centroids_int8",
+    "ext_mm_dedup_phash",
+    "ext_mm_phash_cluster",
+    "ext_length_histogram",
+    "ext_vocab_census",
+    "ext_url_canonical",
+    "ext_topterms_per_lang",
+    "ext_lang_id_eval",
+    "ext_tokenize_ids",
+    "ext_sample_stratified_exact",
+    "ext_social_tags",
+    "ext_curation_scorecard",
+    # -- r2 tags: the last pre-r3 checks anywhere in the registry --
+    "sink_partitioned_prune",
+    "ext_dedup_minhash",
+    "ext_dedup_ngram_jaccard",
+    "ext_sim_topk",
+    # -- r3 tags with the least transitive cover --
+    "udf_vader_sentiment",
+    "udf_hatespeech_api",
+    "enrich_table",
+    "ext_corpus_curation",
+    "ext_pii_redact",
+    "ext_data_split",
+    "fn_lang_detect",
+    "ext_dedup_embcos",
 )
 
 

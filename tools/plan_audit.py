@@ -537,11 +537,30 @@ AUDIT = {
         "data on top of the dedup chain's existing motion",
     ),
     "agg_user_gini": (
-        "user-keyed count HashAggregate; rank window over the "
-        "aggregated user table; 3-scalar final agg",
-        "corpus width moves once (the count agg); the global rank "
-        "runs on users-sized data with the partition-prefix rank "
-        "documented past that",
+        "LocalTableScan of the ONE result row — the compute runs "
+        "eagerly inside the operator as count-agg -> RangeExchange "
+        "on (x, user_id) -> sorted mapInPandas emitting THREE exact "
+        "scalars per partition -> P-row collect + driver prefix "
+        "combine; r6 REWRITE: no Window appears anywhere (the r5 "
+        "single-partition row_number funnel is gone — "
+        "tests/test_relational.py::"
+        "test_user_gini_two_phase_equals_window_form proves "
+        "equality with the window form)",
+        "corpus width moves once (the count agg); the rank phase "
+        "moves each user row exactly once through the range "
+        "exchange and collects only P summary rows, so nothing "
+        "user-sized ever lands on one task — billions of users "
+        "rank at full parallelism",
+    ),
+    "stream_medallion_gold": (
+        "gold-stage plan over the drained silver parquet: FileScan "
+        "-> ArrowEvalPython / MapInPandas enrichment stages, zero "
+        "Exchange (the bronze->silver drain runs eagerly via "
+        "availableNow foreachBatch upstream)",
+        "the whole DAG's batch catch-up is bounded by NEW data (the "
+        "drain shuffles only each micro-batch's rows for dedup "
+        "state; the silver anti-join broadcasts sink keys); the "
+        "gold enrichment is narrow Arrow stages with no shuffle",
     ),
     "ext_social_tags": (
         "scan-local regexp_extract_all + Generate (explode); one "
