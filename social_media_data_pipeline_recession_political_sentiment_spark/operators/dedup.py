@@ -1531,3 +1531,74 @@ def ext_dedup_component_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cs.groupBy(F.col("sz").alias("cluster_size")).agg(
         F.count("*").alias("n_clusters"), F.sum("sz").alias("n_docs")
     )
+
+
+# ------------------------------------ cross-source priority survivorship
+
+# Source priority: lower src number = more curated feed wins (the
+# "curated beats crawl" rule used when merging CC dumps with curated
+# corpora). Cluster key here = 3-token content prefix (a deterministic
+# stand-in for the near-dup cluster id `ext_dedup_minhash` /
+# `ext_dedup_components` would feed in production — the survivorship
+# logic is identical, only the key column changes).
+_XSRC_ORACLE = """
+WITH k AS (
+  SELECT doc_id, source,
+         CAST(replace(source, 'src', '') AS BIGINT) AS prio,
+         array_to_string((string_split(text, ' '))[1:3], ' ') AS fp_prefix
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source, fp_prefix,
+         row_number() OVER (PARTITION BY fp_prefix
+                            ORDER BY prio, doc_id) AS rn
+  FROM k
+)
+SELECT doc_id, source, fp_prefix, rn = 1 AS keep FROM r
+"""
+
+
+@register("ext_dedup_cross_source", oracle=_XSRC_ORACLE)
+def ext_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source survivorship: when the same content arrives from
+    multiple feeds, exactly one copy survives, chosen by source
+    priority (curated > crawl) with doc_id as the total-order tie
+    break — the merge rule every multi-source corpus release needs
+    on top of plain dedup (which only says WHAT is duplicated, not
+    WHO wins). Non-survivors stay in the output flagged keep=false,
+    so provenance audits can count per-source losses.
+
+    Scale shape: the winner per cluster key is `min(struct(prio,
+    doc_id))` — an ALGEBRAIC aggregate with map-side partial combine,
+    so a viral key (the same boilerplate from every feed) reduces
+    locally on every task instead of funneling into one window task
+    (the window form's hot-key hazard); the flag then derives from an
+    fp-keyed equi-join of the (fp, winner) table back to the slim
+    (doc_id, source, fp) projection — both sides hash on fp, AQE
+    splits residual skew. Text never moves: the key is computed in
+    the scan."""
+    d = load(spark, sf_dir, "documents")
+    k = d.select(
+        "doc_id",
+        "source",
+        F.replace(F.col("source"), F.lit("src"), F.lit(""))
+        .cast("long")
+        .alias("prio"),
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 3)).alias(
+            "fp_prefix"
+        ),
+    )
+    winners = k.groupBy("fp_prefix").agg(
+        F.min(F.struct("prio", "doc_id")).alias("w")
+    )
+    return (
+        k.join(winners, "fp_prefix")
+        .select(
+            "doc_id",
+            "source",
+            "fp_prefix",
+            ((F.col("prio") == F.col("w.prio")) & (F.col("doc_id") == F.col("w.doc_id"))).alias(
+                "keep"
+            ),
+        )
+    )

@@ -2408,3 +2408,178 @@ def agg_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n, tot, gini)], "n_users long, total_events long, gini double"
     )
+
+
+# ------------------------------------------- SCD2 dimension as-of join
+
+# Deterministic 3-version SCD2 dimension derived from customer (pure
+# functions of c_custkey, identical on both engines): version v's
+# validity starts 1992-01-01 + v * (custkey % 700 + 100) days; the
+# last version is open-ended.
+SCD2_VERSIONS = 3
+
+_SCD2_ORACLE = f"""
+WITH dim AS (
+  SELECT c_custkey, v,
+         c_mktsegment || '#v' || v AS segment_v,
+         DATE '1992-01-01' + CAST(v * (c_custkey % 700 + 100) AS INTEGER)
+           AS valid_from,
+         CASE WHEN v < {SCD2_VERSIONS - 1}
+              THEN DATE '1992-01-01'
+                   + CAST((v + 1) * (c_custkey % 700 + 100) AS INTEGER)
+              ELSE DATE '9999-12-31' END AS valid_to
+  FROM customer, (SELECT unnest(generate_series(0, {SCD2_VERSIONS - 1})) AS v)
+)
+SELECT o.o_orderkey, d.c_custkey, d.v AS dim_version, d.segment_v
+FROM orders o JOIN dim d
+  ON o.o_custkey = d.c_custkey
+ AND o.o_orderdate >= d.valid_from AND o.o_orderdate < d.valid_to
+"""
+
+
+@register("join_scd2_dim", oracle=_SCD2_ORACLE)
+def join_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) as-of join: each fact row
+    joins the dimension VERSION that was valid at the fact's event
+    date — the warehouse-canon form of "what segment was this
+    customer in when they ordered", and the batch twin of
+    `join_asof` (which picks nearest-by-time rather than
+    validity-interval membership). The reference's enrichment tables
+    implicitly version the same way when re-collection overwrites
+    attributes; SCD2 is how a lake keeps the history queryable.
+
+    Scale shape: because SCD2 versions-per-key are BOUNDED (here 3,
+    in practice tens), the right plan is an EQUI-join on the natural
+    key with the validity predicate as a post-join filter — NOT a
+    range join: the equi-join hashes on c_custkey (broadcast here,
+    shuffle-on-key at 100 TB with AQE skew handling), and each probe
+    meets ≤ versions rows. The dimension explode is `sequence()` —
+    scan-local, no driver loop. Validity intervals derive from the
+    key, so both engines build bit-identical dimensions."""
+    c = load(spark, sf_dir, "customer")
+    base = F.to_date(F.lit("1992-01-01"))
+    step = (F.col("c_custkey") % 700 + 100).cast("int")
+    dim = (
+        c.select(
+            "c_custkey",
+            "c_mktsegment",
+            F.explode(F.sequence(F.lit(0), F.lit(SCD2_VERSIONS - 1))).alias("v"),
+        )
+        .select(
+            "c_custkey",
+            "v",
+            F.concat(F.col("c_mktsegment"), F.lit("#v"), F.col("v")).alias(
+                "segment_v"
+            ),
+            F.date_add(base, F.col("v") * step).alias("valid_from"),
+            F.when(
+                F.col("v") < SCD2_VERSIONS - 1,
+                F.date_add(base, (F.col("v") + 1) * step),
+            )
+            .otherwise(F.to_date(F.lit("9999-12-31")))
+            .alias("valid_to"),
+        )
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.to_date("o_orderdate").alias("od")
+    )
+    return (
+        o.join(F.broadcast(dim), o.o_custkey == dim.c_custkey)
+        .filter((F.col("od") >= F.col("valid_from")) & (F.col("od") < F.col("valid_to")))
+        .select(
+            "o_orderkey",
+            "c_custkey",
+            F.col("v").alias("dim_version"),
+            "segment_v",
+        )
+    )
+
+
+# -------------------------------------- exact distributed quantiles
+
+QUANTILE_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+_QUANTILE_ORACLE = f"""
+WITH r AS (SELECT value,
+        CAST(row_number() OVER (ORDER BY value, event_id) AS BIGINT) AS rn
+      FROM events),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events),
+t AS (SELECT q, CAST(greatest(1, ceil(q * n.n)) AS BIGINT) AS target_rank
+      FROM (SELECT CAST(unnest([{", ".join(str(q) for q in QUANTILE_QS)}])
+                   AS DOUBLE) AS q), n)
+SELECT t.q, t.target_rank, r.value FROM t JOIN r ON r.rn = t.target_rank
+"""
+
+
+@register("agg_quantiles_exact_dist", oracle=_QUANTILE_ORACLE)
+def agg_quantiles_exact_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT order statistics (p25/p50/p75/p90/p99 of event value) at
+    full parallelism — what `agg_percentiles`' sketch cannot promise
+    (approx_percentile has error bounds; an SLO report or a billing
+    cut-off needs the exact element) and what a naive
+    `Window.orderBy` cannot survive (one-reducer global sort).
+
+    Third user of the two-phase partition-prefix device
+    (`ext_lm_perplexity_buckets`, `agg_user_gini`): range-exchange on
+    (value, event_id), per-partition counts collect as P scalars,
+    the driver prefix-sums offsets and maps each target rank
+    ceil(q·n) to (partition, local index); one more pass over the
+    SAME pinned partitioning (localCheckpoint) emits exactly the
+    rows whose running local index is a target — 5 rows out, each
+    row moved exactly once. Ranks use double q·n on BOTH engines
+    (the oracle casts q to DOUBLE before multiplying) so the ceil
+    lands identically; the picked VALUE is tie-order-invariant."""
+    import math
+
+    import pandas as pd
+
+    e = load(spark, sf_dir, "events").select("value", "event_id")
+    n_parts = max(2, spark.sparkContext.defaultParallelism)
+    ranged = (
+        e.repartitionByRange(n_parts, F.col("value"), F.col("event_id"))
+        .sortWithinPartitions("value", "event_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = ranged.groupBy("pid").agg(F.count("*").alias("c")).collect()
+    sums = {r.pid: r.c for r in counts}
+    n = sum(sums.values())
+    offsets, acc = {}, 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+    # pid -> {local 1-based rank: [(q, global rank), ...]} — a LIST:
+    # on tiny inputs two quantiles can land on the same element
+    targets: dict[int, dict[int, list[tuple[float, int]]]] = {}
+    for q in QUANTILE_QS:
+        t = max(1, math.ceil(q * n))
+        for pid in sorted(sums):
+            if offsets[pid] < t <= offsets[pid] + sums[pid]:
+                targets.setdefault(pid, {}).setdefault(t - offsets[pid], []).append(
+                    (q, t)
+                )
+                break
+
+    def _pick(batches):
+        seen = 0
+        want: dict[int, list[tuple[float, int]]] | None = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if want is None:
+                want = targets.get(int(pdf["pid"].iloc[0]), {})
+                if not want:
+                    return
+            hits = [
+                (q, t, float(pdf["value"].iloc[lr - seen - 1]))
+                for lr, qts in want.items()
+                if seen < lr <= seen + len(pdf)
+                for (q, t) in qts
+            ]
+            if hits:
+                yield pd.DataFrame(
+                    hits, columns=["q", "target_rank", "value"]
+                )
+            seen += len(pdf)
+
+    return ranged.mapInPandas(_pick, "q double, target_rank long, value double")

@@ -390,3 +390,99 @@ def stream_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = drain_to_table(joined, "append")
     return out
+
+
+# ---------------------------------------------- late-data drop audit
+
+# Deterministic 3-file fixture (one micro-batch per file via
+# maxFilesPerTrigger=1; mtimes pin the order). Watermark 30 min,
+# tumbling 10 min windows. Spark's micro-batch watermark recurrence:
+# batch N's INPUT filter uses the watermark computed after batch N-1,
+# state EVICTION after batch N uses the one computed from batch N —
+# so 10:07 (one batch late, inside the lag) is accepted and lands in
+# the already-finalizing 10:00 window, while 09:50 (two batches late,
+# window end 10:00 <= wm 10:29) is dropped and surfaces in
+# numRowsDroppedByWatermark. Emitted = windows whose end <= final
+# watermark 11:15; the 11:20+ windows stay in state at drain end.
+_LATE_FILES = (
+    ("a.json", ("10:00:00", "10:05:00", "10:59:00")),
+    ("b.json", ("10:07:00", "10:31:00", "11:30:00")),
+    ("c.json", ("09:50:00", "10:35:00", "11:25:00", "11:45:00")),
+)
+
+_LATE_ORACLE = """
+SELECT * FROM (VALUES
+  ('window', TIMESTAMP '2021-01-01 10:00:00', CAST(3 AS BIGINT)),
+  ('window', TIMESTAMP '2021-01-01 10:30:00', CAST(2 AS BIGINT)),
+  ('window', TIMESTAMP '2021-01-01 10:50:00', CAST(1 AS BIGINT)),
+  ('late_dropped', CAST(NULL AS TIMESTAMP), CAST(1 AS BIGINT))
+) AS t(kind, window_start, n)
+"""
+
+
+@register("stream_late_data_audit", oracle=_LATE_ORACLE)
+def stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data accounting for the watermarked ingest path: the
+    drained tumbling-count table PLUS the engine's own count of rows
+    dropped as too-late (`numRowsDroppedByWatermark` summed over
+    micro-batch progress) as an audit row — the observability every
+    production watermark needs (a silent late-drop is data loss you
+    can't see in the output table). The emitted counts pin the full
+    micro-batch watermark recurrence, including its one-batch lag:
+    a row late by LESS than one batch of lag still lands (10:07),
+    a row beyond it is dropped and COUNTED (09:50).
+
+    Scale shape: state is bounded by the watermark horizon (windows
+    per key-range x 40 min here, regardless of stream length); the
+    audit reads P scalar metrics from query progress, not data. The
+    drop counter is the zero-cost per-batch metric Spark already
+    tracks."""
+    import json as _json
+    import shutil
+
+    work = f"/tmp/smdp_late_audit/{uuid.uuid4().hex[:8]}"
+    bronze = os.path.join(work, "bronze")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(bronze)
+    eid = 0
+    for i, (fn, tss) in enumerate(_LATE_FILES):
+        path = os.path.join(bronze, fn)
+        with open(path, "w") as f:
+            for t in tss:
+                eid += 1
+                f.write(
+                    _json.dumps({"event_id": eid, "ts": f"2021-01-01 {t}"}) + "\n"
+                )
+        os.utime(path, (1600000000 + i * 10,) * 2)
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(bronze)
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "10 minutes"))
+        .count()
+    )
+    emitted: list = []
+    with scoped_shuffle_partitions(spark, 4):
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(lambda b, _e: emitted.extend(b.collect()))
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for so in p["stateOperators"]
+    )
+    rows = [
+        ("window", r["window"]["start"], r["count"]) for r in emitted
+    ] + [("late_dropped", None, dropped)]
+    return spark.createDataFrame(
+        rows, "kind string, window_start timestamp, n long"
+    )

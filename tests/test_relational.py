@@ -788,3 +788,38 @@ def test_user_gini_two_phase_equals_window_form(spark):
     want = float(2 * s.wsum - (s.n + 1) * s.tot) / float(s.n * s.tot)
     assert row.n_users == s.n and row.total_events == s.tot
     assert row.gini == want
+
+
+def test_exact_quantiles_collapse_and_match_sorted_positions(spark, tmp_path):
+    """agg_quantiles_exact_dist: every q resolves to the element at
+    rank ceil(q*n) of the (value, event_id)-sorted multiset; on a
+    1-row table all five quantiles collapse onto the SAME element and
+    all five rows still come back (the same-local-rank edge)."""
+    import math
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.relational import (
+        QUANTILE_QS,
+    )
+
+    q = registry.queries()["agg_quantiles_exact_dist"]
+
+    rows = sorted(
+        (r.value, r.event_id)
+        for r in spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("value", "event_id")
+        .collect()
+    )
+    got = {r.q: (r.target_rank, r.value) for r in q(spark, SF_SMOKE).collect()}
+    assert set(got) == set(QUANTILE_QS)
+    for qq in QUANTILE_QS:
+        t = max(1, math.ceil(qq * len(rows)))
+        assert got[qq] == (t, rows[t - 1][0])
+
+    one = str(tmp_path / "sf_one")
+    spark.createDataFrame(
+        [(7, dt.datetime(2021, 1, 1), 3.25)],
+        "event_id long, ts timestamp, value double",
+    ).write.parquet(f"{one}/events.parquet")
+    out = q(spark, one).collect()
+    assert len(out) == len(QUANTILE_QS)
+    assert {(r.target_rank, r.value) for r in out} == {(1, 3.25)}
