@@ -533,3 +533,20 @@ def test_component_census_consistent_with_components(spark):
         hist[sz] = hist.get(sz, 0) + 1
     assert {r.cluster_size: r.n_clusters for r in rows} == hist
     assert any(r.cluster_size >= 2 for r in rows)  # near-dup families exist
+
+
+def test_cross_source_survivorship_one_keeper_min_priority(spark):
+    """ext_dedup_cross_source: exactly one keep=true per cluster key,
+    and it is the (min priority, min doc_id) member; every document
+    appears exactly once."""
+    out = queries()["ext_dedup_cross_source"](spark, SF_SMOKE).collect()
+    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert len(out) == n_docs
+    by_fp = {}
+    for r in out:
+        by_fp.setdefault(r.fp_prefix, []).append(r)
+    for fp, rows in by_fp.items():
+        keepers = [r for r in rows if r.keep]
+        assert len(keepers) == 1, fp
+        best = min((int(r.source[3:]), r.doc_id) for r in rows)
+        assert (int(keepers[0].source[3:]), keepers[0].doc_id) == best

@@ -823,3 +823,18 @@ def test_exact_quantiles_collapse_and_match_sorted_positions(spark, tmp_path):
     out = q(spark, one).collect()
     assert len(out) == len(QUANTILE_QS)
     assert {(r.target_rank, r.value) for r in out} == {(1, 3.25)}
+
+
+def test_scd2_versions_partition_the_timeline(spark):
+    """join_scd2_dim: the 3 validity intervals per customer tile
+    [1992-01-01, 9999-12-31) with no gap or overlap, so every order
+    matches EXACTLY one dimension version — the SCD2 integrity
+    invariant (a gap loses facts, an overlap duplicates them)."""
+    out = registry.queries()["join_scd2_dim"](spark, SF_SMOKE)
+    n_orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").count()
+    assert out.count() == n_orders
+    assert out.select("o_orderkey").distinct().count() == n_orders
+    # spot-check version arithmetic on one joined row
+    r = out.filter(F.col("dim_version") == 1).first()
+    if r is not None:
+        assert r.segment_v.endswith("#v1")

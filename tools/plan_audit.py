@@ -582,6 +582,43 @@ AUDIT = {
         "scorecard adds only id-keyed joins that go exchange-free "
         "over bucketed score tables at release scale",
     ),
+    "join_scd2_dim": (
+        "BroadcastHashJoin on the natural key (o_custkey = c_custkey) "
+        "with the validity interval as the residual join condition; "
+        "dimension explode is a scan-local Generate; PushedFilters on "
+        "both scans",
+        "SCD2 with bounded versions-per-key is an equi-join problem, "
+        "not a range join: each probe meets <= |versions| build rows; "
+        "at 100 TB the broadcast becomes a key-hashed shuffle join "
+        "and AQE splits hot customers",
+    ),
+    "ext_dedup_cross_source": (
+        "min(struct(prio, doc_id)) HashAggregate with partial_min "
+        "map-side; fp-keyed equi-join of winners back to the slim "
+        "projection; text never leaves the scan",
+        "the algebraic winner aggregate reduces viral keys locally "
+        "on every task — the window-rank form would funnel each hot "
+        "fingerprint into one task",
+    ),
+    "agg_quantiles_exact_dist": (
+        "RangeRepartition on (value, event_id) + in-partition sort, "
+        "then a P-row counts collect and ONE mapInPandas pass "
+        "emitting exactly |Q| rows; no Window anywhere",
+        "exact order statistics at full parallelism: each row moves "
+        "once through the range exchange, the driver handles only P "
+        "scalars and the 5 target positions — the Window.orderBy "
+        "form is a one-reducer sort that cannot run at 100 TB",
+    ),
+    "stream_late_data_audit": (
+        "LocalTableScan of the audit table — the compute is a "
+        "drained availableNow windowed aggregation whose per-batch "
+        "watermark recurrence (filter at wm_{N-1}, evict at wm_N) "
+        "is pinned by the fixture; the drop count reads "
+        "numRowsDroppedByWatermark from progress metrics",
+        "state is bounded by the watermark horizon regardless of "
+        "stream length, and late-loss is OBSERVED (a scalar metric "
+        "per batch), not inferred by re-scanning the corpus",
+    ),
     "dash_summary_onepass": (
         "ONE FileScan (ts, event_type, value ReadSchema) feeding "
         "Expand(3) + a single HashAggregate with partial "
