@@ -543,3 +543,63 @@ def ext_mm_phash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component",
         (F.col("component") == F.col("doc_id")).alias("is_keeper"),
     )
+
+
+# ------------------------------------------- time-media segmentation
+
+# Deterministic duration model over the synthetic payloads: 4 ms of
+# audio/video per payload byte (a stand-in for the container-header
+# duration a real probe would read — METADATA, not decoded samples).
+SEG_MS_PER_BYTE = 4
+SEG_LEN_MS = 30_000  # 30 s windows — the ASR/captioning chunk size
+
+_AUDIO_SEG_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id,
+         octet_length(encode(text)) * {SEG_MS_PER_BYTE} AS duration_ms
+  FROM documents WHERE doc_id % 3 <> 0
+)
+SELECT doc_id,
+       CAST(s AS BIGINT) AS seg_idx,
+       CAST(s * {SEG_LEN_MS} AS BIGINT) AS start_ms,
+       CAST(least((s + 1) * {SEG_LEN_MS}, duration_ms) AS BIGINT) AS end_ms
+FROM m, LATERAL unnest(generate_series(0,
+       CAST(ceil(CAST(duration_ms AS DOUBLE) / {SEG_LEN_MS}) AS BIGINT) - 1))
+       AS t(s)
+"""
+
+
+@register("ext_mm_audio_segments", oracle=_AUDIO_SEG_ORACLE)
+def ext_mm_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window segmentation of time media (audio/wav and
+    video/mp4 rows): each document explodes into tumbling 30 s
+    [start_ms, end_ms) chunks, the unit every downstream ASR /
+    captioning / embedding pass consumes. Duration comes from
+    METADATA (bytes x rate — where a real probe reads the container
+    header), so the payload is never decoded and, thanks to column
+    pruning, never even read: the scan projects doc_id + length only.
+
+    Scale shape: pure scan-local arithmetic + a `sequence()` Generate
+    — zero shuffle, zero Python, output bounded at duration/30 s rows
+    per media file. The chunk table is what then feeds the
+    `ext_mm_decode_stub`-shaped Arrow stages one bounded segment at
+    a time — the memory contract that makes hour-long media
+    processable at all (decoding whole files OOMs the executor; the
+    segment explode is the fix)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 != 0)
+    payload_len = F.length(F.encode(F.col("text"), "UTF-8"))
+    dur = (payload_len * SEG_MS_PER_BYTE).cast("long")
+    n_seg = F.ceil(dur.cast("double") / SEG_LEN_MS).cast("long")
+    segs = d.select(
+        "doc_id",
+        dur.alias("duration_ms"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_seg - 1)).alias("seg_idx"),
+    )
+    return segs.select(
+        "doc_id",
+        "seg_idx",
+        (F.col("seg_idx") * SEG_LEN_MS).alias("start_ms"),
+        F.least(
+            (F.col("seg_idx") + 1) * SEG_LEN_MS, F.col("duration_ms")
+        ).alias("end_ms"),
+    )

@@ -2583,3 +2583,57 @@ def agg_quantiles_exact_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             seen += len(pdf)
 
     return ranged.mapInPandas(_pick, "q double, target_rank long, value double")
+
+
+# --------------------------------------- null-key skew bypass join
+
+# Deterministic nullable FK over orders: every 4th order has no
+# customer reference (the guest-checkout / anonymous-event shape
+# whose single NULL key is the worst skew a key-hashed join can meet).
+_NULLSKEW_ORACLE = """
+WITH f AS (SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 4 = 0 THEN NULL
+                       ELSE o_custkey END AS cust_ref
+           FROM orders)
+SELECT f.o_orderkey, f.cust_ref, c.c_mktsegment
+FROM f LEFT JOIN customer c ON f.cust_ref = c.c_custkey
+"""
+
+
+@register("join_null_skew_split", oracle=_NULLSKEW_ORACLE)
+def join_null_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT JOIN with a heavily-NULL foreign key, executed as a
+    null-bypass split: NULL-key rows can never match, so they skip
+    the join entirely (projected straight to the output shape with a
+    NULL dimension column) and only the non-null slice joins. Result
+    is exactly the plain LEFT JOIN's.
+
+    Scale shape: in a shuffle join, SQL NULL keys don't match but
+    they still SHUFFLE — hashed to one partition, a 25%-null fact
+    table funnels 25% of the corpus into a single task (AQE's skew
+    split can't help: it splits by size AFTER hashing, and every
+    null lands in the same reducer before it acts; the broadcast
+    plan at this SF hides it, the split removes it at ANY plan).
+    The split is the standard fix: the null branch is map-side only
+    (scan → project → union), the join branch carries only rows that
+    can match. The union is a no-shuffle plan node. Same device as
+    `join_salted_skew` but for the degenerate single-hot-key case
+    where salting is wasted work — the key can NEVER match."""
+    f = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 4 == 0, None)
+        .otherwise(F.col("o_custkey"))
+        .alias("cust_ref"),
+    )
+    dim = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), "c_mktsegment"
+    )
+    nulls = f.filter(F.col("cust_ref").isNull()).select(
+        "o_orderkey", "cust_ref", F.lit(None).cast("string").alias("c_mktsegment")
+    )
+    matched = (
+        f.filter(F.col("cust_ref").isNotNull())
+        .join(dim, F.col("cust_ref") == F.col("c_custkey"), "left")
+        .select("o_orderkey", "cust_ref", "c_mktsegment")
+    )
+    return matched.unionByName(nulls)

@@ -838,3 +838,44 @@ def test_scd2_versions_partition_the_timeline(spark):
     r = out.filter(F.col("dim_version") == 1).first()
     if r is not None:
         assert r.segment_v.endswith("#v1")
+
+
+def test_null_skew_split_equals_plain_left_join_and_bypasses_join(spark):
+    """join_null_skew_split: (1) result set equals the plain LEFT
+    JOIN's; (2) the null branch of the Union contains no join node —
+    null-key rows never enter the join subtree."""
+    import contextlib
+    import io
+
+    out = registry.queries()["join_null_skew_split"](spark, SF_SMOKE)
+    # explain BEFORE any action: post-execution AQE explain renders the
+    # final plan with query stages and repeats the join node
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    tree = buf.getvalue().split("\n\n")[0]  # tree section only
+    assert "Union" in tree
+    # exactly ONE join node in the whole tree (the non-null branch);
+    # the null branch is Project/Filter/Scan — no join, no exchange
+    assert sum("Join" in l for l in tree.splitlines()) == 1
+    null_branch = tree[tree.rindex("+- Project") :]
+    assert "Join" not in null_branch and "Exchange" not in null_branch
+
+    f = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 4 == 0, None)
+            .otherwise(F.col("o_custkey"))
+            .alias("cust_ref"),
+        )
+    )
+    c = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    plain = f.join(c, f.cust_ref == c.c_custkey, "left").select(
+        "o_orderkey", "cust_ref", "c_mktsegment"
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, plain.collect()))
+    # quarter of the orders are null-keyed in the fixture
+    assert out.filter(F.col("cust_ref").isNull()).count() == f.filter(F.col("cust_ref").isNull()).count()

@@ -619,6 +619,22 @@ AUDIT = {
         "stream length, and late-loss is OBSERVED (a scalar metric "
         "per batch), not inferred by re-scanning the corpus",
     ),
+    "ext_mm_audio_segments": (
+        "scan-local duration arithmetic + sequence() Generate; "
+        "ReadSchema carries doc_id/text only, no shuffle, no Python",
+        "hour-long media explodes into bounded 30 s chunks BEFORE any "
+        "decode stage touches bytes — the per-segment memory contract "
+        "that keeps executors alive on real audio/video",
+    ),
+    "join_null_skew_split": (
+        "Union of (a) the null-key branch: scan -> project, NO join "
+        "node, and (b) the non-null branch joining the dimension; "
+        "null rows never reach an Exchange",
+        "SQL NULL keys never match but still hash to ONE reducer in "
+        "a shuffle join — a 25%-null FK funnels a quarter of the "
+        "corpus into a single task; the split makes the null share "
+        "map-side only at ANY join strategy",
+    ),
     "dash_summary_onepass": (
         "ONE FileScan (ts, event_type, value ReadSchema) feeding "
         "Expand(3) + a single HashAggregate with partial "
