@@ -738,3 +738,53 @@ def test_largest_remainder_allocation_properties(spark, group_sizes):
         assert abs(base[i] - exact) < 1.0
         if total >= STRAT_SAMPLE:
             assert base[i] <= max(n, 1)
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_exact_quantiles_two_phase_property(spark, values):
+    """agg_quantiles_exact_dist on arbitrary (duplicate-heavy, skewed)
+    value multisets: every emitted (q, target_rank, value) equals the
+    element at rank ceil(q*n) of the sorted multiset — the two-phase
+    device agrees with the sequential definition regardless of how the
+    range exchange splits the data."""
+    import math
+    import shutil
+    import uuid
+
+    import datetime as dt
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.relational import (
+        QUANTILE_QS,
+    )
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import (
+        queries,
+    )
+
+    work = f"/tmp/smdp_qprop/{uuid.uuid4().hex[:8]}"
+    rows = [
+        (i, dt.datetime(2021, 1, 1), float(v)) for i, v in enumerate(values)
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, value double"
+    ).repartition(4).write.parquet(f"{work}/events.parquet")
+    try:
+        out = queries()["agg_quantiles_exact_dist"](spark, work).collect()
+        srt = sorted((v, i) for i, _, v in rows)
+        n = len(srt)
+        assert len(out) == len(QUANTILE_QS)
+        for r in out:
+            t = max(1, math.ceil(r.q * n))
+            assert r.target_rank == t
+            assert r.value == srt[t - 1][0]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
