@@ -56,6 +56,13 @@ HEADLINERS = (
     "ext_bigram_pmi",
     "agg_event_transitions",
     "stream_join_stream",
+    # r6 additions
+    "agg_quantiles_exact_dist",
+    "agg_user_gini",
+    "join_scd2_dim",
+    "ext_dedup_cross_source",
+    "join_null_skew_split",
+    "ext_mm_audio_segments",
 )
 
 
