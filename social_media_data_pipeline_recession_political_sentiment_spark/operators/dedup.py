@@ -1576,7 +1576,11 @@ def ext_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp-keyed equi-join of the (fp, winner) table back to the slim
     (doc_id, source, fp) projection — both sides hash on fp, AQE
     splits residual skew. Text never moves: the key is computed in
-    the scan."""
+    the scan. The join is NULL-SAFE (<=>): a NULL-text document has
+    a NULL cluster key, and both engines group all NULL keys into
+    ONE cluster (DuckDB's PARTITION BY does; so does groupBy) — a
+    plain equi-join would silently drop those rows (the
+    ext_dataset_diff defect class this round fixed)."""
     d = load(spark, sf_dir, "documents")
     k = d.select(
         "doc_id",
@@ -1584,15 +1588,22 @@ def ext_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.replace(F.col("source"), F.lit("src"), F.lit(""))
         .cast("long")
         .alias("prio"),
-        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 3)).alias(
-            "fp_prefix"
-        ),
+        # NULL text => NULL key (concat_ws alone would fold NULL to ''
+        # while the oracle's array_to_string keeps NULL)
+        F.when(
+            F.col("text").isNull(), F.lit(None).cast("string")
+        )
+        .otherwise(F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 3)))
+        .alias("fp_prefix"),
     )
     winners = k.groupBy("fp_prefix").agg(
         F.min(F.struct("prio", "doc_id")).alias("w")
     )
     return (
-        k.join(winners, "fp_prefix")
+        k.join(
+            winners.withColumnRenamed("fp_prefix", "w_fp"),
+            F.col("fp_prefix").eqNullSafe(F.col("w_fp")),
+        )
         .select(
             "doc_id",
             "source",

@@ -590,10 +590,19 @@ def ext_mm_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload_len = F.length(F.encode(F.col("text"), "UTF-8"))
     dur = (payload_len * SEG_MS_PER_BYTE).cast("long")
     n_seg = F.ceil(dur.cast("double") / SEG_LEN_MS).cast("long")
-    segs = d.select(
-        "doc_id",
-        dur.alias("duration_ms"),
-        F.explode(F.sequence(F.lit(0).cast("long"), n_seg - 1)).alias("seg_idx"),
+    segs = (
+        d.select("doc_id", dur.alias("duration_ms"), n_seg.alias("n_seg"))
+        # zero-byte payloads emit NO segments: Spark's sequence(0, -1)
+        # would auto-step DOWN and fabricate seg_idx -1/0 rows, where
+        # the oracle's generate_series(0, -1) is empty
+        .filter(F.col("n_seg") > 0)
+        .select(
+            "doc_id",
+            "duration_ms",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("n_seg") - 1)
+            ).alias("seg_idx"),
+        )
     )
     return segs.select(
         "doc_id",

@@ -135,6 +135,18 @@ def ext_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_topk(scored)
 
 
+def _ivf_train_sample(e: DataFrame) -> DataFrame:
+    """The quantizer's bounded driver sample: pseudo-random but
+    deterministic order by murmur3(vec_id), capped at IVF_TRAIN_CAP.
+    Compiles to TakeOrderedAndProject (per-partition heap merge,
+    never a global sort) — the O(cap × dim) driver-memory contract
+    tests/test_similarity.py pins against THIS function, which is
+    exactly what `_ivf_scored` collects."""
+    return e.orderBy(F.hash("vec_id").asc(), F.col("vec_id").asc()).limit(
+        IVF_TRAIN_CAP
+    )
+
+
 def _ivf_scored(spark: SparkSession, sf_dir: str, probe_all: bool) -> DataFrame:
     """IVF candidate generation + NumPy scoring; `probe_all=True`
     probes every inverted list (nprobe = nlist), making the candidate
@@ -144,12 +156,7 @@ def _ivf_scored(spark: SparkSession, sf_dir: str, probe_all: bool) -> DataFrame:
     import pandas as pd
 
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # pseudo-random but deterministic sample: order by murmur3(vec_id)
-    sample = (
-        e.orderBy(F.hash("vec_id").asc(), F.col("vec_id").asc())
-        .limit(IVF_TRAIN_CAP)
-        .toPandas()
-    )
+    sample = _ivf_train_sample(e).toPandas()
     if len(sample) == 0:  # empty corpus => no neighbors
         return spark.createDataFrame(
             [], "query_id bigint, neighbor_id bigint, cos double"

@@ -90,6 +90,18 @@ def _heuristic_lang_guess(text_col: str):
     )
 
 
+def _langid_libs_importable() -> bool:
+    """Cheap availability probe (no model bytes read) — attached to
+    the loader as ``.available`` so detect_language can decide the
+    code path WITHOUT a throwaway driver-side model load."""
+    import importlib.util
+
+    return any(
+        importlib.util.find_spec(m) is not None
+        for m in ("fasttext", "langdetect")
+    )
+
+
 def load_real_langid_model():
     """Best-effort loader for a real language-ID model. Returns an
     object with ``predict(pd.Series[str]) -> pd.Series[str]`` (ISO
@@ -136,6 +148,9 @@ def load_real_langid_model():
         return None
 
 
+load_real_langid_model.available = _langid_libs_importable
+
+
 def detect_language(df: DataFrame, text_col: str = "text", model_loader=None) -> DataFrame:
     """Append ``lang_guess`` to ``df`` — THE language-ID seam.
 
@@ -149,7 +164,16 @@ def detect_language(df: DataFrame, text_col: str = "text", model_loader=None) ->
     instead. Either way the output contract is identical, so every
     downstream consumer (`ext_topterms_per_lang`, `ext_lang_id_eval`,
     `ext_corpus_datacard`) is model-agnostic."""
-    if model_loader is None or model_loader() is None:
+    # availability decision: prefer the loader's cheap `.available`
+    # probe (no model bytes read on the driver); fall back to one
+    # loader call only for probe-less loaders
+    if model_loader is None:
+        return df.withColumn("lang_guess", _heuristic_lang_guess(text_col))
+    probe = getattr(model_loader, "available", None)
+    unavailable = (
+        not probe() if callable(probe) else model_loader() is None
+    )
+    if unavailable:
         return df.withColumn("lang_guess", _heuristic_lang_guess(text_col))
 
     def _score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:

@@ -22,6 +22,7 @@ from ..enrich.hatespeech import enrich_hatespeech
 from ..enrich.sentiment import enrich_sentiment
 from ..functions.text import clean_comment
 from ..registry import register
+from ..session import prune_stale_workdirs
 
 
 def build_gold_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -91,6 +92,7 @@ def maintenance_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     deployment this is the job that keeps scan task counts sane."""
     import uuid
 
+    prune_stale_workdirs("/tmp/smdp_compact")
     work = f"/tmp/smdp_compact/{uuid.uuid4().hex[:8]}"
     frag_dir, compact_dir = os.path.join(work, "frag"), os.path.join(work, "compact")
     e = load(spark, sf_dir, "events")
@@ -229,6 +231,7 @@ def stream_medallion_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.rest_json import REDDIT_LISTING_FIXTURE
     from ..streaming.ingest import ingest_to_silver
 
+    prune_stale_workdirs("/tmp/smdp_medallion")
     work = f"/tmp/smdp_medallion/{uuid.uuid4().hex[:8]}"
     bronze, silver, ckpt = (
         os.path.join(work, d) for d in ("bronze", "silver", "ckpt")
@@ -236,8 +239,9 @@ def stream_medallion_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(bronze)
     for i in range(2):
         shutil.copy(REDDIT_LISTING_FIXTURE, os.path.join(bronze, f"page_{i}.json"))
-    q = ingest_to_silver(spark, bronze, silver, ckpt)
-    q.awaitTermination()
+    # ingest_to_silver awaits the availableNow drain itself before
+    # returning, so the silver table is complete here
+    ingest_to_silver(spark, bronze, silver, ckpt)
     silver_df = spark.read.parquet(silver).select(
         "comment_id", F.col("body").alias("text")
     )

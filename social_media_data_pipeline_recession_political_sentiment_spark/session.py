@@ -89,3 +89,27 @@ def get_session(app_name: str = "smdp_spark", cpus: int | None = None) -> SparkS
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return apply_engine_confs(spark)
+
+
+def prune_stale_workdirs(parent: str, max_age_s: int = 3600) -> None:
+    """Remove leftover per-invocation work dirs under ``parent`` older
+    than ``max_age_s``. The fixture-driven streaming operators create
+    a fresh uuid-named dir per call (checkpoint state cannot be
+    reused across runs); without pruning, repeated verify/bench
+    rounds leak disk unboundedly. Age-gated so a concurrent run's
+    live dir is never touched."""
+    import shutil
+    import time
+
+    try:
+        entries = os.listdir(parent)
+    except FileNotFoundError:
+        return
+    cutoff = time.time() - max_age_s
+    for name in entries:
+        path = os.path.join(parent, name)
+        try:
+            if os.path.getmtime(path) < cutoff:
+                shutil.rmtree(path, ignore_errors=True)
+        except OSError:
+            continue

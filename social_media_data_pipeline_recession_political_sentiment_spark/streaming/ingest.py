@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..session import scoped_shuffle_partitions
+from ..session import prune_stale_workdirs, scoped_shuffle_partitions
 from ..sources.rest_json import (
     REDDIT_LISTING_FIXTURE,
     REDDIT_LISTING_SCHEMA,
@@ -123,6 +123,7 @@ def stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import uuid
 
+    prune_stale_workdirs("/tmp/smdp_ratelimit")
     work = f"/tmp/smdp_ratelimit/{uuid.uuid4().hex[:8]}"
     bronze = os.path.join(work, "bronze")
     os.makedirs(bronze)
@@ -169,6 +170,7 @@ def stream_microbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import uuid
 
+    prune_stale_workdirs("/tmp/smdp_ingest")
     work = f"/tmp/smdp_ingest/{uuid.uuid4().hex[:8]}"
     bronze, silver, ckpt = (os.path.join(work, d) for d in ("bronze", "silver", "ckpt"))
     os.makedirs(bronze)

@@ -31,7 +31,7 @@ from pyspark.sql import types as T
 
 from ..catalog import load, ntz_as_utc_instant
 from ..registry import register
-from ..session import scoped_shuffle_partitions
+from ..session import prune_stale_workdirs, scoped_shuffle_partitions
 
 EVENTS_STREAM_SCHEMA = T.StructType(
     [
@@ -440,6 +440,7 @@ def stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     import json as _json
     import shutil
 
+    prune_stale_workdirs("/tmp/smdp_late_audit")
     work = f"/tmp/smdp_late_audit/{uuid.uuid4().hex[:8]}"
     bronze = os.path.join(work, "bronze")
     shutil.rmtree(work, ignore_errors=True)

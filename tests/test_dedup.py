@@ -550,3 +550,24 @@ def test_cross_source_survivorship_one_keeper_min_priority(spark):
         assert len(keepers) == 1, fp
         best = min((int(r.source[3:]), r.doc_id) for r in rows)
         assert (int(keepers[0].source[3:]), keepers[0].doc_id) == best
+
+
+def test_cross_source_null_text_cluster_survives(spark, tmp_path):
+    """NULL-text documents form ONE NULL-key cluster and still appear
+    in the output (the null-safe join regression: a plain equi-join
+    silently dropped them). Winner = lowest (prio, doc_id) among the
+    NULL-text rows."""
+    work = str(tmp_path / "sfnull")
+    spark.createDataFrame(
+        [
+            (1, "src2", None),
+            (2, "src1", None),
+            (3, "src1", "alpha beta gamma delta"),
+        ],
+        "doc_id long, source string, text string",
+    ).write.parquet(f"{work}/documents.parquet")
+    out = {r.doc_id: r for r in queries()["ext_dedup_cross_source"](spark, work).collect()}
+    assert set(out) == {1, 2, 3}  # nobody vanishes
+    assert out[1].fp_prefix is None and out[2].fp_prefix is None
+    assert out[2].keep and not out[1].keep  # src1 beats src2 in the NULL cluster
+    assert out[3].keep

@@ -140,3 +140,23 @@ def test_phash_cluster_keepers_and_reencode_collapse(spark):
     for p in pairs:
         assert comp_of[p.doc_a] == comp_of[p.doc_b]
     assert len(by_comp) < len(rows)  # some clusters are non-trivial
+
+
+def test_audio_segments_zero_byte_payload_emits_nothing(spark, tmp_path):
+    """A zero-byte media payload produces NO segments (regression:
+    sequence(0, -1) auto-steps down and fabricated seg_idx -1/0 rows
+    where the oracle's generate_series is empty)."""
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import (
+        queries,
+    )
+
+    work = str(tmp_path / "sfzero")
+    spark.createDataFrame(
+        [(1, "", "src0", 0), (2, "abcd" * 10000, "src0", 40000)],
+        "doc_id long, text string, source string, n_chars long",
+    ).write.parquet(f"{work}/documents.parquet")
+    rows = queries()["ext_mm_audio_segments"](spark, work).collect()
+    assert all(r.doc_id == 2 for r in rows)  # doc 1: zero bytes, no segments
+    assert len(rows) == 6  # 40000 bytes * 4 ms = 160 s -> 6 x 30 s chunks
+    assert min(r.seg_idx for r in rows) == 0
+    assert max(r.end_ms for r in rows) == 160000

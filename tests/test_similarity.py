@@ -389,9 +389,10 @@ def test_ivf_train_cap_binds_at_every_sf(spark, monkeypatch):
     )
     n_corpus = e.count()
     assert n_corpus > 16  # the monkeypatched cap must actually bind
+    # assert on the OPERATOR'S OWN sample plan (the helper
+    # _ivf_scored collects), not a test-local reconstruction
     sample_plan = (
-        e.orderBy(F.hash("vec_id").asc(), F.col("vec_id").asc())
-        .limit(sim.IVF_TRAIN_CAP)
+        sim._ivf_train_sample(e)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
