@@ -594,8 +594,9 @@ AUDIT = {
     ),
     "ext_dedup_cross_source": (
         "min(struct(prio, doc_id)) HashAggregate with partial_min "
-        "map-side; fp-keyed equi-join of winners back to the slim "
-        "projection; text never leaves the scan",
+        "map-side; NULL-SAFE (<=>) fp-keyed hash join of winners back "
+        "to the slim projection (NULL-text docs form one cluster and "
+        "survive); text never leaves the scan",
         "the algebraic winner aggregate reduces viral keys locally "
         "on every task — the window-rank form would funnel each hot "
         "fingerprint into one task",
