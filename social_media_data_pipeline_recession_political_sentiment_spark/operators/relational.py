@@ -2336,32 +2336,12 @@ FROM s
 """
 
 
-@register("agg_user_gini", oracle=_GINI_ORACLE)
-def agg_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gini coefficient of per-user event volume — the concentration
-    scalar behind "top 1% of users produce X% of content" claims, a
-    bot/brigading tripwire on the reference's comment firehose, and
-    (run over docs-per-domain) the corpus-balance metric a curation
-    report quotes. 0 = uniform, →1 = one user is the firehose.
-
-    Exactness: Gini = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) over ascending
-    (x, user_id)-ranked counts — numerator and denominator are exact
-    BIGINTs, the final division is ONE IEEE op, identical on both
-    engines.
-
-    Scale shape: the corpus-width motion is the user-keyed count agg.
-    The rank over the aggregated user table is the
-    `ext_lm_perplexity_buckets` DISTRIBUTED TWO-PHASE device, not a
-    single-partition `Window.orderBy` (the one-reducer funnel that
-    cannot rank billions of users): phase 1 range-partitions on
-    (x, user_id) and folds each partition to THREE exact scalars —
-    count, Σx, and Σ(local_rank·x) — in one sorted `mapInPandas`
-    pass; phase 2 collects the P summary rows (P scalars, not data),
-    prefix-sums the counts into rank offsets, and combines
-    Σi·xᵢ = Σ_p [wl_p + offset_p·Σx_p] exactly. Every user row moves
-    exactly once (the range exchange); nothing user-sized ever lands
-    on one task. Products run in arbitrary-precision Python ints so
-    wsum is exact wherever the oracle's BIGINT is."""
+def gini_partition_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phase 1 of the two-phase Gini rank: range-partition the
+    per-user counts on (x, user_id), then fold each partition to
+    THREE exact scalars — (count, Σx, Σ local_rank·x) — in one sorted
+    Arrow pass. Returns the P-row summary frame `agg_user_gini`
+    collects and prefix-combines driver-side."""
     import pandas as pd
 
     c = load(spark, sf_dir, "events").groupBy("user_id").agg(
@@ -2392,9 +2372,41 @@ def agg_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"pid": [pid], "cnt": [cnt], "sx": [sx], "wl": [wl]}
             )
 
-    parts = ranged.mapInPandas(
+    return ranged.mapInPandas(
         _part_summary, "pid int, cnt long, sx long, wl long"
-    ).collect()
+    )
+
+
+@register("agg_user_gini", oracle=_GINI_ORACLE)
+def agg_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event volume — the concentration
+    scalar behind "top 1% of users produce X% of content" claims, a
+    bot/brigading tripwire on the reference's comment firehose, and
+    (run over docs-per-domain) the corpus-balance metric a curation
+    report quotes. 0 = uniform, →1 = one user is the firehose.
+
+    Exactness: Gini = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) over ascending
+    (x, user_id)-ranked counts — numerator and denominator are exact
+    BIGINTs, the final division is ONE IEEE op, identical on both
+    engines.
+
+    Scale shape: the corpus-width motion is the user-keyed count agg.
+    The rank over the aggregated user table is the
+    `ext_lm_perplexity_buckets` DISTRIBUTED TWO-PHASE device, not a
+    single-partition `Window.orderBy` (the one-reducer funnel that
+    cannot rank billions of users): phase 1 range-partitions on
+    (x, user_id) and folds each partition to THREE exact scalars —
+    count, Σx, and Σ(local_rank·x) — in one sorted `mapInPandas`
+    pass; phase 2 collects the P summary rows (P scalars, not data),
+    prefix-sums the counts into rank offsets, and combines
+    Σi·xᵢ = Σ_p [wl_p + offset_p·Σx_p] exactly. Every user row moves
+    exactly once (the range exchange); nothing user-sized ever lands
+    on one task. Products run in arbitrary-precision Python ints so
+    wsum is exact wherever the oracle's BIGINT is. The distributed
+    stage is exposed as `gini_partition_summaries` so PLANS.md can
+    record its physical plan (RangeRepartition -> MapInPandas, no
+    Window node anywhere)."""
+    parts = gini_partition_summaries(spark, sf_dir).collect()
     n = tot = wsum = 0
     off = 0
     for row in sorted(parts, key=lambda r: r.pid):

@@ -788,3 +788,50 @@ def test_exact_quantiles_two_phase_property(spark, values):
             assert r.value == srt[t - 1][0]
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=9),  # user
+                  st.integers(min_value=0, max_value=3)),  # extra events
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_gini_two_phase_matches_closed_form_property(spark, user_specs):
+    """agg_user_gini on arbitrary skewed user distributions: the
+    distributed two-phase Σi·xᵢ equals the sequential closed form on
+    the sorted counts — regardless of how the range exchange splits
+    the (duplicate-heavy) count multiset."""
+    import datetime as dt
+    import shutil
+    import uuid
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import (
+        queries,
+    )
+
+    rows, eid = [], 0
+    for user, extra in user_specs:
+        for _ in range(1 + extra):
+            eid += 1
+            rows.append((eid, dt.datetime(2021, 1, 1), user))
+    work = f"/tmp/smdp_gprop/{uuid.uuid4().hex[:8]}"
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long"
+    ).repartition(4).write.parquet(f"{work}/events.parquet")
+    try:
+        (got,) = queries()["agg_user_gini"](spark, work).collect()
+        counts = {}
+        for _, _, u in rows:
+            counts[u] = counts.get(u, 0) + 1
+        xs = [x for _, x in sorted((u, x) for u, x in counts.items())]
+        xs.sort()  # ascending x; ties by user don't change sum(i*x)
+        n, tot = len(xs), sum(xs)
+        wsum = sum((i + 1) * x for i, x in enumerate(xs))
+        assert got.n_users == n and got.total_events == tot
+        assert got.gini == float(2 * wsum - (n + 1) * tot) / float(n * tot)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
