@@ -639,3 +639,37 @@ def test_lang_detect_model_seam_contract(spark):
     assert load_real_langid_model() is None
     viaNone = detect_language(df, model_loader=lambda: None)
     assert sorted(viaNone.collect()) == sorted(heur.collect())
+
+
+def test_lang_detect_available_probe_short_circuits(spark):
+    """detect_language consults a loader's cheap .available probe and
+    never performs the (expensive) driver-side model load when the
+    probe answers False; when the probe answers True the UDF path is
+    taken and the loader runs only on executors."""
+    import pandas as pd
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.text_analysis import (
+        detect_language,
+    )
+
+    df = spark.createDataFrame([(1, "the cat")], "doc_id long, text string")
+    calls = {"n": 0}
+
+    def loader():
+        calls["n"] += 1
+
+        class _M:
+            def predict(self, texts: pd.Series) -> pd.Series:
+                return pd.Series(["zz"] * len(texts), index=texts.index)
+
+        return _M()
+
+    loader.available = lambda: False
+    out = detect_language(df, model_loader=loader).collect()
+    assert calls["n"] == 0  # probe said no: loader never invoked
+    assert out[0].lang_guess == "en"  # heuristic fallback ran
+
+    loader.available = lambda: True
+    got = detect_language(df, model_loader=loader).collect()
+    assert got[0].lang_guess == "zz"
+    assert calls["n"] == 0  # driver still never loads; executors did
