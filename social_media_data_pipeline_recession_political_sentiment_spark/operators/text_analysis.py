@@ -2028,3 +2028,55 @@ def ext_curation_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
 from . import dedup as _dedup  # noqa: E402, F401
 
 ORACLES["ext_curation_scorecard"] = _scorecard_oracle()
+
+
+# --------------------------------------------- code-switching mixture
+
+_LANGMIX_ORACLE = (
+    "WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+    "h AS (SELECT doc_id, "
+    + ", ".join(
+        f"len(list_intersect(t, {_arr_lit(ws)})) AS h_{lang}"
+        for lang, ws in _LANG_MARKERS.items()
+    )
+    + " FROM s) "
+    "SELECT doc_id, "
+    "CAST((h_en > 0) AS BIGINT) + CAST((h_fr > 0) AS BIGINT) + "
+    "CAST((h_es > 0) AS BIGINT) + CAST((h_de > 0) AS BIGINT) AS n_langs_hit, "
+    "CAST(h_en + h_fr + h_es + h_de AS BIGINT) AS n_marker_hits, "
+    "(CAST((h_en > 0) AS BIGINT) + CAST((h_fr > 0) AS BIGINT) + "
+    "CAST((h_es > 0) AS BIGINT) + CAST((h_de > 0) AS BIGINT)) >= 2 AS is_mixed "
+    "FROM h"
+)
+
+
+@register("ext_text_langmix", oracle=_LANGMIX_ORACLE)
+def ext_text_langmix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-switching detector: how many languages' stopword markers a
+    document hits, total marker mass, and a mixed flag — the signal
+    `fn_lang_detect`'s single winner hides. Mixed-language documents
+    poison monolingual training mixtures (the winner label claims the
+    whole doc) and are exactly what CCNet-style pipelines route to a
+    separate bucket or drop; this quantifies the mixture instead of
+    silently mislabeling it.
+
+    Scale shape: identical to the classifier — scan-local
+    `array_intersect` over the split tokens, zero shuffle, zero
+    Python; shares the `_LANG_MARKERS` definition with
+    `fn_lang_detect` so detector and mixture audit cannot drift."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    hits = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in ws])))
+        for lang, ws in _LANG_MARKERS.items()
+    }
+    n_langs = sum(
+        (h > 0).cast("long") for h in hits.values()
+    )
+    n_hits = sum(h.cast("long") for h in hits.values())
+    return d.select(
+        "doc_id",
+        n_langs.alias("n_langs_hit"),
+        n_hits.alias("n_marker_hits"),
+        (n_langs >= 2).alias("is_mixed"),
+    )

@@ -74,11 +74,12 @@ def register(name: str, oracle: Optional[str] = None):
 # registered query has a hard driver check and no tag is older than
 # r3. Zero overlap with the r5 window.
 # PLANNED r7 HEAD (rotation invariant — no tag older than 3 rounds):
-# first the six operators ADDED LATE in r6 after this window filled
+# first the eight operators ADDED LATE in r6 after this window filled
 # (join_scd2_dim, ext_dedup_cross_source, agg_quantiles_exact_dist,
-# stream_late_data_audit, ext_mm_audio_segments, join_null_skew_split
-# — each locally verified at sf0.001+sf0.01 and
-# in a vanilla session; see tools/verify_r6_late_adds.log), then the
+# stream_late_data_audit, ext_mm_audio_segments, join_null_skew_split,
+# ext_text_langmix, scan_malformed_audit — each locally verified at
+# sf0.001+sf0.01 and in a vanilla session; see
+# tools/verify_r6_late_adds.log), then the
 # seven r3 source/sink scans the verdict reserves for r7
 # (scan_rest_json, scan_chan_json, scan_chan_catalog,
 # scan_youtube_json, sink_insert, sink_create_table,
@@ -86,8 +87,9 @@ def register(name: str, oracle: Optional[str] = None):
 # routes, stream_microbatch/dedup/lookback/tumbling/rate_limit/
 # sessionize/stateful_count, orchestration_dag, maintenance_vacuum,
 # cache_memo, ext_fingerprint, ext_props_map, ext_text_quality,
-# fn_text_stats, ext_token_count, ext_sim_lsh, ext_sim_ivf — 47 tags,
-# leaving ~3 slots for r7-new work.
+# fn_text_stats, ext_token_count, ext_sim_lsh, ext_sim_ivf — 49 tags,
+# leaving ~1 slot for r7-new work (r7 should favor burning tags over
+# adding operators; r8 then has the full ~35-slot slack again).
 _WINDOW_PRIORITY = (
     # -- new this round: drained bronze→silver→gold medallion chain --
     "stream_medallion_gold",

@@ -346,3 +346,73 @@ def scan_rest_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     comment across pages (dedup happens downstream, §2.9) and a null
     score (defaulted to 0)."""
     return flatten_reddit_listing(read_landed_pages(spark, REDDIT_LISTING_FIXTURE))
+
+
+# ------------------------------------------ malformed-payload audit
+
+# Deterministic corrupt lines appended to the landed fixture: a
+# truncated JSON object and plain non-JSON garbage — the two failure
+# shapes a REST collector actually lands (connection cut mid-body,
+# HTML error page saved as .json).
+_MALFORMED_LINES = (
+    '{"kind": "Listing", "data": {"after": "t1_x", "chi',
+    "<html>502 Bad Gateway</html>",
+)
+
+_MALFORMED_ORACLE = """
+SELECT * FROM (VALUES
+  ('parsed', CAST(2 AS BIGINT)),
+  ('malformed', CAST(2 AS BIGINT))
+) AS t(kind, n)
+"""
+
+
+@register("scan_malformed_audit", oracle=_MALFORMED_ORACLE)
+def scan_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-payload accounting for the landed-JSON scan: read a
+    bronze file containing both valid listing pages and corrupt lines
+    under PERMISSIVE mode with an explicit corrupt-record column, and
+    report parsed vs malformed line counts — the quarantine metric
+    behind the reference's silent try/except-skip
+    (`Data Collection/Reddit.py:103-107`): skipping is fine, not
+    KNOWING how much was skipped is how an outage hides for a week.
+
+    Scale shape: the count is one map-side agg over the scan; the
+    corrupt column is populated by the JSON parser itself (no second
+    parse). The `.cache()` is the documented Spark requirement for
+    queries touching ONLY the corrupt-record column
+    (SPARK-26108: the parser prunes the data columns away and
+    refuses raw-record-only plans); it holds 2 pages + 2 bad lines
+    here, and in production this audit runs beside the real parse —
+    the cache is the already-materialized bronze batch."""
+    import shutil
+    import uuid
+
+    from ..session import prune_stale_workdirs
+
+    prune_stale_workdirs("/tmp/smdp_malformed")
+    work = f"/tmp/smdp_malformed/{uuid.uuid4().hex[:8]}"
+    os.makedirs(work)
+    mixed = os.path.join(work, "landed.json")
+    shutil.copy(REDDIT_LISTING_FIXTURE, mixed)
+    with open(mixed, "a") as f:
+        for line in _MALFORMED_LINES:
+            f.write(line + "\n")
+
+    # COPY the shared schema: StructType.add mutates in place, which
+    # would leak _corrupt_record into every other fixture scan
+    schema = T.StructType(
+        list(REDDIT_LISTING_SCHEMA.fields)
+        + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(mixed)
+        .cache()
+    )
+    kind = F.when(F.col("_corrupt_record").isNull(), "parsed").otherwise(
+        "malformed"
+    )
+    return raw.groupBy(kind.alias("kind")).agg(F.count("*").alias("n"))

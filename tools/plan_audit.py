@@ -636,6 +636,19 @@ AUDIT = {
         "corpus into a single task; the split makes the null share "
         "map-side only at ANY join strategy",
     ),
+    "ext_text_langmix": (
+        "scan-local array_intersect expressions; no shuffle, no "
+        "Python, ReadSchema doc_id/text only",
+        "the mixture audit costs exactly what the classifier costs — "
+        "one codegen map stage over the corpus",
+    ),
+    "scan_malformed_audit": (
+        "PERMISSIVE JSON scan with _corrupt_record in the schema; "
+        "InMemoryRelation (the SPARK-26108 cache); one partial/final "
+        "HashAggregate on the derived kind",
+        "malformed counting rides the same parse as ingest — no "
+        "second pass over the payloads; the metric is map-side",
+    ),
     "dash_summary_onepass": (
         "ONE FileScan (ts, event_type, value ReadSchema) feeding "
         "Expand(3) + a single HashAggregate with partial "
