@@ -178,8 +178,19 @@ def detect_language(df: DataFrame, text_col: str = "text", model_loader=None) ->
 
     def _score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         # load ON THE EXECUTOR, once per task — the model object never
-        # rides the closure (a fasttext binary doesn't pickle)
+        # rides the closure (a fasttext binary doesn't pickle). FAIL
+        # LOUD if the cheap driver-side probe over-promised (e.g. the
+        # lib imports but the model file is missing on this executor):
+        # a silent heuristic fallback here would mislabel the corpus
+        # while the caller believes the real model ran.
         model = model_loader()
+        if model is None:
+            raise RuntimeError(
+                "language-ID loader returned None on the executor although "
+                "its availability probe answered True on the driver — ship "
+                "the model file to executors (spark.files) or fix the "
+                "loader's .available probe"
+            )
         for texts in batches:
             yield model.predict(texts).astype(str)
 
@@ -2032,6 +2043,12 @@ ORACLES["ext_curation_scorecard"] = _scorecard_oracle()
 
 # --------------------------------------------- code-switching mixture
 
+# every expression below derives from _LANG_MARKERS so a fifth
+# language updates classifier, mixture audit, and oracle in lockstep
+_MIX_LANGS_SQL = " + ".join(
+    f"CAST((h_{lang} > 0) AS BIGINT)" for lang in _LANG_MARKERS
+)
+_MIX_HITS_SQL = " + ".join(f"h_{lang}" for lang in _LANG_MARKERS)
 _LANGMIX_ORACLE = (
     "WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
     "h AS (SELECT doc_id, "
@@ -2040,13 +2057,9 @@ _LANGMIX_ORACLE = (
         for lang, ws in _LANG_MARKERS.items()
     )
     + " FROM s) "
-    "SELECT doc_id, "
-    "CAST((h_en > 0) AS BIGINT) + CAST((h_fr > 0) AS BIGINT) + "
-    "CAST((h_es > 0) AS BIGINT) + CAST((h_de > 0) AS BIGINT) AS n_langs_hit, "
-    "CAST(h_en + h_fr + h_es + h_de AS BIGINT) AS n_marker_hits, "
-    "(CAST((h_en > 0) AS BIGINT) + CAST((h_fr > 0) AS BIGINT) + "
-    "CAST((h_es > 0) AS BIGINT) + CAST((h_de > 0) AS BIGINT)) >= 2 AS is_mixed "
-    "FROM h"
+    f"SELECT doc_id, {_MIX_LANGS_SQL} AS n_langs_hit, "
+    f"CAST({_MIX_HITS_SQL} AS BIGINT) AS n_marker_hits, "
+    f"({_MIX_LANGS_SQL}) >= 2 AS is_mixed FROM h"
 )
 
 

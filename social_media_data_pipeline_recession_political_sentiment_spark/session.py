@@ -91,13 +91,17 @@ def get_session(app_name: str = "smdp_spark", cpus: int | None = None) -> SparkS
     return apply_engine_confs(spark)
 
 
-def prune_stale_workdirs(parent: str, max_age_s: int = 3600) -> None:
+def prune_stale_workdirs(parent: str, max_age_s: int = 24 * 3600) -> None:
     """Remove leftover per-invocation work dirs under ``parent`` older
     than ``max_age_s``. The fixture-driven streaming operators create
     a fresh uuid-named dir per call (checkpoint state cannot be
     reused across runs); without pruning, repeated verify/bench
-    rounds leak disk unboundedly. Age-gated so a concurrent run's
-    live dir is never touched."""
+    rounds leak disk unboundedly. The 24 h default is deliberately
+    far beyond any verify/bench session so a dir another invocation
+    might still lazily read (e.g. a returned DataFrame over its
+    silver parquet, collected later) is never deleted from under it —
+    a directory's top-level mtime freezes at creation, so a tight
+    cutoff WOULD race long-lived sessions."""
     import shutil
     import time
 

@@ -386,18 +386,21 @@ def scan_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     here, and in production this audit runs beside the real parse —
     the cache is the already-materialized bronze batch."""
     import shutil
-    import uuid
 
-    from ..session import prune_stale_workdirs
-
-    prune_stale_workdirs("/tmp/smdp_malformed")
-    work = f"/tmp/smdp_malformed/{uuid.uuid4().hex[:8]}"
-    os.makedirs(work)
+    # ONE content-stable path (not a per-call uuid): the mixed file is
+    # a pure function of the fixture, so reusing the path makes every
+    # invocation share a single cached InMemoryRelation instead of
+    # pinning a new dead cache entry per call for the session's life
+    work = "/tmp/smdp_malformed/v1"
     mixed = os.path.join(work, "landed.json")
-    shutil.copy(REDDIT_LISTING_FIXTURE, mixed)
-    with open(mixed, "a") as f:
-        for line in _MALFORMED_LINES:
-            f.write(line + "\n")
+    if not os.path.exists(mixed):
+        os.makedirs(work, exist_ok=True)
+        tmp = mixed + ".tmp"
+        shutil.copy(REDDIT_LISTING_FIXTURE, tmp)
+        with open(tmp, "a") as f:
+            for line in _MALFORMED_LINES:
+                f.write(line + "\n")
+        os.replace(tmp, mixed)
 
     # COPY the shared schema: StructType.add mutates in place, which
     # would leak _corrupt_record into every other fixture scan
