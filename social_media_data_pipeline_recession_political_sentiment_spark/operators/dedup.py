@@ -1614,3 +1614,99 @@ def ext_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span profiling (Lee et al., "Deduplicating Training Data
+# Makes Language Models Better"): document-level and passage-level
+# dedup say WHETHER a document is duplicated; span profiling says HOW
+# MUCH of it is — the fraction of k-gram positions that also occur in
+# at least one OTHER document. That per-doc fraction is the standard
+# gate for partial-overlap boilerplate (headers, navigation chrome,
+# license blocks) that survives document-level dedup.
+
+DUP_SPAN_K = 5  # word 5-grams, the paper's short-span regime
+
+
+def _dup_span_gram_expr() -> str:
+    """Positional word-5-gram array (NOT distinct — every position
+    counts toward coverage). Same 1-based-sequence / 0-based-index
+    device as `_with_shingles`, same short-doc guard."""
+    idx = ", ".join(f"tk[i + ({o - 1})]" for o in range(DUP_SPAN_K))
+    return (
+        f"CASE WHEN size(tk) >= {DUP_SPAN_K} THEN "
+        f"transform(sequence(1, size(tk) - {DUP_SPAN_K - 1}), "
+        f"i -> concat_ws(' ', {idx})) "
+        "ELSE array() END"
+    )
+
+
+_DUP_SPAN_ORACLE = (
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+    f"grams AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - {DUP_SPAN_K - 2}), "
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS g "
+    "FROM toks), "
+    "dg AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g), "
+    "gd AS (SELECT g, count(*) AS n_docs FROM dg GROUP BY g), "
+    "per_doc AS (SELECT dg.doc_id, sum(dg.c) AS n_grams, "
+    "sum(CASE WHEN gd.n_docs >= 2 THEN dg.c ELSE 0 END) AS dup_positions "
+    "FROM dg JOIN gd USING (g) GROUP BY dg.doc_id) "
+    "SELECT d.doc_id, CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams, "
+    "CAST(coalesce(p.dup_positions, 0) AS BIGINT) AS dup_positions, "
+    "CASE WHEN coalesce(p.n_grams, 0) > 0 "
+    "THEN round(CAST(p.dup_positions AS DOUBLE) / p.n_grams, 6) ELSE 0.0 END AS dup_frac "
+    "FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id"
+)
+
+
+@register("ext_dup_span_profile", oracle=_DUP_SPAN_ORACLE)
+def ext_dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span coverage: the fraction of word-
+    5-gram POSITIONS whose gram occurs in >= 2 distinct documents
+    (Lee et al. 2022's dup-span metric; the reference has no
+    counterpart — EXT tier). Output: (doc_id, n_grams,
+    dup_positions, dup_frac) for EVERY document, zero-filled for
+    docs shorter than 5 tokens, dup_frac rounded to 6dp.
+
+    Scale shape: grams are hashed to 60-bit ints IN THE SCAN
+    (`_salted_hash`), so no shuffle ever carries gram text — the
+    whole pipeline moves (hash, doc_id, count) triples. Aggregation
+    is two hash-aggs over the same key prefix — per-(gram, doc)
+    position counts, then per-gram doc counts — and the join back is
+    gram-keyed on both sides, so AQE reuses the exchange. The final
+    per-doc rollup shuffles one compact row per (doc, distinct gram).
+    No all-pairs anywhere; a boilerplate gram shared by a million
+    docs costs one hash-agg row per doc, with map-side partial
+    combine absorbing in-doc repeats. (Oracle compares raw gram
+    strings: identical absent 60-bit collisions, the `ext_dedup_exact`
+    sha2 caveat.)"""
+    d = _load_docs(spark, sf_dir)
+    grams = (
+        d.withColumn("tk", _tokens(F.col("text")))
+        .select("doc_id", F.explode_outer(F.expr(_dup_span_gram_expr())).alias("g"))
+        .filter(F.col("g").isNotNull())
+        .select("doc_id", _salted_hash(F.lit("sp"), F.col("g")).alias("gh"))
+    )
+    dg = grams.groupBy("gh", "doc_id").agg(F.count("*").alias("c"))
+    gd = dg.groupBy("gh").agg(F.count("*").alias("n_docs"))
+    per_doc = (
+        dg.join(gd, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.sum(F.when(F.col("n_docs") >= 2, F.col("c")).otherwise(0)).alias(
+                "dup_positions"
+            ),
+        )
+    )
+    base = load(spark, sf_dir, "documents").select("doc_id")
+    n = F.coalesce(F.col("n_grams"), F.lit(0)).cast("long")
+    dup = F.coalesce(F.col("dup_positions"), F.lit(0)).cast("long")
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        n.alias("n_grams"),
+        dup.alias("dup_positions"),
+        F.when(n > 0, F.round(dup.cast("double") / n, 6))
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+    )

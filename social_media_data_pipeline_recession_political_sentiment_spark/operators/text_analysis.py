@@ -2093,3 +2093,144 @@ def ext_text_langmix(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_hits.alias("n_marker_hits"),
         (n_langs >= 2).alias("is_mixed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): score every corpus
+# document by how much its hashed n-gram feature counts look like a
+# TARGET domain vs the RAW corpus — the standard device for carving a
+# domain-matched pretraining subset out of a web-scale crawl without
+# training a classifier.
+
+DSIR_BUCKETS = 1024  # hashed-feature dimensionality (B)
+_DSIR_TARGET_LANG = "en"  # the fixture's stand-in target domain
+
+
+def _dsir_feat_cte() -> str:
+    """DuckDB CTE chain: (doc_id, is_target, bucket) rows — word
+    unigrams + bigrams hashed into DSIR_BUCKETS buckets with the
+    portable salted-md5 device."""
+    from .dedup import _salted_hash_sql
+
+    h = _salted_hash_sql("'ds'", "g")
+    return (
+        "toks AS (SELECT doc_id, lang = '" + _DSIR_TARGET_LANG + "' AS is_t, "
+        "string_split(text, ' ') AS t FROM documents), "
+        "grams AS ("
+        "SELECT doc_id, is_t, unnest(t) AS g FROM toks "
+        "UNION ALL "
+        "SELECT doc_id, is_t, unnest(list_transform(range(1, len(t)), "
+        "i -> t[i] || ' ' || t[i+1])) AS g FROM toks), "
+        f"feat AS (SELECT doc_id, is_t, {h} % {DSIR_BUCKETS} AS b FROM grams)"
+    )
+
+
+_DSIR_ORACLE = (
+    f"WITH {{feat}}, "
+    "cnt AS (SELECT doc_id, max(is_t) AS is_t, b, count(*) AS c FROM feat "
+    "GROUP BY doc_id, b), "
+    "rb AS (SELECT b, sum(c) AS cr FROM cnt GROUP BY b), "
+    "tb AS (SELECT b, sum(c) AS ct FROM cnt WHERE is_t GROUP BY b), "
+    "tot AS (SELECT sum(c) AS r_tot, sum(CASE WHEN is_t THEN c ELSE 0 END) AS t_tot FROM cnt), "
+    "w AS (SELECT rb.b, CAST(round((ln(coalesce(tb.ct, 0) + 1) "
+    f"- ln(tot.t_tot + {DSIR_BUCKETS}) - ln(rb.cr + 1) "
+    f"+ ln(tot.r_tot + {DSIR_BUCKETS})) * 1000000) AS BIGINT) AS mw "
+    "FROM rb LEFT JOIN tb ON rb.b = tb.b CROSS JOIN tot), "
+    "per_doc AS (SELECT cnt.doc_id, sum(cnt.c) AS n_feats, "
+    "sum(cnt.c * w.mw) AS micro_logratio FROM cnt JOIN w ON cnt.b = w.b "
+    "GROUP BY cnt.doc_id) "
+    "SELECT d.doc_id, CAST(coalesce(p.n_feats, 0) AS BIGINT) AS n_feats, "
+    "CAST(coalesce(p.micro_logratio, 0) AS BIGINT) AS micro_logratio "
+    "FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id"
+).format(feat=_dsir_feat_cte())
+
+
+@register("ext_dsir_weights", oracle=_DSIR_ORACLE)
+def ext_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weight per document: hashed word-{1,2}-gram
+    counts scored against Laplace-smoothed target (lang='en') vs raw
+    bucket unigram models. Output (doc_id, n_feats, micro_logratio)
+    with the log importance ratio in FIXED-POINT MICRO-NATS
+    (sum of count x round(1e6 x per-bucket log ratio), a BIGINT):
+    per-bucket weights are rounded ONCE from an identical scalar
+    expression tree on both engines, then every downstream sum is
+    integer arithmetic — no float-summation-order term in the
+    contract (the `ext_bigram_pmi` overflow lesson applied ahead of
+    time: |mw| < 21e6, c < 1e6, n_tokens < 1e6 keeps the sum far
+    inside int64; resampling = sample with prob proportional to
+    exp(micro_logratio/1e6)).
+
+    Scale shape: features hash to ints in the scan (no gram text
+    shuffles); per-(doc, bucket) counts reduce with map-side combine;
+    the two distribution models are B=1024-row aggregates joined
+    left and BROADCAST back onto the count stream, so the only
+    non-broadcast shuffles are the compact (doc, bucket, count)
+    aggs. Totals are 1-row scalar aggs crossJoin-broadcast — the
+    repo's standard scalar device. At 100 TB nothing grows with the
+    corpus except the (doc, bucket) stream."""
+    from .dedup import _salted_hash, _tokens
+
+    # CPU-heavy hashing downstream: rebalance the small-SF single-file
+    # scan across cores (same rationale as dedup._load_docs)
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    toks = d.select(
+        "doc_id",
+        (F.col("lang") == _DSIR_TARGET_LANG).alias("is_t"),
+        _tokens(F.col("text")).alias("tk"),
+    )
+    bigr = (
+        "CASE WHEN size(tk) >= 2 THEN "
+        "transform(sequence(1, size(tk) - 1), i -> concat_ws(' ', tk[i - 1], tk[i])) "
+        "ELSE array() END"
+    )
+    grams = toks.select(
+        "doc_id", "is_t", F.explode_outer("tk").alias("g")
+    ).unionAll(
+        toks.select("doc_id", "is_t", F.explode_outer(F.expr(bigr)).alias("g"))
+    ).filter(F.col("g").isNotNull())
+    feat = grams.select(
+        "doc_id",
+        "is_t",
+        (_salted_hash(F.lit("ds"), F.col("g")) % DSIR_BUCKETS).alias("b"),
+    )
+    cnt = feat.groupBy("doc_id", "b").agg(
+        F.max("is_t").alias("is_t"), F.count("*").alias("c")
+    )
+    rb = cnt.groupBy("b").agg(F.sum("c").alias("cr"))
+    tb = cnt.filter("is_t").groupBy("b").agg(F.sum("c").alias("ct"))
+    tot = cnt.agg(
+        F.sum("c").alias("r_tot"),
+        F.sum(F.when(F.col("is_t"), F.col("c")).otherwise(0)).alias("t_tot"),
+    )
+    mw = (
+        F.round(
+            (
+                F.log(F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                - F.log(F.col("t_tot") + DSIR_BUCKETS)
+                - F.log(F.col("cr") + 1)
+                + F.log(F.col("r_tot") + DSIR_BUCKETS)
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("mw")
+    )
+    w = rb.join(tb, "b", "left").crossJoin(F.broadcast(tot)).select("b", mw)
+    per_doc = (
+        cnt.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_feats"),
+            F.sum(F.col("c") * F.col("mw")).alias("micro_logratio"),
+        )
+    )
+    base = load(spark, sf_dir, "documents").select("doc_id")
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_feats"), F.lit(0)).cast("long").alias("n_feats"),
+        F.coalesce(F.col("micro_logratio"), F.lit(0))
+        .cast("long")
+        .alias("micro_logratio"),
+    )

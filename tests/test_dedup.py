@@ -571,3 +571,28 @@ def test_cross_source_null_text_cluster_survives(spark, tmp_path):
     assert out[1].fp_prefix is None and out[2].fp_prefix is None
     assert out[2].keep and not out[1].keep  # src1 beats src2 in the NULL cluster
     assert out[3].keep
+
+
+def test_dup_span_profile_counts_cross_doc_positions_only(spark):
+    rows = [
+        # A and B share exactly one 5-gram: "one two three four five"
+        (1, "one two three four five six", "en", "s", 1),
+        (2, "zzz one two three four five yyy", "en", "s", 1),
+        # unique content
+        (3, "c1 c2 c3 c4 c5 c6 c7", "en", "s", 1),
+        # shorter than 5 tokens => zero grams, frac 0.0
+        (4, "tiny doc", "en", "s", 1),
+        # within-doc repeat of a corpus-unique gram must NOT count:
+        # dup requires >= 2 DISTINCT docs
+        (5, "x1 x2 x3 x4 x5 x1 x2 x3 x4 x5", "en", "s", 1),
+    ]
+    tmp = _docs_view(spark, rows)
+    out = {
+        r.doc_id: (r.n_grams, r.dup_positions, r.dup_frac)
+        for r in queries()["ext_dup_span_profile"](spark, tmp).collect()
+    }
+    assert out[1] == (2, 1, 0.5)
+    assert out[2] == (3, 1, round(1 / 3, 6))
+    assert out[3] == (3, 0, 0.0)
+    assert out[4] == (0, 0, 0.0)
+    assert out[5][0] == 6 and out[5][1] == 0

@@ -673,3 +673,46 @@ def test_lang_detect_available_probe_short_circuits(spark):
     got = detect_language(df, model_loader=loader).collect()
     assert got[0].lang_guess == "zz"
     assert calls["n"] == 0  # driver still never loads; executors did
+
+
+def test_dsir_weights_rank_target_like_docs_above_offtarget(spark):
+    """DSIR contract: a doc built from target-only features scores a
+    strictly higher importance ratio than one built from off-target
+    features; n_feats counts unigrams + bigrams; and the weight of a
+    doc is linear in its feature counts (2x the doc => 2x the
+    micro-nats, exactly, because the contract is integer)."""
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.text_analysis import (
+        ext_dsir_weights,
+    )
+
+    tgt = "apple orchard harvest " * 8
+    off = "banane schiff wolke " * 8
+    rows = [
+        (1, tgt.strip(), "en", "s", 1),
+        (2, tgt.strip(), "en", "s", 1),
+        (3, off.strip(), "de", "s", 1),
+        (4, off.strip(), "de", "s", 1),
+        # probe docs: one of each flavor, marked off-target so the
+        # models are driven by docs 1-4
+        (5, tgt.strip(), "de", "s", 1),
+        (6, off.strip(), "zh", "s", 1),
+        (7, (off + off).strip(), "zh", "s", 1),
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_dsir_")
+    d.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmp, "documents.parquet")
+    )
+    out = {r.doc_id: r for r in ext_dsir_weights(spark, tmp).collect()}
+    # 24 unigrams + 23 bigrams
+    assert out[5].n_feats == 47
+    assert out[5].micro_logratio > out[6].micro_logratio
+    # doubling the doc doubles counts; the extra stitch bigram at the
+    # join point ("wolke banane") is itself an off-target feature
+    assert out[7].n_feats == 95
+    assert out[7].micro_logratio < 2 * out[6].micro_logratio
