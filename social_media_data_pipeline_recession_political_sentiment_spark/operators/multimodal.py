@@ -612,3 +612,50 @@ def ext_mm_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("seg_idx") + 1) * SEG_LEN_MS, F.col("duration_ms")
         ).alias("end_ms"),
     )
+
+
+# ------------------------------------ exact (CAS) media dedup
+
+_MM_EXACT_ORACLE = """
+SELECT sha256(text) AS payload_sha,
+       min(doc_id) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST((count(*) - 1) * octet_length(encode(text)) AS BIGINT) AS dup_bytes
+FROM documents GROUP BY sha256(text), octet_length(encode(text))
+"""
+
+
+@register("ext_mm_dedup_exact", oracle=_MM_EXACT_ORACLE)
+def ext_mm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (content-addressed-storage) dedup over binary media
+    payloads: group by sha2-256 of the BYTES, keep the lowest doc_id
+    as the canonical object, and account the bytes a CAS layout would
+    reclaim. This is the cheap front gate before `ext_mm_dedup_phash`
+    — re-crawled and mirrored media are byte-identical far more often
+    than near-identical, and a CAS hit costs one hash instead of a
+    perceptual pipeline.
+
+    Scale shape: same as `ext_dedup_exact` lifted to blobs — the
+    shuffle key is the 32-byte digest computed IN THE SCAN, so
+    petabytes of media reduce on 64-hex-char keys; payload bytes
+    never move. n_bytes rides the groupBy key (it is functionally
+    dependent on the digest) so dup_bytes needs no second pass.
+    (Oracle hashes the source text's UTF-8 bytes — the identical
+    byte string the synthetic payload wraps; parity absent SHA-256
+    collisions, the `ext_dedup_exact` caveat.)"""
+    media = attach_media_columns(load(spark, sf_dir, "documents"))
+    return (
+        media.select(
+            F.sha2(F.col("payload"), 256).alias("payload_sha"),
+            "doc_id",
+            F.col("meta.n_bytes").alias("n_bytes"),
+        )
+        .groupBy("payload_sha", "n_bytes")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .select(
+            "payload_sha",
+            "doc_id",
+            "n_copies",
+            ((F.col("n_copies") - 1) * F.col("n_bytes")).alias("dup_bytes"),
+        )
+    )

@@ -2649,3 +2649,69 @@ def join_null_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "cust_ref", "c_mktsegment")
     )
     return matched.unionByName(nulls)
+
+
+# --------------------------------------------- time-decayed engagement
+
+# ln(2)/7 as one shared double literal: a 7-day half-life. Both engines
+# parse the identical constant, so the per-event expression trees match
+# bit-for-bit (computing ln(2)/7 at runtime would work too; the literal
+# removes even that joint).
+_DECAY_LAMBDA = "0.09902102579427789"
+
+_DECAYED_ORACLE = f"""
+WITH mx AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
+e AS (SELECT user_id,
+        CAST(round(value * exp(-{_DECAY_LAMBDA} *
+            ((mx.max_us - epoch_us(ts)) / 86400000000.0)) * 1000000)
+          AS BIGINT) AS micro
+      FROM events CROSS JOIN mx)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(micro) AS BIGINT) AS micro_score
+FROM e GROUP BY user_id
+"""
+
+
+@register("agg_decayed_score", oracle=_DECAYED_ORACLE)
+def agg_decayed_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed engagement score per user (7-day
+    half-life anchored at the corpus max timestamp) — the freshness-
+    weighted ranking signal feeds/recommenders maintain, and the
+    decay-weighted label a training pipeline attaches to interaction
+    data. Unlike `agg_ewma_volume` (a per-STEP recurrence over a
+    calendar series) this is a direct weighted aggregate: each event
+    contributes value x 2^(-age_days/7) independently, so it needs no
+    order-sensitive recursion at all.
+
+    Contract: each event's contribution is rounded ONCE to fixed-
+    point micro-units from an identical scalar expression tree
+    (integer-microsecond age, shared double literal for lambda), then
+    summed as BIGINT — no float-summation-order term survives into
+    the hash (the `ext_dsir_weights` device). |value| < 1e6 and
+    n_events/user < 1e8 keep the sum far inside int64.
+
+    Scale shape: the anchor is a 1-row scalar agg crossJoin-broadcast
+    (the repo's standard scalar device); then ONE user-keyed hash agg
+    with map-side partial combine. No window, no join, nothing grows
+    with history except the scan."""
+    e = load(spark, sf_dir, "events")
+    mx = e.agg(F.max(F.unix_micros("ts")).alias("max_us"))
+    age_days = (F.col("max_us") - F.unix_micros("ts")) / F.lit(86400000000.0)
+    micro = (
+        F.round(
+            F.col("value")
+            * F.exp(F.lit(float(_DECAY_LAMBDA)) * -1 * age_days)
+            * 1000000
+        )
+        .cast("long")
+        .alias("micro")
+    )
+    return (
+        e.crossJoin(F.broadcast(mx))
+        .select("user_id", micro)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("micro").alias("micro_score"),
+        )
+    )

@@ -1343,3 +1343,74 @@ def ext_emb_centroids_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "code_sum",
         F.expr("code_sum * 1000000 div n_vecs").alias("centroid_micros"),
     )
+
+
+# ------------------------------------ integer Gram matrix (PCA input)
+
+_GRAM_ORACLE = """
+WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+m AS (SELECT vec_id, dv, list_max(list_transform(dv, x -> abs(x))) AS amax FROM s),
+z AS (SELECT vec_id,
+        CASE WHEN amax = 0.0 THEN list_transform(dv, x -> CAST(0 AS BIGINT))
+             ELSE list_transform(dv, x -> greatest(-127, least(127,
+                  CAST(floor(x / (amax / 127.0) + 0.5) AS BIGINT)))) END AS codes
+      FROM m)
+SELECT ii AS i, jj AS j,
+       CAST(sum(codes[ii] * codes[jj]) AS BIGINT) AS gram
+FROM z
+CROSS JOIN range(1, 256) t(ii) CROSS JOIN range(1, 256) u(jj)
+WHERE ii <= len(codes) AND jj >= ii AND jj <= len(codes)
+GROUP BY ii, jj
+"""
+
+
+@register("ext_emb_gram_int8", oracle=_GRAM_ORACLE)
+def ext_emb_gram_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed d x d Gram matrix over the int8-quantized embedding
+    corpus — the sufficient statistic for PCA / whitening / OPQ
+    rotation training, which no billion-vector pipeline computes by
+    collecting vectors to one machine. Output: upper-triangle rows
+    (i, j, gram) with 1-based dimension indices and EXACT integer
+    sums over `ext_emb_quantize`'s codes (int8 products bound each
+    term at 127^2, so int64 holds corpora to ~5e14 vectors; the
+    driver-side d x d eigendecomposition that follows is O(d^3),
+    microseconds at d=64, and out of engine scope by design).
+
+    Scale shape: the classic two-phase matrix product — mapInPandas
+    accumulates ONE d x d int64 partial per Arrow batch stream
+    (numpy C^T C inside the task, zero per-row Python), emits d(d+1)/2
+    compact rows per PARTITION, and a (i, j)-keyed hash agg sums the
+    P partials. Data motion is P x 2080 rows regardless of corpus
+    size — the vectors themselves never shuffle. That partial-
+    then-merge shape is what `ext_emb_centroids_int8` does per label,
+    lifted to the full second-moment matrix."""
+    import numpy as np
+    import pandas as pd
+
+    z = _with_int8_codes(load(spark, sf_dir, "embeddings"))
+
+    def partials(batches):
+        acc = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(
+                [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
+            )
+            g = mat.T @ mat
+            acc = g if acc is None else acc + g
+        if acc is not None:
+            d = acc.shape[0]
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {
+                    "i": (iu + 1).astype("int64"),
+                    "j": (ju + 1).astype("int64"),
+                    "partial": acc[iu, ju],
+                }
+            )
+
+    parts = z.select("codes").mapInPandas(
+        partials, schema="i long, j long, partial long"
+    )
+    return parts.groupBy("i", "j").agg(F.sum("partial").alias("gram"))

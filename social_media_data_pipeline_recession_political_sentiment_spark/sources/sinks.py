@@ -161,3 +161,58 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.count("value").alias("n_valued"),
     )
+
+
+@register(
+    "sink_compact_small_files",
+    oracle=(
+        "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(ceil(count(*) / 500.0) AS BIGINT) AS small_files, "
+        "CAST(ceil(count(*) / 5000.0) AS BIGINT) AS compacted_files, "
+        "true AS rows_ok FROM events"
+    ),
+)
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the maintenance job every long-lived
+    table needs (the lakehouse OPTIMIZE/rewriteDataFiles): a drip-feed
+    ingest lands ceil(n/500) tiny files (simulated with a single
+    sequential writer + maxRecordsPerFile, so the fixture layout is
+    deterministic); the compactor then bin-packs them into
+    ceil(n/5000) right-sized files via round-robin repartition —
+    every writer task emits exactly one file, none empty. The checked
+    contract: rows conserved through the rewrite and both file
+    populations exactly at their predicted counts (file counts read
+    back via the distributed `_metadata.file_path` scan, the
+    `sink_batched_commit` device).
+
+    Scale notes: the driver-side count() is the planner step — real
+    compactors read table statistics to size the fan-in (bytes, not
+    rows) exactly like this; the rewrite itself is one round-robin
+    shuffle of only the affected files. At 100 TB compaction runs
+    per partition directory (each date/source dir compacts
+    independently, `maintenance_vacuum`'s unit), never as one global
+    job — this operator is that per-directory unit."""
+    work = _workdir("compact")
+    small = os.path.join(work, "events_small")
+    comp = os.path.join(work, "events_compacted")
+    e = load(spark, sf_dir, "events")
+    e.coalesce(1).write.option("maxRecordsPerFile", 500).parquet(small)
+    sm = spark.read.parquet(small)
+    n = sm.count()  # planner statistic (see docstring)
+    target = max(1, -(-n // 5000))
+    sm.repartition(target).write.parquet(comp)
+    cp = spark.read.parquet(comp)
+    s_stats = sm.agg(
+        F.countDistinct(F.col("_metadata.file_path")).alias("small_files"),
+        F.count("*").alias("n_small"),
+    )
+    c_stats = cp.agg(
+        F.countDistinct(F.col("_metadata.file_path")).alias("compacted_files"),
+        F.count("*").alias("n_rows"),
+    )
+    return s_stats.crossJoin(c_stats).select(
+        "n_rows",
+        "small_files",
+        "compacted_files",
+        (F.col("n_small") == F.col("n_rows")).alias("rows_ok"),
+    )

@@ -487,3 +487,81 @@ def stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "kind string, window_start timestamp, n long"
     )
+
+
+# ------------------------------------------- foreachBatch keyed upsert
+
+_UPSERT_ORACLE = """
+SELECT user_id, ts, event_id, event_type, value FROM (
+  SELECT user_id, ts, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+@register("stream_upsert_keyed", oracle=_UPSERT_ORACLE)
+def stream_upsert_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming keyed upsert via foreachBatch — the MERGE pattern
+    every CDC/lakehouse pipeline runs: each micro-batch is reduced to
+    one candidate row per key (latest by (ts, event_id)), then merged
+    into the keyed target so the newest version wins across batches
+    regardless of arrival order. The in-memory keyed table stands in
+    for the Delta/Iceberg MERGE target (this container ships neither);
+    swap `_merge_batch`'s union-reduce for `target.merge(...)` and
+    nothing upstream changes — foreachBatch is exactly the seam those
+    APIs plug into.
+
+    Correctness device: "latest row" is `max(struct(ts, event_id,
+    ...))` — an ALGEBRAIC agg with map-side combine (the
+    `ext_dedup_cross_source` winner device), associative across
+    micro-batches, so any batch partitioning of the input converges
+    to the same table; event_id uniqueness makes the order total.
+    The batch oracle is the equivalent window-rank-latest query.
+
+    Scale shape: per batch ONE key-hash agg over batch ∪ target-keys;
+    state is one row per key (bounded by key cardinality, not
+    history), lineage cut per batch with localCheckpoint. A real
+    deployment pays a co-located MERGE on the target's key layout
+    instead of the union re-agg."""
+    return drain_keyed_upsert(spark, stream_events(spark, sf_dir))
+
+
+def drain_keyed_upsert(spark: SparkSession, src: DataFrame) -> DataFrame:
+    """Core of `stream_upsert_keyed`, parameterized over the source
+    stream so tests can drive it with `maxFilesPerTrigger=1` and prove
+    the cross-micro-batch merge (the registered query's availableNow
+    run over one landed file is a single batch)."""
+    row = F.struct("ts", "event_id", "event_type", "value").alias("s")
+    state: dict = {"df": None}
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        incoming = batch_df.groupBy("user_id").agg(F.max(row).alias("s"))
+        cur = state["df"]
+        merged = (
+            incoming
+            if cur is None
+            else cur.unionByName(incoming)
+            .groupBy("user_id")
+            .agg(F.max("s").alias("s"))
+        )
+        state["df"] = merged.localCheckpoint()
+
+    q = (
+        src.writeStream.foreachBatch(_merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = state["df"]
+    if final is None:  # empty source
+        final = spark.createDataFrame(
+            [], "user_id long, s struct<ts:timestamp,event_id:long,event_type:string,value:double>"
+        )
+    return final.select(
+        "user_id",
+        F.col("s.ts").alias("ts"),
+        F.col("s.event_id").alias("event_id"),
+        F.col("s.event_type").alias("event_type"),
+        F.col("s.value").alias("value"),
+    )

@@ -160,3 +160,32 @@ def test_audio_segments_zero_byte_payload_emits_nothing(spark, tmp_path):
     assert len(rows) == 6  # 40000 bytes * 4 ms = 160 s -> 6 x 30 s chunks
     assert min(r.seg_idx for r in rows) == 0
     assert max(r.end_ms for r in rows) == 160000
+
+
+def test_mm_exact_dedup_groups_identical_payloads(spark):
+    """Byte-identical payloads collapse to one CAS object with the
+    min doc_id as keeper and the duplicate bytes accounted; distinct
+    payloads stay singletons with zero reclaim."""
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.multimodal import (
+        ext_mm_dedup_exact,
+    )
+
+    rows = [
+        (5, "same bytes here", "en", "s", 15),
+        (2, "same bytes here", "en", "s", 15),
+        (9, "same bytes here", "en", "s", 15),
+        (3, "different", "en", "s", 9),
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_mmx_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "documents.parquet"))
+    out = {r.doc_id: r for r in ext_mm_dedup_exact(spark, tmp).collect()}
+    assert set(out) == {2, 3}
+    assert out[2].n_copies == 3
+    assert out[2].dup_bytes == 2 * len(b"same bytes here")
+    assert out[3].n_copies == 1 and out[3].dup_bytes == 0

@@ -879,3 +879,42 @@ def test_null_skew_split_equals_plain_left_join_and_bypasses_join(spark):
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, plain.collect()))
     # quarter of the orders are null-keyed in the fixture
     assert out.filter(F.col("cust_ref").isNull()).count() == f.filter(F.col("cust_ref").isNull()).count()
+
+
+def test_decayed_score_half_life_and_anchor(spark):
+    """agg_decayed_score: an event AT the corpus max ts contributes
+    value x 1e6 exactly; one exactly 7 days older contributes half
+    (within 1 micro-unit of rounding); per-user sums are the integer
+    sums of those contributions."""
+    import datetime as dt
+    import math
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.relational import (
+        agg_decayed_score,
+        _DECAY_LAMBDA,
+    )
+
+    t0 = dt.datetime(2021, 6, 1, 0, 0, 0)
+    week = dt.timedelta(days=7)
+    rows = [
+        (1, t0, 10, "e", 3.0, "{}"),          # at anchor
+        (2, t0 - week, 10, "e", 3.0, "{}"),    # one half-life older
+        (3, t0 - 2 * week, 20, "e", 4.0, "{}"),
+    ]
+    d = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_decay_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "events.parquet"))
+    out = {r.user_id: r for r in agg_decayed_score(spark, tmp).collect()}
+    lam = float(_DECAY_LAMBDA)
+    half = round(3.0 * math.exp(-lam * 7.0) * 1e6)
+    assert abs(out[10].micro_score - (3_000_000 + half)) <= 1
+    assert abs(half - 1_500_000) <= 1  # ln(2)/7 really is a half-life
+    quarter = round(4.0 * math.exp(-lam * 14.0) * 1e6)
+    assert abs(out[20].micro_score - quarter) <= 1
+    assert out[10].n_events == 2 and out[20].n_events == 1

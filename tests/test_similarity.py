@@ -411,3 +411,36 @@ def test_ivf_train_cap_binds_at_every_sf(spark, monkeypatch):
     for r in rows:
         per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
     assert max(per_q.values()) <= sim.TOP_K
+
+
+def test_gram_int8_matches_numpy_reference(spark):
+    """The distributed partial-sum Gram must equal numpy's C^T C over
+    the same int8 codes, exactly (integer contract), across a frame
+    spread over multiple partitions."""
+    import numpy as np
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.similarity import (
+        _with_int8_codes,
+        ext_emb_gram_int8,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=5)], int(i % 3)) for i in range(40)
+    ]
+    rows.append((99, [0.0] * 5, 0))  # zero vector => all-zero codes
+    tmp = _emb_dir(spark, rows)
+    # reference codes from the same quantizer the operator uses
+    codes = np.stack(
+        [
+            np.asarray(r.codes, dtype=np.int64)
+            for r in _with_int8_codes(
+                spark.read.parquet(os.path.join(tmp, "embeddings.parquet"))
+            ).collect()
+        ]
+    )
+    want = codes.T @ codes
+    got = {(r.i, r.j): r.gram for r in ext_emb_gram_int8(spark, tmp).collect()}
+    assert len(got) == 15  # upper triangle of 5x5
+    for (i, j), v in got.items():
+        assert v == want[i - 1, j - 1]

@@ -335,3 +335,44 @@ def test_stream_stream_join_buffers_state_across_batches(spark):
     got = {(r.view_id, r.click_id) for r in spark.table(name).collect()}
     # cross-batch matches joined; the out-of-window click did not
     assert got == {(1, 3), (2, 4)}
+
+
+def test_upsert_keyed_newest_wins_across_batches(spark):
+    """foreachBatch upsert across REAL micro-batches
+    (maxFilesPerTrigger=1): when a key's newest version arrives in an
+    EARLIER micro-batch than a stale version (out-of-order delivery),
+    the newest (ts, event_id) version must still win, and keys seen
+    only once pass through."""
+    import datetime as dt
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.streaming.queries import (
+        drain_keyed_upsert,
+    )
+
+    work = tempfile.mkdtemp(prefix="smdp_upsert_")
+    t0 = dt.datetime(2021, 1, 1, 12, 0, 0)
+
+    def row(eid, ts_off, uid, et, v):
+        return (eid, t0 + dt.timedelta(seconds=ts_off), uid, et, v, "{}")
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    # two files = two micro-batches; the NEWEST version of user 1
+    # (ts+100) sits in the FIRST batch, the stale one arrives later
+    b0 = [row(10, 100, 1, "new", 9.0), row(11, 0, 2, "only", 1.0)]
+    b1 = [row(12, 50, 1, "stale", 5.0), row(13, 10, 3, "only", 2.0)]
+    for i, rows in enumerate([b0, b1]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(work, f"b{i}")
+        )
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(work, "b*"))
+    )
+    out = {r.user_id: r for r in drain_keyed_upsert(spark, src).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].event_id == 10 and out[1].event_type == "new"
+    assert out[2].event_id == 11 and out[3].event_id == 13
