@@ -1710,3 +1710,95 @@ def ext_dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("dup_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) dedup — the storage-dedup device
+# (rsync/LBFS/restic) applied to text: chunk boundaries are declared
+# wherever a WORD's hash hits a modulus, so identical passages align
+# to identical chunks regardless of what was inserted or deleted
+# around them. Fixed-size passage dedup (`ext_dedup_passage`) breaks
+# on a one-word insertion — every downstream passage shifts; CDC
+# re-synchronizes at the next boundary word.
+
+CDC_MODULUS = 8  # expected chunk length in words
+
+
+_CDC_ORACLE = (
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+    "pw AS (SELECT doc_id, unnest(list_transform(range(1, len(t) + 1), "
+    "i -> {'pos': i, 'w': t[i]})) AS s FROM toks), "
+    "p AS (SELECT doc_id, s.pos AS pos, s.w AS w FROM pw), "
+    f"b AS (SELECT doc_id, pos, w, CASE WHEN {_salted_hash_sql(chr(39) + 'cdc' + chr(39), 'w')} "
+    f"% {CDC_MODULUS} = 0 THEN 1 ELSE 0 END AS bd FROM p), "
+    "c AS (SELECT doc_id, pos, w, sum(bd) OVER (PARTITION BY doc_id ORDER BY pos) "
+    "AS chunk_id FROM b), "
+    "ch AS (SELECT doc_id, chunk_id, md5(string_agg(w, ' ' ORDER BY pos)) AS chash "
+    "FROM c GROUP BY doc_id, chunk_id), "
+    "gd AS (SELECT chash, count(DISTINCT doc_id) AS nd FROM ch GROUP BY chash), "
+    "per AS (SELECT ch.doc_id, count(*) AS n_chunks, "
+    "sum(CASE WHEN gd.nd >= 2 THEN 1 ELSE 0 END) AS dup_chunks "
+    "FROM ch JOIN gd USING (chash) GROUP BY ch.doc_id) "
+    "SELECT d.doc_id, CAST(coalesce(p2.n_chunks, 0) AS BIGINT) AS n_chunks, "
+    "CAST(coalesce(p2.dup_chunks, 0) AS BIGINT) AS dup_chunks, "
+    "CASE WHEN coalesce(p2.n_chunks, 0) > 0 "
+    "THEN round(CAST(p2.dup_chunks AS DOUBLE) / p2.n_chunks, 6) ELSE 0.0 END AS dup_chunk_frac "
+    "FROM documents d LEFT JOIN per p2 ON d.doc_id = p2.doc_id"
+)
+
+
+@register("ext_dedup_cdc", oracle=_CDC_ORACLE)
+def ext_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup profile: per document, how many
+    of its CDC chunks (variable-size word runs cut where
+    hash(word) % 8 == 0) also occur in at least one other document.
+    Complements `ext_dup_span_profile` (every k-gram position — dense
+    but k-bounded) and `ext_dedup_passage` (fixed windows — cheap but
+    shift-fragile): CDC finds arbitrarily LONG shared passages and
+    survives insertions, at one chunk row per ~8 words.
+
+    Scale shape: per-doc prefix-sum window (bounded by document
+    length — a sort run per doc, never global), then chunks reduce to
+    md5 digests in the same agg that assembles them, so the
+    cross-doc duplicate mining shuffles 32-byte digests, not chunk
+    text. `array_sort(collect_list(struct(pos, w)))` makes the
+    within-chunk order deterministic under any partitioning (plain
+    collect_list order is not a contract). Boundary hashing reuses
+    the engine-portable salted-md5 device."""
+    d = _load_docs(spark, sf_dir)
+    p = d.select(
+        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "w")
+    )
+    bd = (_salted_hash(F.lit("cdc"), F.col("w")) % CDC_MODULUS == 0).cast("int")
+    from pyspark.sql import Window as W
+
+    cw = W.partitionBy("doc_id").orderBy("pos").rowsBetween(W.unboundedPreceding, 0)
+    c = p.select("doc_id", "pos", "w", F.sum(bd).over(cw).alias("chunk_id"))
+    ch = c.groupBy("doc_id", "chunk_id").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.expr("transform(array_sort(collect_list(struct(pos, w))), x -> x.w)"),
+            )
+        ).alias("chash")
+    )
+    gd = ch.groupBy("chash").agg(F.countDistinct("doc_id").alias("nd"))
+    per = (
+        ch.join(gd, "chash")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("dup_chunks"),
+        )
+    )
+    base = load(spark, sf_dir, "documents").select("doc_id")
+    n = F.coalesce(F.col("n_chunks"), F.lit(0)).cast("long")
+    dup = F.coalesce(F.col("dup_chunks"), F.lit(0)).cast("long")
+    return base.join(per, "doc_id", "left").select(
+        "doc_id",
+        n.alias("n_chunks"),
+        dup.alias("dup_chunks"),
+        F.when(n > 0, F.round(dup.cast("double") / n, 6))
+        .otherwise(F.lit(0.0))
+        .alias("dup_chunk_frac"),
+    )

@@ -2715,3 +2715,72 @@ def agg_decayed_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("micro").alias("micro_score"),
         )
     )
+
+
+# --------------------------------------------- first-touch attribution
+
+ATTR_WINDOW_US = 7 * 86400 * 1000000  # 7-day lookback
+
+
+_ATTR_ORACLE = f"""
+WITH e AS (SELECT event_id, user_id, ts, event_type, epoch_us(ts) AS us FROM events),
+w AS (SELECT event_id, user_id, ts, event_type, us,
+        min(CASE WHEN event_type = 'click' THEN {{'us': us, 'id': event_id}} END)
+          OVER (PARTITION BY user_id ORDER BY us
+                RANGE BETWEEN {ATTR_WINDOW_US} PRECEDING AND CURRENT ROW) AS ft
+      FROM e)
+SELECT event_id, user_id, ts,
+       ft.id AS first_touch_id,
+       us - ft.us AS touch_lag_us
+FROM w WHERE event_type = 'purchase'
+"""
+
+
+@register("join_attribution_first_touch", oracle=_ATTR_ORACLE)
+def join_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: every purchase is credited to the
+    user's EARLIEST click within the 7 days before it (NULL when no
+    touch qualifies) — the marketing-attribution join every product
+    analytics stack runs, and a colleague of `join_asof` (which binds
+    the LATEST prior row; attribution wants the FIRST inside a
+    bounded lookback, so neither as-of nor lag expresses it).
+
+    Device: a RANGE-framed window over integer microseconds —
+    min(struct(us, event_id)) over [ts-7d, ts] with the conditional
+    inside the aggregate, so clicks and purchases ride ONE partition
+    pass; the struct min makes same-microsecond ties deterministic
+    (lowest event_id). Spark and DuckDB agree on struct ordering, and
+    the RANGE frame (not ROWS) makes the result independent of how
+    same-timestamp peers sort.
+
+    Scale shape: one user-keyed shuffle + sort — the same motion a
+    sessionize pass costs; no self-join, no per-purchase probe. Range
+    frames evaluate incrementally over the sorted run, so a user with
+    millions of events costs its run length, not run^2. A hot user is
+    one sort run, bounded by per-user history — the `agg_sessionize_
+    batch` skew profile. Emitted lag is exact integer microseconds."""
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-ATTR_WINDOW_US, 0)
+    )
+    ft = F.min(
+        F.when(
+            F.col("event_type") == "click",
+            F.struct(F.col("us").alias("us"), F.col("event_id").alias("id")),
+        )
+    ).over(w)
+    return (
+        e.withColumn("ft", ft)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("ft.id").alias("first_touch_id"),
+            (F.col("us") - F.col("ft.us")).alias("touch_lag_us"),
+        )
+    )

@@ -2234,3 +2234,83 @@ def ext_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("micro_logratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-mixture schedule: given target domain weights, turn corpus
+# inventory into the sampling plan (rate + epochs per domain) a
+# pretraining data loader executes — the "data recipe" table every
+# LLM run publishes (LLaMA/Pile-style lang/domain weighting).
+
+_MIX_TARGETS = (("en", 0.4), ("zh", 0.15), ("es", 0.15), ("de", 0.15), ("fr", 0.15))
+
+
+def _mix_targets_values() -> str:
+    return ", ".join(f"('{l}', {w})" for l, w in _MIX_TARGETS)
+
+
+_MIX_ORACLE = (
+    "WITH inv AS (SELECT lang, count(*) AS n_docs, "
+    "sum(len(string_split(trim(text), ' '))) AS n_tokens FROM documents GROUP BY lang), "
+    "tot AS (SELECT sum(n_tokens) AS total_tokens FROM inv), "
+    f"tgt0(lang, tsd) AS (VALUES {_mix_targets_values()}), "
+    "tgt AS (SELECT lang, CAST(tsd AS DOUBLE) AS target_share FROM tgt0) "
+    "SELECT inv.lang, CAST(inv.n_docs AS BIGINT) AS n_docs, "
+    "CAST(inv.n_tokens AS BIGINT) AS n_tokens, "
+    "round(CAST(inv.n_tokens AS DOUBLE) / tot.total_tokens, 6) AS natural_share, "
+    "coalesce(tgt.target_share, 0.0) AS target_share, "
+    "round(coalesce(tgt.target_share, 0.0) * tot.total_tokens / inv.n_tokens, 6) "
+    "AS sampling_rate, "
+    "CAST(ceil(coalesce(tgt.target_share, 0.0) * tot.total_tokens / inv.n_tokens) "
+    "AS BIGINT) AS epochs "
+    "FROM inv LEFT JOIN tgt ON inv.lang = tgt.lang CROSS JOIN tot"
+)
+
+
+@register("ext_mixture_schedule", oracle=_MIX_ORACLE)
+def ext_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture schedule: per language, corpus inventory (docs,
+    whitespace tokens, natural share) plus the sampling rate and
+    epoch count that realize the configured target mixture
+    (`_MIX_TARGETS`) over this corpus — rate > 1 means the domain is
+    upsampled (multiple passes), < 1 downsampled. The executable side
+    of `ext_sample_mixture`: that op draws the sample, this one
+    derives the plan a loader (or that op's config) consumes.
+
+    Float terms (shares, rates) are single identical expression
+    trees over exact integer token counts, rounded to 6dp — the PMI
+    contract class; epochs applies ceil BEFORE any rounding so the
+    integer is the true plan value.
+
+    Scale shape: one lang-keyed agg over the scan (token counting is
+    scan-local arithmetic), a 1-row total crossJoin-broadcast, and a
+    literal 5-row target table broadcast onto the inventory — at
+    100 TB this is a metadata-sized query over any corpus."""
+    d = load(spark, sf_dir, "documents")
+    inv = d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.trim(F.col("text")), " "))).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    tot = inv.agg(F.sum("n_tokens").alias("total_tokens"))
+    tgt = d.sparkSession.createDataFrame(
+        list(_MIX_TARGETS), "lang string, target_share double"
+    )
+    ts = F.coalesce(F.col("target_share"), F.lit(0.0))
+    rate_expr = ts * F.col("total_tokens") / F.col("n_tokens")
+    return (
+        inv.join(F.broadcast(tgt), "lang", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens").cast("double") / F.col("total_tokens"), 6).alias(
+                "natural_share"
+            ),
+            ts.alias("target_share"),
+            F.round(rate_expr, 6).alias("sampling_rate"),
+            F.ceil(rate_expr).cast("long").alias("epochs"),
+        )
+    )

@@ -596,3 +596,33 @@ def test_dup_span_profile_counts_cross_doc_positions_only(spark):
     assert out[3] == (3, 0, 0.0)
     assert out[4] == (0, 0, 0.0)
     assert out[5][0] == 6 and out[5][1] == 0
+
+
+def test_cdc_chunks_resync_after_insertion(spark):
+    """CDC's point: insert one word near the head of a copied doc and
+    the chunking re-synchronizes at the next boundary, so the pair
+    still shares most chunks — while a corpus-unique doc shares
+    none."""
+    # "six", "eight", "green" hash to boundaries under the 'cdc' salt
+    # (verified against the portable salted-md5 device), so each
+    # repetition of this sentence contains three resync points
+    base = (
+        "alpha beta six gamma delta eight epsilon zeta green eta theta "
+        "iota six kappa lambda eight mu nu green xi omicron pi rho tau "
+    ) * 4
+    shifted = "INSERTED " + base
+    rows = [
+        (1, base.strip(), "en", "s", 1),
+        (2, shifted.strip(), "en", "s", 1),
+        (3, "totally unrelated words nobody else uses anywhere at all", "en", "s", 1),
+    ]
+    tmp = _docs_view(spark, rows)
+    out = {
+        r.doc_id: r for r in queries()["ext_dedup_cdc"](spark, tmp).collect()
+    }
+    # the copies share chunks despite the insertion shift...
+    assert out[1].dup_chunks > 0 and out[2].dup_chunks > 0
+    assert out[1].dup_chunk_frac > 0.5  # most of the doc still aligns
+    # ...and the unrelated doc shares none
+    assert out[3].dup_chunks == 0 and out[3].dup_chunk_frac == 0.0
+    assert out[1].n_chunks > 1  # boundaries actually fired

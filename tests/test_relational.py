@@ -918,3 +918,48 @@ def test_decayed_score_half_life_and_anchor(spark):
     quarter = round(4.0 * math.exp(-lam * 14.0) * 1e6)
     assert abs(out[20].micro_score - quarter) <= 1
     assert out[10].n_events == 2 and out[20].n_events == 1
+
+
+def test_attribution_first_touch_window_and_ties(spark):
+    """join_attribution_first_touch: earliest qualifying click wins;
+    clicks outside the 7-day lookback or after the purchase don't
+    count; same-microsecond click ties resolve to the lowest
+    event_id."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.relational import (
+        join_attribution_first_touch,
+    )
+
+    t0 = dt.datetime(2021, 6, 10, 12, 0, 0)
+    day = dt.timedelta(days=1)
+    rows = [
+        # user 1: two clicks in-window -> earliest (id 1) wins
+        (1, t0 - 2 * day, 1, "click", 0.0, "{}"),
+        (2, t0 - 1 * day, 1, "click", 0.0, "{}"),
+        (3, t0, 1, "purchase", 9.0, "{}"),
+        # user 2: only click is 8 days out -> NULL attribution
+        (4, t0 - 8 * day, 2, "click", 0.0, "{}"),
+        (5, t0, 2, "purchase", 9.0, "{}"),
+        # user 3: click strictly after the purchase -> NULL
+        (6, t0 + day, 3, "click", 0.0, "{}"),
+        (7, t0, 3, "purchase", 9.0, "{}"),
+        # user 4: two clicks at the SAME instant -> min event_id (8)
+        (9, t0 - day, 4, "click", 0.0, "{}"),
+        (8, t0 - day, 4, "click", 0.0, "{}"),
+        (10, t0, 4, "purchase", 9.0, "{}"),
+    ]
+    d = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_attr_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "events.parquet"))
+    out = {r.user_id: r for r in join_attribution_first_touch(spark, tmp).collect()}
+    assert out[1].first_touch_id == 1 and out[1].touch_lag_us == 2 * 86400 * 10**6
+    assert out[2].first_touch_id is None and out[2].touch_lag_us is None
+    assert out[3].first_touch_id is None
+    assert out[4].first_touch_id == 8

@@ -716,3 +716,37 @@ def test_dsir_weights_rank_target_like_docs_above_offtarget(spark):
     # join point ("wolke banane") is itself an off-target feature
     assert out[7].n_feats == 95
     assert out[7].micro_logratio < 2 * out[6].micro_logratio
+
+
+def test_mixture_schedule_plan_arithmetic(spark):
+    """ext_mixture_schedule: natural shares sum to ~1, a scarce
+    target-heavy language gets an upsampling rate > 1 with
+    epochs = ceil(rate), and rates reproduce target_share x total /
+    lang_tokens exactly."""
+    import math
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.text_analysis import (
+        ext_mixture_schedule,
+    )
+
+    rows = [
+        # en: 1 doc x 4 tokens (scarce, target 0.40 => upsample)
+        (1, "a b c d", "en", "s", 1),
+        # de: 4 docs x 9 tokens (abundant, target 0.15 => downsample)
+        *[(i, "w1 w2 w3 w4 w5 w6 w7 w8 w9", "de", "s", 1) for i in range(2, 6)],
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_mix_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "documents.parquet"))
+    out = {r.lang: r for r in ext_mixture_schedule(spark, tmp).collect()}
+    assert set(out) == {"en", "de"}
+    total = 4 + 4 * 9
+    assert out["en"].n_tokens == 4 and out["de"].n_tokens == 36
+    assert abs(out["en"].natural_share + out["de"].natural_share - 1.0) < 1e-9
+    assert out["en"].sampling_rate == round(0.4 * total / 4, 6)  # 4.0 => upsample
+    assert out["en"].epochs == math.ceil(0.4 * total / 4)
+    assert out["de"].sampling_rate < 1 and out["de"].epochs == 1
