@@ -656,6 +656,60 @@ AUDIT = {
         "twelve dashboard routes collapse to one scan and one "
         "shuffle; the expand factor is |sets| = 3, not 2^n",
     ),
+    "ext_dup_span_profile": (
+        "Generate (gram explode) -> project to the 60-bit salted "
+        "hash -> two HashAggregates sharing the gram-key prefix with "
+        "partial_count map-side -> gram-keyed SortMergeJoin/"
+        "ShuffledHashJoin -> doc-keyed rollup; no gram STRING in any "
+        "Exchange",
+        "duplicated-span coverage with shuffle rows that are "
+        "(hash, doc, count) triples — a million-doc boilerplate gram "
+        "costs one agg row per doc, never a pair explosion",
+    ),
+    "ext_dsir_weights": (
+        "feature hashing in the scan projection; (doc, bucket) "
+        "HashAggregate with partial_count; the two B=1024-row model "
+        "aggs end in BroadcastExchanges joined back onto the count "
+        "stream; 1-row totals as BroadcastNestedLoopJoin of a scalar",
+        "both language models are broadcast-sized BY CONSTRUCTION "
+        "(hashed to 1024 buckets) — corpus growth changes no plan "
+        "shape, only the (doc, bucket) stream length",
+    ),
+    "agg_decayed_score": (
+        "1-row scalar max BroadcastExchange crossJoined into the "
+        "scan, per-event fixed-point projection, ONE user-keyed "
+        "HashAggregate with partial_sum/partial_count",
+        "a single agg over the scan — no window, no self-join; decay "
+        "weighting is codegen arithmetic riding the scan projection",
+    ),
+    "ext_emb_gram_int8": (
+        "ArrowEvalPython-free mapInPandas (MapInPandas node) over a "
+        "codes-only projection, emitting d(d+1)/2 partial rows per "
+        "partition; one (i, j)-keyed HashAggregate merges the P "
+        "partials",
+        "the exchange carries P x 2080 rows TOTAL regardless of "
+        "corpus size — the vectors never shuffle; this is the "
+        "two-phase matrix-product shape PCA training needs at "
+        "billion-vector scale",
+    ),
+    "join_attribution_first_touch": (
+        "ONE Exchange on user_id + Sort on (user_id, us), a single "
+        "Window with a RANGE frame evaluating min(struct) "
+        "incrementally, then the purchase filter projects the "
+        "credited touch",
+        "attribution without a self-join: clicks and purchases ride "
+        "the same partition pass; cost is the user-keyed sort a "
+        "sessionize already pays",
+    ),
+    "ext_dedup_cdc": (
+        "posexplode Generate -> per-doc running-sum Window (bounded "
+        "by doc length) -> chunk-assembling HashAggregate that "
+        "reduces chunks to md5 digests in place -> digest-keyed "
+        "dup-count agg + join back",
+        "variable-size chunk dedup whose cross-doc mining shuffles "
+        "32-byte digests; the only window is per-document, so no "
+        "global sort funnel exists at any corpus size",
+    ),
 }
 
 
