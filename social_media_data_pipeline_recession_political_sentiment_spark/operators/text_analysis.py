@@ -2314,3 +2314,268 @@ def ext_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ceil(rate_expr).cast("long").alias("epochs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition rules (Rae et al. 2021, Table A1): character-MASS
+# repetition signals — the fraction of a document's characters covered
+# by its most frequent word-2-gram and by its within-doc-duplicated
+# word-5-grams. `ext_text_repetition` counts repeated bigram
+# OCCURRENCES; Gopher weighs them by the characters they consume,
+# which is what actually bloats a training token budget. (The line/
+# paragraph rules of the paper need multi-line documents; this corpus
+# is single-line, so the n-gram family is the applicable subset.
+# Overlapping occurrences double-count char mass on BOTH engines —
+# the standard cheap formulation.)
+
+GOPHER_TOP2_MAX = 0.20
+GOPHER_DUP5_MAX = 0.15
+
+
+def _gram_cte(n: int, name: str) -> str:
+    parts = " || ' ' || ".join(f"t[i+{k}]" for k in range(n))
+    return (
+        f"{name} AS (SELECT doc_id, n_chars_t, unnest(list_transform("
+        f"range(1, len(t) - {n - 2}), i -> {parts})) AS g FROM toks)"
+    )
+
+
+_GOPHER_ORACLE = (
+    "WITH toks AS (SELECT doc_id, length(text) AS n_chars_t, "
+    "string_split(text, ' ') AS t FROM documents), "
+    + _gram_cte(2, "g2")
+    + ", c2 AS (SELECT doc_id, n_chars_t, g, count(*) AS c FROM g2 GROUP BY ALL), "
+    "top2 AS (SELECT doc_id, max({'c': c, 'gl': length(g), 'g': g}) AS m, "
+    "any_value(n_chars_t) AS nc FROM c2 GROUP BY doc_id), "
+    + _gram_cte(5, "g5")
+    + ", c5 AS (SELECT doc_id, n_chars_t, g, count(*) AS c FROM g5 GROUP BY ALL), "
+    "dup5 AS (SELECT doc_id, sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS mass, "
+    "any_value(n_chars_t) AS nc FROM c5 GROUP BY doc_id) "
+    "SELECT d.doc_id, "
+    "round(CAST(coalesce(t.m.c * t.m.gl, 0) AS DOUBLE) / length(d.text), 6) "
+    "AS top2_char_frac, "
+    "round(CAST(coalesce(p.mass, 0) AS DOUBLE) / length(d.text), 6) AS dup5_char_frac, "
+    f"(round(CAST(coalesce(t.m.c * t.m.gl, 0) AS DOUBLE) / length(d.text), 6) <= {GOPHER_TOP2_MAX} "
+    f"AND round(CAST(coalesce(p.mass, 0) AS DOUBLE) / length(d.text), 6) <= {GOPHER_DUP5_MAX}) AS gopher_ok "
+    "FROM documents d LEFT JOIN top2 t ON d.doc_id = t.doc_id "
+    "LEFT JOIN dup5 p ON d.doc_id = p.doc_id"
+)
+
+
+@register("ext_gopher_repetition", oracle=_GOPHER_ORACLE)
+def ext_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher character-mass repetition gate: per document, the char
+    fraction of the most frequent word-2-gram and of within-doc-
+    duplicated word-5-grams, plus the combined keep flag at the
+    paper's thresholds (0.20 / 0.15). The tie-break for "most
+    frequent 2-gram" is (count, char length, gram) so both engines
+    pick the same winner deterministically.
+
+    Scale shape: both signals are (doc, gram)-keyed counts — the
+    gram explode never leaves its document, so the aggregation key
+    space is per-doc-bounded and shuffles carry compact count rows;
+    winner selection is an algebraic max_by (map-side combine), never
+    a window. Ratios divide exact integers once, rounded to 6dp (the
+    PMI contract class)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    toks = d.select(
+        "doc_id", F.length("text").alias("nc"), F.split("text", " ").alias("tk")
+    )
+
+    def grams(n: int):
+        idx = ", ".join(f"tk[i + ({o - 1})]" for o in range(n))
+        return F.expr(
+            f"CASE WHEN size(tk) >= {n} THEN "
+            f"transform(sequence(1, size(tk) - {n - 1}), i -> concat_ws(' ', {idx})) "
+            "ELSE array() END"
+        )
+
+    c2 = (
+        toks.select("doc_id", "nc", F.explode_outer(grams(2)).alias("g"))
+        .filter(F.col("g").isNotNull())
+        .groupBy("doc_id", "nc", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    top2 = c2.groupBy("doc_id").agg(
+        F.max(
+            F.struct(
+                F.col("c").alias("c"),
+                F.length("g").alias("gl"),
+                F.col("g").alias("g"),
+            )
+        ).alias("m")
+    ).select(
+        "doc_id", (F.col("m.c") * F.col("m.gl")).alias("top2_mass")
+    )
+    c5 = (
+        toks.select("doc_id", F.explode_outer(grams(5)).alias("g"))
+        .filter(F.col("g").isNotNull())
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    dup5 = c5.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("c") >= 2, F.col("c") * F.length("g")).otherwise(0)
+        ).alias("mass")
+    )
+    base = load(spark, sf_dir, "documents").select("doc_id", F.length("text").alias("len"))
+    t2 = F.round(
+        F.coalesce(F.col("top2_mass"), F.lit(0)).cast("double") / F.col("len"), 6
+    )
+    d5 = F.round(F.coalesce(F.col("mass"), F.lit(0)).cast("double") / F.col("len"), 6)
+    return (
+        base.join(top2, "doc_id", "left")
+        .join(dup5, "doc_id", "left")
+        .select(
+            "doc_id",
+            t2.alias("top2_char_frac"),
+            d5.alias("dup5_char_frac"),
+            ((t2 <= GOPHER_TOP2_MAX) & (d5 <= GOPHER_DUP5_MAX)).alias("gopher_ok"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility / compression audit: bytes-per-token and
+# tokens-per-word per language — the standard tokenizer-equity report
+# (a tokenizer trained on English typically pays 2-4x more tokens per
+# byte on other scripts; this table is how that gets caught before a
+# training run budgets its epochs).
+
+_FERTILITY_ORACLE = (
+    "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(octet_length(encode(text))) AS BIGINT) AS n_bytes, "
+    "CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS ws_tokens, "
+    "CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) "
+    "AS bpe_ish_tokens, "
+    "round(CAST(sum(octet_length(encode(text))) AS DOUBLE) / "
+    "sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))), 6) "
+    "AS bytes_per_token, "
+    "round(CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS DOUBLE) / "
+    "sum(len(string_split(trim(text), ' '))), 6) AS tokens_per_word "
+    "FROM documents GROUP BY lang"
+)
+
+
+@register("ext_tokenizer_fertility", oracle=_FERTILITY_ORACLE)
+def ext_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility: UTF-8 bytes, whitespace
+    words, BPE-ish tokens (`ext_token_count`'s two definitions lifted
+    to corpus grain), and the two derived ratios — bytes/token
+    (compression) and tokens/word (fertility). The mixture-schedule
+    companion: `ext_mixture_schedule` plans by token budget, this
+    table says what a token COSTS per language.
+
+    Scale shape: pure scan-local token arithmetic feeding ONE
+    lang-keyed agg with map-side partial sums — a metadata-sized
+    result at any corpus size; ratios are single divisions of exact
+    BIGINTs, rounded 6dp."""
+    d = load(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.trim(F.col("text")), " ")).cast("long")
+    bpe = F.size(
+        F.expr(r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)")
+    ).cast("long")
+    nb = F.length(F.encode(F.col("text"), "UTF-8")).cast("long")
+    agg = d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(nb).alias("n_bytes"),
+        F.sum(ws).alias("ws_tokens"),
+        F.sum(bpe).alias("bpe_ish_tokens"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_bytes",
+        "ws_tokens",
+        "bpe_ish_tokens",
+        F.round(
+            F.col("n_bytes").cast("double") / F.col("bpe_ish_tokens"), 6
+        ).alias("bytes_per_token"),
+        F.round(
+            F.col("bpe_ish_tokens").cast("double") / F.col("ws_tokens"), 6
+        ).alias("tokens_per_word"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source overlap matrix: for every pair of sources, how much
+# 5-gram vocabulary they share — the feed-provenance audit that
+# catches mirrored/syndicated feeds and template families BETWEEN
+# sources before they skew a mixture (the corpus-level companion of
+# `ext_dedup_cross_source`, which adjudicates individual documents).
+
+_OVERLAP_K = 5
+
+_OVERLAP_ORACLE = (
+    "WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents), "
+    f"sg AS (SELECT DISTINCT source, unnest(list_transform(range(1, len(t) - {_OVERLAP_K - 2}), "
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS g "
+    "FROM toks), "
+    "tot AS (SELECT source, count(*) AS n FROM sg GROUP BY source), "
+    "pairs AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared_grams "
+    "FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source GROUP BY 1, 2) "
+    "SELECT p.src_a, p.src_b, CAST(p.shared_grams AS BIGINT) AS shared_grams, "
+    "round(CAST(p.shared_grams AS DOUBLE) / (ta.n + tb.n - p.shared_grams), 6) AS jaccard "
+    "FROM pairs p JOIN tot ta ON p.src_a = ta.source JOIN tot tb ON p.src_b = tb.source"
+)
+
+
+@register("ext_source_overlap_matrix", oracle=_OVERLAP_ORACLE)
+def ext_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix: distinct word-5-grams shared
+    by each source pair, plus the gram-set Jaccard. Output is at most
+    |sources|² rows — a wall-chart-sized audit over any corpus.
+
+    Scale shape: grams reduce to 60-bit salted hashes IN THE SCAN
+    and are made distinct per source BEFORE the pair join, so the
+    join input is one row per (gram, source) — never per occurrence;
+    a gram present in k sources expands to C(k,2) pair rows, bounded
+    by |sources|², not corpus size. Per-source totals are a
+    |sources|-row broadcast. (Hash-for-gram equality absent 60-bit
+    collisions, the `ext_dup_span_profile` caveat.)"""
+    from .dedup import _salted_hash
+
+    d = load(spark, sf_dir, "documents").select("source", "text")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    idx = ", ".join(f"tk[i + ({o - 1})]" for o in range(_OVERLAP_K))
+    grams = (
+        d.withColumn("tk", F.split("text", " "))
+        .select(
+            "source",
+            F.explode_outer(
+                F.expr(
+                    f"CASE WHEN size(tk) >= {_OVERLAP_K} THEN "
+                    f"transform(sequence(1, size(tk) - {_OVERLAP_K - 1}), "
+                    f"i -> concat_ws(' ', {idx})) ELSE array() END"
+                )
+            ).alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+        .select("source", _salted_hash(F.lit("ov"), F.col("g")).alias("gh"))
+        .distinct()
+    )
+    tot = grams.groupBy("source").agg(F.count("*").alias("n"))
+    a = grams.withColumnRenamed("source", "src_a")
+    b = grams.withColumnRenamed("source", "src_b")
+    pairs = (
+        a.join(b, (a.gh == b.gh) & (F.col("src_a") < F.col("src_b")))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("shared_grams"))
+    )
+    ta = tot.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    tb = tot.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "shared_grams",
+            F.round(
+                F.col("shared_grams").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared_grams")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -750,3 +750,96 @@ def test_mixture_schedule_plan_arithmetic(spark):
     assert out["en"].sampling_rate == round(0.4 * total / 4, 6)  # 4.0 => upsample
     assert out["en"].epochs == math.ceil(0.4 * total / 4)
     assert out["de"].sampling_rate < 1 and out["de"].epochs == 1
+
+
+def test_gopher_repetition_flags_and_masses(spark):
+    """ext_gopher_repetition: a doc dominated by one repeated bigram
+    fails the top-2-gram rule; a doc with a repeated 5-gram block
+    accrues dup5 char mass; diverse text passes both."""
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.text_analysis import (
+        ext_gopher_repetition,
+    )
+
+    spam = "buy now " * 10  # one bigram owns the doc
+    block = "one two three four five"
+    dup5 = f"{block} {block} filler words tail"  # 5-gram repeats twice
+    clean = "q w e r t y u i o p a s d f g h j k l z x c v b n m"
+    rows = [
+        (1, spam.strip(), "en", "s", 1),
+        (2, dup5, "en", "s", 1),
+        (3, clean, "en", "s", 1),
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_gopher_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "documents.parquet"))
+    out = {r.doc_id: r for r in ext_gopher_repetition(spark, tmp).collect()}
+    assert out[1].top2_char_frac > 0.2 and not out[1].gopher_ok
+    assert out[2].dup5_char_frac > 0.15
+    # "one two three four five" occurs at 2 non-overlapping positions
+    # plus the 4 bridge grams are unique: mass = 2 * 23 / len
+    assert out[2].dup5_char_frac == round(2 * len(block) / len(dup5), 6)
+    assert out[3].top2_char_frac < 0.2 and out[3].dup5_char_frac == 0.0
+    assert out[3].gopher_ok
+
+
+def test_source_overlap_matrix_counts_shared_vocab(spark):
+    """ext_source_overlap_matrix: two sources sharing a 7-word
+    sentence share exactly its three 5-grams; a disjoint source pairs
+    with nobody."""
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.text_analysis import (
+        ext_source_overlap_matrix,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 3 distinct 5-grams
+    rows = [
+        (1, shared + " srcone tail words", "en", "srcA", 1),
+        (2, shared + " srctwo other words", "en", "srcB", 1),
+        (3, "totally disjoint vocabulary nothing in common here", "en", "srcC", 1),
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_ovl_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "documents.parquet"))
+    out = {(r.src_a, r.src_b): r for r in ext_source_overlap_matrix(spark, tmp).collect()}
+    assert set(out) == {("srcA", "srcB")}
+    assert out[("srcA", "srcB")].shared_grams == 3
+    # each source has 6 distinct 5-grams (10 words), 3 shared
+    assert out[("srcA", "srcB")].jaccard == round(3 / (6 + 6 - 3), 6)
+
+
+def test_tokenizer_fertility_hand_arithmetic(spark):
+    """ext_tokenizer_fertility: byte/word/token sums and both ratios
+    reproduce hand arithmetic on a tiny bilingual corpus."""
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.text_analysis import (
+        ext_tokenizer_fertility,
+    )
+
+    rows = [
+        (1, "ab cd", "en", "s", 1),     # 5 bytes, 2 words, 2 bpe tokens
+        (2, "x1 y2", "en", "s", 1),     # 5 bytes, 2 words, 4 bpe (letter+digit runs)
+        (3, "hello", "de", "s", 1),     # 5 bytes, 1 word, 1 bpe
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_fert_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "documents.parquet"))
+    out = {r.lang: r for r in ext_tokenizer_fertility(spark, tmp).collect()}
+    en = out["en"]
+    assert (en.n_docs, en.n_bytes, en.ws_tokens, en.bpe_ish_tokens) == (2, 10, 4, 6)
+    assert en.bytes_per_token == round(10 / 6, 6)
+    assert en.tokens_per_word == round(6 / 4, 6)
+    de = out["de"]
+    assert (de.n_docs, de.n_bytes, de.ws_tokens, de.bpe_ish_tokens) == (1, 5, 1, 1)

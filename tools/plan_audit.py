@@ -701,6 +701,25 @@ AUDIT = {
         "the same partition pass; cost is the user-keyed sort a "
         "sessionize already pays",
     ),
+    "ext_gopher_repetition": (
+        "two gram Generates each feeding (doc, gram)-keyed "
+        "HashAggregates with partial_count; winner is an algebraic "
+        "max(struct) agg (partial_max map-side); doc-keyed "
+        "BroadcastHashJoin assembly of the two signals",
+        "char-mass repetition with NO window: a spam doc repeating "
+        "one bigram a billion times reduces map-side to one count "
+        "row per task — the hot-doc profile cannot funnel",
+    ),
+    "ext_source_overlap_matrix": (
+        "gram hash + per-source DISTINCT (two-phase HashAggregate) "
+        "BEFORE the self-join on the 60-bit hash; pair counts "
+        "aggregate to <= |sources|^2 rows; totals joined as "
+        "BroadcastExchanges",
+        "the pair join's input is one row per (gram, source) — "
+        "occurrence counts never enter the join, and output is "
+        "bounded by the source-pair lattice regardless of corpus "
+        "size",
+    ),
     "ext_dedup_cdc": (
         "posexplode Generate -> per-doc running-sum Window (bounded "
         "by doc length) -> chunk-assembling HashAggregate that "
