@@ -1414,3 +1414,66 @@ def ext_emb_gram_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         partials, schema="i long, j long, partial long"
     )
     return parts.groupBy("i", "j").agg(F.sum("partial").alias("gram"))
+
+
+# ----------------------------- semantic eval-set decontamination
+
+SEM_EVAL_VECS = 20  # vec_id < 20 stand in for the eval/benchmark set
+SEM_CONTAM_THRESHOLD = 0.3
+
+
+_SEM_CONTAM_ORACLE = f"""
+WITH ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {SEM_EVAL_VECS}),
+co AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {SEM_EVAL_VECS}),
+sc AS (SELECT co.vec_id AS vec_id, ev.vec_id AS eval_id,
+        list_dot_product(CAST(ev.embedding AS DOUBLE[]), CAST(co.embedding AS DOUBLE[])) /
+        (sqrt(list_dot_product(CAST(ev.embedding AS DOUBLE[]), CAST(ev.embedding AS DOUBLE[]))) *
+         sqrt(list_dot_product(CAST(co.embedding AS DOUBLE[]), CAST(co.embedding AS DOUBLE[])))) AS cos
+       FROM ev JOIN co ON true),
+m AS (SELECT vec_id, max({{'cos': cos, 'nid': -eval_id}}) AS m FROM sc GROUP BY vec_id)
+SELECT vec_id, -m.nid AS best_eval_id, m.cos AS max_cos,
+       m.cos >= {SEM_CONTAM_THRESHOLD} AS contaminated
+FROM m
+"""
+
+
+@register("ext_contamination_semantic", oracle=_SEM_CONTAM_ORACLE)
+def ext_contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic eval-set decontamination: every corpus vector scored
+    by its maximum cosine against the (bounded) eval/benchmark
+    embedding set, with the nearest eval item and a contamination
+    flag at 0.3 — the embedding-space counterpart of
+    `ext_contamination_check` (which catches verbatim n-gram overlap;
+    paraphrased leakage only shows up here). Same shape GPT-4/Llama
+    decontamination pipelines run before training.
+
+    Scale shape: the eval set is broadcast BY CONSTRUCTION (eval
+    benchmarks are thousands of rows, never corpus-sized), so
+    scoring is map-side — each corpus partition scores locally and
+    partial-max combines before the single N-row shuffle of
+    (vec_id, max) pairs. No corpus self-join exists; cost is
+    N x |eval| fused multiply-adds, embarrassingly parallel. The
+    max(struct(cos, -eval_id)) winner is algebraic and deterministic
+    on cosine ties. Dot products fold sequentially (the
+    `ext_dedup_embcos` bit-equality device), so max_cos hash-matches
+    unrounded."""
+    e = _with_double_vec(load(spark, sf_dir, "embeddings"), "dv")
+    ev = e.filter(F.col("vec_id") < SEM_EVAL_VECS).select(
+        F.col("vec_id").alias("eval_id"), F.col("dv").alias("ev")
+    )
+    co = e.filter(F.col("vec_id") >= SEM_EVAL_VECS).select("vec_id", "dv")
+    dot = F.expr(_DOT.format(a="ev", b="dv"))
+    na = F.sqrt(F.expr(_DOT.format(a="ev", b="ev")))
+    nb = F.sqrt(F.expr(_DOT.format(a="dv", b="dv")))
+    cos = (dot / (na * nb)).alias("cos")
+    scored = co.crossJoin(F.broadcast(ev)).select(
+        "vec_id",
+        F.struct(cos, (-F.col("eval_id")).alias("nid")).alias("s"),
+    )
+    m = scored.groupBy("vec_id").agg(F.max("s").alias("m"))
+    return m.select(
+        "vec_id",
+        (-F.col("m.nid")).alias("best_eval_id"),
+        F.col("m.cos").alias("max_cos"),
+        (F.col("m.cos") >= SEM_CONTAM_THRESHOLD).alias("contaminated"),
+    )

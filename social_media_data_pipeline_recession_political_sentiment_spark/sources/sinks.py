@@ -216,3 +216,56 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         "compacted_files",
         (F.col("n_small") == F.col("n_rows")).alias("rows_ok"),
     )
+
+
+@register(
+    "sink_codec_roundtrip",
+    oracle=(
+        "SELECT CAST(count(*) AS BIGINT) AS n_rows, true AS zstd_ok, "
+        "true AS snappy_ok, CAST(sum(event_id) AS BIGINT) AS id_checksum "
+        "FROM events"
+    ),
+)
+def sink_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-codec round-trip: the same table written as zstd
+    and as snappy parquet, both read back with row counts, an
+    id-sum checksum, and proof (via `_metadata.file_path` suffixes)
+    that each sink really landed in its codec. Codec choice is a
+    first-order cost lever at 100 TB — zstd typically buys ~30-50%
+    over snappy on text-heavy tables for modest CPU — and the
+    round-trip contract is what lets a fleet flip the default
+    safely: content equality is checked by the engine, not assumed.
+
+    Scale shape: two append-style writes + two scans, all
+    embarrassingly parallel; the checksum is an algebraic sum with
+    map-side combine. Codec verification reads file PATHS from scan
+    metadata — no footer parsing, no driver filesystem walk."""
+    work = _workdir("codec")
+    e = load(spark, sf_dir, "events")
+    outs = {}
+    for codec in ("zstd", "snappy"):
+        path = os.path.join(work, f"events_{codec}")
+        e.write.option("compression", codec).parquet(path)
+        df = spark.read.parquet(path)
+        outs[codec] = df.agg(
+            F.count("*").alias("n"),
+            F.sum("event_id").alias("cs"),
+            F.min(F.col("_metadata.file_path").endswith(f".{codec}.parquet")).alias(
+                "codec_ok"
+            ),
+        )
+    z, s = outs["zstd"], outs["snappy"]
+    z = z.select(
+        F.col("n").alias("zn"), F.col("cs").alias("zcs"), F.col("codec_ok").alias("zok")
+    )
+    s = s.select(
+        F.col("n").alias("sn"), F.col("cs").alias("scs"), F.col("codec_ok").alias("sok")
+    )
+    return z.crossJoin(s).select(
+        F.col("zn").alias("n_rows"),
+        (F.col("zok") & (F.col("zn") == F.col("sn")) & (F.col("zcs") == F.col("scs"))).alias(
+            "zstd_ok"
+        ),
+        F.col("sok").alias("snappy_ok"),
+        F.col("zcs").alias("id_checksum"),
+    )

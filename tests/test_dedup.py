@@ -626,3 +626,40 @@ def test_cdc_chunks_resync_after_insertion(spark):
     # ...and the unrelated doc shares none
     assert out[3].dup_chunks == 0 and out[3].dup_chunk_frac == 0.0
     assert out[1].n_chunks > 1  # boundaries actually fired
+
+
+def test_bloom_incremental_never_misses_and_reports_fp(spark):
+    """Bloom contract: a planted exact duplicate of a base doc MUST
+    read maybe_dup=true (no false negatives, ever); dup_of_base and
+    false_positive are consistent (fp = maybe and not dup); every
+    exact dup is also a bloom hit."""
+    from social_media_data_pipeline_recession_political_sentiment_spark.functions.hashing import (
+        doc_bucket,
+    )
+    import pyspark.sql.functions as SF
+
+    # find doc_ids on each side of the base/increment split
+    probe = spark.createDataFrame(
+        [(i,) for i in range(40)], "doc_id long"
+    ).select("doc_id", doc_bucket("doc_id").alias("b")).collect()
+    base_ids = [r.doc_id for r in probe if r.b < 8]
+    incr_ids = [r.doc_id for r in probe if r.b >= 8]
+    assert base_ids and len(incr_ids) >= 2
+    rows = [
+        (base_ids[0], "shared content exactly", "en", "s", 1),
+        (base_ids[1], "base only text", "en", "s", 1),
+        (incr_ids[0], "shared content exactly", "en", "s", 1),  # planted dup
+        (incr_ids[1], "fresh increment text", "en", "s", 1),
+    ]
+    tmp = _docs_view(spark, rows)
+    out = {
+        r.doc_id: r
+        for r in queries()["ext_dedup_incremental_bloom"](spark, tmp).collect()
+    }
+    assert set(out) == set(incr_ids[:2])
+    planted = out[incr_ids[0]]
+    assert planted.maybe_dup and planted.dup_of_base and not planted.false_positive
+    for r in out.values():
+        assert r.false_positive == (r.maybe_dup and not r.dup_of_base)
+        if r.dup_of_base:
+            assert r.maybe_dup  # bloom soundness: no false negatives

@@ -444,3 +444,34 @@ def test_gram_int8_matches_numpy_reference(spark):
     assert len(got) == 15  # upper triangle of 5x5
     for (i, j), v in got.items():
         assert v == want[i - 1, j - 1]
+
+
+def test_semantic_contamination_flags_planted_paraphrase(spark):
+    """A corpus vector nearly collinear with an eval vector must be
+    flagged with that eval item as best match; an orthogonal vector
+    must not, and ties on cosine resolve to the lowest eval_id."""
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.similarity import (
+        SEM_EVAL_VECS,
+        ext_contamination_semantic,
+    )
+
+    d = 4
+    rows = []
+    # eval set: unit basis vectors e0..e3 cycled over ids 0..19
+    for i in range(SEM_EVAL_VECS):
+        v = [0.0] * d
+        v[i % d] = 1.0
+        rows.append((i, v, 0))
+    # corpus 100: almost e2 (cos ~ .9995) -> contaminated, best = 2
+    rows.append((100, [0.01, 0.0, 1.0, 0.02], 0))
+    # corpus 101: equal diagonal -> cos .5 to every basis vector,
+    # still >= 0.3 so contaminated, tie broken to eval_id 0
+    rows.append((101, [1.0, 1.0, 1.0, 1.0], 0))
+    # corpus 102: close to -e0 -> max cos ~ 0 vs others, clean
+    rows.append((102, [-1.0, 0.001, 0.0, 0.0], 0))
+    tmp = _emb_dir(spark, rows)
+    out = {r.vec_id: r for r in ext_contamination_semantic(spark, tmp).collect()}
+    assert set(out) == {100, 101, 102}
+    assert out[100].contaminated and out[100].best_eval_id == 2
+    assert out[101].contaminated and out[101].best_eval_id == 0
+    assert not out[102].contaminated

@@ -720,6 +720,24 @@ AUDIT = {
         "bounded by the source-pair lattice regardless of corpus "
         "size",
     ),
+    "ext_contamination_semantic": (
+        "corpus scan crossJoined with a BroadcastExchange of the "
+        "bounded eval set; cosine + max(struct) evaluated with "
+        "partial_max BEFORE the single vec_id Exchange",
+        "decontamination as a map-side broadcast sweep: N x |eval| "
+        "local FMAs, one N-row shuffle of (id, max) — no corpus "
+        "self-join at any scale",
+    ),
+    "ext_dedup_incremental_bloom": (
+        "bit-set build ends in a BroadcastExchange (<= M rows by "
+        "construction); the probe side joins it BroadcastHashJoin "
+        "LeftOuter — the prefilter is map-side; the exact "
+        "fingerprint join carries NO broadcast hint (corpus-sized "
+        "side)",
+        "bloom-as-plan-operator: the only shuffle the increment "
+        "pays before the exact join is its own per-doc agg; filter "
+        "size is a constant M independent of corpus size",
+    ),
     "ext_dedup_cdc": (
         "posexplode Generate -> per-doc running-sum Window (bounded "
         "by doc length) -> chunk-assembling HashAggregate that "
