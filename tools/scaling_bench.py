@@ -63,6 +63,19 @@ HEADLINERS = (
     "ext_dedup_cross_source",
     "join_null_skew_split",
     "ext_mm_audio_segments",
+    # r6 continuation additions
+    "ext_dup_span_profile",
+    "ext_dsir_weights",
+    "agg_decayed_score",
+    "ext_emb_gram_int8",
+    "ext_mm_dedup_exact",
+    "stream_upsert_keyed",
+    "join_attribution_first_touch",
+    "ext_dedup_cdc",
+    "ext_gopher_repetition",
+    "ext_source_overlap_matrix",
+    "ext_contamination_semantic",
+    "ext_dedup_incremental_bloom",
 )
 
 
