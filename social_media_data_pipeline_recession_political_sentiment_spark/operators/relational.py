@@ -2784,3 +2784,54 @@ def join_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("us") - F.col("ft.us")).alias("touch_lag_us"),
         )
     )
+
+
+# --------------------------------------------- new vs returning users
+
+_NEWRET_ORACLE = """
+WITH ud AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+            FROM events),
+first AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY user_id)
+SELECT ud.day,
+       CAST(count(*) AS BIGINT) AS active_users,
+       CAST(sum(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS new_users,
+       CAST(sum(CASE WHEN ud.day = f.first_day THEN 0 ELSE 1 END) AS BIGINT)
+         AS returning_users
+FROM ud JOIN first f ON ud.user_id = f.user_id
+GROUP BY ud.day
+"""
+
+
+@register("agg_new_vs_returning", oracle=_NEWRET_ORACLE)
+def agg_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning user split: per day, active users
+    decomposed into first-ever-seen and returning — the growth-
+    accounting view every product dashboard leads with, and the
+    acquisition/retention decomposition that DAU alone hides
+    (complements `agg_retention_cohorts`, which tracks a cohort
+    FORWARD; this classifies each day BACKWARD).
+
+    Scale shape: distinct (user, day) → per-user min (both hash aggs
+    with map-side combine) → user-keyed equi-join back → day-keyed
+    rollup. The join is on user_id with both sides already reduced
+    to one row per (user[, day]) — no window, no self-join on raw
+    events, and the day rollup output is calendar-sized."""
+    e = load(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).distinct()
+    first = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        ud.join(first, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("active_users"),
+            F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)).alias(
+                "new_users"
+            ),
+            F.sum(F.when(F.col("day") == F.col("first_day"), 0).otherwise(1)).alias(
+                "returning_users"
+            ),
+        )
+    )

@@ -2579,3 +2579,155 @@ def ext_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Train/test split leakage audit: how much of each TEST document's
+# content already exists in the TRAIN split — the eval-integrity
+# check run on every corpus release (`ext_data_split` assigns the
+# splits; `ext_contamination_check` guards an EXTERNAL benchmark;
+# this guards the corpus's own held-out split, where leakage silently
+# inflates eval numbers).
+
+_LEAK_K = 5
+
+_LEAK_ORACLE = (
+    "WITH toks AS (SELECT doc_id, "
+    f"{doc_bucket_sql('doc_id')} AS b, string_split(text, ' ') AS t FROM documents), "
+    f"sg AS (SELECT DISTINCT doc_id, b, unnest(list_transform(range(1, len(t) - {_LEAK_K - 2}), "
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS g "
+    "FROM toks), "
+    "train_g AS (SELECT DISTINCT g FROM sg WHERE b < 8), "
+    "test_g AS (SELECT doc_id, g FROM sg WHERE b >= 9), "
+    "per AS (SELECT t.doc_id, count(*) AS n_grams, "
+    "sum(CASE WHEN EXISTS (SELECT 1 FROM train_g WHERE train_g.g = t.g) "
+    "THEN 1 ELSE 0 END) AS grams_in_train FROM test_g t GROUP BY t.doc_id) "
+    "SELECT d.doc_id, CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams, "
+    "CAST(coalesce(p.grams_in_train, 0) AS BIGINT) AS grams_in_train, "
+    "CASE WHEN coalesce(p.n_grams, 0) > 0 "
+    "THEN round(CAST(p.grams_in_train AS DOUBLE) / p.n_grams, 6) ELSE 0.0 END AS leak_frac "
+    f"FROM (SELECT doc_id FROM documents WHERE {doc_bucket_sql('doc_id')} >= 9) d "
+    "LEFT JOIN per p ON d.doc_id = p.doc_id"
+)
+
+
+@register("ext_split_leakage", oracle=_LEAK_ORACLE)
+def ext_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-test-document leakage against the train split: the
+    fraction of the doc's DISTINCT word-5-grams that occur anywhere
+    in train (`ext_data_split`'s bucket assignment: <8 train,
+    >=9 test). leak_frac near 1 means the held-out doc is
+    effectively memorizable from train — drop or re-split it.
+
+    Scale shape: grams reduce to 60-bit hashes in the scan and are
+    per-doc DISTINCT before any join (one row per (doc, gram)); the
+    train-gram set is gram-keyed DISTINCT and the membership probe is
+    ONE hash join on 8-byte keys — at 100 TB this is the bloom-probe
+    shape (`ext_dedup_incremental_bloom`'s filter would front it).
+    No pair space: a test doc never meets a train DOC, only the gram
+    set. (Hash-equality caveat as `ext_dup_span_profile`.)"""
+    from .dedup import _salted_hash
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    bucket = doc_bucket("doc_id")
+    idx = ", ".join(f"tk[i + ({o - 1})]" for o in range(_LEAK_K))
+    sg = (
+        d.withColumn("b", bucket)
+        .withColumn("tk", F.split("text", " "))
+        .select(
+            "doc_id",
+            "b",
+            F.explode_outer(
+                F.expr(
+                    f"CASE WHEN size(tk) >= {_LEAK_K} THEN "
+                    f"array_distinct(transform(sequence(1, size(tk) - {_LEAK_K - 1}), "
+                    f"i -> concat_ws(' ', {idx}))) ELSE array() END"
+                )
+            ).alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+        .select("doc_id", "b", _salted_hash(F.lit("lk"), F.col("g")).alias("gh"))
+    )
+    train_g = sg.filter(F.col("b") < 8).select("gh").distinct().withColumn(
+        "hit", F.lit(True)
+    )
+    test_g = sg.filter(F.col("b") >= 9).select("doc_id", "gh")
+    per = (
+        test_g.join(train_g, "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("hit"), 1).otherwise(0)).alias("grams_in_train"),
+        )
+    )
+    base = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(doc_bucket("doc_id") >= 9)
+    )
+    n = F.coalesce(F.col("n_grams"), F.lit(0)).cast("long")
+    hits = F.coalesce(F.col("grams_in_train"), F.lit(0)).cast("long")
+    return base.join(per, "doc_id", "left").select(
+        "doc_id",
+        n.alias("n_grams"),
+        hits.alias("grams_in_train"),
+        F.when(n > 0, F.round(hits.cast("double") / n, 6))
+        .otherwise(F.lit(0.0))
+        .alias("leak_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR resampling — the EXECUTION step of `ext_dsir_weights`: keep
+# each document with probability proportional to exp(weight),
+# deterministically (fixed per-doc uniform from the portable salted
+# hash; acceptance p = exp(w - w_max) in (0, 1], so the best-matched
+# doc is always kept). Weights + resample together are the full DSIR
+# pipeline: score, then draw the domain-matched subset.
+
+_U60 = float(1 << 60)
+
+
+def _resample_oracle() -> str:
+    from .dedup import _salted_hash_sql
+
+    u = _salted_hash_sql("'rs'", "CAST(d.doc_id AS VARCHAR)")
+    return (
+        f"WITH dsir AS ({_DSIR_ORACLE}), "
+        "mx AS (SELECT max(micro_logratio) AS m FROM dsir) "
+        f"SELECT d.doc_id, d.micro_logratio, "
+        f"CAST({u} AS DOUBLE) / {_U60} "
+        "< exp((d.micro_logratio - mx.m) / 1000000.0) AS keep "
+        "FROM dsir d CROSS JOIN mx"
+    )
+
+
+@register("ext_dsir_resample", oracle=_resample_oracle())
+def ext_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling: every document kept with
+    probability exp(weight - max_weight), using a DETERMINISTIC
+    per-doc uniform (salted-md5 / 2^60) instead of an RNG — the
+    subset is a pure function of the corpus, reproducible across
+    runs, engines and partitionings (the `ext_data_split` philosophy
+    applied to probabilistic sampling). Composes `ext_dsir_weights`
+    verbatim — the oracle embeds that operator's registered SQL as a
+    CTE (the `ext_curation_scorecard` no-drift device).
+
+    Scale shape: the weight table's shuffles (see
+    `ext_dsir_weights`), plus ONE 1-row max crossJoin-broadcast and
+    a scan-local accept expression — the resample itself adds zero
+    data motion. The uniform and the acceptance threshold are each
+    single shared expression trees (exp of an exact integer
+    difference), the PMI contract class."""
+    from .dedup import _salted_hash
+
+    w = ext_dsir_weights(spark, sf_dir)
+    mx = w.agg(F.max("micro_logratio").alias("m"))
+    u = _salted_hash(F.lit("rs"), F.col("doc_id").cast("string")).cast(
+        "double"
+    ) / F.lit(_U60)
+    p = F.exp((F.col("micro_logratio") - F.col("m")) / F.lit(1000000.0))
+    return w.crossJoin(F.broadcast(mx)).select(
+        "doc_id", "micro_logratio", (u < p).alias("keep")
+    )

@@ -963,3 +963,40 @@ def test_attribution_first_touch_window_and_ties(spark):
     assert out[2].first_touch_id is None and out[2].touch_lag_us is None
     assert out[3].first_touch_id is None
     assert out[4].first_touch_id == 8
+
+
+def test_new_vs_returning_decomposition(spark):
+    """agg_new_vs_returning: day-1 actives are all new; a user seen
+    on a later day counts as returning; active = new + returning on
+    every day."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.relational import (
+        agg_new_vs_returning,
+    )
+
+    d1 = dt.datetime(2021, 3, 1, 9, 0)
+    d2 = dt.datetime(2021, 3, 2, 9, 0)
+    rows = [
+        (1, d1, 10, "view", 0.0, "{}"),
+        (2, d1, 10, "click", 0.0, "{}"),   # same user+day: one active row
+        (3, d1, 11, "view", 0.0, "{}"),
+        (4, d2, 10, "view", 0.0, "{}"),    # returning
+        (5, d2, 12, "view", 0.0, "{}"),    # new on day 2
+    ]
+    d = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_newret_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "events.parquet"))
+    out = {str(r.day): r for r in agg_new_vs_returning(spark, tmp).collect()}
+    assert out["2021-03-01"].active_users == 2
+    assert out["2021-03-01"].new_users == 2
+    assert out["2021-03-01"].returning_users == 0
+    assert out["2021-03-02"].active_users == 2
+    assert out["2021-03-02"].new_users == 1
+    assert out["2021-03-02"].returning_users == 1

@@ -843,3 +843,77 @@ def test_tokenizer_fertility_hand_arithmetic(spark):
     assert en.tokens_per_word == round(6 / 4, 6)
     de = out["de"]
     assert (de.n_docs, de.n_bytes, de.ws_tokens, de.bpe_ish_tokens) == (1, 5, 1, 1)
+
+
+def test_split_leakage_detects_planted_train_copy(spark):
+    """ext_split_leakage: a test-split doc copied from a train-split
+    doc reads leak_frac 1.0; a test doc with fresh vocabulary reads
+    0.0; val-split docs (bucket 8) never appear in the output."""
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.functions.hashing import (
+        doc_bucket,
+    )
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.text_analysis import (
+        ext_split_leakage,
+    )
+
+    probe = (
+        spark.createDataFrame([(i,) for i in range(60)], "doc_id long")
+        .select("doc_id", doc_bucket("doc_id").alias("b"))
+        .collect()
+    )
+    train_ids = [r.doc_id for r in probe if r.b < 8]
+    val_ids = [r.doc_id for r in probe if r.b == 8]
+    test_ids = [r.doc_id for r in probe if r.b == 9]
+    assert train_ids and val_ids and len(test_ids) >= 2
+    leaked = "w1 w2 w3 w4 w5 w6 w7 w8"
+    rows = [
+        (train_ids[0], leaked, "en", "s", 1),
+        (val_ids[0], "v1 v2 v3 v4 v5 v6", "en", "s", 1),
+        (test_ids[0], leaked, "en", "s", 1),                      # full leak
+        (test_ids[1], "f1 f2 f3 f4 f5 f6 f7", "en", "s", 1),      # fresh
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_leak_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "documents.parquet"))
+    out = {r.doc_id: r for r in ext_split_leakage(spark, tmp).collect()}
+    assert set(out) == {test_ids[0], test_ids[1]}
+    assert out[test_ids[0]].leak_frac == 1.0
+    assert out[test_ids[1]].leak_frac == 0.0 and out[test_ids[1]].n_grams == 3
+
+
+def test_dsir_resample_matches_manual_formula_and_keeps_argmax(spark):
+    """ext_dsir_resample: keep flags reproduce the exact manual
+    formula (salted-md5 uniform vs exp(w - w_max)) computed in pure
+    Python from the weight table, and the max-weight doc is always
+    kept (p = 1 > u)."""
+    import hashlib
+    import math
+
+    from tests.conftest import SF_SMOKE
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.text_analysis import (
+        ext_dsir_resample,
+        ext_dsir_weights,
+    )
+
+    weights = {
+        r.doc_id: r.micro_logratio for r in ext_dsir_weights(spark, SF_SMOKE).collect()
+    }
+    wmax = max(weights.values())
+    out = {r.doc_id: r.keep for r in ext_dsir_resample(spark, SF_SMOKE).collect()}
+    assert set(out) == set(weights)
+    kept = 0
+    for doc_id, w in weights.items():
+        u = int(hashlib.md5(f"rs:{doc_id}".encode()).hexdigest()[:15], 16) / float(
+            1 << 60
+        )
+        expect = u < math.exp((w - wmax) / 1e6)
+        assert out[doc_id] == expect, doc_id
+        kept += expect
+    argmax_doc = max(weights, key=lambda k: weights[k])
+    assert out[argmax_doc]
+    assert 0 < kept < len(weights)  # a real subset, not all/none
