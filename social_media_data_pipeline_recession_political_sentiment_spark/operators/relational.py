@@ -2835,3 +2835,66 @@ def agg_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------- daily-volume trend slope
+
+_TREND_ORACLE = """
+WITH daily AS (SELECT event_type,
+        CAST(epoch(date_trunc('day', ts)) // 86400 AS BIGINT) AS x,
+        CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM daily GROUP BY event_type)
+SELECT event_type, n,
+       CASE WHEN n * sxx - sx * sx <> 0
+            THEN round(CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx), 6)
+            ELSE 0.0 END AS slope_per_day,
+       round(CAST(sy AS DOUBLE) / n, 6) AS mean_daily
+FROM s
+"""
+
+
+@register("agg_trend_slope", oracle=_TREND_ORACLE)
+def agg_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type trend: the least-squares slope of daily event counts
+    over epoch-day, in events/day — growth/decay detection as ONE
+    closed-form aggregate (slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²)),
+    where `agg_ewma_volume` smooths and `agg_ingest_anomaly` flags
+    outliers, this states the direction. Integer-day x keeps every
+    moment sum an exact BIGINT; the single division rounds to 6dp
+    (the PMI contract class). Degenerate one-day series emit slope 0.
+
+    Overflow bound: x ≈ 19k epoch-days, so Σx² over a 100-year
+    per-type series stays < 2^45 · 4·10^4 ≪ 2^63; y sums are event
+    counts. At bigger x-spans, center x on its per-group min first —
+    documented, not needed at any realistic calendar span.
+
+    Scale shape: two stacked hash aggs ((type, day) → type), both
+    map-side combining; output is |types| rows. No window, no sort,
+    no collect."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / F.lit(86400))
+        .cast("long")
+        .alias("x"),
+    ).agg(F.count("*").alias("y"))
+    s = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        "event_type",
+        "n",
+        F.when(den != 0, F.round(num.cast("double") / den, 6))
+        .otherwise(F.lit(0.0))
+        .alias("slope_per_day"),
+        F.round(F.col("sy").cast("double") / F.col("n"), 6).alias("mean_daily"),
+    )

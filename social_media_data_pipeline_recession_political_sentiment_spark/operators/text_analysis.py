@@ -2731,3 +2731,63 @@ def ext_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.crossJoin(F.broadcast(mx)).select(
         "doc_id", "micro_logratio", (u < p).alias("keep")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window chunking — the RAG/retrieval indexing primitive:
+# fixed-width overlapping word windows with a stride, each chunk
+# carrying its provenance (doc, index, start) and a content hash for
+# the downstream embedding/dedup stages. `ext_dedup_cdc` cuts
+# variable chunks for DEDUP alignment; retrieval wants fixed-budget
+# overlapping spans so no answer straddles a boundary unseen.
+
+CHUNK_W = 32  # words per chunk
+CHUNK_STRIDE = 24  # 8-word overlap
+
+
+_CHUNK_ORACLE = (
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+    f"ch AS (SELECT doc_id, unnest(list_transform(range(0, (len(t) - 1) // {CHUNK_STRIDE} + 1), "
+    f"c -> {{'idx': c, 'start': c * {CHUNK_STRIDE} + 1, "
+    f"'txt': array_to_string(t[c * {CHUNK_STRIDE} + 1 : c * {CHUNK_STRIDE} + {CHUNK_W}], ' '), "
+    f"'n': len(t[c * {CHUNK_STRIDE} + 1 : c * {CHUNK_STRIDE} + {CHUNK_W}])}})) AS s FROM toks) "
+    "SELECT doc_id, CAST(s.idx AS BIGINT) AS chunk_idx, "
+    "CAST(s.start AS BIGINT) AS start_pos, CAST(s.n AS BIGINT) AS n_tokens, "
+    "md5(s.txt) AS chunk_hash FROM ch"
+)
+
+
+@register("ext_chunk_sliding", oracle=_CHUNK_ORACLE)
+def ext_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunk index: every document cut into
+    32-word chunks at stride 24 (8-word overlap), emitting
+    (doc_id, chunk_idx, start_pos, n_tokens, chunk_hash) — the table
+    a RAG pipeline embeds and a passage-dedup pass consumes. Chunk
+    text itself is reduced to an md5 IN THE EMITTING EXPRESSION, so
+    the chunk index is join-ready without carrying text.
+
+    Scale shape: pure scan-local Generate (transform + explode) —
+    ZERO shuffle; output is ~n_tokens/24 rows per doc with ~33%
+    byte overhead from overlap, the standard retrieval trade. Spark
+    `slice` and DuckDB's INCLUSIVE list slicing are aligned by
+    construction (slice(tk, start, 32) == t[start : start+31])."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    ch = F.expr(
+        f"transform(sequence(0, int((size(tk) - 1) / {CHUNK_STRIDE})), "
+        f"c -> named_struct("
+        f"'idx', cast(c as bigint), "
+        f"'start', cast(c * {CHUNK_STRIDE} + 1 as bigint), "
+        f"'txt', concat_ws(' ', slice(tk, c * {CHUNK_STRIDE} + 1, {CHUNK_W})), "
+        f"'n', cast(size(slice(tk, c * {CHUNK_STRIDE} + 1, {CHUNK_W})) as bigint)))"
+    )
+    return (
+        d.withColumn("tk", F.split("text", " "))
+        .select("doc_id", F.explode(ch).alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.idx").alias("chunk_idx"),
+            F.col("s.start").alias("start_pos"),
+            F.col("s.n").alias("n_tokens"),
+            F.md5(F.col("s.txt")).alias("chunk_hash"),
+        )
+    )

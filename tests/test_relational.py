@@ -1000,3 +1000,44 @@ def test_new_vs_returning_decomposition(spark):
     assert out["2021-03-02"].active_users == 2
     assert out["2021-03-02"].new_users == 1
     assert out["2021-03-02"].returning_users == 1
+
+
+def test_trend_slope_recovers_planted_linear_series(spark):
+    """agg_trend_slope: a perfectly linear daily series recovers its
+    slope exactly; a flat series reads slope 0; a one-day series hits
+    the degenerate-denominator guard."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    rows = []
+    eid = 0
+    base = dt.datetime(2021, 5, 1, 12, 0)
+    # "up": 1, 3, 5, 7 events on days 0..3 -> slope exactly 2/day
+    for day, n in enumerate([1, 3, 5, 7]):
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, base + dt.timedelta(days=day), 1, "up", 0.0, "{}"))
+    # "flat": 4 events/day for 3 days
+    for day in range(3):
+        for _ in range(4):
+            eid += 1
+            rows.append((eid, base + dt.timedelta(days=day), 1, "flat", 0.0, "{}"))
+    # "single": one day only
+    eid += 1
+    rows.append((eid, base, 1, "single", 0.0, "{}"))
+    d = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_trend_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "events.parquet"))
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.relational import (
+        agg_trend_slope,
+    )
+
+    out = {r.event_type: r for r in agg_trend_slope(spark, tmp).collect()}
+    assert out["up"].slope_per_day == 2.0 and out["up"].mean_daily == 4.0
+    assert out["flat"].slope_per_day == 0.0
+    assert out["single"].slope_per_day == 0.0 and out["single"].n == 1

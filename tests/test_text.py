@@ -917,3 +917,43 @@ def test_dsir_resample_matches_manual_formula_and_keeps_argmax(spark):
     argmax_doc = max(weights, key=lambda k: weights[k])
     assert out[argmax_doc]
     assert 0 < kept < len(weights)  # a real subset, not all/none
+
+
+def test_chunk_sliding_covers_doc_with_exact_overlap(spark):
+    """ext_chunk_sliding: an 80-word doc cuts into 4 chunks at starts
+    1/25/49/73 with sizes 32/32/32/8; consecutive chunks overlap by
+    exactly 8 words; a short doc yields one full-doc chunk."""
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.text_analysis import (
+        ext_chunk_sliding,
+    )
+
+    words = [f"w{i}" for i in range(1, 81)]
+    rows = [
+        (1, " ".join(words), "en", "s", 1),
+        (2, "a b c", "en", "s", 1),
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_chunk_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "documents.parquet"))
+    out = sorted(
+        (r for r in ext_chunk_sliding(spark, tmp).collect() if r.doc_id == 1),
+        key=lambda r: r.chunk_idx,
+    )
+    assert [(r.start_pos, r.n_tokens) for r in out] == [
+        (1, 32),
+        (25, 32),
+        (49, 32),
+        (73, 8),
+    ]
+    # overlap check: chunk 1 starts at word 25, chunk 0 ends at 32
+    import hashlib
+
+    c1_words = words[24 : 24 + 32]
+    assert out[1].chunk_hash == hashlib.md5(" ".join(c1_words).encode()).hexdigest()
+    short = [r for r in ext_chunk_sliding(spark, tmp).collect() if r.doc_id == 2]
+    assert len(short) == 1 and short[0].n_tokens == 3 and short[0].start_pos == 1
