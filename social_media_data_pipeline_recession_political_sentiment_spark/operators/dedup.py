@@ -54,26 +54,37 @@ def _load_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.repartition(spark.sparkContext.defaultParallelism)
 
 
+def gram_array_expr(k: int, distinct: bool = False, arr: str = "tk") -> str:
+    """THE word-k-gram array builder (SQL-expression string over a
+    pre-split token array column). Every gram-based operator —
+    shingles, dup-span, Gopher repetition, source overlap, split
+    leakage — derives from this one device so the subtle parts live
+    once:
+    - 1-based sequence / 0-based indexing: `arr[i + (o-1)]` with
+      o in range(k) shifts the 1-based sequence index down;
+    - the short-doc guard is load-bearing: sequence(1, n-k+1) with
+      n < k produces a DESCENDING sequence (Spark's sequence
+      auto-negates the step), which under ANSI array indexing
+      throws; DuckDB's range() returns empty for the same bounds.
+      Guard to empty explicitly so both engines agree: < k tokens
+      => no k-grams.
+    Direct array indexing is ~4x faster than a slice()-per-gram HOF,
+    which re-splits and allocates a sub-array per element."""
+    idx = ", ".join(f"{arr}[i + ({o - 1})]" for o in range(k))
+    body = (
+        f"transform(sequence(1, size({arr}) - {k - 1}), "
+        f"i -> concat_ws(' ', {idx}))"
+    )
+    if distinct:
+        body = f"array_distinct({body})"
+    return f"CASE WHEN size({arr}) >= {k} THEN {body} ELSE array() END"
+
+
 def _with_shingles(df: DataFrame, out: str = "sh") -> DataFrame:
     """Add a distinct word-k-gram array column (the UDTF-free shingle
-    explode: SURVEY §2.8 `udtf_explode_shingles`). Pre-splits tokens
-    once and builds each shingle by direct array indexing — ~4x faster
-    than a slice()-per-shingle HOF, which re-splits and allocates a
-    sub-array per element."""
-    idx = ", ".join(f"tk[i + ({o - 1})]" for o in range(SHINGLE_K))
-    # the short-doc guard is load-bearing: sequence(1, n-2) with n < 3
-    # produces a DESCENDING sequence (Spark's sequence auto-negates the
-    # step), which under ANSI array indexing throws; DuckDB's range()
-    # returns empty for the same bounds. Guard to empty explicitly so
-    # both engines agree: < k tokens => no k-shingles.
+    explode: SURVEY §2.8 `udtf_explode_shingles`)."""
     return df.withColumn("tk", _tokens(F.col("text"))).withColumn(
-        out,
-        F.expr(
-            f"CASE WHEN size(tk) >= {SHINGLE_K} THEN "
-            f"array_distinct(transform(sequence(1, size(tk) - {SHINGLE_K - 1}), "
-            f"i -> concat_ws(' ', {idx}))) "
-            "ELSE array() END"
-        ),
+        out, F.expr(gram_array_expr(SHINGLE_K, distinct=True))
     )
 
 
@@ -1630,15 +1641,8 @@ DUP_SPAN_K = 5  # word 5-grams, the paper's short-span regime
 
 def _dup_span_gram_expr() -> str:
     """Positional word-5-gram array (NOT distinct — every position
-    counts toward coverage). Same 1-based-sequence / 0-based-index
-    device as `_with_shingles`, same short-doc guard."""
-    idx = ", ".join(f"tk[i + ({o - 1})]" for o in range(DUP_SPAN_K))
-    return (
-        f"CASE WHEN size(tk) >= {DUP_SPAN_K} THEN "
-        f"transform(sequence(1, size(tk) - {DUP_SPAN_K - 1}), "
-        f"i -> concat_ws(' ', {idx})) "
-        "ELSE array() END"
-    )
+    counts toward coverage); `gram_array_expr` is the one device."""
+    return gram_array_expr(DUP_SPAN_K)
 
 
 _DUP_SPAN_ORACLE = (

@@ -2688,7 +2688,14 @@ def agg_decayed_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (integer-microsecond age, shared double literal for lambda), then
     summed as BIGINT — no float-summation-order term survives into
     the hash (the `ext_dsir_weights` device). |value| < 1e6 and
-    n_events/user < 1e8 keep the sum far inside int64.
+    n_events/user < 1e8 keep the sum far inside int64. Residual
+    joint: exp() itself — JVM Math.exp and DuckDB's libm are each
+    ~1-ulp accurate but not guaranteed bit-identical, so an event
+    whose product lands within 1 ulp of a .5 micro boundary
+    (~2e-10 per event) could round apart; at the driver's sf0.01
+    gate (1e4 events) that is a ~2e-6 flake probability, accepted
+    and documented rather than hidden (eliminating it needs a
+    shared softwarized exp, which no other contract here requires).
 
     Scale shape: the anchor is a 1-row scalar agg crossJoin-broadcast
     (the repo's standard scalar device); then ONE user-keyed hash agg
@@ -2745,43 +2752,83 @@ def join_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the LATEST prior row; attribution wants the FIRST inside a
     bounded lookback, so neither as-of nor lag expresses it).
 
-    Device: a RANGE-framed window over integer microseconds —
-    min(struct(us, event_id)) over [ts-7d, ts] with the conditional
-    inside the aggregate, so clicks and purchases ride ONE partition
-    pass; the struct min makes same-microsecond ties deterministic
-    (lowest event_id). Spark and DuckDB agree on struct ordering, and
-    the RANGE frame (not ROWS) makes the result independent of how
-    same-timestamp peers sort.
+    Device: the union-and-window as-of trick (`join_asof`'s device)
+    pointed FORWARD — each purchase contributes a PROBE row at its
+    lookback floor (us - 7d); clicks and probes sort DESCENDING by
+    that key (clicks first on ties, so a click exactly at the floor
+    is admitted), and a running min(struct(click_us, click_id)) over
+    the growing frame gives every probe the earliest click AT OR
+    AFTER its floor — O(n log n) per user, fully incremental,
+    entirely JVM-side. The candidate is then valid only if it also
+    sits at or before the purchase instant (inclusive: same-us
+    clicks count regardless of event_id). Two rejected alternatives,
+    for the record: min(struct) over a sliding RANGE frame re-scans
+    the frame per row (min is not invertible — O(run x frame),
+    quadratic for a user dense inside the lookback), and a per-user
+    applyInPandas searchsorted sweep pays ~5 ms of per-GROUP Python
+    overhead (measured 7+ s on 1.5k small users at sf0.1 vs ~1 s for
+    this plan).
 
-    Scale shape: one user-keyed shuffle + sort — the same motion a
-    sessionize pass costs; no self-join, no per-purchase probe. Range
-    frames evaluate incrementally over the sorted run, so a user with
-    millions of events costs its run length, not run^2. A hot user is
-    one sort run, bounded by per-user history — the `agg_sessionize_
-    batch` skew profile. Emitted lag is exact integer microseconds."""
-    e = load(spark, sf_dir, "events").select(
-        "event_id", "user_id", "ts", "event_type", F.unix_micros("ts").alias("us")
-    )
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("us")
-        .rangeBetween(-ATTR_WINDOW_US, 0)
-    )
-    ft = F.min(
-        F.when(
-            F.col("event_type") == "click",
-            F.struct(F.col("us").alias("us"), F.col("event_id").alias("id")),
-        )
-    ).over(w)
-    return (
-        e.withColumn("ft", ft)
-        .filter(F.col("event_type") == "purchase")
+    Scale shape: event_type pruned to clicks+purchases IN THE SCAN,
+    then ONE user-keyed shuffle + one sort — the sessionize motion.
+    A hot user costs its run length (growing frames evaluate
+    incrementally). Emitted lag is exact integer microseconds."""
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
         .select(
             "event_id",
             "user_id",
             "ts",
-            F.col("ft.id").alias("first_touch_id"),
-            (F.col("us") - F.col("ft.us")).alias("touch_lag_us"),
+            "event_type",
+            F.unix_micros("ts").alias("us"),
+        )
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("us").alias("key_us"),
+        F.lit(False).alias("is_probe"),
+        F.struct(F.col("us").alias("cus"), F.col("event_id").alias("cid")).alias(
+            "s"
+        ),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(None).cast("long").alias("us"),
+    )
+    probes = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        (F.col("us") - ATTR_WINDOW_US).alias("key_us"),
+        F.lit(True).alias("is_probe"),
+        F.lit(None)
+        .cast("struct<cus:bigint,cid:bigint>")
+        .alias("s"),
+        "event_id",
+        "ts",
+        "us",
+    )
+    # DESC by floor key, clicks before probes on ties => the growing
+    # frame at a probe row holds exactly the clicks with
+    # click_us >= probe floor; min(struct) ignores the probes' NULLs
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.desc("key_us"), F.asc("is_probe"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    m = F.min("s").over(w)
+    return (
+        clicks.unionByName(probes)
+        .withColumn("m", m)
+        .filter(F.col("is_probe"))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(F.col("m.cus") <= F.col("us"), F.col("m.cid")).alias(
+                "first_touch_id"
+            ),
+            F.when(F.col("m.cus") <= F.col("us"), F.col("us") - F.col("m.cus")).alias(
+                "touch_lag_us"
+            ),
         )
     )
 

@@ -1358,6 +1358,11 @@ z AS (SELECT vec_id,
 SELECT ii AS i, jj AS j,
        CAST(sum(codes[ii] * codes[jj]) AS BIGINT) AS gram
 FROM z
+-- ORACLE DIM CAP: the range(1, 256) lattice bounds checkable
+-- dimensionality at 255; with d >= 256 the oracle would silently
+-- truncate while Spark emits the full triangle (row-count mismatch,
+-- caught by the driver). Fixture d = 64; raise both 256s together
+-- if the embeddings testdata ever widens past 255 dims.
 CROSS JOIN range(1, 256) t(ii) CROSS JOIN range(1, 256) u(jj)
 WHERE ii <= len(codes) AND jj >= ii AND jj <= len(codes)
 GROUP BY ii, jj

@@ -2180,15 +2180,14 @@ def ext_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == _DSIR_TARGET_LANG).alias("is_t"),
         _tokens(F.col("text")).alias("tk"),
     )
-    bigr = (
-        "CASE WHEN size(tk) >= 2 THEN "
-        "transform(sequence(1, size(tk) - 1), i -> concat_ws(' ', tk[i - 1], tk[i])) "
-        "ELSE array() END"
-    )
+    from .dedup import gram_array_expr
+
     grams = toks.select(
         "doc_id", "is_t", F.explode_outer("tk").alias("g")
     ).unionAll(
-        toks.select("doc_id", "is_t", F.explode_outer(F.expr(bigr)).alias("g"))
+        toks.select(
+            "doc_id", "is_t", F.explode_outer(F.expr(gram_array_expr(2))).alias("g")
+        )
     ).filter(F.col("g").isNotNull())
     feat = grams.select(
         "doc_id",
@@ -2335,22 +2334,22 @@ GOPHER_DUP5_MAX = 0.15
 def _gram_cte(n: int, name: str) -> str:
     parts = " || ' ' || ".join(f"t[i+{k}]" for k in range(n))
     return (
-        f"{name} AS (SELECT doc_id, n_chars_t, unnest(list_transform("
+        f"{name} AS (SELECT doc_id, unnest(list_transform("
         f"range(1, len(t) - {n - 2}), i -> {parts})) AS g FROM toks)"
     )
 
 
 _GOPHER_ORACLE = (
-    "WITH toks AS (SELECT doc_id, length(text) AS n_chars_t, "
+    "WITH toks AS (SELECT doc_id, "
     "string_split(text, ' ') AS t FROM documents), "
     + _gram_cte(2, "g2")
-    + ", c2 AS (SELECT doc_id, n_chars_t, g, count(*) AS c FROM g2 GROUP BY ALL), "
-    "top2 AS (SELECT doc_id, max({'c': c, 'gl': length(g), 'g': g}) AS m, "
-    "any_value(n_chars_t) AS nc FROM c2 GROUP BY doc_id), "
+    + ", c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY ALL), "
+    "top2 AS (SELECT doc_id, max({'c': c, 'gl': length(g), 'g': g}) AS m "
+    "FROM c2 GROUP BY doc_id), "
     + _gram_cte(5, "g5")
-    + ", c5 AS (SELECT doc_id, n_chars_t, g, count(*) AS c FROM g5 GROUP BY ALL), "
-    "dup5 AS (SELECT doc_id, sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS mass, "
-    "any_value(n_chars_t) AS nc FROM c5 GROUP BY doc_id) "
+    + ", c5 AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY ALL), "
+    "dup5 AS (SELECT doc_id, sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS mass "
+    "FROM c5 GROUP BY doc_id) "
     "SELECT d.doc_id, "
     "round(CAST(coalesce(t.m.c * t.m.gl, 0) AS DOUBLE) / length(d.text), 6) "
     "AS top2_char_frac, "
@@ -2379,22 +2378,17 @@ def ext_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     PMI contract class)."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     d = d.repartition(spark.sparkContext.defaultParallelism)
-    toks = d.select(
-        "doc_id", F.length("text").alias("nc"), F.split("text", " ").alias("tk")
-    )
+    toks = d.select("doc_id", F.split("text", " ").alias("tk"))
+
+    from .dedup import gram_array_expr
 
     def grams(n: int):
-        idx = ", ".join(f"tk[i + ({o - 1})]" for o in range(n))
-        return F.expr(
-            f"CASE WHEN size(tk) >= {n} THEN "
-            f"transform(sequence(1, size(tk) - {n - 1}), i -> concat_ws(' ', {idx})) "
-            "ELSE array() END"
-        )
+        return F.expr(gram_array_expr(n))
 
     c2 = (
-        toks.select("doc_id", "nc", F.explode_outer(grams(2)).alias("g"))
+        toks.select("doc_id", F.explode_outer(grams(2)).alias("g"))
         .filter(F.col("g").isNotNull())
-        .groupBy("doc_id", "nc", "g")
+        .groupBy("doc_id", "g")
         .agg(F.count("*").alias("c"))
     )
     top2 = c2.groupBy("doc_id").agg(
@@ -2534,22 +2528,15 @@ def ext_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     by |sources|², not corpus size. Per-source totals are a
     |sources|-row broadcast. (Hash-for-gram equality absent 60-bit
     collisions, the `ext_dup_span_profile` caveat.)"""
-    from .dedup import _salted_hash
+    from .dedup import _salted_hash, gram_array_expr
 
     d = load(spark, sf_dir, "documents").select("source", "text")
     d = d.repartition(spark.sparkContext.defaultParallelism)
-    idx = ", ".join(f"tk[i + ({o - 1})]" for o in range(_OVERLAP_K))
     grams = (
         d.withColumn("tk", F.split("text", " "))
         .select(
             "source",
-            F.explode_outer(
-                F.expr(
-                    f"CASE WHEN size(tk) >= {_OVERLAP_K} THEN "
-                    f"transform(sequence(1, size(tk) - {_OVERLAP_K - 1}), "
-                    f"i -> concat_ws(' ', {idx})) ELSE array() END"
-                )
-            ).alias("g"),
+            F.explode_outer(F.expr(gram_array_expr(_OVERLAP_K))).alias("g"),
         )
         .filter(F.col("g").isNotNull())
         .select("source", _salted_hash(F.lit("ov"), F.col("g")).alias("gh"))
@@ -2626,12 +2613,11 @@ def ext_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape (`ext_dedup_incremental_bloom`'s filter would front it).
     No pair space: a test doc never meets a train DOC, only the gram
     set. (Hash-equality caveat as `ext_dup_span_profile`.)"""
-    from .dedup import _salted_hash
+    from .dedup import _salted_hash, gram_array_expr
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     d = d.repartition(spark.sparkContext.defaultParallelism)
     bucket = doc_bucket("doc_id")
-    idx = ", ".join(f"tk[i + ({o - 1})]" for o in range(_LEAK_K))
     sg = (
         d.withColumn("b", bucket)
         .withColumn("tk", F.split("text", " "))
@@ -2639,11 +2625,7 @@ def ext_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "b",
             F.explode_outer(
-                F.expr(
-                    f"CASE WHEN size(tk) >= {_LEAK_K} THEN "
-                    f"array_distinct(transform(sequence(1, size(tk) - {_LEAK_K - 1}), "
-                    f"i -> concat_ws(' ', {idx}))) ELSE array() END"
-                )
+                F.expr(gram_array_expr(_LEAK_K, distinct=True))
             ).alias("g"),
         )
         .filter(F.col("g").isNotNull())
@@ -2745,16 +2727,24 @@ CHUNK_W = 32  # words per chunk
 CHUNK_STRIDE = 24  # 8-word overlap
 
 
-_CHUNK_ORACLE = (
-    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
-    f"ch AS (SELECT doc_id, unnest(list_transform(range(0, (len(t) - 1) // {CHUNK_STRIDE} + 1), "
-    f"c -> {{'idx': c, 'start': c * {CHUNK_STRIDE} + 1, "
-    f"'txt': array_to_string(t[c * {CHUNK_STRIDE} + 1 : c * {CHUNK_STRIDE} + {CHUNK_W}], ' '), "
-    f"'n': len(t[c * {CHUNK_STRIDE} + 1 : c * {CHUNK_STRIDE} + {CHUNK_W}])}})) AS s FROM toks) "
-    "SELECT doc_id, CAST(s.idx AS BIGINT) AS chunk_idx, "
-    "CAST(s.start AS BIGINT) AS start_pos, CAST(s.n AS BIGINT) AS n_tokens, "
-    "md5(s.txt) AS chunk_hash FROM ch"
-)
+def _chunk_oracle() -> str:
+    W, S = CHUNK_W, CHUNK_STRIDE
+    start = f"least(c * {S} + 1, greatest(len(t) - {W} + 1, 1))"
+    sl = f"t[{start} : {start} + {W} - 1]"
+    return (
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+        f"cnt AS (SELECT doc_id, t, CASE WHEN len(t) <= {W} THEN 1 "
+        f"ELSE (len(t) - {W} + {S} - 1) // {S} + 1 END AS nch FROM toks), "
+        "ch AS (SELECT doc_id, unnest(list_transform(range(0, nch), "
+        f"c -> {{'idx': c, 'start': {start}, "
+        f"'txt': array_to_string({sl}, ' '), 'n': len({sl})}})) AS s FROM cnt) "
+        "SELECT doc_id, CAST(s.idx AS BIGINT) AS chunk_idx, "
+        "CAST(s.start AS BIGINT) AS start_pos, CAST(s.n AS BIGINT) AS n_tokens, "
+        "md5(s.txt) AS chunk_hash FROM ch"
+    )
+
+
+_CHUNK_ORACLE = _chunk_oracle()
 
 
 @register("ext_chunk_sliding", oracle=_CHUNK_ORACLE)
@@ -2764,7 +2754,11 @@ def ext_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, chunk_idx, start_pos, n_tokens, chunk_hash) — the table
     a RAG pipeline embeds and a passage-dedup pass consumes. Chunk
     text itself is reduced to an md5 IN THE EMITTING EXPRESSION, so
-    the chunk index is join-ready without carrying text.
+    the chunk index is join-ready without carrying text. The FINAL
+    chunk is right-aligned to the document end (start clamped to
+    n-W+1), so every chunk carries new coverage and none is a strict
+    subset of its predecessor — the degenerate-tail defect the naive
+    while-start<=n cut produces.
 
     Scale shape: pure scan-local Generate (transform + explode) —
     ZERO shuffle; output is ~n_tokens/24 rows per doc with ~33%
@@ -2772,13 +2766,16 @@ def ext_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     `slice` and DuckDB's INCLUSIVE list slicing are aligned by
     construction (slice(tk, start, 32) == t[start : start+31])."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    W, S = CHUNK_W, CHUNK_STRIDE
+    start = f"least(c * {S} + 1, greatest(size(tk) - {W} + 1, 1))"
     ch = F.expr(
-        f"transform(sequence(0, int((size(tk) - 1) / {CHUNK_STRIDE})), "
+        f"transform(sequence(0, (CASE WHEN size(tk) <= {W} THEN 1 "
+        f"ELSE (size(tk) - {W} + {S} - 1) div {S} + 1 END) - 1), "
         f"c -> named_struct("
         f"'idx', cast(c as bigint), "
-        f"'start', cast(c * {CHUNK_STRIDE} + 1 as bigint), "
-        f"'txt', concat_ws(' ', slice(tk, c * {CHUNK_STRIDE} + 1, {CHUNK_W})), "
-        f"'n', cast(size(slice(tk, c * {CHUNK_STRIDE} + 1, {CHUNK_W})) as bigint)))"
+        f"'start', cast({start} as bigint), "
+        f"'txt', concat_ws(' ', slice(tk, {start}, {W})), "
+        f"'n', cast(size(slice(tk, {start}, {W})) as bigint)))"
     )
     return (
         d.withColumn("tk", F.split("text", " "))

@@ -950,6 +950,10 @@ def test_attribution_first_touch_window_and_ties(spark):
         (9, t0 - day, 4, "click", 0.0, "{}"),
         (8, t0 - day, 4, "click", 0.0, "{}"),
         (10, t0, 4, "purchase", 9.0, "{}"),
+        # user 5: the only click is at EXACTLY the purchase instant
+        # with a HIGHER event_id — the inclusive frame must admit it
+        (11, t0, 5, "purchase", 9.0, "{}"),
+        (12, t0, 5, "click", 0.0, "{}"),
     ]
     d = spark.createDataFrame(
         rows,
@@ -963,6 +967,7 @@ def test_attribution_first_touch_window_and_ties(spark):
     assert out[2].first_touch_id is None and out[2].touch_lag_us is None
     assert out[3].first_touch_id is None
     assert out[4].first_touch_id == 8
+    assert out[5].first_touch_id == 12 and out[5].touch_lag_us == 0
 
 
 def test_new_vs_returning_decomposition(spark):

@@ -920,9 +920,11 @@ def test_dsir_resample_matches_manual_formula_and_keeps_argmax(spark):
 
 
 def test_chunk_sliding_covers_doc_with_exact_overlap(spark):
-    """ext_chunk_sliding: an 80-word doc cuts into 4 chunks at starts
-    1/25/49/73 with sizes 32/32/32/8; consecutive chunks overlap by
-    exactly 8 words; a short doc yields one full-doc chunk."""
+    """ext_chunk_sliding: an 80-word doc cuts into 3 full chunks at
+    starts 1/25/49 (the last right-aligned chunk covers through word
+    80 — no degenerate subset tail); a short doc yields one full-doc
+    chunk; a doc needing clamping (n=90) right-aligns its tail at
+    n-W+1=59."""
     import os
     import tempfile
 
@@ -948,7 +950,6 @@ def test_chunk_sliding_covers_doc_with_exact_overlap(spark):
         (1, 32),
         (25, 32),
         (49, 32),
-        (73, 8),
     ]
     # overlap check: chunk 1 starts at word 25, chunk 0 ends at 32
     import hashlib
@@ -957,3 +958,19 @@ def test_chunk_sliding_covers_doc_with_exact_overlap(spark):
     assert out[1].chunk_hash == hashlib.md5(" ".join(c1_words).encode()).hexdigest()
     short = [r for r in ext_chunk_sliding(spark, tmp).collect() if r.doc_id == 2]
     assert len(short) == 1 and short[0].n_tokens == 3 and short[0].start_pos == 1
+    # clamping case: 90 words -> starts 1, 25, 49, then 59 (=90-32+1)
+    rows90 = [(3, " ".join(f"v{i}" for i in range(90)), "en", "s", 1)]
+    d90 = spark.createDataFrame(
+        rows90, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    tmp90 = tempfile.mkdtemp(prefix="smdp_chunk90_")
+    d90.coalesce(1).write.parquet(os.path.join(tmp90, "documents.parquet"))
+    out90 = sorted(
+        ext_chunk_sliding(spark, tmp90).collect(), key=lambda r: r.chunk_idx
+    )
+    assert [(r.start_pos, r.n_tokens) for r in out90] == [
+        (1, 32),
+        (25, 32),
+        (49, 32),
+        (59, 32),
+    ]

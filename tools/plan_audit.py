@@ -693,13 +693,16 @@ AUDIT = {
         "billion-vector scale",
     ),
     "join_attribution_first_touch": (
-        "ONE Exchange on user_id + Sort on (user_id, us), a single "
-        "Window with a RANGE frame evaluating min(struct) "
-        "incrementally, then the purchase filter projects the "
-        "credited touch",
-        "attribution without a self-join: clicks and purchases ride "
-        "the same partition pass; cost is the user-keyed sort a "
-        "sessionize already pays",
+        "event_type IN (click, purchase) pushed into both scan "
+        "branches, Union, ONE Exchange on user_id + Sort "
+        "(key_us DESC, is_probe), a single Window with a GROWING "
+        "frame (unbounded preceding) evaluating the running "
+        "min(struct) incrementally",
+        "attribution in O(n log n) per user entirely JVM-side: the "
+        "growing frame is incremental where the sliding-RANGE-frame "
+        "min would re-scan per row (min is not invertible, "
+        "O(run x frame)); probe-at-floor rows turn first-in-window "
+        "into a suffix min",
     ),
     "ext_gopher_repetition": (
         "two gram Generates each feeding (doc, gram)-keyed "
