@@ -2945,3 +2945,64 @@ def agg_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("slope_per_day"),
         F.round(F.col("sy").cast("double") / F.col("n"), 6).alias("mean_daily"),
     )
+
+
+# --------------------------------------------- winsorization bounds
+
+# both engines ROUND the bound to 6dp BEFORE clipping, so the clip
+# counts are defined against the identical double on both sides (a
+# value between the rounded and unrounded bound must not split them)
+_WINSOR_ORACLE = """
+WITH b AS (SELECT event_type, round(quantile_cont(value, 0.01), 6) AS p01,
+             round(quantile_cont(value, 0.99), 6) AS p99
+           FROM events GROUP BY event_type)
+SELECT e.event_type, b.p01, b.p99,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN e.value < b.p01 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clip_low,
+       CAST(sum(CASE WHEN e.value > b.p99 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clip_high
+FROM events e JOIN b ON e.event_type = b.event_type
+GROUP BY e.event_type, b.p01, b.p99
+"""
+
+
+@register("agg_winsorize_bounds", oracle=_WINSOR_ORACLE)
+def agg_winsorize_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization audit: per event type, the exact p1/p99 clipping
+    bounds plus how many values each tail would clip — the robust-
+    feature-prep report that precedes outlier-sensitive training
+    (clipped COUNTS are emitted, not clipped sums, so the whole
+    contract stays integer-exact beyond the two interpolated bounds —
+    `agg_percentiles`' bit-parity device, rounded 6dp).
+
+    Scale shape: one type-keyed exact-percentile agg over the
+    (bounded-cardinality) type domain, broadcast back onto the scan
+    for a second map-side counting agg — two passes, no window, no
+    sort outside the percentile itself; at 100 TB the bounds pass
+    runs `percentile_approx` (GK sketch) exactly as `agg_percentiles`
+    documents, and the counting pass is unchanged."""
+    e = load(spark, sf_dir, "events")
+    b = e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.01)"), 6).alias("p01"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+    # join on the UNROUNDED comparison domain? No: bounds are rounded
+    # identically on both engines BEFORE the comparison, so the clip
+    # counts are computed against the same rounded bound everywhere.
+    return (
+        e.join(F.broadcast(b), "event_type")
+        .groupBy("event_type", "p01", "p99")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(F.col("value") < F.col("p01"), 1).otherwise(0)).alias(
+                "n_clip_low"
+            ),
+            F.sum(F.when(F.col("value") > F.col("p99"), 1).otherwise(0)).alias(
+                "n_clip_high"
+            ),
+        )
+        .select(
+            "event_type", "p01", "p99", "n_events", "n_clip_low", "n_clip_high"
+        )
+    )

@@ -271,3 +271,44 @@ def udaf_value_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").agg(
         _value_range(F.col("value")).alias("vrange")
     )
+
+
+# ------------------------------- homoglyph/confusable folding
+
+# minimal high-frequency confusable table (Cyrillic + Greek letters
+# that render identically to Latin): the spam/evasion normalizer run
+# before any dedup or blocklist match — "viаgra" with a Cyrillic а
+# must collide with "viagra". Table deliberately small + auditable;
+# a production deployment loads the full Unicode confusables list
+# through the same translate() seam.
+_CONF_FROM = "аеорсѕіху" + "οενραβ"
+_CONF_TO = "aeopcsixy" + "oevpab"
+
+
+@register(
+    "fn_confusable_fold",
+    oracle=(
+        f"SELECT doc_id, translate(text, '{_CONF_FROM}', '{_CONF_TO}') AS folded, "
+        f"translate(text, '{_CONF_FROM}', '{_CONF_TO}') <> text AS changed "
+        "FROM documents"
+    ),
+)
+def fn_confusable_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Homoglyph folding: map visually-identical Cyrillic/Greek
+    letters onto their Latin ASCII confusables (translate(), a
+    single codegen'd char-map pass) and flag documents that
+    changed — the canonicalization gate in front of exact dedup,
+    blocklists, and URL matching, where one substituted glyph
+    otherwise defeats the hash. Complements `fn_unicode_nfc`
+    (canonical equivalence) with the SECURITY equivalence NFC
+    deliberately preserves.
+
+    Scale shape: scan-local, zero shuffle, zero Python — a map
+    stage that fuses into whatever runs next."""
+    d = load(spark, sf_dir, "documents")
+    folded = F.translate(F.col("text"), _CONF_FROM, _CONF_TO)
+    return d.select(
+        "doc_id",
+        folded.alias("folded"),
+        (folded != F.col("text")).alias("changed"),
+    )

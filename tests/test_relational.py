@@ -1046,3 +1046,33 @@ def test_trend_slope_recovers_planted_linear_series(spark):
     assert out["up"].slope_per_day == 2.0 and out["up"].mean_daily == 4.0
     assert out["flat"].slope_per_day == 0.0
     assert out["single"].slope_per_day == 0.0 and out["single"].n == 1
+
+
+def test_winsorize_bounds_clip_counts(spark):
+    """agg_winsorize_bounds: on 100 evenly spaced values the p1/p99
+    bounds interpolate at 1.99/99.01 and exactly one value falls
+    outside each tail."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.relational import (
+        agg_winsorize_bounds,
+    )
+
+    t0 = dt.datetime(2021, 1, 1)
+    rows = [
+        (i, t0, 1, "e", float(i), "{}") for i in range(1, 101)
+    ]
+    d = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_winsor_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "events.parquet"))
+    out = agg_winsorize_bounds(spark, tmp).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.p01 == round(1 + 0.01 * 99, 6) and r.p99 == round(1 + 0.99 * 99, 6)
+    assert r.n_events == 100 and r.n_clip_low == 1 and r.n_clip_high == 1

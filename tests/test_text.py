@@ -974,3 +974,31 @@ def test_chunk_sliding_covers_doc_with_exact_overlap(spark):
         (49, 32),
         (59, 32),
     ]
+
+
+def test_confusable_fold_normalizes_homoglyph_spam(spark):
+    """fn_confusable_fold: Cyrillic homoglyph spam folds onto its
+    Latin form (and collides with it under exact dedup's hash);
+    clean ASCII passes through unchanged."""
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.scalar_fns import (
+        fn_confusable_fold,
+    )
+
+    spam = "viаgra sеll"  # Cyrillic а and е
+    rows = [
+        (1, spam, "en", "s", 1),
+        (2, "viagra sell", "en", "s", 1),
+        (3, "ordinary text", "en", "s", 1),
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_conf_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "documents.parquet"))
+    out = {r.doc_id: r for r in fn_confusable_fold(spark, tmp).collect()}
+    assert out[1].changed and out[1].folded == "viagra sell"
+    assert out[1].folded == out[2].folded  # dedup collision restored
+    assert not out[2].changed and not out[3].changed
