@@ -3002,7 +3002,4 @@ def agg_winsorize_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_clip_high"
             ),
         )
-        .select(
-            "event_type", "p01", "p99", "n_events", "n_clip_low", "n_clip_high"
-        )
     )
