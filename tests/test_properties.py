@@ -835,3 +835,37 @@ def test_gini_two_phase_matches_closed_form_property(spark, user_specs):
         assert got.gini == float(2 * wsum - (n + 1) * tot) / float(n * tot)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+_words = st.lists(
+    st.text(alphabet="abcxyz", min_size=1, max_size=4), min_size=0, max_size=12
+)
+
+
+@given(_words, st.sampled_from([2, 3, 5]), st.booleans())
+@settings(**_SETTINGS)
+def test_gram_array_expr_matches_python_reference(spark, words, k, distinct):
+    """The consolidated word-k-gram builder (six operators depend on
+    it) must agree with the obvious Python reference for arbitrary
+    token lists, every k, and both distinct-nesses — including docs
+    shorter than k (empty result, not a crash: the descending-
+    sequence guard)."""
+    from pyspark.sql import functions as F
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.dedup import (
+        gram_array_expr,
+    )
+
+    text = " ".join(words)
+    # split(' ') semantics: '' yields ['']
+    toks = text.split(" ")
+    ref = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    if distinct:
+        ref = list(dict.fromkeys(ref))
+    df = spark.createDataFrame([(text,)], "text string").withColumn(
+        "tk", F.split("text", " ")
+    )
+    got = df.select(
+        F.expr(gram_array_expr(k, distinct=distinct)).alias("g")
+    ).collect()[0].g
+    assert got == ref
