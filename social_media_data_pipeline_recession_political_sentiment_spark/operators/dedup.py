@@ -1915,3 +1915,87 @@ def ext_dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken 2003 —
+# the MOSS algorithm): from the rolling k-gram hash stream, keep the
+# minimum hash of every w-gram window (rightmost on ties). Guarantees
+# any shared substring of length >= w+k-1 words contributes at least
+# one IDENTICAL selected fingerprint to both documents, at ~2/(w+1)
+# the density of the full gram stream — the principled way to shrink
+# `ext_fingerprint`-style indexes without losing match coverage
+# (`ext_dedup_cdc` bounds chunk size probabilistically; winnowing
+# bounds the maximum unfingerprinted gap EXACTLY at w).
+
+WINNOW_K = 3  # word k-grams
+WINNOW_W = 4  # window of consecutive gram positions
+
+
+_WINNOW_ORACLE = (
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+    f"pw AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - {WINNOW_K - 2}), "
+    "i -> {'pos': i, 'g': t[i] || ' ' || t[i+1] || ' ' || t[i+2]})) AS s FROM toks), "
+    f"h AS (SELECT doc_id, s.pos AS pos, {_salted_hash_sql(chr(39) + 'wn' + chr(39), 's.g')} AS gh, "
+    "count(*) OVER (PARTITION BY doc_id) AS m FROM pw), "
+    "sel AS (SELECT doc_id, m, "
+    f"min({{'h': gh, 'negpos': -pos}}) OVER (PARTITION BY doc_id ORDER BY pos "
+    f"ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS w, pos FROM h) "
+    f"SELECT DISTINCT doc_id, CAST(w.h AS BIGINT) AS fp, CAST(-w.negpos AS BIGINT) AS pos "
+    f"FROM sel WHERE pos >= least({WINNOW_W}, m)"
+)
+
+
+@register("ext_fingerprint_winnow", oracle=_WINNOW_ORACLE)
+def ext_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed document fingerprints: (doc_id, fp, pos) rows where
+    fp is the minimum 60-bit gram hash of each w=4 window over the
+    word-3-gram stream, rightmost-on-ties (min(struct(h, -pos))) —
+    MOSS's guarantee that matching passages of >= w+k-1 words always
+    share a fingerprint, at a fraction of the gram-index cost.
+    Documents with fewer than w grams contribute their single global
+    minimum (the clipped first full window).
+
+    Scale shape: grams hash in the scan; ONE doc-keyed window with a
+    bounded ROWS frame — w is a CONSTANT (4), so the non-invertible
+    min costs O(m x w) per doc with w fixed, linear in practice and
+    per-doc-bounded (no global sort). The DISTINCT collapse of
+    adjacent windows selecting the same gram is the density
+    guarantee, and the output shuffles 8-byte fingerprints."""
+    from pyspark.sql import Window as W
+
+    d = _load_docs(spark, sf_dir)
+    pw = d.withColumn("tk", _tokens(F.col("text"))).select(
+        "doc_id",
+        F.posexplode(F.expr(gram_array_expr(WINNOW_K))).alias("pos0", "g"),
+    )
+    h = pw.select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        _salted_hash(F.lit("wn"), F.col("g")).alias("gh"),
+        F.count("*").over(W.partitionBy("doc_id")).alias("m"),
+    )
+    win = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(WINNOW_W - 1), 0)
+    )
+    sel = h.select(
+        "doc_id",
+        "pos",
+        "m",
+        F.min(
+            F.struct(F.col("gh").alias("h"), (-F.col("pos")).alias("negpos"))
+        )
+        .over(win)
+        .alias("w"),
+    )
+    return (
+        sel.filter(F.col("pos") >= F.least(F.lit(WINNOW_W), F.col("m")))
+        .select(
+            "doc_id",
+            F.col("w.h").alias("fp"),
+            (-F.col("w.negpos")).alias("pos"),
+        )
+        .distinct()
+    )

@@ -663,3 +663,29 @@ def test_bloom_incremental_never_misses_and_reports_fp(spark):
         assert r.false_positive == (r.maybe_dup and not r.dup_of_base)
         if r.dup_of_base:
             assert r.maybe_dup  # bloom soundness: no false negatives
+
+
+def test_winnowing_guarantee_shared_passage_shares_fingerprint(spark):
+    """Winnowing's theorem: two docs sharing a passage of at least
+    w+k-1 (=6) words must share at least one selected fingerprint at
+    the same relative content; unrelated docs share none; and gap
+    bound — consecutive selected positions within a doc differ by at
+    most w."""
+    shared = "p1 p2 p3 p4 p5 p6 p7 p8"  # 8 words >= w+k-1
+    rows = [
+        (1, "aa bb " + shared + " cc dd ee", "en", "s", 1),
+        (2, shared + " zz yy xx ww vv uu", "en", "s", 1),
+        (3, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10", "en", "s", 1),
+    ]
+    tmp = _docs_view(spark, rows)
+    out = queries()["ext_fingerprint_winnow"](spark, tmp).collect()
+    fps = {}
+    for r in out:
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[1] & fps[2], "shared passage must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    # gap bound: within a doc, selected gram positions are never more
+    # than w apart (the winnowing density guarantee)
+    for doc in (1, 2, 3):
+        pos = sorted(r.pos for r in out if r.doc_id == doc)
+        assert all(b - a <= 4 for a, b in zip(pos, pos[1:])), (doc, pos)
