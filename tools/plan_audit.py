@@ -741,6 +741,24 @@ AUDIT = {
         "pays before the exact join is its own per-doc agg; filter "
         "size is a constant M independent of corpus size",
     ),
+    "ext_fingerprint_winnow": (
+        "gram hash in the scan projection, ONE Exchange on doc_id + "
+        "Sort on (doc_id, pos), a single Window whose ROWS frame is "
+        "the CONSTANT w=4, then the distinct collapse",
+        "winnowing's sliding min pays O(m x w) with w fixed — the "
+        "non-invertible-min hazard is bounded by the algorithm's own "
+        "constant, unlike a data-dependent RANGE frame; per-doc "
+        "partitioning means no global sort at any corpus size",
+    ),
+    "ext_split_leakage": (
+        "per-doc DISTINCT gram hashes (two-phase HashAggregate) on "
+        "both branches of the SAME scan subtree, train side reduced "
+        "to a distinct gram set, ONE 8-byte-key hash join, doc-keyed "
+        "rollup",
+        "leakage audit with no doc-pair space: a test doc meets the "
+        "train GRAM SET, never train documents — the join's key "
+        "cardinality is corpus vocabulary, not corpus size squared",
+    ),
     "ext_dedup_cdc": (
         "posexplode Generate -> per-doc running-sum Window (bounded "
         "by doc length) -> chunk-assembling HashAggregate that "
