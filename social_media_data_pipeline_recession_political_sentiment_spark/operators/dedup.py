@@ -311,12 +311,10 @@ _MINHASH_ORACLE = (
 )
 
 
-def _minhash_candidates(sh: DataFrame) -> DataFrame:
-    """Banded-MinHash candidate pairs (doc_a < doc_b, distinct) from
-    (doc_id, s) shingle rows — the sub-quadratic candidate generator
-    shared by `ext_dedup_minhash` (standalone, oracle-checked) and
-    `ext_dedup_pipeline_minhash` (composed into the production dedup
-    chain). See `ext_dedup_minhash` for the physical-shape notes."""
+def _banded_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_hash) banded-MinHash rows from
+    (doc_id, s) shingle rows — the signature+banding core shared by
+    the candidate miner and the bucket census."""
     h1 = _salted_hash(F.lit("1"), F.col("s"))
     h2 = _salted_hash(F.lit("2"), F.col("s")) % F.lit(_MH_STEP_MOD)
     hashed = sh.select("doc_id", h1.alias("h1"), h2.alias("h2"))
@@ -339,9 +337,18 @@ def _minhash_candidates(sh: DataFrame) -> DataFrame:
             for b in range(N_BANDS)
         ]
     )
-    banded = sigs.select(
+    return sigs.select(
         "doc_id", F.posexplode(bands).alias("band_id", "band_hash")
     )
+
+
+def _minhash_candidates(sh: DataFrame) -> DataFrame:
+    """Banded-MinHash candidate pairs (doc_a < doc_b, distinct) from
+    (doc_id, s) shingle rows — the sub-quadratic candidate generator
+    shared by `ext_dedup_minhash` (standalone, oracle-checked) and
+    `ext_dedup_pipeline_minhash` (composed into the production dedup
+    chain). See `ext_dedup_minhash` for the physical-shape notes."""
+    banded = _banded_signatures(sh)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -1998,4 +2005,106 @@ def ext_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-F.col("w.negpos")).alias("pos"),
         )
         .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH parameter planner: for every (bands, rows) factorization of the
+# signature budget, the collision S-curve p(s) = 1 - (1 - s^r)^b
+# evaluated at the operating threshold's shoulders — the knob table an
+# engineer reads BEFORE committing a banding to a 100 TB dedup run
+# (`ext_dedup_minhash_eval` measures the curve empirically AFTER; this
+# derives it analytically for every available knob).
+
+LSH_PLAN_TAU = 0.5  # operating similarity threshold to plan around
+
+
+_LSH_PLAN_ORACLE = f"""
+WITH cfg AS (SELECT unnest([1, 2, 4, 8, 16]) AS b),
+p AS (SELECT b, {N_MINHASH} // b AS r FROM cfg)
+SELECT b AS bands, r AS rows_per_band,
+       round(1 - pow(1 - pow({LSH_PLAN_TAU} - 0.2, r), b), 6) AS p_below,
+       round(1 - pow(1 - pow({LSH_PLAN_TAU}, r), b), 6) AS p_at_tau,
+       round(1 - pow(1 - pow({LSH_PLAN_TAU} + 0.2, r), b), 6) AS p_above,
+       round((1 - pow(1 - pow({LSH_PLAN_TAU} + 0.2, r), b))
+             - (1 - pow(1 - pow({LSH_PLAN_TAU} - 0.2, r), b)), 6) AS separation
+FROM p
+"""
+
+
+@register("ext_lsh_param_plan", oracle=_LSH_PLAN_ORACLE)
+def ext_lsh_param_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic LSH banding plan: for each (b, r) with b x r = 16
+    (the signature budget `ext_dedup_minhash` actually uses), the
+    collision probability at tau-0.2 / tau / tau+0.2 and the
+    shoulder separation — pick the row whose separation is largest
+    for a sharp cut, or bias p_below down for precision. Pure
+    engine-evaluated arithmetic (pow over a 5-row literal grid), so
+    it also doubles as a pow() parity probe between the engines
+    (single shared expression trees, 6dp — the PMI contract class).
+
+    Scale: a 5-row constant-folded query; the VALUE is that the
+    knob decision for a petabyte dedup is derived inside the same
+    engine, versioned with the code that uses it."""
+    cfg = spark.createDataFrame([(b,) for b in (1, 2, 4, 8, 16)], "b int")
+    r = (F.lit(N_MINHASH) / F.col("b")).cast("int")
+
+    def p_at(s: float):
+        return 1 - F.pow(1 - F.pow(F.lit(s), r.cast("double")), F.col("b").cast("double"))
+
+    lo, mid, hi = LSH_PLAN_TAU - 0.2, LSH_PLAN_TAU, LSH_PLAN_TAU + 0.2
+    return cfg.select(
+        F.col("b").cast("int").alias("bands"),
+        r.alias("rows_per_band"),
+        F.round(p_at(lo), 6).alias("p_below"),
+        F.round(p_at(mid), 6).alias("p_at_tau"),
+        F.round(p_at(hi), 6).alias("p_above"),
+        F.round(p_at(hi) - p_at(lo), 6).alias("separation"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH bucket-occupancy census: the health check run on a banded index
+# before mining — a bucket of size m yields C(m,2) candidate pairs,
+# so one viral bucket IS the runtime; this histogram is how that gets
+# caught (and how LSH_BUCKET_CAP-style salting thresholds are chosen)
+# before a petabyte job is launched.
+
+_LSH_CENSUS_ORACLE = (
+    f"WITH {_SHINGLE_CTE}, {_MH_CAND_CTES}, "
+    "bs AS (SELECT band_id, band_hash, count(*) AS bucket_size "
+    "FROM banded GROUP BY band_id, band_hash) "
+    "SELECT CAST(band_id AS INT) AS band_id, CAST(bucket_size AS BIGINT) AS bucket_size, "
+    "CAST(count(*) AS BIGINT) AS n_buckets, "
+    "CAST(count(*) * bucket_size * (bucket_size - 1) / 2 AS BIGINT) AS pair_cost "
+    "FROM bs GROUP BY band_id, bucket_size"
+)
+
+
+@register("ext_lsh_bucket_census", oracle=_LSH_CENSUS_ORACLE)
+def ext_lsh_bucket_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-size histogram of the banded MinHash index
+    (`ext_dedup_minhash`'s own bands, via the shared
+    `_banded_signatures` core — the census can never drift from the
+    miner): per (band, bucket_size), how many buckets and the
+    candidate-pair cost they imply (n x C(size, 2)). A heavy tail
+    here means salt-or-cap before mining; `ext_lsh_param_plan` picks
+    the banding, this audits what the data did with it.
+
+    Scale shape: two stacked hash aggs over (band, band_hash) then
+    (band, size) — the same keys the miner itself groups on, compact
+    32-byte bucket keys, map-side combine throughout, output bounded
+    by bands x distinct sizes. Strictly cheaper than the mining join
+    it de-risks."""
+    banded = _banded_signatures(_exploded_shingles(spark, sf_dir))
+    bs = banded.groupBy("band_id", "band_hash").agg(
+        F.count("*").alias("bucket_size")
+    )
+    return bs.groupBy("band_id", "bucket_size").agg(
+        F.count("*").alias("n_buckets"),
+        (
+            F.count("*") * F.col("bucket_size") * (F.col("bucket_size") - 1) / 2
+        )
+        .cast("long")
+        .alias("pair_cost"),
     )

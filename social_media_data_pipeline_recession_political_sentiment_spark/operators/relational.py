@@ -3003,3 +3003,58 @@ def agg_winsorize_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------- Benford first-digit audit
+
+_BENFORD_ORACLE = """
+WITH v AS (SELECT CAST(floor(abs(value) / pow(10, floor(ln(abs(value)) / ln(10))))
+             AS BIGINT) AS digit
+           FROM events WHERE value <> 0),
+c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM v GROUP BY digit),
+t AS (SELECT sum(n_obs) AS n_tot FROM c)
+SELECT c.digit, c.n_obs,
+       CAST(round(t.n_tot * ln(1.0 + 1.0 / c.digit) / ln(10.0)) AS BIGINT)
+         AS benford_expected,
+       round(CAST(c.n_obs AS DOUBLE) / t.n_tot, 6) AS obs_share
+FROM c CROSS JOIN t
+"""
+
+
+@register("agg_benford_audit", oracle=_BENFORD_ORACLE)
+def agg_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit over event values:
+    observed count per leading digit beside the Benford-law expected
+    count — the classic synthetic-data / fraud / instrumentation-bug
+    tripwire (organically generated magnitudes follow
+    P(d) = log10(1 + 1/d); uniform or fabricated ones don't, as this
+    fixture's uniform values visibly demonstrate). Expected counts
+    are rounded ONCE from a shared expression tree into exact
+    BIGINTs; the per-digit share is one rounded division (PMI
+    class). Zero values are excluded (no leading digit); the digit
+    itself is exact floor/log arithmetic identical on both engines.
+
+    Scale shape: scan-local digit extraction, ONE 9-key hash agg
+    with map-side combine, 1-row total crossJoin-broadcast — a
+    constant-size audit at any corpus scale."""
+    e = load(spark, sf_dir, "events").filter(F.col("value") != 0)
+    digit = F.floor(
+        F.abs(F.col("value"))
+        / F.pow(F.lit(10.0), F.floor(F.log(F.abs(F.col("value"))) / F.log(F.lit(10.0))))
+    ).cast("long")
+    c = e.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n_obs")
+    )
+    t = c.agg(F.sum("n_obs").alias("n_tot"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n_obs",
+        F.round(
+            F.col("n_tot") * F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+        )
+        .cast("long")
+        .alias("benford_expected"),
+        F.round(F.col("n_obs").cast("double") / F.col("n_tot"), 6).alias(
+            "obs_share"
+        ),
+    )

@@ -689,3 +689,23 @@ def test_winnowing_guarantee_shared_passage_shares_fingerprint(spark):
     for doc in (1, 2, 3):
         pos = sorted(r.pos for r in out if r.doc_id == doc)
         assert all(b - a <= 4 for a, b in zip(pos, pos[1:])), (doc, pos)
+
+
+def test_lsh_bucket_census_reconciles_with_candidates(spark):
+    """Census/miner consistency (shared banded core): total candidate
+    pair cost across the histogram upper-bounds the distinct pairs
+    the miner emits, and per-band bucket sizes sum to the doc count."""
+    from tests.conftest import SF_SMOKE
+
+    census = queries()["ext_lsh_bucket_census"](spark, SF_SMOKE).collect()
+    pairs = queries()["ext_dedup_minhash"](spark, SF_SMOKE).count()
+    total_cost = sum(r.pair_cost for r in census)
+    assert total_cost >= pairs  # dedup across bands only shrinks
+    n_docs = 500
+    import collections
+
+    per_band = collections.Counter()
+    for r in census:
+        per_band[r.band_id] += r.bucket_size * r.n_buckets
+    assert set(per_band) == {0, 1, 2, 3}
+    assert all(v == n_docs for v in per_band.values())

@@ -1076,3 +1076,38 @@ def test_winsorize_bounds_clip_counts(spark):
     r = out[0]
     assert r.p01 == round(1 + 0.01 * 99, 6) and r.p99 == round(1 + 0.99 * 99, 6)
     assert r.n_events == 100 and r.n_clip_low == 1 and r.n_clip_high == 1
+
+
+def test_benford_audit_digits_and_expectation(spark):
+    """agg_benford_audit: leading digits extract correctly across
+    magnitudes (0.04 -> 4, 7 -> 7, 1900 -> 1), zeros are excluded,
+    and a perfectly Benford-shaped sample matches its expectation
+    row for row."""
+    import datetime as dt
+    import math
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.relational import (
+        agg_benford_audit,
+    )
+
+    t0 = dt.datetime(2021, 1, 1)
+    vals = [0.04, 7.0, 1900.0, 0.0, -25.0]  # 0 excluded; -25 -> digit 2
+    rows = [
+        (i, t0, 1, "e", v, "{}") for i, v in enumerate(vals)
+    ]
+    d = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_benford_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "events.parquet"))
+    out = {r.digit: r for r in agg_benford_audit(spark, tmp).collect()}
+    assert set(out) == {4, 7, 1, 2}
+    assert all(r.n_obs == 1 for r in out.values())
+    n_tot = 4
+    for dgt, r in out.items():
+        assert r.benford_expected == round(n_tot * math.log10(1 + 1 / dgt))
+        assert r.obs_share == 0.25
