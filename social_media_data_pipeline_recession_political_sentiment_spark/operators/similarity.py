@@ -1482,3 +1482,92 @@ def ext_contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.cos").alias("max_cos"),
         (F.col("m.cos") >= SEM_CONTAM_THRESHOLD).alias("contaminated"),
     )
+
+
+# --------------------------- int8-space embedding outlier detection
+
+_OUTLIER_ORACLE = """
+WITH s AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+m AS (SELECT vec_id, label, dv, list_max(list_transform(dv, x -> abs(x))) AS amax FROM s),
+z AS (SELECT vec_id, label,
+        CASE WHEN amax = 0.0 THEN list_transform(dv, x -> CAST(0 AS BIGINT))
+             ELSE list_transform(dv, x -> greatest(-127, least(127,
+                  CAST(floor(x / (amax / 127.0) + 0.5) AS BIGINT)))) END AS codes
+      FROM m),
+e AS (SELECT vec_id, label, unnest(list_transform(range(1, len(codes) + 1),
+        i -> {'i': i, 'q': codes[i]})) AS u FROM z),
+ed AS (SELECT vec_id, label, u.i AS i, u.q AS q FROM e),
+cen AS (SELECT label, i, sum(q) AS s_i, count(*) AS n FROM ed GROUP BY label, i),
+d AS (SELECT ed.vec_id, ed.label,
+        sum((cen.n * ed.q - cen.s_i) * (cen.n * ed.q - cen.s_i)) AS d2n2
+      FROM ed JOIN cen ON ed.label = cen.label AND ed.i = cen.i
+      GROUP BY ed.vec_id, ed.label),
+g AS (SELECT label, sum(d2n2) AS tot, count(*) AS cnt FROM d GROUP BY label)
+SELECT d.vec_id, d.label, CAST(d.d2n2 AS BIGINT) AS d2n2,
+       (d.d2n2 * g.cnt > 4 * g.tot) AS outlier
+FROM d JOIN g ON d.label = g.label
+"""
+
+
+@register("ext_emb_outlier_int8", oracle=_OUTLIER_ORACLE)
+def ext_emb_outlier_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detection in int8 code space: each
+    vector's squared distance to its LABEL CENTROID, computed in the
+    scaled-integer domain (d2n2 = Σ(n·q_i − S_i)², exactly
+    n²·‖q − centroid‖² as BIGINTs — the `ext_emb_centroids_int8`
+    philosophy extended to the full distance), flagged when the
+    vector sits beyond 4x its label's mean squared distance, an
+    INTEGER comparison (d2n2·cnt > 4·Σd2n2). The
+    mislabeled/poisoned/corrupted-vector tripwire every embedding
+    pipeline wants before centroids or ANN indexes consume the data.
+
+    Overflow bound: |n·q − S| ≤ 254·n, so d2n2 ≤ 64·(254·n)² — int64
+    holds labels to ~75M vectors; past that, compute per-dim terms
+    against the mean in double with a documented tolerance, or shard
+    labels. At the fixture's n≈170 this is exact with 10 orders of
+    margin.
+
+    Scale shape: codes explode to (vec, dim, q) int rows; centroid
+    sums are a (label, dim)-keyed agg (labels × 64 rows — broadcast
+    back); per-vector distances reduce with map-side combine; the
+    flag joins a |labels|-row broadcast. No pair space, no window —
+    two agg passes over integer rows."""
+    z = _with_int8_codes2(load(spark, sf_dir, "embeddings"))
+    ed = z.select(
+        "vec_id", "label", F.posexplode("codes").alias("i0", "q")
+    ).select("vec_id", "label", (F.col("i0") + 1).alias("i"), "q")
+    cen = ed.groupBy("label", "i").agg(
+        F.sum("q").alias("s_i"), F.count("*").alias("n")
+    )
+    diff = F.col("n") * F.col("q") - F.col("s_i")
+    d = (
+        ed.join(F.broadcast(cen), ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum(diff * diff).alias("d2n2"))
+    )
+    g = d.groupBy("label").agg(
+        F.sum("d2n2").alias("tot"), F.count("*").alias("cnt")
+    )
+    return d.join(F.broadcast(g), "label").select(
+        "vec_id",
+        "label",
+        F.col("d2n2").cast("long").alias("d2n2"),
+        (F.col("d2n2") * F.col("cnt") > 4 * F.col("tot")).alias("outlier"),
+    )
+
+
+def _with_int8_codes2(df: DataFrame) -> DataFrame:
+    """`_with_int8_codes` keeping the label column (the quantizer
+    scheme itself is unchanged and shared)."""
+    m = df.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("dv")
+    ).withColumn("amax", F.expr("array_max(transform(dv, x -> abs(x)))"))
+    return m.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "CASE WHEN amax = 0.0 THEN transform(dv, x -> 0L) "
+            "ELSE transform(dv, x -> greatest(-127L, least(127L, "
+            "cast(floor(x / (amax / 127.0) + 0.5d) as bigint)))) END"
+        ).alias("codes"),
+    )

@@ -74,12 +74,12 @@ def register(name: str, oracle: Optional[str] = None):
 # registered query has a hard driver check and no tag is older than
 # r3. Zero overlap with the r5 window.
 # PLANNED r7 HEAD (rotation invariant — no tag older than 3 rounds):
-# first the THIRTY-FIVE operators added in r6 after this window filled —
+# first the THIRTY-SIX operators added in r6 after this window filled —
 # the eight mid-r6 adds (join_scd2_dim, ext_dedup_cross_source,
 # agg_quantiles_exact_dist, stream_late_data_audit,
 # ext_mm_audio_segments, join_null_skew_split, ext_text_langmix,
 # scan_malformed_audit; evidence tools/verify_r6_late_adds.log) plus
-# the twenty-seven continuation adds (ext_dup_span_profile, ext_dsir_weights,
+# the twenty-eight continuation adds (ext_dup_span_profile, ext_dsir_weights,
 # agg_decayed_score, ext_emb_gram_int8, ext_mm_dedup_exact,
 # stream_upsert_keyed, sink_compact_small_files,
 # join_attribution_first_touch, ext_dedup_cdc, ext_mixture_schedule,
@@ -89,20 +89,21 @@ def register(name: str, oracle: Optional[str] = None):
 # ext_split_leakage, ext_dsir_resample, agg_new_vs_returning,
 # agg_trend_slope, ext_chunk_sliding, fn_confusable_fold,
 # agg_winsorize_bounds, ext_fingerprint_winnow, ext_lsh_param_plan,
-# ext_lsh_bucket_census, agg_benford_audit; each locally
+# ext_lsh_bucket_census, agg_benford_audit, ext_emb_outlier_int8;
+# each locally
 # verified at sf0.001+sf0.01
 # and in a vanilla session, evidence
 # tools/verify_r6_continuation.log) — then the seven r3 source/sink
 # scans the verdict reserves for r7 (scan_rest_json, scan_chan_json,
 # scan_chan_catalog, scan_youtube_json, sink_insert,
-# sink_create_table, sink_batched_commit), then 8 of the 14
-# dash_* routes — exactly 50. The ~24 r3 tags that no longer fit
-# (6 dash routes, stream_microbatch/dedup/lookback/tumbling/
+# sink_create_table, sink_batched_commit), then 7 of the 14
+# dash_* routes — exactly 50. The ~25 r3 tags that no longer fit
+# (7 dash routes, stream_microbatch/dedup/lookback/tumbling/
 # rate_limit/sessionize/stateful_count, orchestration_dag,
 # maintenance_vacuum, cache_memo, ext_fingerprint, ext_props_map,
 # ext_text_quality, fn_text_stats, ext_token_count, ext_sim_lsh,
 # ext_sim_ivf, plus any runner-up) head r8 (they become
-# 5-round-stale there; r8 otherwise has ~26 slots of slack, so they
+# 5-round-stale there; r8 otherwise has ~25 slots of slack, so they
 # MUST go first).
 _WINDOW_PRIORITY = (
     # -- new this round: drained bronze→silver→gold medallion chain --

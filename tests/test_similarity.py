@@ -475,3 +475,39 @@ def test_semantic_contamination_flags_planted_paraphrase(spark):
     assert out[100].contaminated and out[100].best_eval_id == 2
     assert out[101].contaminated and out[101].best_eval_id == 0
     assert not out[102].contaminated
+
+
+def test_emb_outlier_flags_planted_far_vector(spark):
+    """ext_emb_outlier_int8: a vector far from its label cluster is
+    flagged; the tight cluster members are not; and d2n2 equals the
+    integer formula recomputed in numpy from the shared quantizer."""
+    import numpy as np
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.similarity import (
+        _with_int8_codes2,
+        ext_emb_outlier_int8,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = []
+    # label 0: ten tight vectors near e0, one planted far outlier
+    for i in range(10):
+        v = [1.0, 0.0, 0.0] + (0.01 * rng.normal(size=3)).tolist()[:0]
+        rows.append((i, [1.0, float(rng.normal(0, 0.02)), 0.0], 0))
+    rows.append((99, [-1.0, 1.0, 1.0], 0))
+    tmp = _emb_dir(spark, rows)
+    out = {r.vec_id: r for r in ext_emb_outlier_int8(spark, tmp).collect()}
+    assert out[99].outlier
+    assert sum(r.outlier for r in out.values()) == 1
+    # exact integer recompute
+    codes = {
+        r.vec_id: np.asarray(r.codes, dtype=np.int64)
+        for r in _with_int8_codes2(
+            spark.read.parquet(f"{tmp}/embeddings.parquet")
+        ).collect()
+    }
+    n = len(codes)
+    S = sum(codes.values())
+    for vid, q in codes.items():
+        want = int(((n * q - S) ** 2).sum())
+        assert out[vid].d2n2 == want
