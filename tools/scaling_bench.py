@@ -76,6 +76,18 @@ HEADLINERS = (
     "ext_source_overlap_matrix",
     "ext_contamination_semantic",
     "ext_dedup_incremental_bloom",
+    # r6 continuation additions, batches 4-9
+    "ext_split_leakage",
+    "ext_dsir_resample",
+    "agg_new_vs_returning",
+    "agg_trend_slope",
+    "ext_chunk_sliding",
+    "fn_confusable_fold",
+    "agg_winsorize_bounds",
+    "ext_fingerprint_winnow",
+    "ext_lsh_bucket_census",
+    "agg_benford_audit",
+    "ext_emb_outlier_int8",
 )
 
 
