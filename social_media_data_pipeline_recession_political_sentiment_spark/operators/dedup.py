@@ -2076,7 +2076,7 @@ _LSH_CENSUS_ORACLE = (
     "FROM banded GROUP BY band_id, band_hash) "
     "SELECT CAST(band_id AS INT) AS band_id, CAST(bucket_size AS BIGINT) AS bucket_size, "
     "CAST(count(*) AS BIGINT) AS n_buckets, "
-    "CAST(count(*) * bucket_size * (bucket_size - 1) / 2 AS BIGINT) AS pair_cost "
+    "CAST(count(*) * (bucket_size * (bucket_size - 1) // 2) AS BIGINT) AS pair_cost "
     "FROM bs GROUP BY band_id, bucket_size"
 )
 
@@ -2100,10 +2100,14 @@ def ext_lsh_bucket_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     bs = banded.groupBy("band_id", "band_hash").agg(
         F.count("*").alias("bucket_size")
     )
+    # size*(size-1) is always even => the halving stays in exact
+    # integer arithmetic (a double /2 would round pair counts above
+    # 2^53 — precisely the viral buckets this census exists to catch)
     return bs.groupBy("band_id", "bucket_size").agg(
         F.count("*").alias("n_buckets"),
         (
-            F.count("*") * F.col("bucket_size") * (F.col("bucket_size") - 1) / 2
+            F.count("*")
+            * F.expr("bucket_size * (bucket_size - 1) div 2")
         )
         .cast("long")
         .alias("pair_cost"),

@@ -3007,10 +3007,21 @@ def agg_winsorize_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------- Benford first-digit audit
 
+# leading-digit extraction must survive floor(ln/ln) rounding at
+# powers of 10: ln(1000)/ln(10) = 2.999...6 on BOTH engines, so the
+# raw quotient can land in [10, 100) (exponent undershoot) or [0, 1)
+# (overshoot near-misses like 999.999...); the CASE renormalizes both
+# ways with identical integer arithmetic — digit is always in [1, 9]
 _BENFORD_ORACLE = """
-WITH v AS (SELECT CAST(floor(abs(value) / pow(10, floor(ln(abs(value)) / ln(10))))
-             AS BIGINT) AS digit
+WITH r AS (SELECT abs(value) AS av,
+             CAST(floor(abs(value) / pow(10, floor(ln(abs(value)) / ln(10))))
+               AS BIGINT) AS d0,
+             floor(ln(abs(value)) / ln(10)) AS e
            FROM events WHERE value <> 0),
+v AS (SELECT CASE WHEN d0 >= 10 THEN d0 // 10
+                  WHEN d0 = 0 THEN CAST(floor(av / pow(10, e - 1)) AS BIGINT)
+                  ELSE d0 END AS digit
+      FROM r),
 c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM v GROUP BY digit),
 t AS (SELECT sum(n_obs) AS n_tot FROM c)
 SELECT c.digit, c.n_obs,
@@ -3038,10 +3049,15 @@ def agg_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     with map-side combine, 1-row total crossJoin-broadcast — a
     constant-size audit at any corpus scale."""
     e = load(spark, sf_dir, "events").filter(F.col("value") != 0)
-    digit = F.floor(
-        F.abs(F.col("value"))
-        / F.pow(F.lit(10.0), F.floor(F.log(F.abs(F.col("value"))) / F.log(F.lit(10.0))))
-    ).cast("long")
+    av = F.abs(F.col("value"))
+    ex = F.floor(F.log(av) / F.log(F.lit(10.0)))
+    d0 = F.floor(av / F.pow(F.lit(10.0), ex)).cast("long")
+    # renormalize floor(ln/ln) rounding at powers of 10 (see oracle)
+    digit = (
+        F.when(d0 >= 10, F.floor(d0 / 10).cast("long"))
+        .when(d0 == 0, F.floor(av / F.pow(F.lit(10.0), ex - 1)).cast("long"))
+        .otherwise(d0)
+    )
     c = e.select(digit.alias("digit")).groupBy("digit").agg(
         F.count("*").alias("n_obs")
     )

@@ -1124,16 +1124,18 @@ WHERE rank <= {TOP_K}
 """
 
 
-def _with_int8_codes(df: DataFrame) -> DataFrame:
+def _with_int8_codes(df: DataFrame, extra_cols: tuple = ()) -> DataFrame:
     """Per-vector absmax int8 quantization (the `ext_emb_quantize`
     scheme): adds `scale` double and `codes` array<bigint> beside
-    vec_id. floor(y + 0.5) rounding — one IEEE-exact rule shared with
-    the DuckDB oracle."""
+    vec_id (plus any `extra_cols` passed through, e.g. the label).
+    floor(y + 0.5) rounding — ONE IEEE-exact rule, living in exactly
+    one string, shared with the DuckDB oracles."""
     m = df.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("dv")
+        "vec_id", *extra_cols, F.col("embedding").cast("array<double>").alias("dv")
     ).withColumn("amax", F.expr("array_max(transform(dv, x -> abs(x)))"))
     return m.select(
         "vec_id",
+        *extra_cols,
         (F.col("amax") / F.lit(127.0)).alias("scale"),
         F.expr(
             "CASE WHEN amax = 0.0 THEN transform(dv, x -> 0L) "
@@ -1521,18 +1523,24 @@ def ext_emb_outlier_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     mislabeled/poisoned/corrupted-vector tripwire every embedding
     pipeline wants before centroids or ANN indexes consume the data.
 
-    Overflow bound: |n·q − S| ≤ 254·n, so d2n2 ≤ 64·(254·n)² — int64
-    holds labels to ~75M vectors; past that, compute per-dim terms
-    against the mean in double with a documented tolerance, or shard
-    labels. At the fixture's n≈170 this is exact with 10 orders of
-    margin.
+    Overflow bound (the n³ term is the binding one): d2n2 ≤
+    dims·(254·n)² ≈ 4.1e6·n², and the flag compares d2n2·cnt against
+    4·Σd2n2 ≤ 1.6e7·n³ — int64 therefore holds the EXACT contract to
+    roughly n ≈ 8,000 vectors per label at worst-case code spread
+    (comfortably 50x the fixture; typical spreads buy ~10x more).
+    Past that, per-label sharding keeps it exact, or the comparison
+    moves to double means with a documented tolerance — the exact
+    integer form is deliberately kept as the driver-checkable
+    contract at test scale, and Spark's non-ANSI wrap vs DuckDB's
+    HUGEINT sum is exactly why the bound is stated rather than
+    assumed.
 
     Scale shape: codes explode to (vec, dim, q) int rows; centroid
     sums are a (label, dim)-keyed agg (labels × 64 rows — broadcast
     back); per-vector distances reduce with map-side combine; the
     flag joins a |labels|-row broadcast. No pair space, no window —
     two agg passes over integer rows."""
-    z = _with_int8_codes2(load(spark, sf_dir, "embeddings"))
+    z = _with_int8_codes(load(spark, sf_dir, "embeddings"), extra_cols=("label",))
     ed = z.select(
         "vec_id", "label", F.posexplode("codes").alias("i0", "q")
     ).select("vec_id", "label", (F.col("i0") + 1).alias("i"), "q")
@@ -1555,19 +1563,3 @@ def ext_emb_outlier_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("d2n2") * F.col("cnt") > 4 * F.col("tot")).alias("outlier"),
     )
 
-
-def _with_int8_codes2(df: DataFrame) -> DataFrame:
-    """`_with_int8_codes` keeping the label column (the quantizer
-    scheme itself is unchanged and shared)."""
-    m = df.select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("dv")
-    ).withColumn("amax", F.expr("array_max(transform(dv, x -> abs(x)))"))
-    return m.select(
-        "vec_id",
-        "label",
-        F.expr(
-            "CASE WHEN amax = 0.0 THEN transform(dv, x -> 0L) "
-            "ELSE transform(dv, x -> greatest(-127L, least(127L, "
-            "cast(floor(x / (amax / 127.0) + 0.5d) as bigint)))) END"
-        ).alias("codes"),
-    )

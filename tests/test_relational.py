@@ -1093,7 +1093,9 @@ def test_benford_audit_digits_and_expectation(spark):
     )
 
     t0 = dt.datetime(2021, 1, 1)
-    vals = [0.04, 7.0, 1900.0, 0.0, -25.0]  # 0 excluded; -25 -> digit 2
+    # 0 excluded; -25 -> digit 2; 1000 and 1e6 are the floor(ln/ln)
+    # rounding traps (raw quotient 10) that must renormalize to 1
+    vals = [0.04, 7.0, 1900.0, 0.0, -25.0, 1000.0, 1e6]
     rows = [
         (i, t0, 1, "e", v, "{}") for i, v in enumerate(vals)
     ]
@@ -1106,8 +1108,8 @@ def test_benford_audit_digits_and_expectation(spark):
     d.coalesce(1).write.parquet(os.path.join(tmp, "events.parquet"))
     out = {r.digit: r for r in agg_benford_audit(spark, tmp).collect()}
     assert set(out) == {4, 7, 1, 2}
-    assert all(r.n_obs == 1 for r in out.values())
-    n_tot = 4
+    assert out[1].n_obs == 3  # 1900, 1000, 1e6 all lead with 1
+    n_tot = 6
     for dgt, r in out.items():
         assert r.benford_expected == round(n_tot * math.log10(1 + 1 / dgt))
-        assert r.obs_share == 0.25
+        assert r.obs_share == round(r.n_obs / n_tot, 6)

@@ -484,15 +484,14 @@ def test_emb_outlier_flags_planted_far_vector(spark):
     import numpy as np
 
     from social_media_data_pipeline_recession_political_sentiment_spark.operators.similarity import (
-        _with_int8_codes2,
+        _with_int8_codes,
         ext_emb_outlier_int8,
     )
 
     rng = np.random.default_rng(3)
     rows = []
-    # label 0: ten tight vectors near e0, one planted far outlier
+    # label 0: ten tight 3-dim vectors near e0, one planted far outlier
     for i in range(10):
-        v = [1.0, 0.0, 0.0] + (0.01 * rng.normal(size=3)).tolist()[:0]
         rows.append((i, [1.0, float(rng.normal(0, 0.02)), 0.0], 0))
     rows.append((99, [-1.0, 1.0, 1.0], 0))
     tmp = _emb_dir(spark, rows)
@@ -502,8 +501,9 @@ def test_emb_outlier_flags_planted_far_vector(spark):
     # exact integer recompute
     codes = {
         r.vec_id: np.asarray(r.codes, dtype=np.int64)
-        for r in _with_int8_codes2(
-            spark.read.parquet(f"{tmp}/embeddings.parquet")
+        for r in _with_int8_codes(
+            spark.read.parquet(f"{tmp}/embeddings.parquet"),
+            extra_cols=("label",),
         ).collect()
     }
     n = len(codes)
