@@ -2112,3 +2112,110 @@ def ext_lsh_bucket_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("pair_cost"),
     )
+
+
+# ------------------------------------------------- triangle counting
+
+_TRI_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM toks),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+edges AS (SELECT doc_a, doc_b FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}),
+tri AS (SELECT e1.doc_a AS u, e1.doc_b AS v, e2.doc_b AS w
+        FROM edges e1 JOIN edges e2 ON e2.doc_a = e1.doc_b
+        JOIN edges e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+tnodes AS (SELECT unnest([u, v, w]) AS doc_id FROM tri),
+nt AS (SELECT doc_id, count(*) AS n_tri FROM tnodes GROUP BY doc_id),
+deg AS (SELECT doc_id, count(*) AS degree FROM (
+          SELECT doc_a AS doc_id FROM edges
+          UNION ALL SELECT doc_b AS doc_id FROM edges) GROUP BY doc_id)
+SELECT nt.doc_id AS doc_id, degree, n_tri,
+       round(2.0 * n_tri / (degree * (degree - 1)), 6) AS lcc
+FROM nt JOIN deg ON deg.doc_id = nt.doc_id
+"""
+
+
+@register("ext_graph_triangle_count", oracle=_TRI_ORACLE)
+def ext_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation + local clustering coefficient
+    over the near-dup similarity graph — the transitivity audit that
+    separates genuine duplicate CLUSTERS (near-dup is ~transitive:
+    high LCC) from banding noise (spurious edges close no triangles).
+    Run after `ext_graph_degree_census`: a heavy degree tail with LOW
+    clustering means hub edges are artifacts, not template families.
+
+    Physical strategy is the Cohen / Suri-Vassilvitskii degree-ordered
+    wedge join: orient every edge from its lower-(degree, id) endpoint
+    to the higher one — an acyclic orientation under which each
+    triangle is generated EXACTLY once, and (the scale point) each
+    node's out-degree is bounded by O(sqrt(|E|)) regardless of hub
+    size, so the wedge self-join is skew-resistant where the naive
+    id-orientation would square the hottest hub's degree. Per-node
+    participation counts are orientation-INVARIANT (each triangle
+    credits all three corners), which is what lets the oracle use the
+    simple id-orientation and still hash-match bit for bit.
+
+    Scale shape: edges come from the sub-quadratic banded miner (never
+    all-pairs); degrees are one keyed agg; the wedge join shuffles
+    oriented edges on src and the closing probe shuffles wedges on
+    (v, w) — work is O(sum of out-deg^2) = O(|E|^1.5) worst case, the
+    textbook bound. LCC is one shared round(2.0*n/(d*(d-1)), 6) tree
+    on both engines."""
+    pairs = ext_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    deg = (
+        pairs.select(F.col("doc_a").alias("node"))
+        .unionAll(pairs.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    pe = (
+        pairs.join(
+            deg.select(F.col("node").alias("doc_a"), F.col("degree").alias("da")),
+            "doc_a",
+        ).join(
+            deg.select(F.col("node").alias("doc_b"), F.col("degree").alias("db")),
+            "doc_b",
+        )
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    o = pe.select(
+        F.when(a_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("src"),
+        F.when(a_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dst_deg"),
+    )
+    e1, e2 = o.alias("e1"), o.alias("e2")
+    v_first = (F.col("e1.dst_deg") < F.col("e2.dst_deg")) | (
+        (F.col("e1.dst_deg") == F.col("e2.dst_deg"))
+        & (F.col("e1.dst") < F.col("e2.dst"))
+    )
+    wedges = e1.join(e2, (F.col("e1.src") == F.col("e2.src")) & v_first).select(
+        F.col("e1.src").alias("u"),
+        F.col("e1.dst").alias("v"),
+        F.col("e2.dst").alias("w"),
+    )
+    closing = o.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri = wedges.join(closing, ["v", "w"])
+    nt = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    return nt.join(
+        deg.select(F.col("node").alias("doc_id"), "degree"), "doc_id"
+    ).select(
+        "doc_id",
+        "degree",
+        "n_tri",
+        F.round(
+            2.0 * F.col("n_tri") / (F.col("degree") * (F.col("degree") - 1)), 6
+        ).alias("lcc"),
+    )

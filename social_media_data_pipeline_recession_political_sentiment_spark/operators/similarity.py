@@ -1563,3 +1563,63 @@ def ext_emb_outlier_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("d2n2") * F.col("cnt") > 4 * F.col("tot")).alias("outlier"),
     )
 
+
+
+# ---------------------------------------------- hard-negative mining
+
+_HARDNEG_ORACLE = (
+    f"WITH c AS (SELECT a.vec_id AS query_id, a.label AS query_label, "
+    f"b.vec_id AS neighbor_id, b.label AS neg_label, {_COS_SQL} AS cos "
+    f"FROM embeddings a JOIN embeddings b ON b.label != a.label "
+    f"WHERE a.vec_id < {N_QUERY_VECS}) "
+    "SELECT query_id, query_label, neighbor_id, neg_label, cos, rank FROM ("
+    "  SELECT *, row_number() OVER ("
+    "    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM c) "
+    f"WHERE rank <= {TOP_K}"
+)
+
+
+@register("ext_hard_negative_mine", oracle=_HARDNEG_ORACLE)
+def ext_hard_negative_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding training: for
+    each anchor vector, the top-k most-similar vectors bearing a
+    DIFFERENT label — the highest-loss negatives an InfoNCE / triplet
+    trainer wants in-batch. Same broadcast-scored map-only shape as
+    `ext_sim_topk` (similarity.py:79) with the cross-label predicate
+    applied before ranking, and the same deterministic tie-break
+    (cos DESC, neighbor_id) so ties can never flip the contract.
+
+    Scale shape: anchors broadcast, corpus streams map-only — O(Q*N)
+    with zero corpus shuffle; per-anchor heap via window top-k. At
+    billion-vector scale swap the scorer for the int8 kernel
+    (`ext_sim_topk_int8`) or the IVF probe path unchanged — the
+    label predicate composes with either because it's a row filter,
+    not a ranking change."""
+    e = load(spark, sf_dir, "embeddings")
+    q = _with_double_vec(e.filter(F.col("vec_id") < N_QUERY_VECS), "qv").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        "qv",
+    )
+    c = _with_double_vec(e, "cv").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neg_label"),
+        "cv",
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neg_label") != F.col("query_label"))
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neg_label",
+            _cosine("qv", "cv").alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "query_label", "neighbor_id", "neg_label", "cos", "rank")
+    )

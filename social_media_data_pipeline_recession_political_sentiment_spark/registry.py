@@ -93,11 +93,15 @@ def register(name: str, oracle: Optional[str] = None):
 # each locally
 # verified at sf0.001+sf0.01
 # and in a vanilla session, evidence
-# tools/verify_r6_continuation.log) — then the seven r3 source/sink
+# tools/verify_r6_continuation.log) plus the third-session adds
+# (agg_hll_union_rollup, ext_graph_triangle_count,
+# ext_hard_negative_mine, and later same-session adds listed in
+# tools/verify_r6_session3.log) — then the seven r3 source/sink
 # scans the verdict reserves for r7 (scan_rest_json, scan_chan_json,
 # scan_chan_catalog, scan_youtube_json, sink_insert,
-# sink_create_table, sink_batched_commit), then 7 of the 14
-# dash_* routes — exactly 50. The ~25 r3 tags that no longer fit
+# sink_create_table, sink_batched_commit), then as many of the 14
+# dash_* routes as fill the window to exactly 50 (the rest head r8
+# with the other stale tags). The ~25 r3 tags that no longer fit
 # (7 dash routes, stream_microbatch/dedup/lookback/tumbling/
 # rate_limit/sessionize/stateful_count, orchestration_dag,
 # maintenance_vacuum, cache_memo, ext_fingerprint, ext_props_map,

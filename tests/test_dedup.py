@@ -709,3 +709,31 @@ def test_lsh_bucket_census_reconciles_with_candidates(spark):
         per_band[r.band_id] += r.bucket_size * r.n_buckets
     assert set(per_band) == {0, 1, 2, 3}
     assert all(v == n_docs for v in per_band.values())
+
+
+def test_triangle_count_k4_plus_isolate(spark):
+    """ext_graph_triangle_count: four identical docs form K4 (every
+    node: degree 3, 3 triangles, LCC 1.0 — the all-ties case that
+    exercises the (degree, id) orientation tie-break), an unrelated
+    doc contributes nothing, and total credit is 3 per triangle."""
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.dedup import (
+        ext_graph_triangle_count,
+    )
+
+    same = "alpha beta gamma delta epsilon zeta eta theta"
+    other = "one two three four five six seven eight nine"
+    rows = [(i, same, "en", "s", len(same)) for i in range(4)]
+    rows.append((9, other, "en", "s", len(other)))
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_tri_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "documents.parquet"))
+    out = {r.doc_id: r for r in ext_graph_triangle_count(spark, tmp).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    for r in out.values():
+        assert r.degree == 3 and r.n_tri == 3 and r.lcc == 1.0
+    assert sum(r.n_tri for r in out.values()) == 3 * 4  # K4 has 4 triangles

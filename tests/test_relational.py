@@ -1113,3 +1113,42 @@ def test_benford_audit_digits_and_expectation(spark):
     for dgt, r in out.items():
         assert r.benford_expected == round(n_tot * math.log10(1 + 1 / dgt))
         assert r.obs_share == round(r.n_obs / n_tot, 6)
+
+
+def test_hll_union_rollup_mergeable_counts(spark):
+    """agg_hll_union_rollup: daily sketches union to the exact
+    distinct count at small cardinality, n_days counts the merged
+    partial sketches, and NULL user_ids are excluded like SQL
+    count(DISTINCT)."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.relational import (
+        agg_hll_union_rollup,
+    )
+
+    t0 = dt.datetime(2021, 3, 1)
+    rows = []
+    eid = 0
+    # type "a": users 1..8 spread over 4 days (2/day, revisits later)
+    for day in range(4):
+        for u in (1 + 2 * day, 2 + 2 * day, 1):  # user 1 repeats daily
+            rows.append((eid, t0 + dt.timedelta(days=day), u, "a", 1.0, "{}"))
+            eid += 1
+    # type "b": users 100..102 on one day + a NULL user to ignore
+    for u in (100, 101, 102, None):
+        rows.append((eid, t0, u, "b", 1.0, "{}"))
+        eid += 1
+    d = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_hll_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "events.parquet"))
+    out = {r.event_type: r for r in agg_hll_union_rollup(spark, tmp).collect()}
+    assert set(out) == {"a", "b"}
+    assert out["a"].exact_users == 8 and out["a"].n_days == 4
+    assert out["b"].exact_users == 3 and out["b"].n_days == 1
+    assert out["a"].approx_ok and out["b"].approx_ok

@@ -511,3 +511,36 @@ def test_emb_outlier_flags_planted_far_vector(spark):
     for vid, q in codes.items():
         want = int(((n * q - S) ** 2).sum())
         assert out[vid].d2n2 == want
+
+
+def test_hard_negative_mine_cross_label_only(spark):
+    """ext_hard_negative_mine: every mined negative bears a label
+    different from its anchor's, and ranking follows cosine (the
+    same-label nearer vector is skipped in favor of the farther
+    cross-label one)."""
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.similarity import (
+        ext_hard_negative_mine,
+    )
+
+    def vec(x, y):
+        return [float(x), float(y)] + [0.0] * 6
+
+    rows = [
+        (0, vec(1, 0), 7),      # anchor, label 7
+        (10, vec(1, 0.01), 7),  # nearest overall but SAME label
+        (11, vec(1, 0.2), 3),   # best cross-label negative
+        (12, vec(0, 1), 3),     # orthogonal cross-label
+        (13, vec(1, 0.3), 7),   # same label again
+    ]
+    d = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_hardneg_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "embeddings.parquet"))
+    out = ext_hard_negative_mine(spark, tmp).filter("query_id = 0").collect()
+    got = [(r.neighbor_id, r.rank) for r in sorted(out, key=lambda r: r.rank)]
+    assert got == [(11, 1), (12, 2)]
+    assert all(r.neg_label != r.query_label for r in out)
