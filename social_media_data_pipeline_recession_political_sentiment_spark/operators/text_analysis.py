@@ -2788,3 +2788,296 @@ def ext_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.col("s.txt")).alias("chunk_hash"),
         )
     )
+
+
+# ------------------------------------- span-corruption masking plan
+
+SPAN_MASK_PERMILLE = 150  # ~15% token corruption (T5 denoising default)
+
+_MASK_FLAGS_SPARK = (
+    "transform(sequence(1, size(tk)), i -> CASE WHEN "
+    "CAST(conv(substring(md5(concat_ws(':', 'msk', CAST(doc_id AS STRING), "
+    "CAST(i AS STRING))), 1, 15), 16, 10) AS BIGINT) "
+    f"% 1000 < {SPAN_MASK_PERMILLE} THEN 1 ELSE 0 END)"
+)
+
+_SPAN_ORACLE = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+f AS (SELECT doc_id, len(tk) AS n_tokens,
+        list_transform(range(1, len(tk) + 1), i -> CASE WHEN
+          CAST(('0x' || substr(md5(concat_ws(':', 'msk', CAST(doc_id AS VARCHAR),
+          CAST(i AS VARCHAR))), 1, 15)) AS BIGINT)
+          % 1000 < {SPAN_MASK_PERMILLE} THEN 1 ELSE 0 END) AS fl
+      FROM d)
+SELECT doc_id, n_tokens,
+       CAST(list_sum(fl) AS BIGINT) AS n_masked,
+       CAST(list_sum(list_transform(range(1, len(fl) + 1),
+          i -> fl[i] * (CASE WHEN i = 1 THEN 1 ELSE 1 - fl[i-1] END)))
+         AS BIGINT) AS n_spans,
+       round(CAST(list_sum(fl) AS BIGINT) * 1.0 / n_tokens, 6) AS mask_rate
+FROM f
+"""
+
+
+@register("ext_span_corruption_plan", oracle=_SPAN_ORACLE)
+def ext_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2-style span-corruption PLAN: a deterministic per-token
+    mask decision (salted md5 on (doc_id, position), ~15%) and the
+    resulting span statistics — tokens masked and contiguous mask
+    spans (a span starts where a masked token follows an unmasked
+    one). This is the denoising-objective preprocessing a training
+    pipeline runs ahead of batch assembly: the plan must be a pure
+    function of (doc_id, position) so re-runs, retries and
+    shard-level recomputation mask identical spans — no RNG state to
+    checkpoint, the same property all repo sampling/split operators
+    build on (`ext_data_split`, `ext_sample_mixture`).
+
+    Scale shape: everything is per-row higher-order-function
+    arithmetic inside the scan — zero shuffle, zero Python, embarrassingly
+    parallel; output is 4 ints + 1 rounded rate per doc. The mask
+    RATE is permille-exact by construction; actual span lengths
+    follow the geometric profile the masked-LM literature assumes."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tk")
+    )
+    f = d.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_tokens"),
+        F.expr(_MASK_FLAGS_SPARK).alias("fl"),
+    )
+    n_masked = F.expr("aggregate(fl, 0L, (a, x) -> a + x)")
+    # NOTE 1-based sequence, 0-based Spark array indexing (fl[i-1]);
+    # the DuckDB oracle indexes the same positions 1-based (fl[i])
+    spans = F.expr(
+        "aggregate(transform(sequence(1, size(fl)), "
+        "i -> fl[i-1] * (CASE WHEN i = 1 THEN 1 ELSE 1 - fl[i-2] END)), "
+        "0L, (a, x) -> a + x)"
+    )
+    return f.select(
+        "doc_id",
+        "n_tokens",
+        n_masked.alias("n_masked"),
+        spans.alias("n_spans"),
+        F.round(n_masked * 1.0 / F.col("n_tokens"), 6).alias("mask_rate"),
+    )
+
+
+# --------------------------------------------------- BM25 retrieval
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("dup", "spark", "vector", "window")
+BM25_TOP_K = 20
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+_BM25_ORACLE = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+dl AS (SELECT doc_id, len(tk) AS dl FROM d),
+tok AS (SELECT doc_id, unnest(tk) AS term FROM d),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+sc AS (SELECT tf.doc_id,
+         CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * 2.2)
+           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl
+              / (CAST(sum_dl AS DOUBLE) / n_docs)))
+           * 1000000.0) AS BIGINT) AS s
+       FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+       JOIN dfq ON dfq.term = tf.term CROSS JOIN st),
+ds AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS score_micros,
+         count(*) AS n_terms_hit FROM sc GROUP BY doc_id)
+SELECT doc_id, score_micros, n_terms_hit, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY score_micros DESC, doc_id) AS rank
+  FROM ds) WHERE rank <= {BM25_TOP_K}
+"""
+
+
+@register("ext_bm25_topk", oracle=_BM25_ORACLE)
+def ext_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval for a fixed query over the corpus — the
+    lexical half of a RAG / retrieval stack beside the embedding
+    kernels (`ext_sim_topk`): Robertson idf
+    ln((N-df+0.5)/(df+0.5)+1) with k1=1.2, b=0.75 length
+    normalization. Per-(doc, term) scores are rounded ONCE into
+    integer micros and BIGINT-summed per doc (the repo's fixed-point
+    device: the sum is order-insensitive, so partial aggregation
+    cannot smear ulps), then global top-k.
+
+    Scale shape: the term filter hits the scan (only query-term
+    postings survive — at 100 TB this is the inverted-index probe,
+    everything else never leaves the reader); df is a |Q|-row
+    broadcast, corpus stats a 1-row broadcast; top-k is
+    orderBy+limit => TakeOrderedAndProject (per-partition heaps, K
+    rows to the driver), and the rank window runs over K rows by
+    construction — same bounded-rank device as `ext_tokenize_ids`."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tk")
+    )
+    dl = d.select("doc_id", F.size("tk").cast("long").alias("dl"))
+    tf = (
+        d.select("doc_id", F.explode("tk").alias("term"))
+        .filter(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    st = dl.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl"))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    s = F.round(
+        idf
+        * (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / avgdl))
+        * 1000000.0
+    ).cast("long")
+    ds = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfq), "term")
+        .crossJoin(F.broadcast(st))
+        .select("doc_id", s.alias("s"))
+        .groupBy("doc_id")
+        .agg(F.sum("s").alias("score_micros"), F.count("*").alias("n_terms_hit"))
+    )
+    from pyspark.sql import Window as _W
+
+    topk = ds.orderBy(F.desc("score_micros"), "doc_id").limit(BM25_TOP_K)
+    rank = F.row_number().over(
+        _W.orderBy(F.desc("score_micros"), "doc_id")
+    )
+    return topk.select(
+        "doc_id", "score_micros", "n_terms_hit", rank.cast("long").alias("rank")
+    )
+
+
+# ------------------------------------- sparse TF-IDF cosine pairs
+
+RARE_DF_FACTOR = 10  # candidate terms must satisfy df * 10 <= N
+
+_TFIDF_PAIRS_ORACLE = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+tok AS (SELECT doc_id, unnest(tk) AS term FROM d),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+n AS (SELECT count(*) AS n_docs FROM d),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+w AS (SELECT doc_id, term,
+        CAST(round(tf * ln(CAST(n_docs AS DOUBLE) / df) * 1000.0) AS BIGINT) AS wm
+      FROM tf JOIN dfq USING (term) CROSS JOIN n),
+nrm AS (SELECT doc_id, CAST(sum(wm * wm) AS BIGINT) AS nn FROM w GROUP BY doc_id),
+rare AS (SELECT term FROM dfq CROSS JOIN n WHERE df * {RARE_DF_FACTOR} <= n_docs),
+post AS (SELECT DISTINCT doc_id, term FROM tf JOIN rare USING (term)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM post a JOIN post b ON a.term = b.term AND a.doc_id < b.doc_id),
+dots AS (SELECT doc_a, doc_b, CAST(sum(wa.wm * wb.wm) AS BIGINT) AS dot,
+           count(*) AS shared_terms
+         FROM cand
+         JOIN w wa ON wa.doc_id = doc_a
+         JOIN w wb ON wb.doc_id = doc_b AND wb.term = wa.term
+         GROUP BY doc_a, doc_b)
+SELECT doc_a, doc_b, shared_terms,
+       round(dot / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))), 6) AS cos
+FROM dots JOIN nrm na ON na.doc_id = doc_a JOIN nrm nb ON nb.doc_id = doc_b
+"""
+
+
+@register("ext_tfidf_cosine_pairs", oracle=_TFIDF_PAIRS_ORACLE)
+def ext_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TERM-space document similarity join (the lexical twin of
+    `ext_dedup_embcos`): candidate pairs are generated ONLY through
+    rare terms (df*10 <= N — the inverted-index blocking that keeps
+    pair generation sub-quadratic; stop-term postings never join),
+    then each candidate pair is scored with FULL-vocabulary TF-IDF
+    cosine. Rare-feature blocking + exact re-scoring is the classic
+    sparse similarity-join recipe (prefix filtering's simple cousin)
+    and catches template/boilerplate families that embedding models
+    smear together.
+
+    Exactness device: per-(doc, term) weight tf*ln(N/df) is rounded
+    ONCE into BIGINT millis; dots and norms are then integer sums
+    (order-insensitive under partial aggregation), and only the final
+    cosine divides doubles through ONE shared round(...,6) tree.
+    Bound: |wm| <= ~3e5 => per-term product <= 9e10, int64-safe to
+    ~1e7 shared terms per pair — vocabulary-sized, never binding.
+
+    Scale shape: tf/df/norms are keyed aggs with map-side combine;
+    rare postings self-join is bounded by rare-term bucket sizes
+    (same argument as the banded MinHash miner); the re-score join
+    moves candidate-pair weight rows only — survivors-of-blocking,
+    not the corpus."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tk")
+    )
+    tf = (
+        d.select("doc_id", F.explode("tk").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    n = d.agg(F.count("*").alias("n_docs"))
+    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = (
+        tf.join(F.broadcast(dfq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+                * 1000.0
+            )
+            .cast("long")
+            .alias("wm"),
+        )
+    )
+    nrm = w.groupBy("doc_id").agg(F.sum(F.col("wm") * F.col("wm")).alias("nn"))
+    rare = (
+        dfq.crossJoin(F.broadcast(n))
+        .filter(F.col("df") * RARE_DF_FACTOR <= F.col("n_docs"))
+        .select("term")
+    )
+    post = tf.join(F.broadcast(rare), "term").select("doc_id", "term").distinct()
+    a, b = post.alias("a"), post.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    wa = w.select(
+        F.col("doc_id").alias("doc_a"), F.col("term"), F.col("wm").alias("wma")
+    )
+    wb = w.select(
+        F.col("doc_id").alias("doc_b"), F.col("term"), F.col("wm").alias("wmb")
+    )
+    dots = (
+        cand.join(wa, "doc_a")
+        .join(wb, ["doc_b", "term"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.col("wma") * F.col("wmb")).alias("dot"),
+            F.count("*").alias("shared_terms"),
+        )
+    )
+    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nn").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nn").alias("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_terms",
+            F.round(
+                F.col("dot")
+                / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
+                6,
+            ).alias("cos"),
+        )
+    )

@@ -1002,3 +1002,119 @@ def test_confusable_fold_normalizes_homoglyph_spam(spark):
     assert out[1].changed and out[1].folded == "viagra sell"
     assert out[1].folded == out[2].folded  # dedup collision restored
     assert not out[2].changed and not out[3].changed
+
+
+def test_span_corruption_plan_matches_python_reference(spark):
+    """ext_span_corruption_plan: flags replicated in Python (same
+    salted md5 permille device) agree exactly on n_masked / n_spans /
+    mask_rate, and the plan is a pure function of (doc_id, pos)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.text_analysis import (
+        SPAN_MASK_PERMILLE,
+        ext_span_corruption_plan,
+    )
+
+    def flag(doc_id, i):
+        h = hashlib.md5(f"msk:{doc_id}:{i}".encode()).hexdigest()[:15]
+        return 1 if int(h, 16) % 1000 < SPAN_MASK_PERMILLE else 0
+
+    texts = {7: " ".join(f"w{j}" for j in range(40)),
+             8: " ".join(f"x{j}" for j in range(13)),
+             9: "solo"}
+    rows = [(i, t, "en", "s", len(t)) for i, t in texts.items()]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_span_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "documents.parquet"))
+    out = {r.doc_id: r for r in ext_span_corruption_plan(spark, tmp).collect()}
+    for doc_id, t in texts.items():
+        n = len(t.split(" "))
+        fl = [flag(doc_id, i) for i in range(1, n + 1)]
+        spans = sum(
+            f * (1 if i == 0 else 1 - fl[i - 1]) for i, f in enumerate(fl)
+        )
+        r = out[doc_id]
+        assert (r.n_tokens, r.n_masked, r.n_spans) == (n, sum(fl), spans)
+        assert r.mask_rate == round(sum(fl) / n, 6)
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    """ext_bm25_topk: a doc carrying the rare query term beats docs
+    with only common terms, repeated occurrences raise tf
+    sub-linearly, and score_micros matches the closed form."""
+    import math
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.text_analysis import (
+        ext_bm25_topk,
+    )
+
+    # 10 docs of common filler; docs 0/1 add the rare term 'dup'
+    filler = "spark " * 9
+    texts = {0: (filler + "dup dup").strip(),
+             1: (filler + "dup").strip()}
+    for i in range(2, 10):
+        texts[i] = filler.strip()
+    rows = [(i, t, "en", "s", len(t)) for i, t in texts.items()]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_bm25_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "documents.parquet"))
+    out = {r.doc_id: r for r in ext_bm25_topk(spark, tmp).collect()}
+    ranks = {r.doc_id: r.rank for r in out.values()}
+    assert ranks[0] == 1 and ranks[1] == 2  # rare term dominates
+    assert out[0].n_terms_hit == 2 and out[2].n_terms_hit == 1
+
+    def score(tf, df, dl, n_docs, avgdl):
+        idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        return round(idf * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) * 1e6)
+
+    avgdl = (11 + 10 + 8 * 9) / 10.0
+    exp0 = score(2, 2, 11, 10, avgdl) + score(9, 10, 11, 10, avgdl)
+    assert out[0].score_micros == exp0
+
+
+def test_tfidf_cosine_pairs_rare_term_blocking(spark):
+    """ext_tfidf_cosine_pairs: only pairs sharing a rare term
+    (df*10 <= N) become candidates; the cosine is re-scored over the
+    FULL vocabulary and matches a Python reference with the same
+    milli-rounded weights."""
+    import math
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.text_analysis import (
+        ext_tfidf_cosine_pairs,
+    )
+
+    n = 20
+    texts = {i: "common words here" for i in range(n)}
+    texts[0] = "common words here zebra"
+    texts[1] = "common words here zebra zebra"
+    rows = [(i, t, "en", "s", len(t)) for i, t in texts.items()]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_tfidfp_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "documents.parquet"))
+    out = ext_tfidf_cosine_pairs(spark, tmp).collect()
+    assert len(out) == 1  # docs 2..19 share only stop terms: blocked
+    r = out[0]
+    assert (r.doc_a, r.doc_b) == (0, 1)
+    assert r.shared_terms == 4  # common, words, here, zebra
+
+    def wm(tf, df):
+        return round(tf * math.log(n / df) * 1000.0)
+
+    wz = wm(1, 2), wm(2, 2)          # zebra weights in docs 0 / 1
+    w_common = wm(1, n)              # ln(1) = 0 for df == N terms
+    dot = 3 * w_common * w_common + wz[0] * wz[1]
+    na = 3 * w_common**2 + wz[0] ** 2
+    nb = 3 * w_common**2 + wz[1] ** 2
+    assert r.cos == round(dot / (math.sqrt(na) * math.sqrt(nb)), 6)
