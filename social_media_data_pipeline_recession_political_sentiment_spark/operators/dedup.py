@@ -2219,3 +2219,164 @@ def ext_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             2.0 * F.col("n_tri") / (F.col("degree") * (F.col("degree") - 1)), 6
         ).alias("lcc"),
     )
+
+
+# ------------------------------------------- asymmetric containment
+
+CONTAINMENT_THRESHOLD = 0.5
+
+_CONTAIN_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM toks),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+c AS (SELECT doc_a, doc_b, i AS shared,
+        round(CAST(i AS DOUBLE) / sa.n, 6) AS cont_ab,
+        round(CAST(i AS DOUBLE) / sb.n, 6) AS cont_ba
+      FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+                 JOIN sizes sb ON sb.doc_id = doc_b)
+SELECT doc_a, doc_b, shared, cont_ab, cont_ba FROM c
+WHERE greatest(cont_ab, cont_ba) >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+@register("ext_dedup_containment", oracle=_CONTAIN_ORACLE)
+def ext_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC shingle containment |A∩B|/|A| per direction — what
+    Jaccard structurally misses: a short document wholly quoted
+    inside a long one has tiny Jaccard (union is huge) but
+    containment ~1.0 in one direction. This is the doc-pair-level
+    quote/subsumption detector (Broder's containment, the measure
+    behind eval-set contamination and boilerplate-envelope checks);
+    `ext_dup_span_profile` finds the spans, this ranks the pairs.
+
+    Both directions are rounded BEFORE the threshold compare (the
+    repo's winsorize lesson: comparing unrounded doubles lets a
+    1-ulp divergence flip set membership between engines), and the
+    filter keeps pairs where EITHER direction clears 0.5.
+
+    Scale shape: same sub-quadratic shingle equi-join as the Jaccard
+    miner (pairs exist only where shingles collide), sizes join back
+    broadcast; at production scale this runs as the exact re-scorer
+    behind MinHash banding, exactly like the miner it shares its
+    plan with."""
+    sh = _exploded_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    cont_ab = F.round(F.col("shared").cast("double") / F.col("na"), 6)
+    cont_ba = F.round(F.col("shared").cast("double") / F.col("nb"), 6)
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            cont_ab.alias("cont_ab"),
+            cont_ba.alias("cont_ba"),
+        )
+        .filter(F.greatest(F.col("cont_ab"), F.col("cont_ba")) >= CONTAINMENT_THRESHOLD)
+    )
+
+
+# --------------------------------------------- neighbor-set Jaccard
+
+_LINKPRED_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM toks),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+edges AS (SELECT doc_a, doc_b FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}),
+adj AS (SELECT doc_a AS u, doc_b AS v FROM edges
+        UNION ALL SELECT doc_b AS u, doc_a AS v FROM edges),
+deg AS (SELECT u AS doc_id, count(*) AS degree FROM adj GROUP BY u),
+cand AS (SELECT a1.v AS x, a2.v AS y, count(*) AS common
+         FROM adj a1 JOIN adj a2 ON a1.u = a2.u AND a1.v < a2.v
+         GROUP BY a1.v, a2.v)
+SELECT x AS doc_x, y AS doc_y, common AS common_neighbors,
+       e.doc_a IS NULL AS is_new,
+       round(CAST(common AS DOUBLE) / (dx.degree + dy.degree - common), 6)
+         AS neighbor_jaccard
+FROM cand
+LEFT JOIN edges e ON e.doc_a = x AND e.doc_b = y
+JOIN deg dx ON dx.doc_id = x
+JOIN deg dy ON dy.doc_id = y
+"""
+
+
+@register("ext_graph_jaccard_neighbors", oracle=_LINKPRED_ORACLE)
+def ext_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-set Jaccard over the near-dup graph — the classic
+    common-neighbors link predictor: for every 2-hop pair, the count
+    of shared neighbors and |N(x)∩N(y)|/|N(x)∪N(y)|. Pairs NOT yet
+    adjacent (`is_new`) are predicted missing duplicates (banding
+    recall misses that graph structure recovers — cheaper than
+    re-mining with more permissive bands); already-adjacent pairs
+    score edge support (the wedge mass behind
+    `ext_graph_triangle_count`'s closures).
+
+    Scale shape: candidates come from the wedge join on adjacency
+    (2-hop pairs only — never all-pairs; same O(Σdeg²) bound as the
+    triangle counter, and at 100 TB the same degree-capping applies),
+    one keyed count agg, degree joins, a left join back to edges for
+    the is_new flag. |N(x)∪N(y)| = dx + dy - common is exact
+    integer arithmetic; the ratio is ONE shared rounded division."""
+    pairs = ext_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    adj = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionAll(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+    deg = adj.groupBy(F.col("u").alias("doc_id")).agg(
+        F.count("*").alias("degree")
+    )
+    a1, a2 = adj.alias("a1"), adj.alias("a2")
+    cand = (
+        a1.join(
+            a2,
+            (F.col("a1.u") == F.col("a2.u")) & (F.col("a1.v") < F.col("a2.v")),
+        )
+        .groupBy(F.col("a1.v").alias("doc_x"), F.col("a2.v").alias("doc_y"))
+        .agg(F.count("*").alias("common_neighbors"))
+    )
+    e = pairs.select(
+        F.col("doc_a").alias("doc_x"),
+        F.col("doc_b").alias("doc_y"),
+        F.lit(True).alias("adjacent"),
+    )
+    dx = deg.select(F.col("doc_id").alias("doc_x"), F.col("degree").alias("dx"))
+    dy = deg.select(F.col("doc_id").alias("doc_y"), F.col("degree").alias("dy"))
+    return (
+        cand.join(e, ["doc_x", "doc_y"], "left")
+        .join(dx, "doc_x")
+        .join(dy, "doc_y")
+        .select(
+            "doc_x",
+            "doc_y",
+            "common_neighbors",
+            F.col("adjacent").isNull().alias("is_new"),
+            F.round(
+                F.col("common_neighbors").cast("double")
+                / (F.col("dx") + F.col("dy") - F.col("common_neighbors")),
+                6,
+            ).alias("neighbor_jaccard"),
+        )
+    )

@@ -269,3 +269,76 @@ def sink_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sok").alias("snappy_ok"),
         F.col("zcs").alias("id_checksum"),
     )
+
+
+_SCD1_ORACLE = """
+WITH base AS (SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+              FROM customer WHERE c_custkey % 7 != 0),
+upd AS (SELECT c_custkey, c_name, c_acctbal + 100 AS c_acctbal,
+               'UPDATED' AS c_mktsegment
+        FROM customer WHERE c_custkey % 3 = 0)
+SELECT coalesce(u.c_custkey, b.c_custkey) AS c_custkey,
+       coalesce(u.c_name, b.c_name) AS c_name,
+       coalesce(u.c_acctbal, b.c_acctbal) AS c_acctbal,
+       coalesce(u.c_mktsegment, b.c_mktsegment) AS c_mktsegment,
+       CASE WHEN u.c_custkey IS NOT NULL AND b.c_custkey IS NOT NULL
+              THEN 'update'
+            WHEN u.c_custkey IS NOT NULL THEN 'insert'
+            ELSE 'keep' END AS action
+FROM base b FULL OUTER JOIN upd u ON u.c_custkey = b.c_custkey
+"""
+
+
+@register("sink_scd1_merge", oracle=_SCD1_ORACLE)
+def sink_scd1_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE / SCD-type-1 upsert: an update batch overwrites
+    matching dimension rows in place and appends unmatched keys —
+    the lakehouse `MERGE INTO ... WHEN MATCHED UPDATE / WHEN NOT
+    MATCHED INSERT`, expressed as a full-outer join with
+    updates-win coalesce (how engines without a native MERGE — and
+    Spark itself before Delta — execute it). Complements
+    `join_scd2_dim` (history-keeping type 2) and
+    `stream_upsert_keyed` (the streaming foreachBatch form): this is
+    the batch nightly-dimension-refresh shape. Presence is derived
+    from the non-null JOIN KEYS themselves (never from a nullable
+    payload column — `ext_dataset_diff`'s fixed contract), and the
+    emitted `action` column is the merge audit a production job
+    writes to its run log.
+
+    Scale shape: ONE key-partitioned full-outer shuffle join (at
+    100 TB both sides hash-partition on the dimension key; with a
+    bucketed base table the base side is exchange-free, the
+    `ext_dedup_incremental_bucketed` layout), then a blind
+    partition-level parquet rewrite of affected partitions. The
+    write+read-back proves round-trip fidelity through the sink."""
+    c = load(spark, sf_dir, "customer")
+    base = c.filter(F.col("c_custkey") % 7 != 0).select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    upd = c.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        "c_name",
+        (F.col("c_acctbal") + 100).alias("c_acctbal"),
+        F.lit("UPDATED").alias("c_mktsegment"),
+    )
+    b, u = base.alias("b"), upd.alias("u")
+    merged = b.join(
+        u, F.col("u.c_custkey") == F.col("b.c_custkey"), "full_outer"
+    ).select(
+        F.coalesce(F.col("u.c_custkey"), F.col("b.c_custkey")).alias("c_custkey"),
+        F.coalesce(F.col("u.c_name"), F.col("b.c_name")).alias("c_name"),
+        F.coalesce(F.col("u.c_acctbal"), F.col("b.c_acctbal")).alias("c_acctbal"),
+        F.coalesce(F.col("u.c_mktsegment"), F.col("b.c_mktsegment")).alias(
+            "c_mktsegment"
+        ),
+        F.when(
+            F.col("u.c_custkey").isNotNull() & F.col("b.c_custkey").isNotNull(),
+            F.lit("update"),
+        )
+        .when(F.col("u.c_custkey").isNotNull(), F.lit("insert"))
+        .otherwise(F.lit("keep"))
+        .alias("action"),
+    )
+    out = os.path.join(_workdir("scd1"), "customer_merged")
+    merged.write.parquet(out)
+    return spark.read.parquet(out)

@@ -737,3 +737,63 @@ def test_triangle_count_k4_plus_isolate(spark):
     for r in out.values():
         assert r.degree == 3 and r.n_tri == 3 and r.lcc == 1.0
     assert sum(r.n_tri for r in out.values()) == 3 * 4  # K4 has 4 triangles
+
+
+def test_containment_short_doc_inside_long(spark):
+    """ext_dedup_containment: a short doc fully quoted inside a long
+    one has containment 1.0 in the short->long direction even though
+    Jaccard is small, and unrelated docs emit nothing."""
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.dedup import (
+        ext_dedup_containment,
+    )
+
+    quote = "alpha beta gamma delta epsilon"          # 3 shingles
+    longdoc = quote + " " + " ".join(f"f{i}" for i in range(30))
+    rows = [
+        (1, quote, "en", "s", len(quote)),
+        (2, longdoc, "en", "s", len(longdoc)),
+        (3, "x y z p q r s t u v w", "en", "s", 11),
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_cont_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "documents.parquet"))
+    out = ext_dedup_containment(spark, tmp).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.cont_ab == 1.0 and r.shared == 3
+    assert r.cont_ba < 0.5  # asymmetric: Jaccard-style symmetry fails here
+
+
+def test_jaccard_neighbors_path_graph(spark):
+    """ext_graph_jaccard_neighbors: on a path A-B-C (identical pair
+    semantics via shared shingles), the only 2-hop pair is (A, C)
+    with 1 common neighbor, flagged is_new, Jaccard 1/1."""
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.dedup import (
+        ext_graph_jaccard_neighbors,
+    )
+
+    # B shares a distinct shingle-run with A and another with C;
+    # A and C share nothing
+    a = "a1 a2 a3 a4 " + " ".join(f"pad{i}" for i in range(30))
+    c = "c1 c2 c3 c4 " + " ".join(f"qad{i}" for i in range(30))
+    b = "a1 a2 a3 a4 c1 c2 c3 c4"
+    rows = [(1, a, "en", "s", 1), (2, b, "en", "s", 1), (3, c, "en", "s", 1)]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_lp_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "documents.parquet"))
+    out = ext_graph_jaccard_neighbors(spark, tmp).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.doc_x, r.doc_y) == (1, 3)
+    assert r.common_neighbors == 1 and r.is_new and r.neighbor_jaccard == 1.0

@@ -129,3 +129,31 @@ def test_ntz_bridge_is_session_timezone_independent(spark):
             assert got == 1577836800123456, (tz, got)
     finally:
         spark.conf.set(key, old)
+
+
+def test_scd1_merge_actions(spark, tmp_path):
+    """sink_scd1_merge: update rows overwrite base values, new keys
+    insert, untouched keys keep — and the merge round-trips through
+    the parquet sink."""
+    from social_media_data_pipeline_recession_political_sentiment_spark.sources.sinks import (
+        sink_scd1_merge,
+    )
+
+    rows = [(k, f"cust{k}", 2, float(k), "SEG") for k in range(1, 15)]
+    d = spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    )
+    import os
+    tmp = str(tmp_path)
+    d.coalesce(1).write.parquet(os.path.join(tmp, "customer.parquet"))
+    out = {r.c_custkey: r for r in sink_scd1_merge(spark, tmp).collect()}
+    # keys 1..14; base excludes %7==0 (7, 14); updates are %3==0 (3,6,9,12)
+    assert set(out) == set(range(1, 15)) - {7, 14} | {12}  # 12 in both sets
+    assert out[3].action == "update" and out[3].c_acctbal == 103.0
+    assert out[3].c_mktsegment == "UPDATED"
+    assert out[1].action == "keep" and out[1].c_acctbal == 1.0
+    # %3==0 AND %7==0 would be insert; here none (21 > 14) — check 6/9/12
+    assert {out[k].action for k in (6, 9, 12)} == {"update"}
+    assert out[2].c_mktsegment == "SEG"
