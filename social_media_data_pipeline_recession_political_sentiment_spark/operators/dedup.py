@@ -2380,3 +2380,92 @@ def ext_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("neighbor_jaccard"),
         )
     )
+
+
+# -------------------------------------------- idf-weighted Jaccard
+
+WEIGHTED_JACCARD_THRESHOLD = 0.05
+
+_WJACCARD_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM toks),
+n AS (SELECT count(*) AS nd FROM documents),
+dfq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+w AS (SELECT s, CAST(round(ln(CAST(nd AS DOUBLE) / df) * 1000.0) AS BIGINT)
+        AS iw FROM dfq CROSS JOIN n),
+tot AS (SELECT doc_id, CAST(sum(iw) AS BIGINT) AS tw
+        FROM sh JOIN w USING (s) GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            CAST(sum(w.iw) AS BIGINT) AS wi
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          JOIN w ON w.s = a.s
+          GROUP BY 1, 2),
+sim AS (SELECT doc_a, doc_b, wi,
+          round(CAST(wi AS DOUBLE) / (ta.tw + tb.tw - wi), 6) AS wsim
+        FROM inter JOIN tot ta ON ta.doc_id = doc_a
+                   JOIN tot tb ON tb.doc_id = doc_b)
+SELECT doc_a, doc_b, wi AS shared_weight_milli, wsim FROM sim
+WHERE wsim >= {WEIGHTED_JACCARD_THRESHOLD}
+"""
+
+
+@register("ext_dedup_weighted_jaccard", oracle=_WJACCARD_ORACLE)
+def ext_dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-WEIGHTED shingle Jaccard: Σ idf over shared shingles /
+    Σ idf over the union — rare shingles dominate the score, so two
+    docs sharing a distinctive passage rank far above two docs
+    sharing boilerplate chrome, the failure mode that makes plain
+    Jaccard (`ext_dedup_ngram_jaccard`) over-merge template families.
+    This is the weighted-resemblance refinement the near-dup
+    literature applies when corpora carry heavy boilerplate.
+
+    Exactness device: per-shingle idf ln(N/df) is rounded ONCE into
+    BIGINT millis (`ext_tfidf_cosine_pairs`' device one level down
+    the n-gram ladder); intersection and per-doc totals are then
+    integer sums — order-insensitive under partial aggregation — and
+    union weight is ta+tb−wi in exact int64. One shared rounded
+    division, rounded BEFORE the threshold compare.
+
+    Scale shape: identical plan family to the unweighted miner (the
+    shingle equi-join prunes the pair space; the idf table joins
+    gram-keyed INTO the postings before pairing, so pair rows carry
+    pre-resolved weights); per-doc totals broadcast back. No new
+    shuffle shape — the weighting is free at the plan level."""
+    sh = _exploded_shingles(spark, sf_dir)
+    n = _load_docs(spark, sf_dir).agg(F.count("*").alias("nd"))
+    dfq = sh.groupBy("s").agg(F.count("*").alias("df"))
+    w = dfq.crossJoin(F.broadcast(n)).select(
+        "s",
+        F.round(F.log(F.col("nd").cast("double") / F.col("df")) * 1000.0)
+        .cast("long")
+        .alias("iw"),
+    )
+    shw = sh.join(w, "s")
+    tot = shw.groupBy("doc_id").agg(F.sum("iw").alias("tw"))
+    a, b = shw.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.sum("a.iw").alias("wi"))
+    )
+    ta = tot.select(F.col("doc_id").alias("doc_a"), F.col("tw").alias("ta"))
+    tb = tot.select(F.col("doc_id").alias("doc_b"), F.col("tw").alias("tb"))
+    wsim = F.round(
+        F.col("wi").cast("double") / (F.col("ta") + F.col("tb") - F.col("wi")), 6
+    )
+    return (
+        inter.join(F.broadcast(ta), "doc_a")
+        .join(F.broadcast(tb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("wi").alias("shared_weight_milli"),
+            wsim.alias("wsim"),
+        )
+        .filter(F.col("wsim") >= WEIGHTED_JACCARD_THRESHOLD)
+    )

@@ -1623,3 +1623,60 @@ def ext_hard_negative_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "query_label", "neighbor_id", "neg_label", "cos", "rank")
     )
+
+
+# --------------------------------------------- kNN label-noise audit
+
+_KNN_NOISE_ORACLE = (
+    f"WITH c AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, "
+    f"{_COS_SQL} AS cos FROM embeddings a JOIN embeddings b "
+    "ON b.vec_id != a.vec_id), "
+    "r AS (SELECT vec_id, neighbor_id, cos, row_number() OVER ("
+    "PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank FROM c), "
+    "k AS (SELECT vec_id, neighbor_id FROM r WHERE rank <= 3), "
+    "j AS (SELECT k.vec_id, a.label AS label, "
+    "CASE WHEN b.label != a.label THEN 1 ELSE 0 END AS d "
+    "FROM k JOIN embeddings a ON a.vec_id = k.vec_id "
+    "JOIN embeddings b ON b.vec_id = k.neighbor_id) "
+    "SELECT vec_id, label, CAST(sum(d) AS BIGINT) AS n_disagree, "
+    "round(CAST(sum(d) AS BIGINT) * 1.0 / 3, 6) AS disagree_rate, "
+    "CAST(sum(d) AS BIGINT) = 3 AS flagged "
+    "FROM j GROUP BY vec_id, label"
+)
+
+
+@register("ext_label_knn_noise", oracle=_KNN_NOISE_ORACLE)
+def ext_label_knn_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-noise audit (the confident-learning-style screen):
+    for every vector, how many of its k=3 nearest neighbors carry a
+    DIFFERENT label. A vector whose entire neighborhood disagrees
+    (`flagged`) is a candidate mislabel/poisoned row — the audit a
+    training pipeline runs over labeled embeddings BEFORE
+    `ext_emb_centroids_int8` or any classifier consumes them, and
+    the label-quality complement of `ext_emb_outlier_int8`'s
+    geometric screen (that one finds vectors far from their OWN
+    label; this one finds vectors deep inside ANOTHER's).
+
+    Scale shape: the expensive part IS `ext_sim_knn_graph` (block
+    triangle join, per-block partial top-k — reused verbatim so the
+    neighbor contract incl. tie-break cannot drift); on top of it:
+    two broadcast-able label joins keyed on vec ids and one keyed
+    count agg. Disagreement is integer; the rate is one shared
+    rounded division."""
+    knn = ext_sim_knn_graph(spark, sf_dir).select("vec_id", "neighbor_id")
+    lab = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    own = lab.select(F.col("vec_id"), F.col("label"))
+    nb = lab.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl")
+    )
+    d = (
+        F.when(F.col("nl") != F.col("label"), 1).otherwise(0)
+    )
+    j = knn.join(own, "vec_id").join(nb, "neighbor_id").select(
+        "vec_id", "label", d.alias("d")
+    )
+    return j.groupBy("vec_id", "label").agg(
+        F.sum("d").alias("n_disagree"),
+        F.round(F.sum("d") * 1.0 / 3, 6).alias("disagree_rate"),
+        (F.sum("d") == 3).alias("flagged"),
+    )

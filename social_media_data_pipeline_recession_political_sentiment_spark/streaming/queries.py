@@ -565,3 +565,48 @@ def drain_keyed_upsert(spark: SparkSession, src: DataFrame) -> DataFrame:
         F.col("s.event_type").alias("event_type"),
         F.col("s.value").alias("value"),
     )
+
+
+_SLIDING_ORACLE = """
+WITH w AS (SELECT event_type,
+             unnest([CAST(date_trunc('day', ts) AS DATE) - 1,
+                     CAST(date_trunc('day', ts) AS DATE)]) AS window_start
+           FROM events)
+SELECT window_start, event_type, count(*) AS cnt
+FROM w GROUP BY window_start, event_type
+"""
+
+
+@register("stream_sliding_count", oracle=_SLIDING_ORACLE)
+def stream_sliding_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-window streaming count (2-day windows advancing by
+    1 day, per event type) — the overlapping-window primitive
+    `stream_tumbling_count` doesn't exercise: every event belongs to
+    exactly size/slide = 2 windows, so the state store keys
+    (window, type) pairs and each arrival increments two of them.
+    Sliding windows are how production monitors express "events in
+    the trailing 48 h, refreshed daily" without re-scanning history.
+
+    Drain contract: watermark + window('2 days', '1 day') under
+    availableNow; the drained table equals the batch semantics of
+    exploding each event into its two epoch-aligned day windows —
+    which is exactly what the oracle does with unnest, pinning
+    Spark's window assignment arithmetic (epoch-aligned starts)
+    cross-engine.
+
+    Scale shape: state is |windows|x|types| counters (map-side
+    partial counts feed the state store); watermark bounds state to
+    the 2-day overlap horizon — state never grows with history."""
+    agg = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "1 day")
+        .groupBy(
+            F.window("ts", "2 days", "1 day").alias("w"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    out = drain_to_table(agg, "complete")
+    return out.select(
+        F.to_date(F.col("w.start")).alias("window_start"), "event_type", "cnt"
+    )

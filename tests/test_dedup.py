@@ -797,3 +797,47 @@ def test_jaccard_neighbors_path_graph(spark):
     r = out[0]
     assert (r.doc_x, r.doc_y) == (1, 3)
     assert r.common_neighbors == 1 and r.is_new and r.neighbor_jaccard == 1.0
+
+
+def test_weighted_jaccard_rare_shingles_dominate(spark):
+    """ext_dedup_weighted_jaccard: a pair sharing only a
+    corpus-ubiquitous shingle (idf 0) scores 0 and is filtered; a
+    pair sharing a distinctive passage scores high and matches the
+    Python closed form with milli-rounded idf weights."""
+    import math
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.dedup import (
+        ext_dedup_weighted_jaccard,
+    )
+
+    common = "the quick brown"   # one shingle shared by ALL docs
+    n = 10
+    texts = {}
+    for i in range(2, n):
+        texts[i] = common + f" u{i}a u{i}b u{i}c"
+    texts[0] = common + " rare gem passage x0 y0"
+    texts[1] = common + " rare gem passage x1 y1"
+    rows = [(i, t, "en", "s", len(t)) for i, t in texts.items()]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_wjac_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "documents.parquet"))
+    out = {(r.doc_a, r.doc_b): r for r in ext_dedup_weighted_jaccard(spark, tmp).collect()}
+    assert (0, 1) in out
+    # pairs sharing ONLY the ubiquitous shingle contribute weight 0
+    assert all(k == (0, 1) for k in out)
+
+    def iw(df):
+        return round(math.log(n / df) * 1000.0)
+
+    # doc 0 shingles: [the quick brown](df=10), [quick brown rare](df=2),
+    # [brown rare gem](df=2), [rare gem passage](df=2),
+    # [gem passage x0](df=1), [passage x0 y0](df=1)
+    shared = iw(10) + 3 * iw(2)
+    tot_each = iw(10) + 3 * iw(2) + 2 * iw(1)
+    expect = round(shared / (2 * tot_each - shared), 6)
+    assert out[(0, 1)].wsim == expect
+    assert out[(0, 1)].shared_weight_milli == shared

@@ -544,3 +544,39 @@ def test_hard_negative_mine_cross_label_only(spark):
     got = [(r.neighbor_id, r.rank) for r in sorted(out, key=lambda r: r.rank)]
     assert got == [(11, 1), (12, 2)]
     assert all(r.neg_label != r.query_label for r in out)
+
+
+def test_label_knn_noise_flags_planted_mislabel(spark):
+    """ext_label_knn_noise: a vector placed inside another label's
+    cluster has all k=3 neighbors disagreeing and is flagged; core
+    cluster members disagree 0/3."""
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.similarity import (
+        ext_label_knn_noise,
+    )
+
+    def vec(x, y):
+        return [float(x), float(y)] + [0.0] * 6
+
+    rows = [
+        (0, vec(1, 0.00), 1),
+        (1, vec(1, 0.01), 1),
+        (2, vec(1, 0.02), 1),
+        (3, vec(1, 0.03), 1),
+        (10, vec(0, 1.00), 2),
+        (11, vec(0.01, 1), 2),
+        (12, vec(0.02, 1), 2),
+        (13, vec(0.03, 1), 2),
+        (99, vec(1, 0.015), 2),  # label-2 vector buried in cluster 1
+    ]
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    tmp = tempfile.mkdtemp(prefix="smdp_knnnoise_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "embeddings.parquet"))
+    out = {r.vec_id: r for r in ext_label_knn_noise(spark, tmp).collect()}
+    assert out[99].n_disagree == 3 and out[99].flagged
+    # cluster-2 cores: neighbors are {11, 12, 99} — all label 2 => clean
+    # (cluster-1 cores see the buried 99 as a neighbor, by design)
+    assert out[10].n_disagree == 0 and not out[10].flagged
+    assert out[99].disagree_rate == 1.0

