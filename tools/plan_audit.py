@@ -768,6 +768,87 @@ AUDIT = {
         "32-byte digests; the only window is per-document, so no "
         "global sort funnel exists at any corpus size",
     ),
+    "agg_hll_union_rollup": (
+        "two-level ObjectHashAggregate (daily hll_sketch_agg partials, "
+        "then hll_union_agg) + exact count_distinct branch joined back",
+        "sketch state is mergeable bytes: the rollup re-aggregates "
+        "KB-sized daily sketches without rescanning keys — the 100 TB "
+        "distinct-cube shape; exact branch exists only as harness",
+    ),
+    "ext_graph_triangle_count": (
+        "edge orientation by (degree, id) -> wedge join on src with a "
+        "range filter -> closing-edge join on (v, w) -> explode + "
+        "keyed count aggs",
+        "acyclic degree orientation bounds per-node out-degree at "
+        "O(sqrt(E)), so the wedge self-join cannot square a hub's "
+        "degree — O(E^1.5) worst case, skew-resistant by design",
+    ),
+    "ext_hard_negative_mine": (
+        "broadcast of 5 anchors against the streamed corpus + "
+        "cross-label filter + per-query window top-k",
+        "anchors broadcast, corpus never shuffles; the label "
+        "predicate is a pre-rank row filter so the scored stream "
+        "shrinks before the per-query heap",
+    ),
+    "ext_span_corruption_plan": (
+        "single Project of HOF expressions (transform/aggregate) "
+        "over the scan; no Exchange anywhere",
+        "mask planning is pure per-row arithmetic: zero shuffle, "
+        "zero Python — embarrassingly parallel at any corpus size",
+    ),
+    "ext_bm25_topk": (
+        "IN-list term filter on the exploded postings -> keyed "
+        "partial aggs -> broadcast df/stats joins -> "
+        "TakeOrderedAndProject -> window over K rows",
+        "only query-term postings survive the scan stage (the "
+        "inverted-index probe); micro-rounded BIGINT partial sums "
+        "are order-insensitive; top-k never globally sorts",
+    ),
+    "ext_tfidf_cosine_pairs": (
+        "rare-postings self-join generating candidates + "
+        "weight-keyed re-score join + integer dot/norm aggs",
+        "pair generation is bounded by rare-term bucket sizes "
+        "(df*10 <= N), the re-score join moves candidate weight rows "
+        "only — never corpus text",
+    ),
+    "ext_dedup_containment": (
+        "shingle equi-join (same sub-quadratic miner plan as "
+        "ext_dedup_ngram_jaccard) + broadcast size joins + rounded "
+        "threshold filter",
+        "asymmetric containment rides the existing candidate miner: "
+        "no new shuffle shape, directions rounded before compare",
+    ),
+    "ext_graph_jaccard_neighbors": (
+        "adjacency wedge join -> keyed common-neighbor agg -> degree "
+        "joins + left edge join for is_new",
+        "2-hop candidates only (O(sum deg^2), the triangle bound); "
+        "union size dx+dy-common is exact integer arithmetic",
+    ),
+    "sink_scd1_merge": (
+        "one full-outer join on the dimension key + coalesce "
+        "projection + parquet write/read-back",
+        "single key-partitioned shuffle; with a bucketed base table "
+        "the base side is exchange-free (incremental-dedup layout)",
+    ),
+    "stream_sliding_count": (
+        "StateStoreSave/Restore over (window, type) keys with "
+        "partial counts feeding the state store",
+        "each event updates size/slide=2 state keys; watermark "
+        "bounds state to the overlap horizon — state never grows "
+        "with history",
+    ),
+    "ext_label_knn_noise": (
+        "knn-graph block triangle join (reused) + two broadcast "
+        "label joins + keyed count agg",
+        "the audit adds only vec-id-keyed label joins on top of the "
+        "kNN plan — label checking is free at the plan level",
+    ),
+    "ext_dedup_weighted_jaccard": (
+        "idf table joined gram-keyed INTO postings before the pair "
+        "join; integer partial-sum aggs; broadcast per-doc totals",
+        "weighting adds no shuffle shape to the unweighted miner: "
+        "pair rows carry pre-resolved BIGINT milli weights",
+    ),
 }
 
 

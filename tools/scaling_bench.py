@@ -88,6 +88,18 @@ HEADLINERS = (
     "ext_lsh_bucket_census",
     "agg_benford_audit",
     "ext_emb_outlier_int8",
+    "agg_hll_union_rollup",
+    "ext_graph_triangle_count",
+    "ext_hard_negative_mine",
+    "ext_span_corruption_plan",
+    "ext_bm25_topk",
+    "ext_tfidf_cosine_pairs",
+    "ext_dedup_containment",
+    "ext_graph_jaccard_neighbors",
+    "sink_scd1_merge",
+    "stream_sliding_count",
+    "ext_label_knn_noise",
+    "ext_dedup_weighted_jaccard",
 )
 
 
