@@ -430,20 +430,56 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared pair-mining CTE chain (built on _SHINGLE_CTE so shingling can
+# never drift between the miner and the operators that reuse its
+# graph): per-doc distinct-shingle sizes + shared-shingle counts per
+# colliding (a < b) pair, and the thresholded Jaccard edge set.
+_SHINGLE_PAIR_CTES = (
+    _SHINGLE_CTE + ", "
+    "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+    "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i "
+    "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id "
+    "GROUP BY 1, 2)"
+)
+
+_JACCARD_EDGES_CTE = (
+    _SHINGLE_PAIR_CTES + ", "
+    "edges AS (SELECT doc_a, doc_b FROM inter "
+    "JOIN sizes sa ON sa.doc_id = doc_a "
+    "JOIN sizes sb ON sb.doc_id = doc_b "
+    f"WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD})"
+)
+
 _JACCARD_ORACLE = f"""
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1),
-        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM toks),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-          GROUP BY 1, 2)
+WITH {_SHINGLE_PAIR_CTES}
 SELECT doc_a, doc_b,
        CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
 FROM inter JOIN sizes sa ON sa.doc_id = doc_a
            JOIN sizes sb ON sb.doc_id = doc_b
 WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
 """
+
+
+def _shingle_pair_intersections(spark: SparkSession, sf_dir: str):
+    """THE Spark-side candidate core (twin of _SHINGLE_PAIR_CTES):
+    returns (inter, sizes) — shared-shingle counts per colliding
+    (a < b) pair and per-doc distinct-shingle sizes. Shared by
+    `ext_dedup_ngram_jaccard` and `ext_dedup_containment` so the
+    pair-generation plan (the sub-quadratic shingle equi-join) lives
+    once and a skew/plan fix reaches every consumer."""
+    sh = _exploded_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    return inter, sizes
 
 
 @register("ext_dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
@@ -454,14 +490,7 @@ def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast. At scale this runs *after* MinHash banding as the
     exact verifier; standalone here so the oracle can check the
     whole shingle→join→Jaccard math."""
-    sh = _exploded_shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("i"))
-    )
+    inter, sizes = _shingle_pair_intersections(spark, sf_dir)
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
@@ -2117,17 +2146,7 @@ def ext_lsh_bucket_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- triangle counting
 
 _TRI_ORACLE = f"""
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1),
-        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM toks),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-          GROUP BY 1, 2),
-edges AS (SELECT doc_a, doc_b FROM inter
-          JOIN sizes sa ON sa.doc_id = doc_a
-          JOIN sizes sb ON sb.doc_id = doc_b
-          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}),
+WITH {_JACCARD_EDGES_CTE},
 tri AS (SELECT e1.doc_a AS u, e1.doc_b AS v, e2.doc_b AS w
         FROM edges e1 JOIN edges e2 ON e2.doc_a = e1.doc_b
         JOIN edges e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
@@ -2168,7 +2187,15 @@ def ext_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (v, w) — work is O(sum of out-deg^2) = O(|E|^1.5) worst case, the
     textbook bound. LCC is one shared round(2.0*n/(d*(d-1)), 6) tree
     on both engines."""
-    pairs = ext_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # the miner result feeds 3 plan branches (degrees, orientation,
+    # closing probe); localCheckpoint materializes the small edge
+    # list ONCE so the shingle equi-join — the dominant cost — can't
+    # be re-evaluated per branch
+    pairs = (
+        ext_dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
     deg = (
         pairs.select(F.col("doc_a").alias("node"))
         .unionAll(pairs.select(F.col("doc_b").alias("node")))
@@ -2226,13 +2253,7 @@ def ext_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 CONTAINMENT_THRESHOLD = 0.5
 
 _CONTAIN_ORACLE = f"""
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1),
-        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM toks),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-          GROUP BY 1, 2),
+WITH {_SHINGLE_PAIR_CTES},
 c AS (SELECT doc_a, doc_b, i AS shared,
         round(CAST(i AS DOUBLE) / sa.n, 6) AS cont_ab,
         round(CAST(i AS DOUBLE) / sb.n, 6) AS cont_ba
@@ -2263,18 +2284,8 @@ def ext_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; at production scale this runs as the exact re-scorer
     behind MinHash banding, exactly like the miner it shares its
     plan with."""
-    sh = _exploded_shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("shared"))
-    )
+    inter, sizes = _shingle_pair_intersections(spark, sf_dir)
+    inter = inter.withColumnRenamed("i", "shared")
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     cont_ab = F.round(F.col("shared").cast("double") / F.col("na"), 6)
@@ -2296,17 +2307,7 @@ def ext_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------- neighbor-set Jaccard
 
 _LINKPRED_ORACLE = f"""
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1),
-        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM toks),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-          GROUP BY 1, 2),
-edges AS (SELECT doc_a, doc_b FROM inter
-          JOIN sizes sa ON sa.doc_id = doc_a
-          JOIN sizes sb ON sb.doc_id = doc_b
-          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}),
+WITH {_JACCARD_EDGES_CTE},
 adj AS (SELECT doc_a AS u, doc_b AS v FROM edges
         UNION ALL SELECT doc_b AS u, doc_a AS v FROM edges),
 deg AS (SELECT u AS doc_id, count(*) AS degree FROM adj GROUP BY u),
@@ -2341,7 +2342,14 @@ def ext_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     one keyed count agg, degree joins, a left join back to edges for
     the is_new flag. |N(x)∪N(y)| = dx + dy - common is exact
     integer arithmetic; the ratio is ONE shared rounded division."""
-    pairs = ext_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # edge list feeds 4 plan branches (adjacency x2, degrees, is_new
+    # probe) — localCheckpoint so the miner runs once (same rationale
+    # as ext_graph_triangle_count)
+    pairs = (
+        ext_dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
     adj = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).unionAll(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
@@ -2387,9 +2395,7 @@ def ext_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 WEIGHTED_JACCARD_THRESHOLD = 0.05
 
 _WJACCARD_ORACLE = f"""
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1),
-        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM toks),
+WITH {_SHINGLE_CTE},
 n AS (SELECT count(*) AS nd FROM documents),
 dfq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
 w AS (SELECT s, CAST(round(ln(CAST(nd AS DOUBLE) / df) * 1000.0) AS BIGINT)
@@ -2404,7 +2410,8 @@ inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 sim AS (SELECT doc_a, doc_b, wi,
           round(CAST(wi AS DOUBLE) / (ta.tw + tb.tw - wi), 6) AS wsim
         FROM inter JOIN tot ta ON ta.doc_id = doc_a
-                   JOIN tot tb ON tb.doc_id = doc_b)
+                   JOIN tot tb ON tb.doc_id = doc_b
+        WHERE ta.tw + tb.tw - wi > 0)
 SELECT doc_a, doc_b, wi AS shared_weight_milli, wsim FROM sim
 WHERE wsim >= {WEIGHTED_JACCARD_THRESHOLD}
 """
@@ -2461,6 +2468,12 @@ def ext_dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         inter.join(F.broadcast(ta), "doc_a")
         .join(F.broadcast(tb), "doc_b")
+        # all-ubiquitous-shingle pairs have wi = ta = tb = 0: 0/0 is
+        # NaN, and Spark orders NaN ABOVE every number, so without
+        # this guard the threshold filter would KEEP the garbage
+        # pair (DuckDB's behavior additionally depends on its IEEE
+        # division setting — the guard pins both engines)
+        .filter(F.col("ta") + F.col("tb") - F.col("wi") > 0)
         .select(
             "doc_a",
             "doc_b",

@@ -1633,14 +1633,14 @@ _KNN_NOISE_ORACLE = (
     "ON b.vec_id != a.vec_id), "
     "r AS (SELECT vec_id, neighbor_id, cos, row_number() OVER ("
     "PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank FROM c), "
-    "k AS (SELECT vec_id, neighbor_id FROM r WHERE rank <= 3), "
+    f"k AS (SELECT vec_id, neighbor_id FROM r WHERE rank <= {KNN_K}), "
     "j AS (SELECT k.vec_id, a.label AS label, "
     "CASE WHEN b.label != a.label THEN 1 ELSE 0 END AS d "
     "FROM k JOIN embeddings a ON a.vec_id = k.vec_id "
     "JOIN embeddings b ON b.vec_id = k.neighbor_id) "
     "SELECT vec_id, label, CAST(sum(d) AS BIGINT) AS n_disagree, "
-    "round(CAST(sum(d) AS BIGINT) * 1.0 / 3, 6) AS disagree_rate, "
-    "CAST(sum(d) AS BIGINT) = 3 AS flagged "
+    f"round(CAST(sum(d) AS BIGINT) * 1.0 / {KNN_K}, 6) AS disagree_rate, "
+    f"CAST(sum(d) AS BIGINT) = {KNN_K} AS flagged "
     "FROM j GROUP BY vec_id, label"
 )
 
@@ -1648,7 +1648,7 @@ _KNN_NOISE_ORACLE = (
 @register("ext_label_knn_noise", oracle=_KNN_NOISE_ORACLE)
 def ext_label_knn_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN label-noise audit (the confident-learning-style screen):
-    for every vector, how many of its k=3 nearest neighbors carry a
+    for every vector, how many of its KNN_K nearest neighbors carry a
     DIFFERENT label. A vector whose entire neighborhood disagrees
     (`flagged`) is a candidate mislabel/poisoned row — the audit a
     training pipeline runs over labeled embeddings BEFORE
@@ -1677,6 +1677,6 @@ def ext_label_knn_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.groupBy("vec_id", "label").agg(
         F.sum("d").alias("n_disagree"),
-        F.round(F.sum("d") * 1.0 / 3, 6).alias("disagree_rate"),
-        (F.sum("d") == 3).alias("flagged"),
+        F.round(F.sum("d") * 1.0 / KNN_K, 6).alias("disagree_rate"),
+        (F.sum("d") == KNN_K).alias("flagged"),
     )

@@ -2881,8 +2881,8 @@ dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
 st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
 sc AS (SELECT tf.doc_id,
          CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-           * (tf * 2.2)
-           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl
+           * (tf * {BM25_K1 + 1.0})
+           / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl
               / (CAST(sum_dl AS DOUBLE) / n_docs)))
            * 1000000.0) AS BIGINT) AS s
        FROM tf JOIN dl ON dl.doc_id = tf.doc_id
@@ -2931,8 +2931,8 @@ def ext_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = F.round(
         idf
-        * (F.col("tf") * 2.2)
-        / (F.col("tf") + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / avgdl))
+        * (F.col("tf") * (BM25_K1 + 1.0))
+        / (F.col("tf") + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / avgdl))
         * 1000000.0
     ).cast("long")
     ds = (

@@ -595,8 +595,14 @@ def stream_sliding_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine.
 
     Scale shape: state is |windows|x|types| counters (map-side
-    partial counts feed the state store); watermark bounds state to
-    the 2-day overlap horizon — state never grows with history."""
+    partial counts feed the state store). NOTE on state retention:
+    this harness drains in COMPLETE mode (the memory-sink replay
+    contract, like `stream_tumbling_count`), and Spark does NOT
+    evict watermarked state in complete mode — state here grows with
+    the window count. A production deployment runs this exact
+    aggregation in UPDATE/APPEND mode, where the 1-day watermark
+    retires windows older than the 2-day overlap horizon and state
+    stays bounded; the aggregation/window arithmetic is identical."""
     agg = (
         stream_events(spark, sf_dir)
         .withWatermark("ts", "1 day")

@@ -841,3 +841,26 @@ def test_weighted_jaccard_rare_shingles_dominate(spark):
     expect = round(shared / (2 * tot_each - shared), 6)
     assert out[(0, 1)].wsim == expect
     assert out[(0, 1)].shared_weight_milli == shared
+
+
+def test_weighted_jaccard_all_boilerplate_pair_suppressed(spark):
+    """ext_dedup_weighted_jaccard: a pair whose EVERY shared shingle
+    is corpus-ubiquitous has zero union weight (0/0); the guard must
+    suppress the pair rather than let NaN >= threshold keep it
+    (Spark orders NaN above every number)."""
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.dedup import (
+        ext_dedup_weighted_jaccard,
+    )
+
+    # every doc is the identical boilerplate => every shingle df == N
+    # => iw = round(ln(1)*1000) = 0 for all shingles
+    rows = [(i, "same exact template text here", "en", "s", 29) for i in range(6)]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_wjacnan_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "documents.parquet"))
+    assert ext_dedup_weighted_jaccard(spark, tmp).count() == 0

@@ -390,15 +390,6 @@ def test_sliding_count_double_counts_each_event(spark):
     out = queries()["stream_sliding_count"](spark, SF_SMOKE).collect()
     n_events = load(spark, SF_SMOKE, "events").count()
     assert sum(r.cnt for r in out) == 2 * n_events
-    # windows overlap: per (type, day-of-event) mass shows up under
-    # window_start == day and window_start == day - 1
-    daily = {
-        (r.day, r.event_type): r.cnt
-        for r in queries()["agg_daily_counts"](spark, SF_SMOKE)
-        .groupBy("day", "event_type")
-        .sum()
-        .collect()
-    } if False else None
     import datetime as dt
     by_ws = {(r.window_start, r.event_type): r.cnt for r in out}
     # spot-check one interior window: cnt(window d) = events(d) + events(d+1)

@@ -833,9 +833,10 @@ AUDIT = {
     "stream_sliding_count": (
         "StateStoreSave/Restore over (window, type) keys with "
         "partial counts feeding the state store",
-        "each event updates size/slide=2 state keys; watermark "
-        "bounds state to the overlap horizon — state never grows "
-        "with history",
+        "each event updates size/slide=2 state keys; in production "
+        "UPDATE mode the watermark retires windows past the 2-day "
+        "overlap horizon (this harness drains COMPLETE for the "
+        "memory-sink replay contract, which retains state)",
     ),
     "ext_label_knn_noise": (
         "knn-graph block triangle join (reused) + two broadcast "
