@@ -659,3 +659,67 @@ def ext_mm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("n_copies") - 1) * F.col("n_bytes")).alias("dup_bytes"),
         )
     )
+
+
+# --------------------------------------------------- ViT tile plan
+
+TILE_PATCH = 16  # ViT-style square patch edge, px
+
+_TILE_ORACLE = f"""
+WITH m AS (SELECT doc_id,
+             CAST(n_chars % 640 + 16 AS BIGINT) AS width,
+             CAST(n_chars % 480 + 16 AS BIGINT) AS height
+           FROM documents WHERE doc_id % 3 = 0)
+SELECT doc_id, width, height,
+       (width + {TILE_PATCH - 1}) // {TILE_PATCH} AS tiles_x,
+       (height + {TILE_PATCH - 1}) // {TILE_PATCH} AS tiles_y,
+       ((width + {TILE_PATCH - 1}) // {TILE_PATCH})
+         * ((height + {TILE_PATCH - 1}) // {TILE_PATCH}) AS n_tiles,
+       ((width + {TILE_PATCH - 1}) // {TILE_PATCH})
+         * ((height + {TILE_PATCH - 1}) // {TILE_PATCH}) + 1 AS seq_len,
+       ((width + {TILE_PATCH - 1}) // {TILE_PATCH}) * {TILE_PATCH}
+         * (((height + {TILE_PATCH - 1}) // {TILE_PATCH}) * {TILE_PATCH})
+         - width * height AS pad_px
+FROM m
+"""
+
+
+@register("ext_mm_tile_plan", oracle=_TILE_ORACLE)
+def ext_mm_tile_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT patch-tiling plan over image metadata: per image the
+    16 px-patch grid (tiles_x × tiles_y), the transformer sequence
+    length it implies (n_tiles + 1 CLS token), and the pad pixels
+    the edge tiles waste — the vision-encoder counterpart of
+    `ext_length_bucket_batching`'s padding accounting, and the
+    statistic that sizes a multimodal training batch budget (image
+    seq_len dominates token cost). Planned from METADATA ONLY: the
+    binary payload is never read, never decoded, never shuffled —
+    the same blob-pruning contract as `ext_mm_pair_filter`.
+
+    Exactness: ceil-division is integer `(x + p - 1) div p` on both
+    engines (never float ceil); every output is int64 arithmetic on
+    the typed width/height columns.
+
+    Scale shape: scan-local projection with a pushed media-type
+    predicate (doc_id % 3 — the fixture's image rows) — zero
+    shuffle, embarrassingly parallel, output one row per image."""
+    d = attach_media_columns(load(spark, sf_dir, "documents"))
+    img = d.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        F.col("meta.width").cast("long").alias("width"),
+        F.col("meta.height").cast("long").alias("height"),
+    )
+    tx = F.expr(f"(width + {TILE_PATCH - 1}) div {TILE_PATCH}")
+    ty = F.expr(f"(height + {TILE_PATCH - 1}) div {TILE_PATCH}")
+    return img.select(
+        "doc_id",
+        "width",
+        "height",
+        tx.alias("tiles_x"),
+        ty.alias("tiles_y"),
+        (tx * ty).alias("n_tiles"),
+        (tx * ty + 1).alias("seq_len"),
+        (tx * TILE_PATCH * (ty * TILE_PATCH) - F.col("width") * F.col("height")).alias(
+            "pad_px"
+        ),
+    )

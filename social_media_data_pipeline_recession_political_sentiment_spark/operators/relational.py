@@ -3133,3 +3133,71 @@ def agg_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_ok"
         ),
     )
+
+
+# ------------------------------------------- DP-style noisy release
+
+DP_EPSILON = 1.0  # Laplace scale b = sensitivity/epsilon = 1.0
+
+
+_DP_HASH_SQL = (
+    "CAST(('0x' || substr(md5(concat_ws(':', 'dp', event_type)), 1, 15)) "
+    "AS BIGINT)"
+)
+
+_DP_ORACLE = f"""
+WITH c AS (SELECT event_type, count(*) AS true_count FROM events
+           GROUP BY event_type),
+u AS (SELECT event_type, true_count,
+        (({_DP_HASH_SQL} % 1000000) + 0.5) / 1000000.0 AS u FROM c)
+SELECT event_type, true_count,
+       true_count + CAST(round(-(1.0 / {DP_EPSILON})
+         * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))
+       ) AS BIGINT) AS noisy_count,
+       CAST({DP_EPSILON} AS DOUBLE) AS epsilon
+FROM u
+"""
+
+
+@register("agg_dp_noisy_counts", oracle=_DP_ORACLE)
+def agg_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy-SHAPED noisy count release: per-group
+    counts plus Laplace(b = 1/ε) noise via inverse-CDF sampling, the
+    stats-release stage a data platform runs before publishing
+    per-cohort counts externally. DETERMINISM CAVEAT, stated plainly:
+    the uniform draw here is a salted hash of the group key — that
+    makes the operator reproducible and oracle-checkable (and is why
+    true_count can appear beside noisy_count in this harness), but a
+    REAL DP release must draw from a secure RNG and must NOT emit
+    the true count; this operator is the plumbing contract (noise
+    shape, scale arithmetic, ε ledger column), with the RNG as the
+    single swap point — the same stub-the-nondeterminism seam as
+    `ext_mm_decode_stub`.
+
+    Exactness: the inverse-CDF −b·sign(u−½)·ln(1−2|u−½|) is ONE
+    shared expression tree rounded once into a BIGINT offset; u is
+    integer-hash arithmetic, so both engines compute bit-identical
+    noise.
+
+    Scale shape: one |groups|-key hash agg with map-side combine,
+    then scan-local noise arithmetic — release cost is group
+    cardinality, independent of event volume."""
+    from .dedup import _salted_hash
+
+    c = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("true_count"))
+    )
+    u = ((_salted_hash(F.lit("dp"), F.col("event_type")) % 1000000) + 0.5) / 1000000.0
+    noise = F.round(
+        -(1.0 / DP_EPSILON)
+        * F.signum(u - 0.5)
+        * F.log(1.0 - 2.0 * F.abs(u - 0.5))
+    ).cast("long")
+    return c.select(
+        "event_type",
+        "true_count",
+        (F.col("true_count") + noise).alias("noisy_count"),
+        F.lit(DP_EPSILON).alias("epsilon"),
+    )

@@ -3081,3 +3081,70 @@ def ext_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos"),
         )
     )
+
+
+# -------------------------------------------- length-bucket batching
+
+BATCH_SIZE = 8
+LEN_BUCKETS = (16, 32, 64, 128, 256, 512, 1024)
+
+_LB_CASE_SQL = (
+    "CASE "
+    + " ".join(f"WHEN n_tok <= {e} THEN {e}" for e in LEN_BUCKETS)
+    + f" ELSE {LEN_BUCKETS[-1]} END"
+)
+
+_LENBUCKET_ORACLE = f"""
+WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
+b AS (SELECT doc_id, n_tok, {_LB_CASE_SQL} AS bucket FROM d)
+SELECT bucket, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+       CAST(count(*) * bucket AS BIGINT) AS padded_tokens,
+       CAST(count(*) * bucket - sum(n_tok) AS BIGINT) AS pad_waste,
+       round((count(*) * bucket - sum(n_tok)) * 1.0 / (count(*) * bucket), 6)
+         AS waste_rate,
+       CAST((count(*) + {BATCH_SIZE - 1}) // {BATCH_SIZE} AS BIGINT) AS n_batches
+FROM b GROUP BY bucket
+"""
+
+
+@register("ext_length_bucket_batching", oracle=_LENBUCKET_ORACLE)
+def ext_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch planning — the padded-batch counterpart
+    of `ext_pack_sequences` (concat packing): docs are binned into
+    power-of-two length buckets, and the plan reports per bucket the
+    padded token cost, the PADDING WASTE (tokens burned on pad ids —
+    the metric dynamic batching exists to minimize), and the batch
+    count at a fixed batch size. A training-data team reads
+    waste_rate to choose between padded batching and packing per
+    corpus slice.
+
+    Exactness: bucket assignment is a CASE ladder over fixed edges
+    (identical text both engines — deliberately NOT floor(ln/ln)
+    arithmetic, which needs power-of-10/2 renormalization per the
+    Benford lesson); everything else is integer counts/sums with ONE
+    shared rounded division.
+
+    Scale shape: one scan-local projection + ONE |buckets|-key hash
+    agg with map-side combine — constant-size output at any corpus
+    size."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    bucket = F.expr(_LB_CASE_SQL)
+    b = d.select("doc_id", "n_tok", bucket.alias("bucket"))
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("sum_tokens"),
+        (F.count("*") * F.col("bucket")).alias("padded_tokens"),
+        (F.count("*") * F.col("bucket") - F.sum("n_tok")).alias("pad_waste"),
+        F.round(
+            (F.count("*") * F.col("bucket") - F.sum("n_tok"))
+            * 1.0
+            / (F.count("*") * F.col("bucket")),
+            6,
+        ).alias("waste_rate"),
+        ((F.count("*") + (BATCH_SIZE - 1)) / BATCH_SIZE).cast("long").alias(
+            "n_batches"
+        ),
+    )

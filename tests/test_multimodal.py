@@ -189,3 +189,32 @@ def test_mm_exact_dedup_groups_identical_payloads(spark):
     assert out[2].n_copies == 3
     assert out[2].dup_bytes == 2 * len(b"same bytes here")
     assert out[3].n_copies == 1 and out[3].dup_bytes == 0
+
+
+def test_tile_plan_ceil_division_and_pad(spark):
+    """ext_mm_tile_plan: grid is ceil(w/16) x ceil(h/16), seq_len
+    adds the CLS token, pad_px is the edge-tile overhang."""
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.multimodal import (
+        ext_mm_tile_plan,
+    )
+
+    # doc_id % 3 == 0 -> image; n_chars=100 -> w=116, h=116
+    rows = [(0, "irrelevant", "en", "s", 100), (1, "skip", "en", "s", 50),
+            (3, "x", "en", "s", 640)]  # w = 640%640+16 = 16, h = 640%480+16 = 176
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_tile_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "documents.parquet"))
+    out = {r.doc_id: r for r in ext_mm_tile_plan(spark, tmp).collect()}
+    assert set(out) == {0, 3}  # only image rows planned
+    r = out[0]
+    assert (r.width, r.height) == (116, 116)
+    assert (r.tiles_x, r.tiles_y, r.n_tiles, r.seq_len) == (8, 8, 64, 65)
+    assert r.pad_px == 128 * 128 - 116 * 116
+    r3 = out[3]
+    assert (r3.tiles_x, r3.tiles_y) == (1, 11)
+    assert r3.pad_px == 16 * 176 - 16 * 176  # both dims already multiples

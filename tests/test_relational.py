@@ -1152,3 +1152,41 @@ def test_hll_union_rollup_mergeable_counts(spark):
     assert out["a"].exact_users == 8 and out["a"].n_days == 4
     assert out["b"].exact_users == 3 and out["b"].n_days == 1
     assert out["a"].approx_ok and out["b"].approx_ok
+
+
+def test_dp_noisy_counts_matches_python_laplace(spark):
+    """agg_dp_noisy_counts: the deterministic hash-seeded Laplace
+    offset replicated in Python matches exactly, and the epsilon
+    ledger column rides along."""
+    import datetime as dt
+    import hashlib
+    import math
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.relational import (
+        DP_EPSILON,
+        agg_dp_noisy_counts,
+    )
+
+    t0 = dt.datetime(2021, 1, 1)
+    rows = [(i, t0, 1, "a" if i < 40 else "b", 1.0, "{}") for i in range(60)]
+    d = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_dp_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "events.parquet"))
+    out = {r.event_type: r for r in agg_dp_noisy_counts(spark, tmp).collect()}
+
+    def noise(et):
+        h = int(hashlib.md5(f"dp:{et}".encode()).hexdigest()[:15], 16)
+        u = ((h % 1000000) + 0.5) / 1000000.0
+        return round(-(1.0 / DP_EPSILON) * math.copysign(1.0, u - 0.5)
+                     * math.log(1.0 - 2.0 * abs(u - 0.5)))
+
+    assert out["a"].true_count == 40 and out["b"].true_count == 20
+    assert out["a"].noisy_count == 40 + noise("a")
+    assert out["b"].noisy_count == 20 + noise("b")
+    assert out["a"].epsilon == DP_EPSILON

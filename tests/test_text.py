@@ -1118,3 +1118,31 @@ def test_tfidf_cosine_pairs_rare_term_blocking(spark):
     na = 3 * w_common**2 + wz[0] ** 2
     nb = 3 * w_common**2 + wz[1] ** 2
     assert r.cos == round(dot / (math.sqrt(na) * math.sqrt(nb)), 6)
+
+
+def test_length_bucket_batching_waste_math(spark):
+    """ext_length_bucket_batching: bucket = smallest power-of-two
+    edge >= n_tok, waste = n_docs*bucket - sum(n_tok), batches =
+    ceil(n_docs/8)."""
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.text_analysis import (
+        ext_length_bucket_batching,
+    )
+
+    # 9 docs of 10 tokens (bucket 16) + 1 doc of 20 tokens (bucket 32)
+    rows = [(i, " ".join(f"w{j}" for j in range(10)), "en", "s", 1) for i in range(9)]
+    rows.append((9, " ".join(f"w{j}" for j in range(20)), "en", "s", 1))
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_lenbuck_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "documents.parquet"))
+    out = {r.bucket: r for r in ext_length_bucket_batching(spark, tmp).collect()}
+    assert set(out) == {16, 32}
+    b16 = out[16]
+    assert (b16.n_docs, b16.sum_tokens, b16.padded_tokens) == (9, 90, 144)
+    assert b16.pad_waste == 54 and b16.n_batches == 2  # ceil(9/8)
+    assert b16.waste_rate == round(54 / 144, 6)
+    assert out[32].n_batches == 1 and out[32].pad_waste == 12
