@@ -3148,3 +3148,234 @@ def ext_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_batches"
         ),
     )
+
+
+# --------------------------------------------- epoch shuffle plan
+
+SHUFFLE_SHARD_WIDTH = 100  # doc_id range width of one shuffle shard
+
+_EPOCH_HASH_SQL = (
+    "CAST(('0x' || substr(md5(concat_ws(':', 'ep', CAST({e} AS VARCHAR), "
+    "CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)"
+)
+
+_EPOCH_SHUFFLE_ORACLE = f"""
+WITH d AS (SELECT doc_id, doc_id // {SHUFFLE_SHARD_WIDTH} AS shard
+           FROM documents),
+p AS (SELECT doc_id, shard,
+        row_number() OVER (PARTITION BY shard
+          ORDER BY {_EPOCH_HASH_SQL.format(e=0)}, doc_id) - 1 AS pos_e0,
+        row_number() OVER (PARTITION BY shard
+          ORDER BY {_EPOCH_HASH_SQL.format(e=1)}, doc_id) - 1 AS pos_e1
+      FROM d)
+SELECT doc_id, shard, pos_e0, pos_e1, pos_e0 != pos_e1 AS moved FROM p
+"""
+
+
+@register("ext_epoch_shuffle_plan", oracle=_EPOCH_SHUFFLE_ORACLE)
+def ext_epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic BETWEEN-EPOCH shuffle plan: each training epoch
+    permutes documents within their shard by a salted hash of
+    (epoch, doc_id) — reproducible on any re-run/retry (no RNG state,
+    the property all repo sampling ops share) yet decorrelated across
+    epochs (`moved` shows the permutation really changes). This is
+    how large-corpus loaders actually shuffle: GLOBALLY shuffling
+    100 TB per epoch is a full-corpus sort, so production shuffles
+    shard-internally (+ shard-order shuffle, a metadata-sized
+    problem) — accepting the standard locality trade-off, which this
+    plan makes explicit and auditable.
+
+    Scale shape: the ONLY windows are partitioned by shard —
+    bounded at SHUFFLE_SHARD_WIDTH rows by construction (doc_ids are
+    unique), so the per-shard sort is constant-size however large
+    the corpus; one shuffle on the shard key, embarrassingly
+    parallel after."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"doc_id div {SHUFFLE_SHARD_WIDTH}").alias("shard"),
+    )
+    from pyspark.sql import Window as _W
+
+    def pos(e: int):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit("ep"),
+                        F.lit(str(e)),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        w = _W.partitionBy("shard").orderBy(h.asc(), F.col("doc_id").asc())
+        return (F.row_number().over(w) - 1).cast("long")
+
+    return d.select(
+        "doc_id",
+        "shard",
+        pos(0).alias("pos_e0"),
+        pos(1).alias("pos_e1"),
+    ).withColumn("moved", F.col("pos_e0") != F.col("pos_e1"))
+
+
+# -------------------------------------- Misra-Gries heavy hitters
+
+MG_K = 100  # heavy-hitter threshold: freq > N / MG_K (1%)
+
+_MG_ORACLE = f"""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+tot AS (SELECT count(*) AS n FROM tok),
+c AS (SELECT t, count(*) AS c FROM tok GROUP BY t)
+SELECT t AS term, c AS exact_count, round(c * 1.0 / n, 6) AS share
+FROM c CROSS JOIN tot WHERE c * {MG_K} > n
+"""
+
+
+def _mg_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Partition-local Misra-Gries summary (Agarwal et al. 2012
+    mergeable-summaries form): fold each Arrow batch's value counts
+    into at most MG_K counters; on overflow subtract the (K+1)-th
+    largest counter from all and keep positives. Any item with
+    in-partition frequency > partition_size/MG_K survives — the
+    candidate-superset guarantee the exact recount below relies on."""
+    counters: dict[str, int] = {}
+    for pdf in batches:
+        for t, c in pdf["t"].value_counts().items():
+            counters[t] = counters.get(t, 0) + int(c)
+        if len(counters) > MG_K:
+            cut = sorted(counters.values(), reverse=True)[MG_K]
+            counters = {t: c - cut for t, c in counters.items() if c > cut}
+    yield pd.DataFrame({"t": list(counters.keys()) or []}, dtype="object")
+
+
+@register("agg_heavy_hitters_mg", oracle=_MG_ORACLE)
+def agg_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (tokens with > 1/MG_K of all occurrences)
+    via the two-pass sketch-then-verify shape: pass 1 runs a
+    partition-local Misra-Gries summary in Arrow batches (bounded
+    MG_K-entry state per task — the one-pass bounded-memory pruner;
+    by pigeonhole, any GLOBAL heavy hitter is heavy in some
+    partition, so the union of partition candidates is a provable
+    superset); pass 2 recounts ONLY the candidates exactly and
+    applies the threshold. Same approximate-miner + exact-verifier
+    architecture as MinHash→Jaccard, here for frequency. The output
+    is EXACT (hash-checked against the full groupBy oracle) — the
+    sketch only bounds the candidate set, never the answer.
+
+    Scale shape: pass 1 is mapInPandas with O(MG_K) state and
+    candidate output ≤ MG_K rows per partition (vs a full-vocabulary
+    shuffle: at 100 TB the vocabulary is billions of types, the
+    candidate union is thousands); pass 2 broadcasts candidates into
+    the token scan and aggregates |candidates| keys with map-side
+    combine. The 1-row total is a crossJoin broadcast."""
+    d = load(spark, sf_dir, "documents").select("text")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    tok = d.select(F.explode(F.split("text", " ")).alias("t"))
+    cand = (
+        tok.mapInPandas(_mg_partials, schema="t string")
+        .distinct()
+    )
+    tot = tok.agg(F.count("*").alias("n"))
+    exact = (
+        tok.join(F.broadcast(cand), "t")
+        .groupBy("t")
+        .agg(F.count("*").alias("exact_count"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(tot))
+        .filter(F.col("exact_count") * MG_K > F.col("n"))
+        .select(
+            F.col("t").alias("term"),
+            "exact_count",
+            F.round(F.col("exact_count") * 1.0 / F.col("n"), 6).alias("share"),
+        )
+    )
+
+
+# ------------------------------------------------- feature hashing
+
+FH_DIM = 64  # hashed feature-vector width
+
+_FH_HASH = (
+    "CAST(('0x' || substr(md5(concat_ws(':', 'fh', t)), 1, 15)) AS BIGINT) "
+    f"% {FH_DIM}"
+)
+
+_FH_ORACLE = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+h AS (SELECT doc_id, len(tk) AS n_tokens,
+        list_transform(tk, t -> {_FH_HASH}) AS th FROM d),
+v AS (SELECT doc_id, n_tokens,
+        list_transform(range(0, {FH_DIM}),
+          j -> CAST(len(list_filter(th, x -> x = j)) AS BIGINT)) AS features
+      FROM h)
+SELECT doc_id, features,
+       CAST(len(list_filter(features, x -> x > 0)) AS BIGINT) AS nnz,
+       CAST(n_tokens AS BIGINT) AS n_tokens
+FROM v
+"""
+
+_FH_SPARK_HASH = (
+    "CAST(conv(substring(md5(concat_ws(':', 'fh', t)), 1, 15), 16, 10) "
+    f"AS BIGINT) % {FH_DIM}"
+)
+
+
+@register("ext_feature_hashing", oracle=_FH_ORACLE)
+def ext_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick text vectorizer (Weinberger et al. 2009): each
+    token indexes a fixed FH_DIM-wide bucket via a salted hash and
+    the document becomes its bucket-count vector — the
+    vocabulary-FREE featurization that needs no global dictionary
+    pass, no vocab broadcast, and no OOV path (contrast
+    `ext_tokenize_ids`, which builds and broadcasts a top-K vocab).
+    That no-global-state property is the whole point at 100 TB: the
+    vectorizer is a pure per-row function, so featurization
+    parallelizes perfectly and new corpus shards never invalidate a
+    dictionary.
+
+    Exactness: bucket = salted-md5 % FH_DIM (identical integer
+    arithmetic both engines); counts via HOF filter/size — all
+    int64; the feature ARRAY itself is hash-compared element-wise
+    against the oracle.
+
+    Scale shape: each token is hashed ONCE in the scan (a naive
+    nested-HOF form — count buckets by filtering the hashed array
+    per bucket index — re-evaluates the md5 transform FH_DIM times
+    per doc under Catalyst's project-collapsing; measured 19 s vs
+    1 s at sf0.1), then one doc-keyed count shuffle of (doc, bucket)
+    int pairs with map-side combine rebuilds the dense vector via a
+    bucket->count map. No Python, no vocabulary state."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tk")
+    )
+    base = d.select("doc_id", F.size("tk").cast("long").alias("n_tokens"))
+    counts = (
+        d.select("doc_id", F.explode("tk").alias("t"))
+        .select("doc_id", F.expr(_FH_SPARK_HASH).alias("j"))
+        .groupBy("doc_id", "j")
+        .agg(F.count("*").alias("c"))
+    )
+    m = counts.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("j", "c"))).alias("m")
+    )
+    v = base.join(m, "doc_id").select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, {FH_DIM - 1}), "
+            "j -> CAST(coalesce(m[j], 0) AS BIGINT))"
+        ).alias("features"),
+        "n_tokens",
+    )
+    return v.select(
+        "doc_id",
+        "features",
+        F.expr("CAST(size(filter(features, x -> x > 0)) AS BIGINT)").alias("nnz"),
+        "n_tokens",
+    )

@@ -1146,3 +1146,98 @@ def test_length_bucket_batching_waste_math(spark):
     assert b16.pad_waste == 54 and b16.n_batches == 2  # ceil(9/8)
     assert b16.waste_rate == round(54 / 144, 6)
     assert out[32].n_batches == 1 and out[32].pad_waste == 12
+
+
+def test_epoch_shuffle_is_permutation_and_decorrelated(spark):
+    """ext_epoch_shuffle_plan: per shard each epoch's positions form
+    a bijection onto 0..n-1, epochs genuinely permute (some doc
+    moves), and the plan is deterministic across invocations."""
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.text_analysis import (
+        ext_epoch_shuffle_plan,
+    )
+
+    rows = [(i, f"text {i}", "en", "s", 6) for i in range(250)]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_epoch_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "documents.parquet"))
+    out = ext_epoch_shuffle_plan(spark, tmp).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) == {0, 1, 2}  # 250 docs / width 100
+    for shard, rs in by_shard.items():
+        n = len(rs)
+        assert sorted(r.pos_e0 for r in rs) == list(range(n))
+        assert sorted(r.pos_e1 for r in rs) == list(range(n))
+    assert any(r.moved for r in out)
+    again = {r.doc_id: (r.pos_e0, r.pos_e1) for r in ext_epoch_shuffle_plan(spark, tmp).collect()}
+    assert all(again[r.doc_id] == (r.pos_e0, r.pos_e1) for r in out)
+
+
+def test_heavy_hitters_mg_exact_on_planted_skew(spark):
+    """agg_heavy_hitters_mg: with one token at ~50% and a long tail
+    of singletons, exactly the heavy token is returned with its
+    exact count — the MG candidate pass must not lose it and the
+    recount must discard tail candidates."""
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.text_analysis import (
+        agg_heavy_hitters_mg,
+    )
+
+    # 300 'hot' occurrences + 300 singletons => N=600, hot share 50%
+    rows = []
+    for i in range(30):
+        rows.append((i, " ".join(["hot"] * 10), "en", "s", 1))
+    for i in range(30, 60):
+        rows.append((i, " ".join(f"tail{i}_{j}" for j in range(10)), "en", "s", 1))
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_mg_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "documents.parquet"))
+    out = agg_heavy_hitters_mg(spark, tmp).collect()
+    assert len(out) == 1
+    assert out[0].term == "hot" and out[0].exact_count == 300
+    assert out[0].share == 0.5
+
+
+def test_feature_hashing_conserves_mass_and_matches_python(spark):
+    """ext_feature_hashing: Σfeatures == n_tokens, identical texts
+    hash to identical vectors, and bucket indices match a Python
+    replication of the salted hash."""
+    import hashlib
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.text_analysis import (
+        FH_DIM,
+        ext_feature_hashing,
+    )
+
+    rows = [(1, "alpha beta alpha", "en", "s", 1),
+            (2, "alpha beta alpha", "en", "s", 1),
+            (3, "gamma", "en", "s", 1)]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_fh_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "documents.parquet"))
+    out = {r.doc_id: r for r in ext_feature_hashing(spark, tmp).collect()}
+
+    def bucket(t):
+        return int(hashlib.md5(f"fh:{t}".encode()).hexdigest()[:15], 16) % FH_DIM
+
+    for r in out.values():
+        assert sum(r.features) == r.n_tokens
+    assert out[1].features == out[2].features
+    assert out[1].features[bucket("alpha")] == 2
+    assert out[1].features[bucket("beta")] == 1
+    assert out[1].nnz == 2 and out[3].nnz == 1
+    assert out[3].features[bucket("gamma")] == 1
