@@ -3201,3 +3201,156 @@ def agg_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("true_count") + noise).alias("noisy_count"),
         F.lit(DP_EPSILON).alias("epsilon"),
     )
+
+
+# -------------------------------------- quantile sketch audit
+
+
+_QSKETCH_ORACLE = """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.95) AS p95,
+       true AS ok50, true AS ok95
+FROM events GROUP BY event_type
+"""
+
+
+@register("agg_quantile_sketch_audit", oracle=_QSKETCH_ORACLE)
+def agg_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-error certificate for the mergeable quantile sketch:
+    `percentile_approx(q, accuracy=1000)` guarantees rank error
+    <= 1/accuracy, so its value must land between the EXACT
+    quantiles at q ± 1% — a far tighter audit than
+    `agg_percentiles`' [min, max] sanity flag, and the evidence that
+    the sketch path (the only viable one at 100 TB, where exact
+    percentile collects each group's values) is actually within its
+    contract on this data. Same self-validating floor shape as
+    `agg_approx_distinct` / `agg_hll_union_rollup`: exact values are
+    driver-hash-checked, the sketch result is asserted inside
+    integer-free BETWEEN bounds computed from the exact
+    distribution.
+
+    Scale shape: one group-keyed agg; the exact branch is the
+    harness, the sketch branch streams with O(accuracy) state and
+    merges across partitions."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+        F.expr(
+            "percentile_approx(value, 0.5, 1000) "
+            "BETWEEN percentile(value, 0.49) AND percentile(value, 0.51)"
+        ).alias("ok50"),
+        F.expr(
+            "percentile_approx(value, 0.95, 1000) "
+            "BETWEEN percentile(value, 0.94) AND percentile(value, 0.96)"
+        ).alias("ok95"),
+    )
+
+
+# ---------------------------------------------- bloom-pruned join
+
+JOIN_BLOOM_M = 2048  # deliberately small so fixture-visible FPs exist
+JOIN_BLOOM_K = 3
+_JB_SEGMENT = "BUILDING"
+
+
+def _jb_hash_sql(j: int, expr: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(concat_ws(':', '{j}', {expr})), 1, 15)) "
+        f"AS BIGINT) % {JOIN_BLOOM_M}"
+    )
+
+
+_JB_ORACLE = f"""
+WITH dim AS (SELECT DISTINCT c_custkey FROM customer
+             WHERE c_mktsegment = '{_JB_SEGMENT}'),
+bits AS (SELECT DISTINCT bit FROM (
+  {" UNION ALL ".join(f"SELECT {_jb_hash_sql(j, 'CAST(c_custkey AS VARCHAR)')} AS bit FROM dim" for j in range(JOIN_BLOOM_K))})),
+probe AS (SELECT o_orderkey, o_custkey,
+  {", ".join(f"{_jb_hash_sql(j, 'CAST(o_custkey AS VARCHAR)')} AS p{j}" for j in range(JOIN_BLOOM_K))}
+  FROM orders),
+pass AS (SELECT o_orderkey, o_custkey FROM probe WHERE
+  {" AND ".join(f"p{j} IN (SELECT bit FROM bits)" for j in range(JOIN_BLOOM_K))}),
+truth AS (SELECT o_orderkey FROM orders o JOIN dim d ON d.c_custkey = o.o_custkey)
+SELECT (SELECT count(*) FROM orders) AS n_orders,
+       (SELECT count(*) FROM pass) AS n_pass_bloom,
+       (SELECT count(*) FROM truth) AS n_true_match,
+       (SELECT count(*) FROM pass) - (SELECT count(*) FROM truth) AS bloom_fp,
+       round(((SELECT count(*) FROM pass) - (SELECT count(*) FROM truth)) * 1.0
+         / ((SELECT count(*) FROM orders) - (SELECT count(*) FROM truth)), 6)
+         AS fp_rate
+"""
+
+
+@register("join_bloom_pruned", oracle=_JB_ORACLE)
+def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning, made explicit and AUDITED: the
+    dimension side's join keys build a k=3/M=2048 bloom bit set
+    (same salted-md5 family as `ext_dedup_incremental_bloom`), the
+    fact scan probes it BEFORE any shuffle, and the report counts
+    facts passing the bloom vs facts truly matching — the measured
+    false-positive overhead of the pruning layer. This is the
+    runtime-filter/semi-join reduction Spark's
+    `runtime.bloomFilter` optimization applies implicitly; doing it
+    explicitly gives the 100 TB design its audit: at scale the
+    bloom (M bits, broadcast-safe by construction) prunes the fact
+    shuffle to pass-rows only, and fp_rate tells you what the prune
+    actually bought vs an exact semi-join.
+
+    Exactness: bit positions are integer md5 arithmetic identical on
+    both engines; every count is exact; fp_rate is one shared
+    rounded division over true negatives."""
+    c = load(spark, sf_dir, "customer")
+    dim = (
+        c.filter(F.col("c_mktsegment") == _JB_SEGMENT)
+        .select("c_custkey")
+        .distinct()
+    )
+    from .dedup import _salted_hash
+
+    def jb_bit(j: int, col):
+        return _salted_hash(F.lit(str(j)), col.cast("string")) % JOIN_BLOOM_M
+
+    bits = (
+        dim.select(
+            F.explode(
+                F.array(*[jb_bit(j, F.col("c_custkey")) for j in range(JOIN_BLOOM_K)])
+            ).alias("bit")
+        )
+        .distinct()
+        .withColumn("present", F.lit(True))
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    probe = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.explode(
+            F.array(*[jb_bit(j, F.col("o_custkey")) for j in range(JOIN_BLOOM_K)])
+        ).alias("bit"),
+    )
+    passed = (
+        probe.join(F.broadcast(bits), "bit", "left")
+        .groupBy("o_orderkey", "o_custkey")
+        .agg((F.count(F.when(F.col("present"), 1)) == JOIN_BLOOM_K).alias("pass"))
+    )
+    truth = o.join(F.broadcast(dim.withColumnRenamed("c_custkey", "o_custkey")), "o_custkey")
+    n_orders = o.agg(F.count("*").alias("n_orders"))
+    n_pass = passed.filter("pass").agg(F.count("*").alias("n_pass_bloom"))
+    n_true = truth.agg(F.count("*").alias("n_true_match"))
+    return (
+        n_orders.crossJoin(F.broadcast(n_pass))
+        .crossJoin(F.broadcast(n_true))
+        .select(
+            "n_orders",
+            "n_pass_bloom",
+            "n_true_match",
+            (F.col("n_pass_bloom") - F.col("n_true_match")).alias("bloom_fp"),
+            F.round(
+                (F.col("n_pass_bloom") - F.col("n_true_match"))
+                * 1.0
+                / (F.col("n_orders") - F.col("n_true_match")),
+                6,
+            ).alias("fp_rate"),
+        )
+    )

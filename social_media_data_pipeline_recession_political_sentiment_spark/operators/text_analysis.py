@@ -3379,3 +3379,71 @@ def ext_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(size(filter(features, x -> x > 0)) AS BIGINT)").alias("nnz"),
         "n_tokens",
     )
+
+
+# --------------------------------------------- vocab coverage curve
+
+COVERAGE_KS = (5, 10, 20)
+
+_COV_K_SQL = " UNION ALL ".join(
+    f"SELECT {k} AS k, CAST(sum(c) AS BIGINT) AS covered_tokens FROM "
+    f"(SELECT c FROM c ORDER BY c DESC, t LIMIT {k})"
+    for k in COVERAGE_KS
+)
+
+_COVERAGE_ORACLE = f"""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+c AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS n_types FROM c),
+ks AS ({_COV_K_SQL})
+SELECT k, n_types, covered_tokens,
+       round(covered_tokens * 1.0 / n, 6) AS coverage
+FROM ks CROSS JOIN tot
+"""
+
+
+@register("ext_vocab_coverage_curve", oracle=_COVERAGE_ORACLE)
+def ext_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the fraction of all token
+    OCCURRENCES covered by the top-K most frequent types, at fixed K
+    cutoffs — the statistic that sizes a tokenizer vocabulary (where
+    the curve flattens, extra vocab buys nothing) and the companion
+    to `ext_vocab_census`'s corpus scalars and
+    `ext_tokenizer_fertility`'s downstream audit.
+
+    Scale design note: the naive form — rank ALL types then prefix-
+    sum — is a full vocabulary sort through one window (the
+    `agg_user_gini` anti-pattern at billion-type scale). Evaluating
+    the curve only AT the K cutoffs instead turns each point into
+    TakeOrderedAndProject(K) + a K-row sum: per-partition heaps,
+    K rows to the driver, no global sort, no unpartitioned window.
+
+    Exactness: counts and covered sums are BIGINTs (ties at the
+    cutoff broken by term text identically on both engines); the
+    coverage share is one shared rounded division."""
+    tok = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("t"))
+    )
+    c = tok.groupBy("t").agg(F.count("*").alias("c"))
+    tot = c.agg(
+        F.sum("c").alias("n"), F.count("*").alias("n_types")
+    )
+    parts = []
+    for k in COVERAGE_KS:
+        topk = c.orderBy(F.desc("c"), "t").limit(k)
+        parts.append(
+            topk.agg(
+                F.lit(k).cast("long").alias("k"),
+                F.sum("c").alias("covered_tokens"),
+            )
+        )
+    ks = parts[0]
+    for p in parts[1:]:
+        ks = ks.unionAll(p)
+    return ks.crossJoin(F.broadcast(tot)).select(
+        "k",
+        "n_types",
+        "covered_tokens",
+        F.round(F.col("covered_tokens") * 1.0 / F.col("n"), 6).alias("coverage"),
+    )

@@ -1190,3 +1190,79 @@ def test_dp_noisy_counts_matches_python_laplace(spark):
     assert out["a"].noisy_count == 40 + noise("a")
     assert out["b"].noisy_count == 20 + noise("b")
     assert out["a"].epsilon == DP_EPSILON
+
+
+def test_quantile_sketch_audit_exact_and_within_rank_bounds(spark):
+    """agg_quantile_sketch_audit: on a planted 1..100 distribution
+    the exact interpolated quantiles are recovered and the sketch
+    lands inside its rank-error certificate on both probes."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.relational import (
+        agg_quantile_sketch_audit,
+    )
+
+    t0 = dt.datetime(2021, 3, 1)
+    rows = [(i, t0, 1, "a", float(i + 1), "{}") for i in range(100)]
+    rows += [(100 + i, t0, 1, "b", 7.0, "{}") for i in range(5)]
+    d = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_qsk_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "events.parquet"))
+    out = {r.event_type: r for r in agg_quantile_sketch_audit(spark, tmp).collect()}
+    assert out["a"].p50 == 50.5  # interpolated median of 1..100
+    assert abs(out["a"].p95 - 95.05) < 1e-9
+    assert out["b"].p50 == 7.0 and out["b"].p95 == 7.0
+    assert all(r.ok50 and r.ok95 for r in out.values())
+
+
+def test_bloom_pruned_join_no_false_negatives_and_python_bits(spark):
+    """join_bloom_pruned: the bloom pass set NEVER loses a true
+    match (n_pass >= n_true, the bloom's one-sided contract), the
+    true-match count is exact, and n_pass_bloom equals a Python
+    replication of the k salted-md5 bit probes."""
+    import hashlib
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.relational import (
+        JOIN_BLOOM_K,
+        JOIN_BLOOM_M,
+        join_bloom_pruned,
+    )
+
+    custs = [(i, f"c{i}", 0, 0.0, "BUILDING" if i % 2 == 0 else "AUTO")
+             for i in range(1, 21)]
+    orders = [(j, 1 + (j * 7) % 40, "O", 1.0, None, "1-URGENT")
+              for j in range(200)]
+    tmp = tempfile.mkdtemp(prefix="smdp_jb_")
+    spark.createDataFrame(
+        custs,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).coalesce(1).write.parquet(os.path.join(tmp, "customer.parquet"))
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.parquet(os.path.join(tmp, "orders.parquet"))
+    row = join_bloom_pruned(spark, tmp).collect()[0]
+
+    def bit(j, key):
+        return int(hashlib.md5(f"{j}:{key}".encode()).hexdigest()[:15], 16) % JOIN_BLOOM_M
+
+    dim = {c[0] for c in custs if c[4] == "BUILDING"}
+    bits = {bit(j, k) for k in dim for j in range(JOIN_BLOOM_K)}
+    n_pass = sum(1 for (_, ck, *_rest) in orders
+                 if all(bit(j, ck) in bits for j in range(JOIN_BLOOM_K)))
+    n_true = sum(1 for (_, ck, *_rest) in orders if ck in dim)
+    assert row.n_orders == 200
+    assert row.n_true_match == n_true
+    assert row.n_pass_bloom == n_pass
+    assert row.n_pass_bloom >= row.n_true_match  # one-sided: no false negatives
+    assert row.bloom_fp == n_pass - n_true

@@ -1241,3 +1241,36 @@ def test_feature_hashing_conserves_mass_and_matches_python(spark):
     assert out[1].features[bucket("beta")] == 1
     assert out[1].nnz == 2 and out[3].nnz == 1
     assert out[3].features[bucket("gamma")] == 1
+
+
+def test_vocab_coverage_curve_planted_frequencies(spark):
+    """ext_vocab_coverage_curve: with planted token frequencies the
+    top-K covered mass is exact at each cutoff, ties at the cutoff
+    break by term text, and coverage is monotone reaching 1.0 once
+    K >= n_types."""
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.text_analysis import (
+        ext_vocab_coverage_curve,
+    )
+
+    # freq: t00 x12, t01..t04 x6 each, t05..t16 x1 => N=48, 17 types
+    parts = ["t00"] * 12
+    for i in range(1, 5):
+        parts += [f"t{i:02d}"] * 6
+    parts += [f"t{i:02d}" for i in range(5, 17)]
+    d = spark.createDataFrame(
+        [(1, " ".join(parts), "en", "s", len(parts))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_cov_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "documents.parquet"))
+    out = {r.k: r for r in ext_vocab_coverage_curve(spark, tmp).collect()}
+    assert set(out) == {5, 10, 20}
+    assert all(r.n_types == 17 for r in out.values())
+    assert out[5].covered_tokens == 36   # 12 + 4*6
+    assert out[10].covered_tokens == 41  # + five tie-broken singletons
+    assert out[20].covered_tokens == 48  # all types fit
+    assert out[20].coverage == 1.0
+    assert out[5].coverage < out[10].coverage < out[20].coverage
