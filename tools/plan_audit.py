@@ -850,6 +850,63 @@ AUDIT = {
         "weighting adds no shuffle shape to the unweighted miner: "
         "pair rows carry pre-resolved BIGINT milli weights",
     ),
+    "ext_length_bucket_batching": (
+        "scan-local CASE-ladder bucket assignment -> ONE "
+        "|buckets|-key HashAggregate with partial aggregation",
+        "padding-waste accounting is a pure per-row projection; the "
+        "only shuffle carries |buckets| partial rows per partition",
+    ),
+    "ext_mm_tile_plan": (
+        "single Project of integer ceil-division arithmetic over "
+        "typed metadata columns; blob column absent from ReadSchema",
+        "tile planning never touches pixel payloads: the scan prunes "
+        "the binary column and the plan is exchange-free",
+    ),
+    "agg_dp_noisy_counts": (
+        "group-keyed HashAggregate -> scan-local hash-seeded Laplace "
+        "projection over the group rows",
+        "noise cost is group cardinality, independent of event "
+        "volume; no extra shuffle beyond the count agg",
+    ),
+    "ext_epoch_shuffle_plan": (
+        "shard-key Exchange -> per-shard Window (bounded at "
+        "SHUFFLE_SHARD_WIDTH rows by construction); no global sort",
+        "epoch shuffling stays shard-internal: each window task "
+        "handles <= width rows regardless of corpus size",
+    ),
+    "agg_heavy_hitters_mg": (
+        "MapInPandas (bounded MG_K state) -> candidate broadcast "
+        "back into a second scan -> exact recount agg",
+        "pass 1 moves <= MG_K rows per partition (never the "
+        "vocabulary); pass 2 aggregates |candidates| keys only",
+    ),
+    "ext_feature_hashing": (
+        "tokens hashed ONCE in the scan projection -> doc-keyed "
+        "count agg -> map-rebuilt dense vector",
+        "hash-once avoids the nested-HOF re-evaluation blowup "
+        "(measured 19s -> 1.3s); one doc-key shuffle total",
+    ),
+    "agg_quantile_sketch_audit": (
+        "ONE group-keyed ObjectHashAggregate carrying both exact "
+        "percentiles (audit harness) and percentile_approx",
+        "the sketch branch is the production path: O(accuracy) "
+        "mergeable state streaming over partitions, no value "
+        "collection per group",
+    ),
+    "join_bloom_pruned": (
+        "dim-side distinct -> exploded bit set (broadcast) -> fact "
+        "scan probed via BroadcastHashJoin BEFORE any fact shuffle",
+        "the M-bit bloom is broadcast-safe by construction; at scale "
+        "only bloom-passing facts reach the shuffle, and fp_rate "
+        "prices what the prune bought",
+    ),
+    "ext_vocab_coverage_curve": (
+        "type-count agg -> per-cutoff TakeOrderedAndProject(K) + "
+        "K-row sums unioned; NO unpartitioned Window, no global sort",
+        "evaluating only AT the cutoffs keeps a billion-type "
+        "vocabulary out of any single task: per-partition heaps, "
+        "K rows to the driver",
+    ),
 }
 
 
