@@ -3447,3 +3447,255 @@ def ext_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "covered_tokens",
         F.round(F.col("covered_tokens") * 1.0 / F.col("n"), 6).alias("coverage"),
     )
+
+
+# --------------------------------------- character-entropy profile
+
+_ENTROPY_ORACLE = """
+WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+            FROM documents),
+cc AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+       FROM ch GROUP BY 1, 2),
+h AS (SELECT doc_id,
+             round(ln(CAST(sum(c) AS DOUBLE))
+                   - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+                     / CAST(sum(c) AS DOUBLE), 6) AS entropy,
+             CAST(sum(c) AS BIGINT) AS n_chars_x
+      FROM cc GROUP BY 1)
+SELECT CAST(floor(entropy * 10) AS BIGINT) AS bucket_x10,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars_x) AS BIGINT) AS total_chars,
+       min(entropy) AS min_entropy,
+       max(entropy) AS max_entropy
+FROM h GROUP BY 1
+"""
+
+
+@register("ext_char_entropy", oracle=_ENTROPY_ORACLE)
+def ext_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon-entropy histogram over the corpus —
+    the gibberish/boilerplate screen quality classifiers lean on:
+    natural prose sits in a narrow entropy band (~3 nats for
+    English), while base64 blobs, minified code, and repeated-char
+    spam land far outside it. Complements `ext_text_repetition`
+    (which catches structured repeats, not skewed char
+    distributions) and feeds the `ext_quality_gate` family.
+
+    Bit-stable float contract: per-doc H = ln(n) - Σ c·ln(c)/n is
+    ONE identical expression tree on both engines over exact BIGINT
+    char counts, rounded to 6dp BEFORE the bucket floor (the
+    round-before-compare rule, `agg_winsorize_bounds` lesson); the
+    per-doc Σ over c·ln(c) is grouped by (doc, char) so both engines
+    sum the same finite multiset — and min/max over round6 values
+    are order-free.
+
+    Known unit divergence, documented not hidden: Spark's split('')
+    yields UTF-16 code units while DuckDB's string_split('') yields
+    code points, so astral-plane characters (emoji, rare CJK) would
+    count as 2 vs 1. The driver fixtures are ASCII; a production
+    corpus should pre-fold with `fn_unicode_nfc` and treat the
+    entropy as a code-unit statistic (the screen's discriminative
+    power is unchanged — both units are consistent within an
+    engine).
+
+    Scale shape: explode chars -> (doc, char)-keyed count with
+    map-side partials (the combine collapses the stream to per-doc
+    ALPHABET cardinality, not text length) -> doc-keyed agg ->
+    |buckets|-keyed final agg. No windows, no driver loops; every
+    shuffle key is bounded (doc x alphabet, then docs, then ~40
+    entropy buckets)."""
+    d = load(spark, sf_dir, "documents")
+    cc = (
+        d.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").alias("c"))
+    )
+    h = cc.groupBy("doc_id").agg(
+        F.round(
+            F.log(F.sum("c").cast("double"))
+            - F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+            / F.sum("c").cast("double"),
+            6,
+        ).alias("entropy"),
+        F.sum("c").alias("n_chars_x"),
+    )
+    return h.groupBy(
+        F.floor(F.col("entropy") * 10).cast("long").alias("bucket_x10")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars_x").alias("total_chars"),
+        F.min("entropy").alias("min_entropy"),
+        F.max("entropy").alias("max_entropy"),
+    )
+
+
+# ------------------------------------------- hapax exposure audit
+
+HAPAX_TOP_K = 50
+
+
+_HAPAX_ORACLE = f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents),
+tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+tc AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM tok2 GROUP BY 1),
+dn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+       FROM tok2 GROUP BY 1),
+hx AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hapax
+       FROM tok2 t JOIN tc ON tc.term = t.term AND tc.c = 1
+       GROUP BY 1)
+SELECT dn.doc_id, dn.n_tokens,
+       coalesce(hx.n_hapax, 0) AS n_hapax,
+       round(coalesce(hx.n_hapax, 0) * 1.0 / dn.n_tokens, 6)
+         AS hapax_share
+FROM dn LEFT JOIN hx USING (doc_id)
+ORDER BY n_hapax DESC, doc_id LIMIT {HAPAX_TOP_K}
+"""
+
+
+@register("ext_hapax_audit", oracle=_HAPAX_ORACLE)
+def ext_hapax_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K documents by hapax-legomenon exposure: tokens whose
+    CORPUS frequency is exactly 1, counted per document. Documents
+    dense in corpus-unique tokens are the memorization-risk tail —
+    serial numbers, email addresses, key material, rare names — the
+    doc-level drill-down behind `ext_vocab_census`'s per-language
+    hapax aggregate, and a triage queue for `ext_pii_redact`.
+
+    Exactness: hapax membership and per-doc counts are exact BIGINTs
+    (a count-1 term contributes exactly one posting row, so the
+    join-back output is bounded by vocabulary size, not corpus
+    size); hapax_share is one shared rounded division; top-K ties
+    break on doc_id.
+
+    Scale shape: one token census (keyed count, map-side partials),
+    the c=1 slice joined back to postings term-keyed — output <=
+    |vocab| rows — then a doc-keyed count and
+    TakeOrderedAndProject(K). No global sort; the census and the
+    posting join are the same shapes the dedup miners already
+    carry."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tc = tok.groupBy("term").agg(F.count("*").alias("c"))
+    hapax = tc.filter(F.col("c") == 1).select("term")
+    dn = tok.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    hx = (
+        tok.join(hapax, "term")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hapax"))
+    )
+    return (
+        dn.join(hx, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_hapax"), F.lit(0)).alias("n_hapax"),
+            F.round(
+                F.coalesce(F.col("n_hapax"), F.lit(0)) * 1.0 / F.col("n_tokens"), 6
+            ).alias("hapax_share"),
+        )
+        .orderBy(F.desc("n_hapax"), "doc_id")
+        .limit(HAPAX_TOP_K)
+    )
+
+
+# ------------------------------------ Zipf fit (freq-of-frequencies)
+
+_ZIPF_LN_SCALE = 1000  # milli fixed-point ln values: exact int sums
+
+
+_ZIPF_ORACLE = f"""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+tc AS (SELECT term, CAST(count(*) AS BIGINT) AS c
+       FROM tok WHERE term <> '' GROUP BY 1),
+ff AS (SELECT c, CAST(count(*) AS BIGINT) AS f FROM tc GROUP BY 1),
+pts AS (SELECT CAST(round(ln(CAST(c AS DOUBLE)) * {_ZIPF_LN_SCALE}) AS BIGINT) AS x,
+               CAST(round(ln(CAST(f AS DOUBLE)) * {_ZIPF_LN_SCALE}) AS BIGINT) AS y
+        FROM ff),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM pts)
+SELECT n AS n_points,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+         AS slope,
+       round((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * sx)
+             / (CAST(n AS DOUBLE) * {_ZIPF_LN_SCALE}), 6) AS intercept,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+         AS r2
+FROM s
+"""
+
+
+@register("ext_zipf_fit", oracle=_ZIPF_ORACLE)
+def ext_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law (Zipf) fit of the token frequency distribution via
+    the FREQUENCY-OF-FREQUENCIES curve: least-squares slope of
+    ln(#types with count c) on ln(c). For a Zipf corpus with
+    exponent alpha the ff-curve slope is -(1 + 1/alpha), so the fit
+    audits corpus naturalness per release: machine-generated or
+    template-heavy corpora bend the line (r2 drops), and a drifting
+    slope between snapshots flags a distribution shift before any
+    downstream eval would.
+
+    The deliberate design choice: fitting rank-frequency needs a
+    GLOBAL rank of the vocabulary (a billion-type sort through one
+    window — the `agg_user_gini` anti-pattern); the ff-curve needs
+    only count->count-of-counts, two keyed aggs, and regression over
+    the ~hundreds of distinct count values. Same statistic family,
+    shuffle-safe plan.
+
+    Bit-stable float contract: ln(c), ln(f) are milli-rounded ONCE
+    into BIGINT fixed point (the `ext_dsir_weights` device), so
+    every regression sum is an exact integer in ANY partition order;
+    int64 stays safe (|x| <= ~21k milli at c <= 10^9, so sxy terms
+    <= 4.4e8 and even 10^6 points keep sums < 2^62). The closed-form
+    slope/intercept/r2 then combine those exact integers in double
+    arithmetic — deterministic — and round to 6dp."""
+    d = load(spark, sf_dir, "documents")
+    tc = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    ff = tc.groupBy("c").agg(F.count("*").alias("f"))
+    pts = ff.select(
+        F.round(F.log(F.col("c").cast("double")) * _ZIPF_LN_SCALE)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("f").cast("double")) * _ZIPF_LN_SCALE)
+        .cast("long")
+        .alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    deny = n * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    return s.select(
+        F.col("n").alias("n_points"),
+        F.round(num / den, 6).alias("slope"),
+        F.round(
+            (F.col("sy").cast("double") - (num / den) * F.col("sx"))
+            / (n * F.lit(_ZIPF_LN_SCALE)),
+            6,
+        ).alias("intercept"),
+        F.round(num * num / (den * deny), 6).alias("r2"),
+    )

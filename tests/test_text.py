@@ -1274,3 +1274,85 @@ def test_vocab_coverage_curve_planted_frequencies(spark):
     assert out[20].covered_tokens == 48  # all types fit
     assert out[20].coverage == 1.0
     assert out[5].coverage < out[10].coverage < out[20].coverage
+
+
+def test_char_entropy_planted_distributions(spark):
+    """ext_char_entropy: H=0 for a one-symbol doc, ln2 for a 50/50
+    doc, ln4 for uniform-4; buckets, doc counts, and round-6
+    min/max follow."""
+    import math
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.text_analysis import (
+        ext_char_entropy,
+    )
+
+    rows = [(1, "aaaa", "en", "s", 4),
+            (2, "abab", "en", "s", 4),
+            (3, "abcd", "en", "s", 4)]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_ent_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "documents.parquet"))
+    out = {r.bucket_x10: r for r in ext_char_entropy(spark, tmp).collect()}
+    ln2 = round(math.log(2), 6)
+    ln4 = round(math.log(4), 6)
+    assert set(out) == {0, 6, 13}
+    assert out[0].n_docs == 1 and out[0].min_entropy == 0.0
+    assert out[6].min_entropy == ln2 and out[6].max_entropy == ln2
+    assert out[13].min_entropy == ln4
+    assert all(r.total_chars == 4 for r in out.values())
+
+
+def test_hapax_audit_counts_and_order(spark):
+    """ext_hapax_audit: corpus-frequency-1 tokens counted per doc,
+    zero-hapax docs still reported, ordering by (n_hapax desc,
+    doc_id)."""
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.text_analysis import (
+        ext_hapax_audit,
+    )
+
+    rows = [(1, "x y common common", "en", "s", 1),
+            (2, "common z", "en", "s", 1),
+            (3, "common common", "en", "s", 1)]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_hpx_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "documents.parquet"))
+    out = ext_hapax_audit(spark, tmp).collect()
+    assert [r.doc_id for r in out] == [1, 2, 3]
+    assert [r.n_hapax for r in out] == [2, 1, 0]
+    assert out[0].n_tokens == 4 and out[0].hapax_share == 0.5
+    assert out[1].hapax_share == 0.5 and out[2].hapax_share == 0.0
+
+
+def test_zipf_fit_recovers_exact_line(spark):
+    """ext_zipf_fit: a frequency-of-frequencies curve planted to be
+    exactly linear in log-log (f(c) = 4/c for c in {1,2,4}) recovers
+    slope -1, r2 = 1, and the milli-quantized intercept ln(4)."""
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.text_analysis import (
+        ext_zipf_fit,
+    )
+
+    # counts: a,b,c,d x1; e,f x2; g x4  => ff points (1,4),(2,2),(4,1)
+    text = "a b c d e e f f g g g g"
+    d = spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_zipf_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "documents.parquet"))
+    row = ext_zipf_fit(spark, tmp).collect()[0]
+    assert row.n_points == 3
+    assert row.slope == -1.0
+    assert row.r2 == 1.0
+    assert row.intercept == 1.386  # ln(4) at milli fixed-point
