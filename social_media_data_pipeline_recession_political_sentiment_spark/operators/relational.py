@@ -3354,3 +3354,134 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fp_rate"),
         )
     )
+
+
+# ------------------------------------------- concurrency sweep-line
+
+
+_CONC_ORACLE = """
+WITH s AS (SELECT event_type,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS s0,
+                  CAST(floor(epoch(ts)) AS BIGINT)
+                    + CAST(floor(value) AS BIGINT) AS s1
+           FROM events WHERE floor(value) >= 1),
+d AS (SELECT event_type, s0 AS sec, 1 AS delta FROM s
+      UNION ALL
+      SELECT event_type, s1 AS sec, -1 AS delta FROM s),
+net AS (SELECT event_type, sec, CAST(sum(delta) AS BIGINT) AS delta
+        FROM d GROUP BY 1, 2),
+nd AS (SELECT event_type, sec // 86400 AS day_num, sec, delta FROM net),
+dayn AS (SELECT event_type, day_num, CAST(sum(delta) AS BIGINT) AS net_day
+         FROM nd GROUP BY 1, 2),
+carry AS (SELECT event_type, day_num,
+                 CAST(coalesce(sum(net_day) OVER (
+                   PARTITION BY event_type ORDER BY day_num
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS carry_in
+          FROM dayn),
+run AS (SELECT event_type, day_num,
+               CAST(sum(delta) OVER (
+                 PARTITION BY event_type, day_num ORDER BY sec
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS running
+        FROM nd),
+pk AS (SELECT event_type, day_num, max(running) AS max_run
+       FROM run GROUP BY 1, 2),
+st AS (SELECT event_type, s0 // 86400 AS day_num,
+              CAST(count(*) AS BIGINT) AS n_started
+       FROM s GROUP BY 1, 2)
+SELECT pk.event_type,
+       DATE '1970-01-01' + CAST(pk.day_num AS INT) AS day,
+       coalesce(st.n_started, 0) AS n_started,
+       carry.carry_in,
+       greatest(carry.carry_in, carry.carry_in + pk.max_run)
+         AS peak_concurrency
+FROM pk
+JOIN carry ON carry.event_type = pk.event_type
+          AND carry.day_num = pk.day_num
+LEFT JOIN st ON st.event_type = pk.event_type
+            AND st.day_num = pk.day_num
+"""
+
+
+@register("agg_concurrency_peak", oracle=_CONC_ORACLE)
+def agg_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per (event_type, day) by sweep-line:
+    each event opens a session at its timestamp for floor(value)
+    seconds; concurrency is +1/-1 boundary deltas prefix-summed in
+    time order, and the day's peak is the max of that running sum
+    (or the carry-in, if the day only drains). The capacity-planning
+    statistic (max simultaneous load) that `agg_hourly_heatmap`'s
+    arrival counts cannot give — arrivals and occupancy diverge
+    exactly when durations pile up.
+
+    Contract precision: boundaries live on INTEGER epoch seconds
+    (floor(epoch) on both engines — the `window_dedup_recent`
+    microsecond lesson), sessions occupy [s0, s0+dur) end-exclusive,
+    sub-second sessions (floor(value) < 1) occupy no full second and
+    are dropped, and days are TZ-free integer epoch-day indexes
+    rendered as dates. Peak is evaluated at second boundaries;
+    intra-second micro-bursts collapse into the second's NET delta —
+    documented resolution, not an accident.
+
+    Scale shape — the reason this is NOT the `agg_user_gini`
+    anti-pattern: deltas pre-aggregate per (type, second) with
+    map-side combine, so the within-day prefix window is bounded at
+    86 400 rows per (type, day) partition BY THE CLOCK, independent
+    of event volume; the cross-day carry is a per-type running sum
+    over <= |days| calendar rows. Both windows are bounded by time,
+    not data."""
+    e = load(spark, sf_dir, "events")
+    s = e.filter(F.floor("value") >= 1).select(
+        "event_type",
+        F.col("ts").cast("long").alias("s0"),
+        (F.col("ts").cast("long") + F.floor("value").cast("long")).alias("s1"),
+    )
+    d = s.select("event_type", F.col("s0").alias("sec"), F.lit(1).alias("delta")).unionAll(
+        s.select("event_type", F.col("s1").alias("sec"), F.lit(-1).alias("delta"))
+    )
+    net = d.groupBy("event_type", "sec").agg(F.sum("delta").alias("delta"))
+    nd = net.withColumn("day_num", F.expr("sec div 86400"))
+    from pyspark.sql import Window as W
+
+    dayn = nd.groupBy("event_type", "day_num").agg(F.sum("delta").alias("net_day"))
+    carry = dayn.select(
+        "event_type",
+        "day_num",
+        F.coalesce(
+            F.sum("net_day").over(
+                W.partitionBy("event_type")
+                .orderBy("day_num")
+                .rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("carry_in"),
+    )
+    run = nd.select(
+        "event_type",
+        "day_num",
+        F.sum("delta")
+        .over(
+            W.partitionBy("event_type", "day_num")
+            .orderBy("sec")
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        .alias("running"),
+    )
+    pk = run.groupBy("event_type", "day_num").agg(F.max("running").alias("max_run"))
+    st = s.select("event_type", F.expr("s0 div 86400").alias("day_num")).groupBy(
+        "event_type", "day_num"
+    ).agg(F.count("*").alias("n_started"))
+    return (
+        pk.join(carry, ["event_type", "day_num"])
+        .join(st, ["event_type", "day_num"], "left")
+        .select(
+            "event_type",
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("day_num").cast("int")).alias("day"),
+            F.coalesce(F.col("n_started"), F.lit(0)).alias("n_started"),
+            "carry_in",
+            F.greatest(
+                F.col("carry_in"), F.col("carry_in") + F.col("max_run")
+            ).alias("peak_concurrency"),
+        )
+    )

@@ -1680,3 +1680,156 @@ def ext_label_knn_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("d") * 1.0 / KNN_K, 6).alias("disagree_rate"),
         (F.sum("d") == KNN_K).alias("flagged"),
     )
+
+
+# ------------------------------- embedding anisotropy (power iter)
+
+ANISO_ITERS = 8
+ANISO_SCALE = 1000  # milli fixed-point iterate entries
+ANISO_GCAP = 1 << 28  # gram renormalization cap keeps all products in int64
+
+
+def _aniso_oracle() -> str:
+    steps = []
+    prev = "x0"
+    for k in range(1, ANISO_ITERS + 1):
+        steps.append(
+            f"y{k} AS MATERIALIZED (SELECT g.i AS dim, CAST(sum(g.g * {prev}.x) AS BIGINT) AS y\n"
+            f"         FROM g JOIN {prev} ON {prev}.dim = g.j GROUP BY 1),\n"
+            f"m{k} AS (SELECT greatest(CAST(1 AS BIGINT), max(abs(y))) AS m FROM y{k}),\n"
+            f"x{k} AS MATERIALIZED (SELECT dim, CASE WHEN y < 0 THEN -1 ELSE 1 END\n"
+            f"                * ((abs(y) * {ANISO_SCALE}) // m{k}.m) AS x\n"
+            f"         FROM y{k}, m{k})"
+        )
+        prev = f"x{k}"
+    last = prev
+    return f"""
+WITH g0 AS MATERIALIZED ({_GRAM_ORACLE}),
+full_g AS MATERIALIZED (SELECT i, j, gram FROM g0
+           UNION ALL SELECT j AS i, i AS j, gram FROM g0 WHERE i <> j),
+gm AS (SELECT greatest(CAST(1 AS BIGINT), max(abs(gram)) // {ANISO_GCAP}) AS dd
+       FROM full_g),
+g AS MATERIALIZED (SELECT i, j, CASE WHEN gram < 0 THEN -1 ELSE 1 END
+             * (abs(gram) // gm.dd) AS g FROM full_g, gm),
+x0 AS (SELECT DISTINCT i AS dim, CAST({ANISO_SCALE} AS BIGINT) AS x FROM g),
+{",".join(steps)},
+xga AS (SELECT CAST(sum(g.g * xi.x * xj.x) AS BIGINT) AS xgx
+        FROM g JOIN {last} xi ON xi.dim = g.i JOIN {last} xj ON xj.dim = g.j),
+xxa AS (SELECT CAST(sum(x * x) AS BIGINT) AS xx,
+               CAST(count(*) AS BIGINT) AS d FROM {last}),
+tra AS (SELECT CAST(sum(g) AS BIGINT) AS trace FROM g WHERE i = j),
+top AS (SELECT CAST(dim AS BIGINT) AS top_dim FROM {last}
+        ORDER BY abs(x) DESC, dim LIMIT 1)
+SELECT d, trace,
+       round(CAST(xgx AS DOUBLE) / xx, 6) AS lambda1,
+       round(CAST(xgx AS DOUBLE) / (CAST(xx AS DOUBLE) * trace), 6)
+         AS aniso_share,
+       top_dim
+FROM xga, xxa, tra, top
+"""
+
+
+@register("ext_emb_anisotropy", oracle=_aniso_oracle())
+def ext_emb_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space anisotropy audit: the share of total variance
+    captured by the dominant eigendirection of the (int8-quantized,
+    uncentered) second-moment matrix — estimated with K fixed power
+    iterations over `ext_emb_gram_int8`'s exact integer Gram.
+    Contextual embedding spaces are notoriously anisotropic
+    (Ethayarajh 2019; Mu & Viswanath 2018's all-but-the-top): when
+    one direction hoards the spectrum, cosine similarities collapse
+    toward a constant and every downstream consumer here
+    (`ext_sim_topk`, `ext_dedup_embcos`, `ext_dedup_semantic`)
+    degrades. aniso_share near 1/d = isotropic and healthy; near 1 =
+    collapsed space that needs centering/whitening before ANN.
+
+    INTEGER-EXACT iteration, the repo's signature device taken one
+    step further: the iterate x lives in milli fixed point, each
+    step is y = G'x (exact int64 sums), then rescale
+    x' = sign(y)*(|y|*SCALE div max|y|) in integer division — so the
+    iterate is bit-identical on both engines in ANY partition order,
+    and the statistic is the DETERMINISTIC contract "Rayleigh
+    quotient after K integer power steps", not "wherever float drift
+    lands". G is pre-divided by max(1, max|G| div 2^28), bounding
+    every downstream product (d^2 * SCALE^2 * 2^29 < 2^63) for ANY
+    corpus size; the final lambda1 = x'Gx/x'x and share combine
+    exact integers in double and round once to 6dp. Rayleigh error
+    is quadratic in the iterate's angle error, so milli quantization
+    costs ~1e-6 relative — absorbed by the rounding contract.
+
+    Scale shape: ALL data-sized work is the Gram partial-merge
+    (vectors never shuffle, P x d(d+1)/2 partial rows); the K
+    iterations run on d-row/d^2-row broadcast joins — driver-free,
+    corpus-size-free. Cited shape: power iteration on a distributed
+    Gram is how Spark MLlib's own PCA avoids collecting vectors."""
+    gram = ext_emb_gram_int8(spark, sf_dir)
+    full = gram.unionAll(
+        gram.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "gram"
+        )
+    ).localCheckpoint()
+    gm = full.agg(
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"max(abs(gram)) div {ANISO_GCAP}"),
+        ).alias("dd")
+    )
+    sign_g = F.when(F.col("gram") < 0, -1).otherwise(1).cast("long")
+    g = (
+        full.crossJoin(F.broadcast(gm))
+        .select("i", "j", (sign_g * F.expr("abs(gram) div dd")).alias("g"))
+        .localCheckpoint()
+    )
+    x = g.select(F.col("i").alias("dim")).distinct().withColumn(
+        "x", F.lit(ANISO_SCALE).cast("long")
+    )
+    for _ in range(ANISO_ITERS):
+        y = (
+            g.join(F.broadcast(x), g.j == x.dim)
+            .groupBy("i")
+            .agg(F.sum(F.col("g") * F.col("x")).alias("y"))
+        )
+        m = y.agg(
+            F.greatest(F.lit(1).cast("long"), F.max(F.abs(F.col("y")))).alias("m")
+        )
+        sign_y = F.when(F.col("y") < 0, -1).otherwise(1).cast("long")
+        x = (
+            y.crossJoin(F.broadcast(m))
+            .select(
+                F.col("i").alias("dim"),
+                (sign_y * F.expr(f"(abs(y) * {ANISO_SCALE}) div m")).alias("x"),
+            )
+            .localCheckpoint()
+        )
+    xi = x.select(F.col("dim").alias("di"), F.col("x").alias("xi"))
+    xj = x.select(F.col("dim").alias("dj"), F.col("x").alias("xj"))
+    xga = (
+        g.join(F.broadcast(xi), g.i == xi.di)
+        .join(F.broadcast(xj), g.j == xj.dj)
+        .agg(F.sum(F.col("g") * F.col("xi") * F.col("xj")).alias("xgx"))
+    )
+    xxa = x.agg(
+        F.sum(F.col("x") * F.col("x")).alias("xx"), F.count("*").alias("d")
+    )
+    tra = g.filter(F.col("i") == F.col("j")).agg(F.sum("g").alias("trace"))
+    top = (
+        x.orderBy(F.abs(F.col("x")).desc(), "dim")
+        .limit(1)
+        .select(F.col("dim").alias("top_dim"))
+    )
+    return (
+        xxa.crossJoin(F.broadcast(xga))
+        .crossJoin(F.broadcast(tra))
+        .crossJoin(F.broadcast(top))
+        .select(
+            "d",
+            "trace",
+            F.round(F.col("xgx").cast("double") / F.col("xx"), 6).alias("lambda1"),
+            F.round(
+                F.col("xgx").cast("double")
+                / (F.col("xx").cast("double") * F.col("trace")),
+                6,
+            ).alias("aniso_share"),
+            "top_dim",
+        )
+    )

@@ -342,3 +342,81 @@ def sink_scd1_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(_workdir("scd1"), "customer_merged")
     merged.write.parquet(out)
     return spark.read.parquet(out)
+
+
+# ----------------------------------------------- sorted-run layout
+
+SORTED_RUNS_K = 8
+
+
+_SORTED_RUNS_ORACLE = f"""
+WITH b AS (SELECT {", ".join(
+    f"quantile_cont(o_totalprice, {i}.0/{SORTED_RUNS_K}) AS b{i}"
+    for i in range(1, SORTED_RUNS_K))}
+           FROM orders),
+a AS (SELECT o_totalprice,
+             {" + ".join(f"(CASE WHEN o_totalprice > b.b{i} THEN 1 ELSE 0 END)"
+                         for i in range(1, SORTED_RUNS_K))} AS run
+      FROM orders, b)
+SELECT CAST(run AS BIGINT) AS run,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(o_totalprice) AS min_key,
+       max(o_totalprice) AS max_key
+FROM a GROUP BY 1
+"""
+
+
+@register("sink_sorted_runs", oracle=_SORTED_RUNS_ORACLE)
+def sink_sorted_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partitioned sorted-run layout: rows are bucketed into K
+    runs by EXACT quantile boundaries of the sort key, written
+    `partitionBy(run)` with `sortWithinPartitions`, and read back as
+    a per-run manifest (count, min, max). Disjoint key ranges per
+    run are what make downstream zone-map pruning and merge joins
+    work: a reader scanning key range [a, b] opens only the runs
+    whose [min, max] intersects it, and a sort-merge consumer
+    streams runs in order with no re-sort. The write-side complement
+    of `sink_partitioned_prune` (which prunes on a categorical
+    column); boundary ties go LOW (strict > comparisons), so runs
+    are provably disjoint.
+
+    Deliberate non-use of `repartitionByRange`: Spark's range
+    partitioner derives boundaries from reservoir SAMPLING — fast,
+    but not reproducible cross-engine. Exact percentile boundaries
+    cost one extra pass and make the layout an auditable CONTRACT
+    (the oracle recomputes it bit-for-bit); at 100 TB swap in
+    `percentile_approx` boundaries and keep the same audit with
+    rank-error bounds (`agg_quantile_sketch_audit`).
+
+    Scale shape: one boundary agg ((K-1) doubles broadcast), one
+    scan-local run assignment, one partitioned write whose files are
+    the runs, one manifest agg over the read-back. The manifest is K
+    rows; nothing global ever sorts."""
+    o = load(spark, sf_dir, "orders").select("o_totalprice")
+    b = o.agg(
+        *[
+            F.expr(f"percentile(o_totalprice, {i}.0/{SORTED_RUNS_K})").alias(f"b{i}")
+            for i in range(1, SORTED_RUNS_K)
+        ]
+    )
+    run_expr = None
+    for i in range(1, SORTED_RUNS_K):
+        term = F.when(F.col("o_totalprice") > F.col(f"b{i}"), 1).otherwise(0)
+        run_expr = term if run_expr is None else run_expr + term
+    assigned = o.crossJoin(F.broadcast(b)).select(
+        "o_totalprice", run_expr.cast("long").alias("run")
+    )
+    sink = os.path.join(_workdir("sorted_runs"), "runs")
+    (
+        assigned.repartition("run")
+        .sortWithinPartitions("run", "o_totalprice")
+        .write.partitionBy("run")
+        .mode("overwrite")
+        .parquet(sink)
+    )
+    back = spark.read.parquet(sink)
+    return back.groupBy(F.col("run").cast("long").alias("run")).agg(
+        F.count("*").alias("n_rows"),
+        F.min("o_totalprice").alias("min_key"),
+        F.max("o_totalprice").alias("max_key"),
+    )

@@ -1266,3 +1266,41 @@ def test_bloom_pruned_join_no_false_negatives_and_python_bits(spark):
     assert row.n_pass_bloom == n_pass
     assert row.n_pass_bloom >= row.n_true_match  # one-sided: no false negatives
     assert row.bloom_fp == n_pass - n_true
+
+
+def test_concurrency_peak_overlap_carry_and_subsecond(spark):
+    """agg_concurrency_peak: two overlapping sessions peak at 2, a
+    midnight-crossing session carries +1 into the next day (whose
+    peak is the carry even though its only delta is a drain), and
+    sub-second sessions are dropped."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.relational import (
+        agg_concurrency_peak,
+    )
+
+    d1 = dt.datetime(2021, 3, 1)
+    rows = [
+        (1, d1 + dt.timedelta(hours=10), 7, "a", 10.0, "{}"),
+        (2, d1 + dt.timedelta(hours=10, seconds=5), 7, "a", 10.0, "{}"),
+        (3, d1 + dt.timedelta(hours=23, minutes=59, seconds=50), 7, "a", 30.4, "{}"),
+        (4, d1 + dt.timedelta(hours=12), 7, "a", 0.4, "{}"),  # sub-second: dropped
+        (5, d1 + dt.timedelta(hours=9), 8, "b", 60.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_conc_")
+    df.coalesce(1).write.parquet(os.path.join(tmp, "events.parquet"))
+    out = {(r.event_type, str(r.day)): r for r in agg_concurrency_peak(spark, tmp).collect()}
+    a1 = out[("a", "2021-03-01")]
+    assert a1.n_started == 3 and a1.carry_in == 0 and a1.peak_concurrency == 2
+    a2 = out[("a", "2021-03-02")]
+    assert a2.n_started == 0 and a2.carry_in == 1 and a2.peak_concurrency == 1
+    b = out[("b", "2021-03-01")]
+    assert b.n_started == 1 and b.peak_concurrency == 1
+    assert len(out) == 3

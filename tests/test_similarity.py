@@ -580,3 +580,29 @@ def test_label_knn_noise_flags_planted_mislabel(spark):
     # (cluster-1 cores see the buried 99 as a neighbor, by design)
     assert out[10].n_disagree == 0 and not out[10].flagged
     assert out[99].disagree_rate == 1.0
+
+
+def test_anisotropy_recovers_planted_dominant_axis(spark):
+    """ext_emb_anisotropy: with 10 vectors on axis 1 and one on
+    axis 2 the integer power iteration converges to e1 exactly,
+    lambda1 equals the planted gram diagonal, and the share is
+    10/11."""
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.similarity import (
+        ext_emb_anisotropy,
+    )
+
+    rows = [(i, [10.0, 0.0, 0.0, 0.0], 0) for i in range(10)]
+    rows.append((10, [0.0, 1.0, 0.0, 0.0], 0))
+    tmp = tempfile.mkdtemp(prefix="smdp_aniso_")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(os.path.join(tmp, "embeddings.parquet"))
+    row = ext_emb_anisotropy(spark, tmp).collect()[0]
+    assert row.d == 4
+    assert row.trace == 11 * 127 * 127
+    assert row.lambda1 == float(10 * 127 * 127)
+    assert row.aniso_share == 0.909091  # 10/11 rounded to 6dp
+    assert row.top_dim == 1

@@ -157,3 +157,30 @@ def test_scd1_merge_actions(spark, tmp_path):
     # %3==0 AND %7==0 would be insert; here none (21 > 14) — check 6/9/12
     assert {out[k].action for k in (6, 9, 12)} == {"update"}
     assert out[2].c_mktsegment == "SEG"
+
+
+def test_sorted_runs_disjoint_and_balanced(spark):
+    """sink_sorted_runs: 80 evenly spread keys split into 8 runs of
+    10 with strictly disjoint [min, max] ranges, and the sink lands
+    as one directory per run (partitionBy layout)."""
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.sources.sinks import (
+        SORTED_RUNS_K,
+        sink_sorted_runs,
+    )
+
+    rows = [(i, 1 + i % 40, "O", float(i + 1), None, "1-URGENT") for i in range(80)]
+    tmp = tempfile.mkdtemp(prefix="smdp_runs_")
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.parquet(os.path.join(tmp, "orders.parquet"))
+    out = sorted(sink_sorted_runs(spark, tmp).collect(), key=lambda r: r.run)
+    assert [r.run for r in out] == list(range(SORTED_RUNS_K))
+    assert all(r.n_rows == 10 for r in out)
+    for lo, hi in zip(out, out[1:]):
+        assert lo.max_key < hi.min_key  # zone-map disjointness
+    assert out[0].min_key == 1.0 and out[-1].max_key == 80.0
