@@ -3485,3 +3485,101 @@ def agg_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("peak_concurrency"),
         )
     )
+
+
+# ---------------------------------------- Markov entropy rate
+
+MARKOV_TERM_SCALE = 1_000_000  # micro fixed-point per-transition terms
+
+
+_MARKOV_ORACLE = f"""
+WITH g AS (SELECT user_id, event_type,
+        lag(event_type) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev_type
+      FROM events),
+t AS (SELECT prev_type AS s, event_type AS t, CAST(count(*) AS BIGINT) AS c
+      FROM g WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+r AS (SELECT s, CAST(sum(c) AS BIGINT) AS cs FROM t GROUP BY 1),
+terms AS (SELECT CAST(round(ln(CAST(r.cs AS DOUBLE) / t.c) * t.c
+                            * {MARKOV_TERM_SCALE}) AS BIGINT) AS term,
+                 t.c
+          FROM t JOIN r ON r.s = t.s),
+a AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+             CAST(sum(c) AS BIGINT) AS n_transitions,
+             CAST(sum(term) AS BIGINT) AS tsum FROM terms),
+ns AS (SELECT CAST(count(*) AS BIGINT) AS n_states FROM r)
+SELECT ns.n_states, a.n_cells, a.n_transitions,
+       round(CAST(a.tsum AS DOUBLE)
+             / (CAST(a.n_transitions AS DOUBLE) * {MARKOV_TERM_SCALE}), 6)
+         AS entropy_nats,
+       round(exp(CAST(a.tsum AS DOUBLE)
+             / (CAST(a.n_transitions AS DOUBLE) * {MARKOV_TERM_SCALE})), 6)
+         AS perplexity
+FROM a, ns
+"""
+
+
+@register("agg_markov_entropy", oracle=_MARKOV_ORACLE)
+def agg_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the empirical first-order event-type Markov
+    chain: H = Σ_st (c_st/N)·ln(c_s/c_st), the one-number summary of
+    `agg_event_transitions`' matrix. Low entropy = predictable
+    scripted behavior (bots replaying a fixed loop); entropy near
+    ln(|types|) = memoryless traffic; drift between releases flags a
+    behavior-mix shift the raw counts bury. Perplexity exp(H) reads
+    as "effective branching factor per step".
+
+    Fixed-point determinism (the `ext_dsir_weights` device): each
+    cell's term ln(c_s/c_st)·c_st is computed from exact integers as
+    ONE identical double expression, micro-rounded ONCE into BIGINT,
+    and summed as integers — partition-order-free. Safe while
+    c_st·ln·1e6 < 2^63 (c_st up to ~3e11 transitions per cell;
+    document, don't silently wrap — beyond that drop to milli scale).
+    The final H and exp(H) combine two exact integers in double and
+    round once.
+
+    Scale shape: the transition matrix build is
+    `agg_event_transitions` (user-keyed lag window, O(1) state;
+    types²-bounded output); everything after runs on ≤ types² rows.
+    Cited: entropy-rate behavioral fingerprinting is standard in
+    bot/fraud detection literature."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("t"),
+        F.lag("event_type").over(w).alias("s"),
+    )
+    t = (
+        g.filter(F.col("s").isNotNull())
+        .groupBy("s", "t")
+        .agg(F.count("*").alias("c"))
+    )
+    r = t.groupBy("s").agg(F.sum("c").alias("cs"))
+    terms = t.join(r, "s").select(
+        "c",
+        F.round(
+            F.log(F.col("cs").cast("double") / F.col("c"))
+            * F.col("c")
+            * MARKOV_TERM_SCALE
+        )
+        .cast("long")
+        .alias("term"),
+    )
+    a = terms.agg(
+        F.count("*").alias("n_cells"),
+        F.sum("c").alias("n_transitions"),
+        F.sum("term").alias("tsum"),
+    )
+    ns = r.agg(F.count("*").alias("n_states"))
+    h = F.col("tsum").cast("double") / (
+        F.col("n_transitions").cast("double") * MARKOV_TERM_SCALE
+    )
+    return (
+        ns.crossJoin(F.broadcast(a))
+        .select(
+            "n_states",
+            "n_cells",
+            "n_transitions",
+            F.round(h, 6).alias("entropy_nats"),
+            F.round(F.exp(h), 6).alias("perplexity"),
+        )
+    )

@@ -3699,3 +3699,188 @@ def ext_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("intercept"),
         F.round(num * num / (den * deny), 6).alias("r2"),
     )
+
+
+# ---------------------------------------- boilerplate prefix mining
+
+PREFIX_TOKENS = 8
+PREFIX_TOP_K = 25
+
+
+_PREFIX_ORACLE = f"""
+WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+p AS (SELECT array_to_string(w[1:{PREFIX_TOKENS}], ' ') AS prefix FROM t),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_total FROM p),
+g AS (SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs FROM p GROUP BY 1)
+SELECT g.prefix, g.n_docs,
+       round(g.n_docs * 1.0 / n.n_docs_total, 6) AS share
+FROM g, n
+ORDER BY g.n_docs DESC, g.prefix LIMIT {PREFIX_TOP_K}
+"""
+
+
+@register("ext_prefix_templates", oracle=_PREFIX_ORACLE)
+def ext_prefix_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template mining over document PREFIXES: the top-K most common
+    first-{PREFIX_TOKENS}-token openings with their corpus share —
+    boilerplate headers ("subscribe to our newsletter", cookie
+    banners, license preambles) cluster on identical openings long
+    before full-document dedup fires. The cheap screen that decides
+    where `ext_dup_span_profile`'s expensive span analysis should
+    look, and a direct input to header-stripping rules.
+
+    Exactness: prefixes are exact strings (identical token slicing
+    on both engines, shorter docs keep their full token list); the
+    share is one shared rounded division; top-K ties break on the
+    prefix string.
+
+    Scale shape: scan-local slice + join, ONE prefix-keyed count agg
+    with map-side partials (distinct prefixes are corpus-bounded but
+    the hot templates combine map-side), broadcast total, and
+    TakeOrderedAndProject(K). No windows, no global sort."""
+    d = load(spark, sf_dir, "documents")
+    p = d.select(
+        F.array_join(
+            F.slice(F.split("text", " "), 1, PREFIX_TOKENS), " "
+        ).alias("prefix")
+    )
+    n = p.agg(F.count("*").alias("n_docs_total"))
+    g = p.groupBy("prefix").agg(F.count("*").alias("n_docs"))
+    return (
+        g.crossJoin(F.broadcast(n))
+        .select(
+            "prefix",
+            "n_docs",
+            F.round(F.col("n_docs") * 1.0 / F.col("n_docs_total"), 6).alias("share"),
+        )
+        .orderBy(F.desc("n_docs"), "prefix")
+        .limit(PREFIX_TOP_K)
+    )
+
+
+# ------------------------------- content-defined chunking (CDC)
+
+CDC_GRAM = 4  # token k-gram the rolling anchor hash covers
+CDC_DIVISOR = 8  # anchor where hash % DIVISOR == 0 => ~8-token chunks
+
+
+_CDC_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+pos AS (SELECT doc_id, w,
+               unnest(generate_series(2, len(w) - {CDC_GRAM} + 1)) AS p
+        FROM t WHERE len(w) >= {CDC_GRAM} + 1),
+anch AS (SELECT doc_id, w, CAST(p AS INT) AS start FROM pos
+         WHERE {{h}} % {CDC_DIVISOR} = 0),
+starts AS (SELECT doc_id, w, 1 AS start FROM t
+           UNION ALL SELECT doc_id, w, start FROM anch),
+bounds AS (SELECT doc_id, w, start,
+                  coalesce(lead(start) OVER (PARTITION BY doc_id
+                                             ORDER BY start) - 1,
+                           len(w)) AS fin
+           FROM starts),
+ch AS (SELECT doc_id,
+              md5(array_to_string(w[start:fin], ' ')) AS chunk_fp,
+              fin - start + 1 AS n_tok
+       FROM bounds),
+docs AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM t)
+SELECT docs.n_docs,
+       CAST(count(*) AS BIGINT) AS total_chunks,
+       CAST(count(DISTINCT chunk_fp) AS BIGINT) AS distinct_chunks,
+       CAST(count(*) - count(DISTINCT chunk_fp) AS BIGINT) AS dup_chunks,
+       round(count(DISTINCT chunk_fp) * 1.0 / count(*), 6) AS dedup_ratio,
+       CAST(sum(n_tok) * 1000000 // count(*) AS BIGINT)
+         AS mean_chunk_tokens_micro
+FROM ch, docs
+GROUP BY docs.n_docs
+""".format(
+    h="CAST(('0x' || substr(md5(concat_ws(':', 'cdc', "
+    f"array_to_string(w[CAST(p AS INT):CAST(p AS INT) + {CDC_GRAM} - 1], ' '))), "
+    "1, 15)) AS BIGINT)"
+)
+
+
+@register("ext_chunk_cdc", oracle=_CDC_ORACLE)
+def ext_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS/restic trick) at
+    token granularity: a chunk boundary opens wherever the salted
+    hash of the local {CDC_GRAM}-token window ≡ 0 (mod
+    {CDC_DIVISOR}), so boundaries are decided by CONTENT, not
+    offsets — insert one sentence and only the chunks touching it
+    change fingerprints, where fixed-width chunking
+    (`ext_chunk_sliding`) shifts every downstream boundary. The
+    report is the storage/dedup payoff: distinct vs total chunk
+    fingerprints = the cross-document redundancy a chunk-level
+    store would reclaim. Complements `ext_fingerprint_winnow`
+    (winnowing selects REPRESENTATIVE grams for matching; CDC
+    PARTITIONS the stream for storage).
+
+    Exactness: boundaries and fingerprints are integer md5
+    arithmetic on exact token slices, identical on both engines;
+    position 1 is always a chunk start and anchor positions start
+    at 2 (no zero-length head chunk); docs shorter than
+    {CDC_GRAM}+1 tokens form one whole-doc chunk. The ratio is one
+    shared rounded division; the mean is integer micro division.
+
+    Scale shape: anchor mining is scan-local (explode positions ->
+    hash -> filter ~1/{CDC_DIVISOR} survive); the ONLY per-doc
+    window orders each doc's ~n/{CDC_DIVISOR} anchors (doc-length
+    bounded); chunk fingerprints then hit one keyed
+    distinct-count agg with map-side partials. Chunk text never
+    shuffles beyond its md5."""
+    from pyspark.sql import Window as W
+
+    from .dedup import _salted_hash
+
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("w"))
+    pos = t.filter(F.size("w") >= CDC_GRAM + 1).select(
+        "doc_id",
+        "w",
+        F.explode(
+            F.sequence(F.lit(2), F.size("w") - CDC_GRAM + 1)
+        ).alias("p"),
+    )
+    gram = F.array_join(F.slice(F.col("w"), F.col("p"), CDC_GRAM), " ")
+    anch = pos.filter(
+        _salted_hash(F.lit("cdc"), gram) % CDC_DIVISOR == 0
+    ).select("doc_id", "w", F.col("p").cast("int").alias("start"))
+    starts = t.select("doc_id", "w", F.lit(1).alias("start")).unionAll(anch)
+    win = W.partitionBy("doc_id").orderBy("start")
+    bounds = starts.select(
+        "doc_id",
+        "w",
+        "start",
+        F.coalesce(F.lead("start").over(win) - 1, F.size("w")).alias("fin"),
+    )
+    ch = bounds.select(
+        "doc_id",
+        F.md5(
+            F.array_join(
+                F.slice(F.col("w"), F.col("start"), F.col("fin") - F.col("start") + 1),
+                " ",
+            )
+        ).alias("chunk_fp"),
+        (F.col("fin") - F.col("start") + 1).alias("n_tok"),
+    )
+    docs = t.agg(F.count("*").alias("n_docs"))
+    return (
+        docs.crossJoin(
+            ch.agg(
+                F.count("*").alias("total_chunks"),
+                F.countDistinct("chunk_fp").alias("distinct_chunks"),
+                F.sum("n_tok").alias("sum_tok"),
+            )
+        )
+        .select(
+            "n_docs",
+            "total_chunks",
+            "distinct_chunks",
+            (F.col("total_chunks") - F.col("distinct_chunks")).alias("dup_chunks"),
+            F.round(
+                F.col("distinct_chunks") * 1.0 / F.col("total_chunks"), 6
+            ).alias("dedup_ratio"),
+            F.expr("sum_tok * 1000000 div total_chunks").alias(
+                "mean_chunk_tokens_micro"
+            ),
+        )
+    )

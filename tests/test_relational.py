@@ -1304,3 +1304,37 @@ def test_concurrency_peak_overlap_carry_and_subsecond(spark):
     b = out[("b", "2021-03-01")]
     assert b.n_started == 1 and b.peak_concurrency == 1
     assert len(out) == 3
+
+
+def test_markov_entropy_planted_chains(spark):
+    """agg_markov_entropy: a deterministic a<->b loop contributes
+    zero entropy; adding a branching user yields the hand-computed
+    mixture H = (ln3 + 2ln1.5)/8 and perplexity exp(H)."""
+    import datetime as dt
+    import math
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.relational import (
+        agg_markov_entropy,
+    )
+
+    t0 = dt.datetime(2021, 3, 1)
+    rows, eid = [], 0
+    for i, et in enumerate(["a", "b", "a", "b", "a"]):  # user 1: strict loop
+        rows.append((eid, t0 + dt.timedelta(minutes=i), 1, et, 1.0, "{}")); eid += 1
+    for i, et in enumerate(["c", "c", "d", "c", "d"]):  # user 2: branching
+        rows.append((eid, t0 + dt.timedelta(minutes=i), 2, et, 1.0, "{}")); eid += 1
+    d = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_mkv_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "events.parquet"))
+    row = agg_markov_entropy(spark, tmp).collect()[0]
+    # transitions: a->b x2, b->a x2 (H=0); c->c 1, c->d 2, d->c 1
+    assert row.n_states == 4 and row.n_transitions == 8 and row.n_cells == 5
+    h = (math.log(3) + 2 * math.log(1.5)) / 8
+    assert abs(row.entropy_nats - h) < 1e-5
+    assert abs(row.perplexity - math.exp(h)) < 1e-5

@@ -1356,3 +1356,78 @@ def test_zipf_fit_recovers_exact_line(spark):
     assert row.slope == -1.0
     assert row.r2 == 1.0
     assert row.intercept == 1.386  # ln(4) at milli fixed-point
+
+
+def test_prefix_templates_share_and_short_docs(spark):
+    """ext_prefix_templates: three docs sharing an 8-token opening
+    mine as one template with share 0.6; a short doc's prefix is its
+    whole text; ties break on prefix text."""
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.text_analysis import (
+        ext_prefix_templates,
+    )
+
+    head = "h1 h2 h3 h4 h5 h6 h7 h8"
+    rows = [(1, head + " tail one", "en", "s", 1),
+            (2, head + " other tail", "en", "s", 1),
+            (3, head, "en", "s", 1),
+            (4, "tiny doc", "en", "s", 1),
+            (5, "a b c d e f g h i", "en", "s", 1)]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_pfx_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "documents.parquet"))
+    out = ext_prefix_templates(spark, tmp).collect()
+    assert out[0].prefix == head and out[0].n_docs == 3 and out[0].share == 0.6
+    assert {r.prefix for r in out[1:]} == {"tiny doc", "a b c d e f g h"}
+    assert all(r.n_docs == 1 and r.share == 0.2 for r in out[1:])
+
+
+def test_chunk_cdc_matches_python_replica_and_dedups_twins(spark):
+    """ext_chunk_cdc: chunk boundaries and fingerprints match a full
+    Python replication of the salted rolling hash; duplicate docs
+    dedup at chunk level; short docs form one whole-doc chunk."""
+    import hashlib
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.text_analysis import (
+        CDC_DIVISOR,
+        CDC_GRAM,
+        ext_chunk_cdc,
+    )
+
+    a = " ".join(f"w{i % 13}x{i % 7}" for i in range(60))
+    b = "totally different content stream " + " ".join(f"z{i}" for i in range(40))
+    docs = [a, a, b, "tiny doc"]
+    rows = [(i + 1, t, "en", "s", len(t)) for i, t in enumerate(docs)]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_cdc_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "documents.parquet"))
+    row = ext_chunk_cdc(spark, tmp).collect()[0]
+
+    def chunks(text):
+        w = text.split(" ")
+        starts = [1]
+        for p in range(2, len(w) - CDC_GRAM + 2):
+            gram = " ".join(w[p - 1 : p - 1 + CDC_GRAM])
+            h = int(hashlib.md5(f"cdc:{gram}".encode()).hexdigest()[:15], 16)
+            if h % CDC_DIVISOR == 0:
+                starts.append(p)
+        bounds = starts + [len(w) + 1]
+        return [" ".join(w[s - 1 : e - 1]) for s, e in zip(bounds, bounds[1:])]
+
+    all_chunks = [c for t in docs for c in chunks(t)]
+    assert row.n_docs == 4
+    assert row.total_chunks == len(all_chunks)
+    assert row.distinct_chunks == len(set(all_chunks))
+    assert row.dup_chunks == row.total_chunks - row.distinct_chunks
+    assert row.dup_chunks >= len(chunks(a))  # the twin doc fully dedups
+    assert len(chunks("tiny doc")) == 1
+    total_tok = sum(len(t.split(" ")) for t in docs)
+    assert row.mean_chunk_tokens_micro == total_tok * 1_000_000 // row.total_chunks
