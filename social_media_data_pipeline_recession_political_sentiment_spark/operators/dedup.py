@@ -2482,3 +2482,145 @@ def ext_dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("wsim") >= WEIGHTED_JACCARD_THRESHOLD)
     )
+
+
+# ---------------------------------------- first-occurrence novelty
+
+_NOVELTY_ORACLE = f"""
+WITH {_SHINGLE_CTE},
+fo AS (SELECT s, CAST(min(doc_id) AS BIGINT) AS first_doc FROM sh GROUP BY 1),
+pd AS (SELECT sh.doc_id,
+              CAST(count(*) AS BIGINT) AS n_grams,
+              CAST(sum(CASE WHEN fo.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_novel
+       FROM sh JOIN fo ON fo.s = sh.s GROUP BY 1),
+b AS (SELECT doc_id, n_grams, n_novel,
+             (n_novel * 1000 // n_grams) // 100 AS decile FROM pd)
+SELECT CAST(decile AS BIGINT) AS novelty_decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_novel) AS BIGINT) AS total_novel,
+       CAST(sum(n_grams) AS BIGINT) AS total_grams
+FROM b GROUP BY 1
+"""
+
+
+@register("ext_ngram_novelty", oracle=_NOVELTY_ORACLE)
+def ext_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence novelty profile: for each document, the share
+    of its distinct word-3-grams whose FIRST appearance (minimum
+    doc_id, the ingestion-order stand-in) is this document — bucketed
+    into deciles. The information-gain view of the corpus that raw
+    dup counts invert: a doc can be 0% pairwise-duplicate yet 5%
+    novel (assembled from boilerplate), and the low-decile mass is
+    what curriculum ordering and incremental-crawl pruning drop
+    first. Descendant of the RETSim/SuffixArray novelty audits in
+    dedup literature; `ext_doc_dup_profile` measures COPIED spans,
+    this measures NEVER-SEEN-BEFORE vocabulary.
+
+    Exactness: all-integer — first_doc is an exact min, per-doc
+    counts are BIGINTs, and the decile is permille integer division
+    (novel*1000 div grams) div 100, so no float touches the bucket
+    boundary. Docs under {SHINGLE_K} tokens have no grams and are
+    out of frame on both engines.
+
+    Scale shape: the gram census (keyed min with map-side partials)
+    and the gram-keyed join-back are the exact plan family of the
+    miner CTEs this module already carries; per-doc counts and the
+    11-key decile rollup follow. No windows, no pair joins — novelty
+    is per-gram, not per-pair."""
+    sh = _exploded_shingles(spark, sf_dir)
+    fo = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    pd_ = (
+        sh.join(fo, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    b = pd_.select(
+        F.expr("(n_novel * 1000 div n_grams) div 100").alias("novelty_decile"),
+        "n_grams",
+        "n_novel",
+    )
+    return b.groupBy("novelty_decile").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_novel").alias("total_novel"),
+        F.sum("n_grams").alias("total_grams"),
+    )
+
+
+# ------------------------------------- edit-distance pair verifier
+
+EDIT_MIN_SHARED = 2  # shingle-intersection floor before levenshtein
+EDIT_PREFIX = 64  # chars of text the DP actually sees
+EDIT_MAX = 16  # report pairs within this distance
+
+
+_EDIT_ORACLE = f"""
+WITH {_SHINGLE_PAIR_CTES},
+cand AS (SELECT doc_a, doc_b FROM inter WHERE i >= {EDIT_MIN_SHARED}),
+sc AS (SELECT c.doc_a, c.doc_b,
+              levenshtein(substr(da.text, 1, {EDIT_PREFIX}),
+                          substr(db.text, 1, {EDIT_PREFIX})) AS edit_distance
+       FROM cand c
+       JOIN documents da ON da.doc_id = c.doc_a
+       JOIN documents db ON db.doc_id = c.doc_b)
+SELECT doc_a, doc_b, CAST(edit_distance AS BIGINT) AS edit_distance,
+       round(1.0 - edit_distance * 1.0 / {EDIT_PREFIX}, 6) AS prefix_sim
+FROM sc WHERE edit_distance <= {EDIT_MAX}
+"""
+
+
+@register("ext_dedup_edit_distance", oracle=_EDIT_ORACLE)
+def ext_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification over shingle-mined candidates: the
+    typo/near-miss dedup layer token-level Jaccard is blind to
+    ("recieve" vs "receive" shares no trigram context but is one
+    edit away). Pairs sharing >= {EDIT_MIN_SHARED} shingles get a
+    Levenshtein pass over their first {EDIT_PREFIX} chars; pairs
+    within {EDIT_MAX} edits report with a normalized prefix
+    similarity. Mirrors the candidates->exact-verify architecture of
+    every miner here (`ext_dedup_minhash` -> Jaccard), with edit
+    distance as the verifier.
+
+    Cost control is explicit, not accidental: Levenshtein is
+    O(len a · len b) PER PAIR, so the DP runs only on (a) pairs the
+    sub-quadratic shingle join surfaced, (b) with an intersection
+    floor, (c) over a fixed {EDIT_PREFIX}-char prefix — bounding
+    each evaluation at {EDIT_PREFIX}^2 cell updates regardless of
+    document length. Both engines run their native in-engine
+    levenshtein (Spark's codegen'd builtin vs DuckDB's — classic
+    unit-cost DP, integer-exact, no float contract needed); the
+    similarity is one shared rounded division.
+
+    Scale shape: candidate mining is the shared shingle equi-join
+    core; the text join-back moves only candidate pairs' prefixes;
+    the DP is scan-local per pair."""
+    inter, _sizes = _shingle_pair_intersections(spark, sf_dir)
+    cand = inter.filter(F.col("i") >= EDIT_MIN_SHARED).select("doc_a", "doc_b")
+    d = _load_docs(spark, sf_dir).select(
+        "doc_id", F.substring("text", 1, EDIT_PREFIX).alias("prefix")
+    )
+    da = d.select(F.col("doc_id").alias("doc_a"), F.col("prefix").alias("pa"))
+    db = d.select(F.col("doc_id").alias("doc_b"), F.col("prefix").alias("pb"))
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("pa", "pb").cast("long").alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= EDIT_MAX)
+        .select(
+            "doc_a",
+            "doc_b",
+            "edit_distance",
+            F.round(1.0 - F.col("edit_distance") * 1.0 / EDIT_PREFIX, 6).alias(
+                "prefix_sim"
+            ),
+        )
+    )

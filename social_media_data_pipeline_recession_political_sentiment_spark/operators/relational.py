@@ -3583,3 +3583,80 @@ def agg_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.exp(h), 6).alias("perplexity"),
         )
     )
+
+
+# ---------------------------------------- time-weighted occupancy
+
+
+_OCCUPANCY_ORACLE = """
+WITH s AS (SELECT event_type,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS s0,
+                  CAST(floor(epoch(ts)) AS BIGINT)
+                    + CAST(floor(value) AS BIGINT) AS s1
+           FROM events WHERE floor(value) >= 1),
+x AS (SELECT event_type, s0, s1,
+             unnest(generate_series(s0 // 3600, (s1 - 1) // 3600)) AS h
+      FROM s),
+o AS (SELECT event_type, h % 24 AS hour_of_day,
+             least(s1, (h + 1) * 3600) - greatest(s0, h * 3600) AS sec
+      FROM x)
+SELECT event_type, CAST(hour_of_day AS BIGINT) AS hour_of_day,
+       CAST(sum(sec) AS BIGINT) AS occupancy_sec,
+       CAST(count(*) AS BIGINT) AS n_session_hours
+FROM o GROUP BY 1, 2
+"""
+
+
+@register("agg_occupancy_hours", oracle=_OCCUPANCY_ORACLE)
+def agg_occupancy_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted occupancy by hour of day: each session's
+    [s0, s0+dur) interval is split EXACTLY across the hour buckets
+    it overlaps, summing to integer occupied seconds per
+    (event_type, hour-of-day). The INTEGRAL companion to
+    `agg_concurrency_peak`'s max: capacity planning needs both "how
+    high does load spike" (peak) and "how many busy-seconds land in
+    each hour" (this — what you bill, provision, and staff for).
+    `agg_hourly_heatmap` counts arrivals into their start hour only;
+    a 23:59 session billed entirely to hour 23 is exactly the error
+    this fixes.
+
+    Exactness: the same integer-second boundary contract as the
+    concurrency sweep (floor(epoch), floor(value), sub-second
+    sessions dropped); per-bucket seconds are
+    min(s1,(h+1)·3600) − max(s0,h·3600) — pure BIGINT arithmetic —
+    and hour_of_day is h mod 24 over the TZ-free epoch-hour index.
+
+    Scale shape: the explode emits ceil(dur/3600)+1 <= a handful of
+    rows per session (duration-bounded fan-out, never data-sized),
+    then ONE (type, hour)-keyed agg with map-side combine onto a
+    types x 24 output. No windows at all — occupancy is a per-row
+    allocation, unlike the peak which needs the sweep."""
+    e = load(spark, sf_dir, "events")
+    s = e.filter(F.floor("value") >= 1).select(
+        "event_type",
+        F.col("ts").cast("long").alias("s0"),
+        (F.col("ts").cast("long") + F.floor("value").cast("long")).alias("s1"),
+    )
+    x = s.select(
+        "event_type",
+        "s0",
+        "s1",
+        F.explode(
+            F.sequence(F.expr("s0 div 3600"), F.expr("(s1 - 1) div 3600"))
+        ).alias("h"),
+    )
+    return (
+        x.select(
+            "event_type",
+            (F.col("h") % 24).alias("hour_of_day"),
+            (
+                F.least(F.col("s1"), (F.col("h") + 1) * 3600)
+                - F.greatest(F.col("s0"), F.col("h") * 3600)
+            ).alias("sec"),
+        )
+        .groupBy("event_type", "hour_of_day")
+        .agg(
+            F.sum("sec").alias("occupancy_sec"),
+            F.count("*").alias("n_session_hours"),
+        )
+    )

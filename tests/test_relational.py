@@ -1338,3 +1338,36 @@ def test_markov_entropy_planted_chains(spark):
     h = (math.log(3) + 2 * math.log(1.5)) / 8
     assert abs(row.entropy_nats - h) < 1e-5
     assert abs(row.perplexity - math.exp(h)) < 1e-5
+
+
+def test_occupancy_hours_exact_split(spark):
+    """agg_occupancy_hours: a session straddling an hour boundary
+    splits its seconds exactly, a contained session bills its full
+    duration, and sub-second sessions vanish."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.relational import (
+        agg_occupancy_hours,
+    )
+
+    d1 = dt.datetime(2021, 3, 1)
+    rows = [
+        (1, d1 + dt.timedelta(hours=10, minutes=59, seconds=30), 7, "a", 60.0, "{}"),
+        (2, d1 + dt.timedelta(hours=10, minutes=5), 7, "a", 120.0, "{}"),
+        (3, d1 + dt.timedelta(hours=3), 7, "b", 0.4, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_occ_")
+    df.coalesce(1).write.parquet(os.path.join(tmp, "events.parquet"))
+    out = {(r.event_type, r.hour_of_day): r for r in agg_occupancy_hours(spark, tmp).collect()}
+    assert out[("a", 10)].occupancy_sec == 30 + 120
+    assert out[("a", 10)].n_session_hours == 2
+    assert out[("a", 11)].occupancy_sec == 30 and out[("a", 11)].n_session_hours == 1
+    assert ("b", 3) not in out
+    assert len(out) == 2
