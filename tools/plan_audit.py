@@ -907,6 +907,77 @@ AUDIT = {
         "vocabulary out of any single task: per-partition heaps, "
         "K rows to the driver",
     ),
+    "ext_char_entropy": (
+        "char explode -> (doc, char)-keyed partial count -> doc agg "
+        "-> bucket agg; every shuffle key bounded",
+        "map-side combine collapses the char stream to per-doc "
+        "alphabet cardinality before any exchange",
+    ),
+    "ext_hapax_audit": (
+        "token census -> c=1 slice joined term-keyed into postings "
+        "-> doc count -> TakeOrderedAndProject(K)",
+        "a count-1 term has exactly one posting row, so the "
+        "join-back is vocab-bounded; no global sort",
+    ),
+    "ext_zipf_fit": (
+        "two keyed aggs (term count, count-of-counts) -> single-row "
+        "regression agg over milli-fixed-point BIGINTs",
+        "no vocabulary rank anywhere: the ff-curve needs ~hundreds "
+        "of count values, not a billion-type sort",
+    ),
+    "agg_concurrency_peak": (
+        "(type, second)-keyed delta pre-agg -> two bounded windows "
+        "(per-type day series; per-(type,day) seconds)",
+        "the within-day window is CLOCK-bounded at 86400 rows "
+        "regardless of event volume — not the gini anti-pattern",
+    ),
+    "sink_sorted_runs": (
+        "one percentile boundary agg broadcast -> scan-local run "
+        "assignment -> partitionBy(run) write -> K-row manifest agg",
+        "exact quantile boundaries make the layout an auditable "
+        "contract; nothing global ever sorts",
+    ),
+    "ext_emb_anisotropy": (
+        "Gram partial-merge (MapInPandas d^2 partials) -> K "
+        "iterations of d-row broadcast joins -> scalar Rayleigh",
+        "all data-sized work is the Gram partial-merge; vectors "
+        "never shuffle, iterations are corpus-size-free",
+    ),
+    "agg_markov_entropy": (
+        "user-keyed lag window -> types^2 count agg -> fixed-point "
+        "BIGINT term sum -> single-row entropy",
+        "everything after the transition build runs on <= types^2 "
+        "rows; micro-rounded terms make the sum order-free",
+    ),
+    "ext_prefix_templates": (
+        "scan-local prefix slice -> prefix-keyed partial count -> "
+        "broadcast total -> TakeOrderedAndProject(K)",
+        "hot templates collapse map-side; K rows to the driver",
+    ),
+    "ext_chunk_cdc": (
+        "scan-local anchor mining (explode+hash+filter) -> per-doc "
+        "anchor window (doc-bounded) -> chunk-fp distinct agg",
+        "~1/DIVISOR of positions survive before any shuffle; chunk "
+        "text never moves beyond its md5",
+    ),
+    "agg_occupancy_hours": (
+        "duration-bounded explode (<= ceil(dur/3600)+1 rows per "
+        "session) -> (type, hour)-keyed agg; NO windows",
+        "occupancy is a per-row allocation onto a types x 24 "
+        "output; fan-out scales with duration, not data",
+    ),
+    "ext_dedup_edit_distance": (
+        "shared shingle equi-join candidate core -> intersection "
+        "floor filter -> prefix join-back -> scan-local levenshtein",
+        "the DP runs only on mined survivors over fixed 64-char "
+        "prefixes — bounded cells per pair, never all-pairs",
+    ),
+    "ext_ngram_novelty": (
+        "gram-keyed min census -> gram-keyed join-back -> doc "
+        "count agg -> 11-key decile rollup",
+        "novelty is per-gram, not per-pair: the plan is the miner "
+        "CTE family with a min instead of a pair join",
+    ),
 }
 
 
