@@ -2564,12 +2564,14 @@ WITH {_SHINGLE_PAIR_CTES},
 cand AS (SELECT doc_a, doc_b FROM inter WHERE i >= {EDIT_MIN_SHARED}),
 sc AS (SELECT c.doc_a, c.doc_b,
               levenshtein(substr(da.text, 1, {EDIT_PREFIX}),
-                          substr(db.text, 1, {EDIT_PREFIX})) AS edit_distance
+                          substr(db.text, 1, {EDIT_PREFIX})) AS edit_distance,
+              greatest(length(substr(da.text, 1, {EDIT_PREFIX})),
+                       length(substr(db.text, 1, {EDIT_PREFIX})), 1) AS norm_len
        FROM cand c
        JOIN documents da ON da.doc_id = c.doc_a
        JOIN documents db ON db.doc_id = c.doc_b)
 SELECT doc_a, doc_b, CAST(edit_distance AS BIGINT) AS edit_distance,
-       round(1.0 - edit_distance * 1.0 / {EDIT_PREFIX}, 6) AS prefix_sim
+       round(1.0 - edit_distance * 1.0 / norm_len, 6) AS prefix_sim
 FROM sc WHERE edit_distance <= {EDIT_MAX}
 """
 
@@ -2594,7 +2596,10 @@ def ext_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     document length. Both engines run their native in-engine
     levenshtein (Spark's codegen'd builtin vs DuckDB's — classic
     unit-cost DP, integer-exact, no float contract needed); the
-    similarity is one shared rounded division.
+    similarity normalizes by the LONGER prefix's actual length
+    (r6 review fix — a constant {EDIT_PREFIX} denominator scored
+    unrelated short documents near 1), one shared rounded
+    division.
 
     Scale shape: candidate mining is the shared shingle equi-join
     core; the text join-back moves only candidate pairs' prefixes;
@@ -2613,14 +2618,15 @@ def ext_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a",
             "doc_b",
             F.levenshtein("pa", "pb").cast("long").alias("edit_distance"),
+            F.greatest(F.length("pa"), F.length("pb"), F.lit(1)).alias("norm_len"),
         )
         .filter(F.col("edit_distance") <= EDIT_MAX)
         .select(
             "doc_a",
             "doc_b",
             "edit_distance",
-            F.round(1.0 - F.col("edit_distance") * 1.0 / EDIT_PREFIX, 6).alias(
-                "prefix_sim"
-            ),
+            F.round(
+                1.0 - F.col("edit_distance") * 1.0 / F.col("norm_len"), 6
+            ).alias("prefix_sim"),
         )
     )

@@ -3205,46 +3205,94 @@ def agg_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -------------------------------------- quantile sketch audit
 
+QSK_RANK_EPS = 0.01  # rank-band half-width the certificate allows
 
-_QSKETCH_ORACLE = """
+
+def _pq_sql(q: float, elem: str) -> str:
+    """Linear-interpolated quantile from a pre-sorted array `arr` of
+    length `n` — ONE explicit expression tree shared verbatim by the
+    Spark projection and the DuckDB oracle (only the array-index
+    function name differs), because the engines' native `percentile`
+    vs `quantile_cont` interpolate with DIFFERENT formulas whose ulp
+    drift would leak through any rounding contract."""
+    pos = f"(CAST({q} AS DOUBLE) * (n - 1))"
+    lo = f"CAST(floor({pos}) AS BIGINT)"
+    e1 = f"{elem}(arr, CAST({lo} + 1 AS INT))"
+    e2 = f"{elem}(arr, CAST(least({lo} + 2, n) AS INT))"
+    return f"round({e1} + ({e2} - {e1}) * ({pos} - {lo}), 6)"
+
+
+def _qsk_band_sql(q: float, approx: str) -> str:
+    """Rank-band certificate: the sketch value must lie between the
+    exact ORDER STATISTICS at ranks floor((q-eps)n)-1 and
+    floor((q+eps)n)+2 (clamped to [1, n]). Rank-based, not
+    interpolation-based, so it holds for ANY group size — the
+    2-row-group counterexample that breaks a value-interpolated band
+    (approx returns an element; the interpolated +/-1% band around
+    the midpoint contains no element) is exactly what this fixes.
+    The +/-1 extra rank absorbs float noise in the index arithmetic;
+    the sketch's true guarantee is 10x tighter."""
+    klo = (
+        f"greatest(CAST(1 AS BIGINT), "
+        f"CAST(floor(CAST({q - QSK_RANK_EPS} AS DOUBLE) * n) AS BIGINT) - 1)"
+    )
+    khi = (
+        f"least(n, "
+        f"CAST(floor(CAST({q + QSK_RANK_EPS} AS DOUBLE) * n) AS BIGINT) + 2)"
+    )
+    return (
+        f"{approx} BETWEEN element_at(arr, CAST({klo} AS INT)) "
+        f"AND element_at(arr, CAST({khi} AS INT))"
+    )
+
+
+_QSKETCH_ORACLE = f"""
+WITH g AS (SELECT event_type, list_sort(list(value)) AS arr,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events WHERE value IS NOT NULL GROUP BY 1)
 SELECT event_type,
-       quantile_cont(value, 0.5) AS p50,
-       quantile_cont(value, 0.95) AS p95,
+       {_pq_sql(0.5, "list_extract")} AS p50,
+       {_pq_sql(0.95, "list_extract")} AS p95,
        true AS ok50, true AS ok95
-FROM events GROUP BY event_type
+FROM g
 """
 
 
 @register("agg_quantile_sketch_audit", oracle=_QSKETCH_ORACLE)
 def agg_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-error certificate for the mergeable quantile sketch:
-    `percentile_approx(q, accuracy=1000)` guarantees rank error
-    <= 1/accuracy, so its value must land between the EXACT
-    quantiles at q ± 1% — a far tighter audit than
-    `agg_percentiles`' [min, max] sanity flag, and the evidence that
-    the sketch path (the only viable one at 100 TB, where exact
-    percentile collects each group's values) is actually within its
-    contract on this data. Same self-validating floor shape as
-    `agg_approx_distinct` / `agg_hll_union_rollup`: exact values are
-    driver-hash-checked, the sketch result is asserted inside
-    integer-free BETWEEN bounds computed from the exact
-    distribution.
+    `percentile_approx(q, accuracy=1000)` guarantees its result's
+    RANK is within n/accuracy of the target, so the returned value
+    must land between the exact order statistics at ranks
+    (q +/- {QSK_RANK_EPS})·n (+/-1 rank of float headroom) — a
+    certificate that holds for EVERY group size, unlike a band built
+    from interpolated quantiles (which contains no element at all
+    for tiny spread-out groups). The oracle pins ok50/ok95 to
+    literal true: if the sketch ever leaves its band, the driver's
+    hash check fails loudly. Exact p50/p95 ride along via ONE
+    interpolation expression shared verbatim with the oracle
+    (`_pq_sql`) — the engines' native percentile/quantile_cont
+    interpolate with different formulas, so neither is used.
 
-    Scale shape: one group-keyed agg; the exact branch is the
-    harness, the sketch branch streams with O(accuracy) state and
-    merges across partitions."""
-    e = load(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("p50"),
-        F.expr("percentile(value, 0.95)").alias("p95"),
-        F.expr(
-            "percentile_approx(value, 0.5, 1000) "
-            "BETWEEN percentile(value, 0.49) AND percentile(value, 0.51)"
-        ).alias("ok50"),
-        F.expr(
-            "percentile_approx(value, 0.95, 1000) "
-            "BETWEEN percentile(value, 0.94) AND percentile(value, 0.96)"
-        ).alias("ok95"),
+    Scale shape: the sketch branch streams with O(accuracy)
+    mergeable state — the only viable 100 TB plan. The exact branch
+    (sorted per-group array) is the AUDIT HARNESS, deliberately
+    collecting each group's values; production keeps the sketch and
+    drops the harness, which is the entire point of certifying the
+    sketch here."""
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    g = e.groupBy("event_type").agg(
+        F.sort_array(F.collect_list("value")).alias("arr"),
+        F.count("*").alias("n"),
+        F.expr("percentile_approx(value, CAST(0.5 AS DOUBLE), 1000)").alias("ap50"),
+        F.expr("percentile_approx(value, CAST(0.95 AS DOUBLE), 1000)").alias("ap95"),
+    )
+    return g.select(
+        "event_type",
+        F.expr(_pq_sql(0.5, "element_at")).alias("p50"),
+        F.expr(_pq_sql(0.95, "element_at")).alias("p95"),
+        F.expr(_qsk_band_sql(0.5, "ap50")).alias("ok50"),
+        F.expr(_qsk_band_sql(0.95, "ap95")).alias("ok95"),
     )
 
 
@@ -3256,10 +3304,11 @@ _JB_SEGMENT = "BUILDING"
 
 
 def _jb_hash_sql(j: int, expr: str) -> str:
-    return (
-        f"CAST(('0x' || substr(md5(concat_ws(':', '{j}', {expr})), 1, 15)) "
-        f"AS BIGINT) % {JOIN_BLOOM_M}"
-    )
+    # THE hash swap point is dedup._salted_hash(_sql); this must stay a
+    # thin wrapper so a hash-function swap reaches the bloom contract.
+    from .dedup import _salted_hash_sql
+
+    return f"{_salted_hash_sql(repr(str(j)), expr)} % {JOIN_BLOOM_M}"
 
 
 _JB_ORACLE = f"""
@@ -3300,7 +3349,15 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: bit positions are integer md5 arithmetic identical on
     both engines; every count is exact; fp_rate is one shared
-    rounded division over true negatives."""
+    rounded division over true negatives.
+
+    Plan note (r6 review fix): the probe is SCAN-SIDE — k chained
+    BroadcastHashJoins against the <= M-row bit table, one per hash
+    function, with the pass predicate evaluated before any exchange.
+    The earlier explode-by-k + regroup form shuffled the FULL fact
+    table through a (orderkey, custkey) aggregate, which is exactly
+    the shuffle the bloom exists to avoid; now no fact row ever
+    crosses an exchange (the three counts are scalar aggs)."""
     c = load(spark, sf_dir, "customer")
     dim = (
         c.filter(F.col("c_mktsegment") == _JB_SEGMENT)
@@ -3319,24 +3376,22 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bit")
         )
         .distinct()
-        .withColumn("present", F.lit(True))
     )
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    probe = o.select(
-        "o_orderkey",
-        "o_custkey",
-        F.explode(
-            F.array(*[jb_bit(j, F.col("o_custkey")) for j in range(JOIN_BLOOM_K)])
-        ).alias("bit"),
-    )
-    passed = (
-        probe.join(F.broadcast(bits), "bit", "left")
-        .groupBy("o_orderkey", "o_custkey")
-        .agg((F.count(F.when(F.col("present"), 1)) == JOIN_BLOOM_K).alias("pass"))
+    probe = o
+    for j in range(JOIN_BLOOM_K):
+        bj = bits.select(
+            F.col("bit").alias(f"b{j}"), F.lit(True).alias(f"p{j}")
+        )
+        probe = probe.withColumn(f"b{j}", jb_bit(j, F.col("o_custkey"))).join(
+            F.broadcast(bj), f"b{j}", "left"
+        )
+    passed = probe.filter(
+        " AND ".join(f"p{j} IS NOT NULL" for j in range(JOIN_BLOOM_K))
     )
     truth = o.join(F.broadcast(dim.withColumnRenamed("c_custkey", "o_custkey")), "o_custkey")
     n_orders = o.agg(F.count("*").alias("n_orders"))
-    n_pass = passed.filter("pass").agg(F.count("*").alias("n_pass_bloom"))
+    n_pass = passed.agg(F.count("*").alias("n_pass_bloom"))
     n_true = truth.agg(F.count("*").alias("n_true_match"))
     return (
         n_orders.crossJoin(F.broadcast(n_pass))
@@ -3358,49 +3413,64 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------- concurrency sweep-line
 
+# Session-interval contract shared by agg_concurrency_peak and
+# agg_occupancy_hours (r6 review consolidation): integer epoch-second
+# boundaries (floor(epoch), floor(value) seconds of duration,
+# end-exclusive [s0, s1)), sub-second sessions dropped. Stated ONCE per
+# engine so the two operators can never diverge on what a session is.
+_SESSION_CTE = """
+s AS (SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s0,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               + CAST(floor(value) AS BIGINT) AS s1
+      FROM events WHERE floor(value) >= 1)
+"""
 
-_CONC_ORACLE = """
-WITH s AS (SELECT event_type,
-                  CAST(floor(epoch(ts)) AS BIGINT) AS s0,
-                  CAST(floor(epoch(ts)) AS BIGINT)
-                    + CAST(floor(value) AS BIGINT) AS s1
-           FROM events WHERE floor(value) >= 1),
-d AS (SELECT event_type, s0 AS sec, 1 AS delta FROM s
+
+def _session_intervals(e: DataFrame) -> DataFrame:
+    """Spark twin of _SESSION_CTE: (event_type, s0, s1) integer-second
+    end-exclusive session intervals, sub-second sessions dropped."""
+    return e.filter(F.floor("value") >= 1).select(
+        "event_type",
+        F.col("ts").cast("long").alias("s0"),
+        (F.col("ts").cast("long") + F.floor("value").cast("long")).alias("s1"),
+    )
+
+
+_CONC_ORACLE = f"""
+WITH {_SESSION_CTE},
+sub AS (SELECT event_type, s0, s1,
+               unnest(generate_series(s0 // 86400, (s1 - 1) // 86400)) AS day_num
+        FROM s),
+iv AS (SELECT event_type, day_num,
+              greatest(s0, day_num * 86400) AS a,
+              least(s1, (day_num + 1) * 86400) AS b,
+              CASE WHEN s0 >= day_num * 86400 THEN 1 ELSE 0 END AS is_head
+       FROM sub),
+d AS (SELECT event_type, day_num, a AS sec, 1 AS delta FROM iv
       UNION ALL
-      SELECT event_type, s1 AS sec, -1 AS delta FROM s),
-net AS (SELECT event_type, sec, CAST(sum(delta) AS BIGINT) AS delta
-        FROM d GROUP BY 1, 2),
-nd AS (SELECT event_type, sec // 86400 AS day_num, sec, delta FROM net),
-dayn AS (SELECT event_type, day_num, CAST(sum(delta) AS BIGINT) AS net_day
-         FROM nd GROUP BY 1, 2),
-carry AS (SELECT event_type, day_num,
-                 CAST(coalesce(sum(net_day) OVER (
-                   PARTITION BY event_type ORDER BY day_num
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                 AS BIGINT) AS carry_in
-          FROM dayn),
+      SELECT event_type, day_num, b AS sec, -1 AS delta FROM iv
+      WHERE b < (day_num + 1) * 86400),
+net AS (SELECT event_type, day_num, sec, CAST(sum(delta) AS BIGINT) AS delta
+        FROM d GROUP BY 1, 2, 3),
 run AS (SELECT event_type, day_num,
                CAST(sum(delta) OVER (
                  PARTITION BY event_type, day_num ORDER BY sec
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS BIGINT) AS running
-        FROM nd),
-pk AS (SELECT event_type, day_num, max(running) AS max_run
+        FROM net),
+pk AS (SELECT event_type, day_num, max(running) AS peak
        FROM run GROUP BY 1, 2),
-st AS (SELECT event_type, s0 // 86400 AS day_num,
-              CAST(count(*) AS BIGINT) AS n_started
-       FROM s GROUP BY 1, 2)
-SELECT pk.event_type,
-       DATE '1970-01-01' + CAST(pk.day_num AS INT) AS day,
-       coalesce(st.n_started, 0) AS n_started,
-       carry.carry_in,
-       greatest(carry.carry_in, carry.carry_in + pk.max_run)
-         AS peak_concurrency
-FROM pk
-JOIN carry ON carry.event_type = pk.event_type
-          AND carry.day_num = pk.day_num
-LEFT JOIN st ON st.event_type = pk.event_type
-            AND st.day_num = pk.day_num
+meta AS (SELECT event_type, day_num,
+                CAST(sum(is_head) AS BIGINT) AS n_started,
+                CAST(sum(1 - is_head) AS BIGINT) AS carry_in
+         FROM iv GROUP BY 1, 2)
+SELECT meta.event_type,
+       DATE '1970-01-01' + CAST(meta.day_num AS INT) AS day,
+       meta.n_started, meta.carry_in,
+       pk.peak AS peak_concurrency
+FROM meta JOIN pk ON pk.event_type = meta.event_type
+                 AND pk.day_num = meta.day_num
 """
 
 
@@ -3408,56 +3478,62 @@ LEFT JOIN st ON st.event_type = pk.event_type
 def agg_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak concurrent sessions per (event_type, day) by sweep-line:
     each event opens a session at its timestamp for floor(value)
-    seconds; concurrency is +1/-1 boundary deltas prefix-summed in
-    time order, and the day's peak is the max of that running sum
-    (or the carry-in, if the day only drains). The capacity-planning
-    statistic (max simultaneous load) that `agg_hourly_heatmap`'s
-    arrival counts cannot give — arrivals and occupancy diverge
-    exactly when durations pile up.
+    seconds; sessions are SPLIT AT DAY BOUNDARIES into per-day
+    sub-intervals, each day's +1/-1 boundary deltas prefix-sum in
+    time order, and the peak is the max running level. The
+    capacity-planning statistic (max simultaneous load) that
+    `agg_hourly_heatmap`'s arrival counts cannot give.
+
+    The day-splitting design (r6 review rewrite) is what makes the
+    semantics exact at the edges the carry-in formulation got wrong:
+    a session ending exactly at midnight contributes an EMPTY
+    sub-interval to the next day (end-exclusive — no phantom peak),
+    a multi-day session emits one sub-interval per covered day (no
+    silently missing days of sustained load), and every day's sweep
+    is self-contained (no cross-day running-sum window at all).
+    carry_in reports sessions continuing across the day's start
+    (non-head sub-intervals); n_started counts sessions opening that
+    day.
 
     Contract precision: boundaries live on INTEGER epoch seconds
-    (floor(epoch) on both engines — the `window_dedup_recent`
-    microsecond lesson), sessions occupy [s0, s0+dur) end-exclusive,
-    sub-second sessions (floor(value) < 1) occupy no full second and
-    are dropped, and days are TZ-free integer epoch-day indexes
-    rendered as dates. Peak is evaluated at second boundaries;
-    intra-second micro-bursts collapse into the second's NET delta —
-    documented resolution, not an accident.
+    (`_SESSION_CTE`, shared with `agg_occupancy_hours`); days are
+    TZ-free epoch-day indexes rendered as dates; peak is evaluated
+    at second granularity (intra-second micro-bursts collapse into
+    the second's net delta — documented resolution).
 
-    Scale shape — the reason this is NOT the `agg_user_gini`
-    anti-pattern: deltas pre-aggregate per (type, second) with
-    map-side combine, so the within-day prefix window is bounded at
-    86 400 rows per (type, day) partition BY THE CLOCK, independent
-    of event volume; the cross-day carry is a per-type running sum
-    over <= |days| calendar rows. Both windows are bounded by time,
-    not data."""
+    Scale shape — why this is NOT the `agg_user_gini` anti-pattern:
+    the day split is a duration-bounded explode (ceil(dur/86400)+1
+    rows per session); deltas pre-aggregate per (type, day, second)
+    with map-side combine, so the ONLY window is per-(type, day) and
+    CLOCK-bounded at 86 400 rows, independent of event volume."""
     e = load(spark, sf_dir, "events")
-    s = e.filter(F.floor("value") >= 1).select(
+    s = _session_intervals(e)
+    sub = s.select(
         "event_type",
-        F.col("ts").cast("long").alias("s0"),
-        (F.col("ts").cast("long") + F.floor("value").cast("long")).alias("s1"),
+        "s0",
+        "s1",
+        F.explode(
+            F.sequence(F.expr("s0 div 86400"), F.expr("(s1 - 1) div 86400"))
+        ).alias("day_num"),
     )
-    d = s.select("event_type", F.col("s0").alias("sec"), F.lit(1).alias("delta")).unionAll(
-        s.select("event_type", F.col("s1").alias("sec"), F.lit(-1).alias("delta"))
-    )
-    net = d.groupBy("event_type", "sec").agg(F.sum("delta").alias("delta"))
-    nd = net.withColumn("day_num", F.expr("sec div 86400"))
-    from pyspark.sql import Window as W
-
-    dayn = nd.groupBy("event_type", "day_num").agg(F.sum("delta").alias("net_day"))
-    carry = dayn.select(
+    iv = sub.select(
         "event_type",
         "day_num",
-        F.coalesce(
-            F.sum("net_day").over(
-                W.partitionBy("event_type")
-                .orderBy("day_num")
-                .rowsBetween(W.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ).alias("carry_in"),
+        F.greatest(F.col("s0"), F.col("day_num") * 86400).alias("a"),
+        F.least(F.col("s1"), (F.col("day_num") + 1) * 86400).alias("b"),
+        F.when(F.col("s0") >= F.col("day_num") * 86400, 1)
+        .otherwise(0)
+        .alias("is_head"),
     )
-    run = nd.select(
+    d = iv.select(
+        "event_type", "day_num", F.col("a").alias("sec"), F.lit(1).alias("delta")
+    ).unionAll(
+        iv.filter(F.col("b") < (F.col("day_num") + 1) * 86400).select(
+            "event_type", "day_num", F.col("b").alias("sec"), F.lit(-1).alias("delta")
+        )
+    )
+    net = d.groupBy("event_type", "day_num", "sec").agg(F.sum("delta").alias("delta"))
+    run = net.select(
         "event_type",
         "day_num",
         F.sum("delta")
@@ -3468,22 +3544,19 @@ def agg_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("running"),
     )
-    pk = run.groupBy("event_type", "day_num").agg(F.max("running").alias("max_run"))
-    st = s.select("event_type", F.expr("s0 div 86400").alias("day_num")).groupBy(
-        "event_type", "day_num"
-    ).agg(F.count("*").alias("n_started"))
-    return (
-        pk.join(carry, ["event_type", "day_num"])
-        .join(st, ["event_type", "day_num"], "left")
-        .select(
-            "event_type",
-            F.date_add(F.lit("1970-01-01").cast("date"), F.col("day_num").cast("int")).alias("day"),
-            F.coalesce(F.col("n_started"), F.lit(0)).alias("n_started"),
-            "carry_in",
-            F.greatest(
-                F.col("carry_in"), F.col("carry_in") + F.col("max_run")
-            ).alias("peak_concurrency"),
-        )
+    pk = run.groupBy("event_type", "day_num").agg(F.max("running").alias("peak"))
+    meta = iv.groupBy("event_type", "day_num").agg(
+        F.sum("is_head").alias("n_started"),
+        F.sum(1 - F.col("is_head")).alias("carry_in"),
+    )
+    return meta.join(pk, ["event_type", "day_num"]).select(
+        "event_type",
+        F.date_add(
+            F.lit("1970-01-01").cast("date"), F.col("day_num").cast("int")
+        ).alias("day"),
+        "n_started",
+        "carry_in",
+        F.col("peak").alias("peak_concurrency"),
     )
 
 
@@ -3588,12 +3661,8 @@ def agg_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------- time-weighted occupancy
 
 
-_OCCUPANCY_ORACLE = """
-WITH s AS (SELECT event_type,
-                  CAST(floor(epoch(ts)) AS BIGINT) AS s0,
-                  CAST(floor(epoch(ts)) AS BIGINT)
-                    + CAST(floor(value) AS BIGINT) AS s1
-           FROM events WHERE floor(value) >= 1),
+_OCCUPANCY_ORACLE = f"""
+WITH {_SESSION_CTE},
 x AS (SELECT event_type, s0, s1,
              unnest(generate_series(s0 // 3600, (s1 - 1) // 3600)) AS h
       FROM s),
@@ -3620,9 +3689,9 @@ def agg_occupancy_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 23:59 session billed entirely to hour 23 is exactly the error
     this fixes.
 
-    Exactness: the same integer-second boundary contract as the
-    concurrency sweep (floor(epoch), floor(value), sub-second
-    sessions dropped); per-bucket seconds are
+    Exactness: the session-interval contract is `_SESSION_CTE` /
+    `_session_intervals`, stated once and shared with
+    `agg_concurrency_peak`; per-bucket seconds are
     min(s1,(h+1)·3600) − max(s0,h·3600) — pure BIGINT arithmetic —
     and hour_of_day is h mod 24 over the TZ-free epoch-hour index.
 
@@ -3632,11 +3701,7 @@ def agg_occupancy_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     types x 24 output. No windows at all — occupancy is a per-row
     allocation, unlike the peak which needs the sweep."""
     e = load(spark, sf_dir, "events")
-    s = e.filter(F.floor("value") >= 1).select(
-        "event_type",
-        F.col("ts").cast("long").alias("s0"),
-        (F.col("ts").cast("long") + F.floor("value").cast("long")).alias("s1"),
-    )
+    s = _session_intervals(e)
     x = s.select(
         "event_type",
         "s0",

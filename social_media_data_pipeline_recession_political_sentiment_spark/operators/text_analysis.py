@@ -3793,9 +3793,12 @@ SELECT docs.n_docs,
 FROM ch, docs
 GROUP BY docs.n_docs
 """.format(
-    h="CAST(('0x' || substr(md5(concat_ws(':', 'cdc', "
-    f"array_to_string(w[CAST(p AS INT):CAST(p AS INT) + {CDC_GRAM} - 1], ' '))), "
-    "1, 15)) AS BIGINT)"
+    # THE hash swap point is dedup._salted_hash(_sql) — route through it
+    # so a hash-function swap reaches the CDC boundary contract too.
+    h=_dedup._salted_hash_sql(
+        "'cdc'",
+        f"array_to_string(w[CAST(p AS INT):CAST(p AS INT) + {CDC_GRAM} - 1], ' ')",
+    )
 )
 
 
@@ -3821,54 +3824,54 @@ def ext_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     {CDC_GRAM}+1 tokens form one whole-doc chunk. The ratio is one
     shared rounded division; the mean is integer micro division.
 
-    Scale shape: anchor mining is scan-local (explode positions ->
-    hash -> filter ~1/{CDC_DIVISOR} survive); the ONLY per-doc
-    window orders each doc's ~n/{CDC_DIVISOR} anchors (doc-length
-    bounded); chunk fingerprints then hit one keyed
-    distinct-count agg with map-side partials. Chunk text never
-    shuffles beyond its md5."""
-    from pyspark.sql import Window as W
-
-    from .dedup import _salted_hash
-
+    Scale shape (r6 review rewrite): anchor mining, chunk slicing,
+    AND fingerprinting all happen in ONE scan-local HOF projection —
+    the token array never leaves its scan task (the earlier form
+    shuffled a copy of `w` per chunk-start row through a per-doc
+    window, ~n/{CDC_DIVISOR}x corpus amplification). Only 32-char
+    fingerprints shuffle, into one keyed distinct-count agg. The
+    sequence() is guarded against Spark's descending-when-b<a
+    behavior for short docs; explode_outer + notNull keeps the HOF
+    chain out of InferFiltersFromGenerate's duplicated pre-shuffle
+    evaluation (the `_exploded_shingles` lesson)."""
     d = load(spark, sf_dir, "documents")
-    t = d.select("doc_id", F.split("text", " ").alias("w"))
-    pos = t.filter(F.size("w") >= CDC_GRAM + 1).select(
-        "doc_id",
+    anchors = (
+        f"transform(filter(transform("
+        f"CASE WHEN size(w) >= {CDC_GRAM} + 1 "
+        f"THEN sequence(2, size(w) - {CDC_GRAM} + 1) ELSE array() END, "
+        f"p -> named_struct('p', p, 'h', "
+        f"CAST(conv(substring(md5(concat_ws(':', 'cdc', "
+        f"array_join(slice(w, p, {CDC_GRAM}), ' '))), 1, 15), 16, 10) AS BIGINT))), "
+        f"s -> s.h % {CDC_DIVISOR} = 0), s -> CAST(s.p AS INT))"
+    )
+    t = d.select(F.split("text", " ").alias("w")).selectExpr(
+        "size(w) AS n_tok", f"concat(array(1), {anchors}) AS starts", "w"
+    ).selectExpr(
+        "n_tok",
+        "concat(transform(slice(starts, 2, size(starts) - 1), x -> x - 1), "
+        "array(n_tok)) AS fins",
+        "starts",
         "w",
-        F.explode(
-            F.sequence(F.lit(2), F.size("w") - CDC_GRAM + 1)
-        ).alias("p"),
     )
-    gram = F.array_join(F.slice(F.col("w"), F.col("p"), CDC_GRAM), " ")
-    anch = pos.filter(
-        _salted_hash(F.lit("cdc"), gram) % CDC_DIVISOR == 0
-    ).select("doc_id", "w", F.col("p").cast("int").alias("start"))
-    starts = t.select("doc_id", "w", F.lit(1).alias("start")).unionAll(anch)
-    win = W.partitionBy("doc_id").orderBy("start")
-    bounds = starts.select(
-        "doc_id",
-        "w",
-        "start",
-        F.coalesce(F.lead("start").over(win) - 1, F.size("w")).alias("fin"),
+    fps = t.select(
+        "n_tok",
+        F.expr(
+            "transform(sequence(1, size(starts)), i -> "
+            "md5(array_join(slice(w, element_at(starts, i), "
+            "element_at(fins, i) - element_at(starts, i) + 1), ' ')))"
+        ).alias("fps"),
     )
-    ch = bounds.select(
-        "doc_id",
-        F.md5(
-            F.array_join(
-                F.slice(F.col("w"), F.col("start"), F.col("fin") - F.col("start") + 1),
-                " ",
-            )
-        ).alias("chunk_fp"),
-        (F.col("fin") - F.col("start") + 1).alias("n_tok"),
+    ch = fps.select(F.explode_outer("fps").alias("chunk_fp")).filter(
+        F.col("chunk_fp").isNotNull()
     )
-    docs = t.agg(F.count("*").alias("n_docs"))
+    docs = fps.agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("sum_tok")
+    )
     return (
         docs.crossJoin(
             ch.agg(
                 F.count("*").alias("total_chunks"),
                 F.countDistinct("chunk_fp").alias("distinct_chunks"),
-                F.sum("n_tok").alias("sum_tok"),
             )
         )
         .select(

@@ -929,9 +929,11 @@ def test_edit_distance_verifier_matches_python_dp(spark):
             prev = cur
         return prev[-1]
 
-    exp = lev(base[:EDIT_PREFIX], base.replace("dog", "dogs")[:EDIT_PREFIX])
+    pa, pb = base[:EDIT_PREFIX], base.replace("dog", "dogs")[:EDIT_PREFIX]
+    exp = lev(pa, pb)
     assert out[(1, 2)].edit_distance == exp <= EDIT_MAX
-    assert out[(1, 2)].prefix_sim == round(1 - exp / EDIT_PREFIX, 6)
+    # normalized by the LONGER prefix's actual length (r6 review fix)
+    assert out[(1, 2)].prefix_sim == round(1 - exp / max(len(pa), len(pb)), 6)
     assert (1, 3) not in out  # below the intersection floor
     # pair (1,4): shares the full base prefix => distance 0 at 64 chars?
     # base is 50 chars; doc4 appends beyond char 50, so the 64-char

@@ -1207,6 +1207,9 @@ def test_quantile_sketch_audit_exact_and_within_rank_bounds(spark):
     t0 = dt.datetime(2021, 3, 1)
     rows = [(i, t0, 1, "a", float(i + 1), "{}") for i in range(100)]
     rows += [(100 + i, t0, 1, "b", 7.0, "{}") for i in range(5)]
+    # the rank-band counterexample: a 2-row spread-out group, where an
+    # interpolated +/-1% value band would contain NO element at all
+    rows += [(200, t0, 1, "c", 1.0, "{}"), (201, t0, 1, "c", 100.0, "{}")]
     d = spark.createDataFrame(
         rows,
         "event_id long, ts timestamp, user_id long, event_type string, "
@@ -1218,6 +1221,7 @@ def test_quantile_sketch_audit_exact_and_within_rank_bounds(spark):
     assert out["a"].p50 == 50.5  # interpolated median of 1..100
     assert abs(out["a"].p95 - 95.05) < 1e-9
     assert out["b"].p50 == 7.0 and out["b"].p95 == 7.0
+    assert out["c"].p50 == 50.5 and out["c"].p95 == 95.05
     assert all(r.ok50 and r.ok95 for r in out.values())
 
 
@@ -1304,6 +1308,43 @@ def test_concurrency_peak_overlap_carry_and_subsecond(spark):
     b = out[("b", "2021-03-01")]
     assert b.n_started == 1 and b.peak_concurrency == 1
     assert len(out) == 3
+
+
+def test_concurrency_peak_midnight_end_and_multiday(spark):
+    """agg_concurrency_peak r6-review edge cases: a session ending
+    EXACTLY at midnight must not leak a phantom peak into the next
+    day (end-exclusive empty sub-interval), and a multi-day session
+    reports every covered day at its sustained level."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.relational import (
+        agg_concurrency_peak,
+    )
+
+    d1 = dt.datetime(2021, 3, 1)
+    rows = [
+        # ends exactly at 2021-03-02T00:00:00 (3600s from 23:00)
+        (1, d1 + dt.timedelta(hours=23), 7, "a", 3600.0, "{}"),
+        # spans 2021-03-10 .. 2021-03-13 (3-day session)
+        (2, dt.datetime(2021, 3, 10, 12), 7, "b", 259200.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_conc2_")
+    df.coalesce(1).write.parquet(os.path.join(tmp, "events.parquet"))
+    out = {(r.event_type, str(r.day)): r for r in agg_concurrency_peak(spark, tmp).collect()}
+    assert out[("a", "2021-03-01")].peak_concurrency == 1
+    assert ("a", "2021-03-02") not in out  # no phantom carry peak
+    for day in ("2021-03-10", "2021-03-11", "2021-03-12", "2021-03-13"):
+        assert out[("b", day)].peak_concurrency == 1  # no missing days
+    assert out[("b", "2021-03-11")].carry_in == 1
+    assert out[("b", "2021-03-11")].n_started == 0
+    assert len(out) == 5
 
 
 def test_markov_entropy_planted_chains(spark):

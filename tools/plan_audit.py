@@ -926,10 +926,11 @@ AUDIT = {
         "of count values, not a billion-type sort",
     ),
     "agg_concurrency_peak": (
-        "(type, second)-keyed delta pre-agg -> two bounded windows "
-        "(per-type day series; per-(type,day) seconds)",
-        "the within-day window is CLOCK-bounded at 86400 rows "
-        "regardless of event volume — not the gini anti-pattern",
+        "duration-bounded day-split explode -> (type, day, second) "
+        "delta pre-agg -> ONE per-(type,day) window -> keyed max",
+        "the only window is CLOCK-bounded at 86400 rows regardless "
+        "of event volume, and day-splitting removed the cross-day "
+        "carry window entirely — not the gini anti-pattern",
     ),
     "sink_sorted_runs": (
         "one percentile boundary agg broadcast -> scan-local run "
@@ -955,10 +956,11 @@ AUDIT = {
         "hot templates collapse map-side; K rows to the driver",
     ),
     "ext_chunk_cdc": (
-        "scan-local anchor mining (explode+hash+filter) -> per-doc "
-        "anchor window (doc-bounded) -> chunk-fp distinct agg",
-        "~1/DIVISOR of positions survive before any shuffle; chunk "
-        "text never moves beyond its md5",
+        "ONE scan-local HOF projection (anchors + slicing + md5) -> "
+        "fingerprint explode -> keyed distinct agg; NO windows",
+        "the token array never leaves its scan task; only 32-char "
+        "fingerprints shuffle — the r6 review killed the per-doc "
+        "window that moved a copy of w per chunk row",
     ),
     "agg_occupancy_hours": (
         "duration-bounded explode (<= ceil(dur/3600)+1 rows per "
