@@ -1833,3 +1833,108 @@ def ext_emb_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_dim",
         )
     )
+
+
+# --------------------------------- Matryoshka truncation recall
+
+MRL_DIM = 16  # leading dims the truncated ranking sees
+
+
+def _mrl_cos_sql(dim_slice: str) -> str:
+    a = f"CAST(a.embedding{dim_slice} AS DOUBLE[])"
+    b = f"CAST(b.embedding{dim_slice} AS DOUBLE[])"
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * "
+        f"sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+def _mrl_rank_cte(name: str, cos_sql: str) -> str:
+    return (
+        f"{name}0 AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, "
+        f"{cos_sql} AS cos FROM embeddings a JOIN embeddings b "
+        f"ON b.vec_id != a.vec_id WHERE a.vec_id < {N_QUERY_VECS}), "
+        f"{name} AS (SELECT query_id, neighbor_id FROM ("
+        f"SELECT query_id, neighbor_id, row_number() OVER ("
+        f"PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank "
+        f"FROM {name}0) WHERE rank <= {TOP_K})"
+    )
+
+
+_MRL_ORACLE = f"""
+WITH {_mrl_rank_cte("fullk", _mrl_cos_sql(""))},
+{_mrl_rank_cte("trunck", _mrl_cos_sql(f"[1:{MRL_DIM}]"))}
+SELECT f.query_id,
+       CAST({TOP_K} AS BIGINT) AS k,
+       CAST(count(t.neighbor_id) AS BIGINT) AS n_common,
+       round(count(t.neighbor_id) * 1.0 / {TOP_K}, 6) AS recall_at_k
+FROM fullk f
+LEFT JOIN trunck t ON t.query_id = f.query_id
+                  AND t.neighbor_id = f.neighbor_id
+GROUP BY f.query_id
+"""
+
+
+@register("ext_emb_matryoshka_recall", oracle=_MRL_ORACLE)
+def ext_emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit (Kusupati et al. 2022): per query,
+    how many of the full-dimension cosine top-k survive when the
+    ranking only sees the LEADING {MRL_DIM} of d dims — the recall
+    measurement that decides whether a corpus's embeddings tolerate
+    MRL-style dimension cutting (serve short vectors, rerank with
+    full ones). High recall at d/4 means the ANN index, the shuffle,
+    and the cache can all shrink 4x; low recall means the model
+    never concentrated information in its prefix and truncation is
+    unsafe. Companion to `ext_emb_quantize` (precision cutting) and
+    `ext_emb_anisotropy` (direction concentration) — three axes of
+    the same serving-cost question.
+
+    Exactness: both rankings use the engine-shared cosine kernels
+    with the repo's deterministic (cos DESC, neighbor_id) tie-break
+    (`_rank_topk` contract); the OUTPUT is integer overlap counts
+    and one shared rounded division — the float cosines never reach
+    the hash.
+
+    Scale shape: two brute-force rank stages over the broadcast
+    query set (the `ext_sim_topk` plan, run once per ranking) and a
+    (query, neighbor)-keyed top-k self-join over 2·Q·K rows. At
+    scale the full-dim stage is whatever ANN serves production
+    (`ext_sim_lsh`/`ext_sim_ivf`); the audit shape is unchanged."""
+    e = load(spark, sf_dir, "embeddings")
+    q = _with_double_vec(e.filter(F.col("vec_id") < N_QUERY_VECS), "qv").select(
+        F.col("vec_id").alias("query_id"), "qv"
+    )
+    c = _with_double_vec(e, "cv").select(F.col("vec_id").alias("neighbor_id"), "cv")
+    scored_full = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _cosine("qv", "cv").alias("cos"))
+    )
+    fullk = _rank_topk(scored_full).select("query_id", "neighbor_id")
+    qt = q.select("query_id", F.expr(f"slice(qv, 1, {MRL_DIM})").alias("qv"))
+    ct = c.select("neighbor_id", F.expr(f"slice(cv, 1, {MRL_DIM})").alias("cv"))
+    scored_trunc = (
+        ct.crossJoin(F.broadcast(qt))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _cosine("qv", "cv").alias("cos"))
+    )
+    trunck = _rank_topk(scored_trunc).select(
+        F.col("query_id").alias("t_query"),
+        F.col("neighbor_id").alias("t_neighbor"),
+        F.lit(True).alias("in_trunc"),
+    )
+    return (
+        fullk.join(
+            trunck,
+            (F.col("query_id") == F.col("t_query"))
+            & (F.col("neighbor_id") == F.col("t_neighbor")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.lit(TOP_K).cast("long").alias("k"),
+            F.count("in_trunc").alias("n_common"),
+            F.round(F.count("in_trunc") * 1.0 / TOP_K, 6).alias("recall_at_k"),
+        )
+    )

@@ -3887,3 +3887,231 @@ def ext_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------ quality-filter funnel
+
+_QA_RULES_SQL = (
+    ("words_5_1000", "n_words BETWEEN 5 AND 1000"),
+    ("stopword_ge1", "stop_hits >= 1"),
+    ("mean_wlen_2_12",
+     "CAST(n_chars - n_words + 1 AS DOUBLE) / n_words BETWEEN 2 AND 12"),
+)
+
+
+_QA_ORACLE = f"""
+WITH s AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents),
+m AS (SELECT doc_id, n_chars, len(w) AS n_words,
+      len(list_intersect(w, {_arr_lit(_STOPWORDS)})) AS stop_hits FROM s),
+a AS (SELECT CAST(count(*) AS BIGINT) AS total,
+{",".join(
+    f'''
+       CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS solo{i},
+       CAST(sum(CASE WHEN {" AND ".join(c for _, c in _QA_RULES_SQL[: i + 1])}
+                THEN 1 ELSE 0 END) AS BIGINT) AS cum{i}'''
+    for i, (_, cond) in enumerate(_QA_RULES_SQL))}
+      FROM m)
+{" UNION ALL ".join(
+    f"SELECT CAST({i + 1} AS BIGINT) AS stage_idx, '{name}' AS stage, "
+    f"solo{i} AS solo_pass, total - solo{i} AS solo_reject, "
+    f"cum{i} AS cum_pass FROM a"
+    for i, (name, _) in enumerate(_QA_RULES_SQL))}
+UNION ALL
+SELECT CAST(0 AS BIGINT), 'total', total, CAST(0 AS BIGINT), total FROM a
+"""
+
+
+@register("ext_quality_ablation", oracle=_QA_ORACLE)
+def ext_quality_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-funnel ablation for `ext_quality_gate`'s rule stack:
+    per rule, how many documents pass it ALONE (marginal strictness)
+    and how many survive the CUMULATIVE stack up to that rule (the
+    funnel) — the report that tunes a curation pipeline. Solo vs
+    cumulative separates "this rule is strict" from "this rule is
+    redundant given the ones before it" (solo_reject high but
+    cum_pass barely drops = the earlier rules already caught it);
+    every corpus cleaner publishes exactly this table (e.g. Gopher's
+    §A1 ablations, RefinedWeb's removal-rate tables).
+
+    Exactness: the rule expressions are copied VERBATIM from the
+    gate's contract (the `_QA_RULES_SQL` tuple is the single source
+    both this oracle and the gate's semantics cite); counts are
+    conditional BIGINT sums; the mean-word-length rule reuses the
+    gate's proven integer-then-one-division expression.
+
+    Scale shape: ONE scan-local pass computes every solo and
+    cumulative flag as conditional aggregates — 2·|rules|+1 counters
+    in a single agg, no shuffle beyond the scalar partials, no
+    second scan per rule (the naive per-rule-job ablation reads the
+    corpus |rules| times)."""
+    d = load(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    m = d.select(
+        F.col("n_chars"),
+        F.size(w).alias("n_words"),
+        F.size(
+            F.array_intersect(w, F.array(*[F.lit(s) for s in _STOPWORDS]))
+        ).alias("stop_hits"),
+    )
+    aggs = [F.count("*").alias("total")]
+    for i, (_name, cond) in enumerate(_QA_RULES_SQL):
+        cum = " AND ".join(c for _, c in _QA_RULES_SQL[: i + 1])
+        aggs.append(
+            F.sum(F.expr(f"CASE WHEN {cond} THEN 1 ELSE 0 END")).alias(f"solo{i}")
+        )
+        aggs.append(
+            F.sum(F.expr(f"CASE WHEN {cum} THEN 1 ELSE 0 END")).alias(f"cum{i}")
+        )
+    a = m.agg(*aggs)
+    parts = [
+        a.select(
+            F.lit(0).cast("long").alias("stage_idx"),
+            F.lit("total").alias("stage"),
+            F.col("total").alias("solo_pass"),
+            F.lit(0).cast("long").alias("solo_reject"),
+            F.col("total").alias("cum_pass"),
+        )
+    ]
+    for i, (name, _cond) in enumerate(_QA_RULES_SQL):
+        parts.append(
+            a.select(
+                F.lit(i + 1).cast("long").alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                F.col(f"solo{i}").alias("solo_pass"),
+                (F.col("total") - F.col(f"solo{i}")).alias("solo_reject"),
+                F.col(f"cum{i}").alias("cum_pass"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+# --------------------------------------- token-stream entropy rate
+
+TOKEN_ENTROPY_SCALE = 1_000_000  # micro fixed-point per-cell terms
+
+
+_TOKEN_ENTROPY_ORACLE = f"""
+WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+uni AS (SELECT unnest(w) AS term FROM t),
+u AS (SELECT term, CAST(count(*) AS BIGINT) AS c
+      FROM uni WHERE term <> '' GROUP BY 1),
+n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM u),
+uterm AS (SELECT CAST(round(ln(CAST(n.n AS DOUBLE) / u.c) * u.c
+                            * {TOKEN_ENTROPY_SCALE}) AS BIGINT) AS term
+          FROM u, n),
+hu AS (SELECT CAST(sum(term) AS BIGINT) AS tsum FROM uterm),
+pos AS (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i FROM t),
+bi AS (SELECT w[CAST(i AS INT)] AS a, w[CAST(i AS INT) + 1] AS b FROM pos
+       WHERE w[CAST(i AS INT)] <> '' AND w[CAST(i AS INT) + 1] <> ''),
+b2 AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cab FROM bi GROUP BY 1, 2),
+ra AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM b2 GROUP BY 1),
+mm AS (SELECT CAST(sum(cab) AS BIGINT) AS m,
+              CAST(count(*) AS BIGINT) AS n_bigram_types FROM b2),
+bterm AS (SELECT CAST(round(ln(CAST(ra.ca AS DOUBLE) / b2.cab) * b2.cab
+                            * {TOKEN_ENTROPY_SCALE}) AS BIGINT) AS term
+          FROM b2 JOIN ra ON ra.a = b2.a),
+hb AS (SELECT CAST(sum(term) AS BIGINT) AS tsum FROM bterm)
+SELECT n.n AS n_tokens,
+       (SELECT CAST(count(*) AS BIGINT) FROM u) AS n_types,
+       mm.n_bigram_types,
+       round(CAST(hu.tsum AS DOUBLE)
+             / (CAST(n.n AS DOUBLE) * {TOKEN_ENTROPY_SCALE}), 6)
+         AS unigram_entropy_nats,
+       round(CAST(hb.tsum AS DOUBLE)
+             / (CAST(mm.m AS DOUBLE) * {TOKEN_ENTROPY_SCALE}), 6)
+         AS cond_entropy_nats
+FROM n, mm, hu, hb
+"""
+
+
+@register("ext_token_entropy_rate", oracle=_TOKEN_ENTROPY_ORACLE)
+def ext_token_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-stream entropy rate: unigram entropy H(X) and bigram
+    conditional entropy H(X_next | X_cur) of the corpus token
+    process — the Shannon-style predictability ladder
+    (`ext_char_entropy` at character level, this at token level,
+    `agg_markov_entropy` for event streams). The GAP between the
+    two numbers is what a context-1 language model can exploit;
+    template-heavy or machine-generated corpora show an abnormally
+    large gap (next-token nearly determined), natural prose sits
+    near the Zipf-predicted band — a one-row drift audit per corpus
+    release.
+
+    Fixed-point determinism (the `agg_markov_entropy` device, cell
+    counts here being token/bigram censuses): each cell's
+    ln(c_ctx/c_cell)·c_cell term is micro-rounded ONCE into BIGINT
+    and integer-summed — partition-order-free, exact to ~3e11
+    occurrences per cell. The two entropies divide exact integer
+    sums in double and round to 6dp.
+
+    Scale shape: unigram + bigram keyed censuses (map-side partials,
+    the `ext_bigram_pmi` plan family), a bigram-first-keyed rollup
+    for the conditional context counts, then all-scalar combines.
+    Output is ONE row; no windows, no pair joins."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.split(F.col("text"), " ").alias("w"))
+    uni = toks.select(F.explode("w").alias("term")).filter(F.col("term") != "")
+    u = uni.groupBy("term").agg(F.count("*").alias("c"))
+    n = u.agg(F.sum("c").alias("n"), F.count("*").alias("n_types"))
+    hu = (
+        u.crossJoin(F.broadcast(n.select("n")))
+        .select(
+            F.round(
+                F.log(F.col("n").cast("double") / F.col("c"))
+                * F.col("c")
+                * TOKEN_ENTROPY_SCALE
+            )
+            .cast("long")
+            .alias("term")
+        )
+        .agg(F.sum("term").alias("hu_sum"))
+    )
+    bi = (
+        toks.select(
+            F.posexplode(F.expr("slice(w, 1, size(w) - 1)")).alias("i0", "a"),
+            F.col("w"),
+        )
+        .select("a", F.expr("w[i0 + 1]").alias("b"))
+        .filter((F.col("a") != "") & (F.col("b") != ""))
+    )
+    b2 = bi.groupBy("a", "b").agg(F.count("*").alias("cab"))
+    ra = b2.groupBy("a").agg(F.sum("cab").alias("ca"))
+    mm = b2.agg(
+        F.sum("cab").alias("m"), F.count("*").alias("n_bigram_types")
+    )
+    hb = (
+        b2.join(ra, "a")
+        .select(
+            F.round(
+                F.log(F.col("ca").cast("double") / F.col("cab"))
+                * F.col("cab")
+                * TOKEN_ENTROPY_SCALE
+            )
+            .cast("long")
+            .alias("term")
+        )
+        .agg(F.sum("term").alias("hb_sum"))
+    )
+    return (
+        n.crossJoin(F.broadcast(mm))
+        .crossJoin(F.broadcast(hu))
+        .crossJoin(F.broadcast(hb))
+        .select(
+            F.col("n").alias("n_tokens"),
+            "n_types",
+            "n_bigram_types",
+            F.round(
+                F.col("hu_sum").cast("double")
+                / (F.col("n").cast("double") * TOKEN_ENTROPY_SCALE),
+                6,
+            ).alias("unigram_entropy_nats"),
+            F.round(
+                F.col("hb_sum").cast("double")
+                / (F.col("m").cast("double") * TOKEN_ENTROPY_SCALE),
+                6,
+            ).alias("cond_entropy_nats"),
+        )
+    )

@@ -606,3 +606,31 @@ def test_anisotropy_recovers_planted_dominant_axis(spark):
     assert row.lambda1 == float(10 * 127 * 127)
     assert row.aniso_share == 0.909091  # 10/11 rounded to 6dp
     assert row.top_dim == 1
+
+
+def test_matryoshka_recall_planted_overlap(spark):
+    """ext_emb_matryoshka_recall: all candidates tie at cosine 1 in
+    the leading-16-dim ranking (tie-break picks ids 1..10) while
+    tail dims order the full ranking toward ids 6..15 — overlap is
+    exactly 5 of 10 for query 0."""
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.similarity import (
+        ext_emb_matryoshka_recall,
+    )
+
+    u = [1.0] * 16
+    rows = [(0, u + [0.0, 0.0, 0.0, 0.0], 0)]
+    for i in range(1, 16):
+        rows.append((i, u + [float(16 - i), 0.0, 0.0, 0.0], 0))
+    tmp = tempfile.mkdtemp(prefix="smdp_mrl_")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(os.path.join(tmp, "embeddings.parquet"))
+    out = {r.query_id: r for r in ext_emb_matryoshka_recall(spark, tmp).collect()}
+    assert len(out) == 5  # vec_id < 5 are queries
+    r0 = out[0]
+    assert r0.k == 10
+    assert r0.n_common == 5  # {1..10} ∩ {6..15}
+    assert r0.recall_at_k == 0.5

@@ -1431,3 +1431,61 @@ def test_chunk_cdc_matches_python_replica_and_dedups_twins(spark):
     assert len(chunks("tiny doc")) == 1
     total_tok = sum(len(t.split(" ")) for t in docs)
     assert row.mean_chunk_tokens_micro == total_tok * 1_000_000 // row.total_chunks
+
+
+def test_quality_ablation_solo_vs_cumulative(spark):
+    """ext_quality_ablation: planted docs that each fail exactly one
+    rule produce the hand-computed solo and cumulative funnel
+    counts."""
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.text_analysis import (
+        ext_quality_ablation,
+    )
+
+    good = "the cat sat on a mat"           # passes all
+    short = "the end"                        # fails words (2 < 5)
+    nostop = "cats dogs birds fish mice"     # fails stopword rule
+    longw = "the " + " ".join("x" * 30 for _ in range(5))  # fails wlen
+    rows = [(i + 1, t, "en", "s", len(t)) for i, t in
+            enumerate([good, short, nostop, longw])]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_qa_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "documents.parquet"))
+    out = {r.stage: r for r in ext_quality_ablation(spark, tmp).collect()}
+    assert out["total"].solo_pass == 4 and out["total"].cum_pass == 4
+    assert out["words_5_1000"].solo_pass == 3      # short fails
+    assert out["stopword_ge1"].solo_pass == 3      # nostop fails
+    assert out["mean_wlen_2_12"].solo_pass == 3    # longw fails
+    assert out["words_5_1000"].cum_pass == 3
+    assert out["stopword_ge1"].cum_pass == 2       # short + nostop gone
+    assert out["mean_wlen_2_12"].cum_pass == 1     # only good survives
+    assert out["stopword_ge1"].solo_reject == 1
+
+
+def test_token_entropy_rate_deterministic_chain(spark):
+    """ext_token_entropy_rate: an alternating a-b token stream has
+    nonzero unigram entropy but ZERO conditional bigram entropy
+    (next token fully determined by the current one)."""
+    import math
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.text_analysis import (
+        ext_token_entropy_rate,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "a b a b a", "en", "s", 9)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_ter_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "documents.parquet"))
+    row = ext_token_entropy_rate(spark, tmp).collect()[0]
+    assert row.n_tokens == 5 and row.n_types == 2 and row.n_bigram_types == 2
+    hu = (3 * math.log(5 / 3) + 2 * math.log(5 / 2)) / 5
+    assert abs(row.unigram_entropy_nats - hu) < 1e-5
+    assert row.cond_entropy_nats == 0.0
