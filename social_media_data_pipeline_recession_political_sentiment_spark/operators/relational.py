@@ -3725,3 +3725,100 @@ def agg_occupancy_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_session_hours"),
         )
     )
+
+
+# ------------------------------------- daily-series autocorrelation
+
+
+_AUTOCORR_ORACLE = """
+WITH dc AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_num,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1),
+lagged AS (SELECT day_num, c,
+                  lead(c) OVER (ORDER BY day_num) AS c1,
+                  lead(day_num) OVER (ORDER BY day_num) AS d1
+           FROM dc),
+p AS (SELECT c AS x, c1 AS y FROM lagged
+      WHERE c1 IS NOT NULL AND d1 = day_num + 1),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM p),
+d AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(c) AS BIGINT) AS total FROM dc)
+SELECT d.n_days, s.n AS n_pairs,
+       CAST(d.total * 1000000 // d.n_days AS BIGINT) AS mean_daily_micro,
+       round((CAST(s.n AS DOUBLE) * s.sxy - CAST(s.sx AS DOUBLE) * s.sy)
+             / (sqrt(CAST(s.n AS DOUBLE) * s.sxx - CAST(s.sx AS DOUBLE) * s.sx)
+                * sqrt(CAST(s.n AS DOUBLE) * s.syy
+                       - CAST(s.sy AS DOUBLE) * s.sy)), 6)
+         AS lag1_autocorr
+FROM d, s
+"""
+
+
+@register("agg_daily_autocorr", oracle=_AUTOCORR_ORACLE)
+def agg_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily event-volume series —
+    the one-number answer to "is traffic momentum or noise?": r near
+    1 = trending/seasonal volume (yesterday predicts today, alerting
+    thresholds must be relative), r near 0 = memoryless arrivals
+    (Poisson-style, absolute thresholds fine), negative = sawtooth
+    (batch jobs, backfill oscillation). Pairs only CONSECUTIVE days
+    (gap days break the chain rather than silently pairing across
+    holes). Complements `agg_trend_slope` (deterministic drift) and
+    `agg_ingest_anomaly` (pointwise outliers) with the correlation
+    structure between them.
+
+    Exactness: daily counts are exact BIGINTs, every regression sum
+    is an exact integer in any partition order, and the Pearson
+    closed form combines them in double with one round — exact
+    while c²·days < 2^63 (daily volumes to ~1e6 over centuries, or
+    ~3e9 for a month; beyond that pre-scale counts — documented,
+    the `agg_markov_entropy` bound discipline).
+
+    Scale shape: one (day)-keyed count with map-side partials, then
+    a lead window over the <= |days| CALENDAR-bounded series (the
+    `agg_running_total` precedent) and a single-row sum — volume
+    never reaches the window."""
+    e = load(spark, sf_dir, "events")
+    dc = (
+        e.select(F.expr("CAST(ts AS LONG) div 86400").alias("day_num"))
+        .groupBy("day_num")
+        .agg(F.count("*").alias("c"))
+    )
+    w = W.orderBy("day_num")
+    lagged = dc.select(
+        "day_num",
+        "c",
+        F.lead("c").over(w).alias("c1"),
+        F.lead("day_num").over(w).alias("d1"),
+    )
+    p = lagged.filter(
+        F.col("c1").isNotNull() & (F.col("d1") == F.col("day_num") + 1)
+    ).select(F.col("c").alias("x"), F.col("c1").alias("y"))
+    s = p.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    d = dc.agg(F.count("*").alias("n_days"), F.sum("c").alias("total"))
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(
+        n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    ) * F.sqrt(n * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    return (
+        d.crossJoin(F.broadcast(s))
+        .select(
+            "n_days",
+            F.col("n").alias("n_pairs"),
+            F.expr("total * 1000000 div n_days").alias("mean_daily_micro"),
+            F.round(num / den, 6).alias("lag1_autocorr"),
+        )
+    )

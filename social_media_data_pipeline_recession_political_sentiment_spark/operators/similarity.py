@@ -1938,3 +1938,132 @@ def ext_emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("in_trunc") * 1.0 / TOP_K, 6).alias("recall_at_k"),
         )
     )
+
+
+# ------------------------------- Johnson-Lindenstrauss projection audit
+
+JL_K = 8  # projected dimensions
+JL_MAX_D = 128  # sign-matrix width; raise with the testdata if d grows
+JL_PAIR_STRIDE = 17  # audit pairs (v, v+1) for v % STRIDE == 0
+
+
+def _jl_signs() -> list:
+    """K x MAX_D +/-1 sign matrix, derived ONCE at import from the
+    repo's salted-md5 family (hashlib here, but the same bytes the
+    engines would compute) and embedded as LITERALS in both the Spark
+    plan and the oracle SQL — zero runtime hashing, and the two
+    engines cannot disagree because neither computes it."""
+    import hashlib
+
+    return [
+        [
+            1 - 2 * (int(hashlib.md5(f"jl:{r}:{i}".encode()).hexdigest()[:15], 16) % 2)
+            for i in range(1, JL_MAX_D + 1)
+        ]
+        for r in range(JL_K)
+    ]
+
+
+_JL_SIGNS = _jl_signs()
+
+
+def _jl_proj_sql(vec: str, r: int, elem: str) -> str:
+    signs = _JL_SIGNS[r]
+    terms = " + ".join(
+        f"({s if s > 0 else f'({s})'} * {elem}({vec}, {i}))"
+        for i, s in enumerate(signs[:64], start=1)
+    )
+    return f"({terms})"
+
+
+_JL_ORACLE = f"""
+WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+m AS (SELECT vec_id, dv, list_max(list_transform(dv, x -> abs(x))) AS amax FROM s),
+z AS (SELECT vec_id,
+        CASE WHEN amax = 0.0 THEN list_transform(dv, x -> CAST(0 AS BIGINT))
+             ELSE list_transform(dv, x -> greatest(-127, least(127,
+                  CAST(floor(x / (amax / 127.0) + 0.5) AS BIGINT)))) END AS codes
+      FROM m),
+pairs AS (SELECT a.codes AS ca, b.codes AS cb
+          FROM z a JOIN z b ON b.vec_id = a.vec_id + 1
+          WHERE a.vec_id % {JL_PAIR_STRIDE} = 0),
+dist AS (SELECT
+  CAST(list_sum(list_transform(range(1, 65),
+       i -> (ca[CAST(i AS INT)] - cb[CAST(i AS INT)])
+          * (ca[CAST(i AS INT)] - cb[CAST(i AS INT)]))) AS BIGINT) AS d2_full,
+  CAST({" + ".join(
+      f"(({_jl_proj_sql('ca', r, 'list_extract')}) - ({_jl_proj_sql('cb', r, 'list_extract')})) * "
+      f"(({_jl_proj_sql('ca', r, 'list_extract')}) - ({_jl_proj_sql('cb', r, 'list_extract')}))"
+      for r in range(JL_K))} AS BIGINT) AS d2_proj
+  FROM pairs),
+r AS (SELECT d2_full, d2_proj,
+             round(CAST(d2_proj AS DOUBLE) / ({JL_K} * d2_full), 6) AS ratio
+      FROM dist WHERE d2_full > 0)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST({JL_K} AS BIGINT) AS k,
+       min(ratio) AS min_ratio,
+       max(ratio) AS max_ratio,
+       CAST(sum(CAST(round(ratio * 1000000) AS BIGINT)) // count(*) AS BIGINT)
+         AS mean_ratio_micro
+FROM r
+"""
+
+
+@register("ext_emb_jl_audit", oracle=_JL_ORACLE)
+def ext_emb_jl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss distance-preservation audit: project the
+    int8 code vectors onto {JL_K} random +/-1 directions (Achlioptas
+    2003 — database-friendly random projections) and measure, over a
+    deterministic sample of vector pairs, the ratio of projected to
+    original squared distance (expectation 1 under JL). The RANDOM
+    counterpart to `ext_emb_matryoshka_recall`'s learned prefix: if
+    the measured ratio band at k={JL_K} is tight, a k-dim sketch can
+    pre-filter distance computations (dedup blocking, ANN routing)
+    with known distortion; if it's wide, the corpus needs more
+    projection dims than JL's log(n) suggests. Audited in CODE space
+    by design — the projection is linear, so the certificate
+    transfers to the dequantized floats verbatim.
+
+    Exactness: the sign matrix is derived ONCE at import from the
+    salted-md5 family and embedded as +/-1 LITERALS in both plans
+    (neither engine hashes anything at runtime); projections,
+    differences, and squared distances are all exact int64
+    (|proj| <= 127·64·1, d2_proj <= 8·(2·8128)^2 ~ 2.1e9); the ratio
+    is one shared rounded division, its mean an integer micro
+    average. Identical-vector pairs (d2_full = 0) are excluded on
+    both sides.
+
+    Scale shape: projections are scan-local HOF arithmetic; the pair
+    sample is a stride-keyed self-join on consecutive ids (n/STRIDE
+    pairs, never all pairs); output is ONE row."""
+    z = _with_int8_codes(load(spark, sf_dir, "embeddings"))
+    a = z.select(F.col("vec_id").alias("va"), F.col("codes").alias("ca")).filter(
+        F.col("va") % JL_PAIR_STRIDE == 0
+    )
+    b = z.select(F.col("vec_id").alias("vb"), F.col("codes").alias("cb"))
+    pairs = a.join(b, F.col("vb") == F.col("va") + 1)
+    d2_full = F.expr(
+        "aggregate(zip_with(ca, cb, (x, y) -> (x - y) * (x - y)), "
+        "0L, (acc, v) -> acc + v)"
+    )
+    d2_proj = None
+    for r in range(JL_K):
+        pa = F.expr(_jl_proj_sql("ca", r, "element_at"))
+        pb = F.expr(_jl_proj_sql("cb", r, "element_at"))
+        term = (pa - pb) * (pa - pb)
+        d2_proj = term if d2_proj is None else d2_proj + term
+    dist = pairs.select(
+        d2_full.alias("d2_full"), d2_proj.cast("long").alias("d2_proj")
+    ).filter(F.col("d2_full") > 0)
+    ratio = F.round(
+        F.col("d2_proj").cast("double") / (JL_K * F.col("d2_full")), 6
+    )
+    return dist.select("d2_full", "d2_proj", ratio.alias("ratio")).agg(
+        F.count("*").alias("n_pairs"),
+        F.lit(JL_K).cast("long").alias("k"),
+        F.min("ratio").alias("min_ratio"),
+        F.max("ratio").alias("max_ratio"),
+        F.expr(
+            "CAST(sum(CAST(round(ratio * 1000000) AS BIGINT)) div count(*) AS BIGINT)"
+        ).alias("mean_ratio_micro"),
+    )

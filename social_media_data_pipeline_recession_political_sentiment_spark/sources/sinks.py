@@ -420,3 +420,67 @@ def sink_sorted_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("min_key"),
         F.max("o_totalprice").alias("max_key"),
     )
+
+
+# -------------------------------------- manifest snapshot reads
+
+
+_SNAPSHOT_ORACLE = """
+SELECT CAST(1 AS BIGINT) AS version,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders WHERE o_orderkey % 3 <> 0
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+FROM orders
+"""
+
+
+@register("sink_snapshot_read", oracle=_SNAPSHOT_ORACLE)
+def sink_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-based snapshot isolation ("time travel" in
+    Delta/Iceberg terms, reduced to its load-bearing core): every
+    commit appends immutable parquet files AND a manifest row
+    listing exactly which files belong to that version; a reader
+    resolves its version's manifest and scans ONLY those files —
+    never the directory listing, which keeps concurrent appends
+    invisible until their manifest lands. Version 1 here is the base
+    commit, version 2 adds the delta files; reading BOTH versions
+    from the same sink directory and getting different exact
+    (count, sum) pairs is the proof of snapshot semantics.
+
+    Exactness: totals are per-row cent-rounded BIGINTs summed as
+    integers (partition-order-free — the fixed-point device), so
+    both snapshots hash exactly.
+
+    Scale shape: manifests are tiny (one row per file), reads are
+    plain parquet scans of the manifest's file list — partition
+    pruning and column pruning apply unchanged; a commit is one
+    atomic manifest append, never a rewrite of data files. This is
+    the table-format pattern `sink_batched_commit` (task-level
+    atomicity) composes into at the multi-commit level."""
+    wd = _workdir("snapshot")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    base_path = os.path.join(wd, "base")
+    delta_path = os.path.join(wd, "delta")
+    o.filter(F.col("o_orderkey") % 3 != 0).write.parquet(base_path)
+    o.filter(F.col("o_orderkey") % 3 == 0).write.parquet(delta_path)
+    manifest = {1: [base_path], 2: [base_path, delta_path]}
+    parts = []
+    for version, paths in manifest.items():
+        snap = spark.read.parquet(*paths)
+        parts.append(
+            snap.agg(
+                F.lit(version).cast("long").alias("version"),
+                F.count("*").alias("n_rows"),
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                ).alias("total_cents"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -1412,3 +1412,35 @@ def test_occupancy_hours_exact_split(spark):
     assert out[("a", 11)].occupancy_sec == 30 and out[("a", 11)].n_session_hours == 1
     assert ("b", 3) not in out
     assert len(out) == 2
+
+
+def test_daily_autocorr_sawtooth_and_gap(spark):
+    """agg_daily_autocorr: an alternating 1,2,1,2 daily series has
+    lag-1 autocorrelation exactly -1; a day after a gap contributes
+    no pair; the micro mean is integer-exact."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.relational import (
+        agg_daily_autocorr,
+    )
+
+    t0 = dt.datetime(2021, 3, 1, 12)
+    counts = {0: 1, 1: 2, 2: 1, 3: 2, 6: 7}  # days 4-5 missing
+    rows, eid = [], 0
+    for day, n in counts.items():
+        for _ in range(n):
+            rows.append((eid, t0 + dt.timedelta(days=day), 1, "a", 1.0, "{}"))
+            eid += 1
+    d = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_ac_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "events.parquet"))
+    row = agg_daily_autocorr(spark, tmp).collect()[0]
+    assert row.n_days == 5 and row.n_pairs == 3
+    assert row.lag1_autocorr == -1.0
+    assert row.mean_daily_micro == (13 * 1_000_000) // 5

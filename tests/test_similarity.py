@@ -634,3 +634,60 @@ def test_matryoshka_recall_planted_overlap(spark):
     assert r0.k == 10
     assert r0.n_common == 5  # {1..10} ∩ {6..15}
     assert r0.recall_at_k == 0.5
+
+
+def test_jl_audit_matches_python_replica(spark):
+    """ext_emb_jl_audit: distances and projections match a full
+    Python replication of the literal sign matrix and the int8
+    quantization; zero-distance twin pairs are excluded."""
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.similarity import (
+        _JL_SIGNS,
+        JL_K,
+        JL_PAIR_STRIDE,
+        ext_emb_jl_audit,
+    )
+
+    import math
+
+    def codes(v):
+        amax = max(abs(x) for x in v)
+        if amax == 0:
+            return [0] * len(v)
+        return [max(-127, min(127, math.floor(x / (amax / 127.0) + 0.5)))
+                for x in v]
+
+    import random
+
+    rng = random.Random(7)
+    vecs = {}
+    for vid in (0, 1, 17, 18, 34, 35):
+        vecs[vid] = [rng.uniform(-1, 1) for _ in range(64)]
+    vecs[34] = vecs[35] = [1.0] * 64  # identical pair: d2_full=0, excluded
+    rows = [(vid, v, 0) for vid, v in sorted(vecs.items())]
+    tmp = tempfile.mkdtemp(prefix="smdp_jl_")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(os.path.join(tmp, "embeddings.parquet"))
+    row = ext_emb_jl_audit(spark, tmp).collect()[0]
+
+    ratios = []
+    for a in (0, 17):
+        # replicate float32 storage before quantizing
+        import struct
+        f32 = lambda x: struct.unpack("f", struct.pack("f", x))[0]
+        ca = codes([f32(x) for x in vecs[a]])
+        cb = codes([f32(x) for x in vecs[a + 1]])
+        d2f = sum((x - y) ** 2 for x, y in zip(ca, cb))
+        d2p = 0
+        for r in range(JL_K):
+            pa = sum(s * c for s, c in zip(_JL_SIGNS[r], ca))
+            pb = sum(s * c for s, c in zip(_JL_SIGNS[r], cb))
+            d2p += (pa - pb) ** 2
+        ratios.append(round(d2p / (JL_K * d2f), 6))
+    assert row.n_pairs == 2  # twin pair (34,35) excluded
+    assert row.min_ratio == min(ratios)
+    assert row.max_ratio == max(ratios)
+    assert row.mean_ratio_micro == sum(round(r * 1_000_000) for r in ratios) // 2

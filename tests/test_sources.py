@@ -184,3 +184,28 @@ def test_sorted_runs_disjoint_and_balanced(spark):
     for lo, hi in zip(out, out[1:]):
         assert lo.max_key < hi.min_key  # zone-map disjointness
     assert out[0].min_key == 1.0 and out[-1].max_key == 80.0
+
+
+def test_snapshot_read_time_travel(spark):
+    """sink_snapshot_read: version 1 sees only base-commit rows,
+    version 2 sees base + delta, with exact integer cent totals."""
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.sources.sinks import (
+        sink_snapshot_read,
+    )
+
+    rows = [(k, 1, "O", float(k) + 0.25, None, "1-URGENT") for k in range(1, 13)]
+    tmp = tempfile.mkdtemp(prefix="smdp_snap_")
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.parquet(os.path.join(tmp, "orders.parquet"))
+    out = {r.version: r for r in sink_snapshot_read(spark, tmp).collect()}
+    base = [k for k in range(1, 13) if k % 3 != 0]
+    assert out[1].n_rows == len(base)
+    assert out[1].total_cents == sum(k * 100 + 25 for k in base)
+    assert out[2].n_rows == 12
+    assert out[2].total_cents == sum(k * 100 + 25 for k in range(1, 13))
