@@ -3822,3 +3822,55 @@ def agg_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(num / den, 6).alias("lag1_autocorr"),
         )
     )
+
+
+# ---------------------------------------- log2 value histogram
+
+
+_LOG2_HIST_ORACLE = """
+WITH v AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS iv FROM events
+           WHERE value IS NOT NULL),
+b AS (SELECT event_type,
+             CASE WHEN iv <= 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(length(bin(iv)) AS BIGINT) END AS bucket,
+             iv
+      FROM v)
+SELECT event_type, bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(iv) AS BIGINT) AS min_value,
+       CAST(max(iv) AS BIGINT) AS max_value,
+       CAST(sum(iv) AS BIGINT) AS sum_value
+FROM b GROUP BY 1, 2
+"""
+
+
+@register("agg_value_log_histogram", oracle=_LOG2_HIST_ORACLE)
+def agg_value_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two value histogram per event type: bucket k holds
+    values in [2^(k-1), 2^k), i.e. the bit length of the floored
+    value — the right histogram for long-tailed metrics (latency,
+    bytes, spend) where equal-width buckets put 99% of mass in bin 1
+    and equal-depth needs a quantile pass. hdrHistogram/DDSketch use
+    exactly this bucketing; here it is EXACT and engine-portable
+    because the bucket is integer BINARY LENGTH, not floor(log2(x))
+    (whose float rounding flips values near exact powers of two —
+    the same boundary discipline as `ext_ngram_novelty`'s permille
+    deciles). Zero/negative floors collapse into bucket 0.
+
+    Scale shape: scan-local bucket assignment, ONE
+    (type, bucket)-keyed agg with map-side combine onto a
+    types x ~40 output. All columns integer-exact."""
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = e.select("event_type", F.floor("value").cast("long").alias("iv"))
+    b = v.withColumn(
+        "bucket",
+        F.when(F.col("iv") <= 0, F.lit(0).cast("long")).otherwise(
+            F.expr("CAST(length(bin(iv)) AS BIGINT)")
+        ),
+    )
+    return b.groupBy("event_type", "bucket").agg(
+        F.count("*").alias("n_events"),
+        F.min("iv").alias("min_value"),
+        F.max("iv").alias("max_value"),
+        F.sum("iv").alias("sum_value"),
+    )

@@ -2067,3 +2067,86 @@ def ext_emb_jl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(CAST(round(ratio * 1000000) AS BIGINT)) div count(*) AS BIGINT)"
         ).alias("mean_ratio_micro"),
     )
+
+
+# ------------------------------- contrastive triplet margin audit
+
+TRIPLET_STRIDE = 20  # audit anchors: vec_id % STRIDE == 0
+
+
+_TRIPLET_ORACLE = f"""
+WITH a AS (SELECT vec_id, embedding, label FROM embeddings
+           WHERE vec_id % {TRIPLET_STRIDE} = 0),
+sc AS (SELECT a.vec_id AS anchor_id, a.label AS label,
+              b.label AS b_label, {_COS_SQL} AS cos
+       FROM a JOIN embeddings b ON b.vec_id != a.vec_id),
+g AS (SELECT anchor_id, label,
+             max(CASE WHEN b_label = label THEN cos END) AS pos_cos,
+             max(CASE WHEN b_label != label THEN cos END) AS neg_cos
+      FROM sc GROUP BY 1, 2)
+SELECT anchor_id, CAST(label AS BIGINT) AS label,
+       round(pos_cos - neg_cos, 6) AS margin,
+       pos_cos < neg_cos AS violation
+FROM g WHERE pos_cos IS NOT NULL AND neg_cos IS NOT NULL
+"""
+
+
+@register("ext_triplet_margin_audit", oracle=_TRIPLET_ORACLE)
+def ext_triplet_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive triplet-margin audit over a deterministic anchor
+    sample: per anchor, the hardest positive (max same-label cosine)
+    minus the hardest negative (max other-label cosine). Negative
+    margins are label violations — an impostor sits closer than
+    every same-class example — the CONTINUOUS version of
+    `ext_label_knn_noise`'s vote count, and the statistic that sizes
+    the margin hyperparameter before training a contrastive model on
+    this corpus (`ext_hard_negative_mine` picks the training pairs;
+    this measures whether the space can separate them at all).
+    Anchors without both a positive and a negative peer are out of
+    frame on both engines.
+
+    Exactness: cosines use the engine-shared kernels (the
+    `ext_sim_topk` contract, hash-proven); the margin is one shared
+    rounded difference and the violation flag compares the SAME two
+    doubles on both engines.
+
+    Scale shape: stride-sampled anchors (n/{TRIPLET_STRIDE}, never
+    all) broadcast against the corpus — the `ext_sim_topk`
+    map-only scoring plan — then one anchor-keyed conditional-max
+    agg. At scale the scoring stage is whatever ANN serves
+    production; the audit shape (conditional max per anchor) is
+    unchanged."""
+    e = load(spark, sf_dir, "embeddings")
+    a = _with_double_vec(
+        e.filter(F.col("vec_id") % TRIPLET_STRIDE == 0), "qv"
+    ).select(F.col("vec_id").alias("anchor_id"), F.col("label").alias("label"), "qv")
+    c = _with_double_vec(e, "cv").select(
+        F.col("vec_id").alias("b_id"), F.col("label").alias("b_label"), "cv"
+    )
+    sc = (
+        c.crossJoin(F.broadcast(a))
+        .filter(F.col("b_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "label",
+            "b_label",
+            _cosine("qv", "cv").alias("cos"),
+        )
+    )
+    g = sc.groupBy("anchor_id", "label").agg(
+        F.max(F.when(F.col("b_label") == F.col("label"), F.col("cos"))).alias(
+            "pos_cos"
+        ),
+        F.max(F.when(F.col("b_label") != F.col("label"), F.col("cos"))).alias(
+            "neg_cos"
+        ),
+    )
+    return (
+        g.filter(F.col("pos_cos").isNotNull() & F.col("neg_cos").isNotNull())
+        .select(
+            "anchor_id",
+            F.col("label").cast("long").alias("label"),
+            F.round(F.col("pos_cos") - F.col("neg_cos"), 6).alias("margin"),
+            (F.col("pos_cos") < F.col("neg_cos")).alias("violation"),
+        )
+    )

@@ -4115,3 +4115,103 @@ def ext_token_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cond_entropy_nats"),
         )
     )
+
+
+# ------------------------------------ smoothed bigram LM scoring
+
+LM2_SCALE = 1_000_000  # micro fixed-point per-bigram log-probs
+
+
+_LM2_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+uni AS (SELECT unnest(w) AS term FROM t),
+vsz AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v
+        FROM uni WHERE term <> ''),
+pos AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM t),
+bi AS (SELECT doc_id, w[CAST(i AS INT)] AS a, w[CAST(i AS INT) + 1] AS b
+       FROM pos
+       WHERE w[CAST(i AS INT)] <> '' AND w[CAST(i AS INT) + 1] <> ''),
+b2 AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cab FROM bi GROUP BY 1, 2),
+ra AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM b2 GROUP BY 1),
+lp AS (SELECT b2.a, b2.b,
+              CAST(round(ln(CAST(b2.cab + 1 AS DOUBLE) / (ra.ca + vsz.v))
+                         * {LM2_SCALE}) AS BIGINT) AS lp_micro
+       FROM b2 JOIN ra ON ra.a = b2.a, vsz)
+SELECT bi.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(lp.lp_micro) AS BIGINT) AS logprob_micro,
+       CAST(sum(lp.lp_micro) // count(*) AS BIGINT) AS avg_logprob_micro
+FROM bi JOIN lp ON lp.a = bi.a AND lp.b = bi.b
+GROUP BY 1
+"""
+
+
+@register("ext_lm_bigram_score", oracle=_LM2_ORACLE)
+def ext_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-one-smoothed bigram language-model scoring: each document's
+    Σ ln((c_ab+1)/(c_a+V)) over its adjacent token bigrams — the
+    context-1 upgrade of `ext_lm_unigram_score`, and the practical
+    perplexity filter (CCNet-style) one rung up the n-gram ladder:
+    documents whose bigram transitions are corpus-typical score
+    high, word-salad and shuffled text scores low even when its
+    UNIGRAMS are perfectly typical — exactly the gap
+    `ext_token_entropy_rate` measures corpus-wide, applied per
+    document. Laplace smoothing keeps the score defined for any
+    future bigram (the denominator carries vocabulary size V).
+
+    Fixed-point determinism: ln((c_ab+1)/(c_a+V)) is micro-rounded
+    ONCE per DISTINCT bigram type (one shared expression tree over
+    exact integers), then each document sums the BIGINT micro
+    scores of its bigram INSTANCES — partition-order-free, and the
+    per-doc average is integer floor division.
+
+    Scale shape: bigram census + context rollup (the
+    `ext_bigram_pmi` plan family), V as a broadcast scalar, then ONE
+    (a, b)-keyed join of instances to scores and a doc-keyed sum.
+    Scores join to the AGGREGATED bigram table (vocab²-bounded),
+    never row-by-row recomputed."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    vsz = (
+        toks.select(F.explode("w").alias("term"))
+        .filter(F.col("term") != "")
+        .agg(F.countDistinct("term").alias("v"))
+    )
+    bi = (
+        toks.select(
+            "doc_id",
+            F.posexplode(F.expr("slice(w, 1, size(w) - 1)")).alias("i0", "a"),
+            F.col("w"),
+        )
+        .select("doc_id", "a", F.expr("w[i0 + 1]").alias("b"))
+        .filter((F.col("a") != "") & (F.col("b") != ""))
+    )
+    b2 = bi.groupBy("a", "b").agg(F.count("*").alias("cab"))
+    ra = b2.groupBy("a").agg(F.sum("cab").alias("ca"))
+    lp = (
+        b2.join(ra, "a")
+        .crossJoin(F.broadcast(vsz))
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.log(
+                    (F.col("cab") + 1).cast("double") / (F.col("ca") + F.col("v"))
+                )
+                * LM2_SCALE
+            )
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    return (
+        bi.join(lp, ["a", "b"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("lp_micro").alias("logprob_micro"),
+            F.expr("CAST(sum(lp_micro) div count(*) AS BIGINT)").alias(
+                "avg_logprob_micro"
+            ),
+        )
+    )

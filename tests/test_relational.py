@@ -1444,3 +1444,34 @@ def test_daily_autocorr_sawtooth_and_gap(spark):
     assert row.n_days == 5 and row.n_pairs == 3
     assert row.lag1_autocorr == -1.0
     assert row.mean_daily_micro == (13 * 1_000_000) // 5
+
+
+def test_value_log_histogram_power_of_two_buckets(spark):
+    """agg_value_log_histogram: bit-length bucketing puts 2^k values
+    on exact power boundaries without float log noise; zero and
+    negative floors collapse into bucket 0."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.relational import (
+        agg_value_log_histogram,
+    )
+
+    t0 = dt.datetime(2021, 3, 1)
+    vals = [0.5, -1.5, 1.0, 1.9, 2.0, 3.0, 4.0, 7.99, 8.0]
+    rows = [(i, t0, 1, "a", v, "{}") for i, v in enumerate(vals)]
+    d = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_l2h_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "events.parquet"))
+    out = {r.bucket: r for r in agg_value_log_histogram(spark, tmp).collect()}
+    assert out[0].n_events == 2       # floor 0 and floor -2
+    assert out[1].n_events == 2       # 1, 1 (floor of 1.9)
+    assert out[2].n_events == 2       # 2, 3
+    assert out[3].n_events == 2       # 4, 7
+    assert out[4].n_events == 1 and out[4].min_value == 8
+    assert out[2].min_value == 2 and out[2].max_value == 3

@@ -691,3 +691,34 @@ def test_jl_audit_matches_python_replica(spark):
     assert row.min_ratio == min(ratios)
     assert row.max_ratio == max(ratios)
     assert row.mean_ratio_micro == sum(round(r * 1_000_000) for r in ratios) // 2
+
+
+def test_triplet_margin_planted_violation(spark):
+    """ext_triplet_margin_audit: an anchor whose nearest impostor
+    outscores its best same-label peer reports a negative margin and
+    the violation flag; a clean anchor reports positive margin; an
+    anchor with no same-label peer is out of frame."""
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.similarity import (
+        ext_triplet_margin_audit,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),   # anchor A (stride 20)
+        (1, [0.9, 0.1, 0.0, 0.0], 0),   # same-label, close
+        (2, [0.0, 1.0, 0.0, 0.0], 1),   # impostor, far -> clean anchor
+        (20, [0.0, 0.0, 1.0, 0.0], 2),  # anchor B
+        (21, [0.0, 0.0, 0.0, 1.0], 2),  # same-label, orthogonal
+        (22, [0.0, 0.0, 0.99, 0.1], 3), # impostor, very close -> violation
+        (40, [1.0, 1.0, 0.0, 0.0], 7),  # anchor C: label 7 unique -> no pos
+    ]
+    tmp = tempfile.mkdtemp(prefix="smdp_trip_")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(os.path.join(tmp, "embeddings.parquet"))
+    out = {r.anchor_id: r for r in ext_triplet_margin_audit(spark, tmp).collect()}
+    assert set(out) == {0, 20}  # anchor 40 has no same-label peer
+    assert out[0].margin > 0 and not out[0].violation
+    assert out[20].margin < 0 and out[20].violation

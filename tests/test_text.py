@@ -1489,3 +1489,33 @@ def test_token_entropy_rate_deterministic_chain(spark):
     hu = (3 * math.log(5 / 3) + 2 * math.log(5 / 2)) / 5
     assert abs(row.unigram_entropy_nats - hu) < 1e-5
     assert row.cond_entropy_nats == 0.0
+
+
+def test_lm_bigram_score_laplace_exact(spark):
+    """ext_lm_bigram_score: hand-computed add-one-smoothed micro
+    log-probs on a two-doc corpus, with the unseen-penalty visible
+    in the denominator (c_a + V)."""
+    import math
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.text_analysis import (
+        LM2_SCALE,
+        ext_lm_bigram_score,
+    )
+
+    rows = [(1, "a b a b a", "en", "s", 9), (2, "a c", "en", "s", 3)]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_lm2_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "documents.parquet"))
+    out = {r.doc_id: r for r in ext_lm_bigram_score(spark, tmp).collect()}
+    # V = 3 (a, b, c); contexts: c_a = 3 (ab x2, ac), c_b = 2 (ba x2)
+    lp_ab = round(math.log((2 + 1) / (3 + 3)) * LM2_SCALE)
+    lp_ba = round(math.log((2 + 1) / (2 + 3)) * LM2_SCALE)
+    lp_ac = round(math.log((1 + 1) / (3 + 3)) * LM2_SCALE)
+    assert out[1].n_bigrams == 4
+    assert out[1].logprob_micro == 2 * lp_ab + 2 * lp_ba
+    assert out[2].n_bigrams == 1 and out[2].logprob_micro == lp_ac
+    assert out[2].avg_logprob_micro == lp_ac
