@@ -980,6 +980,60 @@ AUDIT = {
         "novelty is per-gram, not per-pair: the plan is the miner "
         "CTE family with a min instead of a pair join",
     ),
+    "ext_quality_ablation": (
+        "ONE scan-local pass -> conditional-sum agg (2*rules+1 "
+        "counters) -> 4-row union projection",
+        "the naive ablation scans the corpus once per rule; this "
+        "reads it once for the whole funnel",
+    ),
+    "ext_token_entropy_rate": (
+        "unigram + bigram keyed censuses -> context rollup -> "
+        "fixed-point BIGINT term sums -> single-row combine",
+        "micro-rounded terms make the entropy sums partition-order "
+        "free; output is one row",
+    ),
+    "ext_emb_matryoshka_recall": (
+        "two broadcast-scored rank stages (full and sliced dims) -> "
+        "top-k self-join -> query-keyed overlap count",
+        "float cosines never reach the hash — the output is integer "
+        "overlap counts; the full stage swaps for ANN at scale",
+    ),
+    "sink_snapshot_read": (
+        "two parquet writes + per-version manifest-list scans -> "
+        "scalar aggs unioned",
+        "readers scan only the manifest's file list; a commit is an "
+        "atomic manifest append, never a data rewrite",
+    ),
+    "agg_daily_autocorr": (
+        "day-keyed count -> lead window over the calendar-bounded "
+        "series -> single-row integer regression sums",
+        "volume never reaches the window: the series is <= |days| "
+        "rows regardless of event count",
+    ),
+    "ext_emb_jl_audit": (
+        "scan-local literal-sign projections + stride-keyed "
+        "consecutive-id join -> single-row agg",
+        "the sign matrix is compile-time literals (zero runtime "
+        "hashing); pairs are n/STRIDE, never all-pairs",
+    ),
+    "agg_value_log_histogram": (
+        "scan-local bit-length bucket -> (type, bucket)-keyed agg "
+        "with map-side combine",
+        "integer binary length avoids float log2 boundary flips at "
+        "exact powers of two",
+    ),
+    "ext_lm_bigram_score": (
+        "bigram census + context rollup -> per-type micro log-prob "
+        "-> (a,b)-keyed instance join -> doc-keyed BIGINT sum",
+        "scores are computed once per DISTINCT bigram and joined to "
+        "instances — never recomputed per row",
+    ),
+    "ext_triplet_margin_audit": (
+        "stride-sampled anchors broadcast against the corpus -> "
+        "anchor-keyed conditional-max agg",
+        "the scoring stage is the ext_sim_topk map-only plan; "
+        "anchors are n/STRIDE of the corpus",
+    ),
 }
 
 
