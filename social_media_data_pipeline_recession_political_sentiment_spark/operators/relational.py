@@ -3874,3 +3874,127 @@ def agg_value_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("iv").alias("max_value"),
         F.sum("iv").alias("sum_value"),
     )
+
+
+# ---------------------------------------------- survival curve
+
+SURVIVAL_MAX_DAYS = 7
+
+
+_SURVIVAL_ORACLE = f"""
+WITH u AS (SELECT user_id,
+                  CAST(floor(epoch(min(ts))) AS BIGINT) // 86400 AS d0,
+                  CAST(floor(epoch(max(ts))) AS BIGINT) // 86400 AS d1
+           FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+lt AS (SELECT user_id, least(d1 - d0, {SURVIVAL_MAX_DAYS}) AS lifetime FROM u),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM lt),
+k AS (SELECT user_id, unnest(generate_series(0, lifetime)) AS k FROM lt)
+SELECT CAST(k.k AS BIGINT) AS k_days,
+       CAST(count(*) AS BIGINT) AS n_surviving,
+       round(count(*) * 1.0 / n.n_users, 6) AS share
+FROM k, n GROUP BY 1, n.n_users
+"""
+
+
+@register("agg_survival_curve", oracle=_SURVIVAL_ORACLE)
+def agg_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User survival curve: the share of users still active k days
+    after their first event (activity span >= k), for k = 0..
+    {SURVIVAL_MAX_DAYS} — the retention summary product teams read
+    first. `agg_retention_cohorts` gives the full cohort x period
+    matrix; this is its marginal curve, directly comparable between
+    releases as ONE monotone series, and the input to the "day-N
+    retention" KPIs. Span is last-minus-first epoch day (the
+    integer-day contract shared with the sweep-line family).
+
+    Exactness: all-integer — epoch-day min/max per user, a bounded
+    explode (k <= {SURVIVAL_MAX_DAYS} + 1 rows per user), BIGINT
+    counts, one shared rounded share.
+
+    Scale shape: one user-keyed min/max agg (map-side partials,
+    high-cardinality key — the scalable shape), a constant-bounded
+    explode, and a {SURVIVAL_MAX_DAYS}+1-key count. No windows."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    u = e.groupBy("user_id").agg(
+        F.expr("CAST(min(ts) AS LONG) div 86400").alias("d0"),
+        F.expr("CAST(max(ts) AS LONG) div 86400").alias("d1"),
+    )
+    lt = u.select(
+        F.least(F.col("d1") - F.col("d0"), F.lit(SURVIVAL_MAX_DAYS)).alias(
+            "lifetime"
+        )
+    )
+    n = lt.agg(F.count("*").alias("n_users"))
+    k = lt.select(F.explode(F.sequence(F.lit(0), F.col("lifetime"))).alias("k_days"))
+    return (
+        k.groupBy("k_days")
+        .agg(F.count("*").alias("n_surviving"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("k_days").cast("long").alias("k_days"),
+            "n_surviving",
+            F.round(F.col("n_surviving") * 1.0 / F.col("n_users"), 6).alias("share"),
+        )
+    )
+
+
+# ------------------------------------------- audience-overlap Venn
+
+
+_VENN_ORACLE = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events
+            WHERE user_id IS NOT NULL),
+combo AS (SELECT user_id,
+                 array_to_string(list_sort(list(event_type)), '+') AS types,
+                 CAST(count(*) AS BIGINT) AS n_types
+          FROM ut GROUP BY 1),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM combo)
+SELECT combo.types, combo.n_types,
+       CAST(count(*) AS BIGINT) AS n_users_region,
+       round(count(*) * 1.0 / n.n_users, 6) AS share
+FROM combo, n GROUP BY 1, 2, n.n_users
+"""
+
+
+@register("agg_user_type_venn", oracle=_VENN_ORACLE)
+def agg_user_type_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap Venn partition: every user lands in exactly
+    ONE region keyed by the sorted set of event types they touched,
+    with region sizes and shares — the full inclusion-exclusion
+    picture that pairwise overlap counts (`ext_source_overlap_matrix`
+    style) cannot reconstruct for 3+ sets. Product reads: users in
+    the all-types region are the power cohort; single-type regions
+    size the cross-sell gap. Bounded output: <= 2^|types| - 1
+    regions.
+
+    Exactness: the region key is a canonical sorted join of DISTINCT
+    types (identical ordering both engines); counts are BIGINTs;
+    share is one shared rounded division.
+
+    Scale shape: one (user, type) distinct (map-side combine), one
+    user-keyed sorted-set agg (per-user state <= |types|), one
+    region-keyed count onto the tiny region lattice. collect_list
+    order is NOT a contract — the sort inside the agg is what makes
+    the key deterministic (`collect_list order` gotcha)."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    ut = e.select("user_id", "event_type").distinct()
+    combo = ut.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_list("event_type")), "+").alias(
+            "types"
+        ),
+        F.count("*").alias("n_types"),
+    )
+    n = combo.agg(F.count("*").alias("n_users"))
+    return (
+        combo.groupBy("types", "n_types")
+        .agg(F.count("*").alias("n_users_region"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "types",
+            "n_types",
+            "n_users_region",
+            F.round(F.col("n_users_region") * 1.0 / F.col("n_users"), 6).alias(
+                "share"
+            ),
+        )
+    )

@@ -4215,3 +4215,115 @@ def ext_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ----------------------------------- TextRank keyword extraction
+
+TR_ITERS = 5
+TR_INIT_MICRO = 1_000_000
+TR_TOP_K = 25
+
+
+def _tr_oracle() -> str:
+    steps = []
+    prev = "s0"
+    for k in range(1, TR_ITERS + 1):
+        steps.append(
+            f"c{k} AS MATERIALIZED (SELECT e.b AS term, "
+            f"CAST(sum((s.score * e.w) // st.strength) AS BIGINT) AS m\n"
+            f"  FROM e JOIN {prev} s ON s.term = e.a "
+            f"JOIN st ON st.term = e.a GROUP BY 1),\n"
+            f"s{k} AS MATERIALIZED (SELECT term, "
+            f"CAST(150000 + (85 * m) // 100 AS BIGINT) AS score FROM c{k})"
+        )
+        prev = f"s{k}"
+    return f"""
+WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+pos AS (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i FROM t),
+bi AS (SELECT w[CAST(i AS INT)] AS a, w[CAST(i AS INT) + 1] AS b FROM pos
+       WHERE w[CAST(i AS INT)] <> '' AND w[CAST(i AS INT) + 1] <> ''),
+b2 AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cab FROM bi GROUP BY 1, 2),
+e0 AS (SELECT a, b, cab AS w FROM b2
+     UNION ALL SELECT b AS a, a AS b, cab AS w FROM b2),
+e AS MATERIALIZED (SELECT a, b, CAST(sum(w) AS BIGINT) AS w
+                   FROM e0 GROUP BY 1, 2),
+st AS MATERIALIZED (SELECT a AS term, CAST(sum(w) AS BIGINT) AS strength
+                    FROM e GROUP BY 1),
+s0 AS (SELECT term, CAST({TR_INIT_MICRO} AS BIGINT) AS score FROM st),
+{",".join(steps)}
+SELECT term, score FROM {prev}
+ORDER BY score DESC, term LIMIT {TR_TOP_K}
+"""
+
+
+@register("ext_keywords_textrank", oracle=_tr_oracle())
+def ext_keywords_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the symmetric token co-occurrence graph (adjacent-bigram
+    edges weighted by count), top-{TR_TOP_K} terms by converged
+    score. Centrality finds the terms the corpus keeps ROUTING
+    THROUGH — a different signal from frequency (`ext_tfidf_topterms`
+    rewards rarity-weighted counts; TextRank rewards connectivity,
+    surfacing hub terms even at moderate frequency). The fourth
+    consumer of the integer-PageRank device (`ext_graph_pagerank`'s
+    contract, lifted from the similarity graph to the term graph).
+
+    Exactness: the same all-integer micro-probability recurrence —
+    contributions are (score·w) div strength, the damped update is
+    150000 + (85·Σ) div 100 — exact BIGINT math with a fixed
+    truncation rule, parallel (a,b)/(b,a) bigram directions MERGED
+    into one edge before any division (so truncation applies once
+    per edge, not once per direction row),
+    K={TR_ITERS} iterations AS the contract (no
+    float mass, no epsilon); ties in the final top-{TR_TOP_K} break
+    on the term. Safe while score·w < 2^63 (vocab to ~1e9 with edge
+    weights to ~1e3, or rescale — documented). The symmetric graph
+    has no dangling nodes by construction.
+
+    Scale shape: bigram census (the `ext_bigram_pmi` family), edge
+    table checkpointed once; each round is ONE src-keyed join and
+    ONE dst-keyed sum over vocab²-bounded narrow rows; final
+    TakeOrderedAndProject({TR_TOP_K})."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.split(F.col("text"), " ").alias("w"))
+    bi = (
+        toks.select(
+            F.posexplode(F.expr("slice(w, 1, size(w) - 1)")).alias("i0", "a"),
+            F.col("w"),
+        )
+        .select("a", F.expr("w[i0 + 1]").alias("b"))
+        .filter((F.col("a") != "") & (F.col("b") != ""))
+    )
+    b2 = bi.groupBy("a", "b").agg(F.count("*").alias("cab"))
+    e = (
+        b2.select("a", "b", F.col("cab").alias("w"))
+        .unionAll(
+            b2.select(
+                F.col("b").alias("a"), F.col("a").alias("b"), F.col("cab").alias("w")
+            )
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+    )
+    st = e.groupBy("a").agg(F.sum("w").alias("strength"))
+    ed = e.join(st, "a").localCheckpoint(eager=True)
+    scores = st.select(
+        F.col("a").alias("term"), F.lit(TR_INIT_MICRO).cast("long").alias("score")
+    ).localCheckpoint(eager=True)
+    for _ in range(TR_ITERS):
+        contrib = ed.join(
+            scores.select(F.col("term").alias("a"), "score"), "a"
+        ).select(
+            F.col("b").alias("term"),
+            F.expr("(score * w) div strength").alias("c"),
+        )
+        scores = (
+            contrib.groupBy("term")
+            .agg(F.sum("c").alias("m"))
+            .select(
+                "term",
+                F.expr("CAST(150000 + (85 * m) div 100 AS BIGINT)").alias("score"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return scores.orderBy(F.desc("score"), "term").limit(TR_TOP_K)

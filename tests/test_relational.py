@@ -1475,3 +1475,67 @@ def test_value_log_histogram_power_of_two_buckets(spark):
     assert out[3].n_events == 2       # 4, 7
     assert out[4].n_events == 1 and out[4].min_value == 8
     assert out[2].min_value == 2 and out[2].max_value == 3
+
+
+def test_survival_curve_planted_lifetimes(spark):
+    """agg_survival_curve: lifetimes 0, 2, and 9 (capped at 7) days
+    produce the hand-computed monotone survival counts."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.relational import (
+        agg_survival_curve,
+    )
+
+    t0 = dt.datetime(2021, 3, 1, 12)
+    rows, eid = [], 0
+    for day in [0]:
+        rows.append((eid, t0 + dt.timedelta(days=day), 1, "a", 1.0, "{}")); eid += 1
+    for day in [0, 2]:
+        rows.append((eid, t0 + dt.timedelta(days=day), 2, "a", 1.0, "{}")); eid += 1
+    for day in [0, 9]:
+        rows.append((eid, t0 + dt.timedelta(days=day), 3, "a", 1.0, "{}")); eid += 1
+    d = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_surv_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "events.parquet"))
+    out = {r.k_days: r for r in agg_survival_curve(spark, tmp).collect()}
+    assert out[0].n_surviving == 3
+    assert out[1].n_surviving == 2 and out[2].n_surviving == 2
+    assert all(out[k].n_surviving == 1 for k in range(3, 8))
+    assert out[0].share == 1.0 and out[7].share == round(1 / 3, 6)
+
+
+def test_user_type_venn_regions(spark):
+    """agg_user_type_venn: users partition into canonical sorted
+    type-set regions with exact counts and shares."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.relational import (
+        agg_user_type_venn,
+    )
+
+    t0 = dt.datetime(2021, 3, 1)
+    plan = {1: ["a"], 2: ["a", "b"], 3: ["b", "a", "b"], 4: ["c"]}
+    rows, eid = [], 0
+    for uid, types in plan.items():
+        for et in types:
+            rows.append((eid, t0, uid, et, 1.0, "{}")); eid += 1
+    d = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_venn_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "events.parquet"))
+    out = {r.types: r for r in agg_user_type_venn(spark, tmp).collect()}
+    assert set(out) == {"a", "a+b", "c"}
+    assert out["a"].n_users_region == 1 and out["a"].n_types == 1
+    assert out["a+b"].n_users_region == 2 and out["a+b"].n_types == 2
+    assert out["a+b"].share == 0.5

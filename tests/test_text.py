@@ -1519,3 +1519,48 @@ def test_lm_bigram_score_laplace_exact(spark):
     assert out[1].logprob_micro == 2 * lp_ab + 2 * lp_ba
     assert out[2].n_bigrams == 1 and out[2].logprob_micro == lp_ac
     assert out[2].avg_logprob_micro == lp_ac
+
+
+def test_keywords_textrank_matches_integer_replica(spark):
+    """ext_keywords_textrank: the exact integer PageRank recurrence
+    replicated in Python reproduces every score bit-for-bit, and the
+    planted hub term ranks first."""
+    import os
+    import tempfile
+    from collections import defaultdict
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.text_analysis import (
+        TR_INIT_MICRO,
+        TR_ITERS,
+        ext_keywords_textrank,
+    )
+
+    text = "hub x1 hub x2 hub x3 hub x4 y1 y2"
+    d = spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_tr_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "documents.parquet"))
+    out = ext_keywords_textrank(spark, tmp).collect()
+
+    w = text.split(" ")
+    cab = defaultdict(int)
+    for a, b in zip(w, w[1:]):
+        cab[(a, b)] += 1
+    edges = defaultdict(int)
+    for (a, b), c in cab.items():
+        edges[(a, b)] += c
+        edges[(b, a)] += c
+    strength = defaultdict(int)
+    for (a, _b), c in edges.items():
+        strength[a] += c
+    score = {t: TR_INIT_MICRO for t in strength}
+    for _ in range(TR_ITERS):
+        m = defaultdict(int)
+        for (a, b), c in edges.items():
+            m[b] += (score[a] * c) // strength[a]
+        score = {t: 150000 + (85 * m[t]) // 100 for t in m}
+    exp = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [(r.term, r.score) for r in out] == exp[: len(out)]
+    assert out[0].term == "hub"
