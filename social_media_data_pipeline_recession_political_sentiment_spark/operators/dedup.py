@@ -2630,3 +2630,108 @@ def ext_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("prefix_sim"),
         )
     )
+
+
+# --------------------------------------- cluster diversity indexes
+
+DIVERSITY_SCALE = 1_000_000  # micro fixed-point Shannon terms
+
+
+_DIVERSITY_ORACLE = f"""
+WITH k AS (SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS ckey
+           FROM documents),
+c AS (SELECT ckey, CAST(count(*) AS BIGINT) AS s FROM k GROUP BY 1),
+n AS (SELECT CAST(sum(s) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_clusters,
+             CAST(max(s) AS BIGINT) AS max_cluster FROM c),
+t AS (SELECT CAST(round(ln(CAST(n.n AS DOUBLE) / c.s) * c.s
+                        * {DIVERSITY_SCALE}) AS BIGINT) AS term,
+             c.s
+      FROM c, n),
+agg AS (SELECT CAST(sum(term) AS BIGINT) AS tsum,
+               CAST(sum(s * (s - 1)) AS BIGINT) AS pair_sum FROM t)
+SELECT n.n AS n_docs, n.n_clusters, n.max_cluster,
+       round(CAST(agg.tsum AS DOUBLE)
+             / (CAST(n.n AS DOUBLE) * {DIVERSITY_SCALE}), 6) AS shannon_nats,
+       round(exp(CAST(agg.tsum AS DOUBLE)
+             / (CAST(n.n AS DOUBLE) * {DIVERSITY_SCALE})), 6) AS eff_clusters,
+       round(CASE WHEN n.n > 1 THEN CAST(agg.pair_sum AS DOUBLE)
+             / (CAST(n.n AS DOUBLE) * (n.n - 1)) ELSE 0.0 END, 6)
+         AS simpson_concentration
+FROM n, agg
+"""
+
+
+@register("ext_cluster_diversity", oracle=_DIVERSITY_ORACLE)
+def ext_cluster_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity indexes over the exact-duplicate cluster-size
+    distribution: Shannon entropy (and its exponential — the
+    EFFECTIVE number of distinct documents) plus Simpson
+    concentration (the probability two random docs are copies of
+    each other). One row that prices duplication's effect on
+    training: a corpus of 1M docs with eff_clusters 200k trains
+    like 200k docs (Lee et al. 2022's dedup-improves-LM result,
+    as a monitorable scalar); `ext_dedup_cluster_census` gives the
+    size histogram, this collapses it into the two standard
+    ecology-style indexes drift dashboards want. Cluster key is
+    `ext_dedup_cluster_pick`'s normalized-text md5 — the same
+    cluster definition, audited not re-invented.
+
+    Exactness: Shannon terms ln(N/s)·s micro-rounded ONCE into
+    BIGINT and integer-summed (the entropy-family device); Simpson's
+    Σs(s−1) is an exact BIGINT (bound: cluster sizes to ~3e9, then
+    pre-scale — documented); both indexes divide exact integers in
+    double and round once; the N=1 Simpson guard is shared.
+
+    Scale shape: one ckey-keyed count (map-side partials), one
+    cluster-size agg, scalar combines. No windows."""
+    d = load(spark, sf_dir, "documents")
+    c = (
+        d.select(
+            F.md5(
+                F.lower(F.regexp_replace("text", r"\s+", " "))
+            ).alias("ckey")
+        )
+        .groupBy("ckey")
+        .agg(F.count("*").alias("s"))
+    )
+    n = c.agg(
+        F.sum("s").alias("n"),
+        F.count("*").alias("n_clusters"),
+        F.max("s").alias("max_cluster"),
+    )
+    t = c.crossJoin(F.broadcast(n.select("n"))).select(
+        "s",
+        F.round(
+            F.log(F.col("n").cast("double") / F.col("s"))
+            * F.col("s")
+            * DIVERSITY_SCALE
+        )
+        .cast("long")
+        .alias("term"),
+    )
+    agg = t.agg(
+        F.sum("term").alias("tsum"),
+        F.sum(F.col("s") * (F.col("s") - 1)).alias("pair_sum"),
+    )
+    h = F.col("tsum").cast("double") / (
+        F.col("n").cast("double") * DIVERSITY_SCALE
+    )
+    return (
+        n.crossJoin(F.broadcast(agg))
+        .select(
+            F.col("n").alias("n_docs"),
+            "n_clusters",
+            "max_cluster",
+            F.round(h, 6).alias("shannon_nats"),
+            F.round(F.exp(h), 6).alias("eff_clusters"),
+            F.round(
+                F.when(
+                    F.col("n") > 1,
+                    F.col("pair_sum").cast("double")
+                    / (F.col("n").cast("double") * (F.col("n") - 1)),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("simpson_concentration"),
+        )
+    )

@@ -3998,3 +3998,88 @@ def agg_user_type_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# -------------------------------------- funnel conversion latency
+
+CONVERT_FROM = "view"
+CONVERT_TO = "purchase"
+CONVERT_SLA_SECS = (60, 300, 3600, 86400)
+
+
+_CONVERT_ORACLE = f"""
+WITH a AS (SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS ta
+           FROM events WHERE event_type = '{CONVERT_FROM}'
+             AND user_id IS NOT NULL GROUP BY 1),
+b AS (SELECT e.user_id,
+             CAST(floor(epoch(min(e.ts))) AS BIGINT) AS tb
+      FROM events e JOIN a ON a.user_id = e.user_id
+      WHERE e.event_type = '{CONVERT_TO}'
+        AND CAST(floor(epoch(e.ts)) AS BIGINT) >= a.ta
+      GROUP BY 1),
+dur AS (SELECT b.user_id, b.tb - a.ta AS d
+        FROM b JOIN a ON a.user_id = b.user_id),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_entered FROM a)
+SELECT n.n_entered,
+       CAST(count(*) AS BIGINT) AS n_converted,
+       round(count(*) * 1.0 / n.n_entered, 6) AS conversion_rate,
+       {", ".join(
+           f"CAST(sum(CASE WHEN d <= {s} THEN 1 ELSE 0 END) AS BIGINT) "
+           f"AS within_{s}s" for s in CONVERT_SLA_SECS)}
+FROM dur, n GROUP BY n.n_entered
+"""
+
+
+@register("agg_funnel_time_to_convert", oracle=_CONVERT_ORACLE)
+def agg_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency profile: time from each user's FIRST
+    '{CONVERT_FROM}' to their first subsequent '{CONVERT_TO}',
+    reported as an exact CDF at fixed SLA probe points (within 1
+    minute / 5 minutes / 1 hour / 1 day) plus the conversion rate —
+    the "how fast does the funnel close" statistic
+    `agg_funnel_steps` (who converts) and `agg_interevent_gap`
+    (undirected gaps) don't give. Fixed probe points are the
+    deliberate scale choice: exact latency PERCENTILES over millions
+    of converters need a global sort or a collected array (the
+    `agg_user_gini` anti-pattern / the quantile-audit harness);
+    SLA-bucket counts are one conditional agg and answer the
+    operational question directly.
+
+    Exactness: integer epoch-second firsts (the `_SESSION_CTE`
+    boundary discipline), BIGINT conditional counts, one shared
+    rounded rate. Conversions AT the same truncated second as entry
+    count (>= on integer seconds, both engines).
+
+    Scale shape: two user-keyed conditional-min aggs (map-side
+    partials), one user-keyed join, ONE row out via conditional
+    sums. No windows, no sorts."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    a = (
+        e.filter(F.col("event_type") == CONVERT_FROM)
+        .groupBy("user_id")
+        .agg(F.expr("CAST(min(ts) AS LONG)").alias("ta"))
+    )
+    b = (
+        e.filter(F.col("event_type") == CONVERT_TO)
+        .select("user_id", F.col("ts").cast("long").alias("tb"))
+        .join(a, "user_id")
+        .filter(F.col("tb") >= F.col("ta"))
+        .groupBy("user_id")
+        .agg(F.min("tb").alias("tb"), F.first("ta").alias("ta"))
+    )
+    dur = b.select((F.col("tb") - F.col("ta")).alias("d"))
+    n = a.agg(F.count("*").alias("n_entered"))
+    aggs = [
+        F.count("*").alias("n_converted"),
+        F.round(F.count("*") * 1.0 / F.first("n_entered"), 6).alias(
+            "conversion_rate"
+        ),
+    ]
+    for s_ in CONVERT_SLA_SECS:
+        aggs.append(
+            F.sum(F.when(F.col("d") <= s_, 1).otherwise(0)).alias(f"within_{s_}s")
+        )
+    return (
+        dur.crossJoin(F.broadcast(n))
+        .agg(F.first("n_entered").alias("n_entered"), *aggs)
+    )

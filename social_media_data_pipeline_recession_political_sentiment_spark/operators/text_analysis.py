@@ -4327,3 +4327,136 @@ def ext_keywords_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return scores.orderBy(F.desc("score"), "term").limit(TR_TOP_K)
+
+
+# ------------------------------------------- BPE merge learning
+
+BPE_STEPS = 5
+
+
+def _bpe_oracle() -> str:
+    steps = []
+    prev = "v0"
+    for k in range(1, BPE_STEPS + 1):
+        steps.append(
+            f"""p{k} AS MATERIALIZED (
+  SELECT s[CAST(i AS INT)] AS a, s[CAST(i AS INT) + 1] AS b,
+         CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (SELECT string_split(seq, ' ') AS s, freq,
+               unnest(generate_series(1, len(string_split(seq, ' ')) - 1)) AS i
+        FROM {prev})
+  GROUP BY 1, 2),
+m{k} AS MATERIALIZED (SELECT a, b, cnt, a || ' ' || b AS pair,
+              a || b AS merged
+       FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1),
+v{k} AS MATERIALIZED (SELECT trim(replace(replace(
+         ' ' || v.seq || ' ', ' ' || m.pair || ' ', ' ' || m.merged || ' '),
+         ' ' || m.pair || ' ', ' ' || m.merged || ' ')) AS seq, v.freq
+       FROM {prev} v, m{k} m)"""
+        )
+        prev = f"v{k}"
+    return f"""
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+wc AS (SELECT term, CAST(count(*) AS BIGINT) AS freq
+       FROM w WHERE term <> '' GROUP BY 1),
+v0 AS MATERIALIZED (SELECT array_to_string(string_split(term, ''), ' ') AS seq,
+                    freq FROM wc),
+{",".join(steps)}
+{" UNION ALL ".join(
+    f"SELECT CAST({k} AS BIGINT) AS step, pair, merged, cnt AS pair_count FROM m{k}"
+    for k in range(1, BPE_STEPS + 1))}
+"""
+
+
+@register("ext_bpe_learn_steps", oracle=_bpe_oracle())
+def ext_bpe_learn_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge learning (Sennrich et al. 2016), the
+    first {BPE_STEPS} merges: count adjacent symbol pairs over the
+    frequency-weighted word vocabulary, merge the most frequent
+    pair everywhere, repeat — the exact training loop behind every
+    BPE/WordPiece tokenizer, run IN the engine instead of a
+    single-machine script. The learned merge table is the artifact
+    `ext_tokenize_ids` consumes downstream; drift in the top merges
+    between corpus releases means the tokenizer no longer fits the
+    data.
+
+    Determinism contract: argmax ties break on (symbol a, symbol b);
+    the merge applies via plain (non-regex) replace with the pair
+    pattern PADDED by the symbol separator on both sides (so a
+    pattern can never bridge a symbol boundary — 'a b' must match
+    whole symbols, never the suffix of 'xa' or the prefix of 'bc'),
+    run as two fixed sub-passes because a boundary-padded replace
+    consumes the shared separator (the second pass catches the
+    alternate pairs of a consecutive run; runs long enough to need a
+    third pass deviate from greedy BPE — deterministic, identical on
+    both engines, and documented). Pair COUNTING counts overlapping
+    occurrences — the standard BPE implementation quirk, also
+    engine-identical.
+
+    Scale shape: the loop runs over the DISTINCT-WORD vocabulary
+    with frequencies (corpus text is never rescanned after the one
+    word census — the classic BPE trick); each step is one
+    pair-census agg over vocab-bounded rows, a
+    TakeOrderedAndProject(1) argmax, and a broadcast-applied
+    replace; vocab checkpoints per step so the plan stays flat.
+    K={BPE_STEPS} is the contract (real training runs 30k steps of
+    exactly this shape)."""
+    d = load(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+    )
+    v = wc.select(
+        F.array_join(F.split("term", ""), " ").alias("seq"), "freq"
+    ).localCheckpoint(eager=True)
+    merges = []
+    for k in range(1, BPE_STEPS + 1):
+        pairs = (
+            v.select(
+                F.posexplode(
+                    F.expr("slice(split(seq, ' '), 1, "
+                           "size(split(seq, ' ')) - 1)")
+                ).alias("i0", "a"),
+                F.expr("split(seq, ' ')").alias("s"),
+                "freq",
+            )
+            .select("a", F.expr("s[i0 + 1]").alias("b"), "freq")
+            .groupBy("a", "b")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top = (
+            pairs.orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .select(
+                F.concat_ws(" ", "a", "b").alias("pair"),
+                F.concat(F.col("a"), F.col("b")).alias("merged"),
+                "cnt",
+            )
+            .localCheckpoint(eager=True)
+        )
+        merges.append(
+            top.select(
+                F.lit(k).cast("long").alias("step"),
+                "pair",
+                "merged",
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        v = (
+            v.crossJoin(F.broadcast(top))
+            .select(
+                F.expr(
+                    "trim(replace(replace("
+                    "' ' || seq || ' ', ' ' || pair || ' ', ' ' || merged || ' '), "
+                    "' ' || pair || ' ', ' ' || merged || ' '))"
+                ).alias("seq"),
+                "freq",
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out

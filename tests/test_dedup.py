@@ -941,3 +941,37 @@ def test_edit_distance_verifier_matches_python_dp(spark):
     # clear EDIT_MAX — assert consistency with the python DP instead.
     d4 = lev(base[:EDIT_PREFIX], (base + " " + "z " * 40)[:EDIT_PREFIX])
     assert ((1, 4) in out) == (d4 <= EDIT_MAX)
+
+
+def test_cluster_diversity_planted_indexes(spark):
+    """ext_cluster_diversity: a 3+1 cluster split yields the
+    hand-computed micro-rounded Shannon entropy, effective cluster
+    count, and Simpson concentration; whitespace variants collapse
+    into one cluster."""
+    import math
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.dedup import (
+        DIVERSITY_SCALE,
+        ext_cluster_diversity,
+    )
+
+    rows = [(1, "Same Doc here", "en", "s", 1),
+            (2, "same  doc here", "en", "s", 1),
+            (3, "same doc  here", "en", "s", 1),
+            (4, "another one", "en", "s", 1)]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_div_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "documents.parquet"))
+    row = ext_cluster_diversity(spark, tmp).collect()[0]
+    assert row.n_docs == 4 and row.n_clusters == 2 and row.max_cluster == 3
+    tsum = round(math.log(4 / 3) * 3 * DIVERSITY_SCALE) + round(
+        math.log(4) * 1 * DIVERSITY_SCALE
+    )
+    h = tsum / (4 * DIVERSITY_SCALE)
+    assert row.shannon_nats == round(h, 6)
+    assert row.eff_clusters == round(math.exp(h), 6)
+    assert row.simpson_concentration == 0.5  # 3*2 / (4*3)

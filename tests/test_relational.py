@@ -1539,3 +1539,39 @@ def test_user_type_venn_regions(spark):
     assert out["a"].n_users_region == 1 and out["a"].n_types == 1
     assert out["a+b"].n_users_region == 2 and out["a+b"].n_types == 2
     assert out["a+b"].share == 0.5
+
+
+def test_funnel_time_to_convert_sla_buckets(spark):
+    """agg_funnel_time_to_convert: conversions land in the correct
+    SLA buckets, a never-converting user counts only as entered, and
+    a purchase BEFORE the first view does not convert."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.relational import (
+        agg_funnel_time_to_convert,
+    )
+
+    t0 = dt.datetime(2021, 3, 1, 12)
+    rows = [
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0 + dt.timedelta(seconds=30), 1, "purchase", 1.0, "{}"),
+        (3, t0, 2, "view", 1.0, "{}"),
+        (4, t0 + dt.timedelta(seconds=500), 2, "purchase", 1.0, "{}"),
+        (5, t0, 3, "view", 1.0, "{}"),
+        (6, t0 - dt.timedelta(seconds=10), 4, "purchase", 1.0, "{}"),
+        (7, t0, 4, "view", 1.0, "{}"),
+    ]
+    d = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_conv_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "events.parquet"))
+    row = agg_funnel_time_to_convert(spark, tmp).collect()[0]
+    assert row.n_entered == 4 and row.n_converted == 2
+    assert row.conversion_rate == 0.5
+    assert row.within_60s == 1 and row.within_300s == 1
+    assert row.within_3600s == 2 and row.within_86400s == 2

@@ -1564,3 +1564,34 @@ def test_keywords_textrank_matches_integer_replica(spark):
     exp = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))
     assert [(r.term, r.score) for r in out] == exp[: len(out)]
     assert out[0].term == "hub"
+
+
+def test_bpe_learn_steps_exact_merge_sequence(spark):
+    """ext_bpe_learn_steps: a planted vocabulary yields the
+    hand-derived five-merge sequence with exact counts, the (a,b)
+    tie-break, and boundary-safe application (the 'aa b' word is
+    never corrupted by the ' a b ' merge and survives to supply the
+    step-4 (aa,b) merge)."""
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.text_analysis import (
+        ext_bpe_learn_steps,
+    )
+
+    text = "aaab aaab aaab aab aab cde cde fg"
+    d = spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_bpe_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "documents.parquet"))
+    out = [(r.step, r.pair, r.merged, r.pair_count)
+           for r in sorted(ext_bpe_learn_steps(spark, tmp).collect())]
+    assert out == [
+        (1, "a a", "aa", 8),     # aaab x3 (2 each) + aab x2 (1 each)
+        (2, "a b", "ab", 3),     # ties (aa,a)=3; 'a' < 'aa' wins
+        (3, "aa ab", "aaab", 3),
+        (4, "aa b", "aab", 2),   # ties (c,d)=2, (d,e)=2; 'aa' < 'c'
+        (5, "c d", "cd", 2),
+    ]
