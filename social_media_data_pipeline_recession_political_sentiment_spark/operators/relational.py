@@ -4083,3 +4083,111 @@ def agg_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         dur.crossJoin(F.broadcast(n))
         .agg(F.first("n_entered").alias("n_entered"), *aggs)
     )
+
+
+# ------------------------------------------ seasonality strength
+
+
+_SEASONALITY_ORACLE = """
+WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+b AS (SELECT sec // 86400 AS day_num, (sec // 3600) % 24 AS hour_of_day
+      FROM e),
+cnt AS (SELECT day_num, hour_of_day, CAST(count(*) AS BIGINT) AS c
+        FROM b GROUP BY 1, 2),
+span AS (SELECT min(day_num) AS d0, max(day_num) AS d1 FROM b),
+spine AS (SELECT d.day_num, h.hour_of_day
+          FROM (SELECT unnest(generate_series(d0, d1)) AS day_num FROM span) d
+          CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS hour_of_day) h),
+dense AS (SELECT s.day_num, s.hour_of_day, coalesce(cnt.c, 0) AS c
+          FROM spine s LEFT JOIN cnt
+            ON cnt.day_num = s.day_num AND cnt.hour_of_day = s.hour_of_day),
+hsum AS (SELECT hour_of_day, CAST(sum(c) AS BIGINT) AS sh FROM dense GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c * c) AS BIGINT) AS scc FROM dense),
+hh AS (SELECT CAST(sum(sh * sh) AS BIGINT) AS shh FROM hsum),
+pk AS (SELECT CAST(hour_of_day AS BIGINT) AS peak_hour FROM hsum
+       ORDER BY sh DESC, hour_of_day LIMIT 1)
+SELECT tot.n // 24 AS n_days, tot.n AS n_cells,
+       round((24.0 * hh.shh - CAST(tot.s AS DOUBLE) * tot.s)
+             / (CAST(tot.n AS DOUBLE) * tot.scc
+                - CAST(tot.s AS DOUBLE) * tot.s), 6) AS eta2,
+       pk.peak_hour
+FROM tot, hh, pk
+"""
+
+
+@register("agg_seasonality_strength", oracle=_SEASONALITY_ORACLE)
+def agg_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality strength: the variance-decomposition
+    eta-squared of hourly event counts — the share of hourly-volume
+    variance explained by WHICH hour of the day it is (0 = flat
+    traffic, near 1 = volume is a pure daily rhythm). The one-number
+    gate for whether hourly-seasonal models (and hour-aware alert
+    thresholds) are worth their complexity; complements
+    `agg_daily_autocorr` (day-to-day memory) and
+    `agg_hourly_heatmap` (the raw profile this summarizes).
+
+    Correctness subtleties made explicit: the (day x hour) grid is
+    DENSIFIED from the observed day span (zero-event cells carry
+    real variance — a census over present-only cells biases eta2
+    up), and the equal-group-size identity eta2 =
+    (24·ΣS_h² − S²)/(N·Σc² − S²) holds EXACTLY because the dense
+    spine gives every hour-of-day the same number of cells.
+
+    Exactness: all sums are exact BIGINTs; the two quadratic forms
+    combine those integers in double (deterministic — the
+    `ext_zipf_fit` device; S² in int64 would overflow at ~3e9
+    events) and round once. Peak hour ties break on the hour.
+
+    Scale shape: one (day, hour)-keyed count (map-side partials), a
+    calendar-bounded spine join (|days|·24 cells), 24-row and
+    scalar rollups. No windows."""
+    e = load(spark, sf_dir, "events").select(
+        F.col("ts").cast("long").alias("sec")
+    )
+    b = e.select(
+        F.expr("sec div 86400").alias("day_num"),
+        F.expr("(sec div 3600) % 24").alias("hour_of_day"),
+    )
+    cnt = b.groupBy("day_num", "hour_of_day").agg(F.count("*").alias("c"))
+    span = b.agg(F.min("day_num").alias("d0"), F.max("day_num").alias("d1"))
+    spine = (
+        span.select(
+            F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day_num")
+        )
+        .crossJoin(
+            spark.range(24).select(F.col("id").alias("hour_of_day"))
+        )
+    )
+    dense = spine.join(cnt, ["day_num", "hour_of_day"], "left").select(
+        "day_num", "hour_of_day", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    hsum = dense.groupBy("hour_of_day").agg(F.sum("c").alias("sh"))
+    tot = dense.agg(
+        F.sum("c").alias("s"),
+        F.count("*").alias("n"),
+        F.sum(F.col("c") * F.col("c")).alias("scc"),
+    )
+    hh = hsum.agg(F.sum(F.col("sh") * F.col("sh")).alias("shh"))
+    pk = (
+        hsum.orderBy(F.desc("sh"), "hour_of_day")
+        .limit(1)
+        .select(F.col("hour_of_day").cast("long").alias("peak_hour"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(hh))
+        .crossJoin(F.broadcast(pk))
+        .select(
+            F.expr("n div 24").alias("n_days"),
+            F.col("n").alias("n_cells"),
+            F.round(
+                (24.0 * F.col("shh") - F.col("s").cast("double") * F.col("s"))
+                / (
+                    F.col("n").cast("double") * F.col("scc")
+                    - F.col("s").cast("double") * F.col("s")
+                ),
+                6,
+            ).alias("eta2"),
+            "peak_hour",
+        )
+    )

@@ -4460,3 +4460,90 @@ def ext_bpe_learn_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merges[1:]:
         out = out.unionAll(m)
     return out
+
+
+# ------------------------------------------- BPE application
+
+
+def _bpe_apply_oracle() -> str:
+    # the learned merge table (step, pair, merged) from the learner's
+    # oracle, applied in step order to every word of every document
+    learner = _bpe_oracle()
+    applies = "array_to_string(string_split(term, ''), ' ')"
+    for k in range(1, BPE_STEPS + 1):
+        applies = (
+            f"trim(replace(replace(' ' || {applies} || ' ', "
+            f"' ' || (SELECT pair FROM mm WHERE step = {k}) || ' ', "
+            f"' ' || (SELECT merged FROM mm WHERE step = {k}) || ' '), "
+            f"' ' || (SELECT pair FROM mm WHERE step = {k}) || ' ', "
+            f"' ' || (SELECT merged FROM mm WHERE step = {k}) || ' '))"
+        )
+    return f"""
+WITH mm AS MATERIALIZED ({learner}),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+pieces AS (SELECT doc_id, term,
+                  len(string_split({applies}, ' ')) AS n_pieces
+           FROM tok2)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+       CAST(sum(n_pieces) * 1000000 // count(*) AS BIGINT)
+         AS fertility_micro
+FROM pieces GROUP BY 1
+"""
+
+
+@register("ext_bpe_apply", oracle=_bpe_apply_oracle())
+def ext_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization INFERENCE: apply `ext_bpe_learn_steps`'
+    learned merge table, in step order, to every word of every
+    document, reporting per-doc word count, piece count, and
+    fertility (pieces per word, the `ext_tokenizer_fertility`
+    statistic — here measured under the engine-LEARNED tokenizer
+    instead of a fixed regex). The train→apply pair demonstrates
+    the full tokenizer lifecycle in-engine: the learner emits the
+    merge artifact, this operator is its serving path, and a
+    fertility jump between releases means the learned merges no
+    longer fit the corpus.
+
+    Determinism: the merge table is the learner's own (same census,
+    same tie-breaks — the oracle literally embeds the learner's SQL
+    as a CTE); each merge applies with the learner's boundary-padded
+    two-sub-pass replace, in ascending step order (BPE application
+    order IS the learned order — the real algorithm's rule). Counts
+    and fertility are exact integers.
+
+    Scale shape: the K merges arrive as a broadcast K-row table
+    folded into K scan-local column transforms — corpus text is
+    scanned once, nothing about the apply path shuffles; the per-doc
+    rollup is one doc-keyed agg. (Unlike the learner, application
+    touches every word instance — which is why it stays scan-local.)"""
+    merges = {
+        r.step: (r.pair, r.merged)
+        for r in ext_bpe_learn_steps(spark, sf_dir).collect()
+    }
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    seq = "array_join(split(term, ''), ' ')"
+    for k in sorted(merges):
+        pair, merged = merges[k]
+        p = pair.replace("'", "''")
+        m = merged.replace("'", "''")
+        seq = (
+            f"trim(replace(replace(' ' || {seq} || ' ', ' {p} ', ' {m} '), "
+            f"' {p} ', ' {m} '))"
+        )
+    pieces = tok.select(
+        "doc_id", F.expr(f"size(split({seq}, ' '))").alias("n_pieces")
+    )
+    return pieces.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum("n_pieces").alias("n_pieces"),
+        F.expr("CAST(sum(n_pieces) * 1000000 div count(*) AS BIGINT)").alias(
+            "fertility_micro"
+        ),
+    )

@@ -484,3 +484,69 @@ def sink_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+# ------------------------------------ dynamic partition overwrite
+
+
+_DYN_OVERWRITE_ORACLE = """
+WITH e AS (SELECT event_id,
+                  CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_num,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+d0 AS (SELECT min(day_num) AS d0 FROM e),
+adj AS (SELECT day_num,
+               CASE WHEN day_num = d0.d0 THEN cents * 2 ELSE cents END AS cents
+        FROM e, d0)
+SELECT day_num, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM adj GROUP BY 1
+"""
+
+
+@register("sink_dynamic_overwrite", oracle=_DYN_OVERWRITE_ORACLE)
+def sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite: a day-partitioned sink receives a
+    FULL history write, then a correction batch for ONE day (the
+    earliest — a backfill reprocessing that doubles its amounts)
+    written with `partitionOverwriteMode=dynamic` — which replaces
+    ONLY the partitions present in the incoming batch and leaves
+    every other day's files untouched. This is THE nightly-restate
+    pattern at 100 TB: static overwrite mode would wipe the whole
+    table for a one-day fix; row-level merge (`sink_scd1_merge`)
+    pays a join — partition overwrite pays only the restated day's
+    write. The read-back per-day totals prove both halves: the
+    corrected day carries doubled cents, all other days carry their
+    original exact totals.
+
+    Exactness: integer epoch-day partitions and cent-rounded BIGINT
+    sums (partition-order-free); the session's overwrite mode is set
+    for the write and restored after.
+
+    Scale shape: writes are partition-granular (the correction
+    touches one directory); the audit is one day-keyed agg over the
+    read-back."""
+    wd = _workdir("dyn_overwrite")
+    sink = os.path.join(wd, "events_by_day")
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("CAST(ts AS LONG) div 86400").alias("day_num"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    e.write.partitionBy("day_num").mode("overwrite").parquet(sink)
+    d0 = e.agg(F.min("day_num").alias("d0"))
+    correction = (
+        e.crossJoin(F.broadcast(d0))
+        .filter(F.col("day_num") == F.col("d0"))
+        .select("event_id", "day_num", (F.col("cents") * 2).alias("cents"))
+    )
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        correction.write.partitionBy("day_num").mode("overwrite").parquet(sink)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    back = spark.read.parquet(sink)
+    return back.groupBy(F.col("day_num").cast("long").alias("day_num")).agg(
+        F.count("*").alias("n_rows"), F.sum("cents").alias("total_cents")
+    )

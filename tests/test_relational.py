@@ -1575,3 +1575,33 @@ def test_funnel_time_to_convert_sla_buckets(spark):
     assert row.conversion_rate == 0.5
     assert row.within_60s == 1 and row.within_300s == 1
     assert row.within_3600s == 2 and row.within_86400s == 2
+
+
+def test_seasonality_strength_pure_rhythm(spark):
+    """agg_seasonality_strength: all volume concentrated in one hour
+    across two days gives eta2 exactly 1.0 with that peak hour; the
+    dense spine counts zero cells."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.relational import (
+        agg_seasonality_strength,
+    )
+
+    rows, eid = [], 0
+    for day in (0, 1):
+        for _ in range(5):
+            rows.append((eid, dt.datetime(2021, 3, 1 + day, 3, 30), 1, "a", 1.0, "{}"))
+            eid += 1
+    d = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_seas_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "events.parquet"))
+    row = agg_seasonality_strength(spark, tmp).collect()[0]
+    assert row.n_days == 2 and row.n_cells == 48
+    assert row.eta2 == 1.0
+    assert row.peak_hour == 3

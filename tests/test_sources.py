@@ -209,3 +209,37 @@ def test_snapshot_read_time_travel(spark):
     assert out[1].total_cents == sum(k * 100 + 25 for k in base)
     assert out[2].n_rows == 12
     assert out[2].total_cents == sum(k * 100 + 25 for k in range(1, 13))
+
+
+def test_dynamic_overwrite_restates_only_target_day(spark):
+    """sink_dynamic_overwrite: the earliest day's cents double while
+    every other day's totals and row counts survive the overwrite
+    untouched."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.sources.sinks import (
+        sink_dynamic_overwrite,
+    )
+
+    rows, eid = [], 0
+    for day, n in ((0, 3), (1, 2), (2, 4)):
+        for i in range(n):
+            rows.append((eid, dt.datetime(2021, 3, 1 + day, 10), 1, "a",
+                         float(10 * (eid + 1)), "{}"))
+            eid += 1
+    d = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_dyn_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "events.parquet"))
+    out = {r.day_num: r for r in sink_dynamic_overwrite(spark, tmp).collect()}
+    day0 = min(out)
+    assert out[day0].n_rows == 3
+    assert out[day0].total_cents == 2 * (1000 + 2000 + 3000)
+    assert out[day0 + 1].total_cents == 4000 + 5000
+    assert out[day0 + 2].n_rows == 4
+    assert out[day0 + 2].total_cents == 6000 + 7000 + 8000 + 9000

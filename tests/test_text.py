@@ -1595,3 +1595,29 @@ def test_bpe_learn_steps_exact_merge_sequence(spark):
         (4, "aa b", "aab", 2),   # ties (c,d)=2, (d,e)=2; 'aa' < 'c'
         (5, "c d", "cd", 2),
     ]
+
+
+def test_bpe_apply_fertility_on_learned_merges(spark):
+    """ext_bpe_apply: applying the learner's own merges reproduces
+    the hand-derived piece counts (aaab/aab collapse to one piece,
+    cde to two, fg stays two chars)."""
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.text_analysis import (
+        ext_bpe_apply,
+    )
+
+    text = "aaab aaab aaab aab aab cde cde fg"
+    d = spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_bpea_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "documents.parquet"))
+    row = ext_bpe_apply(spark, tmp).collect()[0]
+    # merges: (a a), (a b), (aa ab), (aa b), (c d)
+    # aaab -> 'aaab' (1), aab -> 'aab' (1), cde -> 'cd e' (2), fg -> 'f g' (2)
+    assert row.n_words == 8
+    assert row.n_pieces == 3 * 1 + 2 * 1 + 2 * 2 + 1 * 2
+    assert row.fertility_micro == row.n_pieces * 1_000_000 // 8
