@@ -1034,6 +1034,61 @@ AUDIT = {
         "the scoring stage is the ext_sim_topk map-only plan; "
         "anchors are n/STRIDE of the corpus",
     ),
+    "agg_survival_curve": (
+        "user-keyed min/max agg -> constant-bounded explode "
+        "(<= 8 rows/user) -> 8-key count; NO windows",
+        "lifetimes come from one high-cardinality keyed agg with "
+        "map-side partials — the scalable retention shape",
+    ),
+    "agg_user_type_venn": (
+        "(user, type) distinct -> user-keyed sorted-set agg -> "
+        "region-keyed count onto the <= 2^|types| lattice",
+        "per-user state is <= |types|; array_sort makes the region "
+        "key deterministic (collect_list order is not a contract)",
+    ),
+    "ext_keywords_textrank": (
+        "bigram census -> merged symmetric edge table "
+        "(checkpointed) -> K rounds of src join + dst sum -> "
+        "TakeOrderedAndProject(25)",
+        "all-integer PageRank recurrence over vocab^2-bounded "
+        "narrow rows; no driver-side graph state",
+    ),
+    "ext_bpe_learn_steps": (
+        "one word census, then K rounds of vocab-bounded pair agg "
+        "+ TakeOrderedAndProject(1) + broadcast replace",
+        "corpus text is never rescanned after the census — the "
+        "classic BPE trick; vocab checkpoints keep the plan flat",
+    ),
+    "ext_cluster_diversity": (
+        "ckey-keyed count -> cluster-size agg -> scalar combines; "
+        "no windows",
+        "the entropy terms are micro-rounded BIGINTs so the sums "
+        "are partition-order free",
+    ),
+    "agg_funnel_time_to_convert": (
+        "two user-keyed conditional-min aggs -> one user join -> "
+        "single-row conditional sums",
+        "fixed SLA probes avoid the global latency sort a "
+        "percentile would need over millions of converters",
+    ),
+    "ext_bpe_apply": (
+        "K-row merge artifact collected + folded into K scan-local "
+        "column transforms -> doc-keyed agg",
+        "application touches every word instance, which is exactly "
+        "why it must stay scan-local — and does",
+    ),
+    "agg_seasonality_strength": (
+        "(day, hour)-keyed count -> dense calendar spine join -> "
+        "24-row + scalar rollups",
+        "densification makes zero cells carry their variance and "
+        "the equal-group eta2 identity exact",
+    ),
+    "sink_dynamic_overwrite": (
+        "day-partitioned write + dynamic-mode partition overwrite "
+        "+ day-keyed read-back agg",
+        "the correction rewrites ONE partition directory; every "
+        "other day's files are untouched",
+    ),
 }
 
 
