@@ -3750,10 +3750,13 @@ d AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
              CAST(sum(c) AS BIGINT) AS total FROM dc)
 SELECT d.n_days, s.n AS n_pairs,
        CAST(d.total * 1000000 // d.n_days AS BIGINT) AS mean_daily_micro,
-       round((CAST(s.n AS DOUBLE) * s.sxy - CAST(s.sx AS DOUBLE) * s.sy)
+       CASE WHEN (CAST(s.n AS DOUBLE) * s.sxx - CAST(s.sx AS DOUBLE) * s.sx)
+                 * (CAST(s.n AS DOUBLE) * s.syy - CAST(s.sy AS DOUBLE) * s.sy)
+                 = 0 THEN NULL
+       ELSE round((CAST(s.n AS DOUBLE) * s.sxy - CAST(s.sx AS DOUBLE) * s.sy)
              / (sqrt(CAST(s.n AS DOUBLE) * s.sxx - CAST(s.sx AS DOUBLE) * s.sx)
                 * sqrt(CAST(s.n AS DOUBLE) * s.syy
-                       - CAST(s.sy AS DOUBLE) * s.sy)), 6)
+                       - CAST(s.sy AS DOUBLE) * s.sy)), 6) END
          AS lag1_autocorr
 FROM d, s
 """
@@ -3813,13 +3816,17 @@ def agg_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = F.sqrt(
         n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
     ) * F.sqrt(n * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    denx = n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    deny2 = n * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
     return (
         d.crossJoin(F.broadcast(s))
         .select(
             "n_days",
             F.col("n").alias("n_pairs"),
             F.expr("total * 1000000 div n_days").alias("mean_daily_micro"),
-            F.round(num / den, 6).alias("lag1_autocorr"),
+            F.when(denx * deny2 == 0, F.lit(None).cast("double"))
+            .otherwise(F.round(num / den, 6))
+            .alias("lag1_autocorr"),
         )
     )
 
@@ -4019,14 +4026,18 @@ b AS (SELECT e.user_id,
       GROUP BY 1),
 dur AS (SELECT b.user_id, b.tb - a.ta AS d
         FROM b JOIN a ON a.user_id = b.user_id),
-n AS (SELECT CAST(count(*) AS BIGINT) AS n_entered FROM a)
-SELECT n.n_entered,
-       CAST(count(*) AS BIGINT) AS n_converted,
-       round(count(*) * 1.0 / n.n_entered, 6) AS conversion_rate,
-       {", ".join(
-           f"CAST(sum(CASE WHEN d <= {s} THEN 1 ELSE 0 END) AS BIGINT) "
-           f"AS within_{s}s" for s in CONVERT_SLA_SECS)}
-FROM dur, n GROUP BY n.n_entered
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_entered FROM a),
+c AS (SELECT CAST(count(*) AS BIGINT) AS n_converted,
+      {", ".join(
+          f"CAST(coalesce(sum(CASE WHEN d <= {s} THEN 1 ELSE 0 END), 0) "
+          f"AS BIGINT) AS within_{s}s" for s in CONVERT_SLA_SECS)}
+      FROM dur)
+SELECT n.n_entered, c.n_converted,
+       CASE WHEN n.n_entered = 0 THEN NULL
+            ELSE round(c.n_converted * 1.0 / n.n_entered, 6) END
+         AS conversion_rate,
+       {", ".join(f"c.within_{s}s" for s in CONVERT_SLA_SECS)}
+FROM n, c
 """
 
 
@@ -4069,19 +4080,23 @@ def agg_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dur = b.select((F.col("tb") - F.col("ta")).alias("d"))
     n = a.agg(F.count("*").alias("n_entered"))
-    aggs = [
-        F.count("*").alias("n_converted"),
-        F.round(F.count("*") * 1.0 / F.first("n_entered"), 6).alias(
-            "conversion_rate"
-        ),
-    ]
+    aggs = [F.count("*").alias("n_converted")]
     for s_ in CONVERT_SLA_SECS:
         aggs.append(
-            F.sum(F.when(F.col("d") <= s_, 1).otherwise(0)).alias(f"within_{s_}s")
+            F.coalesce(
+                F.sum(F.when(F.col("d") <= s_, 1).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"within_{s_}s")
         )
-    return (
-        dur.crossJoin(F.broadcast(n))
-        .agg(F.first("n_entered").alias("n_entered"), *aggs)
+    c = dur.agg(*aggs)  # global agg: exactly one row even with zero converters
+    return n.crossJoin(F.broadcast(c)).select(
+        "n_entered",
+        "n_converted",
+        F.when(F.col("n_entered") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.col("n_converted") * 1.0 / F.col("n_entered"), 6))
+        .alias("conversion_rate"),
+        *[f"within_{s_}s" for s_ in CONVERT_SLA_SECS],
     )
 
 
@@ -4108,9 +4123,11 @@ hh AS (SELECT CAST(sum(sh * sh) AS BIGINT) AS shh FROM hsum),
 pk AS (SELECT CAST(hour_of_day AS BIGINT) AS peak_hour FROM hsum
        ORDER BY sh DESC, hour_of_day LIMIT 1)
 SELECT tot.n // 24 AS n_days, tot.n AS n_cells,
-       round((24.0 * hh.shh - CAST(tot.s AS DOUBLE) * tot.s)
+       CASE WHEN CAST(tot.n AS DOUBLE) * tot.scc
+                 - CAST(tot.s AS DOUBLE) * tot.s = 0 THEN NULL
+       ELSE round((24.0 * hh.shh - CAST(tot.s AS DOUBLE) * tot.s)
              / (CAST(tot.n AS DOUBLE) * tot.scc
-                - CAST(tot.s AS DOUBLE) * tot.s), 6) AS eta2,
+                - CAST(tot.s AS DOUBLE) * tot.s), 6) END AS eta2,
        pk.peak_hour
 FROM tot, hh, pk
 """
@@ -4180,14 +4197,23 @@ def agg_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.expr("n div 24").alias("n_days"),
             F.col("n").alias("n_cells"),
-            F.round(
-                (24.0 * F.col("shh") - F.col("s").cast("double") * F.col("s"))
-                / (
-                    F.col("n").cast("double") * F.col("scc")
-                    - F.col("s").cast("double") * F.col("s")
-                ),
-                6,
-            ).alias("eta2"),
+            F.when(
+                F.col("n").cast("double") * F.col("scc")
+                - F.col("s").cast("double") * F.col("s")
+                == 0,
+                F.lit(None).cast("double"),
+            )
+            .otherwise(
+                F.round(
+                    (24.0 * F.col("shh") - F.col("s").cast("double") * F.col("s"))
+                    / (
+                        F.col("n").cast("double") * F.col("scc")
+                        - F.col("s").cast("double") * F.col("s")
+                    ),
+                    6,
+                )
+            )
+            .alias("eta2"),
             "peak_hour",
         )
     )

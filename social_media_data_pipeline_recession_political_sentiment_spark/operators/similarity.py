@@ -1841,12 +1841,17 @@ MRL_DIM = 16  # leading dims the truncated ranking sees
 
 
 def _mrl_cos_sql(dim_slice: str) -> str:
+    # NULLIF zero-norm guard (r6 review fix): a vector whose sliced
+    # prefix is all zeros would yield 0/0 — Spark NaN (sorts FIRST
+    # under DESC) vs DuckDB NULL (sorts LAST). NULL on both sides
+    # keeps the rankings aligned (both engines default NULLS LAST
+    # for DESC) with the neighbor_id tie-break.
     a = f"CAST(a.embedding{dim_slice} AS DOUBLE[])"
     b = f"CAST(b.embedding{dim_slice} AS DOUBLE[])"
     return (
         f"list_dot_product({a}, {b}) / "
-        f"(sqrt(list_dot_product({a}, {a})) * "
-        f"sqrt(list_dot_product({b}, {b})))"
+        f"NULLIF(sqrt(list_dot_product({a}, {a})) * "
+        f"sqrt(list_dot_product({b}, {b})), 0.0)"
     )
 
 
@@ -1914,10 +1919,21 @@ def ext_emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     fullk = _rank_topk(scored_full).select("query_id", "neighbor_id")
     qt = q.select("query_id", F.expr(f"slice(qv, 1, {MRL_DIM})").alias("qv"))
     ct = c.select("neighbor_id", F.expr(f"slice(cv, 1, {MRL_DIM})").alias("cv"))
+    norm_prod = F.sqrt(F.expr(_DOT.format(a="qv", b="qv"))) * F.sqrt(
+        F.expr(_DOT.format(a="cv", b="cv"))
+    )
     scored_trunc = (
         ct.crossJoin(F.broadcast(qt))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", _cosine("qv", "cv").alias("cos"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            # zero-norm prefixes score NULL on both engines (see
+            # _mrl_cos_sql) instead of NaN-vs-NULL divergence
+            F.when(norm_prod == 0, F.lit(None).cast("double"))
+            .otherwise(_cosine("qv", "cv"))
+            .alias("cos"),
+        )
     )
     trunck = _rank_topk(scored_trunc).select(
         F.col("query_id").alias("t_query"),
@@ -1943,7 +1959,12 @@ def ext_emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------- Johnson-Lindenstrauss projection audit
 
 JL_K = 8  # projected dimensions
-JL_MAX_D = 128  # sign-matrix width; raise with the testdata if d grows
+JL_D = 64  # dims the audit covers (= testdata dim). r6 review fix: the
+#            sign matrix, BOTH engines' projections, and BOTH engines'
+#            squared distances all read exactly JL_D leading dims, so
+#            raising the testdata dim past JL_D changes nothing until
+#            this one constant is raised with it — no half-updated
+#            disagreement is possible.
 JL_PAIR_STRIDE = 17  # audit pairs (v, v+1) for v % STRIDE == 0
 
 
@@ -1958,7 +1979,7 @@ def _jl_signs() -> list:
     return [
         [
             1 - 2 * (int(hashlib.md5(f"jl:{r}:{i}".encode()).hexdigest()[:15], 16) % 2)
-            for i in range(1, JL_MAX_D + 1)
+            for i in range(1, JL_D + 1)
         ]
         for r in range(JL_K)
     ]
@@ -1971,7 +1992,7 @@ def _jl_proj_sql(vec: str, r: int, elem: str) -> str:
     signs = _JL_SIGNS[r]
     terms = " + ".join(
         f"({s if s > 0 else f'({s})'} * {elem}({vec}, {i}))"
-        for i, s in enumerate(signs[:64], start=1)
+        for i, s in enumerate(signs[:JL_D], start=1)
     )
     return f"({terms})"
 
@@ -1988,7 +2009,7 @@ pairs AS (SELECT a.codes AS ca, b.codes AS cb
           FROM z a JOIN z b ON b.vec_id = a.vec_id + 1
           WHERE a.vec_id % {JL_PAIR_STRIDE} = 0),
 dist AS (SELECT
-  CAST(list_sum(list_transform(range(1, 65),
+  CAST(list_sum(list_transform(range(1, {JL_D} + 1),
        i -> (ca[CAST(i AS INT)] - cb[CAST(i AS INT)])
           * (ca[CAST(i AS INT)] - cb[CAST(i AS INT)]))) AS BIGINT) AS d2_full,
   CAST({" + ".join(
@@ -2043,8 +2064,8 @@ def ext_emb_jl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = z.select(F.col("vec_id").alias("vb"), F.col("codes").alias("cb"))
     pairs = a.join(b, F.col("vb") == F.col("va") + 1)
     d2_full = F.expr(
-        "aggregate(zip_with(ca, cb, (x, y) -> (x - y) * (x - y)), "
-        "0L, (acc, v) -> acc + v)"
+        f"aggregate(zip_with(slice(ca, 1, {JL_D}), slice(cb, 1, {JL_D}), "
+        "(x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"
     )
     d2_proj = None
     for r in range(JL_K):

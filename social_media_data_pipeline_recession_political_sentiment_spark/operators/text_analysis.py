@@ -1707,15 +1707,49 @@ def ext_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 PMI_MIN_COUNT = 5  # noise floor for collocation candidates
 PMI_TOP_K = 20
 
+# THE adjacent-bigram device: one boundary-sensitive contract
+# (position lattice, 1-based slicing, empty-token filter) stated once
+# per engine and shared by ext_bigram_pmi, ext_token_entropy_rate,
+# ext_lm_bigram_score and ext_keywords_textrank (r6 review
+# consolidation — four in-lockstep copies collapsed to one).
+_BI_POS_CTES = (
+    "pos AS (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i FROM t),\n"
+    "bi AS (SELECT w[CAST(i AS INT)] AS a, w[CAST(i AS INT) + 1] AS b FROM pos\n"
+    "       WHERE w[CAST(i AS INT)] <> '' AND w[CAST(i AS INT) + 1] <> '')"
+)
+
+_BI_DOC_POS_CTES = (
+    "pos AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) "
+    "AS i FROM t),\n"
+    "bi AS (SELECT doc_id, w[CAST(i AS INT)] AS a, "
+    "w[CAST(i AS INT) + 1] AS b\n"
+    "       FROM pos\n"
+    "       WHERE w[CAST(i AS INT)] <> '' AND w[CAST(i AS INT) + 1] <> '')"
+)
+
+
+def _adjacent_bigrams(toks: DataFrame, carry: tuple = ()) -> DataFrame:
+    """(carry..., a, b) rows of adjacent non-empty token pairs from a
+    frame carrying token-array column `w` — the Spark twin of
+    _BI_POS_CTES / _BI_DOC_POS_CTES."""
+    return (
+        toks.select(
+            *carry,
+            F.posexplode(F.expr("slice(w, 1, size(w) - 1)")).alias("i0", "a"),
+            F.col("w"),
+        )
+        .select(*carry, "a", F.expr("w[i0 + 1]").alias("b"))
+        .filter((F.col("a") != "") & (F.col("b") != ""))
+    )
+
+
 _PMI_ORACLE = f"""
 WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
 uni AS (SELECT unnest(w) AS term FROM t),
 u AS (SELECT term, CAST(count(*) AS BIGINT) AS c
       FROM uni WHERE term <> '' GROUP BY 1),
 n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM u),
-pos AS (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i FROM t),
-bi AS (SELECT w[CAST(i AS INT)] AS a, w[CAST(i AS INT) + 1] AS b FROM pos
-       WHERE w[CAST(i AS INT)] <> '' AND w[CAST(i AS INT) + 1] <> ''),
+{_BI_POS_CTES},
 m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM bi),
 b2 AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_pair FROM bi GROUP BY 1, 2)
 SELECT b2.a || ' ' || b2.b AS bigram, b2.n_pair,
@@ -1760,14 +1794,7 @@ def ext_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = toks.select(F.explode("w").alias("term")).filter(F.col("term") != "")
     u = uni.groupBy("term").agg(F.count("*").alias("c"))
     n = u.agg(F.sum("c").alias("n"))
-    bi = (
-        toks.select(
-            F.posexplode(F.expr("slice(w, 1, size(w) - 1)")).alias("i0", "a"),
-            F.col("w"),
-        )
-        .select("a", F.expr("w[i0 + 1]").alias("b"))
-        .filter((F.col("a") != "") & (F.col("b") != ""))
-    )
+    bi = _adjacent_bigrams(toks)
     m = bi.agg(F.count("*").alias("m"))
     b2 = (
         bi.groupBy("a", "b")
@@ -4003,9 +4030,7 @@ uterm AS (SELECT CAST(round(ln(CAST(n.n AS DOUBLE) / u.c) * u.c
                             * {TOKEN_ENTROPY_SCALE}) AS BIGINT) AS term
           FROM u, n),
 hu AS (SELECT CAST(sum(term) AS BIGINT) AS tsum FROM uterm),
-pos AS (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i FROM t),
-bi AS (SELECT w[CAST(i AS INT)] AS a, w[CAST(i AS INT) + 1] AS b FROM pos
-       WHERE w[CAST(i AS INT)] <> '' AND w[CAST(i AS INT) + 1] <> ''),
+{_BI_POS_CTES},
 b2 AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cab FROM bi GROUP BY 1, 2),
 ra AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM b2 GROUP BY 1),
 mm AS (SELECT CAST(sum(cab) AS BIGINT) AS m,
@@ -4020,8 +4045,9 @@ SELECT n.n AS n_tokens,
        round(CAST(hu.tsum AS DOUBLE)
              / (CAST(n.n AS DOUBLE) * {TOKEN_ENTROPY_SCALE}), 6)
          AS unigram_entropy_nats,
-       round(CAST(hb.tsum AS DOUBLE)
-             / (CAST(mm.m AS DOUBLE) * {TOKEN_ENTROPY_SCALE}), 6)
+       CASE WHEN coalesce(mm.m, 0) = 0 THEN NULL
+       ELSE round(CAST(hb.tsum AS DOUBLE)
+             / (CAST(mm.m AS DOUBLE) * {TOKEN_ENTROPY_SCALE}), 6) END
          AS cond_entropy_nats
 FROM n, mm, hu, hb
 """
@@ -4069,14 +4095,7 @@ def ext_token_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum("term").alias("hu_sum"))
     )
-    bi = (
-        toks.select(
-            F.posexplode(F.expr("slice(w, 1, size(w) - 1)")).alias("i0", "a"),
-            F.col("w"),
-        )
-        .select("a", F.expr("w[i0 + 1]").alias("b"))
-        .filter((F.col("a") != "") & (F.col("b") != ""))
-    )
+    bi = _adjacent_bigrams(toks)
     b2 = bi.groupBy("a", "b").agg(F.count("*").alias("cab"))
     ra = b2.groupBy("a").agg(F.sum("cab").alias("ca"))
     mm = b2.agg(
@@ -4108,11 +4127,15 @@ def ext_token_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("n").cast("double") * TOKEN_ENTROPY_SCALE),
                 6,
             ).alias("unigram_entropy_nats"),
-            F.round(
-                F.col("hb_sum").cast("double")
-                / (F.col("m").cast("double") * TOKEN_ENTROPY_SCALE),
-                6,
-            ).alias("cond_entropy_nats"),
+            F.when(F.coalesce(F.col("m"), F.lit(0)) == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.round(
+                    F.col("hb_sum").cast("double")
+                    / (F.col("m").cast("double") * TOKEN_ENTROPY_SCALE),
+                    6,
+                )
+            )
+            .alias("cond_entropy_nats"),
         )
     )
 
@@ -4127,10 +4150,7 @@ WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 uni AS (SELECT unnest(w) AS term FROM t),
 vsz AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v
         FROM uni WHERE term <> ''),
-pos AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM t),
-bi AS (SELECT doc_id, w[CAST(i AS INT)] AS a, w[CAST(i AS INT) + 1] AS b
-       FROM pos
-       WHERE w[CAST(i AS INT)] <> '' AND w[CAST(i AS INT) + 1] <> ''),
+{_BI_DOC_POS_CTES},
 b2 AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cab FROM bi GROUP BY 1, 2),
 ra AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM b2 GROUP BY 1),
 lp AS (SELECT b2.a, b2.b,
@@ -4177,15 +4197,7 @@ def ext_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("term") != "")
         .agg(F.countDistinct("term").alias("v"))
     )
-    bi = (
-        toks.select(
-            "doc_id",
-            F.posexplode(F.expr("slice(w, 1, size(w) - 1)")).alias("i0", "a"),
-            F.col("w"),
-        )
-        .select("doc_id", "a", F.expr("w[i0 + 1]").alias("b"))
-        .filter((F.col("a") != "") & (F.col("b") != ""))
-    )
+    bi = _adjacent_bigrams(toks, carry=("doc_id",))
     b2 = bi.groupBy("a", "b").agg(F.count("*").alias("cab"))
     ra = b2.groupBy("a").agg(F.sum("cab").alias("ca"))
     lp = (
@@ -4239,9 +4251,7 @@ def _tr_oracle() -> str:
         prev = f"s{k}"
     return f"""
 WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
-pos AS (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i FROM t),
-bi AS (SELECT w[CAST(i AS INT)] AS a, w[CAST(i AS INT) + 1] AS b FROM pos
-       WHERE w[CAST(i AS INT)] <> '' AND w[CAST(i AS INT) + 1] <> ''),
+{_BI_POS_CTES},
 b2 AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cab FROM bi GROUP BY 1, 2),
 e0 AS (SELECT a, b, cab AS w FROM b2
      UNION ALL SELECT b AS a, a AS b, cab AS w FROM b2),
@@ -4286,14 +4296,7 @@ def ext_keywords_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject({TR_TOP_K})."""
     d = load(spark, sf_dir, "documents")
     toks = d.select(F.split(F.col("text"), " ").alias("w"))
-    bi = (
-        toks.select(
-            F.posexplode(F.expr("slice(w, 1, size(w) - 1)")).alias("i0", "a"),
-            F.col("w"),
-        )
-        .select("a", F.expr("w[i0 + 1]").alias("b"))
-        .filter((F.col("a") != "") & (F.col("b") != ""))
-    )
+    bi = _adjacent_bigrams(toks)
     b2 = bi.groupBy("a", "b").agg(F.count("*").alias("cab"))
     e = (
         b2.select("a", "b", F.col("cab").alias("w"))
@@ -4531,8 +4534,12 @@ def ext_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = "array_join(split(term, ''), ' ')"
     for k in sorted(merges):
         pair, merged = merges[k]
-        p = pair.replace("'", "''")
-        m = merged.replace("'", "''")
+        # Spark string literals process backslash escapes (DuckDB's do
+        # not), so backslashes must double BEFORE quote-doubling or a
+        # corpus merge pair containing '\' silently corrupts the
+        # pattern on the Spark side only (r6 review finding).
+        p = pair.replace("\\", "\\\\").replace("'", "''")
+        m = merged.replace("\\", "\\\\").replace("'", "''")
         seq = (
             f"trim(replace(replace(' ' || {seq} || ' ', ' {p} ', ' {m} '), "
             f"' {p} ', ' {m} '))"

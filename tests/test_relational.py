@@ -1605,3 +1605,66 @@ def test_seasonality_strength_pure_rhythm(spark):
     assert row.n_days == 2 and row.n_cells == 48
     assert row.eta2 == 1.0
     assert row.peak_hour == 3
+
+
+def test_autocorr_and_seasonality_degenerate_guards(spark):
+    """r6 review guards: a constant daily series yields NULL
+    lag1_autocorr (zero variance), a perfectly uniform hourly grid
+    yields NULL eta2, and neither errors — the Spark-NaN-vs-
+    DuckDB-NULL divergence class closed by emitting NULL on both."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.relational import (
+        agg_daily_autocorr,
+        agg_seasonality_strength,
+    )
+
+    # one event in EVERY hour of two days: constant daily counts of
+    # 24 AND a perfectly uniform dense (day, hour) grid
+    rows, eid = [], 0
+    for day in (0, 1):
+        for h in range(24):
+            rows.append((eid, dt.datetime(2021, 3, 1 + day, h, 30), 1, "a", 1.0, "{}"))
+            eid += 1
+    d = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_degen_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "events.parquet"))
+    ac = agg_daily_autocorr(spark, tmp).collect()[0]
+    assert ac.n_pairs == 1 and ac.lag1_autocorr is None
+    ss = agg_seasonality_strength(spark, tmp).collect()[0]
+    assert ss.n_cells == 48 and ss.eta2 is None
+
+
+def test_funnel_convert_zero_converters_single_row(spark):
+    """r6 review fix: with entered users but zero conversions the
+    operator still emits exactly one row with integer zeros (the
+    oracle's aggregate-subquery shape guarantees the same)."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.relational import (
+        agg_funnel_time_to_convert,
+    )
+
+    t0 = dt.datetime(2021, 3, 1, 12)
+    rows = [(1, t0, 1, "view", 1.0, "{}"), (2, t0, 2, "view", 1.0, "{}")]
+    d = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_conv0_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "events.parquet"))
+    out = agg_funnel_time_to_convert(spark, tmp).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row.n_entered == 2 and row.n_converted == 0
+    assert row.conversion_rate == 0.0
+    assert row.within_60s == 0 and row.within_86400s == 0
