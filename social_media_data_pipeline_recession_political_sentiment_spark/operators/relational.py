@@ -4217,3 +4217,173 @@ def agg_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             "peak_hour",
         )
     )
+
+
+# ------------------------------------------ Wilson lower bound
+
+WILSON_Z = 1.96  # 95% two-sided
+
+
+_WILSON_ORACLE = f"""
+WITH s AS (SELECT event_type,
+                  CAST(sum(CASE WHEN value >= 100 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS hits,
+                  CAST(count(*) AS BIGINT) AS trials
+           FROM events GROUP BY 1)
+SELECT event_type, hits, trials,
+       round(hits * 1.0 / trials, 6) AS rate,
+       round((hits * 1.0 / trials + {WILSON_Z} * {WILSON_Z} / (2.0 * trials)
+              - {WILSON_Z} * sqrt((hits * 1.0 / trials)
+                  * (1.0 - hits * 1.0 / trials) / trials
+                  + {WILSON_Z} * {WILSON_Z} / (4.0 * trials * trials)))
+             / (1.0 + {WILSON_Z} * {WILSON_Z} / trials), 6) AS wilson_lb
+FROM s
+"""
+
+
+@register("agg_wilson_bound", oracle=_WILSON_ORACLE)
+def agg_wilson_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score lower bound for per-group success rates (here:
+    share of events with value >= 100, per type) — THE small-sample
+    correction for ranking by proportion: a 2/2 group's raw rate
+    (1.0) outranks a 980/1000 group (0.98), while its Wilson lower
+    bound (~0.34 at 95%) correctly ranks it below. Used everywhere
+    proportions rank things (Reddit's comment sort, quality-gate
+    pass rates per source, CTR ranking); pairs with
+    `agg_dp_noisy_counts` in the "statistics you can act on" tier.
+
+    Exactness: hits/trials are exact BIGINTs; the bound is ONE
+    shared closed-form expression tree over those integers (every
+    literal double-cast identically) rounded once — no sampling, no
+    iteration. Groups present in the table always have trials >= 1,
+    so no zero-division arm is reachable.
+
+    Scale shape: one group-keyed conditional-sum agg with map-side
+    partials; the bound is scan-local arithmetic on the aggregate
+    row."""
+    e = load(spark, sf_dir, "events")
+    s = e.groupBy("event_type").agg(
+        F.sum(F.when(F.col("value") >= 100, 1).otherwise(0)).alias("hits"),
+        F.count("*").alias("trials"),
+    )
+    p = F.col("hits") * 1.0 / F.col("trials")
+    z2 = WILSON_Z * WILSON_Z
+    lb = (
+        p
+        + z2 / (2.0 * F.col("trials"))
+        - WILSON_Z
+        * F.sqrt(
+            p * (1.0 - p) / F.col("trials")
+            + z2 / (4.0 * F.col("trials") * F.col("trials"))
+        )
+    ) / (1.0 + z2 / F.col("trials"))
+    return s.select(
+        "event_type",
+        "hits",
+        "trials",
+        F.round(p, 6).alias("rate"),
+        F.round(lb, 6).alias("wilson_lb"),
+    )
+
+
+# ------------------------------------- distribution drift probes
+
+DRIFT_SPLIT_DAY = 15  # slice A: first 15 epoch-days of the span
+
+
+_DRIFT_ORACLE = f"""
+WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_num,
+                  CAST(floor(value) AS BIGINT) AS iv
+           FROM events WHERE value IS NOT NULL),
+d0 AS (SELECT min(day_num) AS d0 FROM e),
+sl AS (SELECT CASE WHEN day_num < d0.d0 + {DRIFT_SPLIT_DAY} THEN 'a'
+              ELSE 'b' END AS slice,
+              CASE WHEN iv <= 0 THEN CAST(0 AS BIGINT)
+                   ELSE CAST(length(bin(iv)) AS BIGINT) END AS bucket
+       FROM e, d0),
+n AS (SELECT CAST(sum(CASE WHEN slice = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(sum(CASE WHEN slice = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      FROM sl),
+c AS (SELECT bucket,
+             CAST(sum(CASE WHEN slice = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN slice = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM sl GROUP BY 1),
+cum AS (SELECT bucket,
+               CAST(sum(ca) OVER (ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS fa,
+               CAST(sum(cb) OVER (ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS fb
+        FROM c),
+d AS (SELECT max(abs(fa * 1000000 // n.na - fb * 1000000 // n.nb)) AS d_micro
+      FROM cum, n)
+SELECT n.na AS n_slice_a, n.nb AS n_slice_b,
+       CAST(d.d_micro AS BIGINT) AS ks_probe_micro,
+       d.d_micro >= 100000 AS drift_flag
+FROM n, d
+"""
+
+
+@register("agg_dist_drift_probe", oracle=_DRIFT_ORACLE)
+def agg_dist_drift_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample distribution-drift statistic between the first 15
+    days and the rest of the event stream: the Kolmogorov-Smirnov
+    sup-gap evaluated on the power-of-two bucket grid
+    (`agg_value_log_histogram`'s buckets as the probe lattice) —
+    max_b |F_a(b) − F_b(b)| in integer micro units, with a 0.1
+    drift flag. The release-over-release distribution monitor: an
+    exact KS needs a global merge-sort of both samples (one-task
+    territory at 100 TB); probing the CDF gap on a fixed ~40-bucket
+    lattice keeps the statistic exact-as-defined, cheap, and
+    sensitive to any shift visible at power-of-two resolution.
+
+    Exactness: all-integer — bucket counts, prefix sums over the
+    ~40-bucket series (the ONLY window, bounded by the bucket
+    lattice), and micro-quantized CDF values via integer division;
+    the flag compares integers. No float ever enters.
+
+    Scale shape: one (bucket, slice)-conditional agg with map-side
+    partials, a 40-row window, scalar max. The day split reuses the
+    integer epoch-day contract."""
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull()).select(
+        F.expr("CAST(ts AS LONG) div 86400").alias("day_num"),
+        F.floor("value").cast("long").alias("iv"),
+    )
+    d0 = e.agg(F.min("day_num").alias("d0"))
+    sl = e.crossJoin(F.broadcast(d0)).select(
+        F.when(F.col("day_num") < F.col("d0") + DRIFT_SPLIT_DAY, "a")
+        .otherwise("b")
+        .alias("slice"),
+        F.when(F.col("iv") <= 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("CAST(length(bin(iv)) AS BIGINT)"))
+        .alias("bucket"),
+    )
+    n = sl.agg(
+        F.sum(F.when(F.col("slice") == "a", 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("slice") == "b", 1).otherwise(0)).alias("nb"),
+    )
+    c = sl.groupBy("bucket").agg(
+        F.sum(F.when(F.col("slice") == "a", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("slice") == "b", 1).otherwise(0)).alias("cb"),
+    )
+    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+    cum = c.select(
+        F.sum("ca").over(w).alias("fa"), F.sum("cb").over(w).alias("fb")
+    )
+    d = cum.crossJoin(F.broadcast(n)).agg(
+        F.max(
+            F.abs(
+                F.expr("fa * 1000000 div na") - F.expr("fb * 1000000 div nb")
+            )
+        ).alias("d_micro")
+    )
+    return (
+        n.crossJoin(F.broadcast(d))
+        .select(
+            F.col("na").alias("n_slice_a"),
+            F.col("nb").alias("n_slice_b"),
+            F.col("d_micro").cast("long").alias("ks_probe_micro"),
+            (F.col("d_micro") >= 100000).alias("drift_flag"),
+        )
+    )

@@ -312,3 +312,75 @@ def fn_confusable_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         folded.alias("folded"),
         (folded != F.col("text")).alias("changed"),
     )
+
+
+# ------------------------------------------ JSON shape profiling
+
+
+_PROPS_SCHEMA_ORACLE = """
+WITH k AS (SELECT event_type,
+                  CASE WHEN props IS NULL THEN '<null>'
+                       WHEN NOT json_valid(props) THEN '<invalid>'
+                       WHEN len(json_keys(props)) = 0 THEN '<empty>'
+                       ELSE array_to_string(list_sort(json_keys(props)), '+')
+                  END AS signature
+           FROM events),
+n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM k)
+SELECT k.event_type, k.signature,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(count(*) * 1.0 / n.total, 6) AS share
+FROM k, n GROUP BY 1, 2, n.total
+"""
+
+
+@register("fn_props_schema_census", oracle=_PROPS_SCHEMA_ORACLE)
+def fn_props_schema_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured shape census: the sorted top-level key set of
+    every `props` JSON payload, counted per event type — the
+    data-profiling pass that catches producer drift BEFORE a
+    downstream `get_json_object` silently nulls out (a new key
+    appearing, an old one vanishing, malformed rows). Schema-on-read
+    pipelines ship exactly this census as their first bronze-layer
+    audit; `fn_json_parse` extracts known keys, this discovers the
+    key population. NULL payloads, unparseable JSON, and empty
+    objects land in explicit '<null>'/'<invalid>'/'<empty>'
+    signatures instead of disappearing (the latter two arms exist
+    because the engines DIVERGE without them: DuckDB errors on
+    malformed JSON where Spark nulls, and empty-list string joins
+    return '' on Spark but NULL on DuckDB — both probed).
+
+    Exactness: both engines' native JSON key extraction returns the
+    same key sets (parity verified incl. insertion order — sorted
+    anyway for a canonical signature); counts are BIGINTs; share is
+    one shared rounded division.
+
+    Scale shape: scan-local JSON parsing + ONE (type,
+    signature)-keyed count with map-side combine; output is bounded
+    by the distinct shape population, not event volume."""
+    e = load(spark, sf_dir, "events")
+    keys = F.expr("json_object_keys(props)")
+    sig = (
+        F.when(F.col("props").isNull(), F.lit("<null>"))
+        # Spark returns NULL keys for malformed JSON; DuckDB ERRORS, so
+        # the oracle pre-screens with json_valid — same '<invalid>' arm
+        .when(keys.isNull(), F.lit("<invalid>"))
+        # '{}' yields an EMPTY key list: array_join('') on Spark but
+        # NULL from DuckDB's array_to_string — an explicit '<empty>'
+        # arm keeps the engines aligned (both probed, r6)
+        .when(F.size(keys) == 0, F.lit("<empty>"))
+        .otherwise(F.array_join(F.array_sort(keys), "+"))
+        .alias("signature")
+    )
+    k = e.select("event_type", sig)
+    n = k.agg(F.count("*").alias("total"))
+    return (
+        k.groupBy("event_type", "signature")
+        .agg(F.count("*").alias("n_events"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            "signature",
+            "n_events",
+            F.round(F.col("n_events") * 1.0 / F.col("total"), 6).alias("share"),
+        )
+    )

@@ -1668,3 +1668,77 @@ def test_funnel_convert_zero_converters_single_row(spark):
     assert row.n_entered == 2 and row.n_converted == 0
     assert row.conversion_rate == 0.0
     assert row.within_60s == 0 and row.within_86400s == 0
+
+
+def test_wilson_bound_small_sample_correction(spark):
+    """agg_wilson_bound: a 2/2 group's raw rate beats 98/100 but its
+    Wilson lower bound ranks below — values match a Python replica
+    of the closed form."""
+    import datetime as dt
+    import math
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.relational import (
+        WILSON_Z,
+        agg_wilson_bound,
+    )
+
+    t0 = dt.datetime(2021, 3, 1)
+    rows = [(0, t0, 1, "tiny", 150.0, "{}"), (1, t0, 1, "tiny", 150.0, "{}")]
+    eid = 2
+    for i in range(100):
+        rows.append((eid, t0, 1, "big", 150.0 if i < 98 else 50.0, "{}"))
+        eid += 1
+    d = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_wil_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "events.parquet"))
+    out = {r.event_type: r for r in agg_wilson_bound(spark, tmp).collect()}
+
+    def wilson(h, n):
+        p, z = h / n, WILSON_Z
+        return round((p + z * z / (2 * n)
+                      - z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)))
+                     / (1 + z * z / n), 6)
+
+    assert out["tiny"].rate == 1.0 and out["big"].rate == 0.98
+    assert out["tiny"].wilson_lb == wilson(2, 2)
+    assert out["big"].wilson_lb == wilson(98, 100)
+    assert out["tiny"].wilson_lb < out["big"].wilson_lb  # the whole point
+
+
+def test_dist_drift_probe_shift_and_stationary(spark):
+    """agg_dist_drift_probe: a total bucket shift between the two
+    slices saturates the probe-KS at 1e6 micro with the flag set;
+    identical slices read zero with the flag clear."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.relational import (
+        agg_dist_drift_probe,
+    )
+
+    def fixture(vals_a, vals_b):
+        rows, eid = [], 0
+        for v in vals_a:
+            rows.append((eid, dt.datetime(2021, 3, 1), 1, "a", v, "{}")); eid += 1
+        for v in vals_b:
+            rows.append((eid, dt.datetime(2021, 3, 25), 1, "a", v, "{}")); eid += 1
+        d = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        tmp = tempfile.mkdtemp(prefix="smdp_drift_")
+        d.coalesce(1).write.parquet(os.path.join(tmp, "events.parquet"))
+        return tmp
+
+    shifted = agg_dist_drift_probe(spark, fixture([1.0] * 10, [8.0] * 10)).collect()[0]
+    assert shifted.ks_probe_micro == 1_000_000 and shifted.drift_flag
+    same = agg_dist_drift_probe(spark, fixture([3.0] * 10, [3.0] * 10)).collect()[0]
+    assert same.ks_probe_micro == 0 and not same.drift_flag

@@ -243,3 +243,30 @@ def test_dynamic_overwrite_restates_only_target_day(spark):
     assert out[day0 + 1].total_cents == 4000 + 5000
     assert out[day0 + 2].n_rows == 4
     assert out[day0 + 2].total_cents == 6000 + 7000 + 8000 + 9000
+
+
+def test_props_schema_census_signatures(spark):
+    """fn_props_schema_census: sorted-key signatures with explicit
+    <null>/<invalid>/<empty> arms (the probed engine-divergence
+    edges) and exact shares."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.scalar_fns import (
+        fn_props_schema_census,
+    )
+
+    t0 = dt.datetime(2021, 3, 1)
+    props = ['{"k": 1}', '{"b": 2, "a": 1}', None, "not json", "{}"]
+    rows = [(i, t0, 1, "a", 1.0, p) for i, p in enumerate(props)]
+    d = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_props_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "events.parquet"))
+    out = {r.signature: r for r in fn_props_schema_census(spark, tmp).collect()}
+    assert set(out) == {"k", "a+b", "<null>", "<invalid>", "<empty>"}
+    assert all(r.n_events == 1 and r.share == 0.2 for r in out.values())
