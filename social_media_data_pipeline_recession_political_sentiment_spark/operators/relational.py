@@ -3208,17 +3208,18 @@ def agg_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 QSK_RANK_EPS = 0.01  # rank-band half-width the certificate allows
 
 
-def _pq_sql(q: float, elem: str) -> str:
-    """Linear-interpolated quantile from a pre-sorted array `arr` of
-    length `n` — ONE explicit expression tree shared verbatim by the
-    Spark projection and the DuckDB oracle (only the array-index
-    function name differs), because the engines' native `percentile`
-    vs `quantile_cont` interpolate with DIFFERENT formulas whose ulp
-    drift would leak through any rounding contract."""
-    pos = f"(CAST({q} AS DOUBLE) * (n - 1))"
+def _pq_sql(q: float, elem: str, arr: str = "arr", n: str = "n") -> str:
+    """Linear-interpolated quantile from a pre-sorted array column
+    (default `arr`) of length column (default `n`) — ONE explicit
+    expression tree shared verbatim by the Spark projection and the
+    DuckDB oracle (only the array-index function name differs),
+    because the engines' native `percentile` vs `quantile_cont`
+    interpolate with DIFFERENT formulas whose ulp drift would leak
+    through any rounding contract."""
+    pos = f"(CAST({q} AS DOUBLE) * ({n} - 1))"
     lo = f"CAST(floor({pos}) AS BIGINT)"
-    e1 = f"{elem}(arr, CAST({lo} + 1 AS INT))"
-    e2 = f"{elem}(arr, CAST(least({lo} + 2, n) AS INT))"
+    e1 = f"{elem}({arr}, CAST({lo} + 1 AS INT))"
+    e2 = f"{elem}({arr}, CAST(least({lo} + 2, {n}) AS INT))"
     return f"round({e1} + ({e2} - {e1}) * ({pos} - {lo}), 6)"
 
 
@@ -4386,4 +4387,138 @@ def agg_dist_drift_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d_micro").cast("long").alias("ks_probe_micro"),
             (F.col("d_micro") >= 100000).alias("drift_flag"),
         )
+    )
+
+
+# ------------------------------------- robust location and scale
+
+
+def _mad_oracle() -> str:
+    med = _pq_sql(0.5, "list_extract")
+    mad = _pq_sql(0.5, "list_extract", arr="dev", n="n")
+    return f"""
+WITH g AS (SELECT event_type, list_sort(list(value)) AS arr,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events WHERE value IS NOT NULL GROUP BY 1),
+m AS (SELECT event_type, arr, n, {med} AS median FROM g),
+dv AS (SELECT event_type, n, median,
+              list_sort(list_transform(arr, x -> abs(x - median))) AS dev
+       FROM m)
+SELECT event_type, n, median, {mad} AS mad
+FROM dv
+"""
+
+
+@register("agg_mad_robust", oracle=_mad_oracle())
+def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location/scale per event type: median and MAD (median
+    absolute deviation from the median) — the outlier-immune
+    (location, scale) pair behind robust z-scores (x − med)/(1.4826·
+    MAD): one wild value shifts a mean/stddev arbitrarily but moves
+    these at most one rank. The robust companion to
+    `agg_percentiles`, and the scale estimate `agg_ingest_anomaly`-
+    style monitors should prefer when tails are heavy.
+
+    Exactness: BOTH medians run through the shared `_pq_sql`
+    interpolation tree (the `agg_quantile_sketch_audit` device) —
+    the inner one over the sorted per-group values, the outer one
+    over the sorted absolute deviations FROM THE ROUNDED median
+    (rounding before the deviation transform keeps the second array
+    engine-identical); lambdas referencing the outer `median` column
+    are supported identically on both engines.
+
+    Scale shape: per-group sorted arrays are the AUDIT-HARNESS shape
+    (deliberate, documented — the production path is
+    percentile_approx on value and on |value − med|, certified by
+    the sketch audit); one group-keyed agg, then scan-local HOF
+    transforms on the aggregate rows."""
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    g = e.groupBy("event_type").agg(
+        F.sort_array(F.collect_list("value")).alias("arr"),
+        F.count("*").alias("n"),
+    )
+    m = g.select(
+        "event_type", "arr", "n", F.expr(_pq_sql(0.5, "element_at")).alias("median")
+    )
+    dv = m.select(
+        "event_type",
+        "n",
+        "median",
+        F.expr("sort_array(transform(arr, x -> abs(x - median)))").alias("dev"),
+    )
+    return dv.select(
+        "event_type",
+        "n",
+        "median",
+        F.expr(_pq_sql(0.5, "element_at", arr="dev", n="n")).alias("mad"),
+    )
+
+
+# ------------------------------------------- A/B test sizing
+
+AB_DELTA = 0.01  # minimal detectable absolute lift
+AB_Z_ALPHA = 1.959964  # two-sided 5%
+AB_Z_BETA = 0.841621  # 80% power
+
+
+_AB_SIZING_ORACLE = f"""
+WITH s AS (SELECT event_type,
+                  CAST(sum(CASE WHEN value >= 100 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS hits,
+                  CAST(count(*) AS BIGINT) AS trials
+           FROM events GROUP BY 1),
+p AS (SELECT event_type, hits, trials,
+             hits * 1.0 / trials AS p1,
+             hits * 1.0 / trials + {AB_DELTA} AS p2
+      FROM s)
+SELECT event_type, round(p1, 6) AS baseline_rate,
+       CAST(ceil(({AB_Z_ALPHA} + {AB_Z_BETA}) * ({AB_Z_ALPHA} + {AB_Z_BETA})
+                 * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
+                 / ({AB_DELTA} * {AB_DELTA})) AS BIGINT)
+         AS n_required_per_arm,
+       trials // 2 AS n_available_per_arm,
+       CAST(ceil(({AB_Z_ALPHA} + {AB_Z_BETA}) * ({AB_Z_ALPHA} + {AB_Z_BETA})
+                 * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
+                 / ({AB_DELTA} * {AB_DELTA})) AS BIGINT) <= trials // 2
+         AS feasible
+FROM p
+"""
+
+
+@register("agg_ab_test_sizing", oracle=_AB_SIZING_ORACLE)
+def agg_ab_test_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B test sample-size planning from observed baselines: per
+    event type, the two-proportion-z sample size per arm to detect a
+    +{AB_DELTA} absolute lift at 5% two-sided significance and 80%
+    power — n = (z_a+z_b)²·(p1q1+p2q2)/δ² — plus whether the
+    CURRENT traffic split in half could even run that test. The
+    planning complement of `agg_wilson_bound` (which scores rates
+    after the fact): together they bracket an experiment's
+    lifecycle, and "feasible = false" is the cheap answer that saves
+    a doomed three-week experiment.
+
+    Exactness: rates come from exact BIGINT counts; the closed form
+    is one shared expression tree with frozen z literals; ceil of an
+    identical double is identical, then BIGINT compare. (A baseline
+    within δ of 1.0 still sizes validly — p2q2 just shrinks.)
+
+    Scale shape: one group-keyed conditional agg; planning math is
+    scan-local on the aggregate rows."""
+    e = load(spark, sf_dir, "events")
+    s = e.groupBy("event_type").agg(
+        F.sum(F.when(F.col("value") >= 100, 1).otherwise(0)).alias("hits"),
+        F.count("*").alias("trials"),
+    )
+    p1 = F.col("hits") * 1.0 / F.col("trials")
+    p2 = p1 + AB_DELTA
+    zz = (AB_Z_ALPHA + AB_Z_BETA) * (AB_Z_ALPHA + AB_Z_BETA)
+    n_req = F.ceil(
+        zz * (p1 * (1.0 - p1) + p2 * (1.0 - p2)) / (AB_DELTA * AB_DELTA)
+    ).cast("long")
+    return s.select(
+        "event_type",
+        F.round(p1, 6).alias("baseline_rate"),
+        n_req.alias("n_required_per_arm"),
+        F.expr("trials div 2").alias("n_available_per_arm"),
+        (n_req <= F.expr("trials div 2")).alias("feasible"),
     )

@@ -4554,3 +4554,83 @@ def ext_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fertility_micro"
         ),
     )
+
+
+# ------------------------------------------------ PII class census
+
+_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+_IPV4_RE = "10\\.0\\.[0-9]+\\.[0-9]+"
+
+# CAST(... AS STRING): the one cast spelling BOTH engines parse
+# (Spark rejects bare VARCHAR; DuckDB accepts STRING as an alias)
+_PII_DECO_SQL = (
+    "text || CASE WHEN doc_id % 3 = 0 THEN ' contact user' "
+    "|| CAST(doc_id AS STRING) || '@example.com' "
+    "WHEN doc_id % 3 = 1 THEN ' call 555-01' "
+    "|| CAST(doc_id % 89 + 10 AS STRING) "
+    "ELSE ' from 10.0.' || CAST(doc_id % 254 AS STRING) || '.7' END"
+)
+
+
+def _pii_census_oracle() -> str:
+    classes = (
+        ("email", _EMAIL_RE),
+        ("phone", _PHONE_RE),
+        ("ipv4", _IPV4_RE),
+    )
+    arms = " UNION ALL ".join(
+        f"SELECT source, '{name}' AS pii_class, "
+        f"CAST(sum(CASE WHEN len(regexp_extract_all(t, '{pat}')) > 0 "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS n_docs, "
+        f"CAST(sum(len(regexp_extract_all(t, '{pat}'))) AS BIGINT) AS n_matches "
+        f"FROM dec GROUP BY 1"
+        for name, pat in classes
+    )
+    return f"""
+WITH dec AS (SELECT source, {_PII_DECO_SQL} AS t FROM documents)
+{arms}
+"""
+
+
+@register("ext_pii_census", oracle=_pii_census_oracle())
+def ext_pii_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-class PII exposure census per source: document and match
+    counts for email / phone / IPv4 patterns — the MEASUREMENT side
+    of `ext_pii_redact` (which scrubs one class): before a corpus
+    ships, this is the per-source exposure table that decides which
+    sources need redaction, manual review, or exclusion, and the
+    regression metric that proves a scrub actually drove counts to
+    zero. PII is synthesized deterministically onto the fixture
+    (round-robin by doc_id — the testdata has none), same device as
+    the redactor.
+
+    Exactness: all three patterns live in the Java-regex/RE2 common
+    subset (the `ext_pii_redact` contract — no lookarounds, no \\d
+    shorthand, escaped literal dots); counts are exact BIGINTs from
+    the same regexp_extract_all on both engines.
+
+    Scale shape: scan-local regex extraction; one (source)-keyed
+    conditional agg per class unioned (each class is a map-side
+    partial over the same scan). At 100 TB the regex pass fuses into
+    the scan exactly like the redactor."""
+    classes = (
+        ("email", _EMAIL_RE),
+        ("phone", _PHONE_RE),
+        ("ipv4", _IPV4_RE),
+    )
+    d = load(spark, sf_dir, "documents")
+    dec = d.select("source", F.expr(_PII_DECO_SQL).alias("t"))
+    parts = []
+    for name, pat in classes:
+        hits = F.size(F.regexp_extract_all(F.col("t"), F.lit(pat), 0))
+        parts.append(
+            dec.groupBy("source").agg(
+                F.lit(name).alias("pii_class"),
+                F.sum(F.when(hits > 0, 1).otherwise(0)).alias("n_docs"),
+                F.sum(hits).cast("long").alias("n_matches"),
+            ).select("source", "pii_class", "n_docs", "n_matches")
+        )
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionAll(p_)
+    return out

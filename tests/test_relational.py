@@ -1742,3 +1742,67 @@ def test_dist_drift_probe_shift_and_stationary(spark):
     assert shifted.ks_probe_micro == 1_000_000 and shifted.drift_flag
     same = agg_dist_drift_probe(spark, fixture([3.0] * 10, [3.0] * 10)).collect()[0]
     assert same.ks_probe_micro == 0 and not same.drift_flag
+
+
+def test_mad_robust_outlier_immune(spark):
+    """agg_mad_robust: a wild outlier that would wreck mean/stddev
+    moves median and MAD by at most one rank — exact values on a
+    planted 1..100 plus 1000."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.relational import (
+        agg_mad_robust,
+    )
+
+    t0 = dt.datetime(2021, 3, 1)
+    rows = [(i, t0, 1, "a", float(i + 1), "{}") for i in range(100)]
+    rows.append((100, t0, 1, "a", 1000.0, "{}"))
+    d = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_mad_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "events.parquet"))
+    row = agg_mad_robust(spark, tmp).collect()[0]
+    assert row.n == 101
+    assert row.median == 51.0  # rank-51 of 101, outlier-immune
+    assert row.mad == 25.0     # median |x - 51| = 25
+    # for contrast: the contaminated mean sits ~8.9 above the median
+    assert (sum(range(1, 101)) + 1000) / 101 - row.median > 8
+
+
+def test_ab_test_sizing_matches_closed_form(spark):
+    """agg_ab_test_sizing: the per-arm n matches a Python replica of
+    the two-proportion formula, and 100 trials cannot power a 1%
+    lift test."""
+    import datetime as dt
+    import math
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.relational import (
+        AB_DELTA,
+        AB_Z_ALPHA,
+        AB_Z_BETA,
+        agg_ab_test_sizing,
+    )
+
+    t0 = dt.datetime(2021, 3, 1)
+    rows = [(i, t0, 1, "a", 150.0 if i < 50 else 50.0, "{}") for i in range(100)]
+    d = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_ab_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "events.parquet"))
+    row = agg_ab_test_sizing(spark, tmp).collect()[0]
+    p1, p2 = 0.5, 0.5 + AB_DELTA
+    exp = math.ceil((AB_Z_ALPHA + AB_Z_BETA) ** 2
+                    * (p1 * (1 - p1) + p2 * (1 - p2)) / AB_DELTA ** 2)
+    assert row.baseline_rate == 0.5
+    assert row.n_required_per_arm == exp
+    assert row.n_available_per_arm == 50 and not row.feasible

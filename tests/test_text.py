@@ -1621,3 +1621,25 @@ def test_bpe_apply_fertility_on_learned_merges(spark):
     assert row.n_words == 8
     assert row.n_pieces == 3 * 1 + 2 * 1 + 2 * 2 + 1 * 2
     assert row.fertility_micro == row.n_pieces * 1_000_000 // 8
+
+
+def test_pii_census_class_counts(spark):
+    """ext_pii_census: the deterministic round-robin decoration puts
+    each doc in exactly one PII class; per-source counts follow."""
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.text_analysis import (
+        ext_pii_census,
+    )
+
+    rows = [(i, "clean text here", "en", "src", 15) for i in range(6)]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_piic_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "documents.parquet"))
+    out = {r.pii_class: r for r in ext_pii_census(spark, tmp).collect()}
+    assert set(out) == {"email", "phone", "ipv4"}
+    for r in out.values():
+        assert r.source == "src" and r.n_docs == 2 and r.n_matches == 2
