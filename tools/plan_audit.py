@@ -1089,6 +1089,41 @@ AUDIT = {
         "the correction rewrites ONE partition directory; every "
         "other day's files are untouched",
     ),
+    "agg_wilson_bound": (
+        "one group-keyed conditional-sum agg -> scan-local "
+        "closed-form bound on the aggregate rows",
+        "no sampling, no iteration: the bound is pure arithmetic "
+        "over two BIGINTs per group",
+    ),
+    "agg_dist_drift_probe": (
+        "(bucket, slice)-conditional agg -> ~40-row prefix window "
+        "-> scalar max; all-integer",
+        "probing the CDF on the bucket lattice avoids the global "
+        "merge-sort an exact KS needs",
+    ),
+    "fn_props_schema_census": (
+        "scan-local JSON key extraction -> (type, signature)-keyed "
+        "count with map-side combine",
+        "output is bounded by the distinct shape population; "
+        "invalid/empty arms keep the engines aligned",
+    ),
+    "agg_mad_robust": (
+        "group-keyed sorted-array agg -> scan-local HOF deviation "
+        "transform -> shared interpolation tree",
+        "the audit-harness shape, documented: production uses "
+        "percentile_approx certified by the sketch audit",
+    ),
+    "agg_ab_test_sizing": (
+        "one group-keyed conditional agg -> scan-local sizing "
+        "arithmetic",
+        "planning math on aggregate rows only",
+    ),
+    "ext_pii_census": (
+        "scan-local regex extraction -> per-class source-keyed "
+        "conditional aggs unioned",
+        "each class is a map-side partial over the same scan; at "
+        "scale the regex pass fuses into the scan",
+    ),
 }
 
 
