@@ -4223,21 +4223,55 @@ def agg_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------ Wilson lower bound
 
 WILSON_Z = 1.96  # 95% two-sided
+SUCCESS_THRESHOLD = 100  # value >= this counts as a "hit" (shared
+# by agg_wilson_bound and agg_ab_test_sizing — the pair is a
+# documented lifecycle, so the threshold must not drift apart)
+
+# Shared hits/trials aggregation: ONE CTE text for both oracles and
+# ONE Spark builder for both operators (r6 review finding — the
+# duplicated blocks risked silent threshold drift).
+_HITS_TRIALS_CTE = (
+    "SELECT event_type, "
+    f"CAST(sum(CASE WHEN value >= {SUCCESS_THRESHOLD} THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS hits, "
+    "CAST(count(*) AS BIGINT) AS trials FROM events GROUP BY 1"
+)
+
+
+def _hits_trials(e: DataFrame) -> DataFrame:
+    return e.groupBy("event_type").agg(
+        F.sum(
+            F.when(F.col("value") >= SUCCESS_THRESHOLD, 1).otherwise(0)
+        ).alias("hits"),
+        F.count("*").alias("trials"),
+    )
+
+
+# The closed forms below are SINGLE SQL fragments evaluated verbatim
+# by BOTH engines (F.expr on Spark, inline in the oracle), with every
+# operand explicitly CAST AS DOUBLE. This is load-bearing: DuckDB
+# parses bare decimal literals as exact DECIMAL (1.96*1.96 = 3.8416
+# exactly) while Python pre-folds them to doubles (3.8415999999999997)
+# — a ulp gap that can flip round(...,6)/ceil on boundary-straddling
+# groups (r6 review finding, probed). An all-double shared tree makes
+# every intermediate IEEE-identical on both engines.
+_WZ = f"CAST({WILSON_Z} AS DOUBLE)"
+_WP = "(CAST(hits AS DOUBLE) / CAST(trials AS DOUBLE))"
+_WT = "CAST(trials AS DOUBLE)"
+_RATE_SQL = f"round({_WP}, 6)"
+_WILSON_LB_SQL = (
+    f"round(({_WP} + {_WZ} * {_WZ} / (CAST(2.0 AS DOUBLE) * {_WT}) "
+    f"- {_WZ} * sqrt({_WP} * (CAST(1.0 AS DOUBLE) - {_WP}) / {_WT} "
+    f"+ {_WZ} * {_WZ} / (CAST(4.0 AS DOUBLE) * {_WT} * {_WT}))) "
+    f"/ (CAST(1.0 AS DOUBLE) + {_WZ} * {_WZ} / {_WT}), 6)"
+)
 
 
 _WILSON_ORACLE = f"""
-WITH s AS (SELECT event_type,
-                  CAST(sum(CASE WHEN value >= 100 THEN 1 ELSE 0 END)
-                       AS BIGINT) AS hits,
-                  CAST(count(*) AS BIGINT) AS trials
-           FROM events GROUP BY 1)
+WITH s AS ({_HITS_TRIALS_CTE})
 SELECT event_type, hits, trials,
-       round(hits * 1.0 / trials, 6) AS rate,
-       round((hits * 1.0 / trials + {WILSON_Z} * {WILSON_Z} / (2.0 * trials)
-              - {WILSON_Z} * sqrt((hits * 1.0 / trials)
-                  * (1.0 - hits * 1.0 / trials) / trials
-                  + {WILSON_Z} * {WILSON_Z} / (4.0 * trials * trials)))
-             / (1.0 + {WILSON_Z} * {WILSON_Z} / trials), 6) AS wilson_lb
+       {_RATE_SQL} AS rate,
+       {_WILSON_LB_SQL} AS wilson_lb
 FROM s
 """
 
@@ -4254,36 +4288,24 @@ def agg_wilson_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     `agg_dp_noisy_counts` in the "statistics you can act on" tier.
 
     Exactness: hits/trials are exact BIGINTs; the bound is ONE
-    shared closed-form expression tree over those integers (every
-    literal double-cast identically) rounded once — no sampling, no
-    iteration. Groups present in the table always have trials >= 1,
-    so no zero-division arm is reachable.
+    shared all-double SQL fragment (`_WILSON_LB_SQL`) evaluated
+    verbatim by both engines — F.expr here, inline in the oracle —
+    so every intermediate double is IEEE-identical, rounded once.
+    (Python-side pre-folded constants were a ulp-drift bug vs
+    DuckDB's exact-DECIMAL literals; r6 review finding.) Groups
+    present in the table always have trials >= 1, so no
+    zero-division arm is reachable.
 
     Scale shape: one group-keyed conditional-sum agg with map-side
     partials; the bound is scan-local arithmetic on the aggregate
     row."""
     e = load(spark, sf_dir, "events")
-    s = e.groupBy("event_type").agg(
-        F.sum(F.when(F.col("value") >= 100, 1).otherwise(0)).alias("hits"),
-        F.count("*").alias("trials"),
-    )
-    p = F.col("hits") * 1.0 / F.col("trials")
-    z2 = WILSON_Z * WILSON_Z
-    lb = (
-        p
-        + z2 / (2.0 * F.col("trials"))
-        - WILSON_Z
-        * F.sqrt(
-            p * (1.0 - p) / F.col("trials")
-            + z2 / (4.0 * F.col("trials") * F.col("trials"))
-        )
-    ) / (1.0 + z2 / F.col("trials"))
-    return s.select(
+    return _hits_trials(e).select(
         "event_type",
         "hits",
         "trials",
-        F.round(p, 6).alias("rate"),
-        F.round(lb, 6).alias("wilson_lb"),
+        F.expr(_RATE_SQL).alias("rate"),
+        F.expr(_WILSON_LB_SQL).alias("wilson_lb"),
     )
 
 
@@ -4321,7 +4343,7 @@ d AS (SELECT max(abs(fa * 1000000 // n.na - fb * 1000000 // n.nb)) AS d_micro
       FROM cum, n)
 SELECT n.na AS n_slice_a, n.nb AS n_slice_b,
        CAST(d.d_micro AS BIGINT) AS ks_probe_micro,
-       d.d_micro >= 100000 AS drift_flag
+       coalesce(d.d_micro >= 100000, FALSE) AS drift_flag
 FROM n, d
 """
 
@@ -4342,7 +4364,11 @@ def agg_dist_drift_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: all-integer — bucket counts, prefix sums over the
     ~40-bucket series (the ONLY window, bounded by the bucket
     lattice), and micro-quantized CDF values via integer division;
-    the flag compares integers. No float ever enters.
+    the flag compares integers. No float ever enters. A stream
+    shorter than the split day leaves slice b empty: the probe is
+    NULL (undefined CDF gap, identically on both engines) but the
+    flag is pinned false via coalesce so downstream filters never
+    silently drop the stream.
 
     Scale shape: one (bucket, slice)-conditional agg with map-side
     partials, a 40-row window, scalar max. The day split reuses the
@@ -4385,7 +4411,14 @@ def agg_dist_drift_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("na").alias("n_slice_a"),
             F.col("nb").alias("n_slice_b"),
             F.col("d_micro").cast("long").alias("ks_probe_micro"),
-            (F.col("d_micro") >= 100000).alias("drift_flag"),
+            # nb=0 (stream shorter than the split) NULLs the integer
+            # division identically on both engines; the probe stays
+            # NULL (undefined) but the FLAG must not — a monitor
+            # filtering on it would silently drop the stream either
+            # way (r6 review finding)
+            F.coalesce(F.col("d_micro") >= 100000, F.lit(False)).alias(
+                "drift_flag"
+            ),
         )
     )
 
@@ -4460,28 +4493,35 @@ AB_DELTA = 0.01  # minimal detectable absolute lift
 AB_Z_ALPHA = 1.959964  # two-sided 5%
 AB_Z_BETA = 0.841621  # 80% power
 
+# Shared all-double fragments, same contract as _WILSON_LB_SQL above:
+# verbatim on both engines, every operand CAST AS DOUBLE. The CASE
+# guard exists because a baseline above 1 - delta cannot exhibit a
+# +delta lift at all — without it the variance sum goes negative and
+# the closed form emits a NEGATIVE n and feasible=true (r6 review
+# finding, p1=1.0 gave n=-792): n is NULL and feasible FALSE there.
+_ABD = f"CAST({AB_DELTA} AS DOUBLE)"
+_ABZ = f"(CAST({AB_Z_ALPHA} AS DOUBLE) + CAST({AB_Z_BETA} AS DOUBLE))"
+_ABP1 = "(CAST(hits AS DOUBLE) / CAST(trials AS DOUBLE))"
+_ABP2 = f"({_ABP1} + {_ABD})"
+_AB_NREQ_SQL = (
+    f"CASE WHEN {_ABP2} <= CAST(1.0 AS DOUBLE) THEN "
+    f"CAST(ceil({_ABZ} * {_ABZ} "
+    f"* ({_ABP1} * (CAST(1.0 AS DOUBLE) - {_ABP1}) "
+    f"+ {_ABP2} * (CAST(1.0 AS DOUBLE) - {_ABP2})) "
+    f"/ ({_ABD} * {_ABD})) AS BIGINT) ELSE NULL END"
+)
+
 
 _AB_SIZING_ORACLE = f"""
-WITH s AS (SELECT event_type,
-                  CAST(sum(CASE WHEN value >= 100 THEN 1 ELSE 0 END)
-                       AS BIGINT) AS hits,
-                  CAST(count(*) AS BIGINT) AS trials
-           FROM events GROUP BY 1),
-p AS (SELECT event_type, hits, trials,
-             hits * 1.0 / trials AS p1,
-             hits * 1.0 / trials + {AB_DELTA} AS p2
+WITH s AS ({_HITS_TRIALS_CTE}),
+r AS (SELECT event_type, hits, trials,
+             {_AB_NREQ_SQL} AS n_required_per_arm
       FROM s)
-SELECT event_type, round(p1, 6) AS baseline_rate,
-       CAST(ceil(({AB_Z_ALPHA} + {AB_Z_BETA}) * ({AB_Z_ALPHA} + {AB_Z_BETA})
-                 * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
-                 / ({AB_DELTA} * {AB_DELTA})) AS BIGINT)
-         AS n_required_per_arm,
+SELECT event_type, round({_ABP1}, 6) AS baseline_rate,
+       n_required_per_arm,
        trials // 2 AS n_available_per_arm,
-       CAST(ceil(({AB_Z_ALPHA} + {AB_Z_BETA}) * ({AB_Z_ALPHA} + {AB_Z_BETA})
-                 * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
-                 / ({AB_DELTA} * {AB_DELTA})) AS BIGINT) <= trials // 2
-         AS feasible
-FROM p
+       coalesce(n_required_per_arm <= trials // 2, FALSE) AS feasible
+FROM r
 """
 
 
@@ -4498,27 +4538,30 @@ def agg_ab_test_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
     a doomed three-week experiment.
 
     Exactness: rates come from exact BIGINT counts; the closed form
-    is one shared expression tree with frozen z literals; ceil of an
-    identical double is identical, then BIGINT compare. (A baseline
-    within δ of 1.0 still sizes validly — p2q2 just shrinks.)
+    is the shared all-double SQL fragment `_AB_NREQ_SQL` evaluated
+    verbatim by both engines (the `_WILSON_LB_SQL` device — Python
+    pre-folded z-constants differ from DuckDB's DECIMAL literals by
+    ulps, r6 review finding), so ceil sees the IDENTICAL double.
+    A baseline above 1 − δ cannot show a +δ lift: n_required is
+    NULL and feasible false there (guarded CASE arm, both engines).
 
-    Scale shape: one group-keyed conditional agg; planning math is
+    Scale shape: one group-keyed conditional agg (shared with
+    `agg_wilson_bound` via `_hits_trials`); planning math is
     scan-local on the aggregate rows."""
     e = load(spark, sf_dir, "events")
-    s = e.groupBy("event_type").agg(
-        F.sum(F.when(F.col("value") >= 100, 1).otherwise(0)).alias("hits"),
-        F.count("*").alias("trials"),
-    )
-    p1 = F.col("hits") * 1.0 / F.col("trials")
-    p2 = p1 + AB_DELTA
-    zz = (AB_Z_ALPHA + AB_Z_BETA) * (AB_Z_ALPHA + AB_Z_BETA)
-    n_req = F.ceil(
-        zz * (p1 * (1.0 - p1) + p2 * (1.0 - p2)) / (AB_DELTA * AB_DELTA)
-    ).cast("long")
-    return s.select(
+    r = _hits_trials(e).select(
         "event_type",
-        F.round(p1, 6).alias("baseline_rate"),
-        n_req.alias("n_required_per_arm"),
+        "hits",
+        "trials",
+        F.expr(_AB_NREQ_SQL).alias("n_required_per_arm"),
+    )
+    return r.select(
+        "event_type",
+        F.expr(f"round({_ABP1}, 6)").alias("baseline_rate"),
+        "n_required_per_arm",
         F.expr("trials div 2").alias("n_available_per_arm"),
-        (n_req <= F.expr("trials div 2")).alias("feasible"),
+        F.coalesce(
+            F.col("n_required_per_arm") <= F.expr("trials div 2"),
+            F.lit(False),
+        ).alias("feasible"),
     )

@@ -320,9 +320,12 @@ def fn_confusable_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PROPS_SCHEMA_ORACLE = """
 WITH k AS (SELECT event_type,
                   CASE WHEN props IS NULL THEN '<null>'
-                       WHEN NOT json_valid(props) THEN '<invalid>'
+                       WHEN NOT json_valid(props)
+                            OR json_type(props) <> 'OBJECT' THEN '<invalid>'
                        WHEN len(json_keys(props)) = 0 THEN '<empty>'
-                       ELSE array_to_string(list_sort(json_keys(props)), '+')
+                       ELSE array_to_string(list_transform(
+                              list_sort(json_keys(props)),
+                              x -> concat(strlen(x), ':', x)), '+')
                   END AS signature
            FROM events),
 n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM k)
@@ -342,17 +345,23 @@ def fn_props_schema_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     appearing, an old one vanishing, malformed rows). Schema-on-read
     pipelines ship exactly this census as their first bronze-layer
     audit; `fn_json_parse` extracts known keys, this discovers the
-    key population. NULL payloads, unparseable JSON, and empty
-    objects land in explicit '<null>'/'<invalid>'/'<empty>'
-    signatures instead of disappearing (the latter two arms exist
-    because the engines DIVERGE without them: DuckDB errors on
-    malformed JSON where Spark nulls, and empty-list string joins
-    return '' on Spark but NULL on DuckDB — both probed).
+    key population. NULL payloads, non-object/unparseable JSON, and
+    empty objects land in explicit '<null>'/'<invalid>'/'<empty>'
+    signatures instead of disappearing (the arms exist because the
+    engines DIVERGE without them: DuckDB errors on malformed JSON
+    where Spark nulls; DuckDB's json_keys returns [] for valid
+    NON-object JSON like '[1,2]' where Spark's json_object_keys
+    returns NULL — the json_type(props)='OBJECT' oracle guard pins
+    both to '<invalid>'; and empty-list string joins return '' on
+    Spark but NULL on DuckDB — all probed, r6).
 
     Exactness: both engines' native JSON key extraction returns the
     same key sets (parity verified incl. insertion order — sorted
-    anyway for a canonical signature); counts are BIGINTs; share is
-    one shared rounded division.
+    anyway for a canonical signature); each key is byte-length-
+    prefixed before the '+' join so a key CONTAINING '+' cannot
+    collide with a key split ('a+b' -> '3:a+b' vs 'a','b' ->
+    '1:a+1:b' — unambiguously parseable, r6 review finding); counts
+    are BIGINTs; share is one shared rounded division.
 
     Scale shape: scan-local JSON parsing + ONE (type,
     signature)-keyed count with map-side combine; output is bounded
@@ -361,14 +370,21 @@ def fn_props_schema_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = F.expr("json_object_keys(props)")
     sig = (
         F.when(F.col("props").isNull(), F.lit("<null>"))
-        # Spark returns NULL keys for malformed JSON; DuckDB ERRORS, so
-        # the oracle pre-screens with json_valid — same '<invalid>' arm
+        # Spark returns NULL keys for malformed JSON *and* for valid
+        # non-object JSON; DuckDB ERRORS on the former and returns []
+        # on the latter, so the oracle pre-screens with json_valid AND
+        # json_type='OBJECT' — same '<invalid>' arm on both engines
         .when(keys.isNull(), F.lit("<invalid>"))
         # '{}' yields an EMPTY key list: array_join('') on Spark but
         # NULL from DuckDB's array_to_string — an explicit '<empty>'
         # arm keeps the engines aligned (both probed, r6)
         .when(F.size(keys) == 0, F.lit("<empty>"))
-        .otherwise(F.array_join(F.array_sort(keys), "+"))
+        .otherwise(
+            F.expr(
+                "array_join(transform(array_sort(json_object_keys(props)), "
+                "x -> concat(cast(octet_length(x) AS STRING), ':', x)), '+')"
+            )
+        )
         .alias("signature")
     )
     k = e.select("event_type", sig)

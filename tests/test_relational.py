@@ -1792,6 +1792,10 @@ def test_ab_test_sizing_matches_closed_form(spark):
 
     t0 = dt.datetime(2021, 3, 1)
     rows = [(i, t0, 1, "a", 150.0 if i < 50 else 50.0, "{}") for i in range(100)]
+    # a group whose baseline is already 1.0: a +delta lift is
+    # IMPOSSIBLE — the unguarded closed form emitted n = -792 and
+    # feasible = true here (r6 review finding)
+    rows += [(100 + i, t0, 1, "sat", 200.0, "{}") for i in range(10)]
     d = spark.createDataFrame(
         rows,
         "event_id long, ts timestamp, user_id long, event_type string, "
@@ -1799,10 +1803,14 @@ def test_ab_test_sizing_matches_closed_form(spark):
     )
     tmp = tempfile.mkdtemp(prefix="smdp_ab_")
     d.coalesce(1).write.parquet(os.path.join(tmp, "events.parquet"))
-    row = agg_ab_test_sizing(spark, tmp).collect()[0]
+    out = {r.event_type: r for r in agg_ab_test_sizing(spark, tmp).collect()}
+    row = out["a"]
     p1, p2 = 0.5, 0.5 + AB_DELTA
     exp = math.ceil((AB_Z_ALPHA + AB_Z_BETA) ** 2
                     * (p1 * (1 - p1) + p2 * (1 - p2)) / AB_DELTA ** 2)
     assert row.baseline_rate == 0.5
     assert row.n_required_per_arm == exp
     assert row.n_available_per_arm == 50 and not row.feasible
+    sat = out["sat"]
+    assert sat.baseline_rate == 1.0
+    assert sat.n_required_per_arm is None and not sat.feasible

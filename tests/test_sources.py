@@ -258,7 +258,19 @@ def test_props_schema_census_signatures(spark):
     )
 
     t0 = dt.datetime(2021, 3, 1)
-    props = ['{"k": 1}', '{"b": 2, "a": 1}', None, "not json", "{}"]
+    props = [
+        '{"k": 1}',
+        '{"b": 2, "a": 1}',
+        None,
+        "not json",
+        "{}",
+        # valid NON-object JSON: Spark's json_object_keys is NULL,
+        # DuckDB's json_keys is [] — both must land in '<invalid>'
+        "[1, 2]",
+        # the collision pair: a key CONTAINING '+' vs two keys —
+        # byte-length prefixes keep the signatures distinct
+        '{"a+b": 1}',
+    ]
     rows = [(i, t0, 1, "a", 1.0, p) for i, p in enumerate(props)]
     d = spark.createDataFrame(
         rows,
@@ -268,5 +280,14 @@ def test_props_schema_census_signatures(spark):
     tmp = tempfile.mkdtemp(prefix="smdp_props_")
     d.coalesce(1).write.parquet(os.path.join(tmp, "events.parquet"))
     out = {r.signature: r for r in fn_props_schema_census(spark, tmp).collect()}
-    assert set(out) == {"k", "a+b", "<null>", "<invalid>", "<empty>"}
-    assert all(r.n_events == 1 and r.share == 0.2 for r in out.values())
+    assert set(out) == {
+        "1:k",
+        "1:a+1:b",
+        "<null>",
+        "<invalid>",
+        "<empty>",
+        "3:a+b",
+    }
+    assert out["<invalid>"].n_events == 2  # 'not json' AND '[1, 2]'
+    assert out["1:a+1:b"].n_events == 1 and out["3:a+b"].n_events == 1
+    assert out["1:k"].share == round(1 / 7, 6)
