@@ -869,3 +869,48 @@ def test_gram_array_expr_matches_python_reference(spark, words, k, distinct):
         F.expr(gram_array_expr(k, distinct=distinct)).alias("g")
     ).collect()[0].g
     assert got == ref
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=10**9),  # trials
+            st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**_SETTINGS)
+def test_shared_double_fragments_cross_engine_exact(spark, specs):
+    """The Wilson / A/B-sizing closed forms are SINGLE SQL fragments
+    evaluated verbatim by both engines with every operand CAST AS
+    DOUBLE (r6 review finding: DuckDB parses bare decimal literals
+    as exact DECIMAL — 1.96*1.96 = 3.8416 — while Python pre-folds
+    to 3.8415999999999997, a ulp gap that can flip round/ceil on
+    boundary groups). Property: for arbitrary hits/trials the
+    fragments produce BIT-IDENTICAL results on Spark and DuckDB."""
+    import duckdb
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.relational import (
+        _AB_NREQ_SQL,
+        _WILSON_LB_SQL,
+    )
+
+    rows = [(int(round(t * frac)), t) for t, frac in specs]
+    df = spark.createDataFrame(rows, "hits long, trials long")
+    got = [
+        (r.lb, r.nreq)
+        for r in df.select(
+            F.expr(_WILSON_LB_SQL).alias("lb"),
+            F.expr(_AB_NREQ_SQL).alias("nreq"),
+        ).collect()
+    ]
+    values = ", ".join(
+        f"(CAST({h} AS BIGINT), CAST({t} AS BIGINT))" for h, t in rows
+    )
+    want = duckdb.sql(
+        f"SELECT {_WILSON_LB_SQL} AS lb, {_AB_NREQ_SQL} AS nreq "
+        f"FROM (VALUES {values}) AS s(hits, trials)"
+    ).fetchall()
+    assert got == [tuple(w) for w in want]

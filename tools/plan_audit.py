@@ -1119,10 +1119,13 @@ AUDIT = {
         "planning math on aggregate rows only",
     ),
     "ext_pii_census": (
-        "scan-local regex extraction -> per-class source-keyed "
-        "conditional aggs unioned",
-        "each class is a map-side partial over the same scan; at "
-        "scale the regex pass fuses into the scan",
+        "ONE parquet scan; all three regex hit counts projected "
+        "scan-side; a single source-keyed HashAggregate with six "
+        "partial sums; Generate(stack) on the aggregate rows",
+        "the r6 review caught the 3-branch union re-reading the "
+        "corpus three times AND in-agg regexes evaluated once per "
+        "aggregate expression (9x, measured) — one scan + one "
+        "map-side-partial agg is the 100 TB shape",
     ),
 }
 
