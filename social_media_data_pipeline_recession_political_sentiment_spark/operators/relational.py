@@ -4565,3 +4565,176 @@ def agg_ab_test_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(False),
         ).alias("feasible"),
     )
+
+
+# --------------------------------------------- CUSUM changepoint
+
+CUSUM_FLAG_NMEAN = 3  # flag when peak exceeds 3 whole days of mean
+
+
+_CUSUM_ORACLE = f"""
+WITH daily AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_num,
+                      CAST(count(*) AS BIGINT) AS y
+               FROM events GROUP BY 1),
+n AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(y) AS BIGINT) AS sy
+      FROM daily),
+c AS (SELECT day_num,
+             CAST(sum(y) OVER (ORDER BY day_num
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS p,
+             CAST(row_number() OVER (ORDER BY day_num) AS BIGINT) AS r
+      FROM daily),
+t AS (SELECT c.day_num, abs(n.nd * c.p - c.r * n.sy) AS tabs
+      FROM c, n),
+pk AS (SELECT day_num AS changepoint_day, tabs AS cusum_peak_scaled
+       FROM t ORDER BY tabs DESC, day_num LIMIT 1)
+SELECT n.nd AS n_days, n.sy AS n_events,
+       pk.changepoint_day, pk.cusum_peak_scaled,
+       round(CAST(pk.cusum_peak_scaled AS DOUBLE)
+             / CAST(n.sy AS DOUBLE), 6) AS peak_days_of_mean,
+       pk.cusum_peak_scaled > {CUSUM_FLAG_NMEAN} * n.sy AS shift_flag
+FROM n, pk
+"""
+
+
+@register("agg_cusum_changepoint", oracle=_CUSUM_ORACLE)
+def agg_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift changepoint on the daily event series: the
+    day d* maximizing |S_d|, S_d = Σ_{{i<=d}}(y_i − μ) — WHERE the
+    level changed, completing the drift toolkit (`agg_ewma_volume`
+    smooths, `agg_ingest_anomaly` flags single days,
+    `agg_dist_drift_probe` says the distribution moved, this
+    localizes the regime break — the day an upstream producer
+    deployed). Flag fires when the peak exceeds {CUSUM_FLAG_NMEAN}
+    whole days of mean volume.
+
+    Exactness: ALL-INTEGER by multiplying the CUSUM through by n:
+    T_d = n·P_d − r_d·Σy (P_d prefix sum, r_d day rank) satisfies
+    T_d = n·S_d, so argmax|T| = argmax|S| with zero division —
+    BIGINT throughout, ties broken on the earlier day. The flag
+    |S| > {CUSUM_FLAG_NMEAN}μ multiplies through identically:
+    |T| > {CUSUM_FLAG_NMEAN}·Σy, an integer compare; only the
+    human-readable `peak_days_of_mean` = |S|/μ = |T|/Σy divides
+    (shared rounded double). Overflow: n·P ≤ |days|·N ≈
+    4·10^4 · 10^13 < 2^63 at a century of 100 TB/yr ingest.
+
+    Scale shape: one (day)-keyed count with map-side partials, then
+    prefix sums over the calendar-bounded daily series (the
+    `agg_running_total` bounded-window device) and a 1-row argmax.
+    Event volume never reaches the window — only |days| rows do."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.expr("CAST(ts AS LONG) div 86400").alias("day_num")
+    ).agg(F.count("*").alias("y"))
+    n = daily.agg(
+        F.count("*").alias("nd"), F.sum("y").alias("sy")
+    )
+    w = W.orderBy("day_num").rowsBetween(W.unboundedPreceding, 0)
+    c = daily.select(
+        "day_num",
+        F.sum("y").over(w).alias("p"),
+        F.row_number().over(W.orderBy("day_num")).cast("long").alias("r"),
+    )
+    t = c.crossJoin(F.broadcast(n)).select(
+        "day_num",
+        F.abs(F.col("nd") * F.col("p") - F.col("r") * F.col("sy")).alias(
+            "tabs"
+        ),
+    )
+    pk = (
+        t.orderBy(F.desc("tabs"), "day_num")
+        .limit(1)
+        .select(
+            F.col("day_num").alias("changepoint_day"),
+            F.col("tabs").alias("cusum_peak_scaled"),
+        )
+    )
+    return (
+        n.crossJoin(F.broadcast(pk))
+        .select(
+            F.col("nd").alias("n_days"),
+            F.col("sy").alias("n_events"),
+            "changepoint_day",
+            "cusum_peak_scaled",
+            F.round(
+                F.col("cusum_peak_scaled").cast("double")
+                / F.col("sy").cast("double"),
+                6,
+            ).alias("peak_days_of_mean"),
+            (
+                F.col("cusum_peak_scaled")
+                > F.lit(CUSUM_FLAG_NMEAN) * F.col("sy")
+            ).alias("shift_flag"),
+        )
+    )
+
+
+# --------------------------------------------- Theil-Sen robust trend
+
+_TS_SLOPE_SQL = "CAST(y2 - y1 AS DOUBLE) / CAST(x2 - x1 AS DOUBLE)"
+
+
+def _theil_sen_oracle() -> str:
+    med = _pq_sql(0.5, "list_extract")
+    return f"""
+WITH daily AS (SELECT event_type,
+        CAST(epoch(date_trunc('day', ts)) // 86400 AS BIGINT) AS x,
+        CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+pr AS (SELECT a.event_type, {_TS_SLOPE_SQL} AS slope
+       FROM (SELECT event_type, x AS x1, y AS y1 FROM daily) a
+       JOIN (SELECT event_type, x AS x2, y AS y2 FROM daily) b
+         ON a.event_type = b.event_type AND a.x1 < b.x2),
+g AS (SELECT event_type, list_sort(list(slope)) AS arr,
+             CAST(count(*) AS BIGINT) AS n
+      FROM pr GROUP BY 1)
+SELECT event_type, n AS n_pairs, {med} AS ts_slope_per_day
+FROM g
+"""
+
+
+@register("agg_trend_theil_sen", oracle=_theil_sen_oracle())
+def agg_trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type: the MEDIAN of all
+    pairwise slopes (y_j−y_i)/(x_j−x_i) over the daily series — the
+    estimator that shrugs off what breaks `agg_trend_slope`'s least
+    squares (one corrupted backfill day drags OLS arbitrarily;
+    Theil-Sen tolerates ~29% outliers), the robust companion the
+    same way `agg_mad_robust` backs `agg_percentiles`.
+
+    Exactness: pair slopes are ONE shared all-double fragment
+    (`_TS_SLOPE_SQL`, integer-exact operands); the median runs
+    through the shared `_pq_sql` interpolation tree over the sorted
+    slope array — identical doubles sort identically on both
+    engines. x1 < x2 strictly, so no zero division; types with a
+    single day emit no pairs and drop (documented contract).
+
+    Scale shape: the pair join is |days|² PER TYPE on the
+    CALENDAR-BOUNDED daily aggregate (≤ ~10^5 pairs/type at 300
+    days — metadata-sized; the raw corpus never joins itself), then
+    one type-keyed agg. The audit-harness sorted-array median is
+    deliberate (`agg_mad_robust`'s documented shape); the
+    production path at unbounded spans is the repeated-median on
+    sampled pairs, certified by `agg_quantile_sketch_audit`'s
+    device."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / F.lit(86400))
+        .cast("long")
+        .alias("x"),
+    ).agg(F.count("*").alias("y"))
+    a = daily.select("event_type", F.col("x").alias("x1"), F.col("y").alias("y1"))
+    b = daily.select("event_type", F.col("x").alias("x2"), F.col("y").alias("y2"))
+    pr = a.join(b, "event_type").filter(F.col("x1") < F.col("x2")).select(
+        "event_type", F.expr(_TS_SLOPE_SQL).alias("slope")
+    )
+    g = pr.groupBy("event_type").agg(
+        F.sort_array(F.collect_list("slope")).alias("arr"),
+        F.count("*").alias("n"),
+    )
+    return g.select(
+        "event_type",
+        F.col("n").alias("n_pairs"),
+        F.expr(_pq_sql(0.5, "element_at")).alias("ts_slope_per_day"),
+    )

@@ -1098,14 +1098,18 @@ _INT8_SCORED_SQL = (
     "0L, (a, v) -> a + v) as long)"
 )
 
-_TOPK_INT8_ORACLE = f"""
-WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+# Quantize CTEs (s, m, z) shared by the int8 top-k oracle and the
+# hybrid rank-fusion oracle — one quantization definition.
+INT8_Z_CTES = """s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
 m AS (SELECT vec_id, dv, list_max(list_transform(dv, x -> abs(x))) AS amax FROM s),
 z AS (SELECT vec_id, amax / 127.0 AS scale,
         CASE WHEN amax = 0.0 THEN list_transform(dv, x -> CAST(0 AS BIGINT))
              ELSE list_transform(dv, x -> greatest(-127, least(127,
                   CAST(floor(x / (amax / 127.0) + 0.5) AS BIGINT)))) END AS codes
-      FROM m),
+      FROM m)"""
+
+_TOPK_INT8_ORACLE = f"""
+WITH {INT8_Z_CTES},
 q AS (SELECT vec_id AS query_id, scale AS qs, codes AS qc FROM z
       WHERE vec_id < {N_QUERY_VECS}),
 c AS (SELECT vec_id AS neighbor_id, scale AS cs, codes AS cc FROM z),

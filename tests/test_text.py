@@ -1643,3 +1643,62 @@ def test_pii_census_class_counts(spark):
     assert set(out) == {"email", "phone", "ipv4"}
     for r in out.values():
         assert r.source == "src" and r.n_docs == 2 and r.n_matches == 2
+
+
+def test_hybrid_rank_fusion_consensus_and_replica(spark):
+    """ext_hybrid_rank_fusion: per-leg ranks land as planted (lexical
+    leg misses the no-term doc; vector leg ranks by rescaled int8
+    dot), rrf_micros equals the 1e6/(60+r) replica, and the fused
+    order follows the summed contributions with NULL-legged docs
+    contributing one term."""
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.text_analysis import (
+        RRF_K,
+        ext_hybrid_rank_fusion,
+    )
+
+    docs = [
+        (0, "probe doc", "en", "s", 9),  # the query embedding's doc
+        (1, "spark spark spark spark", "en", "s", 23),
+        (2, "spark vector", "en", "s", 12),
+        (3, "window dup", "en", "s", 10),
+        (4, "the cat sat", "en", "s", 11),  # no query terms
+    ]
+    embs = [
+        (0, [1.0, 0.0], 0),  # probe
+        (1, [-1.0, 0.0], 0),  # anti-parallel: last vector rank
+        (2, [0.8, 0.2], 0),
+        (3, [0.9, 0.1], 0),
+        (4, [1.0, 0.0], 0),  # parallel: vector rank 1
+    ]
+    tmp = tempfile.mkdtemp(prefix="smdp_rrf_")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(os.path.join(tmp, "documents.parquet"))
+    spark.createDataFrame(
+        embs, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(os.path.join(tmp, "embeddings.parquet"))
+
+    out = {r.doc_id: r for r in ext_hybrid_rank_fusion(spark, tmp).collect()}
+    # vector leg: 4 (dot 1.0) > 3 (0.9) > 2 (0.8) > 0/1; doc 4 has no
+    # query terms so its lexical rank is NULL
+    assert out[4].vec_rank == 1 and out[4].lex_rank is None
+    assert out[3].vec_rank == 2 and out[2].vec_rank == 3
+    # lexical leg: idf dominates — doc 3's two df=1 terms beat doc
+    # 2's (df=2 spark + df=1 vector) beat doc 1's repeated df=2 term
+    assert out[3].lex_rank == 1 and out[2].lex_rank == 2
+    assert out[1].lex_rank == 3
+    # the probe doc itself hits neither leg (no query terms; the
+    # query vector is excluded from its own candidate set)
+    assert 0 not in out
+
+    def contrib(r):
+        return int(1_000_000 / (RRF_K + r) + 0.5) if r is not None else 0
+
+    for r in out.values():
+        assert r.rrf_micros == contrib(r.lex_rank) + contrib(r.vec_rank)
+    fused = sorted(out.values(), key=lambda r: r.fused_rank)
+    keys = [(-r.rrf_micros, r.doc_id) for r in fused]
+    assert keys == sorted(keys)  # fused order = (micros desc, doc_id)
