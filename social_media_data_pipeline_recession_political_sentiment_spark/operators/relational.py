@@ -4575,7 +4575,7 @@ CUSUM_FLAG_NMEAN = 3  # flag when peak exceeds 3 whole days of mean
 _CUSUM_ORACLE = f"""
 WITH daily AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_num,
                       CAST(count(*) AS BIGINT) AS y
-               FROM events GROUP BY 1),
+               FROM events WHERE ts IS NOT NULL GROUP BY 1),
 n AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(y) AS BIGINT) AS sy
       FROM daily),
 c AS (SELECT day_num,
@@ -4600,7 +4600,7 @@ FROM n, pk
 @register("agg_cusum_changepoint", oracle=_CUSUM_ORACLE)
 def agg_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM mean-shift changepoint on the daily event series: the
-    day d* maximizing |S_d|, S_d = Σ_{{i<=d}}(y_i − μ) — WHERE the
+    day d* maximizing |S_d|, S_d = Σ_(i<=d)(y_i − μ) — WHERE the
     level changed, completing the drift toolkit (`agg_ewma_volume`
     smooths, `agg_ingest_anomaly` flags single days,
     `agg_dist_drift_probe` says the distribution moved, this
@@ -4621,49 +4621,51 @@ def agg_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one (day)-keyed count with map-side partials, then
     prefix sums over the calendar-bounded daily series (the
     `agg_running_total` bounded-window device) and a 1-row argmax.
-    Event volume never reaches the window — only |days| rows do."""
-    e = load(spark, sf_dir, "events")
+    Event volume never reaches the window — only |days| rows do.
+    ONE events scan: nd/Σy ride the SAME |days|-row window frame as
+    the prefix sums (unbounded-frame aggregates) instead of a
+    separate aggregate branch — the first cut's n-as-a-DataFrame
+    crossJoin recomputed `daily` per branch, tripling the corpus
+    scan (caught in the r6 session-6 plan audit).
+    NULL timestamps are excluded on BOTH engines (the repo's
+    explicit-filter convention — Spark sorts a NULL day group first
+    where DuckDB sorts it last, which would shift every rank)."""
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = e.groupBy(
         F.expr("CAST(ts AS LONG) div 86400").alias("day_num")
     ).agg(F.count("*").alias("y"))
-    n = daily.agg(
-        F.count("*").alias("nd"), F.sum("y").alias("sy")
+    wp = W.orderBy("day_num").rowsBetween(W.unboundedPreceding, 0)
+    wall = W.orderBy("day_num").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
     )
-    w = W.orderBy("day_num").rowsBetween(W.unboundedPreceding, 0)
     c = daily.select(
         "day_num",
-        F.sum("y").over(w).alias("p"),
+        F.sum("y").over(wp).alias("p"),
         F.row_number().over(W.orderBy("day_num")).cast("long").alias("r"),
+        F.count("*").over(wall).alias("nd"),
+        F.sum("y").over(wall).alias("sy"),
     )
-    t = c.crossJoin(F.broadcast(n)).select(
+    t = c.select(
         "day_num",
+        "nd",
+        "sy",
         F.abs(F.col("nd") * F.col("p") - F.col("r") * F.col("sy")).alias(
             "tabs"
         ),
     )
-    pk = (
+    return (
         t.orderBy(F.desc("tabs"), "day_num")
         .limit(1)
         .select(
-            F.col("day_num").alias("changepoint_day"),
-            F.col("tabs").alias("cusum_peak_scaled"),
-        )
-    )
-    return (
-        n.crossJoin(F.broadcast(pk))
-        .select(
             F.col("nd").alias("n_days"),
             F.col("sy").alias("n_events"),
-            "changepoint_day",
-            "cusum_peak_scaled",
+            F.col("day_num").alias("changepoint_day"),
+            F.col("tabs").alias("cusum_peak_scaled"),
             F.round(
-                F.col("cusum_peak_scaled").cast("double")
-                / F.col("sy").cast("double"),
-                6,
+                F.col("tabs").cast("double") / F.col("sy").cast("double"), 6
             ).alias("peak_days_of_mean"),
             (
-                F.col("cusum_peak_scaled")
-                > F.lit(CUSUM_FLAG_NMEAN) * F.col("sy")
+                F.col("tabs") > F.lit(CUSUM_FLAG_NMEAN) * F.col("sy")
             ).alias("shift_flag"),
         )
     )

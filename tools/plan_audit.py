@@ -1127,6 +1127,35 @@ AUDIT = {
         "aggregate expression (9x, measured) — one scan + one "
         "map-side-partial agg is the 100 TB shape",
     ),
+    "agg_cusum_changepoint": (
+        "ONE events scan (1-column ReadSchema, IsNotNull pushed) -> "
+        "day-keyed partial/final HashAggregate -> ONE Window node "
+        "carrying prefix sums AND the unbounded-frame nd/Σy over the "
+        "|days|-row daily series -> TakeOrderedAndProject(1) argmax",
+        "event volume collapses map-side to |days| rows before any "
+        "window; the unpartitioned window is calendar-bounded (the "
+        "agg_running_total device); the argmax ships ONE row per "
+        "partition — the first cut scanned events 3x (branch-per-"
+        "aggregate crossJoins), caught and removed in this audit",
+    ),
+    "agg_trend_theil_sen": (
+        "(type, day)-keyed partial/final HashAggregate -> "
+        "type-keyed SortMergeJoin of the |days|-row daily aggregate "
+        "with itself (pair slopes) -> type-keyed sorted-array agg + "
+        "shared interpolation-tree median",
+        "the |days|^2 pair join runs on the CALENDAR-BOUNDED daily "
+        "aggregate (metadata-sized), never the corpus; the raw "
+        "event table is touched by exactly one scan + one agg",
+    ),
+    "ext_hybrid_rank_fusion": (
+        "two retriever legs each ending in TakeOrderedAndProject"
+        "(k=20); int8 leg = one embeddings scan x 1-row broadcast "
+        "probe; BM25 leg = the bm25_scored shared build; full-outer "
+        "SortMergeJoin over <= 2K rows; every Window bounded <= 2K",
+        "corpus work is exactly the two retriever scans — fusion is "
+        "metadata-sized (why RRF is THE production hybrid combiner); "
+        "per-partition heaps keep both top-k paths shuffle-free",
+    ),
 }
 
 
