@@ -58,6 +58,35 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def compute_once(df: DataFrame) -> DataFrame:
+    """Compute-once seam for a derived frame feeding MULTIPLE plan
+    branches (`localCheckpoint(eager=False)`): Spark does not
+    deduplicate common DataFrame subplans, so a frame referenced by k
+    branches re-scans its source and re-runs its derivation k times —
+    invisible at sf0.1, a k× corpus-read-and-tokenize bill at 100 TB
+    (found by `tools/scan_count_audit.py`, r6: 37 queries scanned a
+    big table ≥3×). The checkpoint pins the frame to one concrete
+    RDD (MEMORY_AND_DISK, spills cleanly); every branch then reads
+    the materialized partitions.
+
+    Use it on SLIM frames only — a per-doc fingerprint/weight table,
+    a tokenized/shingled relation about the size of the text it
+    came from, a calendar- or vocab-bounded aggregate — where one
+    materialization is cheaper than k scans PLUS k re-derivations
+    (tokenize/regex/hash CPU dominates the re-scan at scale). Do NOT
+    use it for the two-pass scalar-stats pattern (stats scan +
+    apply scan is the standard, correct shape — a global-stats
+    window would funnel the corpus into one task), and never on a
+    raw wide-text frame (materializing 100 TB to save a columnar
+    re-scan is a loss).
+
+    eager=False keeps the registry contract lazy (queries() builds
+    plans without executing); the first action materializes, and
+    concurrent stages at worst duplicate the first computation —
+    never the correctness."""
+    return df.localCheckpoint(eager=False)
+
+
 def ntz_as_utc_instant(col: str):
     """TIMESTAMP_NTZ -> TimestampType with the wall clock interpreted
     as UTC, independent of `spark.sql.session.timeZone` (see `load`)."""

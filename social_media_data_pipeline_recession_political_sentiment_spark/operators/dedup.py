@@ -29,7 +29,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import compute_once, load
 from ..functions.hashing import doc_bucket, doc_bucket_sql
 from ..registry import register
 
@@ -466,8 +466,17 @@ def _shingle_pair_intersections(spark: SparkSession, sf_dir: str):
     (a < b) pair and per-doc distinct-shingle sizes. Shared by
     `ext_dedup_ngram_jaccard` and `ext_dedup_containment` so the
     pair-generation plan (the sub-quadratic shingle equi-join) lives
-    once and a skew/plan fix reaches every consumer."""
-    sh = _exploded_shingles(spark, sf_dir)
+    once and a skew/plan fix reaches every consumer.
+
+    The shingle relation is pinned with `compute_once`: sizes and
+    BOTH equi-join sides otherwise each replay the
+    scan-tokenize-shingle-explode chain (r6 scan audit — 3-4
+    document scans per consumer). The materialized relation is
+    ~3x the text it came from; one write + three cache reads beats
+    three columnar scans PLUS three shingling passes (the chain is
+    regex/alloc CPU-bound), which is also why production MinHash
+    pipelines materialize their feature relation."""
+    sh = compute_once(_exploded_shingles(spark, sf_dir))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -1360,8 +1369,13 @@ def ext_graph_degree_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     count aggs — node-keyed degree (≤2 rows per pair in motion) and
     degree-keyed histogram over the already-node-sized table. The
     isolated-doc row costs one broadcast-ish left join of (doc_id)
-    against the degree table."""
-    pairs = ext_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    against the degree table. The edge list is pinned with
+    `compute_once` — the degree union's two arms otherwise each
+    replay the ENTIRE miner (r6 scan audit: 9 document scans
+    before, 2 after)."""
+    pairs = compute_once(
+        ext_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    )
     edges = pairs.select(F.col("doc_a").alias("v")).union(
         pairs.select(F.col("doc_b").alias("v"))
     )
@@ -1727,7 +1741,10 @@ def ext_dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("g").isNotNull())
         .select("doc_id", _salted_hash(F.lit("sp"), F.col("g")).alias("gh"))
     )
-    dg = grams.groupBy("gh", "doc_id").agg(F.count("*").alias("c"))
+    # (gram-hash, doc, count) feeds the doc-frequency branch AND the
+    # join-back — pin it or both replay the scan-hash-explode chain
+    # (r6 scan audit)
+    dg = compute_once(grams.groupBy("gh", "doc_id").agg(F.count("*").alias("c")))
     gd = dg.groupBy("gh").agg(F.count("*").alias("n_docs"))
     per_doc = (
         dg.join(gd, "gh")
@@ -1814,13 +1831,20 @@ def ext_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cw = W.partitionBy("doc_id").orderBy("pos").rowsBetween(W.unboundedPreceding, 0)
     c = p.select("doc_id", "pos", "w", F.sum(bd).over(cw).alias("chunk_id"))
-    ch = c.groupBy("doc_id", "chunk_id").agg(
-        F.md5(
-            F.concat_ws(
-                " ",
-                F.expr("transform(array_sort(collect_list(struct(pos, w))), x -> x.w)"),
-            )
-        ).alias("chash")
+    # (doc, chunk, digest) feeds the duplicate census AND the
+    # join-back — pin it or both replay the explode-window-digest
+    # chain (r6 scan audit)
+    ch = compute_once(
+        c.groupBy("doc_id", "chunk_id").agg(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.expr(
+                        "transform(array_sort(collect_list(struct(pos, w))), x -> x.w)"
+                    ),
+                )
+            ).alias("chash")
+        )
     )
     gd = ch.groupBy("chash").agg(F.countDistinct("doc_id").alias("nd"))
     per = (
@@ -1908,10 +1932,18 @@ def ext_dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     collisions.)"""
     d = load(spark, sf_dir, "documents")
     bucket = doc_bucket("doc_id")
-    fp = d.select(
-        "doc_id", F.sha2(F.col("text"), 256).alias("h"), bucket.alias("b")
+    # the fingerprint frame splits into base/increment arms and the
+    # base arm feeds both the bit set and the exact join — pin both
+    # frames or each consumer replays the scan-sha2 chain (r6 scan
+    # audit: 3 document scans before, 1 after)
+    fp = compute_once(
+        d.select(
+            "doc_id", F.sha2(F.col("text"), 256).alias("h"), bucket.alias("b")
+        )
     )
-    basefp = fp.filter(F.col("b") < INCR_BASE_BUCKETS).select("h").distinct()
+    basefp = compute_once(
+        fp.filter(F.col("b") < INCR_BASE_BUCKETS).select("h").distinct()
+    )
     incr = fp.filter(F.col("b") >= INCR_BASE_BUCKETS).select("doc_id", "h")
     bit = lambda j: (_salted_hash(F.lit(str(j)), F.col("h")) % BLOOM_BITS_M)
     bits = (
@@ -2438,8 +2470,12 @@ def ext_dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle equi-join prunes the pair space; the idf table joins
     gram-keyed INTO the postings before pairing, so pair rows carry
     pre-resolved weights); per-doc totals broadcast back. No new
-    shuffle shape — the weighting is free at the plan level."""
-    sh = _exploded_shingles(spark, sf_dir)
+    shuffle shape — the weighting is free at the plan level. The
+    shingle relation and the weighted postings are pinned with
+    `compute_once`: df counts, totals, and both pair-join sides
+    otherwise each replay the scan-shingle chain (r6 scan audit:
+    10 document scans before, 2 after)."""
+    sh = compute_once(_exploded_shingles(spark, sf_dir))
     n = _load_docs(spark, sf_dir).agg(F.count("*").alias("nd"))
     dfq = sh.groupBy("s").agg(F.count("*").alias("df"))
     w = dfq.crossJoin(F.broadcast(n)).select(
@@ -2448,7 +2484,7 @@ def ext_dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("iw"),
     )
-    shw = sh.join(w, "s")
+    shw = compute_once(sh.join(w, "s"))
     tot = shw.groupBy("doc_id").agg(F.sum("iw").alias("tw"))
     a, b = shw.alias("a"), sh.alias("b")
     inter = (
@@ -2606,8 +2642,12 @@ def ext_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DP is scan-local per pair."""
     inter, _sizes = _shingle_pair_intersections(spark, sf_dir)
     cand = inter.filter(F.col("i") >= EDIT_MIN_SHARED).select("doc_a", "doc_b")
-    d = _load_docs(spark, sf_dir).select(
-        "doc_id", F.substring("text", 1, EDIT_PREFIX).alias("prefix")
+    # slim (doc_id, 64-char prefix) frame feeds BOTH pair sides —
+    # pin it or each side re-scans documents (r6 scan audit)
+    d = compute_once(
+        _load_docs(spark, sf_dir).select(
+            "doc_id", F.substring("text", 1, EDIT_PREFIX).alias("prefix")
+        )
     )
     da = d.select(F.col("doc_id").alias("doc_a"), F.col("prefix").alias("pa"))
     db = d.select(F.col("doc_id").alias("doc_b"), F.col("prefix").alias("pb"))
@@ -2684,9 +2724,12 @@ def ext_cluster_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     double and round once; the N=1 Simpson guard is shared.
 
     Scale shape: one ckey-keyed count (map-side partials), one
-    cluster-size agg, scalar combines. No windows."""
+    cluster-size agg, scalar combines. No windows. The cluster-size
+    table is pinned with `compute_once` — the totals and the
+    Shannon-term branches otherwise each replay the scan-md5-agg
+    chain (r6 scan audit)."""
     d = load(spark, sf_dir, "documents")
-    c = (
+    c = compute_once(
         d.select(
             F.md5(
                 F.lower(F.regexp_replace("text", r"\s+", " "))

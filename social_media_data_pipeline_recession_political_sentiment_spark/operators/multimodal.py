@@ -27,7 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import compute_once, load
 from ..registry import register
 
 FRAME_BYTES = 64  # fake "frame" stride in the synthetic payload

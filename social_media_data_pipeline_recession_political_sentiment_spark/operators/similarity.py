@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import compute_once, load
 from ..registry import register
 
 TOP_K = 10

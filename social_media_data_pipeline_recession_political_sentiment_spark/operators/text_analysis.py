@@ -23,7 +23,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import types as T
 
-from ..catalog import load
+from ..catalog import compute_once, load
 from ..functions.hashing import doc_bucket, doc_bucket_sql
 from ..registry import ORACLES, register
 
@@ -2195,7 +2195,14 @@ def ext_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-broadcast shuffles are the compact (doc, bucket, count)
     aggs. Totals are 1-row scalar aggs crossJoin-broadcast — the
     repo's standard scalar device. At 100 TB nothing grows with the
-    corpus except the (doc, bucket) stream."""
+    corpus except the (doc, bucket) stream. ONE corpus read: uni-
+    and bigrams ride a single explode over the concatenated gram
+    arrays (the first cut's union branch re-scanned and
+    re-tokenized per arm), and the (doc, bucket, count) table is
+    pinned with `compute_once` so the four model/total/per-doc
+    branches don't each replay the scan-tokenize-hash chain (the
+    r6 scan-multiplicity audit: 9 document scans before, 2 after
+    — this at 100 TB is the whole bill)."""
     from .dedup import _salted_hash, _tokens
 
     # CPU-heavy hashing downstream: rebalance the small-SF single-file
@@ -2210,19 +2217,21 @@ def ext_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import gram_array_expr
 
     grams = toks.select(
-        "doc_id", "is_t", F.explode_outer("tk").alias("g")
-    ).unionAll(
-        toks.select(
-            "doc_id", "is_t", F.explode_outer(F.expr(gram_array_expr(2))).alias("g")
-        )
+        "doc_id",
+        "is_t",
+        F.explode_outer(
+            F.concat(F.col("tk"), F.expr(gram_array_expr(2)))
+        ).alias("g"),
     ).filter(F.col("g").isNotNull())
     feat = grams.select(
         "doc_id",
         "is_t",
         (_salted_hash(F.lit("ds"), F.col("g")) % DSIR_BUCKETS).alias("b"),
     )
-    cnt = feat.groupBy("doc_id", "b").agg(
-        F.max("is_t").alias("is_t"), F.count("*").alias("c")
+    cnt = compute_once(
+        feat.groupBy("doc_id", "b").agg(
+            F.max("is_t").alias("is_t"), F.count("*").alias("c")
+        )
     )
     rb = cnt.groupBy("b").agg(F.sum("c").alias("cr"))
     tb = cnt.filter("is_t").groupBy("b").agg(F.sum("c").alias("ct"))
@@ -2726,12 +2735,16 @@ def ext_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the weight table's shuffles (see
     `ext_dsir_weights`), plus ONE 1-row max crossJoin-broadcast and
     a scan-local accept expression — the resample itself adds zero
-    data motion. The uniform and the acceptance threshold are each
-    single shared expression trees (exp of an exact integer
-    difference), the PMI contract class."""
+    data motion. The weight table is pinned with `compute_once`: the
+    max branch and the accept branch would otherwise each replay the
+    ENTIRE weights chain (the r6 scan-multiplicity audit's worst
+    case, 18 document scans; now the chain runs once and the slim
+    (doc_id, 2 longs) frame feeds both). The uniform and the
+    acceptance threshold are each single shared expression trees
+    (exp of an exact integer difference), the PMI contract class."""
     from .dedup import _salted_hash
 
-    w = ext_dsir_weights(spark, sf_dir)
+    w = compute_once(ext_dsir_weights(spark, sf_dir))
     mx = w.agg(F.max("micro_logratio").alias("m"))
     u = _salted_hash(F.lit("rs"), F.col("doc_id").cast("string")).cast(
         "double"
@@ -3197,16 +3210,23 @@ def ext_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rare postings self-join is bounded by rare-term bucket sizes
     (same argument as the banded MinHash miner); the re-score join
     moves candidate-pair weight rows only — survivors-of-blocking,
-    not the corpus."""
+    not the corpus. The (doc, term, tf) table is pinned with
+    `compute_once` — it feeds df counts, weights (x3: norms + both
+    re-score sides), and postings, which otherwise each replay the
+    scan-split-explode-agg chain (r6 scan audit: 18 document scans
+    before, 2 after); the rare-postings relation is pinned too so
+    the self-join's two sides share one distinct."""
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("tk")
     )
-    tf = (
+    tf = compute_once(
         d.select("doc_id", F.explode("tk").alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
-    n = d.agg(F.count("*").alias("n_docs"))
+    # the 1-row scalar is referenced once per weight branch — pin it
+    # or its documents scan replays per reference (r6 scan audit)
+    n = compute_once(d.agg(F.count("*").alias("n_docs")))
     dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
     w = (
         tf.join(F.broadcast(dfq), "term")
@@ -3229,7 +3249,9 @@ def ext_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") * RARE_DF_FACTOR <= F.col("n_docs"))
         .select("term")
     )
-    post = tf.join(F.broadcast(rare), "term").select("doc_id", "term").distinct()
+    post = compute_once(
+        tf.join(F.broadcast(rare), "term").select("doc_id", "term").distinct()
+    )
     a, b = post.alias("a"), post.alias("b")
     cand = (
         a.join(
