@@ -1546,16 +1546,20 @@ def agg_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     the funnel reuses one partitioning across stages (and the step-k
     user set only ever shrinks). The 3-scalar summary collapses via a
     1-row broadcast cross join, then explodes to the three report
-    rows driver-free."""
+    rows driver-free. Each per-user step table is pinned with
+    `compute_once` — step k and the step-k count otherwise each
+    replay every earlier stage (r6 scan audit: 6 events scans
+    before, 3 after — one pushed-filter scan per step is the
+    intended shape)."""
     e = load(spark, sf_dir, "events").select(
         "user_id", "event_type", F.unix_micros("ts").alias("us")
     )
-    s1 = (
+    s1 = compute_once(
         e.filter(F.col("event_type") == FUNNEL_STEPS[0])
         .groupBy("user_id")
         .agg(F.min("us").alias("t1"))
     )
-    s2 = (
+    s2 = compute_once(
         e.filter(F.col("event_type") == FUNNEL_STEPS[1])
         .join(s1, "user_id")
         .filter(F.col("us") > F.col("t1"))
@@ -1630,13 +1634,15 @@ def agg_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed on (cohort_date, day_offset) — bounded by days², tiny
     forever. No windows, no driver loops; at 100 TB the only big
     motion is the initial per-user shuffle the sessionize/funnel
-    family already pays."""
-    a = (
+    family already pays. The (user, day) activity set and the cohort
+    table are pinned with `compute_once` — each feeds two branches
+    that otherwise replay the scan-distinct chain (r6 scan audit)."""
+    a = compute_once(
         load(spark, sf_dir, "events")
         .select("user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"))
         .distinct()
     )
-    c = a.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    c = compute_once(a.groupBy("user_id").agg(F.min("d").alias("cohort_date")))
     sizes = c.groupBy("cohort_date").agg(F.count("*").alias("cohort_size"))
     act = (
         a.join(c, "user_id")
@@ -1689,8 +1695,10 @@ def agg_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side and expands at most 7× before the per-day distinct agg,
     which Spark executes as the standard two-phase
     (day, user) → day expand. No per-user state, no window over the
-    full corpus."""
-    a = (
+    full corpus. The (user, day) set is pinned with `compute_once` —
+    the day dimension, the range join, and the DAU agg otherwise
+    each replay the scan-distinct chain (r6 scan audit)."""
+    a = compute_once(
         load(spark, sf_dir, "events")
         .select("user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"))
         .distinct()
@@ -2069,24 +2077,27 @@ def agg_time_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max agg and explodes driver-free via `sequence()` — its size
     is calendar-bounded (hours × types forever, regardless of
     corpus), so the grid cross-join and the left join against the
-    hourly counts are broadcast-sized. No UDF, no driver loop."""
+    hourly counts are broadcast-sized. No UDF, no driver loop. ONE
+    events scan: the spine bounds and the type dimension derive
+    from the pinned hourly aggregate itself (min/max hour and
+    distinct types survive the rollup exactly), not from fresh
+    corpus scans (r6 scan audit: 3 before, 1 after)."""
     e = load(spark, sf_dir, "events")
-    hourly = (
+    hourly = compute_once(
         e.groupBy(
             "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
         )
         .agg(F.count("*").alias("n"))
     )
-    bounds = e.agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    bounds = hourly.agg(
+        F.min("hour_ts").alias("h0"), F.max("hour_ts").alias("h1")
     )
     spine = bounds.select(
         F.explode(
             F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
         ).alias("hour_ts")
     )
-    types = e.select("event_type").distinct()
+    types = hourly.select("event_type").distinct()
     grid = types.crossJoin(F.broadcast(spine))
     return grid.join(hourly, ["event_type", "hour_ts"], "left").select(
         "event_type",
@@ -3517,14 +3528,19 @@ def agg_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.expr("s0 div 86400"), F.expr("(s1 - 1) div 86400"))
         ).alias("day_num"),
     )
-    iv = sub.select(
-        "event_type",
-        "day_num",
-        F.greatest(F.col("s0"), F.col("day_num") * 86400).alias("a"),
-        F.least(F.col("s1"), (F.col("day_num") + 1) * 86400).alias("b"),
-        F.when(F.col("s0") >= F.col("day_num") * 86400, 1)
-        .otherwise(0)
-        .alias("is_head"),
+    # sub-intervals feed both sweep arms AND the per-day meta — pin
+    # them or each branch replays the scan-sessionize-explode chain
+    # (r6 scan audit: 3 events scans before, 1 after)
+    iv = compute_once(
+        sub.select(
+            "event_type",
+            "day_num",
+            F.greatest(F.col("s0"), F.col("day_num") * 86400).alias("a"),
+            F.least(F.col("s1"), (F.col("day_num") + 1) * 86400).alias("b"),
+            F.when(F.col("s0") >= F.col("day_num") * 86400, 1)
+            .otherwise(0)
+            .alias("is_head"),
+        )
     )
     d = iv.select(
         "event_type", "day_num", F.col("a").alias("sec"), F.lit(1).alias("delta")
@@ -3622,12 +3638,15 @@ def agg_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("t"),
         F.lag("event_type").over(w).alias("s"),
     )
-    t = (
+    # the types²-bounded transition matrix feeds the row-sum AND the
+    # term branches — pin it or both replay the corpus lag window
+    # (r6 scan audit: 3 events scans before, 1 after)
+    t = compute_once(
         g.filter(F.col("s").isNotNull())
         .groupBy("s", "t")
         .agg(F.count("*").alias("c"))
     )
-    r = t.groupBy("s").agg(F.sum("c").alias("cs"))
+    r = compute_once(t.groupBy("s").agg(F.sum("c").alias("cs")))
     terms = t.join(r, "s").select(
         "c",
         F.round(
@@ -4066,7 +4085,9 @@ def agg_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials), one user-keyed join, ONE row out via conditional
     sums. No windows, no sorts."""
     e = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    a = (
+    # entry table feeds the conversion join AND the entered count —
+    # pin it or both replay the pushed-filter scan (r6 scan audit)
+    a = compute_once(
         e.filter(F.col("event_type") == CONVERT_FROM)
         .groupBy("user_id")
         .agg(F.expr("CAST(min(ts) AS LONG)").alias("ta"))
@@ -4167,8 +4188,14 @@ def agg_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sec div 86400").alias("day_num"),
         F.expr("(sec div 3600) % 24").alias("hour_of_day"),
     )
-    cnt = b.groupBy("day_num", "hour_of_day").agg(F.count("*").alias("c"))
-    span = b.agg(F.min("day_num").alias("d0"), F.max("day_num").alias("d1"))
+    # ONE events scan: the day span derives from the pinned
+    # (day, hour) counts (min/max day survives the rollup), and the
+    # dense grid is pinned for its three consumer rollups (r6 scan
+    # audit: 6 events scans before, 1 after)
+    cnt = compute_once(
+        b.groupBy("day_num", "hour_of_day").agg(F.count("*").alias("c"))
+    )
+    span = cnt.agg(F.min("day_num").alias("d0"), F.max("day_num").alias("d1"))
     spine = (
         span.select(
             F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day_num")
@@ -4177,8 +4204,10 @@ def agg_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.range(24).select(F.col("id").alias("hour_of_day"))
         )
     )
-    dense = spine.join(cnt, ["day_num", "hour_of_day"], "left").select(
-        "day_num", "hour_of_day", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    dense = compute_once(
+        spine.join(cnt, ["day_num", "hour_of_day"], "left").select(
+            "day_num", "hour_of_day", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+        )
     )
     hsum = dense.groupBy("hour_of_day").agg(F.sum("c").alias("sh"))
     tot = dense.agg(
@@ -4386,13 +4415,19 @@ def agg_dist_drift_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.expr("CAST(length(bin(iv)) AS BIGINT)"))
         .alias("bucket"),
     )
-    n = sl.agg(
-        F.sum(F.when(F.col("slice") == "a", 1).otherwise(0)).alias("na"),
-        F.sum(F.when(F.col("slice") == "b", 1).otherwise(0)).alias("nb"),
+    # TWO events scans total (min-day probe + bucket agg — the
+    # two-pass scalar-stats shape): slice totals derive from the
+    # pinned 40-row bucket table instead of a third corpus scan,
+    # and the bucket table feeds the CDF window too (r6 scan
+    # audit: 6 scans before)
+    c = compute_once(
+        sl.groupBy("bucket").agg(
+            F.sum(F.when(F.col("slice") == "a", 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("slice") == "b", 1).otherwise(0)).alias("cb"),
+        )
     )
-    c = sl.groupBy("bucket").agg(
-        F.sum(F.when(F.col("slice") == "a", 1).otherwise(0)).alias("ca"),
-        F.sum(F.when(F.col("slice") == "b", 1).otherwise(0)).alias("cb"),
+    n = compute_once(
+        c.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
     )
     w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
     cum = c.select(
@@ -4720,12 +4755,16 @@ def agg_trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled pairs, certified by `agg_quantile_sketch_audit`'s
     device."""
     e = load(spark, sf_dir, "events")
-    daily = e.groupBy(
-        "event_type",
-        (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / F.lit(86400))
-        .cast("long")
-        .alias("x"),
-    ).agg(F.count("*").alias("y"))
+    # the daily aggregate self-joins — pin it or both pair sides
+    # replay the corpus scan (r6 scan audit)
+    daily = compute_once(
+        e.groupBy(
+            "event_type",
+            (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / F.lit(86400))
+            .cast("long")
+            .alias("x"),
+        ).agg(F.count("*").alias("y"))
+    )
     a = daily.select("event_type", F.col("x").alias("x1"), F.col("y").alias("y1"))
     b = daily.select("event_type", F.col("x").alias("x2"), F.col("y").alias("y2"))
     pr = a.join(b, "event_type").filter(F.col("x1") < F.col("x2")).select(
