@@ -767,8 +767,11 @@ def _lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     ).filter(F.col("term") != "")
-    tot = toks.agg(F.count("*").alias("n_total"))
-    freq = toks.groupBy("term").agg(F.count("*").alias("c"))
+    # TWO scans (census pass + scoring pass, the classic two-pass LM
+    # recipe): the corpus total derives from the pinned vocab census
+    # instead of a third token explode (r6 scan audit)
+    freq = compute_once(toks.groupBy("term").agg(F.count("*").alias("c")))
+    tot = freq.agg(F.sum("c").alias("n_total"))
     lp = freq.crossJoin(F.broadcast(tot)).select(
         "term",
         F.round(
@@ -1792,15 +1795,16 @@ def ext_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     toks = d.select(F.split(F.col("text"), " ").alias("w"))
     uni = toks.select(F.explode("w").alias("term")).filter(F.col("term") != "")
-    u = uni.groupBy("term").agg(F.count("*").alias("c"))
+    # pin the two vocab-bounded censuses: N/both unigram sides read
+    # one, M (pre-floor) and the floored pair table read the other —
+    # otherwise five scan-explode chains (r6 scan audit: 5 document
+    # scans before, 2 after)
+    u = compute_once(uni.groupBy("term").agg(F.count("*").alias("c")))
     n = u.agg(F.sum("c").alias("n"))
     bi = _adjacent_bigrams(toks)
-    m = bi.agg(F.count("*").alias("m"))
-    b2 = (
-        bi.groupBy("a", "b")
-        .agg(F.count("*").alias("n_pair"))
-        .filter(F.col("n_pair") >= PMI_MIN_COUNT)
-    )
+    b2u = compute_once(bi.groupBy("a", "b").agg(F.count("*").alias("n_pair")))
+    m = b2u.agg(F.sum("n_pair").alias("m"))
+    b2 = b2u.filter(F.col("n_pair") >= PMI_MIN_COUNT)
     ua = u.select(F.col("term").alias("a"), F.col("c").alias("ca"))
     ub = u.select(F.col("term").alias("b"), F.col("c").alias("cb"))
     pmi = F.round(
@@ -1881,7 +1885,10 @@ def ext_sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.coalesce(F.col("lang"), F.lit("und")).alias("lang")
     )
-    c = d.groupBy("lang").agg(F.count("*").alias("n"))
+    # the language table feeds totals AND the allocation — pin it or
+    # each branch replays the corpus count (r6 scan audit: 5
+    # document scans before, 2 after — count pass + selection pass)
+    c = compute_once(d.groupBy("lang").agg(F.count("*").alias("n")))
     t = c.agg(F.sum("n").alias("total"))
     a = c.crossJoin(F.broadcast(t)).select(
         "lang",
@@ -2411,10 +2418,13 @@ def ext_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     space is per-doc-bounded and shuffles carry compact count rows;
     winner selection is an algebraic max_by (map-side combine), never
     a window. Ratios divide exact integers once, rounded to 6dp (the
-    PMI contract class)."""
+    PMI contract class). The tokenized frame is pinned with
+    `compute_once` — the 2-gram and 5-gram signals otherwise each
+    replay the scan-split chain (r6 scan audit: 3 document scans
+    before, 2 after — the doc-length base pass stays a slim scan)."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     d = d.repartition(spark.sparkContext.defaultParallelism)
-    toks = d.select("doc_id", F.split("text", " ").alias("tk"))
+    toks = compute_once(d.select("doc_id", F.split("text", " ").alias("tk")))
 
     from .dedup import gram_array_expr
 
@@ -2578,6 +2588,10 @@ def ext_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", _salted_hash(F.lit("ov"), F.col("g")).alias("gh"))
         .distinct()
     )
+    # the distinct (source, gram) postings feed totals AND both pair
+    # sides — pin them or all three replay the scan-gram-distinct
+    # chain (r6 scan audit: 4 document scans before, 1 after)
+    grams = compute_once(grams)
     tot = grams.groupBy("source").agg(F.count("*").alias("n"))
     a = grams.withColumnRenamed("source", "src_a")
     b = grams.withColumnRenamed("source", "src_b")
@@ -2667,6 +2681,9 @@ def ext_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("g").isNotNull())
         .select("doc_id", "b", _salted_hash(F.lit("lk"), F.col("g")).alias("gh"))
     )
+    # the hashed gram stream splits into train/test arms — pin it or
+    # both replay the scan-gram-hash chain (r6 scan audit)
+    sg = compute_once(sg)
     train_g = sg.filter(F.col("b") < 8).select("gh").distinct().withColumn(
         "hit", F.lit(True)
     )
@@ -2948,8 +2965,13 @@ def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("tk")
     )
-    dl = d.select("doc_id", F.size("tk").cast("long").alias("dl"))
-    tf = (
+    # the (doc, length) frame feeds corpus stats AND the score join;
+    # the |Q|-bounded postings feed df AND the score join — pin both
+    # or each consumer replays its scan chain (r6 scan audit: 4
+    # document scans before, 2 after: one length pass + one
+    # term-filtered postings pass, the inverted-index probe)
+    dl = compute_once(d.select("doc_id", F.size("tk").cast("long").alias("dl")))
+    tf = compute_once(
         d.select("doc_id", F.explode("tk").alias("term"))
         .filter(F.col("term").isin(*BM25_TERMS))
         .groupBy("doc_id", "term")
@@ -3488,7 +3510,11 @@ def agg_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     combine. The 1-row total is a crossJoin broadcast."""
     d = load(spark, sf_dir, "documents").select("text")
     d = d.repartition(spark.sparkContext.defaultParallelism)
-    tok = d.select(F.explode(F.split("text", " ")).alias("t"))
+    # the token stream feeds the MG pass, the total, and the exact
+    # recount — pin it so the three passes read one materialization
+    # instead of re-scanning and re-splitting the corpus thrice (r6
+    # scan audit)
+    tok = compute_once(d.select(F.explode(F.split("text", " ")).alias("t")))
     cand = (
         tok.mapInPandas(_mg_partials, schema="t string")
         .distinct()
@@ -3637,7 +3663,10 @@ def ext_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents")
         .select(F.explode(F.split("text", " ")).alias("t"))
     )
-    c = tok.groupBy("t").agg(F.count("*").alias("c"))
+    # the vocab census feeds totals AND every K-cutoff heap — pin it
+    # or each curve point replays the scan-explode-agg chain (r6
+    # scan audit: 4 document scans before, 1 after)
+    c = compute_once(tok.groupBy("t").agg(F.count("*").alias("c")))
     tot = c.agg(
         F.sum("c").alias("n"), F.count("*").alias("n_types")
     )
@@ -3790,13 +3819,20 @@ def ext_hapax_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     ).filter(F.col("term") != "")
-    tc = tok.groupBy("term").agg(F.count("*").alias("c"))
+    # ONE scan: the pinned (doc, term, count) postings feed the
+    # census, the per-doc totals, AND the hapax join-back (a hapax
+    # posting has k = 1, so sum(k) = count of instances exactly);
+    # three scan-explode chains before (r6 scan audit)
+    dt = compute_once(
+        tok.groupBy("doc_id", "term").agg(F.count("*").alias("k"))
+    )
+    tc = dt.groupBy("term").agg(F.sum("k").alias("c"))
     hapax = tc.filter(F.col("c") == 1).select("term")
-    dn = tok.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    dn = dt.groupBy("doc_id").agg(F.sum("k").alias("n_tokens"))
     hx = (
-        tok.join(hapax, "term")
+        dt.join(hapax, "term")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hapax"))
+        .agg(F.sum("k").alias("n_hapax"))
     )
     return (
         dn.join(hx, "doc_id", "left")
@@ -4174,7 +4210,10 @@ def ext_quality_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs.append(
             F.sum(F.expr(f"CASE WHEN {cum} THEN 1 ELSE 0 END")).alias(f"cum{i}")
         )
-    a = m.agg(*aggs)
+    # the 1-row counter frame feeds |rules|+1 union arms — pin it or
+    # each arm replays the full corpus agg, exactly the per-rule
+    # re-scan the docstring forbids (r6 scan audit: 4 scans before)
+    a = compute_once(m.agg(*aggs))
     parts = [
         a.select(
             F.lit(0).cast("long").alias("stage_idx"),
@@ -4265,7 +4304,10 @@ def ext_token_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     toks = d.select(F.split(F.col("text"), " ").alias("w"))
     uni = toks.select(F.explode("w").alias("term")).filter(F.col("term") != "")
-    u = uni.groupBy("term").agg(F.count("*").alias("c"))
+    # the vocab-bounded censuses each feed totals AND entropy terms —
+    # pin them or every consumer replays its scan-explode-agg chain
+    # (r6 scan audit: 6 document scans before, 2 after)
+    u = compute_once(uni.groupBy("term").agg(F.count("*").alias("c")))
     n = u.agg(F.sum("c").alias("n"), F.count("*").alias("n_types"))
     hu = (
         u.crossJoin(F.broadcast(n.select("n")))
@@ -4281,7 +4323,7 @@ def ext_token_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("term").alias("hu_sum"))
     )
     bi = _adjacent_bigrams(toks)
-    b2 = bi.groupBy("a", "b").agg(F.count("*").alias("cab"))
+    b2 = compute_once(bi.groupBy("a", "b").agg(F.count("*").alias("cab")))
     ra = b2.groupBy("a").agg(F.sum("cab").alias("ca"))
     mm = b2.agg(
         F.sum("cab").alias("m"), F.count("*").alias("n_bigram_types")
@@ -4382,8 +4424,12 @@ def ext_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("term") != "")
         .agg(F.countDistinct("term").alias("v"))
     )
-    bi = _adjacent_bigrams(toks, carry=("doc_id",))
-    b2 = bi.groupBy("a", "b").agg(F.count("*").alias("cab"))
+    # the bigram instance stream feeds the census AND the per-doc
+    # score join; the census feeds context rollup AND scores — pin
+    # both or each replays the scan-explode chain (r6 scan audit:
+    # 4 document scans before, 2 after)
+    bi = compute_once(_adjacent_bigrams(toks, carry=("doc_id",)))
+    b2 = compute_once(bi.groupBy("a", "b").agg(F.count("*").alias("cab")))
     ra = b2.groupBy("a").agg(F.sum("cab").alias("ca"))
     lp = (
         b2.join(ra, "a")
