@@ -450,7 +450,11 @@ def ext_mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     media = attach_media_columns(d.select(*reenc.columns).unionByName(reenc))
-    bands = _phash_bands(media)
+    # the (doc, 4 band ints) frame feeds the miner's self-join AND
+    # both verify sides — pin it or each of the four references
+    # replays the Arrow phash stage over the payloads (r6 scan
+    # audit: 8 document scans before, 2 after)
+    bands = compute_once(_phash_bands(media))
     exploded = bands.select(
         "doc_id",
         F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("bi", "bv"),
