@@ -461,9 +461,10 @@ AUDIT = {
         "and the matrix reduces to three scalars map-side",
     ),
     "agg_time_spine_fill": (
-        "(type, hour) HashAggregate; 2-scalar min/max agg exploding "
-        "into the spine; BroadcastNestedLoopJoin for the tiny grid "
-        "cross; broadcast left join against hourly counts",
+        "ONE events scan into the pinned (type, hour) HashAggregate "
+        "(ExistingRDD); spine bounds and the type dimension derive "
+        "from the pinned aggregate; BroadcastNestedLoopJoin for the "
+        "tiny grid cross; broadcast left join against hourly counts",
         "the spine is calendar-bounded so every join after the one "
         "count shuffle is broadcast-sized — zero-filling 100 TB "
         "costs one agg",
@@ -667,10 +668,12 @@ AUDIT = {
         "costs one agg row per doc, never a pair explosion",
     ),
     "ext_dsir_weights": (
-        "feature hashing in the scan projection; (doc, bucket) "
-        "HashAggregate with partial_count; the two B=1024-row model "
-        "aggs end in BroadcastExchanges joined back onto the count "
-        "stream; 1-row totals as BroadcastNestedLoopJoin of a scalar",
+        "ONE concat-gram explode + feature hashing in the scan "
+        "projection; the (doc, bucket) count pinned (ExistingRDD) "
+        "and read by all four model/total/per-doc branches; the two "
+        "B=1024-row model aggs end in BroadcastExchanges joined back "
+        "onto the count stream; 1-row totals as "
+        "BroadcastNestedLoopJoin of a scalar",
         "both language models are broadcast-sized BY CONSTRUCTION "
         "(hashed to 1024 buckets) — corpus growth changes no plan "
         "shape, only the (doc, bucket) stream length",
@@ -894,11 +897,14 @@ AUDIT = {
         "collection per group",
     ),
     "join_bloom_pruned": (
-        "dim-side distinct -> exploded bit set (broadcast) -> fact "
-        "scan probed via BroadcastHashJoin BEFORE any fact shuffle",
-        "the M-bit bloom is broadcast-safe by construction; at scale "
-        "only bloom-passing facts reach the shuffle, and fp_rate "
-        "prices what the prune bought",
+        "pinned dim distinct + pinned bit set (ExistingRDD, "
+        "broadcast) -> ONE fact scan through k BroadcastHashJoin "
+        "probes + the truth semi-join -> a single conditional "
+        "HashAggregate for all three counts",
+        "the M-bit bloom is broadcast-safe by construction; the r6 "
+        "sweep folded the total/bloom-pass/truth passes into one "
+        "fact scan with ZERO fact exchange, and fp_rate prices what "
+        "the prune bought",
     ),
     "ext_vocab_coverage_curve": (
         "type-count agg -> per-cutoff TakeOrderedAndProject(K) + "
