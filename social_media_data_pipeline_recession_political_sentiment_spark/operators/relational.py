@@ -3415,10 +3415,16 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom_ok = F.expr(
         " AND ".join(f"p{j} IS NOT NULL" for j in range(JOIN_BLOOM_K))
     )
+    # coalesce: sum over an EMPTY fact table is NULL where the
+    # oracle's count(*) is 0 (r6 sweep review finding)
     counts = probe.agg(
         F.count("*").alias("n_orders"),
-        F.sum(F.when(bloom_ok, 1).otherwise(0)).alias("n_pass_bloom"),
-        F.sum(F.when(F.col("tm"), 1).otherwise(0)).alias("n_true_match"),
+        F.coalesce(
+            F.sum(F.when(bloom_ok, 1).otherwise(0)), F.lit(0)
+        ).alias("n_pass_bloom"),
+        F.coalesce(
+            F.sum(F.when(F.col("tm"), 1).otherwise(0)), F.lit(0)
+        ).alias("n_true_match"),
     )
     return counts.select(
         "n_orders",

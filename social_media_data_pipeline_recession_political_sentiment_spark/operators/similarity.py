@@ -266,9 +266,11 @@ def ext_sim_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id"
     )
     e = load(spark, sf_dir, "embeddings")
-    # the (vec_id, vector) frame feeds both re-score joins — pin it
-    # (r6 scan audit)
-    ev = compute_once(_with_double_vec(e, "v"))
+    # deliberately NOT compute_once (r6 sweep review): the query-side
+    # reference keeps its vec_id < N_QUERY_VECS pushdown (a ~one-row-
+    # group scan at scale), and pinning would materialize the WHOLE
+    # corpus widened to double — costlier than the cheap cast re-scan
+    ev = _with_double_vec(e, "v")
     joined = (
         cand.join(
             F.broadcast(
@@ -1243,15 +1245,13 @@ def ext_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     query side, map-only scoring, window top-k); the intersection is
     a 50-row join. Nothing quadratic beyond what `ext_sim_topk`
     already is at verification SF."""
-    # both 50-row result frames feed two consumers each — pin them
-    # or the full retrieval chains replay per branch (r6 scan
-    # audit: 5 embeddings scans before)
+    # the exact 50-row result frame feeds the total AND the
+    # intersection — pin it or the brute-force chain replays per
+    # branch (r6 scan audit); approx has ONE consumer, so no pin
     exact = compute_once(
         ext_sim_topk(spark, sf_dir).select("query_id", "neighbor_id")
     )
-    approx = compute_once(
-        ext_sim_ivf(spark, sf_dir).select("query_id", "neighbor_id")
-    )
+    approx = ext_sim_ivf(spark, sf_dir).select("query_id", "neighbor_id")
     total = exact.agg(F.count("*").alias("total_slots"))
     found = exact.join(approx, ["query_id", "neighbor_id"]).agg(
         F.count("*").alias("found")
