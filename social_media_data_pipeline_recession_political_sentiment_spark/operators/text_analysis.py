@@ -2329,11 +2329,15 @@ def ext_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal 5-row target table broadcast onto the inventory — at
     100 TB this is a metadata-sized query over any corpus."""
     d = load(spark, sf_dir, "documents")
-    inv = d.groupBy("lang").agg(
-        F.count("*").alias("n_docs"),
-        F.sum(F.size(F.split(F.trim(F.col("text")), " "))).cast("long").alias(
-            "n_tokens"
-        ),
+    # the |langs|-row inventory feeds the total AND the plan — pin it
+    # (r6 scan audit)
+    inv = compute_once(
+        d.groupBy("lang").agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split(F.trim(F.col("text")), " ")))
+            .cast("long")
+            .alias("n_tokens"),
+        )
     )
     tot = inv.agg(F.sum("n_tokens").alias("total_tokens"))
     tgt = d.sparkSession.createDataFrame(
@@ -3992,8 +3996,10 @@ def ext_prefix_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.split("text", " "), 1, PREFIX_TOKENS), " "
         ).alias("prefix")
     )
-    n = p.agg(F.count("*").alias("n_docs_total"))
-    g = p.groupBy("prefix").agg(F.count("*").alias("n_docs"))
+    # ONE scan: every doc yields exactly one prefix row, so the doc
+    # total derives from the pinned prefix census (r6 scan audit)
+    g = compute_once(p.groupBy("prefix").agg(F.count("*").alias("n_docs")))
+    n = g.agg(F.sum("n_docs").alias("n_docs_total"))
     return (
         g.crossJoin(F.broadcast(n))
         .select(
