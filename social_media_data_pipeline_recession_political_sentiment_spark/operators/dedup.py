@@ -145,8 +145,13 @@ def ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     compares raw text: identical absent SHA-256 collisions.)"""
     d = load(spark, sf_dir, "documents")
     bucket = doc_bucket("doc_id")
-    bucketed = d.select(
-        "doc_id", F.sha2(F.col("text"), 256).alias("h"), bucket.alias("b")
+    # the fingerprint frame splits into base/increment arms — pin it
+    # or both arms replay the scan-sha2 chain (r6 scan audit; the
+    # `ext_dedup_incremental_bloom` fix, same split)
+    bucketed = compute_once(
+        d.select(
+            "doc_id", F.sha2(F.col("text"), 256).alias("h"), bucket.alias("b")
+        )
     )
     base = bucketed.filter(F.col("b") < INCR_BASE_BUCKETS).select("h").distinct()
     incr = bucketed.filter(F.col("b") >= INCR_BASE_BUCKETS).select("doc_id", "h")

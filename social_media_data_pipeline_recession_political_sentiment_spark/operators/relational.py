@@ -2876,9 +2876,13 @@ def agg_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     to one row per (user[, day]) — no window, no self-join on raw
     events, and the day rollup output is calendar-sized."""
     e = load(spark, sf_dir, "events")
-    ud = e.select(
-        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
-    ).distinct()
+    # pin the (user, day) set feeding the first-seen agg AND the
+    # join-back (r6 scan audit; the agg_retention_cohorts pattern)
+    ud = compute_once(
+        e.select(
+            "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+        ).distinct()
+    )
     first = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
     return (
         ud.join(first, "user_id")
@@ -3069,8 +3073,12 @@ def agg_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(d0 == 0, F.floor(av / F.pow(F.lit(10.0), ex - 1)).cast("long"))
         .otherwise(d0)
     )
-    c = e.select(digit.alias("digit")).groupBy("digit").agg(
-        F.count("*").alias("n_obs")
+    # the 9-row digit census feeds the total AND the report — pin it
+    # (r6 scan audit)
+    c = compute_once(
+        e.select(digit.alias("digit")).groupBy("digit").agg(
+            F.count("*").alias("n_obs")
+        )
     )
     t = c.agg(F.sum("n_obs").alias("n_tot"))
     return c.crossJoin(F.broadcast(t)).select(
@@ -3826,7 +3834,9 @@ def agg_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     `agg_running_total` precedent) and a single-row sum — volume
     never reaches the window."""
     e = load(spark, sf_dir, "events")
-    dc = (
+    # pin the calendar-bounded daily series feeding the lag window
+    # branches (r6 scan audit)
+    dc = compute_once(
         e.select(F.expr("CAST(ts AS LONG) div 86400").alias("day_num"))
         .groupBy("day_num")
         .agg(F.count("*").alias("c"))
@@ -3965,9 +3975,13 @@ def agg_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(min(ts) AS LONG) div 86400").alias("d0"),
         F.expr("CAST(max(ts) AS LONG) div 86400").alias("d1"),
     )
-    lt = u.select(
-        F.least(F.col("d1") - F.col("d0"), F.lit(SURVIVAL_MAX_DAYS)).alias(
-            "lifetime"
+    # pin the per-user lifetime frame feeding the total AND the
+    # explode (r6 scan audit)
+    lt = compute_once(
+        u.select(
+            F.least(F.col("d1") - F.col("d0"), F.lit(SURVIVAL_MAX_DAYS)).alias(
+                "lifetime"
+            )
         )
     )
     n = lt.agg(F.count("*").alias("n_users"))
@@ -4024,11 +4038,15 @@ def agg_user_type_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
     the key deterministic (`collect_list order` gotcha)."""
     e = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     ut = e.select("user_id", "event_type").distinct()
-    combo = ut.groupBy("user_id").agg(
-        F.array_join(F.array_sort(F.collect_list("event_type")), "+").alias(
-            "types"
-        ),
-        F.count("*").alias("n_types"),
+    # pin the per-user combo frame feeding the total AND the region
+    # rollup (r6 scan audit)
+    combo = compute_once(
+        ut.groupBy("user_id").agg(
+            F.array_join(F.array_sort(F.collect_list("event_type")), "+").alias(
+                "types"
+            ),
+            F.count("*").alias("n_types"),
+        )
     )
     n = combo.agg(F.count("*").alias("n_users"))
     return (
