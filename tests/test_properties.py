@@ -914,3 +914,88 @@ def test_shared_double_fragments_cross_engine_exact(spark, specs):
         f"FROM (VALUES {values}) AS s(hits, trials)"
     ).fetchall()
     assert got == [tuple(w) for w in want]
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**6), min_size=2, max_size=40)
+)
+@settings(**_SETTINGS)
+def test_cusum_multiply_through_is_exact(spark, daily):
+    """agg_cusum_changepoint's all-integer device: T_d = n·P_d − r_d·Σy
+    satisfies T_d = n·S_d with S_d the float CUSUM Σ_(i<=d)(y_i − μ),
+    so argmax|T| picks the same day as argmax|S| (earlier day on
+    ties) for ANY daily series — the multiply-through never changes
+    the answer, it only removes the division."""
+    from fractions import Fraction
+
+    n, sy = len(daily), sum(daily)
+    # exact rational reference: S_d = P_d - (d+1)*sy/n
+    best_ref, best_day = None, None
+    p = 0
+    for d, y in enumerate(daily):
+        p += y
+        s_abs = abs(Fraction(p) - Fraction((d + 1) * sy, n))
+        if best_ref is None or s_abs > best_ref:
+            best_ref, best_day = s_abs, d
+    # integer device
+    best_t, best_day_t = None, None
+    p = 0
+    for d, y in enumerate(daily):
+        p += y
+        t = abs(n * p - (d + 1) * sy)
+        if best_t is None or t > best_t:
+            best_t, best_day_t = t, d
+    assert best_day_t == best_day
+    assert best_t == best_ref * n
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=400),
+            st.integers(min_value=0, max_value=10**5),
+        ),
+        min_size=2,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(**_SETTINGS)
+def test_theil_sen_median_matches_reference(spark, pts):
+    """agg_trend_theil_sen's shared interpolation-tree median over the
+    pairwise-slope array equals a direct reference median of the same
+    slopes (linear interpolation, the _pq_sql contract) for arbitrary
+    integer daily series."""
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.relational import (
+        _TS_SLOPE_SQL,
+        _pq_sql,
+    )
+
+    rows = [
+        (x1, y1, x2, y2)
+        for (x1, y1) in pts
+        for (x2, y2) in pts
+        if x1 < x2
+    ]
+    df = spark.createDataFrame(rows, "x1 long, y1 long, x2 long, y2 long")
+    got = (
+        df.select(F.expr(_TS_SLOPE_SQL).alias("slope"))
+        .agg(
+            F.sort_array(F.collect_list("slope")).alias("arr"),
+            F.count("*").alias("n"),
+        )
+        .select(F.expr(_pq_sql(0.5, "element_at")).alias("med"))
+        .collect()[0]
+        .med
+    )
+    slopes = sorted((y2 - y1) / (x2 - x1) for x1, y1, x2, y2 in rows)
+    m = len(slopes)
+    # linear interpolation at rank 0.5*(m-1), the _pq_sql contract
+    lo = (m - 1) // 2
+    if m % 2 == 1:
+        want = slopes[lo]
+    else:
+        want = slopes[lo] + 0.5 * (slopes[lo + 1] - slopes[lo])
+    # _pq_sql rounds to 6dp (HALF_UP); the reference is unrounded —
+    # allow one half-grid-step at 6dp
+    assert abs(got - want) <= 5.1e-7, (got, want)
