@@ -1646,7 +1646,8 @@ ranked AS (SELECT term, row_number() OVER (ORDER BY c DESC, term) - 1 AS id
            FROM freq),
 vocab AS (SELECT term, CAST(id AS BIGINT) AS id FROM ranked WHERE id < {VOCAB_K})
 SELECT tok.doc_id,
-       list(coalesce(vocab.id, {VOCAB_K}) ORDER BY tok.p) AS ids,
+       string_agg(CAST(coalesce(vocab.id, {VOCAB_K}) AS VARCHAR),
+                  ' ' ORDER BY tok.p) AS ids,
        CAST(count(*) AS BIGINT) AS n_tokens,
        CAST(sum(CASE WHEN vocab.id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS n_oov
@@ -1662,7 +1663,12 @@ def ext_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     id K — the text→ids step between cleaning and
     `ext_pack_sequences` that every LM data pipeline runs, with the
     OOV count per doc as the vocabulary-coverage signal. Order
-    preserved exactly: ids[i] is token i of the document.
+    preserved exactly: the i-th id in `ids` is token i of the
+    document. `ids` is emitted as a space-joined STRING, not an
+    array: the external harness canonicalizes results through pandas
+    sort/hash, where a top-level array column is unhashable (the one
+    red CORRECTNESS_r06 row) — the registry-wide no-complex-
+    top-level-output contract is pinned by tests/test_registry.py.
 
     Scale shape: vocab build is one term-keyed count with map-side
     partials, then the top-K rank runs on the aggregated vocabulary
@@ -1696,9 +1702,12 @@ def ext_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").isNull().alias("oov"),
     )
     return joined.groupBy("doc_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("p", "id"))),
-            lambda s: s["id"],
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "id"))),
+                lambda s: s["id"].cast("string"),
+            ),
+            " ",
         ).alias("ids"),
         F.count("*").alias("n_tokens"),
         F.sum(F.col("oov").cast("long")).alias("n_oov"),
@@ -3557,7 +3566,7 @@ v AS (SELECT doc_id, n_tokens,
         list_transform(range(0, {FH_DIM}),
           j -> CAST(len(list_filter(th, x -> x = j)) AS BIGINT)) AS features
       FROM h)
-SELECT doc_id, features,
+SELECT doc_id, array_to_string(features, ' ') AS features,
        CAST(len(list_filter(features, x -> x > 0)) AS BIGINT) AS nnz,
        CAST(n_tokens AS BIGINT) AS n_tokens
 FROM v
@@ -3584,8 +3593,11 @@ def ext_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: bucket = salted-md5 % FH_DIM (identical integer
     arithmetic both engines); counts via HOF filter/size — all
-    int64; the feature ARRAY itself is hash-compared element-wise
-    against the oracle.
+    int64; the feature vector is hash-compared against the oracle as
+    a space-joined STRING (position encodes bucket index) because
+    the external harness's pandas canonicalizer cannot sort/hash a
+    top-level array column — same contract as `ext_tokenize_ids`,
+    pinned registry-wide by tests/test_registry.py.
 
     Scale shape: each token is hashed ONCE in the scan (a naive
     nested-HOF form — count buckets by filtering the hashed array
@@ -3617,7 +3629,9 @@ def ext_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return v.select(
         "doc_id",
-        "features",
+        F.array_join(
+            F.transform("features", lambda x: x.cast("string")), " "
+        ).alias("features"),
         F.expr("CAST(size(filter(features, x -> x > 0)) AS BIGINT)").alias("nnz"),
         "n_tokens",
     )

@@ -33,9 +33,15 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..registry import register
+from ..session import prune_stale_workdirs
 
 
 def _workdir(prefix: str) -> str:
+    # every sink query fills its uuid dir with full events/orders
+    # parquet copies; prune >24h-old siblings so repeated
+    # verify/bench rounds don't leak disk unboundedly (same policy
+    # as the streaming workdirs in streaming/ingest.py)
+    prune_stale_workdirs("/tmp/smdp_sinks")
     d = f"/tmp/smdp_sinks/{prefix}_{uuid.uuid4().hex[:8]}"
     os.makedirs(d, exist_ok=True)
     return d
@@ -349,11 +355,27 @@ def sink_scd1_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 SORTED_RUNS_K = 8
 
 
+def _runs_boundary_sql(elem: str) -> str:
+    """The K-1 run boundaries as ONE shared interpolation tree per
+    boundary (`_pq_sql` from operators/relational.py) evaluated over
+    the sorted key array — NOT Spark `percentile` vs DuckDB
+    `quantile_cont`, whose interpolation formulas differ in ulps; a
+    1-ulp boundary drift straddling a data value would flip that
+    row's run and diverge the manifest (the r6 rank-band-sketch
+    finding, applied here)."""
+    from ..operators.relational import _pq_sql
+
+    return ", ".join(
+        f"{_pq_sql(i / SORTED_RUNS_K, elem)} AS b{i}"
+        for i in range(1, SORTED_RUNS_K)
+    )
+
+
 _SORTED_RUNS_ORACLE = f"""
-WITH b AS (SELECT {", ".join(
-    f"quantile_cont(o_totalprice, {i}.0/{SORTED_RUNS_K}) AS b{i}"
-    for i in range(1, SORTED_RUNS_K))}
+WITH s AS (SELECT list(o_totalprice ORDER BY o_totalprice) AS arr,
+                  CAST(count(*) AS BIGINT) AS n
            FROM orders),
+b AS (SELECT {_runs_boundary_sql("list_extract")} FROM s),
 a AS (SELECT o_totalprice,
              {" + ".join(f"(CASE WHEN o_totalprice > b.b{i} THEN 1 ELSE 0 END)"
                          for i in range(1, SORTED_RUNS_K))} AS run
@@ -382,20 +404,31 @@ def sink_sorted_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Deliberate non-use of `repartitionByRange`: Spark's range
     partitioner derives boundaries from reservoir SAMPLING — fast,
-    but not reproducible cross-engine. Exact percentile boundaries
+    but not reproducible cross-engine. Exact quantile boundaries
     cost one extra pass and make the layout an auditable CONTRACT
-    (the oracle recomputes it bit-for-bit); at 100 TB swap in
-    `percentile_approx` boundaries and keep the same audit with
-    rank-error bounds (`agg_quantile_sketch_audit`).
+    (the oracle recomputes it bit-for-bit through the SAME `_pq_sql`
+    interpolation tree over the sorted key array — native
+    `percentile` vs `quantile_cont` differ in ulps, the r6
+    rank-band-sketch finding); at 100 TB swap in `percentile_approx`
+    boundaries and keep the same audit with rank-error bounds
+    (`agg_quantile_sketch_audit`).
 
-    Scale shape: one boundary agg ((K-1) doubles broadcast), one
-    scan-local run assignment, one partitioned write whose files are
-    the runs, one manifest agg over the read-back. The manifest is K
-    rows; nothing global ever sorts."""
+    Scale shape: one boundary agg ((K-1) doubles broadcast; the
+    sorted-array device buffers all keys on one row exactly like
+    exact `percentile`'s internal buffer — the approx sketch is the
+    scale path either way), one scan-local run assignment, one
+    partitioned write whose files are the runs, one manifest agg
+    over the read-back. The manifest is K rows; nothing global ever
+    sorts."""
+    from ..operators.relational import _pq_sql
+
     o = load(spark, sf_dir, "orders").select("o_totalprice")
     b = o.agg(
+        F.array_sort(F.collect_list("o_totalprice")).alias("arr"),
+        F.count("*").cast("long").alias("n"),
+    ).select(
         *[
-            F.expr(f"percentile(o_totalprice, {i}.0/{SORTED_RUNS_K})").alias(f"b{i}")
+            F.expr(_pq_sql(i / SORTED_RUNS_K, "element_at")).alias(f"b{i}")
             for i in range(1, SORTED_RUNS_K)
         ]
     )

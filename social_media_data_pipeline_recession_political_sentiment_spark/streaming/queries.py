@@ -571,7 +571,8 @@ _SLIDING_ORACLE = """
 WITH w AS (SELECT event_type,
              unnest([CAST(date_trunc('day', ts) AS DATE) - 1,
                      CAST(date_trunc('day', ts) AS DATE)]) AS window_start
-           FROM events)
+           FROM events
+           WHERE ts IS NOT NULL)
 SELECT window_start, event_type, count(*) AS cnt
 FROM w GROUP BY window_start, event_type
 """
@@ -602,9 +603,16 @@ def stream_sliding_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the window count. A production deployment runs this exact
     aggregation in UPDATE/APPEND mode, where the 1-day watermark
     retires windows older than the 2-day overlap horizon and state
-    stays bounded; the aggregation/window arithmetic is identical."""
+    stays bounded; the aggregation/window arithmetic is identical.
+
+    NULL-ts pin (the `agg_cusum_changepoint` convention): Spark's
+    window() inserts an implicit isnotnull(ts) while DuckDB's unnest
+    keeps NULL-ts rows in a NULL window_start group — both engines
+    filter explicitly so the contract is independent of whether a
+    testdata generation produces NULL timestamps."""
     agg = (
         stream_events(spark, sf_dir)
+        .filter(F.col("ts").isNotNull())
         .withWatermark("ts", "1 day")
         .groupBy(
             F.window("ts", "2 days", "1 day").alias("w"),

@@ -58,6 +58,33 @@ def test_registry_imports_without_spark_session():
     assert r.returncode == 0, r.stderr[-2000:]
 
 
+def test_no_complex_top_level_output_columns(spark):
+    """Driver-canonicalizer contract: the external harness hashes
+    results through pandas sort_values, where a top-level array/map/
+    struct column arrives as numpy arrays/dicts — unhashable, and the
+    whole correctness row crashes BEFORE any value compare (the one
+    red CORRECTNESS_r06 row, ext_tokenize_ids). Every registered
+    query must therefore emit only atomic top-level columns;
+    sequences serialize to strings (array_join / string_agg) or
+    explode to rows. Schema resolution is lazy, so this sweeps all
+    285 queries without executing the declarative ones."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from tests.conftest import SF_SMOKE
+
+    bad = {}
+    for name, fn in registry.queries().items():
+        schema = fn(spark, SF_SMOKE).schema
+        complex_cols = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if complex_cols:
+            bad[name] = complex_cols
+    assert not bad, f"complex top-level output columns: {bad}"
+
+
 def test_every_oracle_parses_in_duckdb():
     """Fast dialect guard: EXPLAIN every registered oracle against
     DuckDB views of the sf0.001 tables. Catches SQL typos and

@@ -472,7 +472,9 @@ def test_tokenize_ids_roundtrips_python_vocab(spark):
     for r in rows:
         ts = toks[r.doc_id]
         ids = [vocab.get(t, VOCAB_K) for t in ts]
-        assert list(r.ids) == ids, r.doc_id
+        # driver-canonicalizer-safe contract: ids is a space-joined
+        # string, not an array (see ext_tokenize_ids docstring)
+        assert r.ids == " ".join(str(i) for i in ids), r.doc_id
         assert r.n_tokens == len(ts)
         assert r.n_oov == sum(1 for t in ts if t not in vocab)
     # OOV occurs exactly when the corpus vocabulary exceeds K (the
@@ -1234,13 +1236,17 @@ def test_feature_hashing_conserves_mass_and_matches_python(spark):
     def bucket(t):
         return int(hashlib.md5(f"fh:{t}".encode()).hexdigest()[:15], 16) % FH_DIM
 
-    for r in out.values():
-        assert sum(r.features) == r.n_tokens
-    assert out[1].features == out[2].features
-    assert out[1].features[bucket("alpha")] == 2
-    assert out[1].features[bucket("beta")] == 1
+    # driver-canonicalizer-safe contract: features is a space-joined
+    # string of FH_DIM bucket counts (position == bucket index)
+    vec = {k: [int(x) for x in r.features.split(" ")] for k, r in out.items()}
+    for k, r in out.items():
+        assert len(vec[k]) == FH_DIM
+        assert sum(vec[k]) == r.n_tokens
+    assert vec[1] == vec[2]
+    assert vec[1][bucket("alpha")] == 2
+    assert vec[1][bucket("beta")] == 1
     assert out[1].nnz == 2 and out[3].nnz == 1
-    assert out[3].features[bucket("gamma")] == 1
+    assert vec[3][bucket("gamma")] == 1
 
 
 def test_vocab_coverage_curve_planted_frequencies(spark):

@@ -939,7 +939,8 @@ AUDIT = {
         "carry window entirely — not the gini anti-pattern",
     ),
     "sink_sorted_runs": (
-        "one percentile boundary agg broadcast -> scan-local run "
+        "one sorted-array boundary agg (collect_list+array_sort, "
+        "_pq_sql interpolation) broadcast -> scan-local run "
         "assignment -> partitionBy(run) write -> K-row manifest agg",
         "exact quantile boundaries make the layout an auditable "
         "contract; nothing global ever sorts",
