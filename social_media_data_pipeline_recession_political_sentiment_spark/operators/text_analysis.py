@@ -3888,15 +3888,15 @@ s AS (SELECT CAST(count(*) AS BIGINT) AS n,
       FROM pts)
 SELECT n AS n_points,
        round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+             / nullif(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx, 0), 6)
          AS slope,
        round((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * sx)
+             / nullif(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx, 0)) * sx)
              / (CAST(n AS DOUBLE) * {_ZIPF_LN_SCALE}), 6) AS intercept,
        round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
              * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-             / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+             / nullif((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy), 0), 6)
          AS r2
 FROM s
 """
@@ -3953,7 +3953,16 @@ def ext_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.col("n").cast("double")
     num = n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
-    den = n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    # nullif-guarded denominators BOTH engines: a degenerate ff-curve
+    # (all x equal, or all y equal — e.g. every type occurring a
+    # distinct number of times makes every f = 1) zeroes a variance
+    # term; under ANSI mode the raw division is a hard DIVIDE_BY_ZERO
+    # crash, not an inf (found by the zipf property test). NULL is
+    # the honest answer: the fit is undefined there.
+    den = F.nullif(
+        n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"),
+        F.lit(0.0),
+    )
     deny = n * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
     return s.select(
         F.col("n").alias("n_points"),
@@ -3963,7 +3972,7 @@ def ext_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (n * F.lit(_ZIPF_LN_SCALE)),
             6,
         ).alias("intercept"),
-        F.round(num * num / (den * deny), 6).alias("r2"),
+        F.round(num * num / F.nullif(den * deny, F.lit(0.0)), 6).alias("r2"),
     )
 
 

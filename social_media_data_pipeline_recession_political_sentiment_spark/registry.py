@@ -73,16 +73,21 @@ def register(name: str, oracle: Optional[str] = None):
 # NULL-ts pin both engines, r6 ADVICE), sink_sorted_runs (run
 # boundaries now through the shared _pq_sql interpolation tree
 # instead of percentile-vs-quantile_cont, r6 ADVICE; pulled forward
+# from the r8 tail), and ext_zipf_fit (a new planted-corpus property
+# test found a degenerate-ff-curve ANSI DIVIDE_BY_ZERO crash; both
+# engines now nullif-guard the variance denominators; pulled forward
 # from the r8 tail). A registry-wide no-complex-top-level-output
 # contract test (tests/test_registry.py) pins the canonicalizer fix
 # for every future operator.
 # Then the 8 mid-r6 adds + 28 continuation adds (registration
 # order; tools/verify_r6_continuation.log / verify_r6_late_adds.log)
-# + the first 10 still-unsampled session-3 adds in verify-log order.
+# + the first 9 still-unsampled session-3 adds in verify-log order
+# (ext_zipf_fit's head slot pushed ext_tfidf_cosine_pairs to r8).
 # After this window the never-sampled backlog is 96 → 47.
-# r8 window = those remaining 47 (the session-3/4 tail incl. the 3
+# r8 window = those remaining 47 (the session-3/4 tail incl. the 4
 # pushed-back r7 names sink_scd1_merge / ext_length_bucket_batching
-# / ext_mm_tile_plan, plus the 3 fifth-session adds
+# / ext_mm_tile_plan / ext_tfidf_cosine_pairs, plus the 3
+# fifth-session adds
 # agg_cusum_changepoint / agg_trend_theil_sen /
 # ext_hybrid_rank_fusion) + the first 3 r3 source/sink scans
 # (scan_rest_json, scan_chan_json, scan_chan_catalog) — exactly 50.
@@ -104,6 +109,9 @@ _WINDOW_PRIORITY = (
     "stream_sliding_count",
     # -- rewritten this round: _pq_sql-shared run boundaries --
     "sink_sorted_runs",
+    # -- rewritten this round: nullif-guarded degenerate ff-curve
+    #    (property-test-found ANSI DIVIDE_BY_ZERO crash) --
+    "ext_zipf_fit",
     # -- the 8 mid-r6 adds (never driver-sampled) --
     "join_scd2_dim",
     "ext_dedup_cross_source",
@@ -142,7 +150,7 @@ _WINDOW_PRIORITY = (
     "ext_lsh_bucket_census",
     "agg_benford_audit",
     "ext_emb_outlier_int8",
-    # -- first 10 session-3 adds in verify-log order --
+    # -- first 9 session-3 adds in verify-log order --
     "agg_hll_union_rollup",
     "ext_bm25_topk",
     "ext_dedup_containment",
@@ -152,7 +160,6 @@ _WINDOW_PRIORITY = (
     "ext_hard_negative_mine",
     "ext_label_knn_noise",
     "ext_span_corruption_plan",
-    "ext_tfidf_cosine_pairs",
 )
 
 

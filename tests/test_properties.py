@@ -999,3 +999,75 @@ def test_theil_sen_median_matches_reference(spark, pts):
     # _pq_sql rounds to 6dp (HALF_UP); the reference is unrounded —
     # allow one half-grid-step at 6dp
     assert abs(got - want) <= 5.1e-7, (got, want)
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=60), min_size=4, max_size=12)
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_zipf_fit_ff_regression_matches_reference(spark, counts):
+    """ext_zipf_fit's frequency-of-frequencies device end-to-end: for
+    a PLANTED corpus with arbitrary term counts, the operator's
+    (n_points, slope, intercept, r2) equal an independent Python
+    recompute of the same milli-fixed-point ln regression — the
+    ff-curve is derived from the planted counts, never from Spark.
+    Degenerate ff-curves (all count-of-counts equal => zero y
+    variance) must yield NULL r2, not a crash: the first run of this
+    test found exactly that — ANSI mode turns the raw zero-variance
+    division into a hard DIVIDE_BY_ZERO, fixed with nullif guards on
+    both engines."""
+    import math
+    import os
+    import tempfile
+    from collections import Counter
+
+    from hypothesis import assume
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+
+    assume(len(set(counts)) >= 2)  # slope needs >= 2 distinct x
+
+    toks = []
+    for i, c in enumerate(counts):
+        toks.extend([f"t{i:02d}"] * c)
+    d = spark.createDataFrame(
+        [(1, " ".join(toks), "en", "s", len(toks))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_zipf_")
+    d.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmp, "documents.parquet")
+    )
+    out = queries()["ext_zipf_fit"](spark, tmp).collect()[0]
+
+    # independent reference: ff-curve from the PLANTED counts, then
+    # the identical milli-rounded fixed-point regression (HALF_UP
+    # emulated as floor(v+0.5); ln(c), ln(f) >= 0 here)
+    ff = Counter(counts)  # count -> number of types with that count
+    pts = [
+        (
+            math.floor(math.log(c) * 1000 + 0.5),
+            math.floor(math.log(f) * 1000 + 0.5),
+        )
+        for c, f in ff.items()
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    syy = sum(y * y for _, y in pts)
+    num = float(n) * sxy - float(sx) * sy
+    den = float(n) * sxx - float(sx) * sx
+    deny = float(n) * syy - float(sy) * sy
+
+    assert out.n_points == n
+    assert abs(out.slope - num / den) <= 5.1e-7, (out.slope, num / den)
+    want_icpt = (float(sy) - (num / den) * sx) / (n * 1000.0)
+    assert abs(out.intercept - want_icpt) <= 5.1e-7, (out.intercept, want_icpt)
+    if deny == 0.0:
+        assert out.r2 is None, out.r2
+    else:
+        want_r2 = num * num / (den * deny)
+        assert abs(out.r2 - want_r2) <= 5.1e-7, (out.r2, want_r2)
