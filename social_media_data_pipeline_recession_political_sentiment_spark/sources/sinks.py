@@ -355,31 +355,44 @@ def sink_scd1_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 SORTED_RUNS_K = 8
 
 
-def _runs_boundary_sql(elem: str) -> str:
-    """The K-1 run boundaries as ONE shared interpolation tree per
-    boundary (`_pq_sql` from operators/relational.py) evaluated over
-    the sorted key array — NOT Spark `percentile` vs DuckDB
-    `quantile_cont`, whose interpolation formulas differ in ulps; a
-    1-ulp boundary drift straddling a data value would flip that
-    row's run and diverge the manifest (the r6 rank-band-sketch
-    finding, applied here)."""
+def _runs_boundary_exprs(elem: str) -> list[tuple[str, str]]:
+    """The K-1 run boundaries as (alias, expression) pairs, each ONE
+    shared interpolation tree (`_pq_sql` from operators/relational.py)
+    evaluated over the sorted key array — NOT Spark `percentile` vs
+    DuckDB `quantile_cont`, whose interpolation formulas differ in
+    ulps; a 1-ulp boundary drift straddling a data value would flip
+    that row's run and diverge the manifest (the r6 rank-band-sketch
+    finding, applied here). BOTH engines consume this one generator
+    (oracle via `list_extract`, operator via `element_at`) so the
+    q-grid and boundary count can never drift apart."""
     from ..operators.relational import _pq_sql
 
-    return ", ".join(
-        f"{_pq_sql(i / SORTED_RUNS_K, elem)} AS b{i}"
+    return [
+        (f"b{i}", _pq_sql(i / SORTED_RUNS_K, elem))
         for i in range(1, SORTED_RUNS_K)
-    )
+    ]
 
 
+# NULL-key pin (the stream_sliding_count / CUSUM convention): rows
+# with NULL o_totalprice are excluded EXPLICITLY on both engines —
+# Spark's collect_list drops NULLs while DuckDB's list() keeps them
+# (sorted last), so without the pin a NULL key would desync the
+# sorted array from count(*) (an ANSI INVALID_ARRAY_INDEX crash on
+# the Spark side) and NULL out the upper boundaries on the DuckDB
+# side. Current testdata has no NULL prices; the contract must not
+# depend on that.
 _SORTED_RUNS_ORACLE = f"""
-WITH s AS (SELECT list(o_totalprice ORDER BY o_totalprice) AS arr,
-                  CAST(count(*) AS BIGINT) AS n
-           FROM orders),
-b AS (SELECT {_runs_boundary_sql("list_extract")} FROM s),
+WITH nn AS (SELECT o_totalprice FROM orders WHERE o_totalprice IS NOT NULL),
+s AS (SELECT list(o_totalprice ORDER BY o_totalprice) AS arr,
+             CAST(count(*) AS BIGINT) AS n
+      FROM nn),
+b AS (SELECT {", ".join(f"{sql} AS {alias}"
+                        for alias, sql in _runs_boundary_exprs("list_extract"))}
+      FROM s),
 a AS (SELECT o_totalprice,
              {" + ".join(f"(CASE WHEN o_totalprice > b.b{i} THEN 1 ELSE 0 END)"
                          for i in range(1, SORTED_RUNS_K))} AS run
-      FROM orders, b)
+      FROM nn, b)
 SELECT CAST(run AS BIGINT) AS run,
        CAST(count(*) AS BIGINT) AS n_rows,
        min(o_totalprice) AS min_key,
@@ -420,16 +433,18 @@ def sink_sorted_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned write whose files are the runs, one manifest agg
     over the read-back. The manifest is K rows; nothing global ever
     sorts."""
-    from ..operators.relational import _pq_sql
-
-    o = load(spark, sf_dir, "orders").select("o_totalprice")
+    o = (
+        load(spark, sf_dir, "orders")
+        .select("o_totalprice")
+        .filter(F.col("o_totalprice").isNotNull())  # NULL-key pin, both engines
+    )
     b = o.agg(
         F.array_sort(F.collect_list("o_totalprice")).alias("arr"),
         F.count("*").cast("long").alias("n"),
     ).select(
         *[
-            F.expr(_pq_sql(i / SORTED_RUNS_K, "element_at")).alias(f"b{i}")
-            for i in range(1, SORTED_RUNS_K)
+            F.expr(sql).alias(alias)
+            for alias, sql in _runs_boundary_exprs("element_at")
         ]
     )
     run_expr = None

@@ -67,7 +67,12 @@ def test_no_complex_top_level_output_columns(spark):
     query must therefore emit only atomic top-level columns;
     sequences serialize to strings (array_join / string_agg) or
     explode to rows. Schema resolution is lazy, so this sweeps all
-    285 queries without executing the declarative ones."""
+    285 queries without executing the declarative ones; the
+    imperative sink_*/stream_* queries DO run their pipelines at
+    sf0.001 to yield a frame (~2 min total) — accepted: a schema
+    snapshot would go stale silently, and this is the single test
+    standing between a new operator and a crashed driver
+    correctness row."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     from tests.conftest import SF_SMOKE

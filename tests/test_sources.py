@@ -186,6 +186,37 @@ def test_sorted_runs_disjoint_and_balanced(spark):
     assert out[0].min_key == 1.0 and out[-1].max_key == 80.0
 
 
+def test_sorted_runs_null_keys_excluded(spark):
+    """sink_sorted_runs NULL-key pin (r7 review finding): NULL sort
+    keys must be excluded, not crash — Spark's collect_list drops
+    NULLs while count(*) counts them, so an unpinned NULL would
+    desync the sorted boundary array from n and hit an ANSI
+    INVALID_ARRAY_INDEX; the manifest over the non-NULL rows must be
+    unaffected by the NULL rows' presence."""
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.sources.sinks import (
+        SORTED_RUNS_K,
+        sink_sorted_runs,
+    )
+
+    rows = [(i, 1, "O", float(i + 1), None, "1-URGENT") for i in range(80)]
+    rows += [(100 + j, 1, "O", None, None, "1-URGENT") for j in range(5)]
+    tmp = tempfile.mkdtemp(prefix="smdp_runsnull_")
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.parquet(os.path.join(tmp, "orders.parquet"))
+    out = sorted(sink_sorted_runs(spark, tmp).collect(), key=lambda r: r.run)
+    assert [r.run for r in out] == list(range(SORTED_RUNS_K))
+    assert sum(r.n_rows for r in out) == 80  # the 5 NULL rows excluded
+    assert all(r.n_rows == 10 for r in out)
+    for lo, hi in zip(out, out[1:]):
+        assert lo.max_key < hi.min_key
+
+
 def test_snapshot_read_time_travel(spark):
     """sink_snapshot_read: version 1 sees only base-commit rows,
     version 2 sees base + delta, with exact integer cent totals."""
