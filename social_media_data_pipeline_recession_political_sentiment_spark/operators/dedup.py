@@ -1610,7 +1610,8 @@ def ext_dedup_component_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 _XSRC_ORACLE = """
 WITH k AS (
   SELECT doc_id, source,
-         CAST(replace(source, 'src', '') AS BIGINT) AS prio,
+         coalesce(TRY_CAST(replace(source, 'src', '') AS BIGINT),
+                  4611686018427387904) AS prio,
          array_to_string((string_split(text, ' '))[1:3], ' ') AS fp_prefix
   FROM documents
 ),
@@ -1648,12 +1649,20 @@ def ext_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain equi-join would silently drop those rows (the
     ext_dataset_diff defect class this round fixed)."""
     d = load(spark, sf_dir, "documents")
+    # try_cast + explicit fallback, NOT a bare cast: a source name
+    # outside the documented 'srcN' scheme would otherwise kill the
+    # whole job (ANSI CAST_INVALID_INPUT — r7 degenerate-input
+    # sweep). Unknown sources rank LAST (2^62), tie-broken by
+    # doc_id; coalesce rather than NULL prio because the engines
+    # disagree on NULL sort order (Spark ASC=NULLS FIRST, DuckDB
+    # ASC=NULLS LAST).
     k = d.select(
         "doc_id",
         "source",
-        F.replace(F.col("source"), F.lit("src"), F.lit(""))
-        .cast("long")
-        .alias("prio"),
+        F.coalesce(
+            F.expr("try_cast(replace(source, 'src', '') AS BIGINT)"),
+            F.lit(1 << 62).cast("long"),
+        ).alias("prio"),
         # NULL text => NULL key (concat_ws alone would fold NULL to ''
         # while the oracle's array_to_string keeps NULL)
         F.when(

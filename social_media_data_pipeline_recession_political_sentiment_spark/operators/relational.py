@@ -4470,10 +4470,16 @@ def agg_dist_drift_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = c.select(
         F.sum("ca").over(w).alias("fa"), F.sum("cb").over(w).alias("fb")
     )
+    # nullif, not bare div: DuckDB's integer division by zero reads
+    # NULL but Spark's is an ANSI DIVIDE_BY_ZERO crash (r7
+    # degenerate-input sweep — a stream entirely inside the split
+    # window leaves nb = 0), so the guard is what makes the
+    # "NULLs identically on both engines" contract below true
     d = cum.crossJoin(F.broadcast(n)).agg(
         F.max(
             F.abs(
-                F.expr("fa * 1000000 div na") - F.expr("fb * 1000000 div nb")
+                F.expr("fa * 1000000 div nullif(na, 0)")
+                - F.expr("fb * 1000000 div nullif(nb, 0)")
             )
         ).alias("d_micro")
     )

@@ -35,10 +35,20 @@ _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc
 
 
 def _cosine(a: str, b: str):
+    """Engine-shared cosine kernel (sequential fold ≙ DuckDB
+    list_dot_product). Zero-norm contract (r7 degenerate-input
+    sweep): a zero vector has UNDEFINED cosine — DuckDB's double
+    division by zero already yields NULL, while Spark's raw division
+    is a hard ANSI DIVIDE_BY_ZERO crash, so the nullif guard here is
+    what makes the two engines agree (NULL cos; threshold consumers
+    drop it via NULL-comparison semantics, ranking consumers sink it
+    via both engines' NULLS-LAST-on-DESC with the neighbor_id
+    tie-break). Zero vectors are real at corpus scale — padding
+    rows, failed encodes — not a hypothetical."""
     dot = F.expr(_DOT.format(a=a, b=b))
     na = F.sqrt(F.expr(_DOT.format(a=a, b=a)))
     nb = F.sqrt(F.expr(_DOT.format(a=b, b=b)))
-    return dot / (na * nb)
+    return dot / F.nullif(na * nb, F.lit(0.0))
 
 
 def _with_double_vec(df: DataFrame, out: str) -> DataFrame:

@@ -2473,10 +2473,17 @@ def ext_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mass")
     )
     base = load(spark, sf_dir, "documents").select("doc_id", F.length("text").alias("len"))
+    # empty-doc pin (r7 degenerate-input sweep): length 0 makes both
+    # fractions undefined — DuckDB's double division by zero already
+    # reads NULL (and NULL <= threshold makes gopher_ok NULL), while
+    # Spark's raw division is an ANSI DIVIDE_BY_ZERO crash; nullif
+    # converges the engines. Empty documents are routine upstream of
+    # a quality gate — the gate must classify them, not die.
+    dlen = F.nullif(F.col("len").cast("double"), F.lit(0.0))
     t2 = F.round(
-        F.coalesce(F.col("top2_mass"), F.lit(0)).cast("double") / F.col("len"), 6
+        F.coalesce(F.col("top2_mass"), F.lit(0)).cast("double") / dlen, 6
     )
-    d5 = F.round(F.coalesce(F.col("mass"), F.lit(0)).cast("double") / F.col("len"), 6)
+    d5 = F.round(F.coalesce(F.col("mass"), F.lit(0)).cast("double") / dlen, 6)
     return (
         base.join(top2, "doc_id", "left")
         .join(dup5, "doc_id", "left")

@@ -134,3 +134,33 @@ def test_bench_and_baseline_cover_the_entire_registry():
             break  # stop at the table end — appendix rows reuse the format
         frozen.add(l.split("`")[1])
     assert reg - frozen == set(), f"baseline missing: {sorted(reg - frozen)}"
+
+
+def test_degenerate_inputs_do_not_crash_fixed_class(spark):
+    """Degenerate-input regression pin (r7 sweep): the nine queries
+    that crashed on pathological-but-real corpus shapes (uniform term
+    counts, empty docs, zero-norm embeddings, single-timestamp event
+    streams, malformed source names) must return rows or empty — not
+    raise. The full 285-query sweep lives in tools/degen_sweep.py;
+    this pins the class that already bit under ANSI mode
+    (DIVIDE_BY_ZERO / CAST_INVALID_INPUT)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from degen_sweep import build_fixture
+
+    fixture = build_fixture()
+    fixed = [
+        "ext_zipf_fit",
+        "ext_sim_topk",
+        "join_similarity_topk",
+        "ext_sim_ivf_exhaustive",
+        "ext_sim_ivf_recall",
+        "ext_emb_matryoshka_recall",
+        "ext_gopher_repetition",
+        "agg_dist_drift_probe",
+        "ext_dedup_cross_source",
+    ]
+    qs = registry.queries()
+    for name in fixed:
+        qs[name](spark, fixture).collect()  # must not raise

@@ -1,0 +1,161 @@
+"""Degenerate-input crash sweep: run every registered query against a
+deliberately pathological fixture and report CRASHES (exceptions), not
+value differences.
+
+The fixture plants the degeneracies that real 100 TB corpora contain
+but the random testdata never produces, so ANSI-mode crash classes
+(DIVIDE_BY_ZERO on zero variance / zero norms / empty slices,
+INVALID_ARRAY_INDEX on desynced arrays, CAST_INVALID_INPUT on
+malformed keys) surface here instead of in production:
+
+- documents: every doc the SAME text (uniform term counts => the
+  frequency-of-frequencies curve has zero variance), plus an
+  empty-text doc and a single-token doc; one lang, one source with a
+  name OUTSIDE the 'srcN' scheme
+- events: one user, ALL events at one timestamp (zero gaps, zero
+  variance, every row inside any head-slice split), NULL values/props
+- embeddings: all-zero vectors (zero L2 norm => cosine undefined)
+  plus identical unit vectors; a single label
+
+r7 findings (all fixed, vanilla-verified hash-identical at
+sf0.001+sf0.01 — the guards are value-neutral on non-degenerate
+data): ext_zipf_fit (zero ff variance), the _cosine device behind
+ext_sim_topk / join_similarity_topk / ext_sim_ivf_exhaustive /
+ext_sim_ivf_recall / ext_emb_matryoshka_recall (zero-norm vectors),
+ext_gopher_repetition (empty doc), agg_dist_drift_probe (empty
+slice b), ext_dedup_cross_source (malformed source name).
+
+Usage:  python tools/degen_sweep.py [query ...]
+Exit code = number of crashing queries.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+import sys
+
+REPO = "/root/repo"
+sys.path.insert(0, REPO)
+
+FIXTURE = "/tmp/smdp_degen"
+SRC_SF = "/root/testdata/sf0.001"
+
+
+def build_fixture() -> str:
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    shutil.rmtree(FIXTURE, ignore_errors=True)
+    os.makedirs(FIXTURE)
+    for f in glob.glob(f"{SRC_SF}/*.parquet"):
+        name = os.path.basename(f)
+        if name.split(".")[0] in ("documents", "events", "embeddings"):
+            continue
+        (shutil.copytree if os.path.isdir(f) else shutil.copy)(
+            f, os.path.join(FIXTURE, name)
+        )
+
+    docs = {
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["alpha beta alpha beta"] * 3 + ["", "solo"],
+        "lang": ["en"] * 5,
+        "source": ["s0"] * 5,  # outside the srcN priority scheme
+        "n_chars": [21, 21, 21, 0, 4],
+    }
+    pq.write_table(
+        pa.table(
+            docs,
+            schema=pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("text", pa.string()),
+                    ("lang", pa.string()),
+                    ("source", pa.string()),
+                    ("n_chars", pa.int64()),
+                ]
+            ),
+        ),
+        os.path.join(FIXTURE, "documents.parquet"),
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = {
+        "event_id": list(range(1, 9)),
+        "ts": [t0] * 8,
+        "user_id": [7] * 8,
+        "event_type": ["view"] * 8,
+        "value": [1.0] * 6 + [None, None],
+        "props": ['{"k":1}'] * 4 + [None] * 4,
+    }
+    pq.write_table(
+        pa.table(
+            ev,
+            schema=pa.schema(
+                [
+                    ("event_id", pa.int64()),
+                    ("ts", pa.timestamp("us")),
+                    ("user_id", pa.int64()),
+                    ("event_type", pa.string()),
+                    ("value", pa.float64()),
+                    ("props", pa.string()),
+                ]
+            ),
+        ),
+        os.path.join(FIXTURE, "events.parquet"),
+    )
+
+    dim = len(
+        pq.read_table(f"{SRC_SF}/embeddings.parquet").column("embedding")[0]
+    )
+    vecs = [[0.0] * dim] * 3 + [[1.0] + [0.0] * (dim - 1)] * 3
+    emb = {
+        "vec_id": list(range(1, 7)),
+        "embedding": [[float(x) for x in v] for v in vecs],
+        "label": [0] * 6,
+    }
+    pq.write_table(
+        pa.table(
+            emb,
+            schema=pa.schema(
+                [
+                    ("vec_id", pa.int64()),
+                    ("embedding", pa.list_(pa.float32())),
+                    ("label", pa.int32()),
+                ]
+            ),
+        ),
+        os.path.join(FIXTURE, "embeddings.parquet"),
+    )
+    return FIXTURE
+
+
+def main() -> int:
+    from social_media_data_pipeline_recession_political_sentiment_spark import (
+        registry,
+    )
+    from social_media_data_pipeline_recession_political_sentiment_spark.session import (
+        get_session,
+    )
+
+    build_fixture()
+    spark = get_session("smdp_degen", cpus=8)
+    qs = registry.queries()
+    names = sys.argv[1:] or list(qs)
+    crashes = {}
+    for name in names:
+        try:
+            qs[name](spark, FIXTURE).collect()
+        except Exception as exc:  # noqa: BLE001 - sweep reports, not raises
+            first = str(exc).splitlines()
+            crashes[name] = first[0][:200] if first else type(exc).__name__
+            print(f"CRASH {name}: {crashes[name]}", flush=True)
+    print(f"\n{len(crashes)} of {len(names)} queries crash on degenerate input")
+    return len(crashes)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
