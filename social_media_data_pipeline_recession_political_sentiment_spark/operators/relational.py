@@ -570,12 +570,14 @@ def sink_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     gold = os.path.join(
         "/tmp/smdp_gold", hashlib.sha1(sf_dir.encode()).hexdigest()[:10], "events_by_day"
     )
+    e = load(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
     if not os.path.exists(os.path.join(gold, "_SUCCESS")):
-        e = load(spark, sf_dir, "events")
-        e.withColumn("day", F.to_date("ts")).write.mode("overwrite").partitionBy(
-            "day"
-        ).parquet(gold)
-    g = spark.read.parquet(gold)
+        e.write.mode("overwrite").partitionBy("day").parquet(gold)
+    # explicit read-back schema: an EMPTY source writes no data files
+    # and no partition dirs — schema inference over the bare _SUCCESS
+    # marker is UNABLE_TO_INFER_SCHEMA (r7 empty-corpus sweep); the
+    # write-side frame knows the schema, partition column included
+    g = spark.read.schema(e.schema).parquet(gold)
     return (
         g.filter(F.col("day") == F.lit("2024-01-15").cast("date"))
         .groupBy("day")
@@ -1600,7 +1602,13 @@ def agg_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.step").alias("step"),
             F.col("s.step_ix").alias("step_ix"),
             F.col("s.n_users").alias("n_users"),
-            (F.col("s.n_users").cast("double") / F.col("n1")).alias("conversion"),
+            # empty funnel entry (n1 = 0): conversion is undefined —
+            # DuckDB's division by zero reads NULL, Spark's is an
+            # ANSI crash (r7 empty-corpus sweep); nullif converges
+            (
+                F.col("s.n_users").cast("double")
+                / F.nullif(F.col("n1").cast("double"), F.lit(0.0))
+            ).alias("conversion"),
         )
     )
 

@@ -4163,10 +4163,16 @@ def ext_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_chunks",
             "distinct_chunks",
             (F.col("total_chunks") - F.col("distinct_chunks")).alias("dup_chunks"),
+            # empty corpus (total_chunks = 0): ratio/mean undefined —
+            # DuckDB division by zero reads NULL, Spark ANSI crashes
+            # (r7 empty-corpus sweep); nullif converges the engines
             F.round(
-                F.col("distinct_chunks") * 1.0 / F.col("total_chunks"), 6
+                F.col("distinct_chunks")
+                * 1.0
+                / F.nullif(F.col("total_chunks").cast("double"), F.lit(0.0)),
+                6,
             ).alias("dedup_ratio"),
-            F.expr("sum_tok * 1000000 div total_chunks").alias(
+            F.expr("sum_tok * 1000000 div nullif(total_chunks, 0)").alias(
                 "mean_chunk_tokens_micro"
             ),
         )

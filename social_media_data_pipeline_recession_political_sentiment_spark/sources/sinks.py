@@ -594,7 +594,11 @@ def sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         correction.write.partitionBy("day_num").mode("overwrite").parquet(sink)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
-    back = spark.read.parquet(sink)
+    # explicit read-back schema: an EMPTY source writes no data files
+    # and no partition dirs, and schema inference over a bare
+    # _SUCCESS marker is UNABLE_TO_INFER_SCHEMA (r7 empty-corpus
+    # sweep) — the write-side frame already knows the schema
+    back = spark.read.schema(e.schema).parquet(sink)
     return back.groupBy(F.col("day_num").cast("long").alias("day_num")).agg(
         F.count("*").alias("n_rows"), F.sum("cents").alias("total_cents")
     )

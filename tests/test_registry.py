@@ -164,3 +164,28 @@ def test_degenerate_inputs_do_not_crash_fixed_class(spark):
     qs = registry.queries()
     for name in fixed:
         qs[name](spark, fixture).collect()  # must not raise
+
+
+def test_empty_corpus_tables_do_not_crash_fixed_class(spark):
+    """Empty-corpus regression pin (r7 sweep, --empty mode): the four
+    queries that crashed when documents/events/embeddings have ZERO
+    rows — the 'my filter matched nothing' case every date-range or
+    partition predicate produces routinely at scale — must return
+    rows or empty, not raise (funnel/chunk ratios over zero entry
+    counts; sink read-back schema inference over a data-less
+    _SUCCESS-only directory)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from degen_sweep import build_fixture
+
+    fixture = build_fixture(empty=True)
+    fixed = [
+        "agg_funnel_steps",
+        "ext_chunk_cdc",
+        "sink_partitioned_prune",
+        "sink_dynamic_overwrite",
+    ]
+    qs = registry.queries()
+    for name in fixed:
+        qs[name](spark, fixture).collect()  # must not raise

@@ -26,6 +26,15 @@ ext_gopher_repetition (empty doc), agg_dist_drift_probe (empty
 slice b), ext_dedup_cross_source (malformed source name).
 
 Usage:  python tools/degen_sweep.py [query ...]
+        python tools/degen_sweep.py --empty [query ...]
+--empty swaps the fixture for ZERO-ROW documents/events/embeddings
+(the "my filter matched nothing" case that is routine at 100 TB —
+every date-range or partition predicate can come back empty). r7
+findings in that class (also fixed + verified value-neutral):
+agg_funnel_steps / ext_chunk_cdc (conversion-and-ratio divisions by
+zero entry counts) and sink_partitioned_prune /
+sink_dynamic_overwrite (read-back schema inference over a data-less
+_SUCCESS-only sink dir — fixed with explicit read schemas).
 Exit code = number of crashing queries.
 """
 
@@ -43,7 +52,7 @@ FIXTURE = "/tmp/smdp_degen"
 SRC_SF = "/root/testdata/sf0.001"
 
 
-def build_fixture() -> str:
+def build_fixture(empty: bool = False) -> str:
     import glob
 
     import pyarrow as pa
@@ -58,6 +67,44 @@ def build_fixture() -> str:
         (shutil.copytree if os.path.isdir(f) else shutil.copy)(
             f, os.path.join(FIXTURE, name)
         )
+
+    if empty:
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "text": pa.array([], pa.string()),
+                    "lang": pa.array([], pa.string()),
+                    "source": pa.array([], pa.string()),
+                    "n_chars": pa.array([], pa.int64()),
+                }
+            ),
+            os.path.join(FIXTURE, "documents.parquet"),
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "ts": pa.array([], pa.timestamp("us")),
+                    "user_id": pa.array([], pa.int64()),
+                    "event_type": pa.array([], pa.string()),
+                    "value": pa.array([], pa.float64()),
+                    "props": pa.array([], pa.string()),
+                }
+            ),
+            os.path.join(FIXTURE, "events.parquet"),
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "embedding": pa.array([], pa.list_(pa.float32())),
+                    "label": pa.array([], pa.int32()),
+                }
+            ),
+            os.path.join(FIXTURE, "embeddings.parquet"),
+        )
+        return FIXTURE
 
     docs = {
         "doc_id": [1, 2, 3, 4, 5],
@@ -141,10 +188,13 @@ def main() -> int:
         get_session,
     )
 
-    build_fixture()
+    args = sys.argv[1:]
+    empty = "--empty" in args
+    args = [a for a in args if a != "--empty"]
+    build_fixture(empty=empty)
     spark = get_session("smdp_degen", cpus=8)
     qs = registry.queries()
-    names = sys.argv[1:] or list(qs)
+    names = args or list(qs)
     crashes = {}
     for name in names:
         try:
@@ -153,7 +203,8 @@ def main() -> int:
             first = str(exc).splitlines()
             crashes[name] = first[0][:200] if first else type(exc).__name__
             print(f"CRASH {name}: {crashes[name]}", flush=True)
-    print(f"\n{len(crashes)} of {len(names)} queries crash on degenerate input")
+    kind = "EMPTY corpus tables" if empty else "degenerate input"
+    print(f"\n{len(crashes)} of {len(names)} queries crash on {kind}")
     return len(crashes)
 
 
