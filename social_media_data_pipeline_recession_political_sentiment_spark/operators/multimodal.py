@@ -179,11 +179,17 @@ def ext_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RESIZE_BOX = 224  # target box (the standard vision-model input side)
 
+# undecodable-media pin (r7 NULL sweep): a row with NULL payload or
+# NULL dimensions has no geometry to resize — excluded on BOTH
+# engines (a real decode stage routes these to a quarantine sink);
+# unpinned, the NaN geometry crashed the int64 cast in the pandas
+# batch while DuckDB emitted NULL rows.
 _RESIZE_ORACLE = f"""
 WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes,
                   CAST(n_chars % 640 + 16 AS BIGINT) AS w,
                   CAST(n_chars % 480 + 16 AS BIGINT) AS h
-           FROM documents),
+           FROM documents
+           WHERE text IS NOT NULL AND n_chars IS NOT NULL),
 s AS (SELECT doc_id, n_bytes, w, h,
              least(CAST({RESIZE_BOX} AS DOUBLE) / w,
                    CAST({RESIZE_BOX} AS DOUBLE) / h) AS scale FROM m)
@@ -204,8 +210,13 @@ def ext_mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     emits the resized payload bytes in the same batch shape; the fake
     keeps every Spark-side concern (schema, Arrow batching, map-only
     no-shuffle stage) real, and the arithmetic is IEEE-identical in
-    the SQL oracle."""
-    d = attach_media_columns(load(spark, sf_dir, "documents"))
+    the SQL oracle. Rows with NULL payload/dimensions are excluded
+    on both engines (see _RESIZE_ORACLE pin)."""
+    d = attach_media_columns(
+        load(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+        )
+    )
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

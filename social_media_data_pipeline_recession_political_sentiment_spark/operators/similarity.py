@@ -65,7 +65,10 @@ _COS_SQL = (
 _TOPK_ORACLE = (
     f"WITH c AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS_SQL} AS cos "
     f"FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id "
-    f"WHERE a.vec_id < {N_QUERY_VECS}) "
+    f"WHERE a.vec_id < {N_QUERY_VECS} "
+    # NULL-embedding pin (r7 sweep): matches the Spark-side source
+    # filter — a vector-less row neither queries nor ranks
+    "AND a.embedding IS NOT NULL AND b.embedding IS NOT NULL) "
     "SELECT query_id, neighbor_id, cos, rank FROM ("
     "  SELECT query_id, neighbor_id, cos, row_number() OVER ("
     "    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM c) "
@@ -92,7 +95,9 @@ def ext_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus through a map-only scoring stage, then a per-query
     window top-k (SURVEY §2.3 `join_similarity_topk`). Deterministic
     tiebreak on neighbor_id."""
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()  # NULL-embedding pin (r7 sweep)
+    )
     q = _with_double_vec(e.filter(F.col("vec_id") < N_QUERY_VECS), "qv").select(
         F.col("vec_id").alias("query_id"), "qv"
     )
@@ -165,7 +170,11 @@ def _ivf_scored(spark: SparkSession, sf_dir: str, probe_all: bool) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("embedding").isNotNull())  # NULL-embedding pin (r7 sweep): no vector, no similarity op
+    )
     sample = _ivf_train_sample(e).toPandas()
     if len(sample) == 0:  # empty corpus => no neighbors
         return spark.createDataFrame(
@@ -339,7 +348,11 @@ def ext_dedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     B = EMBCOS_BLOCKS
-    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("embedding").isNotNull())  # NULL-embedding pin (r7 sweep): no vector, no similarity op
+    )
     # replicate: a vector in block g joins group (min(g,o), max(g,o))
     # for every o — B copies per vector, each group seeing each of its
     # two blocks exactly once
@@ -552,7 +565,11 @@ def ext_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same algorithm) which pays Vector-UDT conversion + non-codegen
     hashing per row. Recall vs brute force is asserted in
     tests/test_similarity.py."""
-    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("embedding").isNotNull())  # NULL-embedding pin (r7 sweep): no vector, no similarity op
+    )
     return lsh_candidate_pairs(spark, e, LSH_DIST_THRESHOLD).orderBy("vec_a", "vec_b")
 
 
@@ -670,7 +687,9 @@ def ext_sim_lsh_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lsh_candidate_pairs directly, NOT ext_sim_lsh: the registered
     # miner ends in a presentation orderBy whose global sort the two
     # joins below would immediately destroy
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()  # NULL-embedding pin (r7 sweep): no vector, no similarity op
+    )
     cand = lsh_candidate_pairs(
         spark, emb.select("vec_id", "embedding"), LSH_DIST_THRESHOLD
     )
@@ -813,7 +832,11 @@ def ext_sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle); the brute-force denominator is quadratic BY CONTRACT
     and runs only at verification SF — the same asymmetry as
     `ext_sim_ivf_exhaustive`."""
-    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("embedding").isNotNull())  # NULL-embedding pin (r7 sweep): no vector, no similarity op
+    )
     found = lsh_candidate_pairs(spark, e, LSH_DIST_THRESHOLD).agg(
         F.count("*").alias("found")
     )
@@ -894,7 +917,9 @@ KNN_K = 3
     oracle=(
         f"WITH c AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, "
         f"{_COS_SQL} AS cos FROM embeddings a JOIN embeddings b "
-        "ON b.vec_id != a.vec_id), "
+        "ON b.vec_id != a.vec_id "
+        # NULL-embedding pin (r7 sweep): matches the Spark source filter
+        "WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL), "
         "r AS (SELECT vec_id, neighbor_id, cos, row_number() OVER ("
         "PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank FROM c) "
         f"SELECT vec_id, neighbor_id, cos, rank FROM r WHERE rank <= {KNN_K}"
@@ -925,7 +950,11 @@ def ext_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     B = EMBCOS_BLOCKS
-    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("embedding").isNotNull())  # NULL-embedding pin (r7 sweep): no vector, no similarity op
+    )
     rep = (
         e.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(B)).cast("int"))
         .withColumn("o", F.explode(F.array(*[F.lit(i) for i in range(B)])))
@@ -1427,7 +1456,11 @@ def ext_emb_gram_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    z = _with_int8_codes(load(spark, sf_dir, "embeddings"))
+    z = _with_int8_codes(
+        load(spark, sf_dir, "embeddings").filter(
+            F.col("embedding").isNotNull()  # NULL-embedding pin (r7 sweep): no vector, no similarity op
+        )
+    )
 
     def partials(batches):
         acc = None
@@ -1669,7 +1702,9 @@ def ext_hard_negative_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KNN_NOISE_ORACLE = (
     f"WITH c AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, "
     f"{_COS_SQL} AS cos FROM embeddings a JOIN embeddings b "
-    "ON b.vec_id != a.vec_id), "
+    "ON b.vec_id != a.vec_id "
+    # NULL-embedding pin (r7 sweep): matches the Spark source filter
+    "WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL), "
     "r AS (SELECT vec_id, neighbor_id, cos, row_number() OVER ("
     "PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank FROM c), "
     f"k AS (SELECT vec_id, neighbor_id FROM r WHERE rank <= {KNN_K}), "

@@ -965,7 +965,11 @@ SHARD_TOKENS = 2000
 @register(
     "ext_shard_manifest",
     oracle=(
-        "WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, "
+        # coalesce: NULL text = ZERO tokens on both engines (r7 NULL
+        # sweep — a NULL n_tokens otherwise NaN-poisons the offset
+        # cumsum and crashes the driver-side shard-total loop)
+        "WITH d AS (SELECT doc_id, "
+        "coalesce(len(string_split(text, ' ')), 0) AS n_tokens, "
         "md5(CAST(doc_id AS VARCHAR)) AS k FROM documents), "
         "c AS (SELECT doc_id, n_tokens, "
         "CAST(sum(n_tokens) OVER (ORDER BY k, doc_id "
@@ -995,7 +999,11 @@ def ext_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select(
         "doc_id",
-        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        # coalesce: NULL text = ZERO tokens (r7 NULL sweep; matches
+        # the oracle pin)
+        F.coalesce(
+            F.size(F.split(F.col("text"), " ")), F.lit(0)
+        ).cast("long").alias("n_tokens"),
         F.md5(F.col("doc_id").cast("string")).alias("k"),
     )
     n_parts = max(2, spark.sparkContext.defaultParallelism)

@@ -189,3 +189,39 @@ def test_empty_corpus_tables_do_not_crash_fixed_class(spark):
     qs = registry.queries()
     for name in fixed:
         qs[name](spark, fixture).collect()  # must not raise
+
+
+def test_null_riddled_tables_do_not_crash_fixed_class(spark):
+    """NULL-riddled regression pin (r7 sweep, --nulls mode): the
+    queries whose numpy/driver seams crashed on NULL embeddings /
+    NULL text (failed encodes and partial ingests look exactly like
+    this) must run, not raise. The NULL-embedding rule — no vector,
+    no similarity op — is pinned on both engines (matching oracle
+    predicates), verified by running the ORACLE GATE itself on this
+    fixture during r7."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from degen_sweep import build_fixture
+
+    fixture = build_fixture(nulls=True)
+    fixed = [
+        "ext_sim_topk",
+        "ext_sim_ivf",
+        "ext_sim_ivf_exhaustive",
+        "ext_sim_ivf_recall",
+        "ext_dedup_embcos",
+        "ext_dedup_semantic",
+        "ext_sim_knn_graph",
+        "ext_sim_lsh",
+        "ext_sim_lsh_verify",
+        "ext_sim_lsh_recall",
+        "ext_emb_gram_int8",
+        "ext_emb_anisotropy",
+        "ext_label_knn_noise",
+        "ext_shard_manifest",
+        "ext_mm_resize_stub",
+    ]
+    qs = registry.queries()
+    for name in fixed:
+        qs[name](spark, fixture).collect()  # must not raise
