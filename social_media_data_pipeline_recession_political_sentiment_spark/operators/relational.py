@@ -1021,9 +1021,23 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
 
+# Finite-value domain pin (r7 non-finite sweep): the cents/fixed-point
+# devices cast round(value * scale) to BIGINT — under ANSI a hard
+# CAST_OVERFLOW on NaN/±inf and on magnitudes beyond the exact
+# fixed-point domain (DuckDB's CAST errors identically, so BOTH
+# engines crash without the pin). The shared fragment parses in BOTH
+# dialects (F.expr on the Spark side — one tree, zero drift): rows
+# KEEP their place in windows/sessions/counts, only the measure goes
+# NULL (sums skip it), and |value| < 1e12 keeps cents < 1e14 —
+# double-exact and far inside BIGINT.
+FINITE_VALUE_SQL = "value IS NOT NULL AND NOT isnan(value) AND abs(value) < 1.0e12"
+FINITE_CENTS_SQL = (
+    f"CASE WHEN {FINITE_VALUE_SQL} THEN CAST(round(value * 100) AS BIGINT) END"
+)
+
 _SESSIONIZE_ORACLE = f"""
 WITH s AS (SELECT event_id, user_id, epoch_us(ts) AS us,
-                  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+                  {FINITE_CENTS_SQL} AS cents FROM events),
 g AS (SELECT *, CASE WHEN us - lag(us) OVER w > {SESSION_GAP_US}
                      OR lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
       FROM s WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
@@ -1056,7 +1070,7 @@ def agg_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.unix_micros("ts").alias("us"),
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.expr(FINITE_CENTS_SQL).alias("cents"),
     )
     w = W.partitionBy("user_id").orderBy("us", "event_id")
     new_s = (F.col("us") - F.lag("us").over(w) > SESSION_GAP_US) | F.lag("us").over(
@@ -1350,7 +1364,7 @@ MOVING_RANGE_US = 6 * 3600 * 1_000_000  # 6-hour trailing window, micros
     "window_moving_range",
     oracle=(
         "WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS t, "
-        "CAST(round(value * 100) AS BIGINT) AS cents FROM events) "
+        f"{FINITE_CENTS_SQL} AS cents FROM events) "
         "SELECT event_id, event_type, "
         "CAST(count(*) OVER w AS BIGINT) AS n_6h, "
         "CAST(sum(cents) OVER w AS BIGINT) AS cents_6h "
@@ -1382,7 +1396,7 @@ def window_moving_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         F.unix_micros("ts").alias("t"),
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.expr(FINITE_CENTS_SQL).alias("cents"),
     )
     w = (
         W.partitionBy("event_type")
@@ -2681,9 +2695,10 @@ _DECAY_LAMBDA = "0.09902102579427789"
 _DECAYED_ORACLE = f"""
 WITH mx AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
 e AS (SELECT user_id,
-        CAST(round(value * exp(-{_DECAY_LAMBDA} *
-            ((mx.max_us - epoch_us(ts)) / 86400000000.0)) * 1000000)
-          AS BIGINT) AS micro
+        CASE WHEN {FINITE_VALUE_SQL}
+             THEN CAST(round(value * exp(-{_DECAY_LAMBDA} *
+                 ((mx.max_us - epoch_us(ts)) / 86400000000.0)) * 1000000)
+               AS BIGINT) END AS micro
       FROM events CROSS JOIN mx)
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(micro) AS BIGINT) AS micro_score
@@ -2724,12 +2739,14 @@ def agg_decayed_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = e.agg(F.max(F.unix_micros("ts")).alias("max_us"))
     age_days = (F.col("max_us") - F.unix_micros("ts")) / F.lit(86400000000.0)
     micro = (
-        F.round(
-            F.col("value")
-            * F.exp(F.lit(float(_DECAY_LAMBDA)) * -1 * age_days)
-            * 1000000
+        F.when(
+            F.expr(FINITE_VALUE_SQL),
+            F.round(
+                F.col("value")
+                * F.exp(F.lit(float(_DECAY_LAMBDA)) * -1 * age_days)
+                * 1000000
+            ).cast("long"),
         )
-        .cast("long")
         .alias("micro")
     )
     return (
@@ -3040,7 +3057,8 @@ WITH r AS (SELECT abs(value) AS av,
              CAST(floor(abs(value) / pow(10, floor(ln(abs(value)) / ln(10))))
                AS BIGINT) AS d0,
              floor(ln(abs(value)) / ln(10)) AS e
-           FROM events WHERE value <> 0),
+           FROM events WHERE value <> 0
+             AND NOT isnan(value) AND abs(value) < 1.0e12),
 v AS (SELECT CASE WHEN d0 >= 10 THEN d0 // 10
                   WHEN d0 = 0 THEN CAST(floor(av / pow(10, e - 1)) AS BIGINT)
                   ELSE d0 END AS digit
@@ -3071,7 +3089,14 @@ def agg_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: scan-local digit extraction, ONE 9-key hash agg
     with map-side combine, 1-row total crossJoin-broadcast — a
     constant-size audit at any corpus scale."""
-    e = load(spark, sf_dir, "events").filter(F.col("value") != 0)
+    # non-finite pin (r7 sweep): a leading digit exists only for
+    # finite values; the shared 1e12 domain keeps the audit universe
+    # identical to the cents-device queries
+    e = load(spark, sf_dir, "events").filter(
+        (F.col("value") != 0)
+        & ~F.isnan("value")
+        & (F.abs(F.col("value")) < F.lit(1.0e12))
+    )
     av = F.abs(F.col("value"))
     ex = F.floor(F.log(av) / F.log(F.lit(10.0)))
     d0 = F.floor(av / F.pow(F.lit(10.0), ex)).cast("long")
@@ -3465,19 +3490,29 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 # boundaries (floor(epoch), floor(value) seconds of duration,
 # end-exclusive [s0, s1)), sub-second sessions dropped. Stated ONCE per
 # engine so the two operators can never diverge on what a session is.
-_SESSION_CTE = """
+# SESSION_MAX_S (r7 non-finite sweep): a session "duration" beyond 30
+# days is a data error (NaN/±inf/garbage seconds), and unbounded it
+# explodes the per-day split into a 10^14-element sequence
+# (COLLECTION_SIZE_LIMIT crash). `value < cap` excludes NaN on both
+# engines (NaN compares false), ±inf, and overflow-range magnitudes
+# in one shared predicate.
+SESSION_MAX_S = 30 * 86400
+
+_SESSION_CTE = f"""
 s AS (SELECT event_type,
              CAST(floor(epoch(ts)) AS BIGINT) AS s0,
              CAST(floor(epoch(ts)) AS BIGINT)
                + CAST(floor(value) AS BIGINT) AS s1
-      FROM events WHERE floor(value) >= 1)
+      FROM events WHERE floor(value) >= 1 AND value < {SESSION_MAX_S})
 """
 
 
 def _session_intervals(e: DataFrame) -> DataFrame:
     """Spark twin of _SESSION_CTE: (event_type, s0, s1) integer-second
     end-exclusive session intervals, sub-second sessions dropped."""
-    return e.filter(F.floor("value") >= 1).select(
+    return e.filter(
+        (F.floor("value") >= 1) & (F.col("value") < SESSION_MAX_S)
+    ).select(
         "event_type",
         F.col("ts").cast("long").alias("s0"),
         (F.col("ts").cast("long") + F.floor("value").cast("long")).alias("s1"),

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..operators.relational import FINITE_CENTS_SQL
 from ..registry import register
 from ..session import prune_stale_workdirs
 
@@ -537,10 +538,10 @@ def sink_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------ dynamic partition overwrite
 
 
-_DYN_OVERWRITE_ORACLE = """
+_DYN_OVERWRITE_ORACLE = f"""
 WITH e AS (SELECT event_id,
                   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_num,
-                  CAST(round(value * 100) AS BIGINT) AS cents
+                  {FINITE_CENTS_SQL} AS cents
            FROM events),
 d0 AS (SELECT min(day_num) AS d0 FROM e),
 adj AS (SELECT day_num,
@@ -579,7 +580,8 @@ def sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").select(
         "event_id",
         F.expr("CAST(ts AS LONG) div 86400").alias("day_num"),
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        # finite-value pin (r7 non-finite sweep; shared device)
+        F.expr(FINITE_CENTS_SQL).alias("cents"),
     )
     e.write.partitionBy("day_num").mode("overwrite").parquet(sink)
     d0 = e.agg(F.min("day_num").alias("d0"))

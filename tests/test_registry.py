@@ -225,3 +225,32 @@ def test_null_riddled_tables_do_not_crash_fixed_class(spark):
     qs = registry.queries()
     for name in fixed:
         qs[name](spark, fixture).collect()  # must not raise
+
+
+def test_nonfinite_values_do_not_crash_fixed_class(spark):
+    """Non-finite/extreme regression pin (r7 sweep, --nonfinite mode):
+    NaN/±inf/1e308 measures and wildly out-of-range timestamps must
+    not kill the cents fixed-point casts (ANSI CAST_OVERFLOW) or
+    explode the session day-split sequence
+    (COLLECTION_SIZE_LIMIT_EXCEEDED). Rows keep their place; only the
+    out-of-domain measure reads NULL (the shared FINITE_CENTS_SQL /
+    SESSION_MAX_S devices, pinned on both engines and oracle-gate-
+    verified ON this fixture during r7)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from degen_sweep import build_fixture
+
+    fixture = build_fixture(nonfinite=True)
+    fixed = [
+        "agg_sessionize_batch",
+        "window_moving_range",
+        "agg_decayed_score",
+        "agg_benford_audit",
+        "agg_concurrency_peak",
+        "agg_occupancy_hours",
+        "sink_dynamic_overwrite",
+    ]
+    qs = registry.queries()
+    for name in fixed:
+        qs[name](spark, fixture).collect()  # must not raise

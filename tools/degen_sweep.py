@@ -28,6 +28,8 @@ slice b), ext_dedup_cross_source (malformed source name).
 Usage:  python tools/degen_sweep.py [query ...]
         python tools/degen_sweep.py --empty [query ...]
         python tools/degen_sweep.py --nulls [query ...]
+        python tools/degen_sweep.py --nonfinite [query ...]
+        python tools/degen_sweep.py --unicode [query ...]
 --empty swaps the fixture for ZERO-ROW documents/events/embeddings
 (the "my filter matched nothing" case that is routine at 100 TB —
 every date-range or partition predicate can come back empty). r7
@@ -52,6 +54,36 @@ ext_sim_ivf_recall's meets_floor honestly reads false on a 4-vector
 corpus (the measured recall floor needs a minimum corpus; slots
 still hash-match) — an approximation property, not an engine
 divergence.
+--nonfinite plants NaN/±inf/1e308 in events.value, NaN/inf embedding
+components, and wildly out-of-range timestamps (1900, 2260). r7
+findings (fixed + oracle-gate-verified ON the fixture): the shared
+FINITE_CENTS_SQL / FINITE_VALUE_SQL device (operators/relational.py)
+— rows keep their place in sessions/windows/counts but a non-finite
+or out-of-domain measure reads NULL on both engines (ANSI
+CAST_OVERFLOW otherwise kills agg_sessionize_batch /
+window_moving_range / agg_decayed_score / sink_dynamic_overwrite);
+agg_benford_audit restricts its universe to the same finite domain;
+and the shared session-interval contract caps durations at
+SESSION_MAX_S = 30 days (an unbounded "duration" column explodes the
+per-day split into a 10^14-element sequence —
+COLLECTION_SIZE_LIMIT_EXCEEDED in agg_concurrency_peak /
+agg_occupancy_hours).
+--unicode is a DIVERGENCE sweep, not just a crash sweep: the shipped
+testdata corpus is pure ASCII, so every string kernel (Java regex vs
+DuckDB RE2, ICU-vs-utf8proc case mapping, code-point vs grapheme
+counting) is untested on the text real social platforms actually
+carry. The mode rewrites the real sf0.001 documents table with
+deterministic unicode enrichment — emoji + ZWJ families, CJK, RTL
+Arabic/Hebrew, combining marks (precomposed AND decomposed é), NBSP /
+thin / zero-width spaces, astral-plane letters, fullwidth forms,
+Turkish İ/ı + German ß + Greek final-sigma case edges, curly
+punctuation — keeping doc_id/lang/source distributions and the
+n_chars = code-point-length contract intact. Run the crash pass here,
+then the FULL oracle gate on the fixture:
+
+    python tools/degen_sweep.py --unicode
+    SMDP_VERIFY_VANILLA=1 python tools/verify_local.py /tmp/smdp_degen
+
 Exit code = number of crashing queries.
 """
 
@@ -69,7 +101,46 @@ FIXTURE = "/tmp/smdp_degen"
 SRC_SF = "/root/testdata/sf0.001"
 
 
-def build_fixture(empty: bool = False, nulls: bool = False) -> str:
+# Deterministic unicode enrichments, cycled by doc_id % len. Each is a
+# (suffix, infix) pair: the suffix is appended as new "words"; the
+# infix replaces the SECOND space of the doc (when present) so unusual
+# whitespace lands inside running text, where tokenizers must face it.
+_UNICODE_CASES = [
+    # 0: unchanged ASCII control case
+    ("", " "),
+    # 1: emoji, a ZWJ family sequence (man+ZWJ+woman+ZWJ+girl+ZWJ+boy),
+    #    and a PRECOMPOSED e-acute (U+00E9)
+    ("\U0001f600\U0001f525 caf\u00e9 "
+     "\U0001f468\u200d\U0001f469\u200d\U0001f467\u200d\U0001f466", " "),
+    # 2: CJK + Hangul
+    ("\u4e2d\u6587\u6d4b\u8bd5 \u65e5\u672c\u8a9e\u306e\u30c6\u30ad"
+     "\u30b9\u30c8 \ud55c\uad6d\uc5b4", " "),
+    # 3: RTL Arabic + Hebrew
+    ("\u0645\u0631\u062d\u0628\u0627 \u0628\u0627\u0644\u0639\u0627"
+     "\u0644\u0645 \u05e9\u05dc\u05d5\u05dd", " "),
+    # 4: DECOMPOSED e-acute (e + combining U+0301) and i-diaeresis —
+    #    the NFC/NFD seam; NBSP (U+00A0) as the infix "space"
+    ("cafe\u0301 nai\u0308ve", "\u00a0"),
+    # 5: astral-plane letters (math fraktur, Gothic hwair), fullwidth
+    #    forms; THIN SPACE (U+2009) infix
+    ("\U0001d518\U0001d52b\U0001d526 \uff21\uff22\uff23\uff11\uff12 "
+     "\U00010348", "\u2009"),
+    # 6: case-mapping edges — Turkish dotted/dotless I, German sharp s,
+    #    Greek capital vs final sigma
+    ("\u0130stanbul \u0131spanak stra\u00dfe \u03a3\u039f\u03a6\u039f"
+     "\u03a3 \u03c3\u03bf\u03c6\u03cc\u03c2", " "),
+    # 7: curly punctuation, em dash, ellipsis; ZERO-WIDTH SPACE
+    #    (U+200B) inside a word
+    ("\u201cquoted\u201d \u2014 dash\u2026 zero\u200bwidth", " "),
+]
+
+
+def build_fixture(
+    empty: bool = False,
+    nulls: bool = False,
+    nonfinite: bool = False,
+    unicode_: bool = False,
+) -> str:
     import glob
 
     import pyarrow as pa
@@ -84,6 +155,101 @@ def build_fixture(empty: bool = False, nulls: bool = False) -> str:
         (shutil.copytree if os.path.isdir(f) else shutil.copy)(
             f, os.path.join(FIXTURE, name)
         )
+
+    if unicode_:
+        # events + embeddings stay the real sf0.001 tables; only the
+        # text corpus is rewritten, preserving doc_id / lang / source
+        # distributions and the n_chars = code-point-length contract.
+        for name in ("events.parquet", "embeddings.parquet"):
+            shutil.copy(f"{SRC_SF}/{name}", os.path.join(FIXTURE, name))
+        base = pq.read_table(f"{SRC_SF}/documents.parquet").to_pylist()
+        texts = []
+        for row in base:
+            suffix, infix = _UNICODE_CASES[row["doc_id"] % len(_UNICODE_CASES)]
+            text = row["text"] or ""
+            if infix != " ":
+                first = text.find(" ")
+                second = text.find(" ", first + 1) if first >= 0 else -1
+                if second >= 0:
+                    text = text[:second] + infix + text[second + 1 :]
+            if suffix:
+                text = f"{text} {suffix}" if text else suffix
+            texts.append(text)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r["doc_id"] for r in base], pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                    "lang": pa.array([r["lang"] for r in base], pa.string()),
+                    "source": pa.array(
+                        [r["source"] for r in base], pa.string()
+                    ),
+                    "n_chars": pa.array(
+                        [len(t) for t in texts], pa.int64()
+                    ),
+                }
+            ),
+            os.path.join(FIXTURE, "documents.parquet"),
+        )
+        return FIXTURE
+
+    if nonfinite:
+        t0 = dt.datetime(2024, 1, 1)
+        day = dt.timedelta(days=1)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(list(range(1, 11)), pa.int64()),
+                    "ts": pa.array(
+                        [t0, t0 + day, dt.datetime(1900, 1, 1),
+                         dt.datetime(2260, 1, 1), t0 + 2 * day,
+                         t0, t0 + day, t0 + 3 * day, t0, t0 + day],
+                        pa.timestamp("us"),
+                    ),
+                    "user_id": pa.array([1, 2, 3, 4, 1, 2, 3, 4, 1, 2], pa.int64()),
+                    "event_type": pa.array(
+                        ["view", "click", "view", "purchase", "view",
+                         "click", "view", "view", "purchase", "click"],
+                        pa.string(),
+                    ),
+                    "value": pa.array(
+                        [1.0, float("nan"), float("inf"), float("-inf"),
+                         2.5, 1e308, -1e308, 0.0, -0.0, 3.5],
+                        pa.float64(),
+                    ),
+                    "props": pa.array(['{"k":1}'] * 10, pa.string()),
+                }
+            ),
+            os.path.join(FIXTURE, "events.parquet"),
+        )
+        dim = 64
+        vecs = [
+            [1.0] + [0.0] * (dim - 1),
+            [float("nan")] * dim,
+            [float("inf")] + [0.0] * (dim - 1),
+            [0.5] * dim,
+            [-0.5] * dim,
+            [1e30] * dim,
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(list(range(1, 7)), pa.int64()),
+                    "embedding": pa.array(
+                        [[float(x) for x in v] for v in vecs],
+                        pa.list_(pa.float32()),
+                    ),
+                    "label": pa.array([0, 1, 0, 1, 0, 1], pa.int32()),
+                }
+            ),
+            os.path.join(FIXTURE, "embeddings.parquet"),
+        )
+        # documents stay the real sf0.001 table in this mode
+        shutil.copy(
+            f"{SRC_SF}/documents.parquet",
+            os.path.join(FIXTURE, "documents.parquet"),
+        )
+        return FIXTURE
 
     if nulls:
         pq.write_table(
@@ -275,8 +441,16 @@ def main() -> int:
     args = sys.argv[1:]
     empty = "--empty" in args
     nulls = "--nulls" in args
-    args = [a for a in args if a not in ("--empty", "--nulls")]
-    build_fixture(empty=empty, nulls=nulls)
+    nonfinite = "--nonfinite" in args
+    unicode_ = "--unicode" in args
+    args = [
+        a
+        for a in args
+        if a not in ("--empty", "--nulls", "--nonfinite", "--unicode")
+    ]
+    build_fixture(
+        empty=empty, nulls=nulls, nonfinite=nonfinite, unicode_=unicode_
+    )
     spark = get_session("smdp_degen", cpus=8)
     qs = registry.queries()
     names = args or list(qs)
@@ -291,7 +465,13 @@ def main() -> int:
     kind = (
         "EMPTY corpus tables"
         if empty
-        else "NULL-riddled tables" if nulls else "degenerate input"
+        else "NULL-riddled tables"
+        if nulls
+        else "non-finite/extreme values"
+        if nonfinite
+        else "unicode-enriched corpus"
+        if unicode_
+        else "degenerate input"
     )
     print(f"\n{len(crashes)} of {len(names)} queries crash on {kind}")
     return len(crashes)
