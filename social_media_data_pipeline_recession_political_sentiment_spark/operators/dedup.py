@@ -30,7 +30,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import compute_once, load
-from ..functions.hashing import doc_bucket, doc_bucket_sql
+from ..functions.hashing import (
+    content_fp,
+    content_fp_sql,
+    doc_bucket,
+    doc_bucket_sql,
+)
 from ..registry import register
 
 N_MINHASH = 16
@@ -520,7 +525,7 @@ def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_dedup_cluster_pick",
     oracle=(
         "WITH k AS (SELECT doc_id, n_chars, "
-        "md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS ckey FROM documents), "
+        f"{content_fp_sql('text')} AS ckey FROM documents), "
         "r AS (SELECT doc_id, ckey, "
         "row_number() OVER (PARTITION BY ckey ORDER BY n_chars DESC, doc_id) AS rn, "
         "count(*) OVER (PARTITION BY ckey) AS cluster_size FROM k) "
@@ -540,7 +545,9 @@ def ext_dedup_cluster_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     d = load(spark, sf_dir, "documents")
-    ckey = F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    # shared portable fingerprint device: ASCII fold + explicit WS
+    # class (full Unicode lower() is engine-defined — r7 unicode sweep)
+    ckey = content_fp("text")
     k = d.select("doc_id", "n_chars", ckey.alias("ckey"))
     w = W.partitionBy("ckey").orderBy(F.desc("n_chars"), "doc_id")
     wc = W.partitionBy("ckey")
@@ -2615,8 +2622,8 @@ cand AS (SELECT doc_a, doc_b FROM inter WHERE i >= {EDIT_MIN_SHARED}),
 sc AS (SELECT c.doc_a, c.doc_b,
               levenshtein(substr(da.text, 1, {EDIT_PREFIX}),
                           substr(db.text, 1, {EDIT_PREFIX})) AS edit_distance,
-              greatest(length(substr(da.text, 1, {EDIT_PREFIX})),
-                       length(substr(db.text, 1, {EDIT_PREFIX})), 1) AS norm_len
+              greatest(octet_length(encode(substr(da.text, 1, {EDIT_PREFIX}))),
+                       octet_length(encode(substr(db.text, 1, {EDIT_PREFIX}))), 1) AS norm_len
        FROM cand c
        JOIN documents da ON da.doc_id = c.doc_a
        JOIN documents db ON db.doc_id = c.doc_b)
@@ -2658,9 +2665,20 @@ def ext_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = inter.filter(F.col("i") >= EDIT_MIN_SHARED).select("doc_a", "doc_b")
     # slim (doc_id, 64-char prefix) frame feeds BOTH pair sides —
     # pin it or each side re-scans documents (r6 scan audit)
+    # BYTE-domain pin (r7 unicode sweep): DuckDB's levenshtein is
+    # byte-based while Spark's is code-point-based — divergent the
+    # moment a multi-byte char lands in a prefix. Edit distance here
+    # is DEFINED over UTF-8 bytes (the one definition both engines
+    # can compute natively): the latin-1 decode views each byte as
+    # one code point, so Spark's DP runs byte-level; norm_len is the
+    # byte length on both engines. Identity on ASCII text.
     d = compute_once(
         _load_docs(spark, sf_dir).select(
-            "doc_id", F.substring("text", 1, EDIT_PREFIX).alias("prefix")
+            "doc_id",
+            F.decode(
+                F.encode(F.substring("text", 1, EDIT_PREFIX), "UTF-8"),
+                "ISO-8859-1",
+            ).alias("prefix"),
         )
     )
     da = d.select(F.col("doc_id").alias("doc_a"), F.col("prefix").alias("pa"))
@@ -2692,7 +2710,7 @@ DIVERSITY_SCALE = 1_000_000  # micro fixed-point Shannon terms
 
 
 _DIVERSITY_ORACLE = f"""
-WITH k AS (SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS ckey
+WITH k AS (SELECT {content_fp_sql('text')} AS ckey
            FROM documents),
 c AS (SELECT ckey, CAST(count(*) AS BIGINT) AS s FROM k GROUP BY 1),
 n AS (SELECT CAST(sum(s) AS BIGINT) AS n,
@@ -2745,9 +2763,7 @@ def ext_cluster_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     c = compute_once(
         d.select(
-            F.md5(
-                F.lower(F.regexp_replace("text", r"\s+", " "))
-            ).alias("ckey")
+            content_fp("text").alias("ckey")
         )
         .groupBy("ckey")
         .agg(F.count("*").alias("s"))

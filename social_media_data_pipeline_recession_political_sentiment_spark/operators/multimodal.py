@@ -106,12 +106,37 @@ def ext_mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The synthetic corpus is pure ASCII, so UTF-8 byte values equal
-# codepoints and the FakeCodec arithmetic is exactly expressible in
-# SQL — making even the binary mapInPandas path oracle-checked.
+def _utf8_bytes_sql(rel: str, id_col: str = "doc_id") -> str:
+    """CTE fragment exploding ``rel.text`` into one row per UTF-8
+    byte: ``bytes(id, p, b, nb)`` with p = 0-based byte offset,
+    b = byte value 0..255, nb = total byte count.
+
+    BYTE-TRUE on any unicode input (r7 unicode sweep): the codec
+    side of every media operator reads raw payload BYTES, and the
+    earlier ``ord(char)`` reconstruction only equalled bytes on a
+    pure-ASCII corpus — on real social text (emoji/CJK/RTL) the
+    per-char code points diverge from the UTF-8 bytes and the pHash/
+    frame/decode oracles all drifted. ``hex(encode(text))`` plus
+    per-pair hex-digit arithmetic recovers the exact byte stream in
+    portable SQL."""
+    return f"""
+h AS (SELECT {id_col}, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS nb FROM {rel}),
+nums AS (SELECT unnest(range(0, (SELECT coalesce(max(nb), 0) FROM h))) AS p),
+bytes AS (SELECT h.{id_col}, CAST(n.p AS BIGINT) AS p, h.nb,
+                 CAST((strpos('0123456789ABCDEF',
+                        substr(h.hx, CAST(2 * n.p + 1 AS INT), 1)) - 1) * 16
+                      + strpos('0123456789ABCDEF',
+                        substr(h.hx, CAST(2 * n.p + 2 AS INT), 1)) - 1
+                   AS BIGINT) AS b
+          FROM h JOIN nums n ON n.p < h.nb)
+"""
+
+
 _DECODE_ORACLE = f"""
-WITH chars AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
-agg AS (SELECT doc_id, CAST(sum(ord(ch)) AS BIGINT) AS byte_sum, count(*) AS n FROM chars GROUP BY doc_id)
+WITH {_utf8_bytes_sql("documents")},
+agg AS (SELECT doc_id, CAST(sum(b) AS BIGINT) AS byte_sum,
+               count(*) AS n FROM bytes GROUP BY doc_id)
 SELECT d.doc_id, CAST(coalesce(a.byte_sum, 0) AS BIGINT) AS byte_sum,
        octet_length(encode(d.text)) // {FRAME_BYTES} + 1 AS n_frames,
        CASE WHEN a.n > 0 THEN CAST(a.byte_sum AS DOUBLE) / a.n ELSE 0.0 END AS mean_byte
@@ -141,9 +166,7 @@ def ext_mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FRAME_ORACLE = f"""
-WITH nums AS (SELECT unnest(range(0, (SELECT max(length(text)) FROM documents))) AS p),
-bytes AS (SELECT d.doc_id, n.p, ord(substr(d.text, CAST(n.p + 1 AS INT), 1)) AS b
-          FROM documents d JOIN nums n ON n.p < length(d.text))
+WITH {_utf8_bytes_sql("documents")}
 SELECT doc_id, p // {FRAME_BYTES * 2} AS frame_idx, CAST(sum(b) AS BIGINT) AS frame_sum,
        count(*) AS frame_len
 FROM bytes WHERE p % {FRAME_BYTES * 2} < {FRAME_BYTES}
@@ -331,22 +354,20 @@ media AS (
 """
 
 # Per-doc 16-bit phash bands, expressed identically to the pandas
-# stage: bit b (b = (i·64)//n per 0-based byte index i) is set when
+# stage: bit b (b = (p·64)//nb per 0-based byte offset p) is set when
 # block_sum · n > total_sum · block_count — an ALL-INTEGER
 # cross-multiplied form of "block mean > global mean", so both
-# engines compare exact BIGINTs, never floats. The corpus is pure
-# ASCII (see _DECODE_ORACLE), so ord(char) == payload byte.
+# engines compare exact BIGINTs, never floats. Byte values come from
+# the _utf8_bytes_sql device (byte-true on unicode — r7 sweep).
 _PHASH_BANDS_SQL = f"""
 {_PHASH_CORPUS_SQL},
-idx AS (SELECT doc_id, text,
-               unnest(generate_series(1, length(text))) AS i
-        FROM media),
-pos AS (SELECT doc_id, ord(text[CAST(i AS INT)]) AS v,
-               ((i - 1) * {PHASH_BLOCKS}) // length(text) AS b
-        FROM idx),
-blk AS (SELECT doc_id, b, CAST(sum(v) AS BIGINT) AS bsum,
+{_utf8_bytes_sql("media").strip().rstrip()},
+pos AS (SELECT doc_id, b AS v,
+               (p * {PHASH_BLOCKS}) // nb AS blk
+        FROM bytes),
+blk AS (SELECT doc_id, blk AS b, CAST(sum(v) AS BIGINT) AS bsum,
                CAST(count(*) AS BIGINT) AS cnt
-        FROM pos GROUP BY doc_id, b),
+        FROM pos GROUP BY doc_id, blk),
 tot AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS s,
                CAST(count(*) AS BIGINT) AS n
         FROM pos GROUP BY doc_id),

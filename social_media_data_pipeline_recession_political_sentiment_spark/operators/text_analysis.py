@@ -24,7 +24,13 @@ import pandas as pd
 from pyspark.sql import types as T
 
 from ..catalog import compute_once, load
-from ..functions.hashing import doc_bucket, doc_bucket_sql
+from ..functions.hashing import (
+    WS_CLASS,
+    content_fp,
+    content_fp_sql,
+    doc_bucket,
+    doc_bucket_sql,
+)
 from ..registry import ORACLES, register
 
 # stopword lists per language for the n-gram-free heuristic;
@@ -316,23 +322,24 @@ def ext_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # explicit whitespace class: Java regex \s includes \x0B, RE2's does
 # not — the literal class keeps Spark and the DuckDB oracle bit-equal
-_WS_CLASS = "[ \\t\\n\\f\\r]+"
+# (re-exported from functions.hashing alongside the content_fp device)
+_WS_CLASS = WS_CLASS
 
 
 @register(
     "ext_fingerprint",
-    oracle=(
-        f"SELECT doc_id, md5(trim(lower(regexp_replace(text, '{_WS_CLASS}', ' ', 'g')))) "
-        "AS fp FROM documents"
-    ),
+    oracle=f"SELECT doc_id, {content_fp_sql('text')} AS fp FROM documents",
 )
 def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content fingerprint: md5 of whitespace-normalized lowercase
+    """Content fingerprint: md5 of whitespace-normalized, ASCII-folded
     text — the join key for cross-snapshot/exact-dup bookkeeping
-    (32-byte key instead of the document)."""
+    (32-byte key instead of the document). Case folding is the shared
+    `content_fp` device: ASCII-only, because full Unicode lowercasing
+    is engine-defined (JVM SpecialCasing vs utf8proc simple maps —
+    r7 unicode sweep) and a content KEY must hash identically on
+    every engine that computes it."""
     d = load(spark, sf_dir, "documents")
-    norm = F.trim(F.lower(F.regexp_replace("text", _WS_CLASS, " ")))
-    return d.select("doc_id", F.md5(norm).alias("fp"))
+    return d.select("doc_id", content_fp("text").alias("fp"))
 
 
 @register(
@@ -363,8 +370,8 @@ def ext_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) "
         "/ (length(text) + 1) AS punct_ratio FROM documents), "
         "q AS (SELECT doc_id, lang, n_tokens, "
-        f"md5(trim(lower(regexp_replace(text, '{_WS_CLASS}', ' ', 'g')))) AS fp, "
-        f"row_number() OVER (PARTITION BY md5(trim(lower(regexp_replace(text, '{_WS_CLASS}', ' ', 'g')))) "
+        f"{content_fp_sql('text')} AS fp, "
+        f"row_number() OVER (PARTITION BY {content_fp_sql('text')} "
         "ORDER BY doc_id) AS rn "
         "FROM m WHERE n_tokens >= 10 AND punct_ratio < 0.2) "
         "SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens "
@@ -392,7 +399,7 @@ def ext_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     punct = (n_chars - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))).cast(
         "double"
     ) / (n_chars + 1)
-    fp = F.md5(F.trim(F.lower(F.regexp_replace("text", _WS_CLASS, " "))))
+    fp = content_fp("text")  # shared portable fingerprint device
     q = (
         d.filter((n_tokens >= 10) & (punct < 0.2))
         .select("doc_id", "lang", n_tokens.alias("n_tokens"), fp.alias("fp"))
