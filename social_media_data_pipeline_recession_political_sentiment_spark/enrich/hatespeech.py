@@ -115,8 +115,8 @@ def udf_hatespeech_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(1.0*n_fast + 0.5*n_big + 1.0*n_slow + 0.5*n_small + 1.0) AS sentiment_score "
         "FROM c) "
         "SELECT doc_id AS comment_id, text AS original_comment, "
-        "trim(lower(regexp_replace(regexp_replace(text, 'https?://\\S+', '', 'g'), "
-        "'[^a-zA-Z0-9\\s]', '', 'g'))) AS cleaned_comment, "
+        "trim(lower(regexp_replace(regexp_replace(text, 'https?://[^ \\t\\n\\f\\r]+', '', 'g'), "
+        "'[^a-zA-Z0-9 \\t\\n\\f\\r]', '', 'g'))) AS cleaned_comment, "
         "(CASE WHEN conf >= 0.5 THEN 'flag' ELSE 'ok' END = 'flag' AND conf > 0.9) "
         "AS is_hate_speech, conf AS hate_speech_confidence, "
         "CASE WHEN sentiment_score >= 0.05 THEN 'positive' "

@@ -35,9 +35,13 @@ def doc_bucket_sql(col: str) -> str:
 
 # ---------------------------------------- portable content folding
 
-# Explicit ASCII whitespace class: Java regex \s additionally matches
-# \x0B where RE2's does not, so \s is NOT portable across the engines.
-WS_CLASS = "[ \\t\\n\\f\\r]+"
+# Explicit ASCII whitespace classes: Java regex \s additionally
+# matches \x0B where RE2's does not, so \s / \S are NOT portable
+# across the engines — every shared regex spells the class out.
+# (\x0B itself therefore counts as NON-whitespace on both engines.)
+WS_CHARS = " \\t\\n\\f\\r"
+WS_CLASS = f"[{WS_CHARS}]+"
+NON_WS_CLASS = f"[^{WS_CHARS}]"
 
 _AZ_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
 _AZ_LOWER = "abcdefghijklmnopqrstuvwxyz"

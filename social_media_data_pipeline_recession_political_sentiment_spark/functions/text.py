@@ -13,8 +13,11 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-URL_RE = r"https?://\S+"
-NON_ALNUM_RE = r"[^a-zA-Z0-9\s]"
+# explicit classes, not \S / \s: Java's \s includes \x0B, RE2's does
+# not — the spelled-out ASCII whitespace set is the portable contract
+# shared with every DuckDB oracle (functions/hashing.py WS_CHARS)
+URL_RE = r"https?://[^ \t\n\f\r]+"
+NON_ALNUM_RE = r"[^a-zA-Z0-9 \t\n\f\r]"
 HTML_TAG_RE = r"<[^>]+>"
 QUOTE_MARKER_RE = r">>\d+"
 

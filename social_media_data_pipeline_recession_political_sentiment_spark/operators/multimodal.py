@@ -122,14 +122,14 @@ def _utf8_bytes_sql(rel: str, id_col: str = "doc_id") -> str:
     return f"""
 h AS (SELECT {id_col}, hex(encode(text)) AS hx,
              octet_length(encode(text)) AS nb FROM {rel}),
-nums AS (SELECT unnest(range(0, (SELECT coalesce(max(nb), 0) FROM h))) AS p),
-bytes AS (SELECT h.{id_col}, CAST(n.p AS BIGINT) AS p, h.nb,
+off AS (SELECT {id_col}, hx, nb, unnest(range(0, nb)) AS p FROM h),
+bytes AS (SELECT {id_col}, CAST(p AS BIGINT) AS p, nb,
                  CAST((strpos('0123456789ABCDEF',
-                        substr(h.hx, CAST(2 * n.p + 1 AS INT), 1)) - 1) * 16
+                        substr(hx, CAST(2 * p + 1 AS INT), 1)) - 1) * 16
                       + strpos('0123456789ABCDEF',
-                        substr(h.hx, CAST(2 * n.p + 2 AS INT), 1)) - 1
+                        substr(hx, CAST(2 * p + 2 AS INT), 1)) - 1
                    AS BIGINT) AS b
-          FROM h JOIN nums n ON n.p < h.nb)
+          FROM off)
 """
 
 
@@ -361,7 +361,7 @@ media AS (
 # the _utf8_bytes_sql device (byte-true on unicode — r7 sweep).
 _PHASH_BANDS_SQL = f"""
 {_PHASH_CORPUS_SQL},
-{_utf8_bytes_sql("media").strip().rstrip()},
+{_utf8_bytes_sql("media").strip()},
 pos AS (SELECT doc_id, b AS v,
                (p * {PHASH_BLOCKS}) // nb AS blk
         FROM bytes),

@@ -3058,7 +3058,8 @@ WITH r AS (SELECT abs(value) AS av,
                AS BIGINT) AS d0,
              floor(ln(abs(value)) / ln(10)) AS e
            FROM events WHERE value <> 0
-             AND NOT isnan(value) AND abs(value) < 1.0e12),
+             AND NOT isnan(value)
+             AND abs(value) < 1.0e12 AND abs(value) > 1.0e-300),
 v AS (SELECT CASE WHEN d0 >= 10 THEN d0 // 10
                   WHEN d0 = 0 THEN CAST(floor(av / pow(10, e - 1)) AS BIGINT)
                   ELSE d0 END AS digit
@@ -3092,10 +3093,16 @@ def agg_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # non-finite pin (r7 sweep): a leading digit exists only for
     # finite values; the shared 1e12 domain keeps the audit universe
     # identical to the cents-device queries
+    # the 1e-300 floor (r7 review): below it pow(10, e) underflows to
+    # 0.0 and the leading-digit division explodes — Spark ANSI throws
+    # DIVIDE_BY_ZERO on a subnormal like 5e-324 while DuckDB reads
+    # NULL; a leading digit for sub-1e-300 magnitudes is numerically
+    # ill-defined anyway, so both engines exclude them
     e = load(spark, sf_dir, "events").filter(
         (F.col("value") != 0)
         & ~F.isnan("value")
         & (F.abs(F.col("value")) < F.lit(1.0e12))
+        & (F.abs(F.col("value")) > F.lit(1.0e-300))
     )
     av = F.abs(F.col("value"))
     ex = F.floor(F.log(av) / F.log(F.lit(10.0)))

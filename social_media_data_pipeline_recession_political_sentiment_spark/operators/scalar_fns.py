@@ -37,7 +37,7 @@ from ..registry import register
     "fn_strip_urls",
     oracle=(
         "SELECT doc_id, regexp_replace('see https://ex.com/p/' || doc_id || ' ' || text, "
-        "'https?://\\S+', '', 'g') AS cleaned FROM documents"
+        "'https?://[^ \\t\\n\\f\\r]+', '', 'g') AS cleaned FROM documents"
     ),
 )
 def fn_strip_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -52,7 +52,7 @@ def fn_strip_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_normalize_text",
     oracle=(
         "SELECT doc_id, lower(regexp_replace(text || ' Mixed-CASE!! 42?', "
-        "'[^a-zA-Z0-9\\s]', '', 'g')) AS normalized FROM documents"
+        "'[^a-zA-Z0-9 \\t\\n\\f\\r]', '', 'g')) AS normalized FROM documents"
     ),
 )
 def fn_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,7 +68,7 @@ def fn_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=(
         "SELECT doc_id, trim(lower(regexp_replace(regexp_replace("
         "'Visit https://spam.example/x?q=1 NOW! ' || text, "
-        "'https?://\\S+', '', 'g'), '[^a-zA-Z0-9\\s]', '', 'g'))) AS cleaned "
+        "'https?://[^ \\t\\n\\f\\r]+', '', 'g'), '[^a-zA-Z0-9 \\t\\n\\f\\r]', '', 'g'))) AS cleaned "
         "FROM documents"
     ),
 )

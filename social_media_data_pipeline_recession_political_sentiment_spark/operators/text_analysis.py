@@ -304,7 +304,7 @@ def ext_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_token_count",
     oracle=(
         "SELECT doc_id, len(string_split(trim(text), ' ')) AS ws_tokens, "
-        "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_ish_tokens "
+        "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\f\\r]')) AS bpe_ish_tokens "
         "FROM documents"
     ),
 )
@@ -315,7 +315,7 @@ def ext_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     ws = F.size(F.split(F.trim(F.col("text")), " ")).cast("long")
     bpe = F.size(
-        F.expr(r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)")
+        F.expr(r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\f\\r]', 0)")
     ).cast("long")
     return d.select("doc_id", ws.alias("ws_tokens"), bpe.alias("bpe_ish_tokens"))
 
@@ -2522,12 +2522,12 @@ _FERTILITY_ORACLE = (
     "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
     "CAST(sum(octet_length(encode(text))) AS BIGINT) AS n_bytes, "
     "CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS ws_tokens, "
-    "CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) "
+    "CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\f\\r]'))) AS BIGINT) "
     "AS bpe_ish_tokens, "
     "round(CAST(sum(octet_length(encode(text))) AS DOUBLE) / "
-    "sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))), 6) "
+    "sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\f\\r]'))), 6) "
     "AS bytes_per_token, "
-    "round(CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS DOUBLE) / "
+    "round(CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\f\\r]'))) AS DOUBLE) / "
     "sum(len(string_split(trim(text), ' '))), 6) AS tokens_per_word "
     "FROM documents GROUP BY lang"
 )
@@ -2549,7 +2549,7 @@ def ext_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     ws = F.size(F.split(F.trim(F.col("text")), " ")).cast("long")
     bpe = F.size(
-        F.expr(r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)")
+        F.expr(r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\f\\r]', 0)")
     ).cast("long")
     nb = F.length(F.encode(F.col("text"), "UTF-8")).cast("long")
     agg = d.groupBy("lang").agg(

@@ -72,7 +72,9 @@ def test_content_fp_sql_is_ascii_stable_on_unicode():
     import re
 
     for s in PROBE_STRINGS:
-        norm = re.sub(r"[ \t\n\f\r]+", " ", s).strip()
+        # strip(' ') not strip(): SQL trim removes ONLY spaces, and the
+        # reference must encode the device's definition, not Python's
+        norm = re.sub(r"[ \t\n\f\r]+", " ", s).strip(" ")
         folded = "".join(
             chr(ord(c) + 32) if "A" <= c <= "Z" else c for c in norm
         )

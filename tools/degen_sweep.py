@@ -132,6 +132,9 @@ _UNICODE_CASES = [
     # 7: curly punctuation, em dash, ellipsis; ZERO-WIDTH SPACE
     #    (U+200B) inside a word
     ("\u201cquoted\u201d \u2014 dash\u2026 zero\u200bwidth", " "),
+    # 8: VERTICAL TAB (\x0B) — the one char where Java \s and RE2 \s
+    #    disagree — inside a word, inside a URL, and as the infix
+    ("vert\x0btab https://ex.com/a\x0bb trailing", "\x0b"),
 ]
 
 
@@ -224,7 +227,7 @@ def build_fixture(
                     ),
                     "value": pa.array(
                         [1.0, float("nan"), float("inf"), float("-inf"),
-                         2.5, 1e308, -1e308, 0.0, -0.0, 3.5],
+                         2.5, 1e308, -1e308, 0.0, 5e-324, -1e-310],
                         pa.float64(),
                     ),
                     "props": pa.array(['{"k":1}'] * 10, pa.string()),
