@@ -27,6 +27,12 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import compute_once, load
+from ..functions.json_contract import (
+    json_int_field,
+    json_int_field_sql,
+    json_n_keys,
+    json_n_keys_sql,
+)
 from ..registry import register
 
 _RESOURCES = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "resources")
@@ -81,19 +87,21 @@ def project_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "project_flatten_json",
     oracle=(
-        "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val "
+        f"SELECT event_id, {json_int_field_sql('props')} AS k_val "
         "FROM events"
     ),
 )
 def project_flatten_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Project fields out of nested JSON into flat rows (ref:
     `Reddit.py:108-119`, `chan4.py:74-85`, `Youtube_final.py:79-82` —
-    raw API payload flattening). `from_json` with an explicit schema;
-    malformed JSON yields NULL (PERMISSIVE), matching the reference's
-    try/except-skip (`Reddit.py:103-107`)."""
+    raw API payload flattening). Extraction follows the shared
+    integral-token contract (functions/json_contract.py): malformed
+    payloads and non-integral field tokens read NULL on BOTH engines
+    — matching the reference's try/except-skip (`Reddit.py:103-107`)
+    while staying portable (DuckDB otherwise hard-errors on malformed
+    JSON and ROUNDS '1.5' to 2 — r7 json-edge sweep)."""
     e = load(spark, sf_dir, "events")
-    parsed = F.from_json(F.col("props"), "struct<k: bigint>")
-    return e.select("event_id", parsed.getField("k").alias("k_val"))
+    return e.select("event_id", json_int_field("props").alias("k_val"))
 
 
 @register(
@@ -4375,11 +4383,18 @@ _WZ = f"CAST({WILSON_Z} AS DOUBLE)"
 _WP = "(CAST(hits AS DOUBLE) / CAST(trials AS DOUBLE))"
 _WT = "CAST(trials AS DOUBLE)"
 _RATE_SQL = f"round({_WP}, 6)"
+# the trailing `+ 0.0` pins the ZERO SIGN (r7 json-edge sweep): at
+# p = 0 the bound is mathematically zero but arrives as a ±epsilon
+# whose sign the two engines' round() treat differently — DuckDB
+# keeps -0.0 while Spark's BigDecimal round yields +0.0. IEEE
+# -0.0 + 0.0 = +0.0, so the addition canonicalizes the zero on both
+# engines and is exact for every other value.
 _WILSON_LB_SQL = (
     f"round(({_WP} + {_WZ} * {_WZ} / (CAST(2.0 AS DOUBLE) * {_WT}) "
     f"- {_WZ} * sqrt({_WP} * (CAST(1.0 AS DOUBLE) - {_WP}) / {_WT} "
     f"+ {_WZ} * {_WZ} / (CAST(4.0 AS DOUBLE) * {_WT} * {_WT}))) "
-    f"/ (CAST(1.0 AS DOUBLE) + {_WZ} * {_WZ} / {_WT}), 6)"
+    f"/ (CAST(1.0 AS DOUBLE) + {_WZ} * {_WZ} / {_WT}), 6) "
+    "+ CAST(0.0 AS DOUBLE)"
 )
 
 

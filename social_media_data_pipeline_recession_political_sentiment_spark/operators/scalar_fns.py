@@ -30,6 +30,10 @@ from ..functions.text import (
     strip_html,
     strip_urls,
 )
+from ..functions.json_contract import (
+    json_int_field,
+    json_int_field_sql,
+)
 from ..registry import register
 
 
@@ -165,8 +169,7 @@ def fn_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fn_json_parse",
     oracle=(
-        "SELECT event_id, CASE WHEN json_valid(payload) THEN "
-        "CAST(json_extract_string(payload, '$.k') AS BIGINT) END AS k_val FROM ("
+        f"SELECT event_id, {json_int_field_sql('payload')} AS k_val FROM ("
         "  SELECT event_id, CASE WHEN event_id % 10 = 0 THEN '{corrupt' ELSE props END "
         "  AS payload FROM events)"
     ),
@@ -174,11 +177,15 @@ def fn_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fn_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tolerant JSON parse: malformed rows yield NULL, not errors (ref:
     `Reddit.py:103-107` try/except ValueError → skip; `chan4.py:73,89`).
-    Every 10th payload is corrupted to prove the PERMISSIVE path."""
+    Every 10th payload is corrupted to prove the tolerant path;
+    extraction follows the shared integral-token contract
+    (functions/json_contract.py — the old oracle's hard CAST rounded
+    '1.5' to 2 where Spark's typed parse read NULL, r7 json sweep)."""
     e = load(spark, sf_dir, "events")
     payload = F.when(F.col("event_id") % 10 == 0, F.lit("{corrupt")).otherwise(F.col("props"))
-    parsed = F.from_json(payload, "struct<k: bigint>")
-    return e.select("event_id", parsed.getField("k").alias("k_val"))
+    return e.select("event_id", "props").withColumn(
+        "payload", payload
+    ).select("event_id", json_int_field("payload").alias("k_val"))
 
 
 @register(

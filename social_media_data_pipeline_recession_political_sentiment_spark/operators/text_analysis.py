@@ -31,6 +31,12 @@ from ..functions.hashing import (
     doc_bucket,
     doc_bucket_sql,
 )
+from ..functions.json_contract import (
+    json_int_field,
+    json_int_field_sql,
+    json_n_keys,
+    json_n_keys_sql,
+)
 from ..registry import ORACLES, register
 
 # stopword lists per language for the n-gram-free heuristic;
@@ -345,20 +351,27 @@ def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ext_props_map",
     oracle=(
-        "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val, "
-        "1 AS n_keys FROM events"
+        f"SELECT event_id, {json_int_field_sql('props')} AS k_val, "
+        f"{json_n_keys_sql('props')} AS n_keys FROM events"
     ),
 )
 def ext_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parse the events `props` JSON string to MapType and query keys
     (SURVEY §2.10 `ext_props_map`): element_at for lookup, map_keys
-    for arity — the pattern for semi-structured sidecar columns."""
+    for arity — the pattern for semi-structured sidecar columns.
+    Both reads follow the shared integral-token contract
+    (functions/json_contract.py): a typed `map<string,bigint>` parse
+    would NULL the whole map when ANY sibling value fails coercion,
+    and the old constant-1 oracle held only while every fixture
+    payload was exactly {"k": int} — the r7 json-edge sweep replaced
+    both with per-field semantics identical on the two engines
+    (malformed → NULL row, duplicate keys counted, first-wins
+    lookup)."""
     e = load(spark, sf_dir, "events")
-    m = F.from_json(F.col("props"), "map<string,bigint>")
     return e.select(
         "event_id",
-        F.element_at(m, "k").alias("k_val"),
-        F.size(F.map_keys(m)).alias("n_keys"),
+        json_int_field("props").alias("k_val"),
+        json_n_keys("props").alias("n_keys"),
     )
 
 

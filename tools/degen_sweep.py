@@ -30,6 +30,7 @@ Usage:  python tools/degen_sweep.py [query ...]
         python tools/degen_sweep.py --nulls [query ...]
         python tools/degen_sweep.py --nonfinite [query ...]
         python tools/degen_sweep.py --unicode [query ...]
+        python tools/degen_sweep.py --json [query ...]
 --empty swaps the fixture for ZERO-ROW documents/events/embeddings
 (the "my filter matched nothing" case that is routine at 100 TB —
 every date-range or partition predicate can come back empty). r7
@@ -82,6 +83,20 @@ n_chars = code-point-length contract intact. Run the crash pass here,
 then the FULL oracle gate on the fixture:
 
     python tools/degen_sweep.py --unicode
+    SMDP_VERIFY_VANILLA=1 python tools/verify_local.py /tmp/smdp_degen
+
+--json is the second DIVERGENCE sweep: events.props cycles through
+the JSON payload edges real producers ship (malformed, non-integral
+tokens, duplicate keys, sibling type errors, non-object JSON, BIGINT
+overflow) — the engines' native extraction disagrees on most of them
+(DuckDB hard-errors on malformed and ROUNDS '1.5' to 2; a typed Spark
+map parse nulls the whole map on any sibling's type error). The
+props-reading family (project_flatten_json, ext_props_map,
+fn_json_parse) follows the shared integral-token contract in
+functions/json_contract.py, verified by the full oracle gate ON this
+fixture:
+
+    python tools/degen_sweep.py --json
     SMDP_VERIFY_VANILLA=1 python tools/verify_local.py /tmp/smdp_degen
 
 Exit code = number of crashing queries.
@@ -138,11 +153,28 @@ _UNICODE_CASES = [
 ]
 
 
+# JSON payload edge cases for --json mode (all probed engine-by-engine
+# in r7): malformed payloads (DuckDB json functions hard-error where
+# Spark reads NULL), non-integral field tokens (DuckDB CAST/TRY_CAST
+# ROUNDS '1.5' to 2 where Spark reads NULL), duplicate keys (both
+# engines first-wins on lookup, both COUNT the duplicate), sibling
+# type errors (a typed map parse on Spark nulls the WHOLE map),
+# non-object valid JSON, BIGINT overflow, unicode escapes.
+_JSON_EDGE_PROPS = [
+    '{"k":1}', '{"k":1.5}', '{"k":"7"}', '{"k":null}', '{"k":[1,2]}',
+    '{"k":{"a":1}}', '{"k":1,"k":2}', '{"k":1e999}', 'not json', '{',
+    '{"K":3}', '{"k":true}', '{"k":-5}', '{"k":"x","j":2}', '{}',
+    None, '{"k":99999999999999999999999}', '3', '[1,2]', ' {"k":4} ',
+    '{"k": 00012}', '{"k":"0012"}', '{"k":"\\u00e9"}',
+]
+
+
 def build_fixture(
     empty: bool = False,
     nulls: bool = False,
     nonfinite: bool = False,
     unicode_: bool = False,
+    json_edge: bool = False,
 ) -> str:
     import glob
 
@@ -168,6 +200,47 @@ def build_fixture(
         (shutil.copytree if os.path.isdir(f) else shutil.copy)(
             f, os.path.join(FIXTURE, name)
         )
+
+    if json_edge:
+        # documents/embeddings stay real; events keeps sane
+        # ts/user/value columns so the full gate runs everywhere,
+        # while props cycles through the JSON payload edge cases the
+        # r7 probe measured engine-by-engine (see _JSON_EDGE_PROPS)
+        for name in ("documents.parquet", "embeddings.parquet"):
+            shutil.copy(f"{SRC_SF}/{name}", os.path.join(FIXTURE, name))
+        t0 = dt.datetime(2024, 1, 1)
+        n = len(_JSON_EDGE_PROPS) * 2
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(list(range(1, n + 1)), pa.int64()),
+                    "ts": pa.array(
+                        [t0 + dt.timedelta(hours=i) for i in range(n)],
+                        pa.timestamp("us"),
+                    ),
+                    "user_id": pa.array(
+                        [i % 5 + 1 for i in range(n)], pa.int64()
+                    ),
+                    "event_type": pa.array(
+                        [("view", "click", "purchase")[i % 3] for i in range(n)],
+                        pa.string(),
+                    ),
+                    "value": pa.array(
+                        [round(1.5 * (i + 1), 2) for i in range(n)],
+                        pa.float64(),
+                    ),
+                    "props": pa.array(
+                        [
+                            _JSON_EDGE_PROPS[i % len(_JSON_EDGE_PROPS)]
+                            for i in range(n)
+                        ],
+                        pa.string(),
+                    ),
+                }
+            ),
+            os.path.join(FIXTURE, "events.parquet"),
+        )
+        return FIXTURE
 
     if unicode_:
         # events + embeddings stay the real sf0.001 tables; only the
@@ -456,13 +529,18 @@ def main() -> int:
     nulls = "--nulls" in args
     nonfinite = "--nonfinite" in args
     unicode_ = "--unicode" in args
+    json_edge = "--json" in args
     args = [
         a
         for a in args
-        if a not in ("--empty", "--nulls", "--nonfinite", "--unicode")
+        if a not in ("--empty", "--nulls", "--nonfinite", "--unicode", "--json")
     ]
     build_fixture(
-        empty=empty, nulls=nulls, nonfinite=nonfinite, unicode_=unicode_
+        empty=empty,
+        nulls=nulls,
+        nonfinite=nonfinite,
+        unicode_=unicode_,
+        json_edge=json_edge,
     )
     spark = get_session("smdp_degen", cpus=8)
     qs = registry.queries()
@@ -484,6 +562,8 @@ def main() -> int:
         if nonfinite
         else "unicode-enriched corpus"
         if unicode_
+        else "JSON-edge payloads"
+        if json_edge
         else "degenerate input"
     )
     print(f"\n{len(crashes)} of {len(names)} queries crash on {kind}")
