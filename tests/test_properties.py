@@ -916,6 +916,34 @@ def test_shared_double_fragments_cross_engine_exact(spark, specs):
     assert got == [tuple(w) for w in want]
 
 
+def test_wilson_bound_never_emits_negative_zero(spark):
+    """Zero-sign pin (r7 json-edge sweep): at p = 0 the Wilson bound
+    is mathematically zero but arrives as a ±epsilon whose sign the
+    engines' round() treat differently — DuckDB keeps -0.0, Spark's
+    BigDecimal round yields +0.0 — and the plain float equality in
+    the property test above cannot see it (Python 0.0 == -0.0). The
+    shared fragment's trailing `+ 0.0` canonicalizes the zero; this
+    pin checks the SIGN BIT on both engines across the hits=0 grid
+    (trials=15 was the observed divergent cell)."""
+    import math
+
+    import duckdb
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.relational import (
+        _WILSON_LB_SQL,
+    )
+
+    rows = [(0, t) for t in range(1, 61)]
+    df = spark.createDataFrame(rows, "hits long, trials long")
+    for v in [r.lb for r in df.select(F.expr(_WILSON_LB_SQL).alias("lb")).collect()]:
+        assert math.copysign(1.0, v) == 1.0, f"spark emitted -0.0: {v!r}"
+    values = ", ".join(f"(CAST(0 AS BIGINT), CAST({t} AS BIGINT))" for _, t in rows)
+    for (v,) in duckdb.sql(
+        f"SELECT {_WILSON_LB_SQL} FROM (VALUES {values}) AS s(hits, trials)"
+    ).fetchall():
+        assert math.copysign(1.0, v) == 1.0, f"duckdb emitted -0.0: {v!r}"
+
+
 @given(
     st.lists(st.integers(min_value=0, max_value=10**6), min_size=2, max_size=40)
 )

@@ -141,9 +141,11 @@ _UNICODE_CASES = [
     ("\U0001d518\U0001d52b\U0001d526 \uff21\uff22\uff23\uff11\uff12 "
      "\U00010348", "\u2009"),
     # 6: case-mapping edges — Turkish dotted/dotless I, German sharp s,
-    #    Greek capital vs final sigma
+    #    Greek capital vs final sigma — incl. inside a URL HOST, where
+    #    canonicalization lowercases
     ("\u0130stanbul \u0131spanak stra\u00dfe \u03a3\u039f\u03a6\u039f"
-     "\u03a3 \u03c3\u03bf\u03c6\u03cc\u03c2", " "),
+     "\u03a3 \u03c3\u03bf\u03c6\u03cc\u03c2 "
+     "https://\u0130STANBUL.example/Path?q=1", " "),
     # 7: curly punctuation, em dash, ellipsis; ZERO-WIDTH SPACE
     #    (U+200B) inside a word
     ("\u201cquoted\u201d \u2014 dash\u2026 zero\u200bwidth", " "),
