@@ -28,7 +28,14 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-JSON_INT_RE = "^-?[0-9]+$"
+# \z, not $: Java's $ matches BEFORE a final line terminator while
+# RE2's matches only at end of text, so a '7\n' token would read 7 on
+# Spark and NULL on DuckDB — \z means end-of-text in BOTH dialects
+# (r7 review finding; the trailing-newline payloads are planted in
+# the sweep fixture). The _SPARK variant doubles the backslash for
+# the Spark SQL string literal; DuckDB string literals take it raw.
+JSON_INT_RE = "^-?[0-9]+\\z"
+_JSON_INT_RE_SPARK = JSON_INT_RE.replace("\\", "\\\\")
 
 
 def json_int_field(props_expr: str, key: str = "k") -> Column:
@@ -38,7 +45,7 @@ def json_int_field(props_expr: str, key: str = "k") -> Column:
     return F.expr(
         f"try_cast(nullif(regexp_extract(element_at("
         f"from_json({props_expr}, 'map<string,string>'), '{key}'), "
-        f"'{JSON_INT_RE}', 0), '') AS BIGINT)"
+        f"'{_JSON_INT_RE_SPARK}', 0), '') AS BIGINT)"
     )
 
 

@@ -4390,11 +4390,11 @@ _RATE_SQL = f"round({_WP}, 6)"
 # -0.0 + 0.0 = +0.0, so the addition canonicalizes the zero on both
 # engines and is exact for every other value.
 _WILSON_LB_SQL = (
-    f"round(({_WP} + {_WZ} * {_WZ} / (CAST(2.0 AS DOUBLE) * {_WT}) "
+    f"(round(({_WP} + {_WZ} * {_WZ} / (CAST(2.0 AS DOUBLE) * {_WT}) "
     f"- {_WZ} * sqrt({_WP} * (CAST(1.0 AS DOUBLE) - {_WP}) / {_WT} "
     f"+ {_WZ} * {_WZ} / (CAST(4.0 AS DOUBLE) * {_WT} * {_WT}))) "
     f"/ (CAST(1.0 AS DOUBLE) + {_WZ} * {_WZ} / {_WT}), 6) "
-    "+ CAST(0.0 AS DOUBLE)"
+    "+ CAST(0.0 AS DOUBLE))"
 )
 
 

@@ -183,9 +183,9 @@ def fn_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     '1.5' to 2 where Spark's typed parse read NULL, r7 json sweep)."""
     e = load(spark, sf_dir, "events")
     payload = F.when(F.col("event_id") % 10 == 0, F.lit("{corrupt")).otherwise(F.col("props"))
-    return e.select("event_id", "props").withColumn(
-        "payload", payload
-    ).select("event_id", json_int_field("payload").alias("k_val"))
+    return e.withColumn("payload", payload).select(
+        "event_id", json_int_field("payload").alias("k_val")
+    )
 
 
 @register(
@@ -374,13 +374,18 @@ def fn_props_schema_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature)-keyed count with map-side combine; output is bounded
     by the distinct shape population, not event volume."""
     e = load(spark, sf_dir, "events")
-    keys = F.expr("json_object_keys(props)")
+    # map_keys(from_json(...)), NOT json_object_keys: Spark's
+    # json_object_keys is LENIENT about raw control chars inside
+    # strings (it keyed '{"k":"-3\r"}') while from_json and DuckDB's
+    # json_valid are RFC-strict and reject it — the census must use
+    # ONE validity definition, and from_json's is the one the rest of
+    # the props family (functions/json_contract.py) already pins.
+    # from_json also reads NULL for valid NON-object JSON, matching
+    # the oracle's json_type='OBJECT' guard, and keeps duplicate keys
+    # exactly like DuckDB's json_keys (r7 json-edge sweep probes).
+    keys = F.expr("map_keys(from_json(props, 'map<string,string>'))")
     sig = (
         F.when(F.col("props").isNull(), F.lit("<null>"))
-        # Spark returns NULL keys for malformed JSON *and* for valid
-        # non-object JSON; DuckDB ERRORS on the former and returns []
-        # on the latter, so the oracle pre-screens with json_valid AND
-        # json_type='OBJECT' — same '<invalid>' arm on both engines
         .when(keys.isNull(), F.lit("<invalid>"))
         # '{}' yields an EMPTY key list: array_join('') on Spark but
         # NULL from DuckDB's array_to_string — an explicit '<empty>'
@@ -388,7 +393,8 @@ def fn_props_schema_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.size(keys) == 0, F.lit("<empty>"))
         .otherwise(
             F.expr(
-                "array_join(transform(array_sort(json_object_keys(props)), "
+                "array_join(transform(array_sort("
+                "map_keys(from_json(props, 'map<string,string>'))), "
                 "x -> concat(cast(octet_length(x) AS STRING), ':', x)), '+')"
             )
         )

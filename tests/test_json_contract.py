@@ -43,10 +43,15 @@ def test_json_contract_devices_match_across_engines(spark):
     con = duckdb.connect()
     try:
         for i, c in enumerate(_JSON_EDGE_PROPS):
-            dk, dn = con.execute(
-                f"SELECT {json_int_field_sql('?')}, {json_n_keys_sql('?')}",
-                [c] * 6,
-            ).fetchone()
+            # bind the payload ONCE via a CTE: the builders reference
+            # their argument several times (and the regex itself
+            # contains '?'), so positional substitution is fragile
+            sql = (
+                "WITH s(props) AS (SELECT ?) "
+                f"SELECT {json_int_field_sql('props')}, "
+                f"{json_n_keys_sql('props')} FROM s"
+            )
+            dk, dn = con.execute(sql, [c]).fetchone()
             assert got[i] == (dk, dn), f"json contract drift on {c!r}"
     finally:
         con.close()

@@ -168,6 +168,7 @@ _JSON_EDGE_PROPS = [
     '{"K":3}', '{"k":true}', '{"k":-5}', '{"k":"x","j":2}', '{}',
     None, '{"k":99999999999999999999999}', '3', '[1,2]', ' {"k":4} ',
     '{"k": 00012}', '{"k":"0012"}', '{"k":"\\u00e9"}',
+    '{"k":"7\\n"}', '{"k":"-3\r"}',
 ]
 
 
