@@ -1099,3 +1099,155 @@ def test_zipf_fit_ff_regression_matches_reference(spark, counts):
     else:
         want_r2 = num * num / (den * deny)
         assert abs(out.r2 - want_r2) <= 5.1e-7, (out.r2, want_r2)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),  # day offset
+            st.integers(min_value=-5, max_value=1_000_000),  # iv
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(**_SETTINGS)
+def test_drift_probe_matches_reference(spark, events):
+    """agg_dist_drift_probe end-to-end on a PLANTED event stream: the
+    all-integer KS-on-power-of-two-lattice device (bucket = bit length
+    of floor(value), slice split at min-day + 15, micro-quantized CDF
+    gap via integer division) must equal an independent Python
+    recompute of the same spec — including the nb = 0 edge (every
+    event inside the split window) where the probe is NULL and the
+    flag is pinned false, the exact ANSI DIVIDE_BY_ZERO edge the r7
+    degenerate-input sweep found."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import (
+        queries,
+    )
+
+    base = dt.datetime(2024, 1, 1, 1, 0, 0)
+    rows = [
+        (
+            i + 1,
+            base + dt.timedelta(days=day),
+            i % 5 + 1,
+            "view",
+            iv + 0.25,  # floor(value) == iv for any integer iv
+            '{"k":1}',
+        )
+        for i, (day, iv) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_drift_")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmp, "events.parquet")
+    )
+    out = queries()["agg_dist_drift_probe"](spark, tmp).collect()[0]
+
+    # independent reference, all-integer exactly as specified
+    day_nums = [int((base + dt.timedelta(days=day)).timestamp()) // 86400
+                for day, _ in events]
+    d0 = min(day_nums)
+    buckets_a, buckets_b = [], []
+    for (day, iv), dn in zip(events, day_nums):
+        b = 0 if iv <= 0 else iv.bit_length()
+        (buckets_a if dn < d0 + 15 else buckets_b).append(b)
+    na, nb = len(buckets_a), len(buckets_b)
+    assert out.n_slice_a == na and out.n_slice_b == nb
+    if na == 0 or nb == 0:
+        assert out.ks_probe_micro is None
+        assert out.drift_flag is False
+        return
+    lattice = sorted(set(buckets_a + buckets_b))
+    fa = fb = 0
+    d_micro = 0
+    for b in lattice:
+        fa += buckets_a.count(b)
+        fb += buckets_b.count(b)
+        d_micro = max(d_micro, abs(fa * 1_000_000 // na - fb * 1_000_000 // nb))
+    assert out.ks_probe_micro == d_micro, (out.ks_probe_micro, d_micro)
+    assert out.drift_flag == (d_micro >= 100_000)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),  # user
+            st.sampled_from(["view", "click", "purchase"]),
+        ),
+        min_size=2,
+        max_size=50,
+    )
+)
+@settings(**_SETTINGS)
+def test_markov_entropy_matches_reference(spark, events):
+    """agg_markov_entropy end-to-end on a PLANTED event stream: the
+    per-cell micro-fixed-point entropy terms (round-once-then-BIGINT-
+    sum device) must reproduce an independent Python recompute of
+    H = Σ_st (c_st/N)·ln(c_s/c_st) — including streams with zero
+    transitions (every user a single event), where the rollup row
+    must still be well-defined on both engines."""
+    import datetime as dt
+    import math
+    import os
+    import tempfile
+    from collections import Counter, defaultdict
+
+    from hypothesis import assume
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import (
+        queries,
+    )
+
+    # at least one user with >= 2 events so a transition exists (the
+    # zero-transition edge is covered by the degenerate sweep; here
+    # the reference needs a non-empty term sum)
+    assume(max(Counter(u for u, _ in events).values()) >= 2)
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i + 1, base + dt.timedelta(minutes=i), u, t, 1.0, "{}")
+        for i, (u, t) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_markov_")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmp, "events.parquet")
+    )
+    out = queries()["agg_markov_entropy"](spark, tmp).collect()[0]
+
+    # independent reference: transitions in (ts, event_id) order per
+    # user; micro-rounded term per cell; integer sum; one final round
+    per_user = defaultdict(list)
+    for i, (u, t) in enumerate(events):
+        per_user[u].append(t)  # minutes increase with i => already ordered
+    cells = Counter()
+    for seq in per_user.values():
+        for s, t in zip(seq, seq[1:]):
+            cells[(s, t)] += 1
+    row_sums = Counter()
+    for (s, _), c in cells.items():
+        row_sums[s] += c
+    n_transitions = sum(cells.values())
+    tsum = 0
+    for (s, _), c in cells.items():
+        v = math.log(row_sums[s] / c) * c * 1_000_000
+        tsum += int(math.floor(v + 0.5))  # HALF_UP like both engines
+    assert out.n_states == len(row_sums)
+    assert out.n_cells == len(cells)
+    assert out.n_transitions == n_transitions
+    h = tsum / (n_transitions * 1_000_000)
+    assert abs(out.entropy_nats - h) <= 5.1e-7, (out.entropy_nats, h)
+    assert abs(out.perplexity - math.exp(h)) <= 5.1e-7
