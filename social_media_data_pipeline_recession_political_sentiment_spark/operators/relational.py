@@ -3282,12 +3282,24 @@ def _pq_sql(q: float, elem: str, arr: str = "arr", n: str = "n") -> str:
     DuckDB oracle (only the array-index function name differs),
     because the engines' native `percentile` vs `quantile_cont`
     interpolate with DIFFERENT formulas whose ulp drift would leak
-    through any rounding contract."""
+    through any rounding contract.
+
+    n=0 guard (r7 ADVICE): with an empty/all-NULL key set the index
+    degenerates to lo+1 = 0 — Spark's `element_at(arr, 0)` raises
+    INVALID_INDEX_OF_ZERO while DuckDB's `list_extract(arr, 0)`
+    reads NULL. The quantile of an empty set is honestly undefined:
+    BOTH engines read NULL through the same CASE arm (lazy per-row
+    branch evaluation keeps the index expression unevaluated when
+    n=0, so ANSI mode cannot crash). Value-neutral for n >= 1."""
     pos = f"(CAST({q} AS DOUBLE) * ({n} - 1))"
     lo = f"CAST(floor({pos}) AS BIGINT)"
     e1 = f"{elem}({arr}, CAST({lo} + 1 AS INT))"
     e2 = f"{elem}({arr}, CAST(least({lo} + 2, {n}) AS INT))"
-    return f"round({e1} + ({e2} - {e1}) * ({pos} - {lo}), 6)"
+    interp = f"round({e1} + ({e2} - {e1}) * ({pos} - {lo}), 6)"
+    return (
+        f"(CASE WHEN {n} < 1 THEN CAST(NULL AS DOUBLE) "
+        f"ELSE {interp} END)"
+    )
 
 
 def _qsk_band_sql(q: float, approx: str) -> str:
@@ -3395,7 +3407,7 @@ SELECT (SELECT count(*) FROM orders) AS n_orders,
        (SELECT count(*) FROM truth) AS n_true_match,
        (SELECT count(*) FROM pass) - (SELECT count(*) FROM truth) AS bloom_fp,
        round(((SELECT count(*) FROM pass) - (SELECT count(*) FROM truth)) * 1.0
-         / ((SELECT count(*) FROM orders) - (SELECT count(*) FROM truth)), 6)
+         / nullif((SELECT count(*) FROM orders) - (SELECT count(*) FROM truth), 0), 6)
          AS fp_rate
 """
 
@@ -3489,10 +3501,16 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_pass_bloom") - F.col("n_true_match"))
         .cast("long")
         .alias("bloom_fp"),
+        # nullif: zero true negatives (e.g. empty orders, r8 empty-
+        # orders sweep) makes fp_rate honestly undefined — NULL on
+        # both engines instead of an ANSI DIVIDE_BY_ZERO crash
         F.round(
             (F.col("n_pass_bloom") - F.col("n_true_match"))
             * 1.0
-            / (F.col("n_orders") - F.col("n_true_match")),
+            / F.nullif(
+                (F.col("n_orders") - F.col("n_true_match")).cast("long"),
+                F.lit(0).cast("long"),
+            ),
             6,
         ).alias("fp_rate"),
     )

@@ -19,6 +19,12 @@ from pyspark.sql import SparkSession
 
 ENGINE_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
+    # The whole oracle-contract family assumes ANSI semantics (e.g.
+    # size(NULL) = NULL, element_at range errors, strict casts);
+    # ANSI is the Spark 4 default but a driver-supplied session could
+    # have it off — legacy sizeOfNull would silently read -1 where
+    # the oracle reads NULL (r7 ADVICE). Pin it.
+    "spark.sql.ansi.enabled": "true",
     # testdata events.parquet stores TIMESTAMP(NANOS) (unsupported by
     # Spark's reader) — read as long, catalog.load converts to micros.
     "spark.sql.legacy.parquet.nanosAsLong": "true",

@@ -463,7 +463,12 @@ def sink_sorted_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mode("overwrite")
         .parquet(sink)
     )
-    back = spark.read.parquet(sink)
+    # explicit read-back schema: an EMPTY orders table writes no data
+    # files and no partition dirs — schema inference over the bare
+    # _SUCCESS marker is UNABLE_TO_INFER_SCHEMA (r7 empty-corpus
+    # sweep class); the write-side frame knows the schema, partition
+    # column included
+    back = spark.read.schema(assigned.schema).parquet(sink)
     return back.groupBy(F.col("run").cast("long").alias("run")).agg(
         F.count("*").alias("n_rows"),
         F.min("o_totalprice").alias("min_key"),

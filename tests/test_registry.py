@@ -185,6 +185,13 @@ def test_empty_corpus_tables_do_not_crash_fixed_class(spark):
         "ext_chunk_cdc",
         "sink_partitioned_prune",
         "sink_dynamic_overwrite",
+        # r8 additions — the sweep now zeroes ORDERS too (r7 ADVICE):
+        # sink_sorted_runs' _pq_sql boundary index degenerated to
+        # element_at(arr, 0) (INVALID_INDEX_OF_ZERO) and its read-back
+        # inferred schema over a _SUCCESS-only dir; join_bloom_pruned's
+        # fp_rate divided by zero true negatives
+        "sink_sorted_runs",
+        "join_bloom_pruned",
     ]
     qs = registry.queries()
     for name in fixed:

@@ -32,13 +32,18 @@ Usage:  python tools/degen_sweep.py [query ...]
         python tools/degen_sweep.py --unicode [query ...]
         python tools/degen_sweep.py --json [query ...]
 --empty swaps the fixture for ZERO-ROW documents/events/embeddings
-(the "my filter matched nothing" case that is routine at 100 TB —
-every date-range or partition predicate can come back empty). r7
-findings in that class (also fixed + verified value-neutral):
-agg_funnel_steps / ext_chunk_cdc (conversion-and-ratio divisions by
-zero entry counts) and sink_partitioned_prune /
-sink_dynamic_overwrite (read-back schema inference over a data-less
-_SUCCESS-only sink dir — fixed with explicit read schemas).
+AND orders (the "my filter matched nothing" case that is routine at
+100 TB — every date-range or partition predicate can come back
+empty). r7 findings in that class (also fixed + verified
+value-neutral): agg_funnel_steps / ext_chunk_cdc
+(conversion-and-ratio divisions by zero entry counts) and
+sink_partitioned_prune / sink_dynamic_overwrite (read-back schema
+inference over a data-less _SUCCESS-only sink dir — fixed with
+explicit read schemas). r8 findings after orders joined the mode
+(r7 ADVICE): sink_sorted_runs (the shared _pq_sql quantile device
+indexed element_at(arr, 0) at n=0 — now a CASE-guarded NULL on both
+engines — plus the read-back schema class) and join_bloom_pruned
+(fp_rate divided by zero true negatives — nullif both engines).
 --nulls riddles every nullable corpus column with NULLs (NULL text /
 lang / source / n_chars, NULL ts / user_id / event_type / value /
 props, NULL embedding / label — failed encodes and partial ingests
@@ -408,6 +413,24 @@ def build_fixture(
         return FIXTURE
 
     if empty:
+        # orders is zeroed too (r7 ADVICE): the orders-fed operators
+        # (sorted runs, quantile devices, order-key joins) have the
+        # same "my filter matched nothing" exposure as the corpus
+        # tables — sink_sorted_runs' boundary index degenerated to
+        # element_at(arr, 0) exactly here
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "o_custkey": pa.array([], pa.int64()),
+                    "o_orderstatus": pa.array([], pa.string()),
+                    "o_totalprice": pa.array([], pa.float64()),
+                    "o_orderdate": pa.array([], pa.timestamp("us")),
+                    "o_orderpriority": pa.array([], pa.string()),
+                }
+            ),
+            os.path.join(FIXTURE, "orders.parquet"),
+        )
         pq.write_table(
             pa.table(
                 {
