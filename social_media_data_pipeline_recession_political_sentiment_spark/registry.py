@@ -59,107 +59,90 @@ def register(name: str, oracle: Optional[str] = None):
 # ROTATION RULE: front-load (1) anything added or rewritten since the
 # last round, (2) the queries whose last hard check is oldest;
 # tests/test_registry.py locks the list against typos.
-# Round 7 window (VERDICT r6 items 1-4): the first of the two
-# backlog burn-down windows over the 96 never-driver-sampled r6 adds
-# (no new operators until the backlog is below one window — the r6
-# comment's own rule, restated by the r6 verdict).
-# Head = the four queries rewritten/contract-touched in r7 per the
-# rotation rule ("rewritten since last round" outranks all):
-# ext_tokenize_ids (r6's ONE red driver row — the harness's pandas
-# canonicalizer cannot hash a top-level array column; `ids` now a
-# space-joined string, re-verified green both SFs) and
-# ext_feature_hashing (same latent crash, same serialization fix,
-# pulled forward from the r8 tail), stream_sliding_count (explicit
-# NULL-ts pin both engines, r6 ADVICE), sink_sorted_runs (run
-# boundaries now through the shared _pq_sql interpolation tree
-# instead of percentile-vs-quantile_cont, r6 ADVICE; pulled forward
-# from the r8 tail), and ext_zipf_fit (a new planted-corpus property
-# test found a degenerate-ff-curve ANSI DIVIDE_BY_ZERO crash; both
-# engines now nullif-guard the variance denominators; pulled forward
-# from the r8 tail). A registry-wide no-complex-top-level-output
-# contract test (tests/test_registry.py) pins the canonicalizer fix
-# for every future operator.
-# Then the 8 mid-r6 adds + 28 continuation adds (registration
-# order; tools/verify_r6_continuation.log / verify_r6_late_adds.log)
-# + the first 9 still-unsampled session-3 adds in verify-log order
-# (ext_zipf_fit's head slot pushed ext_tfidf_cosine_pairs to r8).
-# After this window the never-sampled backlog is 96 → 47.
-# r8 window = those remaining 47 (the session-3/4 tail incl. the 4
-# pushed-back r7 names sink_scd1_merge / ext_length_bucket_batching
-# / ext_mm_tile_plan / ext_tfidf_cosine_pairs, plus the 3
-# fifth-session adds
-# agg_cusum_changepoint / agg_trend_theil_sen /
-# ext_hybrid_rank_fusion) + the first 3 r3 source/sink scans
-# (scan_rest_json, scan_chan_json, scan_chan_catalog) — exactly 50.
-# r9 head = the remaining 4 scans (scan_youtube_json, sink_insert,
-# sink_create_table, sink_batched_commit), the 14 dash_* routes,
-# then the leftover r3 tags (streaming family, orchestration/
-# maintenance/cache, fingerprint/props/text-quality/token-count
-# trios, ext_sim_lsh, ext_sim_ivf) — those reach 6-round staleness
-# there; that staleness is the documented price of the 96
-# never-sampled adds (every one is green under the identical local
-# replica gate each round, so the exposure is evidence freshness,
+# Round 8 window (VERDICT r7 item 1): the SECOND and FINAL backlog
+# burn-down window — all 47 still-never-driver-sampled queries (the
+# session-3/4/5 tail) + the first 3 r3 source/sink scans
+# (scan_rest_json, scan_chan_json, scan_chan_catalog) = exactly 50.
+# After this window the never-sampled backlog is 47 -> 0; every
+# registered query will then hold at least one hard driver check.
+# Head = the four r8-touched queries per the rotation rule
+# ("rewritten since last round" outranks all): join_bloom_pruned
+# (fp_rate nullif guard, r8 empty-orders sweep), and the three
+# consumers of the shared _pq_sql quantile device which grew its
+# n=0 CASE guard (agg_quantile_sketch_audit, agg_mad_robust,
+# agg_trend_theil_sen). sink_sorted_runs was also touched (read-back
+# schema pin) but holds a GREEN r7 hard check and the change is
+# vanilla-verified hash-identical, so per the r6 sweep precedent it
+# does not re-consume a slot.
+# r9 head (staleness burn, in this order): the remaining 4 r3 scans
+# (scan_youtube_json, sink_insert, sink_create_table,
+# sink_batched_commit), the 14 dash_* routes, then the leftover r3
+# tags by age — the streaming family (stream_tumbling_count,
+# stream_dedup, stream_lookback_window, stream_sessionize,
+# stream_rate_limit, stream_microbatch, stream_stateful_count),
+# orchestration_dag / maintenance_vacuum / cache_memo, the
+# fingerprint/props/text-quality/token-count trios, ext_sim_lsh,
+# ext_sim_ivf, ext_mm_resize_stub — ~32 named slots; the balance of
+# the 50 backfills the next-oldest (r4) tags. That 6-round staleness
+# is the documented price of the r6 backlog (every one is green in
+# every session's local gate, so the exposure is evidence freshness,
 # not correctness risk).
 _WINDOW_PRIORITY = (
-    # -- rewritten this round: serialized array outputs (driver
-    #    canonicalizer contract; tokenize_ids = r6's red row) --
-    "ext_tokenize_ids",
-    "ext_feature_hashing",
-    # -- contract fixed this round: explicit NULL-ts pin --
-    "stream_sliding_count",
-    # -- rewritten this round: _pq_sql-shared run boundaries --
-    "sink_sorted_runs",
-    # -- rewritten this round: nullif-guarded degenerate ff-curve
-    #    (property-test-found ANSI DIVIDE_BY_ZERO crash) --
-    "ext_zipf_fit",
-    # -- the 8 mid-r6 adds (never driver-sampled) --
-    "join_scd2_dim",
-    "ext_dedup_cross_source",
-    "agg_quantiles_exact_dist",
-    "stream_late_data_audit",
-    "ext_mm_audio_segments",
-    "join_null_skew_split",
-    "ext_text_langmix",
-    "scan_malformed_audit",
-    # -- the 28 r6-continuation adds (never driver-sampled) --
-    "ext_dup_span_profile",
-    "ext_dsir_weights",
-    "agg_decayed_score",
-    "ext_emb_gram_int8",
-    "ext_mm_dedup_exact",
-    "stream_upsert_keyed",
-    "sink_compact_small_files",
-    "join_attribution_first_touch",
-    "ext_dedup_cdc",
-    "ext_mixture_schedule",
-    "ext_gopher_repetition",
-    "ext_tokenizer_fertility",
-    "ext_source_overlap_matrix",
-    "ext_contamination_semantic",
-    "ext_dedup_incremental_bloom",
-    "sink_codec_roundtrip",
-    "ext_split_leakage",
-    "ext_dsir_resample",
-    "agg_new_vs_returning",
-    "agg_trend_slope",
-    "ext_chunk_sliding",
-    "fn_confusable_fold",
-    "agg_winsorize_bounds",
-    "ext_fingerprint_winnow",
-    "ext_lsh_param_plan",
-    "ext_lsh_bucket_census",
-    "agg_benford_audit",
-    "ext_emb_outlier_int8",
-    # -- first 9 session-3 adds in verify-log order --
-    "agg_hll_union_rollup",
-    "ext_bm25_topk",
-    "ext_dedup_containment",
-    "ext_dedup_weighted_jaccard",
-    "ext_graph_jaccard_neighbors",
-    "ext_graph_triangle_count",
-    "ext_hard_negative_mine",
-    "ext_label_knn_noise",
-    "ext_span_corruption_plan",
+    # -- touched this round: nullif/_pq_sql-n=0 guards (head per
+    #    the rotation rule) --
+    "join_bloom_pruned",
+    "agg_quantile_sketch_audit",
+    "agg_mad_robust",
+    "agg_trend_theil_sen",
+    # -- the session-3/4/5 never-driver-sampled tail, registration
+    #    order --
+    "agg_dp_noisy_counts",
+    "ext_ngram_novelty",
+    "ext_dedup_edit_distance",
+    "ext_cluster_diversity",
+    "agg_concurrency_peak",
+    "agg_markov_entropy",
+    "agg_occupancy_hours",
+    "agg_daily_autocorr",
+    "agg_value_log_histogram",
+    "agg_survival_curve",
+    "agg_user_type_venn",
+    "agg_funnel_time_to_convert",
+    "agg_seasonality_strength",
+    "agg_wilson_bound",
+    "agg_dist_drift_probe",
+    "agg_ab_test_sizing",
+    "agg_cusum_changepoint",
+    "fn_props_schema_census",
+    "ext_emb_anisotropy",
+    "ext_emb_matryoshka_recall",
+    "ext_emb_jl_audit",
+    "ext_triplet_margin_audit",
+    "ext_hybrid_rank_fusion",
+    "ext_tfidf_cosine_pairs",
+    "ext_length_bucket_batching",
+    "ext_epoch_shuffle_plan",
+    "agg_heavy_hitters_mg",
+    "ext_vocab_coverage_curve",
+    "ext_char_entropy",
+    "ext_hapax_audit",
+    "ext_prefix_templates",
+    "ext_chunk_cdc",
+    "ext_quality_ablation",
+    "ext_token_entropy_rate",
+    "ext_lm_bigram_score",
+    "ext_keywords_textrank",
+    "ext_bpe_learn_steps",
+    "ext_bpe_apply",
+    "ext_pii_census",
+    "ext_mm_tile_plan",
+    "sink_scd1_merge",
+    "sink_snapshot_read",
+    "sink_dynamic_overwrite",
+    # -- first 3 r3 source/sink scans (oldest evidence tier) --
+    "scan_rest_json",
+    "scan_chan_json",
+    "scan_chan_catalog",
 )
 
 
