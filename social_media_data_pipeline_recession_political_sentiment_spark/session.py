@@ -78,7 +78,11 @@ def scoped_shuffle_partitions(spark: SparkSession, n: int):
         spark.conf.set(key, old)
 
 
-def get_session(app_name: str = "smdp_spark", cpus: int | None = None) -> SparkSession:
+def get_session(
+    app_name: str = "smdp_spark",
+    cpus: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or os.cpu_count() or 4
     builder = (
@@ -91,6 +95,8 @@ def get_session(app_name: str = "smdp_spark", cpus: int | None = None) -> SparkS
         .config("spark.ui.showConsoleProgress", "false")
     )
     for k, v in ENGINE_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_confs or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

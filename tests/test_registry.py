@@ -261,3 +261,124 @@ def test_nonfinite_values_do_not_crash_fixed_class(spark):
     qs = registry.queries()
     for name in fixed:
         qs[name](spark, fixture).collect()  # must not raise
+
+
+def test_tz_default_is_unobservable_in_engine_epochs():
+    """TZ/DST immunity pin (r8 sweep, --tz mode): the contract stores
+    tz-naive UTC wallclocks and pins spark.sql.session.timeZone=UTC,
+    so a non-UTC HOST default timezone must be unobservable in engine
+    arithmetic. A subprocess runs with TZ=America/New_York (JVM
+    inherits it as user.timezone) over the DST fixture — timestamps
+    straddling the 2024 US/EU transitions, including wallclocks that
+    are nonexistent or ambiguous as Eastern local time — and its
+    Spark-side epoch seconds + epoch-day buckets must equal an
+    independent pyarrow read of the same parquet. Also pins that the
+    fall-back FOLD PAIR (2024-11-03 05:30/06:30 UTC == 01:30 EDT /
+    01:30 EST local) stays DISTINCT in engine epochs: the py4j
+    collect path renders datetimes through the Python local zone and
+    collapses that pair's repr — a documented representation seam of
+    the collection API, never of the engine."""
+    import subprocess
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/tools")
+    from degen_sweep import FIXTURE, build_fixture
+
+    build_fixture(tz=True)
+
+    import pyarrow.parquet as pq
+
+    ts = pq.read_table(f"{FIXTURE}/events.parquet").column("ts").to_pylist()
+    import datetime as dt
+
+    expect = sorted(
+        int((t - dt.datetime(1970, 1, 1)).total_seconds()) for t in ts
+    )
+    expect_days = sorted(e // 86400 for e in expect)
+
+    code = """
+import os, time
+os.environ["TZ"] = "America/New_York"
+time.tzset()
+import sys
+sys.path.insert(0, "/root/repo")
+from social_media_data_pipeline_recession_political_sentiment_spark.session import get_session
+from social_media_data_pipeline_recession_political_sentiment_spark.catalog import load
+import pyspark.sql.functions as F
+spark = get_session("tz_pin", cpus=2)
+e = load(spark, %r, "events").select(
+    F.col("ts").cast("long").alias("epoch"),
+    (F.col("ts").cast("long") - ((F.col("ts").cast("long") %% 86400 + 86400) %% 86400))
+    .alias("day0"),
+)
+rows = e.collect()
+print(sorted(r.epoch for r in rows))
+print(sorted(r.day0 // 86400 for r in rows))
+""" % (FIXTURE,)
+    r = subprocess.run(
+        [_sys.executable, "-c", code],
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [ln for ln in r.stdout.splitlines() if ln.startswith("[")]
+    got_epochs = eval(lines[0])
+    got_days = eval(lines[1])
+    assert got_epochs == expect, "engine epochs shifted under non-UTC TZ"
+    assert got_days == expect_days, "epoch-day buckets shifted under non-UTC TZ"
+    # the fall-back fold pair must remain two distinct instants
+    fold = [
+        int(
+            (dt.datetime(2024, 11, 3, h, 30) - dt.datetime(1970, 1, 1))
+            .total_seconds()
+        )
+        for h in (5, 6)
+    ]
+    assert all(f in got_epochs for f in fold)
+
+
+def test_sweep_mode_fixtures_smoke(spark):
+    """Single smoke entry over ALL degen_sweep modes (r7 verdict item
+    5): every mode's fixture must still BUILD and its most exposed
+    query family must still run on it. The per-class crash pins above
+    cover degenerate/empty/nulls/nonfinite in depth and the TZ pin
+    covers --tz; this sweep-wide loop is the bitrot guard — a mode
+    whose fixture builder breaks (schema drift in testdata, a removed
+    table, a renamed column) fails HERE instead of silently dropping
+    out of the session-scope sweep program. Full-gate divergence runs
+    (the real check for --unicode/--json/--tz) stay session tooling:
+    tools/degen_sweep.py + tools/verify_local.py on the fixture."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from degen_sweep import build_fixture
+
+    modes = {
+        "degenerate": (dict(), ["ext_zipf_fit"]),
+        "empty": (dict(empty=True), ["sink_sorted_runs"]),
+        "nulls": (dict(nulls=True), ["ext_shard_manifest"]),
+        "nonfinite": (dict(nonfinite=True), ["agg_sessionize_batch"]),
+        # the string-kernel and JSON-contract families are the ones
+        # these two divergence modes exist for
+        "unicode": (
+            dict(unicode_=True),
+            ["ext_fingerprint", "ext_dedup_edit_distance"],
+        ),
+        "json": (
+            dict(json_edge=True),
+            ["project_flatten_json", "fn_props_schema_census"],
+        ),
+        "tz": (dict(tz=True), ["agg_daily_counts", "agg_concurrency_peak"]),
+    }
+    qs = registry.queries()
+    for mode, (kw, names) in modes.items():
+        fixture = build_fixture(**kw)
+        for name in names:
+            try:
+                qs[name](spark, fixture).collect()
+            except Exception as exc:  # pragma: no cover - failure report
+                raise AssertionError(
+                    f"sweep mode {mode!r} bitrot: {name} crashed: {exc}"
+                ) from exc

@@ -104,6 +104,28 @@ fixture:
     python tools/degen_sweep.py --json
     SMDP_VERIFY_VANILLA=1 python tools/verify_local.py /tmp/smdp_degen
 
+--tz is the third DIVERGENCE sweep (r7 verdict item 5): the entire
+oracle contract assumes tz-naive UTC semantics (session.py pins
+spark.sql.session.timeZone=UTC; parquet carries naive timestamp[us];
+DuckDB TIMESTAMP is naive), so a non-UTC HOST timezone must be
+unobservable. The mode sets TZ (default America/New_York, override
+via SMDP_TZ) with time.tzset() BEFORE the JVM spawns — the spawned
+JVM inherits it as user.timezone, exactly what a driver box outside
+UTC looks like — and rewrites events with timestamps straddling DST
+transitions (US spring-forward/fall-back 2024-03-10/2024-11-03,
+EU 2024-03-31/2024-10-27, incl. wallclocks that are NONEXISTENT or
+AMBIGUOUS when read as local time). The epoch-day integer contract
+(ts::long // 86400, DATE arithmetic on naive values) should be
+immune by construction; this mode PROVES it. Run the crash pass,
+then the FULL oracle gate on the fixture AND on real data, all
+under the same TZ:
+
+    python tools/degen_sweep.py --tz
+    TZ=America/New_York SMDP_VERIFY_VANILLA=1 \
+        python tools/verify_local.py /tmp/smdp_degen
+    TZ=America/New_York SMDP_VERIFY_VANILLA=1 \
+        python tools/verify_local.py /root/testdata/sf0.001
+
 Exit code = number of crashing queries.
 """
 
@@ -183,6 +205,7 @@ def build_fixture(
     nonfinite: bool = False,
     unicode_: bool = False,
     json_edge: bool = False,
+    tz: bool = False,
 ) -> str:
     import glob
 
@@ -208,6 +231,68 @@ def build_fixture(
         (shutil.copytree if os.path.isdir(f) else shutil.copy)(
             f, os.path.join(FIXTURE, name)
         )
+
+    if tz:
+        # documents/embeddings stay real; events carries naive stamps
+        # that straddle the 2024 US and EU DST transitions. Each pair
+        # brackets a transition instant, and four stamps are
+        # wallclocks that DO NOT EXIST (spring-forward gap) or exist
+        # TWICE (fall-back fold) when misread as local time — any
+        # engine or collection path that round-trips through local
+        # time either shifts them (hash mismatch in the gate) or
+        # throws. The values are stored as plain timestamp[us]; the
+        # contract says they are UTC wallclocks, full stop.
+        for name in ("documents.parquet", "embeddings.parquet"):
+            shutil.copy(f"{SRC_SF}/{name}", os.path.join(FIXTURE, name))
+        stamps = [
+            # US spring-forward 2024-03-10 07:00 UTC (02:00->03:00 ET)
+            dt.datetime(2024, 3, 10, 6, 30), dt.datetime(2024, 3, 10, 7, 30),
+            # the ET-nonexistent wallclock itself
+            dt.datetime(2024, 3, 10, 2, 30),
+            # US fall-back 2024-11-03 06:00 UTC; 01:30 is ET-ambiguous
+            dt.datetime(2024, 11, 3, 5, 30), dt.datetime(2024, 11, 3, 6, 30),
+            dt.datetime(2024, 11, 3, 1, 30),
+            # EU spring-forward 2024-03-31 01:00 UTC; 02:30 CET-nonexistent
+            dt.datetime(2024, 3, 31, 0, 30), dt.datetime(2024, 3, 31, 1, 30),
+            dt.datetime(2024, 3, 31, 2, 30),
+            # EU fall-back 2024-10-27 01:00 UTC; 02:30 CET-ambiguous
+            dt.datetime(2024, 10, 27, 0, 30), dt.datetime(2024, 10, 27, 1, 30),
+            dt.datetime(2024, 10, 27, 2, 30),
+            # midnight UTC boundaries around a transition day (the
+            # epoch-day integer contract's own seam)
+            dt.datetime(2024, 3, 10, 0, 0), dt.datetime(2024, 3, 11, 0, 0),
+            dt.datetime(2024, 11, 3, 0, 0), dt.datetime(2024, 11, 4, 0, 0),
+        ]
+        # pad with ordinary stamps so sessions/windows/funnels have
+        # multi-day, multi-user structure
+        t0 = dt.datetime(2024, 3, 8, 12, 0)
+        stamps += [t0 + dt.timedelta(hours=7 * i) for i in range(14)]
+        n = len(stamps)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(list(range(1, n + 1)), pa.int64()),
+                    "ts": pa.array(stamps, pa.timestamp("us")),
+                    "user_id": pa.array(
+                        [i % 4 + 1 for i in range(n)], pa.int64()
+                    ),
+                    "event_type": pa.array(
+                        [("view", "click", "purchase")[i % 3]
+                         for i in range(n)],
+                        pa.string(),
+                    ),
+                    "value": pa.array(
+                        [round(0.5 * (i % 9) + 1.0, 2) for i in range(n)],
+                        pa.float64(),
+                    ),
+                    "props": pa.array(
+                        ['{"k":%d}' % (i % 7) for i in range(n)], pa.string()
+                    ),
+                }
+            ),
+            os.path.join(FIXTURE, "events.parquet"),
+        )
+        return FIXTURE
 
     if json_edge:
         # documents/embeddings stay real; events keeps sane
@@ -556,10 +641,12 @@ def main() -> int:
     nonfinite = "--nonfinite" in args
     unicode_ = "--unicode" in args
     json_edge = "--json" in args
+    tz = "--tz" in args
     args = [
         a
         for a in args
-        if a not in ("--empty", "--nulls", "--nonfinite", "--unicode", "--json")
+        if a not in ("--empty", "--nulls", "--nonfinite", "--unicode",
+                     "--json", "--tz")
     ]
     build_fixture(
         empty=empty,
@@ -567,7 +654,17 @@ def main() -> int:
         nonfinite=nonfinite,
         unicode_=unicode_,
         json_edge=json_edge,
+        tz=tz,
     )
+    if tz:
+        # BEFORE the JVM spawns: the child java process inherits TZ as
+        # its default user.timezone — a driver box outside UTC. The
+        # engine pins spark.sql.session.timeZone=UTC (session.py), so
+        # every query must be unobservably identical under this.
+        import time as _time
+
+        os.environ["TZ"] = os.environ.get("SMDP_TZ", "America/New_York")
+        _time.tzset()
     spark = get_session("smdp_degen", cpus=8)
     qs = registry.queries()
     names = args or list(qs)
@@ -590,6 +687,8 @@ def main() -> int:
         if unicode_
         else "JSON-edge payloads"
         if json_edge
+        else f"DST-edge stamps under TZ={os.environ.get('TZ')}"
+        if tz
         else "degenerate input"
     )
     print(f"\n{len(crashes)} of {len(names)} queries crash on {kind}")

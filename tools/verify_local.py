@@ -106,6 +106,23 @@ def main():
     only = set(args)
 
     con = duckdb.connect()
+    # SMDP_VERIFY_TZ=<zone>: run BOTH engines with a non-UTC DEFAULT
+    # timezone (JVM user.timezone for Spark, SET TimeZone for DuckDB)
+    # while the Python comparison layer stays in the host zone. The
+    # whole oracle contract is tz-naive UTC (session.py pins
+    # spark.sql.session.timeZone=UTC; parquet carries naive
+    # timestamp[us]; oracles use naive TIMESTAMP) so engine defaults
+    # must be unobservable — this flag PROVES it gate-wide. The
+    # Python py4j collect path is deliberately NOT moved off UTC
+    # here: PySpark's TimestampType.fromInternal renders through the
+    # PYTHON process's local zone, and at a DST fall-back fold two
+    # distinct instants share one local wallclock — a lossy
+    # REPRESENTATION seam of the collection API, not an engine
+    # divergence (the engine's epoch microseconds stay exact;
+    # pinned by tests/test_registry.py's TZ tests).
+    verify_tz = os.environ.get("SMDP_VERIFY_TZ")
+    if verify_tz:
+        con.sql(f"SET TimeZone = '{verify_tz}'")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
@@ -114,13 +131,30 @@ def main():
         # the contract must self-configure via apply_engine_confs
         from pyspark.sql import SparkSession
 
-        spark = (
-            SparkSession.builder.master("local[8]")
-            .appName("verify_vanilla")
-            .getOrCreate()
-        )
+        b = SparkSession.builder.master("local[8]").appName("verify_vanilla")
+        if verify_tz:
+            b = b.config(
+                "spark.driver.extraJavaOptions",
+                f"-Duser.timezone={verify_tz}",
+            ).config(
+                "spark.executor.extraJavaOptions",
+                f"-Duser.timezone={verify_tz}",
+            )
+        spark = b.getOrCreate()
     else:
-        spark = get_session("verify_local")
+        spark = get_session(
+            "verify_local",
+            extra_confs=(
+                {
+                    "spark.driver.extraJavaOptions":
+                        f"-Duser.timezone={verify_tz}",
+                    "spark.executor.extraJavaOptions":
+                        f"-Duser.timezone={verify_tz}",
+                }
+                if verify_tz
+                else None
+            ),
+        )
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
