@@ -68,6 +68,15 @@ def enrich_hatespeech(df: DataFrame, text_col: str = "text", scorer_cls=KeywordS
             yield pd.concat([pdf.reset_index(drop=True), scores], axis=1)
 
     scored = df.mapInPandas(score_partition, schema=out_schema)
+    # NULL pin (r8 sweep): no text, no moderation verdict — a NULL
+    # comment reads NULL (class, confidence, flag) on both engines.
+    # The scorer still runs on fillna('') batches (mapInPandas row
+    # alignment); the mask re-asserts the contract after the fact.
+    scored = scored.withColumn(
+        "hs_class", F.when(F.col(text_col).isNotNull(), F.col("hs_class"))
+    ).withColumn(
+        "hs_conf", F.when(F.col(text_col).isNotNull(), F.col("hs_conf"))
+    )
     return scored.withColumn(
         "is_hate_speech",
         (F.col("hs_class") == "flag") & (F.col("hs_conf") > CONF_THRESHOLD),
@@ -80,13 +89,19 @@ def enrich_hatespeech(df: DataFrame, text_col: str = "text", scorer_cls=KeywordS
     # DECIMAL arithmetic (0.2+0.1 = 0.3) while Spark/NumPy produce the
     # IEEE double 0.30000000000000004 — a value-hash mismatch that only
     # surfaces on rows with that keyword mix (seen at sf0.1)
+    # the outer CASE WHEN text IS NULL: no text, no verdict (r8 NULL
+    # sweep) — without it DuckDB's least() SKIPS the NULL operand and
+    # reads 0.99 where Spark's masked column reads NULL
     oracle=(
-        "WITH c AS (SELECT doc_id, least(CAST(0.99 AS DOUBLE), "
+        "WITH c AS (SELECT doc_id, CASE WHEN text IS NULL THEN NULL ELSE "
+        "least(CAST(0.99 AS DOUBLE), "
         "CAST(0.2 AS DOUBLE) * (length(text) - length(replace(text, 'dup', ''))) / 3 + "
-        "CAST(0.1 AS DOUBLE) * (length(text) - length(replace(text, 'hash', ''))) / 4) AS conf "
+        "CAST(0.1 AS DOUBLE) * (length(text) - length(replace(text, 'hash', ''))) / 4) "
+        "END AS conf "
         "FROM documents) "
         "SELECT doc_id, conf AS hate_speech_confidence, "
-        "(CASE WHEN conf >= 0.5 THEN 'flag' ELSE 'ok' END = 'flag' AND conf > 0.9) "
+        "(CASE WHEN conf IS NULL THEN NULL "
+        "WHEN conf >= 0.5 THEN 'flag' ELSE 'ok' END = 'flag' AND conf > 0.9) "
         "AS is_hate_speech FROM c"
     ),
 )
@@ -106,9 +121,11 @@ def udf_hatespeech_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(length(text) - length(replace(text, 'big', ''))) / 3 AS n_big, "
         "(length(text) - length(replace(text, 'slow', ''))) / 4 AS n_slow, "
         "(length(text) - length(replace(text, 'small', ''))) / 5 AS n_small, "
+        "CASE WHEN text IS NULL THEN NULL ELSE "
         "least(CAST(0.99 AS DOUBLE), "
         "CAST(0.2 AS DOUBLE) * (length(text) - length(replace(text, 'dup', ''))) / 3 + "
-        "CAST(0.1 AS DOUBLE) * (length(text) - length(replace(text, 'hash', ''))) / 4) AS conf "
+        "CAST(0.1 AS DOUBLE) * (length(text) - length(replace(text, 'hash', ''))) / 4) "
+        "END AS conf "
         "FROM documents), "
         "s AS (SELECT doc_id, text, conf, "
         "(1.0*n_fast + 0.5*n_big - 1.0*n_slow - 0.5*n_small) / "
@@ -117,7 +134,8 @@ def udf_hatespeech_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT doc_id AS comment_id, text AS original_comment, "
         "trim(lower(regexp_replace(regexp_replace(text, 'https?://[^ \\t\\n\\f\\r]+', '', 'g'), "
         "'[^a-zA-Z0-9 \\t\\n\\f\\r]', '', 'g'))) AS cleaned_comment, "
-        "(CASE WHEN conf >= 0.5 THEN 'flag' ELSE 'ok' END = 'flag' AND conf > 0.9) "
+        "(CASE WHEN conf IS NULL THEN NULL "
+        "WHEN conf >= 0.5 THEN 'flag' ELSE 'ok' END = 'flag' AND conf > 0.9) "
         "AS is_hate_speech, conf AS hate_speech_confidence, "
         "CASE WHEN sentiment_score >= 0.05 THEN 'positive' "
         "WHEN sentiment_score <= -0.05 THEN 'negative' ELSE 'neutral' END AS sentiment, "

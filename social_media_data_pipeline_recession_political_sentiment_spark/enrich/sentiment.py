@@ -185,9 +185,17 @@ def enrich_sentiment(
     """Attach sentiment_score + sentiment bucket columns (the an_*
     table's sentiment half, ref: `Reddit_4chan_Analysis.py:65-77`).
     ``use_vader=True`` swaps in the VADER-rules scorer; bucketing
-    thresholds (±0.05, `Reddit_4chan_Analysis.py:152-158`) are shared."""
+    thresholds (±0.05, `Reddit_4chan_Analysis.py:152-158`) are shared.
+
+    NULL pin (r8 sweep): no text, no score — a NULL comment reads
+    NULL sentiment_score on both engines (the oracle's length(NULL)
+    chain is NULL; the UDF's fillna('') had scored it 0.0 on Spark
+    only), and the bucket's ELSE arm reads 'neutral' identically."""
     scorer = compound_score_vader if use_vader else compound_score
-    scored = df.withColumn("sentiment_score", scorer(F.col(text_col)))
+    scored = df.withColumn(
+        "sentiment_score",
+        F.when(F.col(text_col).isNotNull(), scorer(F.col(text_col))),
+    )
     return scored.withColumn("sentiment", sentiment_bucket(F.col("sentiment_score")))
 
 

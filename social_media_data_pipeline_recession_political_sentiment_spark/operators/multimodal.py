@@ -138,10 +138,13 @@ WITH {_utf8_bytes_sql("documents")},
 agg AS (SELECT doc_id, CAST(sum(b) AS BIGINT) AS byte_sum,
                count(*) AS n FROM bytes GROUP BY doc_id)
 SELECT d.doc_id, CAST(coalesce(a.byte_sum, 0) AS BIGINT) AS byte_sum,
-       octet_length(encode(d.text)) // {FRAME_BYTES} + 1 AS n_frames,
+       coalesce(octet_length(encode(d.text)), 0) // {FRAME_BYTES} + 1 AS n_frames,
        CASE WHEN a.n > 0 THEN CAST(a.byte_sum AS DOUBLE) / a.n ELSE 0.0 END AS mean_byte
 FROM documents d LEFT JOIN agg a USING (doc_id)
 """
+# ^ coalesce on n_frames: the codec reads a NULL payload as EMPTY
+#   (0 bytes -> 1 frame) on both engines — octet_length(encode(NULL))
+#   had NULLed the frame count on DuckDB only (r8 NULL sweep)
 
 
 @register("ext_mm_decode_stub", oracle=_DECODE_ORACLE)

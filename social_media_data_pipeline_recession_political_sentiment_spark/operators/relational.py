@@ -882,13 +882,20 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "join_asof",
+    # ev CTE: the as-of contract needs a non-NULL (key, time) on both
+    # engines — a NULL ts/event_type row cannot be matched by DuckDB's
+    # inner ASOF JOIN (NULL comparisons) but rides Spark's
+    # union-and-window carry; pinned out EXPLICITLY on both (r8 NULL
+    # sweep; real data has no such rows — value-neutral)
     oracle=(
-        "WITH snap AS (SELECT event_type, "
+        "WITH ev AS (SELECT * FROM events "
+        "WHERE ts IS NOT NULL AND event_type IS NOT NULL), "
+        "snap AS (SELECT event_type, "
         "to_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)) "
         "AT TIME ZONE 'UTC' AS snap_ts, "
-        "max(value) AS snap_max FROM events GROUP BY 1, 2) "
+        "max(value) AS snap_max FROM ev GROUP BY 1, 2) "
         "SELECT e.event_id, e.event_type, s.snap_ts, s.snap_max "
-        "FROM events e ASOF JOIN snap s "
+        "FROM ev e ASOF JOIN snap s "
         "ON e.event_type = s.event_type AND e.ts >= s.snap_ts"
     ),
 )
@@ -906,8 +913,15 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbounded-preceding frame). ONE shuffle on the key, state O(1) per
     row — versus a broadcast-nested-loop range join's O(events x
     snapshots) per key. Snapshots sort before events at equal t so an
-    event exactly on a snapshot matches it (>= semantics)."""
-    e = load(spark, sf_dir, "events")
+    event exactly on a snapshot matches it (>= semantics).
+
+    NULL pin (r8 sweep): as-of needs a non-NULL (key, time) — NULL
+    ts/event_type rows are excluded EXPLICITLY on both engines
+    (DuckDB's inner ASOF JOIN drops them via NULL comparisons while
+    the union-and-window carry would keep them)."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
     snap_ts = F.timestamp_seconds((F.col("ts").cast("long") / 21600).cast("long") * 21600)
     snap = (
         e.groupBy("event_type", snap_ts.alias("snap_ts"))
@@ -1850,7 +1864,8 @@ WITH RECURSIVE d AS (
          CAST(count(*) AS BIGINT) AS n,
          row_number() OVER (PARTITION BY event_type
                             ORDER BY CAST(date_trunc('day', ts) AS DATE)) AS rn
-  FROM events GROUP BY 1, 2),
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2),
 r AS (
   SELECT event_type, day, n, rn,
          CAST(n * {EWMA_MICRO} AS BIGINT) AS ewma_micros
@@ -1889,11 +1904,18 @@ def agg_ewma_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     size), so the per-group applyInPandas task is a
     few-thousand-row problem at any scale — the same
     calendar-bounded argument, not the `ext_pack_sequences`
-    single-task-per-corpus-slice trap."""
+    single-task-per-corpus-slice trap.
+
+    NULL pin (r8 sweep): a smoothed SERIES needs an orderable day and
+    a joinable key — NULL ts/event_type rows are excluded EXPLICITLY
+    on both engines (the oracle's recursive chain cannot extend a
+    NULL-key partition past its seed: NULL = NULL join; and pandas
+    NaT-last vs SQL NULLS-LAST day ordering would be engine-local)."""
     import pandas as pd
 
     d = (
         load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
         .groupBy(
             "event_type",
             F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
@@ -1925,17 +1947,19 @@ def agg_ewma_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------- nearest as-of join
 
 _ASOF_NEAREST_ORACLE = """
-WITH snap AS (SELECT event_type,
+WITH ev AS (SELECT * FROM events
+            WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+snap AS (SELECT event_type,
         to_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT))
           AT TIME ZONE 'UTC' AS snap_ts,
         max(value) AS snap_max
-      FROM events GROUP BY 1, 2),
+      FROM ev GROUP BY 1, 2),
 b AS (SELECT e.event_id, e.event_type, e.ts,
         s.snap_ts AS b_ts, s.snap_max AS b_max
-      FROM events e ASOF JOIN snap s
+      FROM ev e ASOF JOIN snap s
       ON e.event_type = s.event_type AND e.ts >= s.snap_ts),
 f AS (SELECT e.event_id, s.snap_ts AS f_ts, s.snap_max AS f_max
-      FROM events e ASOF LEFT JOIN snap s
+      FROM ev e ASOF LEFT JOIN snap s
       ON e.event_type = s.event_type AND e.ts < s.snap_ts)
 SELECT b.event_id, b.event_type,
        CASE WHEN f.f_ts IS NULL
@@ -1970,8 +1994,13 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1. Same hash partitioning for both windows ⇒ one shuffle,
     two in-partition sorts. Gap comparison is exact integer
     MICROseconds. O(1) state per row; never a per-key nested-loop
-    range join."""
-    e = load(spark, sf_dir, "events")
+    range join.
+
+    NULL pin (r8 sweep): as-of needs a non-NULL (key, time) — NULL
+    ts/event_type rows are excluded EXPLICITLY on both engines."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
     snap_ts = F.timestamp_seconds(
         (F.col("ts").cast("long") / 21600).cast("long") * 21600
     )
@@ -2237,14 +2266,16 @@ def agg_interevent_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 ASOF_TOLERANCE_S = 10800  # 3h freshness bound (half the snapshot period)
 
 _ASOF_TOL_ORACLE = f"""
-WITH snap AS (SELECT event_type,
+WITH ev AS (SELECT * FROM events
+            WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+snap AS (SELECT event_type,
         to_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT))
           AT TIME ZONE 'UTC' AS snap_ts,
         max(value) AS snap_max
-      FROM events GROUP BY 1, 2),
+      FROM ev GROUP BY 1, 2),
 b AS (SELECT e.event_id, e.event_type, e.ts,
         s.snap_ts AS b_ts, s.snap_max AS b_max
-      FROM events e ASOF JOIN snap s
+      FROM ev e ASOF JOIN snap s
       ON e.event_type = s.event_type AND e.ts >= s.snap_ts)
 SELECT event_id, event_type,
        epoch_us(ts) - epoch_us(b_ts) <= {ASOF_TOLERANCE_S} * CAST(1000000 AS BIGINT)
@@ -2269,8 +2300,13 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same one-exchange union-and-window plan as `join_asof`; the TTL
     is a codegen CASE on the exact integer microsecond gap (the
     `join_asof_nearest` device), so the tolerance adds zero data
-    motion."""
-    e = load(spark, sf_dir, "events")
+    motion.
+
+    NULL pin (r8 sweep): as-of needs a non-NULL (key, time) — NULL
+    ts/event_type rows are excluded EXPLICITLY on both engines."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
     snap_ts = F.timestamp_seconds(
         (F.col("ts").cast("long") / 21600).cast("long") * 21600
     )
@@ -2555,8 +2591,9 @@ QUANTILE_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
 _QUANTILE_ORACLE = f"""
 WITH r AS (SELECT value,
         CAST(row_number() OVER (ORDER BY value, event_id) AS BIGINT) AS rn
-      FROM events),
-n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events),
+      FROM events WHERE value IS NOT NULL),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events
+      WHERE value IS NOT NULL),
 t AS (SELECT q, CAST(greatest(1, ceil(q * n.n)) AS BIGINT) AS target_rank
       FROM (SELECT CAST(unnest([{", ".join(str(q) for q in QUANTILE_QS)}])
                    AS DOUBLE) AS q), n)
@@ -2581,12 +2618,21 @@ def agg_quantiles_exact_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows whose running local index is a target — 5 rows out, each
     row moved exactly once. Ranks use double q·n on BOTH engines
     (the oracle casts q to DOUBLE before multiplying) so the ceil
-    lands identically; the picked VALUE is tie-order-invariant."""
+    lands identically; the picked VALUE is tie-order-invariant.
+
+    NULL pin (r8 sweep): order statistics are defined over the
+    NON-NULL value domain on both engines — Spark's range sort is
+    NULLS FIRST where SQL ORDER BY here is NULLS LAST, so an
+    unpinned NULL row shifts every rank in opposite directions."""
     import math
 
     import pandas as pd
 
-    e = load(spark, sf_dir, "events").select("value", "event_id")
+    e = (
+        load(spark, sf_dir, "events")
+        .select("value", "event_id")
+        .filter(F.col("value").isNotNull())
+    )
     n_parts = max(2, spark.sparkContext.defaultParallelism)
     ranged = (
         e.repartitionByRange(n_parts, F.col("value"), F.col("event_id"))
@@ -3146,9 +3192,14 @@ def agg_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------- mergeable-sketch rollup
 
 _HLL_UNION_ORACLE = (
+    # NULL pin (r8 sweep): the (type, day) sketch grid needs non-NULL
+    # keys on both engines — Spark's rolled-join drops a NULL
+    # event_type group (null-unsafe equality) and a NULL day would
+    # count as a merged sketch on one side only
     "SELECT event_type, count(DISTINCT user_id) AS exact_users, "
     "count(DISTINCT CAST(ts AS DATE)) AS n_days, true AS approx_ok "
-    "FROM events WHERE user_id IS NOT NULL GROUP BY event_type"
+    "FROM events WHERE user_id IS NOT NULL "
+    "AND event_type IS NOT NULL AND ts IS NOT NULL GROUP BY event_type"
 )
 
 
@@ -3179,7 +3230,11 @@ def agg_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     path at 100 TB is the sketch branch alone."""
     e = (
         load(spark, sf_dir, "events")
-        .filter(F.col("user_id").isNotNull())
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("ts").isNotNull()
+        )
         .select("event_type", F.to_date("ts").alias("day"), "user_id")
     )
     daily = e.groupBy("event_type", "day").agg(

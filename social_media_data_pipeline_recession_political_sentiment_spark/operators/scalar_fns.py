@@ -239,10 +239,18 @@ def fn_sentiment_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fn_hate_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hate flag iff class=='flag' AND confidence strictly > 0.9 (ref:
     `Reddit_4chan_Analysis.py:19,42-45`). event_type/value proxy the
-    (class, confidence) pair; the > is strict, as in the reference."""
+    (class, confidence) pair; the > is strict, as in the reference.
+
+    NULL pin (r8 sweep): a NULL class reads as UNKNOWN, not 'ok' —
+    the class mapping has no `otherwise`, so NULL propagates through
+    hate_flag's `&` with SQL Kleene semantics exactly like the
+    oracle's (event_type = 'error' AND ...); an `.otherwise("ok")`
+    had silently folded the NULL group into false on Spark only."""
     e = load(spark, sf_dir, "events")
     flag = hate_flag(
-        F.when(F.col("event_type") == "error", "flag").otherwise("ok"),
+        F.when(F.col("event_type") == "error", "flag").when(
+            F.col("event_type").isNotNull(), "ok"
+        ),
         F.col("value") / 330.0,
     )
     return e.groupBy(flag.alias("is_hate_speech")).agg(F.count("*").alias("cnt"))

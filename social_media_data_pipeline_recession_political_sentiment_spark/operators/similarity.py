@@ -1052,10 +1052,15 @@ def ext_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ext_emb_norm",
+    # embedding IS NOT NULL: the r7 "no vector, no similarity op"
+    # rule applies to the census too — DuckDB's list_dot_product
+    # HARD-ERRORS on a NULL vector where Spark's fold reads NULL
+    # (r8 NULL sweep)
     oracle=(
         "WITH n AS (SELECT vec_id, label, "
         "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), "
-        "CAST(embedding AS DOUBLE[]))) AS l2_norm FROM embeddings) "
+        "CAST(embedding AS DOUBLE[]))) AS l2_norm FROM embeddings "
+        "WHERE embedding IS NOT NULL) "
         "SELECT vec_id, label, l2_norm, "
         "(abs(l2_norm - CAST(1.0 AS DOUBLE)) <= CAST(0.01 AS DOUBLE)) "
         "AS near_unit FROM n"
@@ -1069,9 +1074,14 @@ def ext_emb_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     use (`aggregate`/`zip_with` ≙ DuckDB `list_dot_product`), so the
     hash comparison is exact. Scan-local map over the vector column,
     no shuffle — at 100 TB this fuses into whatever embedding op runs
-    next."""
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("dv")
+    next. NULL pin (r8 sweep): no vector, no norm — excluded on both
+    engines (DuckDB's list_dot_product hard-errors on NULL)."""
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select(
+            "vec_id", "label", F.col("embedding").cast("array<double>").alias("dv")
+        )
     )
     norm = F.sqrt(
         F.expr(

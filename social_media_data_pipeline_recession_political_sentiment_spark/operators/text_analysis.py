@@ -258,9 +258,12 @@ register("fn_text_stats", oracle=ORACLES["ext_text_quality"])(ext_text_quality)
     "ext_text_repetition",
     oracle=(
         "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+        # coalesce: a NULL text has ZERO bigrams and ZERO distinct
+        # bigrams on both engines (Spark's CASE->array() arm reads 0;
+        # DuckDB's range(1, NULL) chain read NULL — r8 NULL sweep)
         "bg AS (SELECT doc_id, greatest(len(t) - 1, 0) AS n_bigrams, "
-        "len(list_distinct(list_transform(range(1, len(t)), "
-        "i -> t[i] || ' ' || t[i+1]))) AS n_distinct_bigrams FROM toks) "
+        "coalesce(len(list_distinct(list_transform(range(1, len(t)), "
+        "i -> t[i] || ' ' || t[i+1]))), 0) AS n_distinct_bigrams FROM toks) "
         "SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, "
         "CAST(n_distinct_bigrams AS BIGINT) AS n_distinct_bigrams, "
         "CASE WHEN n_bigrams = 0 THEN CAST(0.0 AS DOUBLE) "
@@ -1326,7 +1329,11 @@ def ext_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_words").alias("n_tokens"),
         F.sum("n_chars").alias("total_chars"),
         F.sum((F.col("rn") > 1).cast("long")).alias("n_dup_docs"),
-        F.sum(gate.cast("long")).alias("n_pass_gate"),
+        # coalesce: a doc whose gate is UNEVALUABLE (NULL text => NULL
+        # word stats) does not PASS the gate — 0, matching the
+        # oracle's CASE ... ELSE 0 arm; bare sum() over an all-NULL
+        # group read NULL on Spark only (r8 NULL sweep)
+        F.sum(F.coalesce(gate.cast("long"), F.lit(0))).alias("n_pass_gate"),
     )
     return g.select(
         "source",
@@ -3594,7 +3601,8 @@ _FH_HASH = (
 )
 
 _FH_ORACLE = f"""
-WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+           WHERE text IS NOT NULL),
 h AS (SELECT doc_id, len(tk) AS n_tokens,
         list_transform(tk, t -> {_FH_HASH}) AS th FROM d),
 v AS (SELECT doc_id, n_tokens,
@@ -3640,9 +3648,16 @@ def ext_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     per doc under Catalyst's project-collapsing; measured 19 s vs
     1 s at sf0.1), then one doc-keyed count shuffle of (doc, bucket)
     int pairs with map-side combine rebuilds the dense vector via a
-    bucket->count map. No Python, no vocabulary state."""
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("tk")
+    bucket->count map. No Python, no vocabulary state.
+
+    NULL pin (r8 sweep): an untokenizable (NULL-text) doc is excluded
+    on both engines — the explode/inner-join chain drops it on Spark
+    while string_split(NULL) rode through DuckDB as a NULL row (the
+    ext_mm_resize_stub exclusion precedent)."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("tk"))
     )
     base = d.select("doc_id", F.size("tk").cast("long").alias("n_tokens"))
     counts = (
@@ -4103,8 +4118,13 @@ SELECT docs.n_docs,
        CAST(sum(n_tok) * 1000000 // count(*) AS BIGINT)
          AS mean_chunk_tokens_micro
 FROM ch, docs
+WHERE chunk_fp IS NOT NULL
 GROUP BY docs.n_docs
 """.format(
+    # WHERE chunk_fp IS NOT NULL: a NULL-text doc yields NO chunks on
+    # both engines (Spark's explode_outer+notNull already drops them;
+    # the SQL side was counting a NULL-fp row per NULL doc — r8 NULL
+    # sweep). n_docs still counts every doc.
     # THE hash swap point is dedup._salted_hash(_sql) — route through it
     # so a hash-function swap reaches the CDC boundary contract too.
     h=_dedup._salted_hash_sql(

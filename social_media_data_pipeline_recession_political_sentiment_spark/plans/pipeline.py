@@ -72,8 +72,13 @@ def orchestration_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the job's report is fully determined: 16 fragments in, 4 files
     # out, rows conserved, statistics computed — so the side-effecting
     # job still gets a value-checked oracle
-    # LEAST(n, count): Spark emits no part-file for empty round-robin
-    # partitions, so a tiny fixture caps file counts at its row count
+    # LEAST(n, count): a file "fragment" is a part-file CONTAINING
+    # rows — on a tiny fixture round-robin leaves most of the 16
+    # target partitions empty, so the count caps at the row count.
+    # The operator counts data files via input_file_name() for the
+    # same reason: Spark's writer can emit an empty schema-carrier
+    # part-file (observed: 10 rows -> 10 one-row files + 1 empty, r8
+    # NULL sweep), and an empty file is not a fragment
     oracle=(
         "SELECT CAST(LEAST(16, (SELECT count(*) FROM events)) AS INTEGER) "
         "AS files_before, "
@@ -102,14 +107,13 @@ def maintenance_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     frag.coalesce(4).write.parquet(compact_dir)
 
     def n_files(d: str) -> int:
-        # Hadoop FileSystem API, not os.listdir: works against any
-        # supported filesystem (HDFS/S3A/local) on a real deployment
-        jvm = spark.sparkContext._jvm
-        jsc = spark.sparkContext._jsc
-        path = jvm.org.apache.hadoop.fs.Path(d)
-        fs = path.getFileSystem(jsc.hadoopConfiguration())
-        it = fs.listStatus(path)
-        return sum(1 for st in it if st.getPath().getName().endswith(".parquet"))
+        # count DATA files (files contributing rows) via
+        # input_file_name(): filesystem-agnostic like the Hadoop
+        # listStatus it replaces, and immune to the writer's empty
+        # schema-carrier part-file (0 rows != a fragment; the oracle's
+        # LEAST(k, row_count) cap is exactly this definition)
+        df = spark.read.schema(e.schema).parquet(d)
+        return df.select(F.input_file_name()).distinct().count()
 
     # the ANALYZE half of VACUUM (VERBOSE, ANALYZE): register the
     # compacted table and compute catalog statistics, so Catalyst's

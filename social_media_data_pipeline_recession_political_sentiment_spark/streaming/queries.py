@@ -116,9 +116,12 @@ def drain_to_table(
 
 @register(
     "stream_tumbling_count",
+    # ts IS NOT NULL: Spark's streaming window() drops NULL event
+    # times implicitly; the oracle must state the same universe (r8
+    # NULL sweep — the stream_sliding_count pin convention)
     oracle=(
         "SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS cnt "
-        "FROM events GROUP BY day"
+        "FROM events WHERE ts IS NOT NULL GROUP BY day"
     ),
 )
 def stream_tumbling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -243,7 +246,8 @@ WITH flagged AS (
   SELECT user_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
               OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS new_s
-  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), numbered AS (
   SELECT user_id, ts,
          sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
@@ -263,8 +267,14 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same operator Structured Streaming uses with state; batch
     form here so the oracle (gaps-and-islands SQL) can check it
     exactly. session_window.end is max(ts)+gap by definition, so
-    session_end is aggregated as max(ts) to match the SQL notion."""
-    e = load(spark, sf_dir, "events")
+    session_end is aggregated as max(ts) to match the SQL notion.
+
+    NULL pin (r8 sweep): a session needs a non-NULL (user, time) —
+    Spark's session_window drops NULL event times implicitly while
+    the SQL window keeps them; pinned EXPLICITLY on both engines."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     return (
         e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
         .agg(

@@ -382,3 +382,60 @@ def test_sweep_mode_fixtures_smoke(spark):
                 raise AssertionError(
                     f"sweep mode {mode!r} bitrot: {name} crashed: {exc}"
                 ) from exc
+
+
+def test_null_riddled_oracle_parity_fixed_class(spark):
+    """NULL-divergence ORACLE pins (r8 sweep): r7 ran the full gate
+    only on the unicode/json fixtures; running it on the --nulls
+    fixture found 20 VALUE divergences (not crashes) — NULL keys
+    riding Spark's union-and-window as-of carry but dropped by
+    DuckDB's inner ASOF JOIN, NULLS-FIRST range sort vs NULLS-LAST
+    SQL ranks, sum() over an all-NULL group (NULL on Spark, the
+    oracle's CASE ELSE 0), DuckDB least() SKIPPING a NULL operand,
+    and fillna('') scoring NULL comments. Each got an explicit pin
+    on BOTH engines; this test re-runs the EXACT driver-replica
+    comparison (rowcount + schema + value hash) for the fixed class
+    on the NULL fixture. ext_sim_ivf_recall stays out: its
+    meets_floor is honestly false on a 4-vector corpus (documented
+    accepted approximation red, r7)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import duckdb
+    from degen_sweep import build_fixture
+    from verify_local import compare_query
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.catalog import TABLES
+
+    fixture = build_fixture(nulls=True)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{fixture}/{t}.parquet'")
+    fixed = [
+        "join_asof",
+        "join_asof_nearest",
+        "join_asof_tolerance",
+        "agg_ewma_volume",
+        "agg_hll_union_rollup",
+        "agg_quantiles_exact_dist",
+        "stream_tumbling_count",
+        "stream_sessionize",
+        "maintenance_vacuum",
+        "fn_hate_flag",
+        "udf_vader_sentiment",
+        "udf_hatespeech_api",
+        "enrich_table",
+        "ext_emb_norm",
+        "ext_feature_hashing",
+        "ext_text_repetition",
+        "ext_mm_decode_stub",
+        "ext_chunk_cdc",
+        "ext_corpus_datacard",
+    ]
+    qs, os_ = registry.queries(), registry.oracles()
+    bad = {}
+    for name in fixed:
+        problems = compare_query(spark, con, qs[name], os_[name], fixture)
+        if problems:
+            bad[name] = problems
+    assert not bad, bad

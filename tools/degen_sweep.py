@@ -47,7 +47,18 @@ engines — plus the read-back schema class) and join_bloom_pruned
 --nulls riddles every nullable corpus column with NULLs (NULL text /
 lang / source / n_chars, NULL ts / user_id / event_type / value /
 props, NULL embedding / label — failed encodes and partial ingests
-look exactly like this). r7 findings in that class (fixed +
+look exactly like this; r8 adds a NULL-riddled orders table so the
+TPC-H-fed quantile/join family faces NULL keys, prices and dates
+too). r8 PROMOTED this mode to a full-gate divergence sweep (run
+verify_local on the fixture, like --unicode/--json/--tz): the first
+full run found 20 value divergences — NULL keys riding the as-of
+union-and-window carry vs DuckDB's inner ASOF JOIN, Spark
+NULLS-FIRST range sort vs SQL NULLS-LAST ranks, sum() over all-NULL
+groups vs CASE ELSE 0, DuckDB least() skipping NULL operands,
+fillna('') scoring NULL comments — all pinned on both engines
+(tests/test_registry.py::test_null_riddled_oracle_parity_fixed_class)
+with ONE accepted approximation red (ext_sim_ivf_recall's honest
+recall floor on a 4-vector corpus). r7 findings in that class (fixed +
 NULL-fixture oracle-verified AND real-data hash-identical): the
 numpy seams behind 12 similarity queries np.stack'd None embeddings
 — pinned as "no vector, no similarity op" with matching
@@ -431,6 +442,41 @@ def build_fixture(
         return FIXTURE
 
     if nulls:
+        # orders is NULL-riddled too (r8, following the --empty
+        # extension): NULL prices exercise the sorted-runs NULL-key
+        # pin and every TPC-H-fed quantile/join path; NULL custkeys
+        # exercise join null-handling; NULL dates hit the date casts
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([1, 2, 3, 4, 5, 6, 7, 8], pa.int64()),
+                    "o_custkey": pa.array(
+                        [1, None, 2, 3, None, 1, 2, 4], pa.int64()
+                    ),
+                    "o_orderstatus": pa.array(
+                        ["O", None, "F", "O", None, "F", "O", None],
+                        pa.string(),
+                    ),
+                    "o_totalprice": pa.array(
+                        [100.5, None, 250.25, None, 75.0, None, 310.75, 42.0],
+                        pa.float64(),
+                    ),
+                    "o_orderdate": pa.array(
+                        [dt.datetime(2024, 1, 1), None,
+                         dt.datetime(2024, 1, 3), dt.datetime(2024, 1, 4),
+                         None, dt.datetime(2024, 1, 6),
+                         dt.datetime(2024, 1, 7), None],
+                        pa.timestamp("us"),
+                    ),
+                    "o_orderpriority": pa.array(
+                        ["1-URGENT", None, "3-MEDIUM", None,
+                         "5-LOW", "2-HIGH", None, "4-NOT SPECIFIED"],
+                        pa.string(),
+                    ),
+                }
+            ),
+            os.path.join(FIXTURE, "orders.parquet"),
+        )
         pq.write_table(
             pa.table(
                 {

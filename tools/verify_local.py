@@ -98,6 +98,40 @@ def _hash_rows(cols, rows):
     return h.hexdigest()[:16]
 
 
+def compare_query(spark, con, fn, oracle_sql: str, sf_dir: str) -> list[str]:
+    """Run one query on Spark and its oracle on an open DuckDB
+    connection (tables already registered as views) and return the
+    list of problems — [] means rowcount + schema family + value hash
+    all agree. Mirrors main()'s comparison exactly (minus the sample
+    rows printed on mismatch) so the pytest divergence pins apply the
+    same check the driver replica applies."""
+    sdf = fn(spark, sf_dir)
+    scols = sdf.columns
+    stypes = dict(sdf.dtypes)
+    srows = [tuple(r) for r in sdf.collect()]
+    res = con.sql(oracle_sql)
+    ocols = list(res.columns)
+    otypes = dict(zip(ocols, (str(t) for t in res.types)))
+    orows = res.fetchall()
+    problems = []
+    if len(srows) != len(orows):
+        problems.append(f"rowcount spark={len(srows)} duckdb={len(orows)}")
+    if sorted(scols) != sorted(ocols):
+        problems.append(f"cols spark={sorted(scols)} duckdb={sorted(ocols)}")
+    else:
+        for c in sorted(scols):
+            fs, fo = _type_family(stypes[c]), _type_family(otypes[c])
+            if fs != fo:
+                problems.append(
+                    f"type[{c}] spark={stypes[c]}({fs}) duckdb={otypes[c]}({fo})"
+                )
+    if not problems:
+        hs, ho = _hash_rows(scols, srows), _hash_rows(ocols, orows)
+        if hs != ho:
+            problems.append(f"value-hash spark={hs} duckdb={ho}")
+    return problems
+
+
 def main():
     args = [a for a in sys.argv[1:]]
     sf_dir = "/root/testdata/sf0.01"
