@@ -371,6 +371,7 @@ def test_sweep_mode_fixtures_smoke(spark):
             ["project_flatten_json", "fn_props_schema_census"],
         ),
         "tz": (dict(tz=True), ["agg_daily_counts", "agg_concurrency_peak"]),
+        "dups": (dict(dups=True), ["ext_dedup_exact", "stream_dedup"]),
     }
     qs = registry.queries()
     for mode, (kw, names) in modes.items():
@@ -435,6 +436,57 @@ def test_null_riddled_oracle_parity_fixed_class(spark):
     qs, os_ = registry.queries(), registry.oracles()
     bad = {}
     for name in fixed:
+        problems = compare_query(spark, con, qs[name], os_[name], fixture)
+        if problems:
+            bad[name] = problems
+    assert not bad, bad
+
+
+def test_dup_key_enforcement_family_oracle_parity(spark):
+    """Duplicate-primary-key contract pin (r8 sweep, --dups mode):
+    at-least-once ingest and re-crawls deliver duplicate doc_id /
+    event_id / vec_id rows, sometimes with CHANGED payloads. The
+    engine's contract makes the INGEST-DEDUP family the enforcement
+    point — those operators must stay exactly oracle-green on
+    dup-key input — while content operators downstream assume
+    key-deduplicated (bronze-cleaned) input: their oracles key on
+    doc_id/event_id, so PK-violating input changes the QUESTION
+    (GROUP BY collapses two different payloads; key rejoins fan out
+    2x2), not the engine arithmetic. The full-gate run on this
+    fixture is recorded in tools/verify_r8_session1.log with the 21
+    key-assuming queries' mismatches as the documented boundary;
+    everything here must hold: crash-free registry-wide, and the
+    enforcement family hash-green."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import duckdb
+    from degen_sweep import build_fixture
+    from verify_local import compare_query
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.catalog import TABLES
+
+    fixture = build_fixture(dups=True)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{fixture}/{t}.parquet'")
+    family = [
+        "stream_dedup",
+        "stream_upsert_keyed",
+        "window_dedup_recent",
+        "ext_dedup_exact",
+        "ext_dedup_incremental",
+        "ext_dedup_incremental_bucketed",
+        "ext_dedup_incremental_bloom",
+        "sink_scd1_merge",
+        "ext_dedup_cluster_pick",
+        "ext_dataset_diff",
+        "join_anti_dedup",
+        "agg_count_star",
+    ]
+    qs, os_ = registry.queries(), registry.oracles()
+    bad = {}
+    for name in family:
         problems = compare_query(spark, con, qs[name], os_[name], fixture)
         if problems:
             bad[name] = problems

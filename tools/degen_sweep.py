@@ -137,6 +137,34 @@ under the same TZ:
     TZ=America/New_York SMDP_VERIFY_VANILLA=1 \
         python tools/verify_local.py /root/testdata/sf0.001
 
+--dups probes duplicate PRIMARY KEYS (r8) — the shape every
+at-least-once ingest and re-crawl produces (the reference's own
+dedup-by-probe exists because Reddit re-serves posts). doc_id /
+event_id / vec_id appear twice, sometimes with IDENTICAL payloads
+(true redelivery) and sometimes with DIFFERENT payloads (content
+changed between crawls), plus full-row ties (same user, same ts,
+same key). The r8 run established the CONTRACT this mode enforces:
+(a) nothing crashes registry-wide (0/285); (b) the INGEST-DEDUP
+family — stream_dedup / stream_upsert_keyed / window_dedup_recent /
+ext_dedup_exact / the ext_dedup_incremental trio / sink_scd1_merge /
+ext_dedup_cluster_pick / ext_dataset_diff / join_anti_dedup — is
+exactly oracle-green ON dup-key input (12/12, pinned by
+tests/test_registry.py::test_dup_key_enforcement_family_oracle_parity):
+redelivery handling is THEIR job and they provably do it;
+(c) content operators DOWNSTREAM of ingest assume key-deduplicated
+(bronze-cleaned) input — their oracles key on doc_id/event_id, so
+PK-violating input changes the QUESTION (a GROUP BY doc_id
+collapses two different payloads into one "document"; an
+event_id-keyed rejoin fans out 2x2), not the engine arithmetic: 21
+such key-assuming queries mismatch on this fixture by
+construction, recorded in tools/verify_r8_session1.log as the
+documented boundary. Run the crash pass, then the family gate:
+
+    python tools/degen_sweep.py --dups
+    SMDP_VERIFY_VANILLA=1 python tools/verify_local.py /tmp/smdp_degen \
+        stream_dedup stream_upsert_keyed window_dedup_recent \
+        ext_dedup_exact ext_dedup_incremental sink_scd1_merge
+
 Exit code = number of crashing queries.
 """
 
@@ -217,6 +245,7 @@ def build_fixture(
     unicode_: bool = False,
     json_edge: bool = False,
     tz: bool = False,
+    dups: bool = False,
 ) -> str:
     import glob
 
@@ -242,6 +271,91 @@ def build_fixture(
         (shutil.copytree if os.path.isdir(f) else shutil.copy)(
             f, os.path.join(FIXTURE, name)
         )
+
+    if dups:
+        # every table carries duplicate primary keys: true redelivery
+        # (identical payload twice), changed-content re-crawl (same
+        # key, different payload), and full ties (same user+ts+key).
+        # Any key-uniqueness assumption in a tie-break surfaces as a
+        # cross-engine (or run-to-run) hash mismatch in the gate.
+        pq.write_table(
+            pa.table(
+                {
+                    #         uniq  redeliv.  changed   uniq
+                    "doc_id": [1, 2, 2, 3, 3, 4, 5, 5, 5, 6],
+                    "text": [
+                        "alpha beta gamma",
+                        "dup dup same text", "dup dup same text",
+                        "first crawl words", "second crawl words",
+                        "delta epsilon",
+                        "tri a", "tri b", "tri c",
+                        "zeta eta theta",
+                    ],
+                    "lang": ["en"] * 4 + ["de"] * 2 + ["en"] * 4,
+                    "source": ["src1", "src1", "src2", "src1", "src1",
+                               "src2", "src3", "src3", "src1", "src2"],
+                    "n_chars": [16, 17, 17, 17, 18, 13, 5, 5, 5, 14],
+                }
+            ).cast(
+                pa.schema(
+                    [("doc_id", pa.int64()), ("text", pa.string()),
+                     ("lang", pa.string()), ("source", pa.string()),
+                     ("n_chars", pa.int64())]
+                )
+            ),
+            os.path.join(FIXTURE, "documents.parquet"),
+        )
+        t0 = dt.datetime(2024, 1, 1)
+        hr = dt.timedelta(hours=1)
+        ev = {
+            # event_id 2 redelivered identically; 3 redelivered with a
+            # different value; 5+6 = two DIFFERENT ids at the SAME
+            # (user, ts) — the rank tie; 7 duplicated at same ts AND
+            # same value (full-row dup)
+            "event_id": [1, 2, 2, 3, 3, 4, 5, 6, 7, 7, 8, 9],
+            "ts": [t0, t0 + hr, t0 + hr, t0 + 2 * hr, t0 + 2 * hr,
+                   t0 + 3 * hr, t0 + 4 * hr, t0 + 4 * hr,
+                   t0 + 5 * hr, t0 + 5 * hr, t0 + 26 * hr, t0 + 27 * hr],
+            "user_id": [1, 1, 1, 2, 2, 2, 3, 3, 3, 3, 1, 2],
+            "event_type": ["view", "click", "click", "view", "view",
+                           "purchase", "view", "view", "click", "click",
+                           "view", "purchase"],
+            "value": [1.0, 2.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0,
+                      8.0, 8.0, 9.0, 10.0],
+            "props": ['{"k":1}'] * 12,
+        }
+        pq.write_table(
+            pa.table(
+                ev,
+                schema=pa.schema(
+                    [("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+                     ("user_id", pa.int64()), ("event_type", pa.string()),
+                     ("value", pa.float64()), ("props", pa.string())]
+                ),
+            ),
+            os.path.join(FIXTURE, "events.parquet"),
+        )
+        dim = 64
+        vecs = [
+            [1.0] + [0.0] * (dim - 1),
+            [0.5] * dim, [0.5] * dim,              # vec_id 2 redelivered
+            [0.1] * dim, [0.9] + [0.1] * (dim - 1),  # vec_id 3 changed
+            [0.2] * dim,
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([1, 2, 2, 3, 3, 4], pa.int64()),
+                    "embedding": pa.array(
+                        [[float(x) for x in v] for v in vecs],
+                        pa.list_(pa.float32()),
+                    ),
+                    "label": pa.array([0, 1, 1, 0, 1, 0], pa.int32()),
+                }
+            ),
+            os.path.join(FIXTURE, "embeddings.parquet"),
+        )
+        return FIXTURE
 
     if tz:
         # documents/embeddings stay real; events carries naive stamps
@@ -688,11 +802,12 @@ def main() -> int:
     unicode_ = "--unicode" in args
     json_edge = "--json" in args
     tz = "--tz" in args
+    dups = "--dups" in args
     args = [
         a
         for a in args
         if a not in ("--empty", "--nulls", "--nonfinite", "--unicode",
-                     "--json", "--tz")
+                     "--json", "--tz", "--dups")
     ]
     build_fixture(
         empty=empty,
@@ -701,6 +816,7 @@ def main() -> int:
         unicode_=unicode_,
         json_edge=json_edge,
         tz=tz,
+        dups=dups,
     )
     if tz:
         # BEFORE the JVM spawns: the child java process inherits TZ as
@@ -735,6 +851,8 @@ def main() -> int:
         if json_edge
         else f"DST-edge stamps under TZ={os.environ.get('TZ')}"
         if tz
+        else "duplicate primary keys"
+        if dups
         else "degenerate input"
     )
     print(f"\n{len(crashes)} of {len(names)} queries crash on {kind}")
