@@ -1409,3 +1409,68 @@ def test_quantile_sketch_rank_band_certificate(spark, pts):
         assert abs(r.p95 - pq_ref(0.95, arr)) <= 1e-9, (et, r.p95, pq_ref(0.95, arr))
         assert r.ok50 is True, (et, arr)
         assert r.ok95 is True, (et, arr)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),    # user_id
+            st.integers(min_value=0, max_value=12),   # day offset
+            st.integers(min_value=0, max_value=23),   # hour within day
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_survival_curve_matches_reference(spark, evs):
+    """agg_survival_curve end-to-end on PLANTED per-user event streams
+    (r8 window head-freshness): per-user lifetime = capped
+    last-minus-first EPOCH DAY (integer-day contract), and for every
+    k the surviving count and rounded share must equal an independent
+    Python recompute. Hours within a day are planted too, proving the
+    span really is day-granular (two events 23h apart on the same
+    UTC day = lifetime 0)."""
+    import datetime as dt
+    import math
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.relational import (
+        SURVIVAL_MAX_DAYS,
+    )
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [
+        (i + 1, t0 + dt.timedelta(days=d, hours=h), u, "view", 1.0, None)
+        for i, (u, d, h) in enumerate(evs)
+    ]
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_surv_")
+    e.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmp, "events.parquet")
+    )
+    got = {
+        r.k_days: (r.n_surviving, r.share)
+        for r in queries()["agg_survival_curve"](spark, tmp).collect()
+    }
+
+    base_day = (t0 - dt.datetime(1970, 1, 1)).days
+    spans = {}
+    for u, d, h in evs:
+        lo, hi = spans.get(u, (10**9, -(10**9)))
+        spans[u] = (min(lo, base_day + d), max(hi, base_day + d))
+    lifetimes = [min(hi - lo, SURVIVAL_MAX_DAYS) for lo, hi in spans.values()]
+    n_users = len(lifetimes)
+    want = {}
+    for k in range(0, max(lifetimes) + 1):
+        n = sum(1 for lt in lifetimes if lt >= k)
+        want[k] = (n, math.floor(n * 1.0 / n_users * 1e6 + 0.5) / 1e6)
+
+    assert got == want, (got, want)
