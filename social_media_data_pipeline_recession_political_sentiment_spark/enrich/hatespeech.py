@@ -57,7 +57,20 @@ class ApiScorer:
 def enrich_hatespeech(df: DataFrame, text_col: str = "text", scorer_cls=KeywordScorer) -> DataFrame:
     """Attach (is_hate_speech, hate_speech_confidence) — the an_*
     table's moderation half (ref: `Reddit_4chan_Analysis.py:65-77`,
-    flag rule at `:42-45`: class=='flag' AND confidence > 0.9)."""
+    flag rule at `:42-45`: class=='flag' AND confidence > 0.9).
+
+    STATED DELTA from the reference (r8 ADVICE): the reference's
+    `hs_check_comment` (`Reddit_4chan_Analysis.py:54`) returns
+    (False, None) for any unscorable comment — it folds "no
+    verdict" into is_hate_speech=false. This engine instead reads
+    NULL (class, confidence, flag) for a NULL comment, the Kleene
+    three-valued contract the r8 NULL sweep pinned cross-engine: a
+    downstream `is_hate_speech = false` filter here EXCLUDES
+    NULL-text rows where the reference would include them. Chosen
+    deliberately — "no text, no moderation verdict" keeps
+    unscorable distinguishable from scored-clean; consumers that
+    want the reference fold apply coalesce(is_hate_speech, false).
+    """
     fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
     out_schema = f"{fields}, hs_class string, hs_conf double"
 

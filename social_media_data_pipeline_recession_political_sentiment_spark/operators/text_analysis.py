@@ -4109,22 +4109,30 @@ ch AS (SELECT doc_id,
               md5(array_to_string(w[start:fin], ' ')) AS chunk_fp,
               fin - start + 1 AS n_tok
        FROM bounds),
-docs AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM t)
+docs AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM t),
+cha AS (SELECT CAST(count(*) AS BIGINT) AS total_chunks,
+               CAST(count(DISTINCT chunk_fp) AS BIGINT) AS distinct_chunks,
+               sum(n_tok) AS sum_tok
+        FROM ch WHERE chunk_fp IS NOT NULL)
 SELECT docs.n_docs,
-       CAST(count(*) AS BIGINT) AS total_chunks,
-       CAST(count(DISTINCT chunk_fp) AS BIGINT) AS distinct_chunks,
-       CAST(count(*) - count(DISTINCT chunk_fp) AS BIGINT) AS dup_chunks,
-       round(count(DISTINCT chunk_fp) * 1.0 / count(*), 6) AS dedup_ratio,
-       CAST(sum(n_tok) * 1000000 // count(*) AS BIGINT)
+       total_chunks,
+       distinct_chunks,
+       total_chunks - distinct_chunks AS dup_chunks,
+       round(distinct_chunks * 1.0
+             / nullif(CAST(total_chunks AS DOUBLE), 0.0), 6) AS dedup_ratio,
+       CAST(sum_tok * 1000000 // nullif(total_chunks, 0) AS BIGINT)
          AS mean_chunk_tokens_micro
-FROM ch, docs
-WHERE chunk_fp IS NOT NULL
-GROUP BY docs.n_docs
+FROM cha, docs
 """.format(
     # WHERE chunk_fp IS NOT NULL: a NULL-text doc yields NO chunks on
     # both engines (Spark's explode_outer+notNull already drops them;
     # the SQL side was counting a NULL-fp row per NULL doc — r8 NULL
     # sweep). n_docs still counts every doc.
+    # cha is aggregated in a SUBQUERY (not GROUP BY over the filtered
+    # cross join) so a corpus where NO chunk survives — every doc
+    # NULL-text — still yields the one report row (zero counts, NULL
+    # ratio/mean) that the Spark side's crossJoin of two aggregates
+    # always emits (r8 ADVICE boundary fix).
     # THE hash swap point is dedup._salted_hash(_sql) — route through it
     # so a hash-function swap reaches the CDC boundary contract too.
     h=_dedup._salted_hash_sql(

@@ -5,7 +5,14 @@ window."""
 
 from __future__ import annotations
 
+import os.path as _osp
+
 from social_media_data_pipeline_recession_political_sentiment_spark import registry
+
+# repo root derived from this file, not hardcoded (r8 ADVICE): the
+# tests must run from a relocated checkout
+REPO = _osp.dirname(_osp.dirname(_osp.abspath(__file__)))
+TOOLS = _osp.join(REPO, "tools")
 
 
 def test_window_priority_names_all_registered():
@@ -52,7 +59,7 @@ def test_registry_imports_without_spark_session():
         "assert len(qs) >= 120 and len(os_) >= 117"
     )
     r = subprocess.run(
-        [sys.executable, "-c", code], cwd="/root/repo",
+        [sys.executable, "-c", code], cwd=REPO,
         capture_output=True, text=True, timeout=300,
     )
     assert r.returncode == 0, r.stderr[-2000:]
@@ -123,10 +130,10 @@ def test_bench_and_baseline_cover_the_entire_registry():
     import json
 
     reg = set(registry.queries())
-    bench = set(json.load(open("/root/repo/BENCH_FULL.json"))["queries"])
+    bench = set(json.load(open(f"{REPO}/BENCH_FULL.json"))["queries"])
     assert reg - bench == set(), f"bench missing: {sorted(reg - bench)}"
 
-    lines = open("/root/repo/BASELINE.md").read().splitlines()
+    lines = open(f"{REPO}/BASELINE.md").read().splitlines()
     hdr = next(i for i, l in enumerate(lines) if l.startswith("| query ID"))
     frozen = set()
     for l in lines[hdr + 2 :]:
@@ -146,7 +153,7 @@ def test_degenerate_inputs_do_not_crash_fixed_class(spark):
     (DIVIDE_BY_ZERO / CAST_INVALID_INPUT)."""
     import sys
 
-    sys.path.insert(0, "/root/repo/tools")
+    sys.path.insert(0, TOOLS)
     from degen_sweep import build_fixture
 
     fixture = build_fixture()
@@ -176,7 +183,7 @@ def test_empty_corpus_tables_do_not_crash_fixed_class(spark):
     _SUCCESS-only directory)."""
     import sys
 
-    sys.path.insert(0, "/root/repo/tools")
+    sys.path.insert(0, TOOLS)
     from degen_sweep import build_fixture
 
     fixture = build_fixture(empty=True)
@@ -208,7 +215,7 @@ def test_null_riddled_tables_do_not_crash_fixed_class(spark):
     fixture during r7."""
     import sys
 
-    sys.path.insert(0, "/root/repo/tools")
+    sys.path.insert(0, TOOLS)
     from degen_sweep import build_fixture
 
     fixture = build_fixture(nulls=True)
@@ -245,7 +252,7 @@ def test_nonfinite_values_do_not_crash_fixed_class(spark):
     verified ON this fixture during r7)."""
     import sys
 
-    sys.path.insert(0, "/root/repo/tools")
+    sys.path.insert(0, TOOLS)
     from degen_sweep import build_fixture
 
     fixture = build_fixture(nonfinite=True)
@@ -281,7 +288,7 @@ def test_tz_default_is_unobservable_in_engine_epochs():
     import subprocess
     import sys as _sys
 
-    _sys.path.insert(0, "/root/repo/tools")
+    _sys.path.insert(0, TOOLS)
     from degen_sweep import FIXTURE, build_fixture
 
     build_fixture(tz=True)
@@ -301,7 +308,7 @@ import os, time
 os.environ["TZ"] = "America/New_York"
 time.tzset()
 import sys
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, %r)
 from social_media_data_pipeline_recession_political_sentiment_spark.session import get_session
 from social_media_data_pipeline_recession_political_sentiment_spark.catalog import load
 import pyspark.sql.functions as F
@@ -312,20 +319,29 @@ e = load(spark, %r, "events").select(
     .alias("day0"),
 )
 rows = e.collect()
-print(sorted(r.epoch for r in rows))
-print(sorted(r.day0 // 86400 for r in rows))
-""" % (FIXTURE,)
+print("TZPIN:" + repr(sorted(r.epoch for r in rows)))
+print("TZPIN:" + repr(sorted(r.day0 // 86400 for r in rows)))
+""" % (REPO, FIXTURE)
     r = subprocess.run(
         [_sys.executable, "-c", code],
-        cwd="/root/repo",
+        cwd=REPO,
         capture_output=True,
         text=True,
         timeout=600,
     )
     assert r.returncode == 0, r.stderr[-2000:]
-    lines = [ln for ln in r.stdout.splitlines() if ln.startswith("[")]
-    got_epochs = eval(lines[0])
-    got_days = eval(lines[1])
+    # SENTINEL-prefixed lines + ast.literal_eval (r8 ADVICE): a stray
+    # log4j/py4j line starting with '[' must never be eval'd as code
+    import ast
+
+    lines = [
+        ln[len("TZPIN:"):]
+        for ln in r.stdout.splitlines()
+        if ln.startswith("TZPIN:")
+    ]
+    assert len(lines) == 2, f"expected 2 TZPIN lines, got: {r.stdout[-500:]}"
+    got_epochs = ast.literal_eval(lines[0])
+    got_days = ast.literal_eval(lines[1])
     assert got_epochs == expect, "engine epochs shifted under non-UTC TZ"
     assert got_days == expect_days, "epoch-day buckets shifted under non-UTC TZ"
     # the fall-back fold pair must remain two distinct instants
@@ -352,7 +368,7 @@ def test_sweep_mode_fixtures_smoke(spark):
     tools/degen_sweep.py + tools/verify_local.py on the fixture."""
     import sys
 
-    sys.path.insert(0, "/root/repo/tools")
+    sys.path.insert(0, TOOLS)
     from degen_sweep import build_fixture
 
     modes = {
@@ -401,7 +417,7 @@ def test_null_riddled_oracle_parity_fixed_class(spark):
     accepted approximation red, r7)."""
     import sys
 
-    sys.path.insert(0, "/root/repo/tools")
+    sys.path.insert(0, TOOLS)
     import duckdb
     from degen_sweep import build_fixture
     from verify_local import compare_query
@@ -459,7 +475,7 @@ def test_dup_key_enforcement_family_oracle_parity(spark):
     enforcement family hash-green."""
     import sys
 
-    sys.path.insert(0, "/root/repo/tools")
+    sys.path.insert(0, TOOLS)
     import duckdb
     from degen_sweep import build_fixture
     from verify_local import compare_query
@@ -491,3 +507,49 @@ def test_dup_key_enforcement_family_oracle_parity(spark):
         if problems:
             bad[name] = problems
     assert not bad, bad
+
+
+def test_chunk_cdc_all_null_text_boundary(spark):
+    """r8 ADVICE boundary pin: a corpus where EVERY doc is NULL-text
+    yields ZERO surviving chunks. The Spark side's crossJoin of two
+    aggregates always emits exactly one report row (n_docs >= 0,
+    zero chunk counts, NULL ratio/mean); the oracle must too — the
+    pre-fix oracle GROUP BY'd the filtered cross join and emitted
+    zero rows. The --nulls sweep fixture mixes NULL and non-NULL
+    texts so this rowcount divergence was latent; this pin builds
+    the all-NULL variant explicitly and runs the driver-replica
+    compare on it."""
+    import shutil
+    import sys
+    import tempfile
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, TOOLS)
+    from verify_local import compare_query
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    t = pq.read_table(src)
+    null_text = pa.nulls(t.num_rows, type=t.schema.field("text").type)
+    t = t.set_column(t.schema.get_field_index("text"), "text", null_text)
+    fixture = tempfile.mkdtemp(prefix="smdp_allnull_")
+    try:
+        pq.write_table(t, f"{fixture}/documents.parquet")
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS "
+            f"SELECT * FROM '{fixture}/documents.parquet'"
+        )
+        qs, os_ = registry.queries(), registry.oracles()
+        problems = compare_query(
+            spark, con, qs["ext_chunk_cdc"], os_["ext_chunk_cdc"], fixture
+        )
+        assert not problems, problems
+        # and the contract itself: exactly one row, zeroed counts
+        row = qs["ext_chunk_cdc"](spark, fixture).collect()
+        assert len(row) == 1
+        assert row[0]["total_chunks"] == 0 and row[0]["dedup_ratio"] is None
+    finally:
+        shutil.rmtree(fixture, ignore_errors=True)

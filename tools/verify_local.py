@@ -98,17 +98,28 @@ def _hash_rows(cols, rows):
     return h.hexdigest()[:16]
 
 
-def compare_query(spark, con, fn, oracle_sql: str, sf_dir: str) -> list[str]:
+def _run_spark(spark, fn, sf_dir):
+    sdf = fn(spark, sf_dir)
+    return sdf.columns, dict(sdf.dtypes), [tuple(r) for r in sdf.collect()]
+
+
+def compare_query(
+    spark, con, fn, oracle_sql: str, sf_dir: str,
+    samples: int = 0, _spark_result=None,
+) -> list[str]:
     """Run one query on Spark and its oracle on an open DuckDB
     connection (tables already registered as views) and return the
     list of problems — [] means rowcount + schema family + value hash
-    all agree. Mirrors main()'s comparison exactly (minus the sample
-    rows printed on mismatch) so the pytest divergence pins apply the
-    same check the driver replica applies."""
-    sdf = fn(spark, sf_dir)
-    scols = sdf.columns
-    stypes = dict(sdf.dtypes)
-    srows = [tuple(r) for r in sdf.collect()]
+    all agree. This is THE comparison (main() calls it too, per the
+    r8 ADVICE de-duplication, so the pytest divergence pins and the
+    driver replica can never drift apart). ``samples`` appends up to
+    that many side-by-side sorted rows on a value-hash mismatch;
+    ``_spark_result`` lets main() pre-run the Spark side to attribute
+    spark-vs-oracle errors separately."""
+    scols, stypes, srows = (
+        _spark_result if _spark_result is not None
+        else _run_spark(spark, fn, sf_dir)
+    )
     res = con.sql(oracle_sql)
     ocols = list(res.columns)
     otypes = dict(zip(ocols, (str(t) for t in res.types)))
@@ -129,6 +140,13 @@ def compare_query(spark, con, fn, oracle_sql: str, sf_dir: str) -> list[str]:
         hs, ho = _hash_rows(scols, srows), _hash_rows(ocols, orows)
         if hs != ho:
             problems.append(f"value-hash spark={hs} duckdb={ho}")
+            if samples:
+                pairs = zip(
+                    sorted(map(repr, srows))[:samples],
+                    sorted(map(repr, orows))[:samples],
+                )
+                for s, o in pairs:
+                    problems.append(f"  s={s}\n  o={o}")
     return problems
 
 
@@ -198,46 +216,25 @@ def main():
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            stypes = dict(sdf.dtypes)
-            srows = [tuple(r) for r in sdf.collect()]
+            sres = _run_spark(spark, fn, sf_dir)
         except Exception as e:
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
             n_fail += 1
             continue
+        srows = sres[2]
         if name not in oracles:
             print(f"ROWS  {name}: {len(srows)} rows (rows-only, no oracle) [{time.time()-t0:.1f}s]")
             n_rows_only += 1
             continue
         try:
-            res = con.sql(oracles[name])
-            ocols = list(res.columns)
-            otypes = dict(zip(ocols, (str(t) for t in res.types)))
-            orows = res.fetchall()
+            problems = compare_query(
+                spark, con, fn, oracles[name], sf_dir,
+                samples=3, _spark_result=sres,
+            )
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {type(e).__name__}: {e}")
             n_fail += 1
             continue
-        problems = []
-        if len(srows) != len(orows):
-            problems.append(f"rowcount spark={len(srows)} duckdb={len(orows)}")
-        if sorted(scols) != sorted(ocols):
-            problems.append(f"cols spark={sorted(scols)} duckdb={sorted(ocols)}")
-        else:
-            for c in sorted(scols):
-                fs, fo = _type_family(stypes[c]), _type_family(otypes[c])
-                if fs != fo:
-                    problems.append(
-                        f"type[{c}] spark={stypes[c]}({fs}) duckdb={otypes[c]}({fo})"
-                    )
-        if not problems:
-            hs, ho = _hash_rows(scols, srows), _hash_rows(ocols, orows)
-            if hs != ho:
-                problems.append(f"value-hash spark={hs} duckdb={ho}")
-                pairs = list(zip(sorted(map(repr, srows))[:3], sorted(map(repr, orows))[:3]))
-                for s, o in pairs:
-                    problems.append(f"  s={s}\n  o={o}")
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
             n_fail += 1
