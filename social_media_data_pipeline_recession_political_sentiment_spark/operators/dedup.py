@@ -2808,3 +2808,333 @@ def ext_cluster_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("simpson_concentration"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-SUBSTRING span coverage (ExactSubstr, Lee et al. 2022
+# "Deduplicating Training Data Makes Language Models Better" §4.1):
+# the suffix-array family member. The paper builds a corpus suffix
+# array and removes every substring of >= L tokens that appears
+# twice anywhere in the corpus (including twice in the SAME
+# document). A distributed suffix array is the wrong tool on Spark;
+# the gram-cover identity gives the identical answer with hash-aggs:
+# a token belongs to a duplicated substring of length >= L IFF it is
+# covered by some length-L gram that occurs >= 2 times in the corpus
+# (a duplicated M >= L substring contains M-L+1 duplicated L-grams
+# covering all M tokens; conversely a duplicated L-gram IS such a
+# substring). So corpus-total L-gram occurrence counts + per-doc
+# interval union = ExactSubstr coverage, exactly.
+# Distinct from `ext_dup_span_profile` in BOTH dials: that operator
+# counts gram POSITIONS whose gram appears in >= 2 distinct DOCS
+# (cross-doc boilerplate rate); this one merges positions into
+# maximal spans and counts corpus-wide occurrences (>= 2 anywhere,
+# within-doc self-repetition included — the removal semantics).
+
+SUBSTR_L = 8  # the length-threshold L, word-level
+
+
+def _substr_gram_sql() -> str:
+    return " || ' ' || ".join(f"t[p + {o}]" for o in range(SUBSTR_L))
+
+
+_SUBSTR_SPANS_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pos AS (SELECT doc_id, unnest(range(1, len(t) - {SUBSTR_L - 2})) AS p, t
+        FROM toks WHERE len(t) >= {SUBSTR_L}),
+g AS (SELECT doc_id, p, {_substr_gram_sql()} AS g FROM pos),
+cg AS (SELECT g, count(*) AS c FROM g GROUP BY g),
+dup AS (SELECT DISTINCT doc_id, p FROM g JOIN cg USING (g) WHERE c >= 2),
+brk AS (SELECT doc_id, p,
+               CASE WHEN p > coalesce(max(p) OVER (PARTITION BY doc_id
+                         ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), -{SUBSTR_L}) + {SUBSTR_L}
+                    THEN 1 ELSE 0 END AS st
+        FROM dup),
+isl AS (SELECT doc_id, p,
+               sum(st) OVER (PARTITION BY doc_id ORDER BY p
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS iid
+        FROM brk),
+spans AS (SELECT doc_id, iid, max(p) - min(p) + {SUBSTR_L} AS span_len
+          FROM isl GROUP BY doc_id, iid),
+per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                   CAST(sum(span_len) AS BIGINT) AS dup_tokens,
+                   CAST(max(span_len) AS BIGINT) AS longest_span
+            FROM spans GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(len(string_split(d.text, ' ')), 0) AS BIGINT)
+         AS n_tokens,
+       CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(coalesce(p.longest_span, 0) AS BIGINT) AS longest_span,
+       CASE WHEN coalesce(len(string_split(d.text, ' ')), 0) > 0
+            THEN round(coalesce(p.dup_tokens, 0) * 1.0
+                       / len(string_split(d.text, ' ')), 6)
+            ELSE 0.0 END AS dup_frac
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
+@register("ext_dedup_substr_spans", oracle=_SUBSTR_SPANS_ORACLE)
+def ext_dedup_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr duplicated-substring coverage per document (the
+    suffix-array dedup variant, via the gram-cover identity in the
+    section comment above — no suffix array needed): every position
+    covered by a length-{SUBSTR_L} word gram occurring >= 2 times in
+    the whole corpus (any doc, any position — within-doc repeats
+    count, unlike `ext_dup_span_profile`'s cross-doc rule) is
+    duplicated; overlapping/adjacent covered intervals merge into
+    maximal spans. Output per doc, zero-filled: (doc_id, n_tokens,
+    n_spans, dup_tokens, longest_span, dup_frac) — dup_tokens is
+    exactly the token count ExactSubstr would cut.
+
+    Exactness: spans are integer interval arithmetic on exact token
+    positions — a position p joins the open span iff
+    p <= prev_max_end + 1, i.e. p <= max(prev p) + {SUBSTR_L}, so
+    island ids, span lengths, and coverage are engine-identical
+    BIGINTs; dup_frac is one rounded division. The Spark side joins
+    on the salted 60-bit gram hash while the oracle compares raw
+    gram strings (identical absent 60-bit collisions — the
+    `ext_dup_span_profile` caveat). DISTINCT (doc_id, p) before the
+    span merge keeps the windows deterministic under PK-violating
+    duplicate doc rows.
+
+    Scale shape: grams hash to 60-bit ints IN THE SCAN, so no
+    shuffle carries gram text — the census shuffles (hash, count)
+    with map-side partial combine absorbing boilerplate repeats, and
+    the join back is gram-hash-keyed on both sides (AQE reuses the
+    exchange). The interval merge is two windows partitioned by
+    doc_id — a sort run bounded by document length, never global.
+    No all-pairs stage anywhere; candidate volume is positions whose
+    gram census count >= 2, linear in corpus size. At 100 TB the
+    census is the one big shuffle and it moves 16-byte rows.
+    Reference has no counterpart (EXT tier)."""
+    from pyspark.sql import Window as W
+
+    d = _load_docs(spark, sf_dir)
+    grams = (
+        d.withColumn("tk", _tokens(F.col("text")))
+        .select(
+            "doc_id",
+            F.posexplode_outer(F.expr(gram_array_expr(SUBSTR_L))).alias(
+                "i", "g"
+            ),
+        )
+        .filter(F.col("g").isNotNull())
+        .select(
+            "doc_id",
+            (F.col("i") + 1).alias("p"),
+            _salted_hash(F.lit("ss"), F.col("g")).alias("gh"),
+        )
+    )
+    # (doc, pos, hash) feeds the corpus census AND the join-back —
+    # pin it or both replay the scan-gram-hash chain (r6 scan audit)
+    grams = compute_once(grams)
+    dup_gh = (
+        grams.groupBy("gh")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("gh")
+    )
+    dup = grams.join(dup_gh, "gh").select("doc_id", "p").distinct()
+    w_prev = (
+        W.partitionBy("doc_id").orderBy("p").rowsBetween(W.unboundedPreceding, -1)
+    )
+    st = F.when(
+        F.col("p")
+        > F.coalesce(F.max("p").over(w_prev), F.lit(-SUBSTR_L)) + SUBSTR_L,
+        1,
+    ).otherwise(0)
+    w_cum = (
+        W.partitionBy("doc_id").orderBy("p").rowsBetween(W.unboundedPreceding, 0)
+    )
+    isl = dup.select("doc_id", "p", st.alias("st")).select(
+        "doc_id", "p", F.sum("st").over(w_cum).alias("iid")
+    )
+    spans = isl.groupBy("doc_id", "iid").agg(
+        (F.max("p") - F.min("p") + SUBSTR_L).alias("span_len")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum("span_len").cast("long").alias("dup_tokens"),
+        F.max("span_len").cast("long").alias("longest_span"),
+    )
+    base = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.coalesce(F.size(_tokens(F.col("text"))), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce(F.col("dup_tokens"), F.lit(0))
+        .cast("long")
+        .alias("dup_tokens"),
+        F.coalesce(F.col("longest_span"), F.lit(0))
+        .cast("long")
+        .alias("longest_span"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.coalesce(F.col("dup_tokens"), F.lit(0))
+                * 1.0
+                / F.col("n_tokens"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end pipeline recall certificate: `ext_dedup_pipeline`
+# (exhaustive exact-Jaccard pairs) and `ext_dedup_pipeline_minhash`
+# (banded candidates, sub-quadratic) promise to be the same chain
+# with the pair stage swapped. `ext_dedup_minhash_eval` certifies
+# that swap at the PAIR level; this operator certifies it at the
+# OUTPUT level — the surviving corpora themselves. Banded candidate
+# pairs are a subset of exact threshold pairs (every candidate is
+# re-verified with exact Jaccard), so the banded dup-graph is a
+# subgraph: its components refine the exact components, which forces
+# two auditable invariants the certificate makes visible —
+#   keep_exact <= keep_banded   (finer components => more keepers)
+#   keep_common = keep_exact    (an exact keeper is max-ranked in
+#                                its component, hence in any banded
+#                                subcomponent containing it)
+# and the one real quality number: removal_recall_pm, the permille
+# of exact-pipeline removals the banded pipeline also removes.
+
+_PIPE_RECALL_ORACLE = f"""
+WITH RECURSIVE f AS (SELECT doc_id, text, n_chars FROM documents
+          WHERE len(string_split(text, ' ')) >= {E2E_MIN_TOKENS}),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM f),
+sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM toks),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter_e AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+pairs_e AS (SELECT doc_a, doc_b FROM inter_e
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}),
+{_MH_CAND_CTES},
+inter_b AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+          FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+          GROUP BY 1, 2),
+pairs_b AS (SELECT doc_a, doc_b FROM inter_b
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}),
+edges_e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs_e
+          UNION ALL SELECT doc_b, doc_a FROM pairs_e),
+reach_e(node, lbl) AS (
+    SELECT doc_id, doc_id FROM f
+    UNION
+    SELECT e.dst, r.lbl FROM reach_e r JOIN edges_e e ON e.src = r.node
+),
+comp_e AS (SELECT node AS doc_id, min(lbl) AS component
+           FROM reach_e GROUP BY node),
+keep_e AS (SELECT doc_id FROM (
+    SELECT c.doc_id, row_number() OVER (PARTITION BY c.component
+           ORDER BY d.n_chars DESC, c.doc_id) AS rn
+    FROM comp_e c JOIN f d ON d.doc_id = c.doc_id) WHERE rn = 1),
+edges_b AS (SELECT doc_a AS src, doc_b AS dst FROM pairs_b
+          UNION ALL SELECT doc_b, doc_a FROM pairs_b),
+reach_b(node, lbl) AS (
+    SELECT doc_id, doc_id FROM f
+    UNION
+    SELECT e.dst, r.lbl FROM reach_b r JOIN edges_b e ON e.src = r.node
+),
+comp_b AS (SELECT node AS doc_id, min(lbl) AS component
+           FROM reach_b GROUP BY node),
+keep_b AS (SELECT doc_id FROM (
+    SELECT c.doc_id, row_number() OVER (PARTITION BY c.component
+           ORDER BY d.n_chars DESC, c.doc_id) AS rn
+    FROM comp_b c JOIN f d ON d.doc_id = c.doc_id) WHERE rn = 1),
+tot AS (SELECT (SELECT count(*) FROM f) AS n_gated,
+               (SELECT count(*) FROM keep_e) AS ke,
+               (SELECT count(*) FROM keep_b) AS kb,
+               (SELECT count(*) FROM keep_e JOIN keep_b USING (doc_id)) AS kc)
+SELECT CAST(n_gated AS BIGINT) AS n_gated,
+       CAST(ke AS BIGINT) AS keep_exact,
+       CAST(kb AS BIGINT) AS keep_banded,
+       CAST(kc AS BIGINT) AS keep_common,
+       CAST(n_gated - ke AS BIGINT) AS removed_exact,
+       CAST(n_gated - kb AS BIGINT) AS removed_banded,
+       CAST((n_gated - kb) * 1000 // nullif(n_gated - ke, 0) AS BIGINT)
+         AS removal_recall_pm
+FROM tot
+"""
+
+
+@register("ext_dedup_pipeline_recall", oracle=_PIPE_RECALL_ORACLE)
+def ext_dedup_pipeline_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUTPUT-level recall certificate for the production dedup swap:
+    runs BOTH end-to-end pipelines — `ext_dedup_pipeline` (exact
+    pairs, the oracle-checkable contract) and
+    `ext_dedup_pipeline_minhash` (banded candidates, the 100 TB
+    shape) — on the same corpus and compares their surviving keeper
+    sets (invariants + the headline number in the section comment
+    above). One row: (n_gated, keep_exact, keep_banded, keep_common,
+    removed_exact, removed_banded, removal_recall_pm). All counts are
+    exact BIGINTs (both pipelines are deterministic salted-md5 +
+    exact-Jaccard math) and the permille is integer floor division —
+    hash-checkable end to end.
+
+    Scale shape: composes the two audited pipeline plans as-is (each
+    keeper frame pinned with `compute_once` — it feeds its own count
+    AND the agreement join); the comparison itself is three scalar
+    aggs plus one keeper-keyed join of two already-deduplicated
+    id sets. The exact arm's all-pairs shingle join is the audit's
+    cost by definition (you run this certificate on a SAMPLE bucket
+    at 100 TB — every stage keys on doc_id-derived values, the
+    `ext_dedup_minhash_eval` bucket-composability note applies
+    verbatim). Each composed pipeline reads documents once behind
+    its own checkpoint, so the scan audit reads clean despite the
+    composition."""
+    ke = compute_once(
+        ext_dedup_pipeline(spark, sf_dir).select(
+            F.col("keep_id").alias("doc_id")
+        )
+    )
+    kb = compute_once(
+        ext_dedup_pipeline_minhash(spark, sf_dir).select(
+            F.col("keep_id").alias("doc_id")
+        )
+    )
+    gated = (
+        load(spark, sf_dir, "documents")
+        .filter(F.size(_tokens(F.col("text"))) >= E2E_MIN_TOKENS)
+        .agg(F.count("*").alias("n_gated"))
+    )
+    ea = ke.agg(F.count("*").alias("keep_exact"))
+    ba = kb.agg(F.count("*").alias("keep_banded"))
+    ca = ke.join(kb, "doc_id").agg(F.count("*").alias("keep_common"))
+    return (
+        gated.crossJoin(ea)
+        .crossJoin(ba)
+        .crossJoin(ca)
+        .select(
+            F.col("n_gated").cast("long").alias("n_gated"),
+            F.col("keep_exact").cast("long").alias("keep_exact"),
+            F.col("keep_banded").cast("long").alias("keep_banded"),
+            F.col("keep_common").cast("long").alias("keep_common"),
+            (F.col("n_gated") - F.col("keep_exact"))
+            .cast("long")
+            .alias("removed_exact"),
+            (F.col("n_gated") - F.col("keep_banded"))
+            .cast("long")
+            .alias("removed_banded"),
+            F.expr(
+                "(n_gated - keep_banded) * 1000"
+                " div nullif(n_gated - keep_exact, 0)"
+            )
+            .cast("long")
+            .alias("removal_recall_pm"),
+        )
+    )

@@ -74,75 +74,74 @@ def register(name: str, oracle: Optional[str] = None):
 # schema pin) but holds a GREEN r7 hard check and the change is
 # vanilla-verified hash-identical, so per the r6 sweep precedent it
 # does not re-consume a slot.
-# r9 head (staleness burn, in this order): the remaining 4 r3 scans
-# (scan_youtube_json, sink_insert, sink_create_table,
-# sink_batched_commit), the 14 dash_* routes, then the leftover r3
-# tags by age — the streaming family (stream_tumbling_count,
-# stream_dedup, stream_lookback_window, stream_sessionize,
-# stream_rate_limit, stream_microbatch, stream_stateful_count),
-# orchestration_dag / maintenance_vacuum / cache_memo, the
-# fingerprint/props/text-quality/token-count trios, ext_sim_lsh,
-# ext_sim_ivf, ext_mm_resize_stub — ~32 named slots; the balance of
-# the 50 backfills the next-oldest (r4) tags. That 6-round staleness
-# is the documented price of the r6 backlog (every one is green in
-# every session's local gate, so the exposure is evidence freshness,
-# not correctness risk).
+# Round 9 window (VERDICT r8 item 1, the staleness burn): head = the
+# three operators ADDED this round (ext_dedup_substr_spans /
+# ext_dedup_pipeline_recall / scan_schema_drift_audit — "added or
+# rewritten since last round" outranks all), then EVERY query whose
+# latest hard driver check is r3 (37: the remaining 4 r3 scans, the
+# 14 dash_* routes, the streaming family, orchestration/vacuum/memo,
+# the fingerprint/props/text-quality/token-count trios, and the
+# rows-only ext_sim_lsh / ext_sim_ivf / ext_mm_resize_stub), then the
+# first 10 r4-checked tags in registration order = exactly 50. After
+# this window the oldest evidence tier is r4 (39 remaining r4 tags —
+# r10's natural head, plus whatever r10 adds or rewrites).
 _WINDOW_PRIORITY = (
-    # -- touched this round: nullif/_pq_sql-n=0 guards (head per
-    #    the rotation rule) --
-    "join_bloom_pruned",
-    "agg_quantile_sketch_audit",
-    "agg_mad_robust",
-    "agg_trend_theil_sen",
-    # -- the session-3/4/5 never-driver-sampled tail, registration
-    #    order --
-    "agg_dp_noisy_counts",
-    "ext_ngram_novelty",
-    "ext_dedup_edit_distance",
-    "ext_cluster_diversity",
-    "agg_concurrency_peak",
-    "agg_markov_entropy",
-    "agg_occupancy_hours",
-    "agg_daily_autocorr",
-    "agg_value_log_histogram",
-    "agg_survival_curve",
-    "agg_user_type_venn",
-    "agg_funnel_time_to_convert",
-    "agg_seasonality_strength",
-    "agg_wilson_bound",
-    "agg_dist_drift_probe",
-    "agg_ab_test_sizing",
-    "agg_cusum_changepoint",
-    "fn_props_schema_census",
-    "ext_emb_anisotropy",
-    "ext_emb_matryoshka_recall",
-    "ext_emb_jl_audit",
-    "ext_triplet_margin_audit",
-    "ext_hybrid_rank_fusion",
-    "ext_tfidf_cosine_pairs",
-    "ext_length_bucket_batching",
-    "ext_epoch_shuffle_plan",
-    "agg_heavy_hitters_mg",
-    "ext_vocab_coverage_curve",
-    "ext_char_entropy",
-    "ext_hapax_audit",
-    "ext_prefix_templates",
-    "ext_chunk_cdc",
-    "ext_quality_ablation",
-    "ext_token_entropy_rate",
-    "ext_lm_bigram_score",
-    "ext_keywords_textrank",
-    "ext_bpe_learn_steps",
-    "ext_bpe_apply",
-    "ext_pii_census",
-    "ext_mm_tile_plan",
-    "sink_scd1_merge",
-    "sink_snapshot_read",
-    "sink_dynamic_overwrite",
-    # -- first 3 r3 source/sink scans (oldest evidence tier) --
-    "scan_rest_json",
-    "scan_chan_json",
-    "scan_chan_catalog",
+    # -- added this round --
+    "ext_dedup_substr_spans",
+    "ext_dedup_pipeline_recall",
+    "scan_schema_drift_audit",
+    # -- r3 evidence tier: scans --
+    "scan_youtube_json",
+    "sink_insert",
+    "sink_create_table",
+    "sink_batched_commit",
+    # -- r3: dashboard routes --
+    "dash_politics_comments",
+    "dash_count_reddit",
+    "dash_count_chan",
+    "dash_count_youtube",
+    "dash_count_politics",
+    "dash_sentiment_reddit",
+    "dash_sentiment_chan",
+    "dash_sentiment_youtube",
+    "dash_sentiment_politics",
+    "dash_hate_reddit",
+    "dash_hate_chan",
+    "dash_hate_youtube",
+    "dash_hate_politics",
+    "dash_daily_politics",
+    # -- r3: streaming family + plans --
+    "stream_tumbling_count",
+    "stream_dedup",
+    "stream_lookback_window",
+    "stream_sessionize",
+    "stream_rate_limit",
+    "stream_microbatch",
+    "stream_stateful_count",
+    "orchestration_dag",
+    "maintenance_vacuum",
+    "cache_memo",
+    # -- r3: text/props/mm trios + rows-only miners --
+    "ext_fingerprint",
+    "ext_props_map",
+    "ext_text_quality",
+    "ext_token_count",
+    "fn_text_stats",
+    "ext_mm_metadata",
+    "ext_sim_lsh",
+    "ext_sim_ivf",
+    "ext_mm_resize_stub",
+    # -- r4 backfill, registration order --
+    "scan_table",
+    "scan_csv",
+    "project_columns",
+    "project_flatten_json",
+    "filter_time_range",
+    "filter_between",
+    "filter_recency",
+    "filter_cast_date",
+    "filter_nonempty",
+    "join_star_schema",
 )
 
 

@@ -609,3 +609,132 @@ def sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy(F.col("day_num").cast("long").alias("day_num")).agg(
         F.count("*").alias("n_rows"), F.sum("cents").alias("total_cents")
     )
+
+
+_DRIFT_COLS = ("event_id", "ts", "event_type", "value")
+
+_DRIFT_ORACLE = """
+WITH c AS (SELECT CASE WHEN coalesce(event_id % 2, 0) = 1
+                       THEN 1 ELSE 2 END AS schema_v,
+                  event_id, ts, event_type, value FROM events),
+a AS (SELECT schema_v,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(event_id) AS BIGINT) AS nn_event_id,
+             CAST(count(ts) AS BIGINT) AS nn_ts,
+             CAST(count(event_type) AS BIGINT) AS nn_event_type,
+             CAST(count(CASE WHEN schema_v = 2 THEN value END) AS BIGINT)
+               AS nn_value
+      FROM c GROUP BY schema_v),
+spine AS (SELECT v.schema_v, col.col_name
+          FROM (VALUES (CAST(1 AS INT)), (CAST(2 AS INT))) v(schema_v)
+          CROSS JOIN (VALUES ('event_id'), ('ts'), ('event_type'),
+                             ('value')) col(col_name))
+SELECT s.schema_v, s.col_name,
+       coalesce(a.n_rows, 0) > 0
+         AND (s.col_name <> 'value' OR s.schema_v = 2) AS present,
+       CAST(coalesce(a.n_rows, 0) AS BIGINT) AS n_rows,
+       CAST(coalesce(CASE s.col_name
+                     WHEN 'event_id' THEN a.nn_event_id
+                     WHEN 'ts' THEN a.nn_ts
+                     WHEN 'event_type' THEN a.nn_event_type
+                     ELSE a.nn_value END, 0) AS BIGINT) AS n_nonnull
+FROM spine s LEFT JOIN a ON a.schema_v = s.schema_v
+"""
+
+
+@register("scan_schema_drift_audit", oracle=_DRIFT_ORACLE)
+def scan_schema_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-DRIFT audit over an evolving sink — the report a table
+    owner reads before trusting a merged scan (`scan_schema_evolution`
+    proves the merged read WORKS; this audits WHAT drifted). Events
+    land in two schema cohorts under partition dirs
+    `schema_v=1` (no `value` column — odd event_ids, NULL/absent keys
+    folded to cohort 2 on both engines via coalesce(id % 2, 0)) and
+    `schema_v=2` (with it). The audit emits one row per
+    (cohort, column): whether the column is PHYSICALLY present in the
+    cohort's data files (read from parquet FOOTERS, the metadata-only
+    path a real lakehouse drift scanner uses — an empty cohort has no
+    files, so nothing is 'present'), the cohort's row count, and the
+    non-null count the MERGED read observes (absent columns surface
+    as NULL — so `value` reads 0 non-null in cohort 1, the drift made
+    observable).
+
+    Scale shape: footer presence is O(#files) driver-side metadata
+    (one schema read per cohort — all files in a cohort share a
+    writer schema); the counts are one groupBy over the merged scan
+    with per-column count() partials, then a 4-way `stack` to long
+    form joined to the tiny broadcast presence spine. The merged
+    read resolves by name per file (footer-only planning cost, the
+    `scan_schema_evolution` note). Read-back robustness: the count
+    scan passes an EXPLICIT unified schema, so a zero-row cohort —
+    or a fully empty events table, where parquet leaves
+    _SUCCESS-only dirs — still reads (the r7 UNABLE_TO_INFER_SCHEMA
+    sink lesson), while presence still comes from real footers."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+    from pyspark.sql import types as T
+
+    sink = os.path.join(_workdir("drift"), "events_drift")
+    e = load(spark, sf_dir, "events")
+    parity = F.coalesce(F.col("event_id") % 2, F.lit(0))
+    e.filter(parity == 1).select("event_id", "ts", "event_type").write.mode(
+        "append"
+    ).parquet(os.path.join(sink, "schema_v=1"))
+    e.filter(parity == 0).select(
+        "event_id", "ts", "event_type", "value"
+    ).write.mode("append").parquet(os.path.join(sink, "schema_v=2"))
+
+    # footer-level presence: which columns exist in each cohort's files
+    present_rows = []
+    for v in (1, 2):
+        files = sorted(
+            _glob.glob(os.path.join(sink, f"schema_v={v}", "part-*.parquet"))
+        )
+        cols = set(_pq.read_schema(files[0]).names) if files else set()
+        for c in _DRIFT_COLS:
+            present_rows.append((v, c, c in cols))
+    presence = spark.createDataFrame(
+        present_rows,
+        T.StructType(
+            [
+                T.StructField("schema_v", T.IntegerType(), False),
+                T.StructField("col_name", T.StringType(), False),
+                T.StructField("present", T.BooleanType(), False),
+            ]
+        ),
+    )
+
+    # merged read with the EXPLICIT unified schema (by-name per-file
+    # resolution fills absent columns with NULL; survives empty dirs)
+    merged_schema = T.StructType(
+        [f for f in e.schema.fields if f.name in _DRIFT_COLS]
+        + [T.StructField("schema_v", T.IntegerType(), True)]
+    )
+    merged = (
+        spark.read.schema(merged_schema)
+        .option("basePath", sink)
+        .parquet(sink)
+    )
+    counts = merged.groupBy("schema_v").agg(
+        F.count("*").alias("n_rows"),
+        *[F.count(c).alias(f"nn_{c}") for c in _DRIFT_COLS],
+    )
+    counts_long = counts.selectExpr(
+        "schema_v",
+        "n_rows",
+        "stack(4, "
+        + ", ".join(f"'{c}', nn_{c}" for c in _DRIFT_COLS)
+        + ") AS (col_name, n_nonnull)",
+    )
+    return presence.join(
+        counts_long, ["schema_v", "col_name"], "left"
+    ).select(
+        "schema_v",
+        "col_name",
+        "present",
+        F.coalesce(F.col("n_rows"), F.lit(0)).cast("long").alias("n_rows"),
+        F.coalesce(F.col("n_nonnull"), F.lit(0))
+        .cast("long")
+        .alias("n_nonnull"),
+    )

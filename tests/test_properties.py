@@ -1474,3 +1474,79 @@ def test_survival_curve_matches_reference(spark, evs):
         want[k] = (n, math.floor(n * 1.0 / n_users * 1e6 + 0.5) / 1e6)
 
     assert got == want, (got, want)
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("ab"), min_size=0, max_size=26),
+        min_size=1,
+        max_size=10,
+    ),
+    st.data(),
+)
+@settings(**_SETTINGS)
+def test_substr_spans_match_interval_union_reference(spark, token_docs, data):
+    """ext_dedup_substr_spans (r9) must equal an independent Python
+    recompute of ExactSubstr coverage: corpus-total L-gram counts,
+    >=2-occurrence positions, and the maximal-interval union — over a
+    2-letter alphabet so duplicated 8-grams actually arise, plus one
+    hypothesis-chosen doc duplicated verbatim (guaranteeing cross-doc
+    repeats) and short docs (< L tokens => zero spans, zero-filled)."""
+    import os
+    import tempfile
+    from collections import Counter
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
+
+    L = 8
+    # plant a verbatim duplicate of one doc when any doc is long enough
+    docs = {i: list(t) for i, t in enumerate(token_docs)}
+    longs = [i for i, t in docs.items() if len(t) >= L]
+    if longs:
+        src = data.draw(st.sampled_from(longs))
+        docs[len(docs)] = list(docs[src])
+
+    grams = Counter()
+    for toks in docs.values():
+        for p in range(len(toks) - L + 1):
+            grams[tuple(toks[p : p + L])] += 1
+    expect = {}
+    for did, toks in docs.items():
+        ps = [
+            p
+            for p in range(len(toks) - L + 1)
+            if grams[tuple(toks[p : p + L])] >= 2
+        ]
+        spans = []
+        for p in ps:
+            if spans and p <= spans[-1][1] + 1:
+                spans[-1][1] = max(spans[-1][1], p + L - 1)
+            else:
+                spans.append([p, p + L - 1])
+        dup = sum(e - s + 1 for s, e in spans)
+        longest = max((e - s + 1 for s, e in spans), default=0)
+        expect[did] = (len(toks), len(spans), dup, longest)
+
+    rows = [(did, " ".join(toks), "en", "s", len(" ".join(toks)))
+            for did, toks in docs.items()]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_substr_prop_")
+    d.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmp, "documents.parquet")
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_spans, r.dup_tokens, r.longest_span, r.dup_frac)
+        for r in queries()["ext_dedup_substr_spans"](spark, tmp).collect()
+    }
+    assert set(got) == set(expect)
+    for did, (n_tok, n_spans, dup, longest) in expect.items():
+        g = got[did]
+        # the empty-token-list doc serializes to '' which splits to
+        # one empty token — mirror that seam the way both engines see it
+        n_tok_engine = max(n_tok, 1)
+        assert g[:4] == (n_tok_engine, n_spans, dup, longest), (
+            did, g, (n_tok_engine, n_spans, dup, longest))
+        want_frac = dup / n_tok_engine if n_tok_engine else 0.0
+        assert abs(g[4] - want_frac) < 1e-6, (did, g[4], want_frac)

@@ -667,6 +667,37 @@ AUDIT = {
         "(hash, doc, count) triples — a million-doc boilerplate gram "
         "costs one agg row per doc, never a pair explosion",
     ),
+    "ext_dedup_substr_spans": (
+        "Generate (positional gram explode) -> 60-bit salted hash in "
+        "the scan project -> census HashAggregate with partial_count "
+        "map-side -> hash-keyed join back -> DISTINCT (doc,pos) -> "
+        "two doc-partitioned Window nodes (running max, cumulative "
+        "sum) -> doc-keyed rollups; no gram STRING in any Exchange, "
+        "no pair join anywhere",
+        "ExactSubstr coverage without a suffix array: the census is "
+        "the one big shuffle and it moves 16-byte rows; the interval "
+        "merge windows sort runs bounded by document length, never "
+        "globally",
+    ),
+    "ext_dedup_pipeline_recall": (
+        "two checkpointed pipeline sub-plans (each ending in its "
+        "window pick) feeding three scalar HashAggregates and one "
+        "keeper-keyed join, crossJoined into the single output row",
+        "the certificate costs exactly the two audited pipelines it "
+        "compares — the comparison itself is metadata-sized; at "
+        "100 TB the exact arm runs on a sampled doc bucket",
+    ),
+    "scan_schema_drift_audit": (
+        "two parquet writes -> merged scan with an EXPLICIT unified "
+        "schema + basePath partition discovery -> one HashAggregate "
+        "(count + 4 per-column counts, partial map-side) -> Generate "
+        "(stack) on the aggregate rows -> BroadcastHashJoin to the "
+        "8-row presence spine",
+        "drift auditing pays one grouped pass over the merged scan; "
+        "column presence comes from parquet FOOTERS (O(#files) "
+        "metadata, zero data rows) — the lakehouse metadata-scan "
+        "shape",
+    ),
     "ext_dsir_weights": (
         "ONE concat-gram explode + feature hashing in the scan "
         "projection; the (doc, bucket) count pinned (ExistingRDD) "
