@@ -617,7 +617,15 @@ def _label_propagate(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """Min-label propagation over an undirected pair graph; returns
     (doc_id, component) with component = min reachable doc_id.
     Raises RuntimeError if the graph's effective diameter exceeds
-    LABEL_PROP_MAX_ROUNDS instead of returning unconverged labels."""
+    LABEL_PROP_MAX_ROUNDS instead of returning unconverged labels.
+
+    Checkpoints are LAZY (eager=False, r9 perf pass): the per-round
+    convergence collect is a full pass over the new labels anyway, so
+    it doubles as the checkpoint materialization — ONE distributed
+    job per round instead of two (eager checkpoint + collect), worth
+    ~10-15% on the whole component family at sf0.1. The
+    `compute_once` fault-tolerance caveats apply unchanged
+    (localCheckpoint cuts lineage; executor loss fails the job)."""
     # self-loops make each round a single join+agg: a node's new label
     # is min over ALL incoming edges, its own label arriving via the
     # self-edge (no second left-join to merge it back)
@@ -630,9 +638,12 @@ def _label_propagate(docs: DataFrame, pairs: DataFrame) -> DataFrame:
             docs.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst"))
         )
         .repartition("src")
-        .localCheckpoint()  # materialize once; reused every round
+        # materialized by round 1's action; reused every round after
+        .localCheckpoint(eager=False)
     )
-    labels = docs.select("doc_id", F.col("doc_id").alias("lbl")).localCheckpoint()
+    labels = docs.select("doc_id", F.col("doc_id").alias("lbl")).localCheckpoint(
+        eager=False
+    )
     # labels only ever decrease, so convergence <=> the label sum stops
     # moving — one scalar agg per round instead of a join + count
     # (decimal(38,0) keeps the sum exact at any corpus size)
@@ -645,7 +656,7 @@ def _label_propagate(docs: DataFrame, pairs: DataFrame) -> DataFrame:
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(
             F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
@@ -721,7 +732,9 @@ def _large_small_star(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        # lazy: the first _summary collect materializes it (r9 perf
+        # pass — one job per round, the _label_propagate note)
+        .localCheckpoint(eager=False)
     )
 
     def _summary(edges: DataFrame):
@@ -763,7 +776,9 @@ def _large_small_star(docs: DataFrame, pairs: DataFrame) -> DataFrame:
                 F.greatest("x", "m").alias("u"), F.least("x", "m").alias("v")
             )
             .distinct()
-            .localCheckpoint()  # cut lineage; both stars above are lazy
+            # cut lineage; both stars above are lazy, and the round's
+            # _summary collect materializes the checkpoint (r9)
+            .localCheckpoint(eager=False)
         )
         cur = _summary(e)
         if cur == prev:
