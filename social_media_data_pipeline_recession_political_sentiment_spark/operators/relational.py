@@ -949,15 +949,27 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     u = tagged_snap.unionByName(tagged_ev)
+    # Carry the snapshot as ONE struct (r9 property-test find):
+    # snap_ts and snap_max carried separately desync when the latest
+    # snapshot's max is NULL (an all-NULL-value bucket) — ignorenulls
+    # skips the NULL max but not the ts, stitching a row that matches
+    # NEITHER engine's as-of semantics. The struct is non-NULL exactly
+    # for snapshot rows (snap_ts is never NULL there), so one carry
+    # reproduces DuckDB's ASOF row semantics even with NULL snap_max.
+    sn = F.when(
+        F.col("tag") == 0, F.struct(F.col("snap_ts"), F.col("snap_max"))
+    )
     filled = u.select(
         "event_id",
         "event_type",
         "tag",
-        F.last("snap_ts", ignorenulls=True).over(w).alias("snap_ts"),
-        F.last("snap_max", ignorenulls=True).over(w).alias("snap_max"),
+        F.last(sn, ignorenulls=True).over(w).alias("sn"),
     )
     return filled.filter(F.col("tag") == 1).select(
-        "event_id", "event_type", "snap_ts", "snap_max"
+        "event_id",
+        "event_type",
+        F.col("sn.snap_ts").alias("snap_ts"),
+        F.col("sn.snap_max").alias("snap_max"),
     )
 
 
@@ -2038,31 +2050,38 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     u = tagged_snap.unionByName(tagged_ev)
+    # one struct per snapshot row (the join_asof r9 carry note: split
+    # ts/max carries desync on an all-NULL-value bucket)
+    sn = F.when(
+        F.col("tag") == 0, F.struct(F.col("snap_ts"), F.col("snap_max"))
+    )
     filled = u.select(
         "event_id",
         "event_type",
         "tag",
         F.unix_micros(F.col("t")).alias("t_us"),
-        F.last("snap_ts", ignorenulls=True).over(back).alias("b_ts"),
-        F.last("snap_max", ignorenulls=True).over(back).alias("b_max"),
-        F.last("snap_ts", ignorenulls=True).over(fwd).alias("f_ts"),
-        F.last("snap_max", ignorenulls=True).over(fwd).alias("f_max"),
+        F.last(sn, ignorenulls=True).over(back).alias("b"),
+        F.last(sn, ignorenulls=True).over(fwd).alias("f"),
     ).filter(F.col("tag") == 1)
-    # forward sees the CURRENT row too, but event rows carry NULL
-    # snap cols, and an equal-t snapshot sorts before the event — so
-    # f_* is genuinely the strictly-later snapshot
+    # forward sees the CURRENT row too, but event rows carry a NULL
+    # snap struct, and an equal-t snapshot sorts before the event — so
+    # f is genuinely the strictly-later snapshot
     # gap compare in exact integer MICROSECONDS: a whole-second cast
     # would flip ties for events sitting at the precise midpoint with
     # a fractional-second offset (observed in the sf0.1 fixture)
-    take_back = F.col("f_ts").isNull() | (
-        F.col("t_us") - F.unix_micros(F.col("b_ts"))
-        <= F.unix_micros(F.col("f_ts")) - F.col("t_us")
+    take_back = F.col("f").isNull() | (
+        F.col("t_us") - F.unix_micros(F.col("b.snap_ts"))
+        <= F.unix_micros(F.col("f.snap_ts")) - F.col("t_us")
     )
     return filled.select(
         "event_id",
         "event_type",
-        F.when(take_back, F.col("b_ts")).otherwise(F.col("f_ts")).alias("snap_ts"),
-        F.when(take_back, F.col("b_max")).otherwise(F.col("f_max")).alias("snap_max"),
+        F.when(take_back, F.col("b.snap_ts"))
+        .otherwise(F.col("f.snap_ts"))
+        .alias("snap_ts"),
+        F.when(take_back, F.col("b.snap_max"))
+        .otherwise(F.col("f.snap_max"))
+        .alias("snap_max"),
     )
 
 
@@ -2334,6 +2353,11 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("t", "tag")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # one struct per snapshot row (the join_asof r9 carry note: split
+    # ts/max carries desync on an all-NULL-value bucket)
+    sn = F.when(
+        F.col("tag") == 0, F.struct(F.col("snap_ts"), F.col("snap_max"))
+    )
     filled = (
         tagged_snap.unionByName(tagged_ev)
         .select(
@@ -2341,21 +2365,20 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "tag",
             F.unix_micros(F.col("t")).alias("t_us"),
-            F.last("snap_ts", ignorenulls=True).over(w).alias("b_ts"),
-            F.last("snap_max", ignorenulls=True).over(w).alias("b_max"),
+            F.last(sn, ignorenulls=True).over(w).alias("b"),
         )
         .filter(F.col("tag") == 1)
     )
     fresh = (
-        F.col("t_us") - F.unix_micros(F.col("b_ts"))
+        F.col("t_us") - F.unix_micros(F.col("b.snap_ts"))
         <= ASOF_TOLERANCE_S * 1_000_000
     )
     return filled.select(
         "event_id",
         "event_type",
         fresh.alias("fresh"),
-        F.when(fresh, F.col("b_ts")).alias("snap_ts"),
-        F.when(fresh, F.col("b_max")).alias("snap_max"),
+        F.when(fresh, F.col("b.snap_ts")).alias("snap_ts"),
+        F.when(fresh, F.col("b.snap_max")).alias("snap_max"),
     )
 
 

@@ -17,6 +17,10 @@ from hypothesis import strategies as st
 
 from pyspark.sql import functions as F
 
+import os.path as _osp
+
+TOOLS_DIR = _osp.join(_osp.dirname(_osp.dirname(_osp.abspath(__file__))), "tools")
+
 from social_media_data_pipeline_recession_political_sentiment_spark.functions.text import (
     clean_comment,
     normalize_text,
@@ -1550,3 +1554,254 @@ def test_substr_spans_match_interval_union_reference(spark, token_docs, data):
             did, g, (n_tok_engine, n_spans, dup, longest))
         want_frac = dup / n_tok_engine if n_tok_engine else 0.0
         assert abs(g[4] - want_frac) < 1e-6, (did, g[4], want_frac)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["view", "click", None]),          # event_type
+            st.one_of(st.none(), st.integers(min_value=0, max_value=43200)),
+            st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_asof_trio_null_semantics_cross_engine_and_reference(spark, evs):
+    """r8-device property pin (r8 verdict item 6): the union-and-window
+    as-of carry vs DuckDB's native ASOF JOIN, under hypothesis-chosen
+    NULL keys, NULL times, and NULL values. NULL (key, time) rows must
+    drop on both engines (the r8 pin), and — the r9 find this test
+    forced — a snapshot bucket whose values are ALL NULL must still be
+    the as-of match (one struct carry; split ts/max carries stitched a
+    row matching neither engine). All three variants run the full
+    driver-replica compare on the generated fixture, and join_asof is
+    additionally checked against a sequential Python recompute."""
+    import datetime as dt
+    import os
+    import sys
+    import tempfile
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, TOOLS_DIR)
+    from verify_local import compare_query
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import (
+        oracles,
+        queries,
+    )
+
+    # planted boundary in EVERY example (hypothesis may shrink the
+    # random part away): bucket 0 of 'plant' has max 5.0, bucket 1 is
+    # ALL-NULL-valued — its event must match (bucket-1 ts, NULL max),
+    # not carry 5.0 forward and not stitch bucket-1 ts with bucket-0 max
+    evs = list(evs) + [("plant", 100, 5), ("plant", 21700, None)]
+    rows = [
+        (i, None if off is None else off, k, None if v is None else float(v))
+        for i, (k, off, v) in enumerate(evs)
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [
+                    None
+                    if r[1] is None
+                    else dt.datetime(2024, 1, 1) + dt.timedelta(seconds=r[1])
+                    for r in rows
+                ],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([0] * len(rows), pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+            "props": pa.array([None] * len(rows), pa.string()),
+        }
+    )
+    fixture = tempfile.mkdtemp(prefix="smdp_asof_prop_")
+    pq.write_table(t, os.path.join(fixture, "events.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM '{fixture}/events.parquet'"
+    )
+    qs, os_ = queries(), oracles()
+    for name in ("join_asof", "join_asof_nearest", "join_asof_tolerance"):
+        problems = compare_query(spark, con, qs[name], os_[name], fixture)
+        assert not problems, (name, problems)
+
+    # independent sequential reference for join_asof
+    base = dt.datetime(2024, 1, 1)
+    live = [
+        (r[0], r[2], int((base + dt.timedelta(seconds=r[1]) - dt.datetime(1970, 1, 1)).total_seconds()), r[3])
+        for r in rows
+        if r[1] is not None and r[2] is not None
+    ]
+    snaps = {}
+    for _, k, ts_s, v in live:
+        b = ts_s // 21600 * 21600
+        snaps.setdefault((k, b), []).append(v)
+    expect = {}
+    for eid, k, ts_s, _ in live:
+        b = ts_s // 21600 * 21600  # own bucket is always the latest <= ts
+        vals = [v for v in snaps[(k, b)] if v is not None]
+        expect[eid] = (b, max(vals) if vals else None)
+    got = {
+        r.event_id: (r.snap_s, r.snap_max)
+        for r in qs["join_asof"](spark, fixture)
+        .selectExpr("event_id", "CAST(snap_ts AS LONG) AS snap_s", "snap_max")
+        .collect()
+    }
+    assert got == expect
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["view", "click", None]),           # event_type
+            st.one_of(st.none(),
+                      st.integers(min_value=0, max_value=12)),  # day offset
+            st.integers(min_value=1, max_value=4),              # multiplicity
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**_SETTINGS)
+def test_ewma_recurrence_matches_reference_with_null_keys(spark, groups):
+    """r8-device property pin (r8 verdict item 6): agg_ewma_volume's
+    fixed-point recurrence under hypothesis-chosen day gaps,
+    duplicate-day multiplicities, and NULL (event_type, ts) rows —
+    which the r8 pin excludes on both engines (a recursive SQL chain
+    cannot extend a NULL-key partition: NULL = NULL join). Runs the
+    full driver-replica cross-engine compare on the generated fixture
+    AND an independent integer-recurrence recompute."""
+    import datetime as dt
+    import os
+    import sys
+    import tempfile
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, TOOLS_DIR)
+    from verify_local import compare_query
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.relational import (
+        EWMA_ALPHA_PCT,
+        EWMA_MICRO,
+    )
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import (
+        oracles,
+        queries,
+    )
+
+    rows = []
+    for k, day, mult in groups:
+        for _ in range(mult):
+            rows.append((k, day))
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array(
+                [
+                    None
+                    if d is None
+                    else dt.datetime(2024, 3, 1, 12) + dt.timedelta(days=d)
+                    for _, d in rows
+                ],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([0] * len(rows), pa.int64()),
+            "event_type": pa.array([k for k, _ in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array([None] * len(rows), pa.string()),
+        }
+    )
+    fixture = tempfile.mkdtemp(prefix="smdp_ewma_prop_")
+    pq.write_table(t, os.path.join(fixture, "events.parquet"))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{fixture}/events.parquet'")
+    qs, os_ = queries(), oracles()
+    problems = compare_query(
+        spark, con, qs["agg_ewma_volume"], os_["agg_ewma_volume"], fixture
+    )
+    assert not problems, problems
+
+    # independent integer recurrence
+    daily = {}
+    for k, d in rows:
+        if k is None or d is None:
+            continue
+        daily.setdefault(k, {}).setdefault(d, 0)
+        daily[k][d] += 1
+    expect = {}
+    for k, series in daily.items():
+        s = 0
+        for i, d in enumerate(sorted(series)):
+            n = series[d]
+            if i == 0:
+                s = n * EWMA_MICRO
+            else:
+                s = (EWMA_ALPHA_PCT * n * EWMA_MICRO
+                     + (100 - EWMA_ALPHA_PCT) * s) // 100
+            expect[(k, d)] = (n, s)
+    base = dt.date(2024, 3, 1)
+    got = {
+        (r.event_type, (r.day - base).days): (r.n, r.ewma_micros)
+        for r in qs["agg_ewma_volume"](spark, fixture).collect()
+    }
+    assert got == expect
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-3 * 86400, max_value=4102444800),  # ~2100
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_epoch_day_bucketing_matches_floor_division_both_engines(spark, epochs):
+    """r8-device property pin (r8 verdict item 6, the TZ/DST device):
+    under the engine contract (session timeZone pinned UTC, tz-naive
+    timestamps) day bucketing via date_trunc('day', ts) must equal
+    pure epoch floor-division — for ANY instant, including the US DST
+    gap/fold wallclocks (planted) and pre-1970 epochs (negative floor
+    division). Checked on Spark AND DuckDB per example; the
+    subprocess TZ pin (test_registry) proves host-TZ independence,
+    this proves the ARITHMETIC over the input space."""
+    import datetime as dt
+
+    import duckdb
+
+    # plant the 2024 US transition instants: spring-forward gap
+    # (2024-03-10 07:00Z) and fall-back fold pair (2024-11-03 05:30Z
+    # and 06:30Z share the 01:30 EST/EDT wallclock)
+    epochs = sorted(set(epochs) | {1710054000, 1730611800, 1730615400})
+    df = spark.createDataFrame([(e,) for e in epochs], "epoch long")
+    got = {
+        r.epoch: (r.day, r.day_floor)
+        for r in df.selectExpr(
+            "epoch",
+            "to_date(date_trunc('day', timestamp_seconds(epoch))) AS day",
+            "CAST(floor(epoch / 86400.0) AS LONG) AS day_floor",
+        ).collect()
+    }
+    con = duckdb.connect()
+    for e in epochs:
+        want_day_num = e // 86400  # python floor division, exact
+        want_date = dt.date(1970, 1, 1) + dt.timedelta(days=want_day_num)
+        day, day_floor = got[e]
+        assert day == want_date, (e, day, want_date)
+        assert day_floor == want_day_num, (e, day_floor, want_day_num)
+        (ddb_date, ddb_floor) = con.sql(
+            f"SELECT CAST(date_trunc('day', to_timestamp({e})) AS DATE), "
+            f"CAST(floor({e} / 86400.0) AS BIGINT)"
+        ).fetchone()
+        assert ddb_date == want_date, (e, ddb_date, want_date)
+        assert ddb_floor == want_day_num, (e, ddb_floor)
