@@ -388,6 +388,11 @@ def test_sweep_mode_fixtures_smoke(spark):
         ),
         "tz": (dict(tz=True), ["agg_daily_counts", "agg_concurrency_peak"]),
         "dups": (dict(dups=True), ["ext_dedup_exact", "stream_dedup"]),
+        # the salting/tie-break family is what the skew mode exists for
+        "skew": (
+            dict(skew=True),
+            ["agg_salted_skew", "join_salted_skew", "ext_dedup_minhash"],
+        ),
     }
     qs = registry.queries()
     for mode, (kw, names) in modes.items():

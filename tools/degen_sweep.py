@@ -31,6 +31,7 @@ Usage:  python tools/degen_sweep.py [query ...]
         python tools/degen_sweep.py --nonfinite [query ...]
         python tools/degen_sweep.py --unicode [query ...]
         python tools/degen_sweep.py --json [query ...]
+        python tools/degen_sweep.py --skew [query ...]
 --empty swaps the fixture for ZERO-ROW documents/events/embeddings
 AND orders (the "my filter matched nothing" case that is routine at
 100 TB — every date-range or partition predicate can come back
@@ -165,6 +166,20 @@ documented boundary. Run the crash pass, then the family gate:
         stream_dedup stream_upsert_keyed window_dedup_recent \
         ext_dedup_exact ext_dedup_incremental sink_scd1_merge
 
+--skew is the NINTH mode (r8 verdict item 7) and the fourth
+full-gate DIVERGENCE sweep: the real sf0.001 tables remapped so
+single hot keys dominate — 50% of events on one user_id AND one
+wallclock day, 90% on one event_type, 40% of documents ONE
+boilerplate page with 80% on one source, half the embeddings ONE
+template vector with a 95/5 label split, half the orders on one
+o_custkey. This is the distribution class every salting /
+AQE-skew-join / tie-break device exists for; the gate asks whether
+any of them gives an engine-local answer under heavy ties. Run the
+crash pass, then the FULL oracle gate on the fixture:
+
+    python tools/degen_sweep.py --skew
+    SMDP_VERIFY_VANILLA=1 python tools/verify_local.py /tmp/smdp_degen
+
 Exit code = number of crashing queries.
 """
 
@@ -246,6 +261,7 @@ def build_fixture(
     json_edge: bool = False,
     tz: bool = False,
     dups: bool = False,
+    skew: bool = False,
 ) -> str:
     import glob
 
@@ -354,6 +370,90 @@ def build_fixture(
                 }
             ),
             os.path.join(FIXTURE, "embeddings.parquet"),
+        )
+        return FIXTURE
+
+    if skew:
+        # EXTREME-SKEW distribution class (r8 verdict item 7 — the one
+        # shape no other fixture covers): the real sf0.001 tables
+        # REMAPPED so single hot keys dominate, the way production
+        # event streams (one bot user, one 'view' type, one release
+        # day) and crawled corpora (one boilerplate page, one dominant
+        # source, one template embedding) actually arrive. Everything
+        # stays deterministic parquet both engines read identically —
+        # the gate then asks whether any salting/tie-break/sampling
+        # device gives an engine-local answer under heavy ties.
+        import duckdb as _duck
+
+        con = _duck.connect()
+        # events: 50% of rows -> user_id 7; 90% -> event_type 'view';
+        # 50% of stamps collapse onto one hot day (same wallclock time
+        # of day, so sessions/windows see massive ties)
+        con.sql(
+            f"""
+            COPY (
+              SELECT event_id,
+                     CASE WHEN event_id % 2 = 0 THEN
+                          TIMESTAMP '2024-06-06 00:00:00'
+                          + (ts - date_trunc('day', ts)) ELSE ts END AS ts,
+                     CASE WHEN event_id % 2 = 0 THEN 7 ELSE user_id END
+                       AS user_id,
+                     CASE WHEN event_id % 10 < 9 THEN 'view'
+                          ELSE event_type END AS event_type,
+                     value, props
+              FROM '{SRC_SF}/events.parquet'
+            ) TO '{FIXTURE}/events.parquet' (FORMAT PARQUET)
+            """
+        )
+        # documents: 40% of docs become ONE boilerplate page (a giant
+        # exact-dup cluster AND a hot shingle/gram bucket); 80% of
+        # rows collapse onto one source
+        boiler = (
+            "breaking news recession fears grow as markets tumble "
+            "again today analysts say the downturn may deepen"
+        )
+        con.sql(
+            f"""
+            COPY (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 < 2 THEN '{boiler}'
+                          ELSE text END AS text,
+                     lang,
+                     CASE WHEN doc_id % 5 < 4 THEN 'src1' ELSE source END
+                       AS source,
+                     CASE WHEN doc_id % 5 < 2 THEN {len(boiler)}
+                          ELSE n_chars END AS n_chars
+              FROM '{SRC_SF}/documents.parquet'
+            ) TO '{FIXTURE}/documents.parquet' (FORMAT PARQUET)
+            """
+        )
+        # embeddings: half the vectors become ONE template vector (a
+        # hot LSH bucket / centroid / knn hub); labels collapse 95/5
+        con.sql(
+            f"""
+            COPY (
+              SELECT vec_id,
+                     CASE WHEN vec_id % 2 = 0 THEN
+                          (SELECT embedding FROM '{SRC_SF}/embeddings.parquet'
+                           ORDER BY vec_id LIMIT 1)
+                          ELSE embedding END AS embedding,
+                     CASE WHEN vec_id % 20 = 0 THEN label
+                          ELSE 0 END AS label
+              FROM '{SRC_SF}/embeddings.parquet'
+            ) TO '{FIXTURE}/embeddings.parquet' (FORMAT PARQUET)
+            """
+        )
+        # orders: 50% of rows onto one hot customer (the classic
+        # skewed-join probe key)
+        con.sql(
+            f"""
+            COPY (
+              SELECT * REPLACE (
+                CASE WHEN o_orderkey % 2 = 0 THEN 777 ELSE o_custkey END
+                  AS o_custkey)
+              FROM '{SRC_SF}/orders.parquet'
+            ) TO '{FIXTURE}/orders.parquet' (FORMAT PARQUET)
+            """
         )
         return FIXTURE
 
@@ -803,11 +903,12 @@ def main() -> int:
     json_edge = "--json" in args
     tz = "--tz" in args
     dups = "--dups" in args
+    skew = "--skew" in args
     args = [
         a
         for a in args
         if a not in ("--empty", "--nulls", "--nonfinite", "--unicode",
-                     "--json", "--tz", "--dups")
+                     "--json", "--tz", "--dups", "--skew")
     ]
     build_fixture(
         empty=empty,
@@ -817,6 +918,7 @@ def main() -> int:
         json_edge=json_edge,
         tz=tz,
         dups=dups,
+        skew=skew,
     )
     if tz:
         # BEFORE the JVM spawns: the child java process inherits TZ as
@@ -853,6 +955,8 @@ def main() -> int:
         if tz
         else "duplicate primary keys"
         if dups
+        else "extreme single-key skew"
+        if skew
         else "degenerate input"
     )
     print(f"\n{len(crashes)} of {len(names)} queries crash on {kind}")
