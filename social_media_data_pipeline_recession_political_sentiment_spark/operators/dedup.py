@@ -1217,12 +1217,16 @@ def ext_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
     ).union(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
     deg = edges.groupBy("s").agg(F.count("*").alias("outdeg"))
-    edges_deg = edges.join(deg, "s").localCheckpoint(eager=True)
+    # lazy checkpoints (r9 perf pass): no per-round collect exists, so
+    # eager materialization added a scheduling barrier per round; the
+    # final action materializes the whole chain, each checkpoint once
+    # (A/B at sf0.1: 3.7-3.9s eager vs 2.9-3.1s lazy)
+    edges_deg = edges.join(deg, "s").localCheckpoint(eager=False)
 
     nodes = load(spark, sf_dir, "documents").select("doc_id")
     scores = nodes.withColumn(
         "score", F.lit(PR_INIT_MICRO).cast("long")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     for _ in range(PR_ITERS):
         contrib = edges_deg.join(
             scores.select(F.col("doc_id").alias("s"), "score"), "s"
@@ -1240,7 +1244,7 @@ def ext_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "as bigint)"
                 ).alias("score"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return scores.select("doc_id", F.col("score").alias("score_micro"))
 

@@ -1056,12 +1056,14 @@ def ext_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # preservesPartitioning-equivalent: mapInPandas is 1:1 per
         # partition, so the range order survives
     ).withColumn("pid", F.spark_partition_id())
-    # Materialize before the two actions below: the totals collect and
+    # Checkpoint before the two actions below: the totals collect and
     # the final projection must read the SAME partitioning — without
     # this, both actions recompute the lineage independently and any
     # nondeterminism in scan splits / future AQE changes could
-    # misassign global offsets silently.
-    local = local.localCheckpoint(eager=True)
+    # misassign global offsets silently. LAZY (r9): the totals collect
+    # IS the materialization; the final projection reads those same
+    # blocks — one pass instead of checkpoint-job + collect-job.
+    local = local.localCheckpoint(eager=False)
 
     # phase 2: P scalar totals -> starting offsets (tiny, driver-side)
     totals = (
@@ -1229,7 +1231,8 @@ def ext_lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("pid", F.spark_partition_id())
     # same materialization rule as ext_shard_manifest: the counts
     # collect and the final projection must observe ONE partitioning
-    local = local.localCheckpoint(eager=True)
+    # (lazy, r9: the collect materializes it — one pass)
+    local = local.localCheckpoint(eager=False)
 
     counts = local.groupBy("pid").agg(F.count("*").alias("c")).collect()
     sums = {r.pid: r.c for r in counts}
@@ -4638,10 +4641,12 @@ def ext_keywords_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("w").alias("w"))
     )
     st = e.groupBy("a").agg(F.sum("w").alias("strength"))
-    ed = e.join(st, "a").localCheckpoint(eager=True)
+    # lazy checkpoints (r9, the ext_graph_pagerank note): no per-round
+    # collect, so the final TakeOrdered action materializes the chain
+    ed = e.join(st, "a").localCheckpoint(eager=False)
     scores = st.select(
         F.col("a").alias("term"), F.lit(TR_INIT_MICRO).cast("long").alias("score")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     for _ in range(TR_ITERS):
         contrib = ed.join(
             scores.select(F.col("term").alias("a"), "score"), "a"
@@ -4656,7 +4661,7 @@ def ext_keywords_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "term",
                 F.expr("CAST(150000 + (85 * m) div 100 AS BIGINT)").alias("score"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return scores.orderBy(F.desc("score"), "term").limit(TR_TOP_K)
 
@@ -4740,9 +4745,12 @@ def ext_bpe_learn_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count("*").alias("freq"))
     )
+    # lazy checkpoints (r9, the ext_graph_pagerank note): each frame
+    # still materializes exactly once — on its first consumer — and
+    # K scheduling barriers drop out of the merge loop
     v = wc.select(
         F.array_join(F.split("term", ""), " ").alias("seq"), "freq"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     merges = []
     for k in range(1, BPE_STEPS + 1):
         pairs = (
@@ -4766,7 +4774,7 @@ def ext_bpe_learn_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(F.col("a"), F.col("b")).alias("merged"),
                 "cnt",
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         merges.append(
             top.select(
@@ -4786,7 +4794,7 @@ def ext_bpe_learn_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("seq"),
                 "freq",
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     out = merges[0]
     for m in merges[1:]:
