@@ -4983,3 +4983,243 @@ def agg_trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_pairs"),
         F.expr(_pq_sql(0.5, "element_at")).alias("ts_slope_per_day"),
     )
+
+
+# -------------------------------------------- burstiness (Fano)
+
+_FANO_ORACLE = """
+WITH dc AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY 1, 2),
+u AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(c) AS BIGINT) AS s1,
+         CAST(sum(c * c) AS BIGINT) AS s2
+  FROM dc GROUP BY 1),
+f AS (
+  SELECT user_id, s1,
+         round((n_days * s2 - s1 * s1) * 1e0 / (n_days * s1), 6) AS fano
+  FROM u)
+SELECT CAST(floor(fano * 4) AS BIGINT) AS bucket_q,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(s1) AS BIGINT) AS n_events,
+       min(fano) AS min_fano,
+       max(fano) AS max_fano
+FROM f GROUP BY 1
+"""
+
+
+@register("agg_burstiness_fano", oracle=_FANO_ORACLE)
+def agg_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user burstiness census via the Fano factor (index of
+    dispersion) of daily event counts over ACTIVE days: var/mean = 1
+    for a Poisson poster, < 1 for metronomic schedulers (bots on a
+    timer), >> 1 for bursty brigading — the behavioral axis
+    `agg_user_gini` (who posts HOW MUCH) and `agg_interevent_gap`
+    (raw gap stats) don't capture. Users bucket into quarter-width
+    Fano bands.
+
+    Exactness: daily counts, n·Σc² and (Σc)² are exact BIGINTs; the
+    Fano factor is the population-variance/mean identity
+    (n·S2 − S1²)/(n·S1) as ONE division of exact integers, rounded
+    6dp before the bucket floor (round-before-compare); per-band
+    float aggregates are order-free min/max. NULL ts / NULL user_id
+    rows are excluded by stated contract on both engines (an
+    anonymous or unstamped event has no (user, day) cell).
+
+    Scale shape: two hash aggs — (user, day) with map-side partials
+    (the combine collapses to active cells, not raw events), then
+    user, then ~tens of Fano bands. No windows, no joins; every
+    shuffle key is bounded by distinct users. The one-user hot-key
+    skew fixture rides the same partial-agg path (its single user is
+    one reduce-side row)."""
+    e = load(spark, sf_dir, "events").where(
+        "ts IS NOT NULL AND user_id IS NOT NULL"
+    )
+    dc = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("c")
+    )
+    u = dc.groupBy("user_id").agg(
+        F.count("*").alias("n_days"),
+        F.sum("c").alias("s1"),
+        F.sum(F.expr("c * c")).alias("s2"),
+    )
+    f = u.select(
+        "s1",
+        F.expr(
+            "round((n_days * s2 - s1 * s1) * 1e0 / (n_days * s1), 6)"
+        ).alias("fano"),
+    )
+    return f.groupBy(
+        F.expr("CAST(floor(fano * 4) AS BIGINT)").alias("bucket_q")
+    ).agg(
+        F.count("*").alias("n_users"),
+        F.sum("s1").alias("n_events"),
+        F.min("fano").alias("min_fano"),
+        F.max("fano").alias("max_fano"),
+    )
+
+
+# ---------------------------------------- activity Lorenz curve
+
+_LORENZ_ORACLE = """
+WITH uc AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS c
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+d AS (
+  SELECT c, ntile(10) OVER (ORDER BY c, user_id) AS decile FROM uc),
+g AS (
+  SELECT decile,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(c) AS BIGINT) AS n_events
+  FROM d GROUP BY 1)
+SELECT decile, n_users, n_events,
+       CAST(sum(n_events) OVER (ORDER BY decile) AS BIGINT) AS cum_events,
+       round(sum(n_events) OVER (ORDER BY decile) * 1e0
+             / sum(n_events) OVER (), 6) AS cum_share
+FROM g
+"""
+
+
+@register("agg_lorenz_deciles", oracle=_LORENZ_ORACLE)
+def agg_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of event volume by user decile — the
+    distributional CURVE behind `agg_user_gini`'s scalar: users
+    ranked by activity, cut into ntile(10) deciles, each row giving
+    the decile's user count, event volume, and the cumulative share
+    of all events. "The top decile produces X% of content" reads
+    straight off the last two rows; run over docs-per-domain it's
+    the corpus-balance curve a datacard plots.
+
+    Exactness: counts and cumulative sums are exact BIGINTs; the one
+    division (cumulative share of total) is rounded 6dp. ntile ties
+    are fully ordered by (count, user_id) — a unique key, so decile
+    assignment is engine-independent; NULL user_id is excluded by
+    the same stated contract as `agg_burstiness_fano`.
+
+    Scale shape: one (user)-keyed hash agg with map-side partials,
+    then the rank/ntile window over DISTINCT USERS (the heavy sort
+    is over |users| rows, not events), then a 10-row aggregate and
+    two trivial windows over those 10 rows. At 100 TB the user agg
+    is the only real shuffle; the ntile sort is the price of exact
+    deciles — the documented swap is approx_percentile cut points
+    on the count distribution (one agg, no global sort) when |users|
+    itself is huge."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events").where("user_id IS NOT NULL")
+    uc = e.groupBy("user_id").agg(F.count("*").alias("c"))
+    d = uc.select(
+        "c",
+        F.ntile(10).over(W.orderBy(F.col("c"), F.col("user_id"))).alias(
+            "decile"
+        ),
+    )
+    g = d.groupBy("decile").agg(
+        F.count("*").alias("n_users"),
+        F.sum("c").alias("n_events"),
+    )
+    wcum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return g.select(
+        "decile",
+        "n_users",
+        "n_events",
+        F.sum("n_events").over(wcum).cast("long").alias("cum_events"),
+        F.expr(
+            "round(sum(n_events) OVER (ORDER BY decile ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW) * 1e0 / sum(n_events) "
+            "OVER (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED "
+            "FOLLOWING), 6)"
+        ).alias("cum_share"),
+    )
+
+
+# ------------------------------------------ session bounce rate
+
+_BOUNCE_ORACLE = f"""
+WITH s AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+           WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+g AS (SELECT *, CASE WHEN us - lag(us) OVER w > {SESSION_GAP_US}
+                     OR lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+t AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+        ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        CURRENT ROW) AS BIGINT) AS session_seq
+      FROM g),
+ses AS (SELECT user_id, session_seq, min(us) AS start_us,
+               max(us) - min(us) AS dur_us,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM t GROUP BY 1, 2)
+SELECT CAST(date_trunc('day', make_timestamp(start_us)) AS DATE) AS day,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounce,
+       round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1e0
+             / count(*), 6) AS bounce_share,
+       CAST(sum(dur_us) AS BIGINT) AS dur_us_sum
+FROM ses GROUP BY 1
+"""
+
+
+@register("agg_sessions_bounce", oracle=_BOUNCE_ORACLE)
+def agg_sessions_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce-rate over sessionized activity: sessions from the
+    shared 30-minute-gap contract (`agg_sessionize_batch` device),
+    rolled up by session-START day into session count, single-event
+    ("bounce") count and share, and total engaged time — the
+    engagement KPI a product dashboard reads off the session table,
+    and (run over crawl fetches) the one-hit-wonder rate a crawler
+    audit reports. NULL ts / NULL user_id rows are excluded by the
+    same stated contract as `agg_burstiness_fano` (an unstamped or
+    anonymous event can't join a session).
+
+    Exactness: session bounds and durations are exact integer
+    microseconds (the sessionize device); the one division (bounce
+    share) is rounded 6dp; day is the session-start instant's UTC
+    calendar day on both engines (timestamp_micros ↔ make_timestamp).
+
+    Plan: the ONE user_id shuffle serves lag + running-sum windows
+    (Catalyst chains them over a single sort) AND the per-session
+    agg; the day rollup shuffles only |sessions-per-day| aggregate
+    rows. Same 100 TB shape as `agg_sessionize_batch`."""
+    e = (
+        load(spark, sf_dir, "events")
+        .where("ts IS NOT NULL AND user_id IS NOT NULL")
+        .select("event_id", "user_id", F.unix_micros("ts").alias("us"))
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    new_s = (F.col("us") - F.lag("us").over(w) > SESSION_GAP_US) | F.lag(
+        "us"
+    ).over(w).isNull()
+    ses = (
+        e.withColumn("new_s", new_s.cast("long"))
+        .withColumn(
+            "session_seq",
+            F.sum("new_s").over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("us").alias("start_us"),
+            (F.max("us") - F.min("us")).alias("dur_us"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    return ses.groupBy(
+        F.to_date(F.timestamp_micros(F.col("start_us"))).alias("day")
+    ).agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bounce"),
+        F.expr(
+            "round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1e0 "
+            "/ count(*), 6)"
+        ).alias("bounce_share"),
+        F.sum("dur_us").alias("dur_us_sum"),
+    )

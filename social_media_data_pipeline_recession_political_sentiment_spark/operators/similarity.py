@@ -1104,7 +1104,7 @@ c AS (SELECT vec_id, amax / 127.0 AS scale,
         CASE WHEN amax = 0.0 THEN list_transform(dv, x -> 0)
              ELSE list_transform(dv, x -> greatest(-127, least(127,
                   CAST(floor(x / (amax / 127.0) + 0.5) AS INTEGER)))) END AS codes
-      FROM m)
+      FROM m WHERE NOT isnan(amax) AND amax < CAST('Infinity' AS DOUBLE))
 SELECT vec_id, scale,
        CAST(list_sum(codes) AS BIGINT) AS q_sum,
        CAST(list_sum(list_transform(codes, v -> abs(v))) AS BIGINT) AS q_l1,
@@ -1137,7 +1137,9 @@ def ext_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("dv")
     )
-    m = e.withColumn("amax", F.expr("array_max(transform(dv, x -> abs(x)))"))
+    m = e.withColumn(
+        "amax", F.expr("array_max(transform(dv, x -> abs(x)))")
+    ).where(FINITE_AMAX_SQL)
     codes = F.expr(
         "CASE WHEN amax = 0.0 THEN transform(dv, x -> 0) "
         "ELSE transform(dv, x -> greatest(-127, least(127, "
@@ -1167,7 +1169,7 @@ z AS (SELECT vec_id, amax / 127.0 AS scale,
         CASE WHEN amax = 0.0 THEN list_transform(dv, x -> CAST(0 AS BIGINT))
              ELSE list_transform(dv, x -> greatest(-127, least(127,
                   CAST(floor(x / (amax / 127.0) + 0.5) AS BIGINT)))) END AS codes
-      FROM m)"""
+      FROM m WHERE NOT isnan(amax) AND amax < CAST('Infinity' AS DOUBLE))"""
 
 _TOPK_INT8_ORACLE = f"""
 WITH {INT8_Z_CTES},
@@ -1189,15 +1191,30 @@ WHERE rank <= {TOP_K}
 """
 
 
+# Finite-domain gate for the int8 quantization family (r9 nonfinite
+# ORACLE gate finding): a NaN/±inf component makes amax non-finite,
+# where Spark's ANSI cast silently reads floor(NaN+0.5) as 0 while
+# DuckDB's CAST hard-errors — a silent-garbage-vs-crash fork. The
+# portable contract: NON-FINITE VECTORS LEAVE THE QUANTIZED UNIVERSE
+# (same shape as FINITE_VALUE_SQL for the cents devices; NULL
+# embeddings leave with them via the NULL comparison). NaN sorts
+# ABOVE +Infinity on BOTH engines, so isnan + the < Infinity clause
+# each exclude it redundantly. The literal is replicated verbatim in
+# the six oracle CTEs that inline this device.
+FINITE_AMAX_SQL = "NOT isnan(amax) AND amax < CAST('Infinity' AS DOUBLE)"
+
+
 def _with_int8_codes(df: DataFrame, extra_cols: tuple = ()) -> DataFrame:
     """Per-vector absmax int8 quantization (the `ext_emb_quantize`
     scheme): adds `scale` double and `codes` array<bigint> beside
     vec_id (plus any `extra_cols` passed through, e.g. the label).
     floor(y + 0.5) rounding — ONE IEEE-exact rule, living in exactly
-    one string, shared with the DuckDB oracles."""
+    one string, shared with the DuckDB oracles. Vectors with any
+    non-finite component are EXCLUDED (FINITE_AMAX_SQL contract)."""
     m = df.select(
         "vec_id", *extra_cols, F.col("embedding").cast("array<double>").alias("dv")
     ).withColumn("amax", F.expr("array_max(transform(dv, x -> abs(x)))"))
+    m = m.where(FINITE_AMAX_SQL)
     return m.select(
         "vec_id",
         *extra_cols,
@@ -1366,7 +1383,7 @@ c AS (SELECT vec_id,
              ELSE list_transform(dv, x -> CAST(greatest(-127, least(127,
                   CAST(floor(x / (amax / 127.0) + 0.5) AS INTEGER))) AS BIGINT))
         END AS codes
-      FROM m),
+      FROM m WHERE NOT isnan(amax) AND amax < CAST('Infinity' AS DOUBLE)),
 lab AS (SELECT e.vec_id, e.label, c.codes FROM embeddings e
         JOIN c ON c.vec_id = e.vec_id),
 pos AS (SELECT label, codes, unnest(generate_series(1, len(codes))) AS d
@@ -1428,7 +1445,7 @@ z AS (SELECT vec_id,
         CASE WHEN amax = 0.0 THEN list_transform(dv, x -> CAST(0 AS BIGINT))
              ELSE list_transform(dv, x -> greatest(-127, least(127,
                   CAST(floor(x / (amax / 127.0) + 0.5) AS BIGINT)))) END AS codes
-      FROM m)
+      FROM m WHERE NOT isnan(amax) AND amax < CAST('Infinity' AS DOUBLE))
 SELECT ii AS i, jj AS j,
        CAST(sum(codes[ii] * codes[jj]) AS BIGINT) AS gram
 FROM z
@@ -1571,7 +1588,7 @@ z AS (SELECT vec_id, label,
         CASE WHEN amax = 0.0 THEN list_transform(dv, x -> CAST(0 AS BIGINT))
              ELSE list_transform(dv, x -> greatest(-127, least(127,
                   CAST(floor(x / (amax / 127.0) + 0.5) AS BIGINT)))) END AS codes
-      FROM m),
+      FROM m WHERE NOT isnan(amax) AND amax < CAST('Infinity' AS DOUBLE)),
 e AS (SELECT vec_id, label, unnest(list_transform(range(1, len(codes) + 1),
         i -> {'i': i, 'q': codes[i]})) AS u FROM z),
 ed AS (SELECT vec_id, label, u.i AS i, u.q AS q FROM e),
@@ -2099,7 +2116,7 @@ z AS (SELECT vec_id,
         CASE WHEN amax = 0.0 THEN list_transform(dv, x -> CAST(0 AS BIGINT))
              ELSE list_transform(dv, x -> greatest(-127, least(127,
                   CAST(floor(x / (amax / 127.0) + 0.5) AS BIGINT)))) END AS codes
-      FROM m),
+      FROM m WHERE NOT isnan(amax) AND amax < CAST('Infinity' AS DOUBLE)),
 pairs AS (SELECT a.codes AS ca, b.codes AS cb
           FROM z a JOIN z b ON b.vec_id = a.vec_id + 1
           WHERE a.vec_id % {JL_PAIR_STRIDE} = 0),
@@ -2265,4 +2282,145 @@ def ext_triplet_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("pos_cos") - F.col("neg_cos"), 6).alias("margin"),
             (F.col("pos_cos") < F.col("neg_cos")).alias("violation"),
         )
+    )
+
+
+# -------------------------- product-quantization codebook audit
+
+PQ_M = 4  # subspaces
+PQ_K = 8  # centroids per subspace
+
+_PQ_CODES_SPARK = (
+    "CASE WHEN amax = 0.0 THEN transform(dv, x -> CAST(0 AS BIGINT)) "
+    "ELSE transform(dv, x -> CAST(greatest(-127, least(127, "
+    "cast(floor(x / (amax / 127.0) + 0.5d) as int))) AS BIGINT)) END"
+)
+
+_PQ_ORACLE = f"""
+WITH {INT8_Z_CTES},
+zz AS (SELECT vec_id, codes FROM z WHERE codes IS NOT NULL),
+dim AS (SELECT min(len(codes)) // {PQ_M} AS ds FROM zz),
+sd AS (SELECT vec_id, codes,
+              row_number() OVER (ORDER BY vec_id) - 1 AS cid
+       FROM (SELECT vec_id, codes FROM zz ORDER BY vec_id
+             LIMIT {PQ_K}) seeds),
+sp AS (SELECT unnest(generate_series(0, {PQ_M} - 1)) AS subspace),
+cb AS (SELECT sp.subspace, sd.cid,
+              codes[sp.subspace * ds + 1 : sp.subspace * ds + ds]
+                AS ccodes
+       FROM sd, dim, sp),
+a AS (SELECT zz.vec_id, sp.subspace,
+             codes[sp.subspace * ds + 1 : sp.subspace * ds + ds] AS sub
+      FROM zz, dim, sp),
+d AS (SELECT a.vec_id, a.subspace,
+             min(coalesce(list_sum(list_transform(
+                 generate_series(1, len(a.sub)),
+                 i -> (a.sub[i] - cb.ccodes[i])
+                      * (a.sub[i] - cb.ccodes[i]))), 0)
+                 * {PQ_K} + cb.cid) AS enc
+      FROM a JOIN cb ON cb.subspace = a.subspace
+      GROUP BY 1, 2)
+SELECT subspace,
+       CAST(enc % {PQ_K} AS BIGINT) AS centroid,
+       CAST(count(*) AS BIGINT) AS n_assigned,
+       CAST(sum(enc // {PQ_K}) AS BIGINT) AS sse_sum
+FROM d GROUP BY 1, 2
+"""
+
+
+@register("ext_emb_pq_codebook", oracle=_PQ_ORACLE)
+def ext_emb_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization assignment audit — the compression layout
+    billion-vector ANN indexes actually ship (int8 absmax is 4x;
+    PQ with {PQ_M} subspaces x {PQ_K} centroids is ~Dx): vectors are
+    int8-quantized (the shared `ext_emb_quantize` device), each split
+    into {PQ_M} sub-vectors, and every sub-vector is assigned to its
+    nearest of {PQ_K} seed centroids by EXACT integer SSE. Reported
+    per (subspace, centroid): assignment count and total distortion —
+    the balance/distortion table that decides whether the codebook
+    needs another Lloyd round or more centroids. Seeds are the
+    {PQ_K} lowest-vec_id vectors (the deterministic seeding round;
+    at scale you'd seed from a sample and iterate — this op is the
+    per-round AUDIT, exactly like `ext_emb_centroids_int8`'s
+    assignment step).
+
+    Exactness: codes are BIGINTs in [-127, 127] from the shared
+    absmax device; SSE is an exact integer (≤ 254² · D/{PQ_M} per
+    pair); argmin ties break to the LOWEST centroid id via the
+    enc = sse·{PQ_K} + cid encoding (min over exact BIGINTs — no
+    min_by tie ambiguity across engines). Trailing dims beyond
+    ds·{PQ_M} are dropped (stated; a production layout pads).
+    Duplicate vec_ids (the --dups boundary) change the SEED question
+    like every vec_id-keyed oracle — documented class, not hidden.
+
+    Scale shape: quantize + slice are scan-local; the {PQ_K}-row
+    codebook and the 1-row dim scalar BROADCAST to a {PQ_M}x
+    exploded assignment join (bounded fan-out {PQ_M}·{PQ_K} per
+    vector); per-(vec, subspace) argmin and the final
+    ({PQ_M}·{PQ_K})-key census both ride map-side partial aggs. No
+    all-pairs anywhere; the only full sort is over {PQ_K} seed
+    rows."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("dv")
+    )
+    zz = (
+        e.withColumn("amax", F.expr("array_max(transform(dv, x -> abs(x)))"))
+        .where(FINITE_AMAX_SQL)
+        .withColumn("codes", F.expr(_PQ_CODES_SPARK))
+        .select("vec_id", "codes")
+    )
+    dim = zz.agg(
+        F.expr(f"CAST(min(size(codes)) div {PQ_M} AS INT)").alias("ds")
+    )
+    sd = (
+        zz.orderBy("vec_id")
+        .limit(PQ_K)
+        .select(
+            "vec_id",
+            "codes",
+            )
+    )
+    from pyspark.sql import Window as W
+
+    sd = sd.select(
+        (F.row_number().over(W.orderBy("vec_id")) - 1).alias("cid"),
+        "codes",
+    )
+    sp = spark.range(PQ_M).select(F.col("id").cast("int").alias("subspace"))
+    cb = (
+        sd.crossJoin(F.broadcast(dim))
+        .crossJoin(F.broadcast(sp))
+        .select(
+            "subspace",
+            "cid",
+            F.expr("slice(codes, subspace * ds + 1, ds)").alias("ccodes"),
+        )
+    )
+    a = (
+        zz.crossJoin(F.broadcast(dim))
+        .crossJoin(F.broadcast(sp))
+        .select(
+            "vec_id",
+            "subspace",
+            F.expr("slice(codes, subspace * ds + 1, ds)").alias("sub"),
+        )
+    )
+    d = (
+        a.join(F.broadcast(cb), "subspace")
+        .select(
+            "vec_id",
+            "subspace",
+            F.expr(
+                "aggregate(zip_with(sub, ccodes, (x, y) -> (x - y) * (x - y)), "
+                f"0L, (acc, v) -> acc + v) * {PQ_K} + cid"
+            ).alias("enc"),
+        )
+        .groupBy("vec_id", "subspace")
+        .agg(F.min("enc").alias("enc"))
+    )
+    return d.groupBy(
+        "subspace", F.expr(f"CAST(enc % {PQ_K} AS BIGINT)").alias("centroid")
+    ).agg(
+        F.count("*").alias("n_assigned"),
+        F.sum(F.expr(f"enc div {PQ_K}")).cast("long").alias("sse_sum"),
     )

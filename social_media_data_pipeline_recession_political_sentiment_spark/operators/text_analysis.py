@@ -4995,3 +4995,578 @@ def ext_pii_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stack({len(classes)}, {stack}) AS (pii_class, n_docs, n_matches)"
         ),
     ).select("source", "pii_class", "n_docs", "n_matches")
+
+
+# -------------------------------------------- readability screen
+
+# ASCII-only vowel-group class: no case mapping (lower() forks on the
+# JVM-vs-utf8proc special cases the unicode sweep plants), no \s/\w
+# shorthand (the \x0B lesson) — the pattern is engine-portable as-is.
+_FLESCH_VOWEL_RE = "[aeiouyAEIOUY]+"
+_FLESCH_SENT_RE = "[.!?]+"
+
+# per-word syllable estimate with the standard floor of 1 syllable
+# per word; exact BIGINT arithmetic until the one scoring division
+_FLESCH_SYLL_SPARK = (
+    "aggregate(transform(filter(split(text, ' '), t -> t <> ''), "
+    f"w -> greatest(1L, size(regexp_extract_all(w, '{_FLESCH_VOWEL_RE}', 0)))), "
+    "0L, (a, x) -> a + x)"
+)
+_FLESCH_SYLL_DUCK = (
+    "coalesce(list_sum(list_transform("
+    "list_filter(string_split(text, ' '), t -> t <> ''), "
+    f"w -> greatest(1, len(regexp_extract_all(w, '{_FLESCH_VOWEL_RE}'))))), 0)"
+)
+
+_FLESCH_ORACLE = f"""
+WITH d AS (
+  SELECT source,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+              AS BIGINT) AS n_words,
+         greatest(1, len(regexp_extract_all(text, '{_FLESCH_SENT_RE}')))
+           AS n_sents,
+         CAST({_FLESCH_SYLL_DUCK} AS BIGINT) AS n_syll
+  FROM documents),
+s AS (
+  SELECT source, n_words,
+         CASE WHEN n_words = 0 THEN NULL
+              ELSE round(206.835e0 - 1.015e0 * (n_words * 1e0 / n_sents)
+                         - 84.6e0 * (n_syll * 1e0 / n_words), 6) END AS score
+  FROM d)
+SELECT source,
+       CAST(floor(score / 10) AS BIGINT) AS band,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS n_words,
+       min(score) AS min_score,
+       max(score) AS max_score
+FROM s GROUP BY 1, 2
+"""
+
+
+@register("ext_readability_flesch", oracle=_FLESCH_ORACLE)
+def ext_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease census per source: the classic readability
+    screen web-corpus curation runs beside `ext_text_quality` — very
+    low scores flag legalese/minified boilerplate, impossibly high
+    scores flag token soup, and per-source band histograms decide
+    which sources need a readability gate before training. Syllables
+    use the standard vowel-group approximation ([aeiouyAEIOUY]+ runs,
+    floor 1/word — a pure-ASCII class, so no case-mapping fork);
+    sentences are punctuation runs with floor 1.
+
+    Bit-stable float contract: words/sentences/syllables are exact
+    BIGINTs from scan-local HOFs; the score is ONE identical
+    double-expression tree on both engines over those integers,
+    rounded to 6dp BEFORE the band floor (round-before-compare rule),
+    and the only per-band float aggregates are order-free min/max.
+    Zero-word docs (empty or NULL text) read a NULL score and land in
+    the NULL band — the unscored row is visible, not dropped.
+
+    Scale shape: one scan; tokenize/regex/score all fuse into the
+    scan projection (zero Python, zero shuffle), then a single
+    (source, band)-keyed agg with map-side partials — the combine
+    collapses to |sources| x ~40 bands regardless of corpus size."""
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "source",
+        F.expr(
+            "CAST(size(filter(split(text, ' '), t -> t <> '')) AS BIGINT)"
+        ).alias("n_words"),
+        F.expr(
+            f"greatest(1, size(regexp_extract_all(text, '{_FLESCH_SENT_RE}', 0)))"
+        ).alias("n_sents"),
+        F.expr(_FLESCH_SYLL_SPARK).alias("n_syll"),
+    ).select(
+        "source",
+        "n_words",
+        F.expr(
+            "CASE WHEN n_words = 0 THEN NULL "
+            "ELSE round(206.835e0 - 1.015e0 * (n_words * 1e0 / n_sents) "
+            "- 84.6e0 * (n_syll * 1e0 / n_words), 6) END"
+        ).alias("score"),
+    )
+    return scored.groupBy(
+        "source",
+        F.expr("CAST(floor(score / 10) AS BIGINT)").alias("band"),
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("n_words"),
+        F.min("score").alias("min_score"),
+        F.max("score").alias("max_score"),
+    )
+
+
+# ---------------------------------------------- code-vs-prose gate
+
+# Deterministic code decoration (the testdata corpus is pure prose,
+# same device as the PII census): every 5th doc gains a C-ish
+# statement, every other 5th a Python-ish def — space-separated so
+# the token census sees them; NULL text stays NULL through ||.
+_CODE_DECO_SQL = (
+    "text || CASE WHEN doc_id % 5 = 2 "
+    "THEN ' if ( n > 0 ) { return n ; }' "
+    "WHEN doc_id % 5 = 4 THEN ' def f ( x ) : return x * 2' "
+    "ELSE '' END"
+)
+# literal char class — every metachar is literal inside [] in BOTH
+# Java regex and RE2; no shorthand, no case mapping
+_CODE_SYM_RE = "[{}();:=*<>]"
+_CODE_KEYWORDS = ("if", "return", "def", "for", "while", "int", "var")
+_CODE_SCORE_FLOOR = 100000  # score_micro >= 0.1 tokens-weight => code
+
+
+def _code_detect_oracle() -> str:
+    kws = ", ".join(f"'{k}'" for k in _CODE_KEYWORDS)
+    return f"""
+WITH dec AS (SELECT source, {_CODE_DECO_SQL} AS t FROM documents),
+sig AS (
+  SELECT source,
+         CAST(coalesce(len(regexp_extract_all(t, '{_CODE_SYM_RE}')), 0)
+              AS BIGINT) AS n_sym,
+         CAST(coalesce(len(list_filter(string_split(t, ' '),
+              x -> list_contains([{kws}], x))), 0) AS BIGINT) AS n_kw,
+         CAST(coalesce(len(list_filter(string_split(t, ' '),
+              x -> x <> '')), 0) AS BIGINT) AS n_tok
+  FROM dec),
+sc AS (
+  SELECT source, n_sym, n_kw,
+         CAST((3 * n_kw + n_sym) * 1000000 // greatest(1, n_tok)
+              AS BIGINT) AS score_micro
+  FROM sig)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN score_micro >= {_CODE_SCORE_FLOOR}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       CAST(sum(n_sym) AS BIGINT) AS n_sym,
+       CAST(sum(n_kw) AS BIGINT) AS n_kw,
+       CAST(max(score_micro) AS BIGINT) AS max_score_micro
+FROM sc GROUP BY 1
+"""
+
+
+@register("ext_code_detect", oracle=_code_detect_oracle())
+def ext_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detector census per source — the curation gate
+    that routes source code OUT of the prose mixture (or into a code
+    bucket with its own dedup/quality rules): symbol density
+    ({}();:=*<> runs) plus a keyword-token census, combined into an
+    integer per-token density score. Code is synthesized
+    deterministically onto the fixture (doc_id round-robin, the
+    `ext_pii_census` device) because the testdata is pure prose.
+
+    Exactness: symbol counts ride a literal ASCII char class (every
+    metachar is literal inside [] in both Java regex and RE2);
+    keyword hits are TOKEN-list membership, not regex word
+    boundaries (Java \\b is unicode-aware where RE2's is ASCII — a
+    divergence class this op refuses to enter); the density score is
+    integer fixed-point (micro-units, floor division, zero-token
+    guard). Every output column is an exact BIGINT.
+
+    Scale shape: one scan, all signals fused into the scan
+    projection as codegen'd expressions, one |sources|-keyed agg
+    with map-side partials. The flag threshold is a constant, so at
+    100 TB the gate composes with `ext_quality_gate` as one more
+    scan-local predicate — no extra pass."""
+    kws = ", ".join(f"'{k}'" for k in _CODE_KEYWORDS)
+    d = load(spark, sf_dir, "documents")
+    sig = d.select(
+        "source",
+        F.expr(_CODE_DECO_SQL).alias("t"),
+    ).select(
+        "source",
+        F.expr(
+            f"CAST(coalesce(size(regexp_extract_all(t, '{_CODE_SYM_RE}', 0)), -1)"
+            " AS BIGINT)"
+        ).alias("n_sym_raw"),
+        F.expr(
+            f"CAST(coalesce(size(filter(split(t, ' '), "
+            f"x -> array_contains(array({kws}), x))), -1) AS BIGINT)"
+        ).alias("n_kw_raw"),
+        F.expr(
+            "CAST(coalesce(size(filter(split(t, ' '), x -> x <> '')), -1)"
+            " AS BIGINT)"
+        ).alias("n_tok_raw"),
+    ).select(
+        "source",
+        F.expr("greatest(n_sym_raw, 0L)").alias("n_sym"),
+        F.expr("greatest(n_kw_raw, 0L)").alias("n_kw"),
+        F.expr("greatest(n_tok_raw, 0L)").alias("n_tok"),
+    )
+    sc = sig.select(
+        "source",
+        "n_sym",
+        "n_kw",
+        F.expr(
+            "CAST((3 * n_kw + n_sym) * 1000000 div greatest(1, n_tok)"
+            " AS BIGINT)"
+        ).alias("score_micro"),
+    )
+    return sc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.when(F.col("score_micro") >= _CODE_SCORE_FLOOR, 1).otherwise(0)
+        ).cast("long").alias("n_flagged"),
+        F.sum("n_sym").alias("n_sym"),
+        F.sum("n_kw").alias("n_kw"),
+        F.max("score_micro").alias("max_score_micro"),
+    )
+
+
+# ------------------------------------------- per-domain cap audit
+
+DOMAIN_CAP = 25
+
+_DOMAIN_CAP_ORACLE = f"""
+WITH q AS (
+  SELECT doc_id, source,
+         CAST(coalesce(len(list_distinct(list_filter(
+              string_split(text, ' '), t -> t <> ''))), 0)
+              AS BIGINT) AS quality,
+         CAST(coalesce(len(list_filter(string_split(text, ' '),
+              t -> t <> '')), 0) AS BIGINT) AS n_tok
+  FROM documents),
+r AS (
+  SELECT source, quality, n_tok,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY quality DESC, doc_id, n_tok DESC)
+           AS rn
+  FROM q)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN rn <= {DOMAIN_CAP} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN rn > {DOMAIN_CAP} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped,
+       min(CASE WHEN rn <= {DOMAIN_CAP} THEN quality END) AS cut_quality,
+       max(CASE WHEN rn > {DOMAIN_CAP} THEN quality END)
+         AS best_dropped_quality,
+       CAST(sum(CASE WHEN rn <= {DOMAIN_CAP} THEN n_tok ELSE 0 END)
+            AS BIGINT) AS kept_tokens
+FROM r GROUP BY 1
+"""
+
+
+@register("ext_domain_cap", oracle=_DOMAIN_CAP_ORACLE)
+def ext_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap retention audit — the web-corpus balancing pass
+    that stops one mega-domain from dominating the mixture: keep the
+    top-{DOMAIN_CAP} docs per source by a deterministic quality proxy
+    (distinct-token count — lexical richness) and report, per source,
+    what the cap kept, what it dropped, the quality at the cut, and
+    the best casualty. `ext_sample_per_group` takes a UNIFORM quota
+    (md5 order); this is the QUALITY-ordered variant with the audit
+    columns curation reviews demand.
+
+    Determinism under ties (incl. the --dups PK-violating sweep):
+    rank order is (quality DESC, doc_id, n_tok DESC), so rows tied on
+    the full key are interchangeable w.r.t. every output aggregate —
+    all columns depend only on the (quality, n_tok) multiset and the
+    cap boundary, never on which tied twin got which rank.
+
+    Scale shape: quality is scan-local; ONE shuffle on source feeds
+    the rank window. The audit needs dropped-side stats, so the full
+    per-source sort runs (no WindowGroupLimit push) — at 100 TB with
+    mega-domains you'd first aggregate a per-source quality histogram
+    and derive the cut from it (one agg, no sort), then apply the cap
+    as a scan-local predicate; the exact-rank audit here is the
+    certificate that bootstraps that threshold."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "CAST(coalesce(size(array_distinct(filter(split(text, ' '), "
+            "t -> t <> ''))), 0) AS BIGINT)"
+        ).alias("quality"),
+        F.expr(
+            "CAST(coalesce(size(filter(split(text, ' '), t -> t <> '')), 0)"
+            " AS BIGINT)"
+        ).alias("n_tok"),
+    )
+    w = W.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id"), F.col("n_tok").desc()
+    )
+    r = q.select(
+        "source", "quality", "n_tok", F.row_number().over(w).alias("rn")
+    )
+    kept = F.col("rn") <= DOMAIN_CAP
+    return r.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(~kept, 1).otherwise(0)).cast("long").alias("n_dropped"),
+        F.min(F.when(kept, F.col("quality"))).alias("cut_quality"),
+        F.max(F.when(~kept, F.col("quality"))).alias("best_dropped_quality"),
+        F.sum(F.when(kept, F.col("n_tok")).otherwise(F.lit(0))).cast(
+            "long"
+        ).alias("kept_tokens"),
+    )
+
+
+# ----------------------------- Kneser-Ney continuation counts
+
+KN_TOP_K = 40
+
+_KN_ORACLE = f"""
+WITH t AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents),
+bg AS (
+  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                               i -> w[i])) AS l,
+         unnest(list_transform(generate_series(1, len(w) - 1),
+                               i -> w[i + 1])) AS r
+  FROM t WHERE len(w) >= 2),
+p AS (SELECT DISTINCT l, r FROM bg),
+cc AS (SELECT r AS word, CAST(count(*) AS BIGINT) AS n_left_contexts
+       FROM p GROUP BY 1),
+rr AS (SELECT l AS word, CAST(count(*) AS BIGINT) AS n_right_types
+       FROM p GROUP BY 1),
+b AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM p)
+SELECT coalesce(cc.word, rr.word) AS word,
+       coalesce(cc.n_left_contexts, 0) AS n_left_contexts,
+       coalesce(rr.n_right_types, 0) AS n_right_types,
+       round(coalesce(cc.n_left_contexts, 0) * 1e0 / b.nb, 6)
+         AS cont_prob
+FROM cc FULL OUTER JOIN rr ON cc.word = rr.word CROSS JOIN b
+ORDER BY n_left_contexts DESC, word LIMIT {KN_TOP_K}
+"""
+
+
+@register("ext_lm_kn_continuation", oracle=_KN_ORACLE)
+def ext_lm_kn_continuation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney continuation statistics — the smoothing counts a
+    real n-gram LM build needs beyond raw frequencies
+    (`ext_lm_unigram_score` / `ext_lm_bigram_score` score with
+    frequencies; KN replaces a word's unigram weight with HOW MANY
+    DISTINCT CONTEXTS it continues): per word, N1+(·w) = distinct
+    left neighbors (continuation count), N1+(w·) = distinct right
+    neighbors (the normalizer of KN's backoff weight), and the
+    continuation probability N1+(·w)/|distinct bigrams|. "san
+    francisco" is the canonical case: high frequency, tiny
+    continuation count. Top-{KN_TOP_K} by continuation count.
+
+    Exactness: all counts are exact BIGINTs over the DISTINCT bigram
+    set; the one division is rounded 6dp; the top-K order
+    (n_left_contexts DESC, word) is a total order.
+
+    Scale shape: bigram zip is SCAN-LOCAL (arrays_zip of two slices
+    — no posexplode+window, no per-token shuffle beyond the explode
+    itself); the distinct-pair frame is pinned once (compute_once —
+    three consumers would otherwise re-scan and re-tokenize the
+    corpus 3x), then two vocab-bounded aggs, a vocab-keyed outer
+    join, a broadcast scalar, and TakeOrderedAndProject for the
+    top-K. Every post-explode key is bounded by |distinct bigrams|,
+    which n-gram scaling laws put far below corpus token volume."""
+    d = load(spark, sf_dir, "documents")
+    bg = (
+        d.select(
+            F.expr("filter(split(text, ' '), x -> x <> '')").alias("w")
+        )
+        .where("size(w) >= 2")
+        .select(
+            F.explode(
+                F.expr(
+                    "arrays_zip(slice(w, 1, size(w) - 1), "
+                    "slice(w, 2, size(w) - 1))"
+                )
+            ).alias("z")
+        )
+        .select(F.col("z.0").alias("l"), F.col("z.1").alias("r"))
+    )
+    p = compute_once(bg.distinct())
+    cc = p.groupBy(F.col("r").alias("word")).agg(
+        F.count("*").alias("n_left_contexts")
+    )
+    rr = p.groupBy(F.col("l").alias("word")).agg(
+        F.count("*").alias("n_right_types")
+    )
+    b = p.agg(F.count("*").alias("nb"))
+    joined = (
+        cc.join(rr, "word", "full_outer")
+        .crossJoin(F.broadcast(b))
+        .select(
+            "word",
+            F.coalesce("n_left_contexts", F.lit(0)).alias("n_left_contexts"),
+            F.coalesce("n_right_types", F.lit(0)).alias("n_right_types"),
+            F.expr(
+                "round(coalesce(n_left_contexts, 0) * 1e0 / nb, 6)"
+            ).alias("cont_prob"),
+        )
+    )
+    return joined.orderBy(
+        F.col("n_left_contexts").desc(), "word"
+    ).limit(KN_TOP_K)
+
+
+# --------------------------------- moving-average type-token ratio
+
+MATTR_W = 20
+
+_MATTR_ORACLE = f"""
+WITH t AS (
+  SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents),
+f AS (SELECT source, w, len(w) // {MATTR_W} AS nwin
+      FROM t WHERE len(w) >= {MATTR_W}),
+win AS (
+  SELECT source,
+         unnest(list_transform(generate_series(0, nwin - 1),
+             j -> len(list_distinct(
+                 w[j * {MATTR_W} + 1 : j * {MATTR_W} + {MATTR_W}]))))
+           AS n_distinct
+  FROM f)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(n_distinct) AS BIGINT) AS distinct_sum,
+       round(sum(n_distinct) * 1e0 / (count(*) * {MATTR_W}), 6) AS mattr,
+       round(min(n_distinct) * 1e0 / {MATTR_W}, 6) AS min_ttr,
+       round(max(n_distinct) * 1e0 / {MATTR_W}, 6) AS max_ttr
+FROM win GROUP BY 1
+"""
+
+
+@register("ext_ttr_mattr", oracle=_MATTR_ORACLE)
+def ext_ttr_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average type-token ratio (MATTR, disjoint-window form)
+    per source — the length-invariant lexical-diversity metric: raw
+    TTR collapses as documents grow (types saturate, tokens don't),
+    so corpus curation compares sources on fixed-{MATTR_W}-token
+    window TTR instead; low MATTR flags template/boilerplate farms
+    that per-doc `ext_text_repetition` (adjacent repeats) and corpus
+    `ext_vocab_census` (global vocab) both miss. Full windows only —
+    a partial tail window would re-introduce exactly the length bias
+    the metric exists to remove; docs under {MATTR_W} tokens
+    contribute nothing (stated contract on both engines).
+
+    Exactness: per-window distinct counts are exact BIGINTs from
+    scan-local array ops; MATTR and the min/max window TTRs are
+    single divisions of exact integers rounded 6dp; min/max commute
+    with the (monotone) division so the order-free integer extrema
+    feed them.
+
+    Scale shape: tokenize, window slicing and distinct counting all
+    fuse into the scan projection (the exploded rows carry ONE
+    integer each — the token arrays never shuffle); a single
+    (source)-keyed agg with map-side partials. At 100 TB this is a
+    corpus scan plus a |sources|-row shuffle."""
+    d = load(spark, sf_dir, "documents")
+    f = (
+        d.select(
+            "source",
+            F.expr("filter(split(text, ' '), x -> x <> '')").alias("w"),
+        )
+        .where(f"size(w) >= {MATTR_W}")
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(w) div {MATTR_W} - 1), "
+                    f"j -> size(array_distinct(slice(w, j * {MATTR_W} + 1, "
+                    f"{MATTR_W}))))"
+                )
+            ).alias("n_distinct"),
+        )
+    )
+    return f.groupBy("source").agg(
+        F.count("*").alias("n_windows"),
+        F.sum("n_distinct").cast("long").alias("distinct_sum"),
+        F.expr(
+            f"round(sum(n_distinct) * 1e0 / (count(*) * {MATTR_W}), 6)"
+        ).alias("mattr"),
+        F.expr(f"round(min(n_distinct) * 1e0 / {MATTR_W}, 6)").alias(
+            "min_ttr"
+        ),
+        F.expr(f"round(max(n_distinct) * 1e0 / {MATTR_W}, 6)").alias(
+            "max_ttr"
+        ),
+    )
+
+
+# -------------------------- temperature-scaled mixture weights
+
+TEMP_ALPHA = "0.7e0"  # exponent literal, double on BOTH engines
+
+_TEMP_ORACLE = f"""
+WITH c AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(list_filter(string_split(text, ' '),
+              t -> t <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1),
+t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM c),
+w AS (
+  SELECT lang, n_docs, n_tokens, total,
+         CASE WHEN total = 0 THEN 0
+              ELSE CAST(floor(power(n_tokens * 1e0 / total, {TEMP_ALPHA})
+                   * 1e9 + 0.5) AS BIGINT) END AS w_nano
+  FROM c, t),
+s AS (SELECT CAST(sum(w_nano) AS BIGINT) AS sumw FROM w)
+SELECT lang, n_docs, n_tokens,
+       CASE WHEN sumw = 0 THEN NULL
+            ELSE round(w_nano * 1e0 / sumw, 6) END AS sample_weight,
+       CASE WHEN n_tokens = 0 OR sumw = 0 THEN NULL
+            ELSE round(w_nano * 1e0 * total / (sumw * 1e0 * n_tokens), 6)
+       END AS upsample_x
+FROM w, s
+"""
+
+
+@register("ext_sample_temperature", oracle=_TEMP_ORACLE)
+def ext_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (exponent-smoothed) language sampling
+    weights — the multilingual-LM mixture rule (α = 0.7): raw token
+    shares p_i are flattened to q_i ∝ p_i^α so head languages stop
+    drowning the tail without inverting the order.
+    `ext_mixture_schedule` turns TARGET shares into epochs/rates;
+    this op DERIVES the target shares from observed counts, plus the
+    implied per-language upsample factor q_i/p_i.
+
+    Float contract: token counts are exact BIGINTs; p_i^α is ONE
+    identical power() expression tree on both engines, immediately
+    round-once-to-nano-BIGINT (floor(x·1e9 + 0.5) — the
+    `agg_markov_entropy` device) so the normalizing SUM runs over
+    exact integers (a float Σ would be summation-order-dependent);
+    the two final divisions are round-6. Zero-token languages weigh
+    0 with a NULL upsample, and an all-empty corpus (total = 0)
+    reads every weight NULL instead of riding a NaN into an ANSI
+    BIGINT cast (guarded on both engines).
+
+    Scale shape: one (lang)-keyed agg with map-side partials, one
+    scalar total, one |langs|-row weight projection + scalar sum.
+    Corpus volume only ever crosses the wire as per-lang partial
+    sums."""
+    d = load(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.expr("size(filter(split(text, ' '), t -> t <> ''))")
+        ).cast("long").alias("n_tokens"),
+    ).withColumn("n_tokens", F.expr("coalesce(n_tokens, 0L)"))
+    t = c.agg(F.sum("n_tokens").cast("long").alias("total"))
+    w = c.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "total",
+        F.expr(
+            "CASE WHEN total = 0 THEN 0 ELSE "
+            f"CAST(floor(power(n_tokens * 1e0 / total, {TEMP_ALPHA}) * 1e9"
+            " + 0.5) AS BIGINT) END"
+        ).alias("w_nano"),
+    )
+    s = w.agg(F.sum("w_nano").cast("long").alias("sumw"))
+    return w.crossJoin(F.broadcast(s)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.expr(
+            "CASE WHEN sumw = 0 THEN NULL ELSE "
+            "round(w_nano * 1e0 / sumw, 6) END"
+        ).alias("sample_weight"),
+        F.expr(
+            "CASE WHEN n_tokens = 0 OR sumw = 0 THEN NULL ELSE "
+            "round(w_nano * 1e0 * total / (sumw * 1e0 * n_tokens), 6) END"
+        ).alias("upsample_x"),
+    )

@@ -85,8 +85,44 @@ def register(name: str, oracle: Optional[str] = None):
 # first 10 r4-checked tags in registration order = exactly 50. After
 # this window the oldest evidence tier is r4 (39 remaining r4 tags —
 # r10's natural head, plus whatever r10 adds or rewrites).
+# Session 2 added three more operators (ext_readability_flesch /
+# ext_code_detect / ext_domain_cap) which outrank the tail per the
+# rotation rule, so only the first 7 r4 tags keep window slots
+# (filter_cast_date / filter_nonempty / join_star_schema join the
+# r10 head alongside the other r4 tags). Session 2 batch B
+# (ext_lm_kn_continuation / agg_burstiness_fano / agg_lorenz_deciles)
+# takes three more tail slots (filter_time_range / filter_between /
+# filter_recency -> r10 head), leaving 4 r4 tags in-window; batch C
+# (ext_ttr_mattr / agg_sessions_bounce / sink_minmax_prune_audit)
+# takes three more (scan_csv / project_columns / project_flatten_json
+# -> r10 head), leaving scan_table as the one r4 tag in-window.
+# Batch D adds ext_sample_temperature / ext_emb_pq_codebook, and the
+# int8-family FINITE_AMAX_SQL rewrite re-windows its two cheapest
+# standing representatives (ext_emb_quantize / ext_sim_topk_int8 —
+# the other five family members hold r7/r8 checks and the change is
+# verified value-neutral on real data); scan_table and the three
+# rows-only/mm r3 tags yield (scan_table + ext_sim_lsh + ext_sim_ivf
+# + ext_mm_resize_stub -> r10 head; the two rows-only miners carry
+# no hash check either way and their _verify twins are in-window
+# history).
 _WINDOW_PRIORITY = (
-    # -- added this round --
+    # -- added this round (session 2 adds at the very head) --
+    "ext_readability_flesch",
+    "ext_code_detect",
+    "ext_domain_cap",
+    "ext_lm_kn_continuation",
+    "agg_burstiness_fano",
+    "agg_lorenz_deciles",
+    "ext_ttr_mattr",
+    "agg_sessions_bounce",
+    "sink_minmax_prune_audit",
+    "ext_sample_temperature",
+    "ext_emb_pq_codebook",
+    # -- rewritten this round: the int8 family's FINITE_AMAX_SQL
+    #    contract (r9 nonfinite oracle-gate finding) --
+    "ext_emb_quantize",
+    "ext_sim_topk_int8",
+    # -- added this round (session 1) --
     "ext_dedup_substr_spans",
     "ext_dedup_pipeline_recall",
     "scan_schema_drift_audit",
@@ -128,20 +164,7 @@ _WINDOW_PRIORITY = (
     "ext_token_count",
     "fn_text_stats",
     "ext_mm_metadata",
-    "ext_sim_lsh",
-    "ext_sim_ivf",
-    "ext_mm_resize_stub",
     # -- r4 backfill, registration order --
-    "scan_table",
-    "scan_csv",
-    "project_columns",
-    "project_flatten_json",
-    "filter_time_range",
-    "filter_between",
-    "filter_recency",
-    "filter_cast_date",
-    "filter_nonempty",
-    "join_star_schema",
 )
 
 

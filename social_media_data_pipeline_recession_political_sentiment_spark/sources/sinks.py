@@ -738,3 +738,109 @@ def scan_schema_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_nonnull"),
     )
+
+
+# ----------------------------------- zone-map prune-effectiveness
+
+PRUNE_RUNS_K = 8
+
+_MINMAX_PRUNE_ORACLE = f"""
+WITH s AS (SELECT epoch_us(ts) AS us FROM events WHERE ts IS NOT NULL),
+b AS (SELECT min(us) AS gmin, max(us) AS gmax FROM s),
+a AS (SELECT ((us - gmin) * {PRUNE_RUNS_K}) // (gmax - gmin + 1) AS run,
+             us, gmin, gmax
+      FROM s, b)
+SELECT CAST(run AS BIGINT) AS run,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(us) AS min_us,
+       max(us) AS max_us,
+       (max(us) < min(gmin) + (min(gmax) - min(gmin)) // 4
+        OR min(us) > min(gmin) + (min(gmax) - min(gmin)) // 2)
+         AS prunable
+FROM a GROUP BY 1
+"""
+
+
+@register("sink_minmax_prune_audit", oracle=_MINMAX_PRUNE_ORACLE)
+def sink_minmax_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (file-skipping) effectiveness audit: events are laid
+    out into {PRUNE_RUNS_K} time-range runs (exact value-range
+    assignment — integer microsecond arithmetic, reproducible
+    cross-engine where repartitionByRange's reservoir sampling is
+    not), written as one parquet file per run, and the per-file
+    min/max statistics are read back FROM THE PARQUET FOOTERS
+    (metadata-only, O(#files)) to answer the question zone maps
+    exist for: for a probe window over the 25th-50th percentile of
+    the time span, which files does a stats-aware reader skip? The
+    read-side complement of `sink_sorted_runs` (which certifies the
+    layout) and `sink_partitioned_prune` (directory-level pruning):
+    this certifies that the WRITTEN STATISTICS equal the data
+    extrema — parquet INT64 stats are exact, so a mismatch means a
+    broken writer. NULL-ts rows are excluded by stated contract (a
+    row without a timestamp has no place in a time-range run).
+
+    Two-pass shape (stats pass + apply pass): pass 1 aggregates
+    global (min, max) — two scalars collected driver-side; pass 2
+    assigns runs scan-locally and shuffles once on run for the
+    partitioned write. The footer read is driver-side pyarrow over
+    {PRUNE_RUNS_K} files — metadata-scale by construction (#files,
+    never rows; the same device as `scan_schema_drift_audit`'s
+    presence spine). At 100 TB the run count grows with the data
+    but the audit stays #files-bounded.
+
+    Overflow bound: (us − gmin) · {PRUNE_RUNS_K} ≤ span · 8; even
+    the ±180-year extreme fixture spans ~1.1e16 µs → ~9e16, inside
+    BIGINT. All run arithmetic is nonnegative, so DuckDB's floor
+    `//` and Spark's truncating `div` agree."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    e = (
+        load(spark, sf_dir, "events")
+        .where("ts IS NOT NULL")
+        .select(F.unix_micros("ts").alias("us"))
+    )
+    out_schema = (
+        "run long, n_rows long, min_us long, max_us long, prunable boolean"
+    )
+    bounds = e.agg(
+        F.min("us").alias("gmin"), F.max("us").alias("gmax")
+    ).collect()[0]
+    if bounds.gmin is None:
+        return spark.createDataFrame([], out_schema)
+    gmin, gmax = bounds.gmin, bounds.gmax
+    span1 = gmax - gmin + 1
+    assigned = e.select(
+        F.expr(f"CAST(((us - {gmin}L) * {PRUNE_RUNS_K}) div {span1}L "
+               "AS BIGINT)").alias("run"),
+        "us",
+    )
+    sink = os.path.join(_workdir("minmax_prune"), "runs")
+    (
+        assigned.repartition("run")
+        .sortWithinPartitions("run", "us")
+        .write.partitionBy("run")
+        .mode("overwrite")
+        .parquet(sink)
+    )
+    lo = gmin + (gmax - gmin) // 4
+    hi = gmin + (gmax - gmin) // 2
+    rows = []
+    for path in sorted(_glob.glob(f"{sink}/run=*/*.parquet")):
+        run = int(path.split("run=")[1].split("/")[0])
+        md = _pq.ParquetFile(path).metadata
+        mn = mx = None
+        n = 0
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            n += rg.num_rows
+            for c in range(rg.num_columns):
+                col = rg.column(c)
+                if col.path_in_schema != "us":
+                    continue
+                st = col.statistics
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+        rows.append((run, n, mn, mx, mx < lo or mn > hi))
+    return spark.createDataFrame(rows, out_schema)

@@ -1903,3 +1903,115 @@ def test_theil_sen_resists_outlier_day(spark):
     assert med < 2.0  # robust: close to the true slope 1
     ols = {r.event_type: r for r in agg_trend_slope(spark, tmp).collect()}
     assert ols["a"].slope_per_day > 10 * med  # OLS dragged by the outlier
+
+
+def test_burstiness_fano_exact_buckets(spark):
+    """agg_burstiness_fano: a metronomic user (equal daily counts)
+    reads Fano 0; a bursty user's (n·S2−S1²)/(n·S1) is exact."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.relational import (
+        agg_burstiness_fano,
+    )
+
+    def ts(day, i):
+        return dt.datetime(2023, 1, day, 8, i)
+
+    rows = []
+    eid = 0
+    # user 1: 2 events/day for 3 days -> fano 0
+    for day in (1, 2, 3):
+        for i in range(2):
+            rows.append((eid, ts(day, i), 1, "post", 1.0, "{}")); eid += 1
+    # user 2: 1 then 5 -> fano (2*26-36)/(2*6) = 16/12
+    rows.append((eid, ts(1, 0), 2, "post", 1.0, "{}")); eid += 1
+    for i in range(5):
+        rows.append((eid, ts(2, i), 2, "post", 1.0, "{}")); eid += 1
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_fano_")
+    e.coalesce(1).write.parquet(os.path.join(tmp, "events.parquet"))
+    out = {r.bucket_q: r for r in agg_burstiness_fano(spark, tmp).collect()}
+    assert out[0].n_users == 1 and out[0].min_fano == 0.0
+    fano2 = round(16 / 12, 6)
+    b2 = int(fano2 * 4)  # 5
+    assert out[b2].n_users == 1 and out[b2].max_fano == fano2
+    assert out[b2].n_events == 6
+
+
+def test_lorenz_deciles_cumulative_shares(spark):
+    """agg_lorenz_deciles: 20 users with counts 1..20 -> 2 users per
+    decile, exact cumulative shares of 210 total events."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.relational import (
+        agg_lorenz_deciles,
+    )
+
+    rows = []
+    eid = 0
+    for u in range(1, 21):
+        for i in range(u):
+            rows.append(
+                (eid, dt.datetime(2023, 1, 1 + i % 28), u, "post", 1.0, "{}")
+            )
+            eid += 1
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_lorenz_")
+    e.coalesce(1).write.parquet(os.path.join(tmp, "events.parquet"))
+    out = sorted(agg_lorenz_deciles(spark, tmp).collect(), key=lambda r: r.decile)
+    assert [r.decile for r in out] == list(range(1, 11))
+    assert all(r.n_users == 2 for r in out)
+    # decile d holds users 2d-1, 2d -> n_events = 4d - 1
+    cum = 0
+    for r in out:
+        assert r.n_events == 4 * r.decile - 1
+        cum += r.n_events
+        assert r.cum_events == cum
+        assert r.cum_share == round(cum / 210, 6)
+    assert out[-1].cum_share == 1.0
+
+
+def test_sessions_bounce_daily_rollup(spark):
+    """agg_sessions_bounce: a 2-event session plus a bounce on day 1,
+    a lone bounce on day 2 — counts, shares and engaged time exact."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.relational import (
+        agg_sessions_bounce,
+    )
+
+    d1 = dt.datetime(2023, 3, 1, 9, 0, 0)
+    rows = [
+        (0, d1, 1, "post", 1.0, "{}"),
+        (1, d1 + dt.timedelta(minutes=5), 1, "post", 1.0, "{}"),
+        # > 30 min later: a new single-event session (bounce)
+        (2, d1 + dt.timedelta(hours=2), 1, "post", 1.0, "{}"),
+        (3, dt.datetime(2023, 3, 2, 10, 0, 0), 2, "post", 1.0, "{}"),
+    ]
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_bounce_")
+    e.coalesce(1).write.parquet(os.path.join(tmp, "events.parquet"))
+    out = {str(r.day): r for r in agg_sessions_bounce(spark, tmp).collect()}
+    r1, r2 = out["2023-03-01"], out["2023-03-02"]
+    assert r1.n_sessions == 2 and r1.n_bounce == 1
+    assert r1.bounce_share == 0.5 and r1.dur_us_sum == 5 * 60 * 1_000_000
+    assert r2.n_sessions == 1 and r2.n_bounce == 1 and r2.bounce_share == 1.0
+    assert r2.dur_us_sum == 0

@@ -722,3 +722,118 @@ def test_triplet_margin_planted_violation(spark):
     assert set(out) == {0, 20}  # anchor 40 has no same-label peer
     assert out[0].margin > 0 and not out[0].violation
     assert out[20].margin < 0 and out[20].violation
+
+
+def test_sample_temperature_flattens_shares(spark):
+    """ext_sample_temperature (text_analysis, registered beside the
+    mixture family): alpha=0.7 weights flatten an 80/20 token split —
+    tail upsamples, head downsamples, weights sum to 1."""
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.text_analysis import (
+        ext_sample_temperature,
+    )
+
+    rows = [
+        (1, " ".join(["tok"] * 80), "en", "s", 1),
+        (2, " ".join(["tok"] * 20), "de", "s", 1),
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_temp_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "documents.parquet"))
+    out = {r.lang: r for r in ext_sample_temperature(spark, tmp).collect()}
+    w_en = int(0.8**0.7 * 1e9 + 0.5)
+    w_de = int(0.2**0.7 * 1e9 + 0.5)
+    assert out["en"].n_tokens == 80 and out["de"].n_tokens == 20
+    assert abs(out["en"].sample_weight - round(w_en / (w_en + w_de), 6)) < 2e-6
+    assert abs(out["en"].sample_weight + out["de"].sample_weight - 1.0) < 2e-6
+    assert out["de"].upsample_x > 1.0 > out["en"].upsample_x
+    # flattened, not inverted: head still outweighs tail
+    assert out["en"].sample_weight > out["de"].sample_weight
+
+
+def test_pq_codebook_matches_python_replica(spark):
+    """ext_emb_pq_codebook: one-hot seed vectors plus two copies of
+    seed 3 — assignments and SSE match an independent integer
+    replica (ties to the lowest centroid id)."""
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        ext_emb_pq_codebook,
+    )
+
+    vecs = {}
+    for k in range(8):
+        v = [0.0] * 8
+        v[k] = 127.0
+        vecs[k] = v
+    vecs[100] = list(vecs[3])
+    vecs[101] = list(vecs[3])
+    rows = [(vid, v, 0) for vid, v in sorted(vecs.items())]
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_pq_")
+    e.coalesce(1).write.parquet(os.path.join(tmp, "embeddings.parquet"))
+    out = {
+        (r.subspace, r.centroid): r
+        for r in ext_emb_pq_codebook(spark, tmp).collect()
+    }
+    # python replica: codes == int components (absmax 127 -> scale 1)
+    ds = 8 // PQ_M
+    codes = {vid: [int(x) for x in v] for vid, v in vecs.items()}
+    seeds = [codes[k] for k in range(PQ_K)]
+    expect = {}
+    for vid, c in codes.items():
+        for s in range(PQ_M):
+            sub = c[s * ds : (s + 1) * ds]
+            best = min(
+                (sum((a - b) ** 2 for a, b in zip(sub, seeds[cid][s * ds : (s + 1) * ds])), cid)
+                for cid in range(PQ_K)
+            )
+            key = (s, best[1])
+            n, sse = expect.get(key, (0, 0))
+            expect[key] = (n + 1, sse + best[0])
+    assert set(out) == set(expect)
+    for key, (n, sse) in expect.items():
+        assert out[key].n_assigned == n and out[key].sse_sum == sse
+    # the two copies of seed 3 land on centroid 3 in the subspace
+    # that distinguishes it, with zero distortion
+    assert out[(1, 3)].n_assigned == 3 and out[(1, 3)].sse_sum == 0
+
+
+def test_int8_finite_domain_contract(spark):
+    """FINITE_AMAX_SQL (r9): vectors with any NaN/inf component leave
+    the quantized universe on the Spark side exactly as the oracle's
+    WHERE drops them — no silent NaN->0 codes."""
+    import math
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.similarity import (
+        ext_emb_quantize,
+    )
+
+    rows = [
+        (1, [1.0, -2.0], 0),
+        (2, [float("nan"), 1.0], 0),
+        (3, [float("inf"), 1.0], 0),
+        (4, [0.0, 0.0], 0),
+        (5, None, 0),
+    ]
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_finite_")
+    e.coalesce(1).write.parquet(os.path.join(tmp, "embeddings.parquet"))
+    out = {r.vec_id: r for r in ext_emb_quantize(spark, tmp).collect()}
+    assert set(out) == {1, 4}  # NaN, inf and NULL vectors excluded
+    assert out[1].q_l1 == 127 + 64  # codes (64, -127) via absmax 2.0
+    assert out[4].q_sum == 0 and out[4].n_sat == 0
+    assert not math.isnan(out[1].scale)

@@ -322,3 +322,45 @@ def test_props_schema_census_signatures(spark):
     assert out["<invalid>"].n_events == 2  # 'not json' AND '[1, 2]'
     assert out["1:a+1:b"].n_events == 1 and out["3:a+b"].n_events == 1
     assert out["1:k"].share == round(1 / 7, 6)
+
+
+def test_minmax_prune_audit_footer_stats_and_probe(spark):
+    """sink_minmax_prune_audit: 80 evenly spaced events land 10 per
+    run; footer min/max equal the data extrema and exactly the runs
+    outside the 25th-50th-percentile probe window read prunable."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.sources.sinks import (
+        PRUNE_RUNS_K,
+        sink_minmax_prune_audit,
+    )
+
+    assert PRUNE_RUNS_K == 8
+    base = dt.datetime(2023, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=1000 * i), 1, "post", 1.0, "{}")
+        for i in range(80)
+    ]
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_prune_")
+    e.coalesce(1).write.parquet(os.path.join(tmp, "events.parquet"))
+    out = {r.run: r for r in sink_minmax_prune_audit(spark, tmp).collect()}
+    assert set(out) == set(range(8))
+    us = [int(base.replace(tzinfo=dt.timezone.utc).timestamp()) * 10**6
+          + 1000 * i * 10**6 for i in range(80)]
+    gmin, gmax = us[0], us[-1]
+    lo, hi = gmin + (gmax - gmin) // 4, gmin + (gmax - gmin) // 2
+    for i, u in enumerate(us):
+        run = (u - gmin) * 8 // (gmax - gmin + 1)
+        r = out[run]
+        assert r.min_us <= u <= r.max_us
+    for r in out.values():
+        assert r.n_rows == 10
+        assert r.prunable == (r.max_us < lo or r.min_us > hi)
+    assert sum(1 for r in out.values() if r.prunable) == 6

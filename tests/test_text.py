@@ -1708,3 +1708,155 @@ def test_hybrid_rank_fusion_consensus_and_replica(spark):
     fused = sorted(out.values(), key=lambda r: r.fused_rank)
     keys = [(-r.rrf_micros, r.doc_id) for r in fused]
     assert keys == sorted(keys)  # fused order = (micros desc, doc_id)
+
+
+def test_readability_flesch_formula_and_bands(spark):
+    """ext_readability_flesch: known word/sentence/syllable counts
+    reproduce the Flesch formula exactly; empty text lands in the
+    NULL band with zero words; vowel-less words take the 1-syllable
+    floor."""
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.text_analysis import (
+        ext_readability_flesch,
+    )
+
+    rows = [
+        # 6 words, 2 sentence runs (. !), 6 vowel groups
+        (1, "the cat sat. the dog ran!", "en", "s", 1),
+        (2, "", "en", "s", 0),
+        # 2 vowel-less words -> syllable floor 1 each, 1 sentence floor
+        (3, "xxzz qq", "en", "s", 1),
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_flesch_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "documents.parquet"))
+    out = {r.band: r for r in ext_readability_flesch(spark, tmp).collect()}
+    s1 = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)  # 119.19
+    s3 = 206.835 - 1.015 * (2 / 1) - 84.6 * (2 / 2)  # 120.205
+    assert set(out) == {None, 11, 12}
+    assert out[11].n_docs == 1 and abs(out[11].min_score - round(s1, 6)) < 1e-9
+    assert out[12].n_docs == 1 and abs(out[12].max_score - round(s3, 6)) < 1e-9
+    assert out[None].n_docs == 1 and out[None].n_words == 0
+    assert out[None].min_score is None
+
+
+def test_code_detect_flags_decorated_docs(spark):
+    """ext_code_detect: the deterministic deco lands on doc_id%5 in
+    {2,4}; symbol and keyword counts are exact and only decorated
+    docs clear the flag floor."""
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.text_analysis import (
+        ext_code_detect,
+    )
+
+    rows = [(i, "hello world", "en", "s", 1) for i in (1, 2, 3, 4)]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_code_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "documents.parquet"))
+    (r,) = ext_code_detect(spark, tmp).collect()
+    # doc 2: ' if ( n > 0 ) { return n ; }' -> 6 syms, 2 kws, 13 tokens
+    # doc 4: ' def f ( x ) : return x * 2' -> 4 syms, 2 kws, 12 tokens
+    assert r.n_docs == 4 and r.n_flagged == 2
+    assert r.n_sym == 10 and r.n_kw == 4
+    assert r.max_score_micro == (3 * 2 + 6) * 1000000 // 13
+
+
+def test_domain_cap_kept_dropped_and_cut(spark):
+    """ext_domain_cap: 30 docs with quality (= distinct tokens) 1..30
+    under one source — the cap keeps the top 25, the cut sits at
+    quality 6, the best casualty at 5, and kept_tokens is the exact
+    sum over the keepers."""
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.text_analysis import (
+        DOMAIN_CAP,
+        ext_domain_cap,
+    )
+
+    pool = [f"w{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(pool[:i]), "en", "s", 1) for i in range(1, 31)
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_cap_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "documents.parquet"))
+    (r,) = ext_domain_cap(spark, tmp).collect()
+    assert DOMAIN_CAP == 25
+    assert r.n_docs == 30 and r.n_kept == 25 and r.n_dropped == 5
+    assert r.cut_quality == 6 and r.best_dropped_quality == 5
+    assert r.kept_tokens == sum(range(6, 31))
+
+
+def test_kn_continuation_counts_exact(spark):
+    """ext_lm_kn_continuation: a planted 3-bigram corpus gives exact
+    continuation/right-type counts and the 1/|B| continuation
+    probability."""
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.text_analysis import (
+        ext_lm_kn_continuation,
+    )
+
+    rows = [
+        (1, "a b", "en", "s", 1),
+        (2, "c b", "en", "s", 1),
+        (3, "b d", "en", "s", 1),
+        (4, "", "en", "s", 0),  # no bigrams
+        (5, "solo", "en", "s", 1),  # single token: no bigrams
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_kn_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "documents.parquet"))
+    out = {r.word: r for r in ext_lm_kn_continuation(spark, tmp).collect()}
+    # distinct bigrams: (a,b) (c,b) (b,d) -> B = 3
+    assert set(out) == {"a", "b", "c", "d"}
+    assert out["b"].n_left_contexts == 2 and out["b"].n_right_types == 1
+    assert out["b"].cont_prob == round(2 / 3, 6)
+    assert out["d"].n_left_contexts == 1 and out["d"].n_right_types == 0
+    assert out["a"].n_left_contexts == 0 and out["a"].n_right_types == 1
+    # top-K order: b first (highest continuation count)
+    first = ext_lm_kn_continuation(spark, tmp).collect()[0]
+    assert first.word == "b"
+
+
+def test_ttr_mattr_windows_exact(spark):
+    """ext_ttr_mattr: a 40-token doc = one all-distinct window plus
+    one all-same window; a 19-token doc contributes nothing."""
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.text_analysis import (
+        MATTR_W,
+        ext_ttr_mattr,
+    )
+
+    assert MATTR_W == 20
+    distinct20 = " ".join(f"w{i}" for i in range(20))
+    same20 = " ".join(["dup"] * 20)
+    rows = [
+        (1, f"{distinct20} {same20}", "en", "s", 1),
+        (2, " ".join(f"x{i}" for i in range(19)), "en", "s", 1),
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_mattr_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "documents.parquet"))
+    (r,) = ext_ttr_mattr(spark, tmp).collect()
+    assert r.n_windows == 2 and r.distinct_sum == 21
+    assert r.mattr == round(21 / 40, 6)
+    assert r.min_ttr == round(1 / 20, 6) and r.max_ttr == 1.0

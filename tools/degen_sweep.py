@@ -193,7 +193,10 @@ import sys
 REPO = "/root/repo"
 sys.path.insert(0, REPO)
 
-FIXTURE = "/tmp/smdp_degen"
+# Overridable so a pytest run and an interactive sweep never rebuild
+# the SAME fixture dir under each other (a mid-run rmtree+rewrite
+# reads as parquet corruption in whichever process loses the race).
+FIXTURE = os.environ.get("SMDP_DEGEN_DIR", "/tmp/smdp_degen")
 SRC_SF = "/root/testdata/sf0.001"
 
 

@@ -1156,6 +1156,95 @@ AUDIT = {
         "arithmetic",
         "planning math on aggregate rows only",
     ),
+    "ext_sample_temperature": (
+        "one lang-keyed HashAggregate; the total and the weight sum "
+        "are 1-row broadcast scalars; weight projection runs over "
+        "|langs| rows",
+        "corpus volume crosses the wire only as per-lang partial "
+        "sums; the power() fold is round-once-to-BIGINT so no float "
+        "sum is order-dependent",
+    ),
+    "ext_emb_pq_codebook": (
+        "scan-local quantize + slice; BroadcastNestedLoopJoin of the "
+        "1-row dim scalar and 4-row subspace spine, broadcast hash "
+        "join to the 32-row codebook; two HashAggregates with "
+        "map-side partials",
+        "bounded 32x fan-out per vector, no all-pairs; the only "
+        "full sort is over the 8 seed rows",
+    ),
+    "ext_ttr_mattr": (
+        "ONE scan; tokenize + per-window distinct counts in the scan "
+        "projection (Generate explodes single integers); one "
+        "source-keyed HashAggregate",
+        "token arrays never shuffle — the explode emits one int per "
+        "window; corpus scan + |sources|-row shuffle at any scale",
+    ),
+    "agg_sessions_bounce": (
+        "one Exchange on user_id feeding chained Window nodes (lag + "
+        "running sum over a single sort) and the per-session "
+        "HashAggregate; the day rollup exchanges only session rows",
+        "same single-user-shuffle shape as agg_sessionize_batch; no "
+        "global sort, no driver state",
+    ),
+    "sink_minmax_prune_audit": (
+        "stats pass (scalar min/max agg), scan-local run assignment, "
+        "one Exchange on run into the partitioned write; the result "
+        "frame is a driver-built #files-row LocalTableScan",
+        "the documented two-pass stats+apply shape; the footer read "
+        "is metadata-only pyarrow — O(#files) regardless of volume",
+    ),
+    "ext_lm_kn_continuation": (
+        "scan-local bigram zip (arrays_zip of two slices) explodes "
+        "once; the distinct-pair frame is localCheckpoint-pinned and "
+        "feeds two HashAggregates, a full outer SortMergeJoin on "
+        "word, and a broadcast scalar; TakeOrderedAndProject caps "
+        "the output",
+        "three consumers of the pair frame would otherwise re-scan "
+        "and re-tokenize the corpus 3x; every post-explode key is "
+        "bounded by |distinct bigrams|",
+    ),
+    "agg_burstiness_fano": (
+        "ONE scan; (user, day) HashAggregate with partial_count, "
+        "then user-keyed, then band-keyed — three aggs, no window, "
+        "no join",
+        "the map-side combine collapses raw events to active "
+        "(user, day) cells; the hot single-user skew key is one "
+        "reduce-side row",
+    ),
+    "agg_lorenz_deciles": (
+        "user HashAggregate, then a single-partition ntile window "
+        "over DISTINCT USERS, then a 10-row aggregate + two windows "
+        "over those 10 rows",
+        "the ntile sort is |users|-bounded (never event volume); "
+        "the stated huge-|users| swap is approx_percentile cut "
+        "points, no global sort",
+    ),
+    "ext_readability_flesch": (
+        "ONE parquet scan reading only (source, text); tokenize, "
+        "syllable HOF and the score expression all live in the scan "
+        "projection; a single (source, band)-keyed HashAggregate "
+        "with map-side partials",
+        "the combine collapses to |sources| x ~40 bands regardless "
+        "of corpus size — a 100 TB readability census is one scan "
+        "plus a trivially small shuffle",
+    ),
+    "ext_code_detect": (
+        "ONE parquet scan; symbol-class regex, keyword token census "
+        "and the fixed-point score projected scan-side; one "
+        "source-keyed HashAggregate with partial sums",
+        "all-BIGINT signals fused into the scan exactly like the PII "
+        "census — the gate composes with ext_quality_gate as one "
+        "more scan-local predicate at 100 TB",
+    ),
+    "ext_domain_cap": (
+        "scan-side quality projection; ONE hash shuffle on source "
+        "into the rank window; the per-source aggregate reuses the "
+        "window partitioning (no second exchange)",
+        "the audit needs dropped-side stats so the full per-source "
+        "sort runs; the stated 100 TB swap is a quality-histogram "
+        "threshold + scan-local predicate, which this audit "
+        "bootstraps",
+    ),
     "ext_pii_census": (
         "ONE parquet scan; all three regex hit counts projected "
         "scan-side; a single source-keyed HashAggregate with six "
