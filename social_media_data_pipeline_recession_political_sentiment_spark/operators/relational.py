@@ -979,7 +979,9 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT event_type, quantile_cont(value, 0.5) AS p50, "
         "quantile_cont(value, 0.95) AS p95, "
         "CAST(approx_quantile(value, 0.5) IS NOT NULL AS BOOLEAN) AS sketch_ok "
-        "FROM events GROUP BY event_type"
+        # finite-measure pin (r9 nonfinite gate)
+        "FROM events WHERE value IS NOT NULL AND NOT isnan(value) "
+        "AND abs(value) < CAST('Infinity' AS DOUBLE) GROUP BY event_type"
     ),
 )
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -991,7 +993,7 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     within the group's [min, max]. At 100 TB you run only the sketch:
     exact percentile needs the group's values collected per key, the
     sketch streams with O(1/eps) state and merges across partitions."""
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events").where(FINITE_MEASURE_SQL)
     return e.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("p50"),
         F.expr("percentile(value, 0.95)").alias("p95"),
@@ -1065,6 +1067,33 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
 # NULL (sums skip it), and |value| < 1e12 keeps cents < 1e14 —
 # double-exact and far inside BIGINT.
 FINITE_VALUE_SQL = "value IS NOT NULL AND NOT isnan(value) AND abs(value) < 1.0e12"
+
+# r9 nonfinite ORACLE-gate pins (running the full DuckDB gate on the
+# --nonfinite fixture, previously crash-only, forked the value-stats
+# family): NaN rides aggregation/comparison semantics differently per
+# engine (numpy max -> NaN, SQL NaN-greatest; Spark double->BIGINT
+# cast SATURATES at Long.MAX where DuckDB CAST hard-errors). The
+# value-measure domain is therefore FINITE on both engines:
+FINITE_MEASURE_SQL = (
+    "value IS NOT NULL AND NOT isnan(value) "
+    "AND abs(value) < CAST('Infinity' AS DOUBLE)"
+)
+# floor()->BIGINT additionally needs the long-representable window
+FINITE_FLOOR_SQL = (
+    "value IS NOT NULL AND NOT isnan(value) AND abs(value) < 9.0e18"
+)
+
+# Sane event-time domain (r9: a 2260-09-xx glitch stamp fast-forwards
+# a stream watermark and silently drops every honest row, and a
+# 1900..2260 span explodes a dense time spine to ~9.5M cells): ops
+# that RESAMPLE time or carry WATERMARKS gate stamps to the
+# plausible-operations window on both engines. Point-wise time ops
+# (epoch math, sessions, as-of) keep the full domain — they handle
+# extremes exactly and proved it under this same fixture.
+SANE_TS_SQL = (
+    "ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01 00:00:00' "
+    "AND ts < TIMESTAMP '2100-01-01 00:00:00'"
+)
 FINITE_CENTS_SQL = (
     f"CASE WHEN {FINITE_VALUE_SQL} THEN CAST(round(value * 100) AS BIGINT) END"
 )
@@ -2127,11 +2156,15 @@ def window_dedup_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------- dense time-spine fill
 
 _SPINE_ORACLE = """
-WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+WITH sane AS (SELECT * FROM events
+              WHERE ts IS NOT NULL
+                AND ts >= TIMESTAMP '1970-01-01 00:00:00'
+                AND ts < TIMESTAMP '2100-01-01 00:00:00'),
+h AS (SELECT event_type, date_trunc('hour', ts) AS hour_ts,
                   CAST(count(*) AS BIGINT) AS n
-           FROM events GROUP BY 1, 2),
+           FROM sane GROUP BY 1, 2),
 b AS (SELECT date_trunc('hour', min(ts)) AS h0,
-             date_trunc('hour', max(ts)) AS h1 FROM events),
+             date_trunc('hour', max(ts)) AS h1 FROM sane),
 spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts
           FROM b),
 t AS (SELECT DISTINCT event_type FROM events)
@@ -2160,7 +2193,7 @@ def agg_time_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the pinned hourly aggregate itself (min/max hour and
     distinct types survive the rollup exactly), not from fresh
     corpus scans (r6 scan audit: 3 before, 1 after)."""
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events").where(SANE_TS_SQL)
     hourly = compute_once(
         e.groupBy(
             "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
@@ -2614,9 +2647,11 @@ QUANTILE_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
 _QUANTILE_ORACLE = f"""
 WITH r AS (SELECT value,
         CAST(row_number() OVER (ORDER BY value, event_id) AS BIGINT) AS rn
-      FROM events WHERE value IS NOT NULL),
+      FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        AND abs(value) < CAST('Infinity' AS DOUBLE)),
 n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events
-      WHERE value IS NOT NULL),
+      WHERE value IS NOT NULL AND NOT isnan(value)
+        AND abs(value) < CAST('Infinity' AS DOUBLE)),
 t AS (SELECT q, CAST(greatest(1, ceil(q * n.n)) AS BIGINT) AS target_rank
       FROM (SELECT CAST(unnest([{", ".join(str(q) for q in QUANTILE_QS)}])
                    AS DOUBLE) AS q), n)
@@ -2654,7 +2689,7 @@ def agg_quantiles_exact_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         load(spark, sf_dir, "events")
         .select("value", "event_id")
-        .filter(F.col("value").isNotNull())
+        .where(FINITE_MEASURE_SQL)  # r9 nonfinite-gate pin
     )
     n_parts = max(2, spark.sparkContext.defaultParallelism)
     ranged = (
@@ -3070,16 +3105,19 @@ def agg_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 # counts are defined against the identical double on both sides (a
 # value between the rounded and unrounded bound must not split them)
 _WINSOR_ORACLE = """
-WITH b AS (SELECT event_type, round(quantile_cont(value, 0.01), 6) AS p01,
+WITH f AS (SELECT * FROM events WHERE value IS NOT NULL
+           AND NOT isnan(value)
+           AND abs(value) < CAST('Infinity' AS DOUBLE)),
+b AS (SELECT event_type, round(quantile_cont(value, 0.01), 6) AS p01,
              round(quantile_cont(value, 0.99), 6) AS p99
-           FROM events GROUP BY event_type)
+           FROM f GROUP BY event_type)
 SELECT e.event_type, b.p01, b.p99,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(CASE WHEN e.value < b.p01 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_clip_low,
        CAST(sum(CASE WHEN e.value > b.p99 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_clip_high
-FROM events e JOIN b ON e.event_type = b.event_type
+FROM f e JOIN b ON e.event_type = b.event_type
 GROUP BY e.event_type, b.p01, b.p99
 """
 
@@ -3099,7 +3137,7 @@ def agg_winsorize_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort outside the percentile itself; at 100 TB the bounds pass
     runs `percentile_approx` (GK sketch) exactly as `agg_percentiles`
     documents, and the counting pass is unchanged."""
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events").where(FINITE_MEASURE_SQL)
     b = e.groupBy("event_type").agg(
         F.round(F.expr("percentile(value, 0.01)"), 6).alias("p01"),
         F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
@@ -4039,7 +4077,8 @@ def agg_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LOG2_HIST_ORACLE = """
 WITH v AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS iv FROM events
-           WHERE value IS NOT NULL),
+           WHERE value IS NOT NULL AND NOT isnan(value)
+             AND abs(value) < 9.0e18),
 b AS (SELECT event_type,
              CASE WHEN iv <= 0 THEN CAST(0 AS BIGINT)
                   ELSE CAST(length(bin(iv)) AS BIGINT) END AS bucket,
@@ -4070,7 +4109,7 @@ def agg_value_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: scan-local bucket assignment, ONE
     (type, bucket)-keyed agg with map-side combine onto a
     types x ~40 output. All columns integer-exact."""
-    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    e = load(spark, sf_dir, "events").where(FINITE_FLOOR_SQL)  # r9 nonfinite-gate pin
     v = e.select("event_type", F.floor("value").cast("long").alias("iv"))
     b = v.withColumn(
         "bucket",
@@ -4544,7 +4583,8 @@ DRIFT_SPLIT_DAY = 15  # slice A: first 15 epoch-days of the span
 _DRIFT_ORACLE = f"""
 WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_num,
                   CAST(floor(value) AS BIGINT) AS iv
-           FROM events WHERE value IS NOT NULL),
+           FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+             AND abs(value) < 9.0e18),
 d0 AS (SELECT min(day_num) AS d0 FROM e),
 sl AS (SELECT CASE WHEN day_num < d0.d0 + {DRIFT_SPLIT_DAY} THEN 'a'
               ELSE 'b' END AS slice,
@@ -4600,7 +4640,8 @@ def agg_dist_drift_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one (bucket, slice)-conditional agg with map-side
     partials, a 40-row window, scalar max. The day split reuses the
     integer epoch-day contract."""
-    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull()).select(
+    # r9 nonfinite-gate pin: FINITE_FLOOR_SQL
+    e = load(spark, sf_dir, "events").where(FINITE_FLOOR_SQL).select(
         F.expr("CAST(ts AS LONG) div 86400").alias("day_num"),
         F.floor("value").cast("long").alias("iv"),
     )

@@ -269,7 +269,11 @@ def _value_range(v: pd.Series) -> float:
     "udaf_value_range",
     oracle=(
         "SELECT event_type, max(value) - min(value) AS vrange "
-        "FROM events GROUP BY event_type"
+        # finite-measure pin (r9 nonfinite gate): numpy max -> NaN
+        # where SQL aggregates order NaN greatest
+        "FROM events WHERE value IS NOT NULL AND NOT isnan(value) "
+        "AND abs(value) < CAST('Infinity' AS DOUBLE) "
+        "GROUP BY event_type"
     ),
 )
 def udaf_value_range(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -282,7 +286,9 @@ def udaf_value_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     the builtin `max - min` (codegen'd, partial-aggregated); a pandas
     UDAF forces a full shuffle of raw values per group — the docstring
     price tag that justifies reaching for builtins first."""
-    e = load(spark, sf_dir, "events")
+    from .relational import FINITE_MEASURE_SQL
+
+    e = load(spark, sf_dir, "events").where(FINITE_MEASURE_SQL)
     return e.groupBy("event_type").agg(
         _value_range(F.col("value")).alias("vrange")
     )

@@ -61,14 +61,43 @@ _COS_SQL = (
     "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"
 )
 
+# Finite-vector contract for the FLOAT similarity family (r9
+# nonfinite oracle gate, the float twin of FINITE_AMAX_SQL): a NaN
+# cosine rides comparison semantics differently per engine — SQL
+# treats NaN as GREATER than any threshold (NaN >= t is TRUE on both
+# Spark and DuckDB) while the NumPy blocked kernels read NaN >= t as
+# False — so non-finite vectors leave the similarity universe
+# entirely. The bound is 1e150, not Infinity: a finite 1e308
+# component still overflows the norm PRODUCT to inf and the cosine
+# to NaN; amax < 1e150 keeps Σx² ≤ D·1e300 and the norm product
+# finite for any realistic dimensionality. NULL and empty vectors
+# leave with them (NULL amax fails every clause).
+FINITE_EMB_BOUND = "1.0e150"
+
+
+def _fin_emb_spark(col: str = "embedding") -> str:
+    amax = f"array_max(transform({col}, x -> abs(CAST(x AS DOUBLE))))"
+    return (
+        f"({col} IS NOT NULL AND NOT isnan({amax}) "
+        f"AND {amax} < {FINITE_EMB_BOUND})"
+    )
+
+
+def _fin_emb_duck(col: str) -> str:
+    amax = f"list_max(list_transform({col}, x -> abs(CAST(x AS DOUBLE))))"
+    return (
+        f"({col} IS NOT NULL AND NOT isnan({amax}) "
+        f"AND {amax} < {FINITE_EMB_BOUND})"
+    )
+
 
 _TOPK_ORACLE = (
     f"WITH c AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS_SQL} AS cos "
     f"FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id "
     f"WHERE a.vec_id < {N_QUERY_VECS} "
-    # NULL-embedding pin (r7 sweep): matches the Spark-side source
-    # filter — a vector-less row neither queries nor ranks
-    "AND a.embedding IS NOT NULL AND b.embedding IS NOT NULL) "
+    # finite-vector pin (r9 nonfinite gate; upgrades the r7 NULL pin):
+    # matches the Spark-side source filter
+    f"AND {_fin_emb_duck('a.embedding')} AND {_fin_emb_duck('b.embedding')}) "
     "SELECT query_id, neighbor_id, cos, rank FROM ("
     "  SELECT query_id, neighbor_id, cos, row_number() OVER ("
     "    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM c) "
@@ -96,7 +125,8 @@ def ext_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     window top-k (SURVEY §2.3 `join_similarity_topk`). Deterministic
     tiebreak on neighbor_id."""
     e = load(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()  # NULL-embedding pin (r7 sweep)
+        # finite-vector pin (r9 nonfinite gate; upgrades the r7 NULL pin)
+        F.expr(_fin_emb_spark())
     )
     q = _with_double_vec(e.filter(F.col("vec_id") < N_QUERY_VECS), "qv").select(
         F.col("vec_id").alias("query_id"), "qv"
@@ -173,7 +203,7 @@ def _ivf_scored(spark: SparkSession, sf_dir: str, probe_all: bool) -> DataFrame:
     e = (
         load(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
-        .filter(F.col("embedding").isNotNull())  # NULL-embedding pin (r7 sweep): no vector, no similarity op
+        .filter(F.expr(_fin_emb_spark()))  # finite-vector pin (r9 nonfinite gate; upgrades the r7 NULL pin)
     )
     sample = _ivf_train_sample(e).toPandas()
     if len(sample) == 0:  # empty corpus => no neighbors
@@ -317,7 +347,9 @@ EMBCOS_BLOCKS = 8  # triangle-join block count; tasks hold ≤ 2N/B vectors
     oracle=(
         f"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_COS_SQL} AS cos "
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
-        f"WHERE {_COS_SQL} >= {COS_DUP_THRESHOLD}"
+        f"WHERE {_COS_SQL} >= {COS_DUP_THRESHOLD} "
+        # finite-vector pin (r9 nonfinite gate)
+        f"AND {_fin_emb_duck('a.embedding')} AND {_fin_emb_duck('b.embedding')}"
     ),
 )
 def ext_dedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -351,7 +383,7 @@ def ext_dedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         load(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
-        .filter(F.col("embedding").isNotNull())  # NULL-embedding pin (r7 sweep): no vector, no similarity op
+        .filter(F.expr(_fin_emb_spark()))  # finite-vector pin (r9 nonfinite gate; upgrades the r7 NULL pin)
     )
     # replicate: a vector in block g joins group (min(g,o), max(g,o))
     # for every o — B copies per vector, each group seeing each of its
@@ -591,7 +623,14 @@ def ext_dedup_embcos_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     nrm = F.sqrt(F.expr(_DOT.format(a="dv", b="dv")))
     unit = (
         e.withColumn("nrm", nrm)
-        .filter(F.col("nrm") > 0)
+        # finite-norm pin (r9 nonfinite gate): NaN/inf components (or
+        # finite components whose Σx² overflows) have no unit vector;
+        # NaN > 0 is TRUE under Spark's NaN-greatest comparisons, so
+        # the positivity test alone would let NaN vectors through
+        .filter(
+            (F.col("nrm") > 0)
+            & F.expr("NOT isnan(nrm) AND nrm < CAST('Infinity' AS DOUBLE)")
+        )
         .select(
             "vec_id",
             F.expr("transform(dv, x -> cast(x / nrm as float))").alias("embedding"),
@@ -614,7 +653,9 @@ def ext_dedup_embcos_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=(
         f"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_COS_SQL} AS cos "
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
-        f"WHERE {_COS_SQL} >= {COS_DUP_THRESHOLD}"
+        f"WHERE {_COS_SQL} >= {COS_DUP_THRESHOLD} "
+        # finite-vector pin (r9 nonfinite gate)
+        f"AND {_fin_emb_duck('a.embedding')} AND {_fin_emb_duck('b.embedding')}"
     ),
 )
 def ext_dedup_embcos_lsh_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -858,7 +899,9 @@ def ext_sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=(
         "WITH RECURSIVE p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
-        f"WHERE {_COS_SQL} >= {COS_DUP_THRESHOLD}), "
+        f"WHERE {_COS_SQL} >= {COS_DUP_THRESHOLD} "
+        f"AND {_fin_emb_duck('a.embedding')} "
+        f"AND {_fin_emb_duck('b.embedding')}), "
         "edges AS (SELECT vec_a AS src, vec_b AS dst FROM p "
         "UNION ALL SELECT vec_b, vec_a FROM p), "
         "reach(node, lbl) AS ("
@@ -918,8 +961,9 @@ KNN_K = 3
         f"WITH c AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, "
         f"{_COS_SQL} AS cos FROM embeddings a JOIN embeddings b "
         "ON b.vec_id != a.vec_id "
-        # NULL-embedding pin (r7 sweep): matches the Spark source filter
-        "WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL), "
+        # finite-vector pin (r9 nonfinite gate; upgrades the r7 NULL pin)
+        f"WHERE {_fin_emb_duck('a.embedding')} "
+        f"AND {_fin_emb_duck('b.embedding')}), "
         "r AS (SELECT vec_id, neighbor_id, cos, row_number() OVER ("
         "PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank FROM c) "
         f"SELECT vec_id, neighbor_id, cos, rank FROM r WHERE rank <= {KNN_K}"
@@ -953,7 +997,7 @@ def ext_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         load(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
-        .filter(F.col("embedding").isNotNull())  # NULL-embedding pin (r7 sweep): no vector, no similarity op
+        .filter(F.expr(_fin_emb_spark()))  # finite-vector pin (r9 nonfinite gate; upgrades the r7 NULL pin)
     )
     rep = (
         e.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(B)).cast("int"))
@@ -1730,8 +1774,9 @@ _KNN_NOISE_ORACLE = (
     f"WITH c AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, "
     f"{_COS_SQL} AS cos FROM embeddings a JOIN embeddings b "
     "ON b.vec_id != a.vec_id "
-    # NULL-embedding pin (r7 sweep): matches the Spark source filter
-    "WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL), "
+    # finite-vector pin (r9 nonfinite gate; upgrades the r7 NULL pin)
+    f"WHERE {_fin_emb_duck('a.embedding')} "
+    f"AND {_fin_emb_duck('b.embedding')}), "
     "r AS (SELECT vec_id, neighbor_id, cos, row_number() OVER ("
     "PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank FROM c), "
     f"k AS (SELECT vec_id, neighbor_id FROM r WHERE rank <= {KNN_K}), "

@@ -141,7 +141,12 @@ def stream_tumbling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_dedup",
-    oracle="SELECT count(DISTINCT event_id) AS n_unique FROM events",
+    # sane-ts gate matches the Spark side (r9 watermark-poisoning pin)
+    oracle=(
+        "SELECT count(DISTINCT event_id) AS n_unique FROM events "
+        "WHERE ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01 00:00:00' "
+        "AND ts < TIMESTAMP '2100-01-01 00:00:00'"
+    ),
 )
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked cross-batch dedup (ref: the per-row existence probe
@@ -149,8 +154,17 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     `stream_dedup`). dropDuplicates state is bounded by the watermark
     — the scalable replacement for an ever-growing probe table. The
     drained row count equals COUNT(DISTINCT key)."""
+    from ..operators.relational import SANE_TS_SQL
+
+    # sane event-time gate (r9 nonfinite sweep): one 2260-09-xx glitch
+    # stamp fast-forwards the watermark 200+ years and every honest
+    # row in later micro-batches reads as late and is silently
+    # DROPPED — the textbook watermark-poisoning failure. Stamps
+    # outside the plausible-operations window are gated at ingest on
+    # both engines.
     dedup = (
         stream_events(spark, sf_dir)
+        .where(SANE_TS_SQL)
         .withWatermark("ts", "12 hours")
         .dropDuplicates(["event_id"])
     )

@@ -558,3 +558,71 @@ def test_chunk_cdc_all_null_text_boundary(spark):
         assert row[0]["total_chunks"] == 0 and row[0]["dedup_ratio"] is None
     finally:
         shutil.rmtree(fixture, ignore_errors=True)
+
+
+def test_nonfinite_oracle_parity_fixed_class(spark):
+    """Non-finite divergence ORACLE pins (r9 sweep promotion): the
+    --nonfinite mode had only ever been a CRASH gate; running the
+    full DuckDB-oracle gate on its fixture found four cross-engine
+    fork classes, each closed with a portable domain contract:
+
+    - int8 quantization (FINITE_AMAX_SQL): Spark's ANSI cast reads
+      floor(NaN + 0.5) as code 0 while DuckDB's CAST hard-errors —
+      non-finite vectors leave the quantized universe.
+    - float similarity (_fin_emb_spark/_fin_emb_duck, bound 1e150 so
+      norm PRODUCTS stay finite): SQL treats NaN >= t as TRUE
+      (NaN-greatest) where the NumPy blocked kernels read False.
+    - value statistics (FINITE_MEASURE_SQL / FINITE_FLOOR_SQL):
+      numpy max -> NaN vs SQL NaN-greatest aggregates, and Spark's
+      double->BIGINT cast SATURATES at Long.MAX where DuckDB errors.
+    - time resample/watermark (SANE_TS_SQL): a 2260-09-xx glitch
+      stamp fast-forwards a stream watermark 200+ years (silently
+      dropping every honest later row) and explodes a dense hourly
+      spine to ~9.5M cells.
+
+    This test re-runs the EXACT driver-replica comparison for
+    representatives of each fixed class on the non-finite fixture.
+    ext_sim_ivf_recall stays out: meets_floor is honestly false on
+    the degenerate corpus (the same documented accepted
+    approximation red as the --nulls gate)."""
+    import sys
+
+    sys.path.insert(0, TOOLS)
+    import duckdb
+    from degen_sweep import build_fixture
+    from verify_local import compare_query
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.catalog import TABLES
+
+    fixture = build_fixture(nonfinite=True)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{fixture}/{t}.parquet'")
+    fixed = [
+        # int8 family
+        "ext_emb_quantize",
+        "ext_sim_topk_int8",
+        "ext_emb_pq_codebook",
+        # float similarity family
+        "ext_dedup_embcos",
+        "ext_sim_knn_graph",
+        "ext_dedup_semantic",
+        "ext_sim_topk",
+        # value-stats family
+        "agg_percentiles",
+        "agg_winsorize_bounds",
+        "udaf_value_range",
+        "agg_value_log_histogram",
+        "agg_dist_drift_probe",
+        "agg_quantiles_exact_dist",
+        # sane event-time domain
+        "agg_time_spine_fill",
+        "stream_dedup",
+    ]
+    qs, os_ = registry.queries(), registry.oracles()
+    bad = {}
+    for name in fixed:
+        problems = compare_query(spark, con, qs[name], os_[name], fixture)
+        if problems:
+            bad[name] = problems
+    assert not bad, bad

@@ -86,6 +86,33 @@ SESSION_MAX_S = 30 days (an unbounded "duration" column explodes the
 per-day split into a 10^14-element sequence —
 COLLECTION_SIZE_LIMIT_EXCEEDED in agg_concurrency_peak /
 agg_occupancy_hours).
+r9 PROMOTED this mode to a full-gate DIVERGENCE sweep (run
+verify_local on the fixture, like --unicode/--json/--tz/--nulls/
+--skew): the first full run found four cross-engine fork classes,
+all closed with portable domain contracts and pinned by
+tests/test_registry.py::test_nonfinite_oracle_parity_fixed_class —
+(1) int8 quantization: Spark's ANSI cast silently reads
+floor(NaN+0.5) as code 0 while DuckDB's CAST hard-errors
+(FINITE_AMAX_SQL, similarity.py: non-finite vectors leave the
+quantized universe); (2) float similarity: SQL reads NaN >= t as
+TRUE (NaN-greatest) where the NumPy blocked kernels read False
+(_fin_emb_spark/_fin_emb_duck, bound 1e150 so norm PRODUCTS stay
+finite — a finite 1e308 component still overflows na*nb to inf);
+(3) value statistics: numpy max -> NaN vs SQL NaN-greatest
+aggregates, plus Spark's double->BIGINT cast SATURATES at Long.MAX
+where DuckDB hard-errors (FINITE_MEASURE_SQL / FINITE_FLOOR_SQL,
+relational.py); (4) time resample/watermark: one 2260 glitch stamp
+fast-forwards a stream watermark 200+ years — every honest later
+row silently dropped — and explodes the dense hourly spine to
+~9.5M cells (SANE_TS_SQL: agg_time_spine_fill + stream_dedup gate
+stamps to the plausible-operations window; point-wise epoch math
+keeps the full domain and proved it on this fixture). Gate result:
+295 pass + 3 rows-only + 1 accepted approximation red
+(ext_sim_ivf_recall meets_floor honestly false on the degenerate
+corpus — the same accepted class as the --nulls gate).
+
+    python tools/degen_sweep.py --nonfinite
+    SMDP_VERIFY_VANILLA=1 python tools/verify_local.py /tmp/smdp_degen
 --unicode is a DIVERGENCE sweep, not just a crash sweep: the shipped
 testdata corpus is pure ASCII, so every string kernel (Java regex vs
 DuckDB RE2, ICU-vs-utf8proc case mapping, code-point vs grapheme
