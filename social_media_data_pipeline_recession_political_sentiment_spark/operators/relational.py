@@ -5264,3 +5264,194 @@ def agg_sessions_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bounce_share"),
         F.sum("dur_us").alias("dur_us_sum"),
     )
+
+
+# ------------------------------------ difference-in-differences
+
+DID_TREATED_TYPE = "purchase"
+DID_CONTROL_TYPE = "view"
+
+_DID_ORACLE = f"""
+WITH e AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_num,
+         value
+  FROM events
+  WHERE event_type IN ('{DID_TREATED_TYPE}', '{DID_CONTROL_TYPE}')
+    AND ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+    AND abs(value) < 1.0e12),
+mid AS (SELECT (min(day_num) + max(day_num)) // 2 AS split_day FROM e),
+c AS (SELECT event_type,
+             CASE WHEN day_num < split_day THEN 'pre' ELSE 'post' END
+               AS period,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM e, mid GROUP BY 1, 2),
+m AS (SELECT
+        max(CASE WHEN event_type = '{DID_TREATED_TYPE}'
+                 AND period = 'pre' THEN cents * 1000000 // n END) AS t1,
+        max(CASE WHEN event_type = '{DID_TREATED_TYPE}'
+                 AND period = 'post' THEN cents * 1000000 // n END) AS t2,
+        max(CASE WHEN event_type = '{DID_CONTROL_TYPE}'
+                 AND period = 'pre' THEN cents * 1000000 // n END) AS c1,
+        max(CASE WHEN event_type = '{DID_CONTROL_TYPE}'
+                 AND period = 'post' THEN cents * 1000000 // n END) AS c2,
+        CAST(sum(n) AS BIGINT) AS n_events
+      FROM c)
+SELECT CAST(t1 AS BIGINT) AS treated_pre_microcents,
+       CAST(t2 AS BIGINT) AS treated_post_microcents,
+       CAST(c1 AS BIGINT) AS control_pre_microcents,
+       CAST(c2 AS BIGINT) AS control_post_microcents,
+       CAST((t2 - t1) - (c2 - c1) AS BIGINT) AS did_microcents,
+       n_events
+FROM m WHERE n_events > 0
+"""
+
+
+@register("agg_diff_in_diff", oracle=_DID_ORACLE)
+def agg_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator over the event stream:
+    treated type vs control type, pre/post split at the midpoint day
+    — the standard causal read-out for "did the launch move the
+    treated metric beyond what the control drifted" (a product
+    analytics staple the trend/changepoint family doesn't give:
+    `agg_cusum_changepoint` finds WHERE a level moved,
+    `agg_trend_slope` HOW FAST — this asks how much of the move
+    survives subtracting the control group's drift).
+
+    Exactness end to end: values fold to exact BIGINT cents (the
+    FINITE_VALUE_SQL domain), per-cell means are integer
+    micro-cents (cents·1e6 div n — floor division of nonnegative-
+    denominator BIGINTs agrees across engines), and the DiD contrast
+    is BIGINT subtraction. The midpoint split day derives from the
+    same epoch-day integer contract as the drift probe. A missing
+    cell (type inactive in a period) reads NULL and propagates to a
+    NULL estimate — visible, not invented; the one output row
+    appears only for a non-empty universe (both engines).
+
+    Scale shape: one scan; a 2-scalar min/max agg broadcasts the
+    split day; one (type, period)-keyed agg with map-side partials
+    collapses the stream to 4 cells; the contrast is a 1-row
+    projection. No windows, no joins beyond two broadcast scalars."""
+    e = (
+        load(spark, sf_dir, "events")
+        .where(
+            f"event_type IN ('{DID_TREATED_TYPE}', '{DID_CONTROL_TYPE}') "
+            f"AND ts IS NOT NULL AND {FINITE_VALUE_SQL}"
+        )
+        .select(
+            "event_type",
+            F.expr("CAST(ts AS LONG) div 86400").alias("day_num"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+    )
+    mid = e.agg(
+        F.expr("(min(day_num) + max(day_num)) div 2").alias("split_day")
+    )
+    c = (
+        e.crossJoin(F.broadcast(mid))
+        .select(
+            "event_type",
+            F.expr(
+                "CASE WHEN day_num < split_day THEN 'pre' ELSE 'post' END"
+            ).alias("period"),
+            "cents",
+        )
+        .groupBy("event_type", "period")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("cents"))
+    )
+
+    def cell(t, p):
+        return (
+            f"max(CASE WHEN event_type = '{t}' AND period = '{p}' "
+            "THEN cents * 1000000 div n END)"
+        )
+
+    m = c.agg(
+        F.expr(cell(DID_TREATED_TYPE, "pre")).alias("t1"),
+        F.expr(cell(DID_TREATED_TYPE, "post")).alias("t2"),
+        F.expr(cell(DID_CONTROL_TYPE, "pre")).alias("c1"),
+        F.expr(cell(DID_CONTROL_TYPE, "post")).alias("c2"),
+        F.sum("n").alias("n_events"),
+    )
+    return m.where("n_events > 0").select(
+        F.col("t1").cast("long").alias("treated_pre_microcents"),
+        F.col("t2").cast("long").alias("treated_post_microcents"),
+        F.col("c1").cast("long").alias("control_pre_microcents"),
+        F.col("c2").cast("long").alias("control_post_microcents"),
+        F.expr("CAST((t2 - t1) - (c2 - c1) AS BIGINT)").alias(
+            "did_microcents"
+        ),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+# ------------------------------------ day-of-week entropy (bots)
+
+_DOW_ENTROPY_ORACLE = """
+WITH d AS (
+  SELECT user_id,
+         ((CAST(floor(epoch(ts)) AS BIGINT) // 86400) + 4) % 7 AS dow
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+c AS (SELECT user_id, dow, CAST(count(*) AS BIGINT) AS c
+      FROM d GROUP BY 1, 2),
+h AS (SELECT user_id,
+             CAST(sum(c) AS BIGINT) AS n_events,
+             CAST(count(*) AS BIGINT) AS n_active_dows,
+             round(ln(sum(c) * 1e0)
+                   - sum(c * ln(c * 1e0)) / sum(c), 6) AS dow_entropy
+      FROM c GROUP BY 1)
+SELECT CAST(floor(dow_entropy * 4) AS BIGINT) AS bucket_q,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       CAST(min(n_active_dows) AS BIGINT) AS min_active_dows,
+       min(dow_entropy) AS min_entropy,
+       max(dow_entropy) AS max_entropy
+FROM h GROUP BY 1
+"""
+
+
+@register("agg_dow_entropy", oracle=_DOW_ENTROPY_ORACLE)
+def agg_dow_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week activity entropy per user, bucketed — the calendar
+    REGULARITY axis of the bot screen: a cron-driven account posts on
+    a fixed weekly schedule (entropy → 0 over its active days) while
+    a human spreads over the week (entropy → ln 7). Completes the
+    behavioral triptych with `agg_burstiness_fano` (dispersion) and
+    `agg_markov_entropy` (event-type transitions). Day-of-week uses
+    the epoch-day + 4 mod 7 integer contract (`agg_hourly_heatmap`'s
+    device) — no calendar locale, no timezone surface.
+
+    Bit-stable float contract: per-user H = ln(n) − Σ c·ln(c)/n over
+    exact BIGINT day-of-week counts is ONE identical expression tree
+    on both engines (the `ext_char_entropy` device), rounded 6dp
+    before the quarter-width bucket floor; per-bucket float
+    aggregates are order-free min/max.
+
+    Scale shape: (user, dow)-keyed agg with map-side partials (the
+    combine collapses the stream to ≤7 cells per user), then user,
+    then ~8 entropy buckets. No windows, no joins; the hot-user skew
+    key is 7 reduce-side rows."""
+    e = load(spark, sf_dir, "events").where(
+        "ts IS NOT NULL AND user_id IS NOT NULL"
+    )
+    c = e.groupBy(
+        "user_id",
+        F.expr("((CAST(ts AS LONG) div 86400) + 4) % 7").alias("dow"),
+    ).agg(F.count("*").alias("c"))
+    h = c.groupBy("user_id").agg(
+        F.sum("c").alias("n_events"),
+        F.count("*").alias("n_active_dows"),
+        F.expr(
+            "round(ln(sum(c) * 1e0) - sum(c * ln(c * 1e0)) / sum(c), 6)"
+        ).alias("dow_entropy"),
+    )
+    return h.groupBy(
+        F.expr("CAST(floor(dow_entropy * 4) AS BIGINT)").alias("bucket_q")
+    ).agg(
+        F.count("*").alias("n_users"),
+        F.sum("n_events").alias("n_events"),
+        F.min("n_active_dows").alias("min_active_dows"),
+        F.min("dow_entropy").alias("min_entropy"),
+        F.max("dow_entropy").alias("max_entropy"),
+    )

@@ -2414,6 +2414,10 @@ def ext_emb_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("codes", F.expr(_PQ_CODES_SPARK))
         .select("vec_id", "codes")
     )
+    # slim (vec_id, codes) frame feeds dim scalar + seeds + the
+    # assignment explode — pin it or each branch re-scans and
+    # re-quantizes the corpus (r6 scan-audit class)
+    zz = compute_once(zz)
     dim = zz.agg(
         F.expr(f"CAST(min(size(codes)) div {PQ_M} AS INT)").alias("ds")
     )
@@ -2469,3 +2473,163 @@ def ext_emb_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_assigned"),
         F.sum(F.expr(f"enc div {PQ_K}")).cast("long").alias("sse_sum"),
     )
+
+
+# ----------------------- PQ symmetric-distance top-k (serving)
+
+PQ_N_QUERY = 3
+PQ_TOP_K = 10
+
+_PQ_TOPK_ORACLE = f"""
+WITH {INT8_Z_CTES},
+zz AS (SELECT vec_id, codes FROM z WHERE codes IS NOT NULL),
+dim AS (SELECT min(len(codes)) // {PQ_M} AS ds FROM zz),
+sd AS (SELECT vec_id, codes,
+              row_number() OVER (ORDER BY vec_id) - 1 AS cid
+       FROM (SELECT vec_id, codes FROM zz ORDER BY vec_id
+             LIMIT {PQ_K}) seeds),
+sp AS (SELECT unnest(generate_series(0, {PQ_M} - 1)) AS subspace),
+cb AS (SELECT sp.subspace, sd.cid,
+              codes[sp.subspace * ds + 1 : sp.subspace * ds + ds]
+                AS ccodes
+       FROM sd, dim, sp),
+a AS (SELECT zz.vec_id, sp.subspace,
+             codes[sp.subspace * ds + 1 : sp.subspace * ds + ds] AS sub
+      FROM zz, dim, sp),
+asg AS (SELECT a.vec_id, a.subspace,
+               min(coalesce(list_sum(list_transform(
+                   generate_series(1, len(a.sub)),
+                   i -> (a.sub[i] - cb.ccodes[i])
+                        * (a.sub[i] - cb.ccodes[i]))), 0)
+                   * {PQ_K} + cb.cid) % {PQ_K} AS cid
+        FROM a JOIN cb ON cb.subspace = a.subspace
+        GROUP BY 1, 2),
+lut AS (SELECT q.vec_id AS query_id, cb.subspace, cb.cid,
+               coalesce(list_sum(list_transform(
+                   generate_series(1, len(cb.ccodes)),
+                   i -> (q.sub[i] - cb.ccodes[i])
+                        * (q.sub[i] - cb.ccodes[i]))), 0) AS part
+        FROM (SELECT vec_id, subspace, sub FROM a
+              WHERE vec_id < {PQ_N_QUERY}) q
+        JOIN cb ON cb.subspace = q.subspace),
+dist AS (SELECT lut.query_id, asg.vec_id AS neighbor_id,
+                CAST(sum(lut.part) AS BIGINT) AS sdc
+         FROM asg JOIN lut ON lut.subspace = asg.subspace
+                          AND lut.cid = asg.cid
+         WHERE asg.vec_id != lut.query_id
+         GROUP BY 1, 2),
+r AS (SELECT query_id, neighbor_id, sdc, row_number() OVER (
+        PARTITION BY query_id ORDER BY sdc, neighbor_id) AS rank
+      FROM dist)
+SELECT query_id, neighbor_id, sdc, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {PQ_TOP_K}
+"""
+
+
+@register("ext_emb_topk_pq", oracle=_PQ_TOPK_ORACLE)
+def ext_emb_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed top-k serving — the query path the
+    `ext_emb_pq_codebook` layout exists for: corpus vectors are
+    represented ONLY by their {PQ_M} centroid ids, and distance to a
+    query is the classic symmetric-distance computation (SDC): a
+    per-query lookup table of (subspace, centroid) partial SSEs
+    (|queries|·{PQ_M}·{PQ_K} integers), then every corpus vector's
+    distance is {PQ_M} table lookups summed — NO vector arithmetic
+    per corpus row at query time, which is the entire point of PQ at
+    billion-vector scale. `ext_sim_topk` is the float brute-force
+    baseline, `ext_sim_topk_int8` the flat-compressed kernel, this
+    is the codebook-compressed kernel; recall of the approximation
+    is measured in tests against the int8 exact ranking.
+
+    Exactness: codes, centroid assignments (the `ext_emb_pq_codebook`
+    argmin contract, ties to the lowest centroid id) and every SDC
+    partial are exact BIGINTs; the top-k order (sdc ASC, neighbor_id)
+    is a total order, and self-pairs are excluded.
+
+    Scale shape: assignments are a bounded-fan-out broadcast join
+    (inherited); the LUT is |queries|·{PQ_M}·{PQ_K} rows BROADCAST;
+    the distance stage joins the N·{PQ_M}-row assignment frame to
+    the LUT on (subspace, cid) — hash join against a broadcast,
+    zero shuffle of corpus vectors — and the per-(query, neighbor)
+    sum + per-query TakeOrdered cap the output at
+    |queries|·{PQ_TOP_K}."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("dv")
+    )
+    zz = (
+        e.withColumn("amax", F.expr("array_max(transform(dv, x -> abs(x)))"))
+        .where(FINITE_AMAX_SQL)
+        .withColumn("codes", F.expr(_PQ_CODES_SPARK))
+        .select("vec_id", "codes")
+    )
+    # slim (vec_id, codes) frame feeds dim scalar + seeds + the
+    # assignment explode — pin it or each branch re-scans and
+    # re-quantizes the corpus (r6 scan-audit class)
+    zz = compute_once(zz)
+    dim = zz.agg(
+        F.expr(f"CAST(min(size(codes)) div {PQ_M} AS INT)").alias("ds")
+    )
+    sd = zz.orderBy("vec_id").limit(PQ_K)
+    sd = sd.select(
+        (F.row_number().over(W.orderBy("vec_id")) - 1).alias("cid"),
+        "codes",
+    )
+    sp = spark.range(PQ_M).select(F.col("id").cast("int").alias("subspace"))
+    cb = (
+        sd.crossJoin(F.broadcast(dim))
+        .crossJoin(F.broadcast(sp))
+        .select(
+            "subspace",
+            "cid",
+            F.expr("slice(codes, subspace * ds + 1, ds)").alias("ccodes"),
+        )
+    )
+    a = (
+        zz.crossJoin(F.broadcast(dim))
+        .crossJoin(F.broadcast(sp))
+        .select(
+            "vec_id",
+            "subspace",
+            F.expr("slice(codes, subspace * ds + 1, ds)").alias("sub"),
+        )
+    )
+    sse = (
+        "aggregate(zip_with(sub, ccodes, (x, y) -> (x - y) * (x - y)), "
+        "0L, (acc, v) -> acc + v)"
+    )
+    asg = (
+        a.join(F.broadcast(cb), "subspace")
+        .select(
+            "vec_id",
+            "subspace",
+            F.expr(f"{sse} * {PQ_K} + cid").alias("enc"),
+        )
+        .groupBy("vec_id", "subspace")
+        .agg(F.expr(f"min(enc) % {PQ_K}").alias("cid"))
+    )
+    lut = (
+        a.where(f"vec_id < {PQ_N_QUERY}")
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(cb), "subspace")
+        .select("query_id", "subspace", "cid", F.expr(sse).alias("part"))
+    )
+    dist = (
+        asg.join(F.broadcast(lut), ["subspace", "cid"])
+        .where("vec_id != query_id")
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("part").cast("long").alias("sdc"))
+    )
+    r = dist.select(
+        "query_id",
+        "neighbor_id",
+        "sdc",
+        F.row_number()
+        .over(
+            W.partitionBy("query_id").orderBy(
+                F.col("sdc"), F.col("neighbor_id")
+            )
+        )
+        .cast("long")
+        .alias("rank"),
+    )
+    return r.where(f"rank <= {PQ_TOP_K}")

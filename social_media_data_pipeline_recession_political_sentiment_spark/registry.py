@@ -104,7 +104,10 @@ def register(name: str, oracle: Optional[str] = None):
 # rows-only/mm r3 tags yield (scan_table + ext_sim_lsh + ext_sim_ivf
 # + ext_mm_resize_stub -> r10 head; the two rows-only miners carry
 # no hash check either way and their _verify twins are in-window
-# history).
+# history). Batch E (agg_diff_in_diff / agg_dow_entropy /
+# ext_emb_topk_pq) takes the last three r3 text-trio tail slots
+# (ext_token_count / fn_text_stats / ext_mm_metadata -> r10 head
+# with the other displaced r3/r4 tags).
 _WINDOW_PRIORITY = (
     # -- added this round (session 2 adds at the very head) --
     "ext_readability_flesch",
@@ -118,6 +121,9 @@ _WINDOW_PRIORITY = (
     "sink_minmax_prune_audit",
     "ext_sample_temperature",
     "ext_emb_pq_codebook",
+    "agg_diff_in_diff",
+    "agg_dow_entropy",
+    "ext_emb_topk_pq",
     # -- rewritten this round: the int8 family's FINITE_AMAX_SQL
     #    contract (r9 nonfinite oracle-gate finding) --
     "ext_emb_quantize",
@@ -161,9 +167,6 @@ _WINDOW_PRIORITY = (
     "ext_fingerprint",
     "ext_props_map",
     "ext_text_quality",
-    "ext_token_count",
-    "fn_text_stats",
-    "ext_mm_metadata",
     # -- r4 backfill, registration order --
 )
 

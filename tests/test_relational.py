@@ -2015,3 +2015,88 @@ def test_sessions_bounce_daily_rollup(spark):
     assert r1.bounce_share == 0.5 and r1.dur_us_sum == 5 * 60 * 1_000_000
     assert r2.n_sessions == 1 and r2.n_bounce == 1 and r2.bounce_share == 1.0
     assert r2.dur_us_sum == 0
+
+
+def test_diff_in_diff_exact_contrast(spark):
+    """agg_diff_in_diff: planted pre/post cell means give the exact
+    integer micro-cent contrast (treated +2.00, control +1.00 ->
+    DiD = +1.00)."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.relational import (
+        agg_diff_in_diff,
+    )
+
+    pre = dt.datetime(2023, 1, 1, 12)
+    post = dt.datetime(2023, 1, 20, 12)
+    rows = []
+    eid = 0
+    for v in (1.0, 1.0):
+        rows.append((eid, pre, 1, "purchase", v, "{}")); eid += 1
+    for v in (3.0, 3.0):
+        rows.append((eid, post, 1, "purchase", v, "{}")); eid += 1
+    for v in (1.0, 1.0):
+        rows.append((eid, pre, 2, "view", v, "{}")); eid += 1
+    for v in (2.0, 2.0):
+        rows.append((eid, post, 2, "view", v, "{}")); eid += 1
+    # a third type must be ignored entirely
+    rows.append((eid, post, 3, "click", 99.0, "{}"))
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_did_")
+    e.coalesce(1).write.parquet(os.path.join(tmp, "events.parquet"))
+    (r,) = agg_diff_in_diff(spark, tmp).collect()
+    assert r.treated_pre_microcents == 100_000_000
+    assert r.treated_post_microcents == 300_000_000
+    assert r.control_pre_microcents == 100_000_000
+    assert r.control_post_microcents == 200_000_000
+    assert r.did_microcents == 100_000_000
+    assert r.n_events == 8
+
+
+def test_dow_entropy_schedule_vs_uniform(spark):
+    """agg_dow_entropy: a single-weekday scheduler reads exactly 0;
+    a uniform 7-day user reads ln(7)."""
+    import datetime as dt
+    import math
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.relational import (
+        agg_dow_entropy,
+    )
+
+    rows = []
+    eid = 0
+    # user 1: six events, all on Mondays (2023-01-02 is a Monday)
+    for w in range(6):
+        rows.append(
+            (eid, dt.datetime(2023, 1, 2) + dt.timedelta(weeks=w), 1,
+             "post", 1.0, "{}")
+        )
+        eid += 1
+    # user 2: one event each day of one week
+    for d in range(7):
+        rows.append(
+            (eid, dt.datetime(2023, 1, 2) + dt.timedelta(days=d), 2,
+             "post", 1.0, "{}")
+        )
+        eid += 1
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_dow_")
+    e.coalesce(1).write.parquet(os.path.join(tmp, "events.parquet"))
+    out = {r.bucket_q: r for r in agg_dow_entropy(spark, tmp).collect()}
+    ln7 = round(math.log(7), 6)
+    assert out[0].n_users == 1 and out[0].min_entropy == 0.0
+    assert out[0].min_active_dows == 1
+    b7 = int(ln7 * 4)
+    assert out[b7].n_users == 1 and abs(out[b7].max_entropy - ln7) < 1e-9

@@ -837,3 +837,71 @@ def test_int8_finite_domain_contract(spark):
     assert out[1].q_l1 == 127 + 64  # codes (64, -127) via absmax 2.0
     assert out[4].q_sum == 0 and out[4].n_sat == 0
     assert not math.isnan(out[1].scale)
+
+
+def test_pq_topk_matches_python_replica(spark):
+    """ext_emb_topk_pq: SDC top-k on the one-hot fixture matches an
+    independent integer replica (assignment, LUT, summed lookups,
+    tie order)."""
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        PQ_N_QUERY,
+        PQ_TOP_K,
+        ext_emb_topk_pq,
+    )
+
+    vecs = {}
+    for k in range(8):
+        v = [0.0] * 8
+        v[k] = 127.0
+        vecs[k] = v
+    vecs[100] = list(vecs[3])
+    vecs[101] = list(vecs[5])
+    rows = [(vid, v, 0) for vid, v in sorted(vecs.items())]
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_pqtk_")
+    e.coalesce(1).write.parquet(os.path.join(tmp, "embeddings.parquet"))
+    out = {
+        (r.query_id, r.neighbor_id): r
+        for r in ext_emb_topk_pq(spark, tmp).collect()
+    }
+    ds = 8 // PQ_M
+    codes = {vid: [int(x) for x in v] for vid, v in vecs.items()}
+    seeds = [codes[k] for k in range(PQ_K)]
+
+    def sse(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    assign = {
+        (vid, s): min(
+            (sse(c[s * ds:(s + 1) * ds], seeds[cid][s * ds:(s + 1) * ds]), cid)
+            for cid in range(PQ_K)
+        )[1]
+        for vid, c in codes.items()
+        for s in range(PQ_M)
+    }
+    expect = {}
+    for q in range(PQ_N_QUERY):
+        dists = []
+        for vid in codes:
+            if vid == q:
+                continue
+            d = sum(
+                sse(
+                    codes[q][s * ds:(s + 1) * ds],
+                    seeds[assign[(vid, s)]][s * ds:(s + 1) * ds],
+                )
+                for s in range(PQ_M)
+            )
+            dists.append((d, vid))
+        for rank, (d, vid) in enumerate(sorted(dists)[:PQ_TOP_K], start=1):
+            expect[(q, vid)] = (d, rank)
+    assert set(out) == set(expect)
+    for key, (d, rank) in expect.items():
+        assert out[key].sdc == d and out[key].rank == rank

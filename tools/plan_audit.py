@@ -1156,6 +1156,27 @@ AUDIT = {
         "arithmetic",
         "planning math on aggregate rows only",
     ),
+    "agg_diff_in_diff": (
+        "ONE scan; 2-scalar broadcast for the split day; "
+        "(type, period) HashAggregate with partial sums; 1-row "
+        "contrast projection",
+        "the stream collapses to 4 cells map-side; no windows, no "
+        "row-level joins",
+    ),
+    "agg_dow_entropy": (
+        "three HashAggregates — (user, dow), user, bucket — all "
+        "with map-side partials; no windows or joins",
+        "per-user state is <= 7 cells before the shuffle; the "
+        "hot-user skew key reduces to 7 rows",
+    ),
+    "ext_emb_topk_pq": (
+        "assignment = broadcast hash joins over the 32-row codebook; "
+        "LUT broadcast; distance stage joins N*4 assignment rows to "
+        "the broadcast LUT, then per-(query, neighbor) HashAggregate "
+        "and a per-query rank window",
+        "corpus vectors never shuffle at query time — only their "
+        "4 centroid ids; output capped at |queries| * k",
+    ),
     "ext_sample_temperature": (
         "one lang-keyed HashAggregate; the total and the weight sum "
         "are 1-row broadcast scalars; weight projection runs over "
