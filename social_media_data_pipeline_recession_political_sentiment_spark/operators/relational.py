@@ -5455,3 +5455,107 @@ def agg_dow_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("dow_entropy").alias("min_entropy"),
         F.max("dow_entropy").alias("max_entropy"),
     )
+
+
+# ------------------------------------ heavy-tail (Hill) estimator
+
+HILL_K = 50
+
+_HILL_ORACLE = f"""
+WITH uc AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+            FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+r AS (SELECT c, row_number() OVER (ORDER BY c DESC, user_id) AS rn
+      FROM uc),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uc),
+k AS (SELECT CAST(least({HILL_K}, n - 1) AS BIGINT) AS k FROM n),
+cut AS (SELECT r.c AS c_cut FROM r, k WHERE r.rn = k.k + 1),
+terms AS (SELECT CAST(floor(ln(r.c * 1e0 / cut.c_cut) * 1e9 + 0.5)
+                 AS BIGINT) AS t_nano
+          FROM r, k, cut WHERE r.rn <= k.k),
+s AS (SELECT CAST(sum(t_nano) AS BIGINT) AS s_nano,
+             CAST(count(*) AS BIGINT) AS k_eff FROM terms)
+SELECT n.n AS n_users, s.k_eff AS k, cut.c_cut,
+       round(s.s_nano * 1e0 / (s.k_eff * 1e9), 6) AS hill_mean,
+       CASE WHEN s.s_nano = 0 THEN NULL
+            ELSE round(s.k_eff * 1e9 * 1e0 / s.s_nano, 6) END AS alpha
+FROM n, k, cut, s WHERE k.k >= 1
+"""
+
+
+@register("agg_tail_hill", oracle=_HILL_ORACLE)
+def agg_tail_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the activity-distribution tail exponent —
+    the heavy-tail scalar behind "is this a power law, and how heavy":
+    mean log-excess of the top-{HILL_K} user volumes over the
+    (k+1)-th, whose reciprocal is the tail index α. Completes the
+    concentration suite: `agg_user_gini` (one inequality scalar),
+    `agg_lorenz_deciles` (the full curve), `ext_zipf_fit` (rank-slope
+    over the TOKEN distribution) — Hill is the estimator tail-risk
+    work actually quotes for α, and a LOW α here predicts the skew
+    that the salting devices exist for.
+
+    Float contract: each log-excess ln(c_i / c_(k+1)) is one
+    identical double expression over exact BIGINT counts,
+    round-once-to-nano-BIGINT BEFORE the sum (the
+    `agg_markov_entropy` device — a float Σ would be
+    summation-order-dependent); the two final divisions are round-6.
+    All-tied tails (every top count = the cut) read hill_mean 0 with
+    a NULL α (guarded); corpora with < 2 users emit nothing on both
+    engines.
+
+    Scale shape: one (user)-keyed agg, then the rank window over
+    DISTINCT USERS (the `agg_lorenz_deciles` note applies: user
+    cardinality, never event volume; WindowGroupLimit caps the sort
+    at k+1 via the rn filter), then {HILL_K}-row arithmetic with
+    broadcast scalars."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events").where("user_id IS NOT NULL")
+    # slim (user, count) frame feeds the rank window (read twice:
+    # cut + terms) and the n scalar — pin it or every branch
+    # re-scans and re-aggregates the event stream (the r6 scan-audit
+    # class; 8 scans before, 1 after)
+    uc = compute_once(e.groupBy("user_id").agg(F.count("*").alias("c")))
+    r = uc.select(
+        "c",
+        F.row_number()
+        .over(W.orderBy(F.col("c").desc(), F.col("user_id")))
+        .alias("rn"),
+    )
+    n = uc.agg(F.count("*").cast("long").alias("n"))
+    k = n.select(F.expr(f"CAST(least({HILL_K}, n - 1) AS BIGINT)").alias("k"))
+    cut = r.crossJoin(F.broadcast(k)).where("rn = k + 1").select(
+        F.col("c").alias("c_cut")
+    )
+    terms = (
+        r.crossJoin(F.broadcast(k))
+        .where("rn <= k")
+        .crossJoin(F.broadcast(cut))
+        .select(
+            F.expr(
+                "CAST(floor(ln(c * 1e0 / c_cut) * 1e9 + 0.5) AS BIGINT)"
+            ).alias("t_nano")
+        )
+    )
+    s = terms.agg(
+        F.sum("t_nano").cast("long").alias("s_nano"),
+        F.count("*").cast("long").alias("k_eff"),
+    )
+    return (
+        n.crossJoin(F.broadcast(k))
+        .crossJoin(F.broadcast(cut))
+        .crossJoin(F.broadcast(s))
+        .where("k >= 1")
+        .select(
+            F.col("n").alias("n_users"),
+            F.col("k_eff").alias("k"),
+            "c_cut",
+            F.expr("round(s_nano * 1e0 / (k_eff * 1e9), 6)").alias(
+                "hill_mean"
+            ),
+            F.expr(
+                "CASE WHEN s_nano = 0 THEN NULL "
+                "ELSE round(k_eff * 1e9 * 1e0 / s_nano, 6) END"
+            ).alias("alpha"),
+        )
+    )

@@ -5570,3 +5570,77 @@ def ext_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             "round(w_nano * 1e0 * total / (sumw * 1e0 * n_tokens), 6) END"
         ).alias("upsample_x"),
     )
+
+
+# ----------------------------------- char-trigram language profile
+
+TRI_TOP_K = 20
+
+_TRI_PROFILE_ORACLE = f"""
+WITH t AS (
+  SELECT lang, text FROM documents
+  WHERE text IS NOT NULL AND len(text) >= 3),
+g AS (
+  SELECT lang,
+         unnest(list_transform(generate_series(1, len(text) - 2),
+                               i -> text[i : i + 2])) AS tri
+  FROM t),
+c AS (SELECT lang, tri, CAST(count(*) AS BIGINT) AS n
+      FROM g GROUP BY 1, 2),
+r AS (SELECT lang, tri, n, row_number() OVER (
+        PARTITION BY lang ORDER BY n DESC, tri) AS rank
+      FROM c)
+SELECT lang, tri, n, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {TRI_TOP_K}
+"""
+
+
+@register("ext_char_ngram_profile", oracle=_TRI_PROFILE_ORACLE)
+def ext_char_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language character-trigram frequency profile (top-{TRI_TOP_K}
+    per language) — the training table behind every classic n-gram
+    language identifier (textcat / CLD-style): `fn_lang_detect` SCORES
+    documents against fixed marker lists; this op BUILDS the profile
+    that such markers come from, and doubles as the per-language
+    character-distribution fingerprint a corpus datacard ships. Docs
+    under 3 chars contribute nothing (stated, both engines).
+
+    Exactness: trigram extraction is code-point substring slicing —
+    Spark's UTF8String substring and DuckDB's array-style slice both
+    index code points (the unicode gate proves it on the emoji/CJK
+    fixture); counts are exact BIGINTs; the per-language top-K order
+    (n DESC, tri) is a total order.
+
+    Scale shape: the slice positions ride a scan-local
+    transform+sequence (one array per doc, exploded immediately to
+    3-char strings — the token arrays never shuffle); one
+    (lang, tri)-keyed agg with map-side partials (the combine
+    collapses to per-partition alphabet³ cardinality, not text
+    volume); the rank window partitions by lang over the AGGREGATE
+    rows. WindowGroupLimit pushes the rank<=K cap into the
+    per-partition sort."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents").where(
+        "text IS NOT NULL AND length(text) >= 3"
+    )
+    g = d.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 2), "
+                "i -> substring(text, i, 3))"
+            )
+        ).alias("tri"),
+    )
+    c = g.groupBy("lang", "tri").agg(F.count("*").alias("n"))
+    r = c.select(
+        "lang",
+        "tri",
+        "n",
+        F.row_number()
+        .over(W.partitionBy("lang").orderBy(F.col("n").desc(), "tri"))
+        .cast("long")
+        .alias("rank"),
+    )
+    return r.where(f"rank <= {TRI_TOP_K}")

@@ -107,7 +107,10 @@ def register(name: str, oracle: Optional[str] = None):
 # history). Batch E (agg_diff_in_diff / agg_dow_entropy /
 # ext_emb_topk_pq) takes the last three r3 text-trio tail slots
 # (ext_token_count / fn_text_stats / ext_mm_metadata -> r10 head
-# with the other displaced r3/r4 tags).
+# with the other displaced r3/r4 tags). Batch F
+# (ext_char_ngram_profile / agg_tail_hill) displaces
+# ext_props_map / ext_text_quality the same way; ext_fingerprint
+# keeps the last r3 slot.
 _WINDOW_PRIORITY = (
     # -- added this round (session 2 adds at the very head) --
     "ext_readability_flesch",
@@ -124,6 +127,8 @@ _WINDOW_PRIORITY = (
     "agg_diff_in_diff",
     "agg_dow_entropy",
     "ext_emb_topk_pq",
+    "ext_char_ngram_profile",
+    "agg_tail_hill",
     # -- rewritten this round: the int8 family's FINITE_AMAX_SQL
     #    contract (r9 nonfinite oracle-gate finding) --
     "ext_emb_quantize",
@@ -165,8 +170,6 @@ _WINDOW_PRIORITY = (
     "cache_memo",
     # -- r3: text/props/mm trios + rows-only miners --
     "ext_fingerprint",
-    "ext_props_map",
-    "ext_text_quality",
     # -- r4 backfill, registration order --
 )
 

@@ -2100,3 +2100,44 @@ def test_dow_entropy_schedule_vs_uniform(spark):
     assert out[0].min_active_dows == 1
     b7 = int(ln7 * 4)
     assert out[b7].n_users == 1 and abs(out[b7].max_entropy - ln7) < 1e-9
+
+
+def test_tail_hill_matches_python_replica(spark):
+    """agg_tail_hill: a planted power-law-ish tail reproduces the
+    nano-rounded Hill mean and alpha exactly."""
+    import datetime as dt
+    import math
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.relational import (
+        HILL_K,
+        agg_tail_hill,
+    )
+
+    counts = {u: max(1, int(1000 / u)) for u in range(1, 61)}  # 60 users
+    rows = []
+    eid = 0
+    for u, c in counts.items():
+        for i in range(c):
+            rows.append(
+                (eid, dt.datetime(2023, 1, 1 + i % 27), u, "post", 1.0, "{}")
+            )
+            eid += 1
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_hill_")
+    e.coalesce(1).write.parquet(os.path.join(tmp, "events.parquet"))
+    (r,) = agg_tail_hill(spark, tmp).collect()
+    ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    k = min(HILL_K, len(ordered) - 1)
+    c_cut = ordered[k][1]
+    s_nano = sum(
+        math.floor(math.log(c / c_cut) * 1e9 + 0.5) for _, c in ordered[:k]
+    )
+    assert r.n_users == 60 and r.k == k and r.c_cut == c_cut
+    assert r.hill_mean == round(s_nano / (k * 1e9), 6)
+    assert r.alpha == round(k * 1e9 / s_nano, 6)

@@ -1860,3 +1860,30 @@ def test_ttr_mattr_windows_exact(spark):
     assert r.n_windows == 2 and r.distinct_sum == 21
     assert r.mattr == round(21 / 40, 6)
     assert r.min_ttr == round(1 / 20, 6) and r.max_ttr == 1.0
+
+
+def test_char_ngram_profile_counts_and_rank(spark):
+    """ext_char_ngram_profile: planted text gives exact trigram
+    counts; short docs contribute nothing; ties rank by trigram."""
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.text_analysis import (
+        ext_char_ngram_profile,
+    )
+
+    rows = [
+        (1, "aaaa", "en", "s", 1),   # trigrams: aaa, aaa
+        (2, "abab", "en", "s", 1),   # aba, bab
+        (3, "xy", "en", "s", 1),     # too short
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_tri_")
+    d.coalesce(1).write.parquet(os.path.join(tmp, "documents.parquet"))
+    out = {(r.lang, r.tri): r for r in ext_char_ngram_profile(spark, tmp).collect()}
+    assert out[("en", "aaa")].n == 2 and out[("en", "aaa")].rank == 1
+    # tie between aba and bab -> lexicographic
+    assert out[("en", "aba")].rank == 2 and out[("en", "bab")].rank == 3
+    assert len(out) == 3

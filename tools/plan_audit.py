@@ -1156,6 +1156,21 @@ AUDIT = {
         "arithmetic",
         "planning math on aggregate rows only",
     ),
+    "ext_char_ngram_profile": (
+        "ONE scan; Generate explodes scan-sliced trigrams; one "
+        "(lang, tri) HashAggregate with map-side partials; per-lang "
+        "rank window over aggregate rows (WindowGroupLimit)",
+        "the combine collapses to <= alphabet^3 keys per partition "
+        "regardless of corpus volume",
+    ),
+    "agg_tail_hill": (
+        "user HashAggregate pinned once (ExistingRDD reads for the "
+        "rank window, the n scalar, cut and terms); single-partition "
+        "rank over DISTINCT USERS; 50-row arithmetic with broadcast "
+        "scalars",
+        "user cardinality bounds the sort, never event volume; the "
+        "nano-BIGINT fold keeps the Hill sum order-free",
+    ),
     "agg_diff_in_diff": (
         "ONE scan; 2-scalar broadcast for the split day; "
         "(type, period) HashAggregate with partial sums; 1-row "
