@@ -2167,7 +2167,7 @@ b AS (SELECT date_trunc('hour', min(ts)) AS h0,
              date_trunc('hour', max(ts)) AS h1 FROM sane),
 spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts
           FROM b),
-t AS (SELECT DISTINCT event_type FROM events)
+t AS (SELECT DISTINCT event_type FROM sane)
 SELECT t.event_type, s.hour_ts, coalesce(h.n, 0) AS n
 FROM t CROSS JOIN spine s
 LEFT JOIN h ON h.event_type = t.event_type AND h.hour_ts = s.hour_ts
@@ -5321,9 +5321,10 @@ def agg_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness end to end: values fold to exact BIGINT cents (the
     FINITE_VALUE_SQL domain), per-cell means are integer
-    micro-cents (cents·1e6 div n — floor division of nonnegative-
-    denominator BIGINTs agrees across engines), and the DiD contrast
-    is BIGINT subtraction. The midpoint split day derives from the
+    micro-cents (cents·1e6 div n — DuckDB's integer `//` and
+    Spark's `div` BOTH truncate toward zero, so they agree even when
+    the cents sum is negative, which FINITE_VALUE_SQL permits), and
+    the DiD contrast is BIGINT subtraction. The midpoint split day derives from the
     same epoch-day integer contract as the drift probe. A missing
     cell (type inactive in a period) reads NULL and propagates to a
     NULL estimate — visible, not invented; the one output row

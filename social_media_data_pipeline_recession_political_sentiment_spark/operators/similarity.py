@@ -617,16 +617,24 @@ def ext_dedup_embcos_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact operator is asserted in tests/test_similarity.py."""
     import math
 
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("dv")
+    e = (
+        load(spark, sf_dir, "embeddings")
+        # FINITE_EMB_BOUND pin (r9 ADVICE): the per-component bound is
+        # the contract `ext_dedup_embcos_lsh_verify`'s oracle applies
+        # (_fin_emb_duck) — a component in [1e150, ~1.3e154) has a
+        # finite norm, so a norm-only check would emit pairs the
+        # oracle excludes. Filter on the raw float column BEFORE the
+        # double cast, same as the other similarity ops.
+        .filter(F.expr(_fin_emb_spark()))
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("dv"))
     )
     nrm = F.sqrt(F.expr(_DOT.format(a="dv", b="dv")))
     unit = (
         e.withColumn("nrm", nrm)
-        # finite-norm pin (r9 nonfinite gate): NaN/inf components (or
-        # finite components whose Σx² overflows) have no unit vector;
-        # NaN > 0 is TRUE under Spark's NaN-greatest comparisons, so
-        # the positivity test alone would let NaN vectors through
+        # finite-norm pin (r9 nonfinite gate): kept as belt-and-braces
+        # (zero vectors still have no unit vector; NaN > 0 is TRUE
+        # under Spark's NaN-greatest comparisons, so the positivity
+        # test alone would let NaN vectors through)
         .filter(
             (F.col("nrm") > 0)
             & F.expr("NOT isnan(nrm) AND nrm < CAST('Infinity' AS DOUBLE)")

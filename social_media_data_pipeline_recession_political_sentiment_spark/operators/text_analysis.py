@@ -5492,8 +5492,11 @@ _TEMP_ORACLE = f"""
 WITH c AS (
   SELECT lang,
          CAST(count(*) AS BIGINT) AS n_docs,
-         CAST(sum(len(list_filter(string_split(text, ' '),
-              t -> t <> ''))) AS BIGINT) AS n_tokens
+         -- coalesce matches the Spark side's n_tokens -> 0 fold: a
+         -- lang whose documents all have NULL text is zero tokens on
+         -- BOTH engines, not NULL here / 0 there (r9 ADVICE)
+         CAST(coalesce(sum(len(list_filter(string_split(text, ' '),
+              t -> t <> ''))), 0) AS BIGINT) AS n_tokens
   FROM documents GROUP BY 1),
 t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM c),
 w AS (

@@ -790,8 +790,9 @@ def sink_minmax_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Overflow bound: (us − gmin) · {PRUNE_RUNS_K} ≤ span · 8; even
     the ±180-year extreme fixture spans ~1.1e16 µs → ~9e16, inside
-    BIGINT. All run arithmetic is nonnegative, so DuckDB's floor
-    `//` and Spark's truncating `div` agree."""
+    BIGINT. DuckDB's integer `//` and Spark's `div` both truncate
+    toward zero, so they agree on any sign; here the run arithmetic
+    is nonnegative anyway."""
     import glob as _glob
 
     import pyarrow.parquet as _pq
