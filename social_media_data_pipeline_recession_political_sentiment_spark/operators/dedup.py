@@ -704,9 +704,38 @@ def ext_dedup_components_lss(spark: SparkSession, sf_dir: str) -> DataFrame:
     (min-agg + join) passes over the edge list — the same shuffle
     vocabulary as one label-prop round, just with a provably bounded
     round count."""
-    docs = load(spark, sf_dir, "documents").select("doc_id")
-    pairs = ext_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    return _large_small_star(docs, pairs)
+    return _lss_components_shared(spark, sf_dir)
+
+
+# (applicationId, realpath(sf_dir), documents mtime) -> pinned
+# (doc_id, component) frame. `ext_dedup_components_lss` and
+# `ext_dedup_component_census` both consume the LSS component
+# assignment over the exact-Jaccard pair graph; without this seam a
+# session running both (the bench, the full gate, the production
+# dedup chain) pays the pair miner + star contraction TWICE (r8/r9
+# verdict carry-over). Keyed on the app id (frames die with the
+# SparkContext) and the source file's mtime (a rebuilt sweep fixture
+# at the same path invalidates); entries are slim (doc_id, component)
+# checkpointed frames, the `cache_memo` lifetime semantics.
+_LSS_COMP_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _lss_components_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    src = _os.path.join(sf_dir, "documents.parquet")
+    try:
+        mtime = _os.stat(src).st_mtime_ns
+    except OSError:
+        mtime = 0
+    key = (spark.sparkContext.applicationId, _os.path.realpath(sf_dir), mtime)
+    comp = _LSS_COMP_MEMO.get(key)
+    if comp is None:
+        docs = load(spark, sf_dir, "documents").select("doc_id")
+        pairs = ext_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+        comp = _large_small_star(docs, pairs).localCheckpoint(eager=False)
+        _LSS_COMP_MEMO[key] = comp
+    return comp
 
 
 def _large_small_star(docs: DataFrame, pairs: DataFrame) -> DataFrame:
@@ -1615,10 +1644,11 @@ def ext_dedup_component_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     (O(log² n) rounds of (id, id) motion) → component-keyed count →
     size-keyed count over the already-component-sized table. The
     histogram stages add two tiny keyed aggs on top of machinery
-    the dedup chain already pays for."""
-    d = load(spark, sf_dir, "documents").select("doc_id")
-    pairs = ext_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    comp = _large_small_star(d, pairs)
+    the dedup chain already pays for — and the component frame
+    itself is the SHARED `_lss_components_shared` pin, so a session
+    that also runs `ext_dedup_components_lss` computes the pair
+    graph + star contraction once, not twice (r8/r9 verdict item)."""
+    comp = _lss_components_shared(spark, sf_dir)
     cs = comp.groupBy("component").agg(F.count("*").alias("sz"))
     return cs.groupBy(F.col("sz").alias("cluster_size")).agg(
         F.count("*").alias("n_clusters"), F.sum("sz").alias("n_docs")

@@ -960,6 +960,124 @@ def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# End-to-end SEMANTIC-dedup recall certificate — the embcos twin of
+# `ext_dedup_pipeline_recall` (dedup.py): `ext_dedup_semantic` (exact
+# triangle-join pairs -> components -> min-id keeper) and the
+# LSH-mined arm (`ext_dedup_embcos_lsh` candidates, exact-rescored by
+# the `_verify` device -> SAME component machinery -> keeper) promise
+# to be the same chain with the pair stage swapped. The `_verify`
+# query certifies the swap at the PAIR level; this certifies it at
+# the OUTPUT level — the surviving vector sets. Every rescored LSH
+# pair provably satisfies cos >= t, so the LSH dup-graph is a
+# subgraph of the exact one: its components refine the exact
+# components, forcing two auditable invariants —
+#   keep_exact <= keep_lsh   (finer components => more keepers)
+#   keep_common = keep_exact (an exact keeper is the min vec_id of
+#                             its component, hence the min of any
+#                             LSH subcomponent containing it)
+# plus the quality number removal_recall_pm. The oracle's LSH arm is
+# the exact arm itself: numpy random-projection bucketing is not
+# SQL-expressible, and measured LSH recall at driver SFs is 1.0 (the
+# `ext_dedup_embcos_lsh_verify` contract), so keep_lsh == keep_exact
+# there — a bucketing regression that drops a true pair now FAILS
+# this hash check instead of hiding in the rows-only miner. At other
+# scales the statistical-recall assertion lives in
+# tests/test_similarity.py, same asymmetry as the `_recall` floors.
+
+_EMB_PIPE_RECALL_ORACLE = (
+    "WITH RECURSIVE p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
+    "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+    f"WHERE {_COS_SQL} >= {COS_DUP_THRESHOLD} "
+    f"AND {_fin_emb_duck('a.embedding')} "
+    f"AND {_fin_emb_duck('b.embedding')}), "
+    "edges AS (SELECT vec_a AS src, vec_b AS dst FROM p "
+    "UNION ALL SELECT vec_b, vec_a FROM p), "
+    "reach(node, lbl) AS ("
+    "  SELECT vec_id, vec_id FROM embeddings "
+    "  UNION "
+    "  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node), "
+    "comp AS (SELECT node AS vec_id, min(lbl) AS component "
+    "FROM reach GROUP BY node), "
+    "tot AS (SELECT (SELECT count(*) FROM embeddings) AS n, "
+    "(SELECT count(*) FROM comp WHERE vec_id = component) AS ke) "
+    "SELECT CAST(n AS BIGINT) AS n_vectors, "
+    "CAST(ke AS BIGINT) AS keep_exact, "
+    "CAST(ke AS BIGINT) AS keep_lsh, "
+    "CAST(ke AS BIGINT) AS keep_common, "
+    "CAST(n - ke AS BIGINT) AS removed_exact, "
+    "CAST(n - ke AS BIGINT) AS removed_lsh, "
+    "CAST((n - ke) * 1000 // nullif(n - ke, 0) AS BIGINT) "
+    "AS removal_recall_pm FROM tot"
+)
+
+
+@register("ext_dedup_embcos_pipeline_recall", oracle=_EMB_PIPE_RECALL_ORACLE)
+def ext_dedup_embcos_pipeline_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUTPUT-level recall certificate for the semantic-dedup swap
+    (section comment above): runs the exact chain
+    (`ext_dedup_semantic`) and the LSH chain (rescored
+    `ext_dedup_embcos_lsh_verify` pairs through the same
+    large-star/small-star components + min-id keeper) on the same
+    corpus and compares the surviving keeper sets. One row:
+    (n_vectors, keep_exact, keep_lsh, keep_common, removed_exact,
+    removed_lsh, removal_recall_pm) — all exact BIGINTs, the permille
+    an integer floor division, hash-checkable end to end.
+
+    Scale shape: composes two audited plans (each keeper frame pinned
+    with `compute_once` — it feeds its own count AND the agreement
+    join); the comparison is three scalar aggs plus one keeper-keyed
+    join of two already-deduplicated id sets. The exact arm's
+    triangle join is the audit's cost by definition — at 100 TB the
+    certificate runs on an IVF-bin or LSH-bucket SAMPLE (every stage
+    keys on vec_id-derived values, so the bucket-composability note
+    on `ext_dedup_minhash_eval` applies verbatim)."""
+    universe = load(spark, sf_dir, "embeddings").select("vec_id")
+    ke = compute_once(
+        ext_dedup_semantic(spark, sf_dir)
+        .filter(F.col("is_keeper"))
+        .select("vec_id")
+    )
+    from .dedup import _large_small_star
+
+    lsh_pairs = ext_dedup_embcos_lsh_verify(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    comp_l = _large_small_star(
+        universe.select(F.col("vec_id").alias("doc_id")), lsh_pairs
+    ).select(F.col("doc_id").alias("vec_id"), "component")
+    kl = compute_once(
+        comp_l.filter(F.col("vec_id") == F.col("component")).select("vec_id")
+    )
+    n = universe.agg(F.count("*").alias("n_vectors"))
+    ea = ke.agg(F.count("*").alias("keep_exact"))
+    la = kl.agg(F.count("*").alias("keep_lsh"))
+    ca = ke.join(kl, "vec_id").agg(F.count("*").alias("keep_common"))
+    return (
+        n.crossJoin(ea)
+        .crossJoin(la)
+        .crossJoin(ca)
+        .select(
+            F.col("n_vectors").cast("long").alias("n_vectors"),
+            F.col("keep_exact").cast("long").alias("keep_exact"),
+            F.col("keep_lsh").cast("long").alias("keep_lsh"),
+            F.col("keep_common").cast("long").alias("keep_common"),
+            (F.col("n_vectors") - F.col("keep_exact"))
+            .cast("long")
+            .alias("removed_exact"),
+            (F.col("n_vectors") - F.col("keep_lsh"))
+            .cast("long")
+            .alias("removed_lsh"),
+            F.expr(
+                "(n_vectors - keep_lsh) * 1000"
+                " div nullif(n_vectors - keep_exact, 0)"
+            )
+            .cast("long")
+            .alias("removal_recall_pm"),
+        )
+    )
+
+
 KNN_K = 3
 
 

@@ -3108,11 +3108,15 @@ def _rrf_sql(rank_col: str) -> str:
     )
 
 
-def _hybrid_fusion_oracle() -> str:
+def _fusion_arms_cte() -> str:
+    """Shared WITH-clause body producing `f(doc_id, lex_rank,
+    vec_rank)` — the full-outer join of the lexical and vector
+    top-{FUSE_POOL_K} rank arms. Consumed by the RRF fusion oracle
+    AND the RBO agreement oracle so the two ops provably rank over
+    the same arms."""
     from .similarity import INT8_Z_CTES
 
-    return f"""
-WITH {INT8_Z_CTES},
+    return f"""{INT8_Z_CTES},
 {BM25_DS_CTES},
 lexr AS (SELECT doc_id, rank FROM (
     SELECT doc_id, CAST(row_number() OVER (
@@ -3132,7 +3136,12 @@ vecr AS (SELECT vec_id, rank FROM (
   WHERE rank <= {FUSE_POOL_K}),
 f AS (SELECT coalesce(l.doc_id, v.vec_id) AS doc_id,
              l.rank AS lex_rank, v.rank AS vec_rank
-      FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.vec_id),
+      FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.vec_id)"""
+
+
+def _hybrid_fusion_oracle() -> str:
+    return f"""
+WITH {_fusion_arms_cte()},
 r AS (SELECT doc_id, lex_rank, vec_rank,
              coalesce({_rrf_sql("lex_rank")}, 0)
              + coalesce({_rrf_sql("vec_rank")}, 0) AS rrf_micros
@@ -5647,3 +5656,367 @@ def ext_char_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rank"),
     )
     return r.where(f"rank <= {TRI_TOP_K}")
+
+
+# ------------------------- cross-release datacard diff (r9 item 4c)
+
+_DCDIFF_TOKENS_DUCK = "len(string_split(text, ' '))"
+
+_DCDIFF_ORACLE = """
+WITH v1 AS (SELECT doc_id, source, lang, text FROM documents
+            WHERE doc_id % 7 <> 0),
+v2 AS (SELECT doc_id, source, lang,
+              CASE WHEN doc_id % 3 = 0 THEN text || ' [rev2]'
+                   ELSE text END AS text
+       FROM documents WHERE doc_id % 5 <> 0),
+c1 AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs_v1,
+              CAST(coalesce(sum({TOK}), 0) AS BIGINT) AS n_tokens_v1
+       FROM v1 GROUP BY 1, 2),
+c2 AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs_v2,
+              CAST(coalesce(sum({TOK}), 0) AS BIGINT) AS n_tokens_v2
+       FROM v2 GROUP BY 1, 2),
+st AS (SELECT coalesce(a.source, b.source) AS source,
+              coalesce(a.lang, b.lang) AS lang,
+              CASE WHEN a.doc_id IS NULL THEN 1 ELSE 0 END AS is_added,
+              CASE WHEN b.doc_id IS NULL THEN 1 ELSE 0 END AS is_removed,
+              CASE WHEN a.doc_id IS NOT NULL AND b.doc_id IS NOT NULL
+                        AND a.text <> b.text
+                   THEN 1 ELSE 0 END AS is_changed
+       FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id),
+sa AS (SELECT source, lang,
+              CAST(sum(is_added) AS BIGINT) AS n_added,
+              CAST(sum(is_removed) AS BIGINT) AS n_removed,
+              CAST(sum(is_changed) AS BIGINT) AS n_changed
+       FROM st GROUP BY 1, 2),
+cells AS (SELECT coalesce(c1.source, c2.source) AS source,
+                 coalesce(c1.lang, c2.lang) AS lang,
+                 coalesce(n_docs_v1, 0) AS n_docs_v1,
+                 coalesce(n_docs_v2, 0) AS n_docs_v2,
+                 coalesce(n_tokens_v1, 0) AS n_tokens_v1,
+                 coalesce(n_tokens_v2, 0) AS n_tokens_v2
+          FROM c1 FULL OUTER JOIN c2
+            ON c1.source IS NOT DISTINCT FROM c2.source
+           AND c1.lang IS NOT DISTINCT FROM c2.lang)
+SELECT c.source, c.lang, c.n_docs_v1, c.n_docs_v2,
+       c.n_docs_v2 - c.n_docs_v1 AS d_docs,
+       c.n_tokens_v1, c.n_tokens_v2,
+       c.n_tokens_v2 - c.n_tokens_v1 AS d_tokens,
+       coalesce(sa.n_added, 0) AS n_added,
+       coalesce(sa.n_removed, 0) AS n_removed,
+       coalesce(sa.n_changed, 0) AS n_changed
+FROM cells c LEFT JOIN sa
+  ON sa.source IS NOT DISTINCT FROM c.source
+ AND sa.lang IS NOT DISTINCT FROM c.lang
+WHERE c.n_docs_v2 <> c.n_docs_v1 OR c.n_tokens_v2 <> c.n_tokens_v1
+   OR coalesce(sa.n_changed, 0) > 0
+""".replace("{TOK}", _DCDIFF_TOKENS_DUCK)
+
+
+@register("ext_datacard_diff", oracle=_DCDIFF_ORACLE)
+def ext_datacard_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-release datacard DIFF (r9 verdict item 4c): which
+    (source, lang) cells of the dataset card MOVED between release v1
+    and release v2, and why — `ext_corpus_datacard`'s per-cell
+    doc/token counts crossed with `ext_dataset_diff`'s release device
+    (v1 = doc_id % 7 != 0; v2 = doc_id % 5 != 0 with doc_id % 3 == 0
+    texts revised). Per moved cell: both releases' doc and token
+    counts, the deltas, and the WHY decomposition — how many docs
+    were added, removed, or content-changed in that cell (the
+    `[rev2]` suffix changes the token count, so changed docs move
+    d_tokens without moving d_docs). Cells where nothing moved are
+    excluded: the output is the release-notes delta table, not the
+    full card.
+
+    Cross-engine contracts: token counts are the datacard's
+    size(split(text, ' ')) with the sum coalesced to 0 (an
+    all-NULL-text cell is zero tokens on both engines, the
+    `ext_sample_temperature` convention); "changed" is the STRICT
+    text inequality of `ext_dataset_diff` (a NULL-text pair is NOT
+    changed — Spark compares sha2 fingerprints, DuckDB raw text,
+    identical absent SHA-256 collisions); cell joins are null-safe
+    (`<=>` / IS NOT DISTINCT FROM) so a NULL source or lang is ONE
+    cell on both engines, not two join-miss rows.
+
+    Scale shape: the documents scan is read once (compute_once pin —
+    v1, v2, and the status join all derive from it), reduced in the
+    scan to (doc_id, source, lang, fingerprint, token count) — text
+    never shuffles. Then one doc_id-keyed full-outer join (the
+    `ext_dataset_diff` motion, co-located under the bucketed layout)
+    and two kilobyte-scale (source, lang) aggs with map-side
+    partials. Output is bounded by |sources| x |langs|."""
+    tok = F.size(F.split(F.col("text"), " "))
+    rev_text = F.concat(F.col("text"), F.lit(" [rev2]"))
+    is_rev = F.col("doc_id") % 3 == 0
+    # ONE documents scan carries both releases' fingerprint + token
+    # columns (v1, v2, and the status join all derive from this pin)
+    d = compute_once(
+        load(spark, sf_dir, "documents").select(
+            "doc_id",
+            "source",
+            "lang",
+            tok.alias("n_tok"),
+            F.sha2(F.col("text"), 256).alias("fp"),
+            F.when(is_rev, F.size(F.split(rev_text, " ")))
+            .otherwise(tok)
+            .alias("n_tok2"),
+            F.when(is_rev, F.sha2(rev_text, 256))
+            .otherwise(F.sha2(F.col("text"), 256))
+            .alias("fp2"),
+        )
+    )
+    v1 = d.filter(F.col("doc_id") % 7 != 0)
+    v2 = d.filter(F.col("doc_id") % 5 != 0)
+    c1 = v1.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("n_docs_v1"),
+        F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("n_tokens_v1"),
+    )
+    c2 = v2.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("n_docs_v2"),
+        F.coalesce(F.sum("n_tok2"), F.lit(0)).cast("long").alias("n_tokens_v2"),
+    )
+    a = v1.select(
+        F.col("doc_id"),
+        F.col("source").alias("src1"),
+        F.col("lang").alias("lang1"),
+        F.col("fp").alias("fp1"),
+        F.lit(True).alias("in1"),
+    )
+    b = v2.select(
+        F.col("doc_id"),
+        F.col("source").alias("src2"),
+        F.col("lang").alias("lang2"),
+        F.col("fp2"),
+        F.lit(True).alias("in2"),
+    )
+    st = a.join(b, "doc_id", "full_outer").select(
+        F.coalesce("src1", "src2").alias("source"),
+        F.coalesce("lang1", "lang2").alias("lang"),
+        F.coalesce("in1", F.lit(False)).alias("in1"),
+        F.coalesce("in2", F.lit(False)).alias("in2"),
+        "fp1",
+        "fp2",
+    )
+    sa = st.groupBy("source", "lang").agg(
+        F.sum((~F.col("in1")).cast("long")).alias("n_added"),
+        F.sum((~F.col("in2")).cast("long")).alias("n_removed"),
+        F.sum(
+            (
+                F.col("in1")
+                & F.col("in2")
+                & F.coalesce(F.col("fp1") != F.col("fp2"), F.lit(False))
+            ).cast("long")
+        ).alias("n_changed"),
+    )
+    # c1/c2 (and cells/sa) descend from the same pinned scan, so the
+    # join keys need explicit dataset aliases or Spark's ambiguous-
+    # self-join check rejects the plan
+    cells = (
+        c1.alias("c1")
+        .join(
+            c2.alias("c2"),
+            F.col("c1.source").eqNullSafe(F.col("c2.source"))
+            & F.col("c1.lang").eqNullSafe(F.col("c2.lang")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("c1.source"), F.col("c2.source")).alias("source"),
+            F.coalesce(F.col("c1.lang"), F.col("c2.lang")).alias("lang"),
+            F.coalesce("n_docs_v1", F.lit(0)).alias("n_docs_v1"),
+            F.coalesce("n_docs_v2", F.lit(0)).alias("n_docs_v2"),
+            F.coalesce("n_tokens_v1", F.lit(0)).alias("n_tokens_v1"),
+            F.coalesce("n_tokens_v2", F.lit(0)).alias("n_tokens_v2"),
+        )
+    )
+    out = cells.alias("cl").join(
+        sa.alias("sa"),
+        F.col("cl.source").eqNullSafe(F.col("sa.source"))
+        & F.col("cl.lang").eqNullSafe(F.col("sa.lang")),
+        "left",
+    ).select(
+        F.col("cl.source").alias("source"),
+        F.col("cl.lang").alias("lang"),
+        "n_docs_v1",
+        "n_docs_v2",
+        (F.col("n_docs_v2") - F.col("n_docs_v1")).alias("d_docs"),
+        "n_tokens_v1",
+        "n_tokens_v2",
+        (F.col("n_tokens_v2") - F.col("n_tokens_v1")).alias("d_tokens"),
+        F.coalesce("n_added", F.lit(0)).cast("long").alias("n_added"),
+        F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+        F.coalesce("n_changed", F.lit(0)).cast("long").alias("n_changed"),
+    )
+    return out.filter(
+        (F.col("d_docs") != 0)
+        | (F.col("d_tokens") != 0)
+        | (F.col("n_changed") > 0)
+    )
+
+
+# --------------------- context-window truncation-waste audit (r10)
+
+PACK_WASTE_WINDOWS = (512, 2048, 8192)
+
+_PACK_WASTE_ORACLE = f"""
+WITH d AS (SELECT coalesce(len(list_filter(string_split(text, ' '),
+                t -> t <> '')), 0) AS n_tok FROM documents),
+w AS (SELECT unnest([{', '.join(str(w) for w in PACK_WASTE_WINDOWS)}])
+        AS context_window),
+j AS (SELECT w.context_window, d.n_tok FROM d CROSS JOIN w)
+SELECT CAST(context_window AS BIGINT) AS context_window,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_tok <= context_window THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_fit,
+       CAST(sum(CASE WHEN n_tok > context_window THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_truncated,
+       CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+       CAST(sum(greatest(n_tok - context_window, 0)) AS BIGINT)
+         AS tokens_dropped,
+       CASE WHEN sum(n_tok) = 0 THEN 0.0
+            ELSE round(sum(greatest(n_tok - context_window, 0)) * 1e0
+                       / sum(n_tok), 6) END AS drop_frac
+FROM j GROUP BY context_window
+"""
+
+
+@register("ext_packing_waste", oracle=_PACK_WASTE_ORACLE)
+def ext_packing_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window truncation-waste audit: for each candidate
+    max-sequence-length in {PACK_WASTE_WINDOWS}, how many documents
+    fit, how many would be truncated, and what fraction of corpus
+    tokens truncation throws away — the one-pass table that decides
+    a training run's max_seq_len BEFORE committing to it. The dual
+    of the packing family: `ext_pack_sequences` measures PADDING
+    waste after greedy packing at one window, `ext_length_histogram`
+    shows the raw shape — this prices the TRUNCATION side across the
+    windows actually under consideration.
+
+    Exactness: token counts are the whitespace-token BIGINT contract
+    (empty-token filter, NULL text -> 0 via coalesce — the
+    `ext_sample_temperature` convention); per-window sums are
+    integer; drop_frac is one round-6 division with the empty-corpus
+    (0 tokens) arm pinned to 0.0 on both engines.
+
+    Scale shape: n_tok is computed once in the scan projection (one
+    integer per doc — text never leaves the scan); the 3-row window
+    spine broadcasts into a bounded 3x fan-out of single-integer
+    rows; one (context_window)-keyed agg with map-side partials
+    collapses everything to |windows| rows. No joins on data keys,
+    no windows, no shuffle of anything data-sized."""
+    wins = F.array(*[F.lit(w) for w in PACK_WASTE_WINDOWS])
+    d = load(spark, sf_dir, "documents").select(
+        F.coalesce(
+            F.expr("size(filter(split(text, ' '), t -> t <> ''))"),
+            F.lit(0),
+        ).alias("n_tok")
+    )
+    j = d.select("n_tok", F.explode(wins).alias("context_window"))
+    g = j.groupBy("context_window").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum((F.col("n_tok") <= F.col("context_window")).cast("long"))
+        .cast("long")
+        .alias("n_fit"),
+        F.sum((F.col("n_tok") > F.col("context_window")).cast("long"))
+        .cast("long")
+        .alias("n_truncated"),
+        F.sum("n_tok").cast("long").alias("tokens_total"),
+        F.sum(F.greatest(F.col("n_tok") - F.col("context_window"), F.lit(0)))
+        .cast("long")
+        .alias("tokens_dropped"),
+    )
+    return g.select(
+        F.col("context_window").cast("long").alias("context_window"),
+        "n_docs",
+        "n_fit",
+        "n_truncated",
+        "tokens_total",
+        "tokens_dropped",
+        F.when(F.col("tokens_total") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.col("tokens_dropped") * 1.0 / F.col("tokens_total"), 6
+            )
+        )
+        .alias("drop_frac"),
+    )
+
+
+# ------------------- retriever rank agreement via RBO (r10)
+
+RBO_P = "0.9e0"  # persistence: top-weightedness of the overlap measure
+RBO_ONE_MINUS_P = "0.1e0"  # spelled as its own literal: 1.0 - 0.9 in
+# IEEE doubles is 0.09999999999999998, NOT 0.1 — both engines must
+# multiply by the SAME constant, so neither ever computes 1 - p
+
+# T(m) = sum_{i=m..K} round_nano15(p^(i-1) / i): the per-item RBO
+# contribution of an item first covered by both prefixes at depth m.
+# Each term rounds once to a 1e15-scaled BIGINT before the sum, so
+# the fold is exact-integer and order-free on both engines.
+_RBO_TERM_SUM_SPARK = (
+    "aggregate(transform(sequence(m, {k}), "
+    f"i -> CAST(floor(power({RBO_P}, i - 1) / i * 1e15 + 0.5) AS BIGINT)), "
+    "0L, (acc, x) -> acc + x)"
+)
+
+_RBO_ORACLE = f"""
+WITH {{ARMS}},
+b AS (SELECT greatest(lex_rank, vec_rank) AS m FROM f
+      WHERE lex_rank IS NOT NULL AND vec_rank IS NOT NULL),
+t AS (SELECT m, CAST(list_sum(list_transform(generate_series(m, {FUSE_POOL_K}),
+           i -> CAST(floor(power({RBO_P}, i - 1) / i * 1e15 + 0.5)
+                AS BIGINT))) AS BIGINT) AS ts
+      FROM b)
+SELECT CAST({FUSE_POOL_K} AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_overlap,
+       round(coalesce(sum(ts), 0) * {RBO_ONE_MINUS_P} / 1e15, 6) AS rbo
+FROM t
+"""
+
+
+def _rank_rbo_oracle() -> str:
+    return _RBO_ORACLE.replace("{ARMS}", _fusion_arms_cte())
+
+
+@register("ext_rank_rbo", oracle=_rank_rbo_oracle())
+def ext_rank_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al., TOIS'10) between the two
+    retriever arms `ext_hybrid_rank_fusion` fuses — the lexical BM25
+    top-{FUSE_POOL_K} and the int8 vector top-{FUSE_POOL_K}. RRF
+    answers "what is the consensus ranking"; RBO answers the
+    diagnostic question BEFORE fusing: how much do the retrievers
+    even agree? (RBO ≈ 1 ⇒ the second retriever adds nothing;
+    RBO ≈ 0 ⇒ they see disjoint corpora slices — fusion is load-
+    bearing.) This is prefix-truncated RBO_min at depth K: no
+    extrapolation term, so it is a hard lower bound and exactly
+    computable. One row: (k, n_overlap, rbo).
+
+    Exactness device: RBO = (1-p)·Σ_d p^(d-1)·|A_d ∩ B_d|/d
+    regroups per ITEM as Σ_items T(max(rank_a, rank_b)) with
+    T(m) = Σ_{{i=m..K}} p^(i-1)/i — each term is ONE identical
+    power()/div tree on both engines, rounded once to a 1e15-scaled
+    BIGINT (the `agg_markov_entropy` device, K·1e15 ≪ BIGINT), so
+    every sum is exact-integer and order-free; (1-p) is spelled as
+    its own 0.1e0 literal because IEEE 1.0-0.9 ≠ 0.1. Zero-overlap
+    arms read rbo 0.0, not NULL, on both engines.
+
+    Scale shape: both arms end in TakeOrderedAndProject (K rows);
+    the agreement math touches ≤ 2K rows and the T(m) fold is a
+    ≤ K-element in-row sequence — corpus cost is the two retriever
+    scans, the measure itself is metadata-sized (the
+    `ext_hybrid_rank_fusion` asymmetry, verbatim)."""
+    f = ext_hybrid_rank_fusion(spark, sf_dir).select("lex_rank", "vec_rank")
+    b = f.where(
+        F.col("lex_rank").isNotNull() & F.col("vec_rank").isNotNull()
+    ).select(F.greatest("lex_rank", "vec_rank").alias("m"))
+    t = b.select(
+        F.expr(_RBO_TERM_SUM_SPARK.format(k=FUSE_POOL_K)).alias("ts")
+    )
+    return t.agg(
+        F.lit(FUSE_POOL_K).cast("long").alias("k"),
+        F.count("*").cast("long").alias("n_overlap"),
+        F.round(
+            F.coalesce(F.sum("ts"), F.lit(0))
+            * F.expr(RBO_ONE_MINUS_P)
+            / F.lit(1e15),
+            6,
+        ).alias("rbo"),
+    )

@@ -85,92 +85,77 @@ def register(name: str, oracle: Optional[str] = None):
 # first 10 r4-checked tags in registration order = exactly 50. After
 # this window the oldest evidence tier is r4 (39 remaining r4 tags —
 # r10's natural head, plus whatever r10 adds or rewrites).
-# Session 2 added three more operators (ext_readability_flesch /
-# ext_code_detect / ext_domain_cap) which outrank the tail per the
-# rotation rule, so only the first 7 r4 tags keep window slots
-# (filter_cast_date / filter_nonempty / join_star_schema join the
-# r10 head alongside the other r4 tags). Session 2 batch B
-# (ext_lm_kn_continuation / agg_burstiness_fano / agg_lorenz_deciles)
-# takes three more tail slots (filter_time_range / filter_between /
-# filter_recency -> r10 head), leaving 4 r4 tags in-window; batch C
-# (ext_ttr_mattr / agg_sessions_bounce / sink_minmax_prune_audit)
-# takes three more (scan_csv / project_columns / project_flatten_json
-# -> r10 head), leaving scan_table as the one r4 tag in-window.
-# Batch D adds ext_sample_temperature / ext_emb_pq_codebook, and the
-# int8-family FINITE_AMAX_SQL rewrite re-windows its two cheapest
-# standing representatives (ext_emb_quantize / ext_sim_topk_int8 —
-# the other five family members hold r7/r8 checks and the change is
-# verified value-neutral on real data); scan_table and the three
-# rows-only/mm r3 tags yield (scan_table + ext_sim_lsh + ext_sim_ivf
-# + ext_mm_resize_stub -> r10 head; the two rows-only miners carry
-# no hash check either way and their _verify twins are in-window
-# history). Batch E (agg_diff_in_diff / agg_dow_entropy /
-# ext_emb_topk_pq) takes the last three r3 text-trio tail slots
-# (ext_token_count / fn_text_stats / ext_mm_metadata -> r10 head
-# with the other displaced r3/r4 tags). Batch F
-# (ext_char_ngram_profile / agg_tail_hill) displaces
-# ext_props_map / ext_text_quality the same way; ext_fingerprint
-# keeps the last r3 slot.
+# Round 10 window (VERDICT r9 item 1, the r3/r4 staleness burn): head
+# = anything added or rewritten this round (rotation rule (1)): new
+# operators go at the very top as they land, then the four
+# r9-ADVICE-touched queries whose Spark plan or oracle CHANGED
+# (agg_time_spine_fill's oracle type-universe gate,
+# ext_sample_temperature's oracle coalesce, and the embcos-LSH pair
+# which additionally sit in the r4 tier). Then the full r3 tier (8)
+# and the r4 tier in registration order until the 50-slot window is
+# spent. 57 stale tags + head adds > 50, so the r4 tail
+# (ext_sample_mixture onward) spills to r11's natural head.
 _WINDOW_PRIORITY = (
-    # -- added this round (session 2 adds at the very head) --
-    "ext_readability_flesch",
-    "ext_code_detect",
-    "ext_domain_cap",
-    "ext_lm_kn_continuation",
-    "agg_burstiness_fano",
-    "agg_lorenz_deciles",
-    "ext_ttr_mattr",
-    "agg_sessions_bounce",
-    "sink_minmax_prune_audit",
-    "ext_sample_temperature",
-    "ext_emb_pq_codebook",
-    "agg_diff_in_diff",
-    "agg_dow_entropy",
-    "ext_emb_topk_pq",
-    "ext_char_ngram_profile",
-    "agg_tail_hill",
-    # -- rewritten this round: the int8 family's FINITE_AMAX_SQL
-    #    contract (r9 nonfinite oracle-gate finding) --
-    "ext_emb_quantize",
-    "ext_sim_topk_int8",
     # -- added this round (session 1) --
-    "ext_dedup_substr_spans",
-    "ext_dedup_pipeline_recall",
-    "scan_schema_drift_audit",
-    # -- r3 evidence tier: scans --
-    "scan_youtube_json",
-    "sink_insert",
-    "sink_create_table",
-    "sink_batched_commit",
-    # -- r3: dashboard routes --
-    "dash_politics_comments",
-    "dash_count_reddit",
-    "dash_count_chan",
-    "dash_count_youtube",
-    "dash_count_politics",
-    "dash_sentiment_reddit",
-    "dash_sentiment_chan",
-    "dash_sentiment_youtube",
-    "dash_sentiment_politics",
-    "dash_hate_reddit",
-    "dash_hate_chan",
-    "dash_hate_youtube",
-    "dash_hate_politics",
-    "dash_daily_politics",
-    # -- r3: streaming family + plans --
-    "stream_tumbling_count",
-    "stream_dedup",
-    "stream_lookback_window",
-    "stream_sessionize",
-    "stream_rate_limit",
-    "stream_microbatch",
-    "stream_stateful_count",
-    "orchestration_dag",
-    "maintenance_vacuum",
-    "cache_memo",
-    # -- r3: text/props/mm trios + rows-only miners --
-    "ext_fingerprint",
-    # -- r4 backfill, registration order --
+    "ext_dedup_embcos_pipeline_recall",
+    "stream_dedup_incremental_chain",
+    "ext_datacard_diff",
+    "ext_packing_waste",
+    "ext_rank_rbo",
+    # -- rewritten this round (r9 ADVICE fixes: oracle or plan changed) --
+    "agg_time_spine_fill",
+    "ext_sample_temperature",
+    "ext_dedup_embcos_lsh",
+    "ext_dedup_embcos_lsh_verify",
+    # -- r3 evidence tier --
+    "ext_sim_ivf",
+    "ext_sim_lsh",
+    "ext_text_quality",
+    "fn_text_stats",
+    "ext_token_count",
+    "ext_props_map",
+    "ext_mm_metadata",
+    "ext_mm_resize_stub",
+    # -- r4 evidence tier, registration order --
+    "scan_table",
+    "scan_csv",
+    "project_columns",
+    "project_flatten_json",
+    "filter_time_range",
+    "filter_between",
+    "filter_recency",
+    "filter_cast_date",
+    "filter_nonempty",
+    "join_star_schema",
+    "agg_rollup",
+    "window_lag_delta",
+    "join_salted_skew",
+    "agg_hourly_heatmap",
+    "join_semi_exists",
+    "agg_running_total",
+    "join_multihop_topk",
+    "agg_pivot_matrix",
+    "agg_unpivot_long",
+    "window_moving_range",
+    "join_interval_overlap",
+    "agg_grouping_sets",
+    "ext_dedup_incremental",
+    "ext_dedup_cluster_pick",
+    "ext_dedup_components",
+    "ext_dedup_components_lss",
+    "ext_dedup_pipeline",
+    "ext_contamination_check",
+    "ext_ngram_census",
+    "udaf_value_range",
+    "join_similarity_topk",
+    "ext_sim_ivf_exhaustive",
+    "ext_sim_lsh_verify",
+    # r4 spill to r11's natural head from here (14 tags):
+    # ext_emb_norm, ext_text_repetition, ext_tfidf_topterms,
+    # ext_lm_unigram_score, ext_quality_gate, ext_url_domains,
+    # fn_unicode_nfc, ext_sample_per_group, ext_shard_manifest,
+    # ext_sample_mixture, ext_mm_decode_stub, ext_mm_frame_sample,
+    # scan_schema_evolution, stream_join_static
 )
 
 

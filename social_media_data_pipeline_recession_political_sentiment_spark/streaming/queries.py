@@ -30,6 +30,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..catalog import load, ntz_as_utc_instant
+from ..functions.hashing import doc_bucket_sql
+from ..operators.dedup import INCR_BASE_BUCKETS
 from ..registry import register
 from ..session import prune_stale_workdirs, scoped_shuffle_partitions
 
@@ -647,4 +649,160 @@ def stream_sliding_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = drain_to_table(agg, "complete")
     return out.select(
         F.to_date(F.col("w.start")).alias("window_start"), "event_type", "cnt"
+    )
+
+
+# ------------------- nightly ingest + incremental dedup, one chain
+
+DOCS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def _staged_documents_dir(sf_dir: str) -> str:
+    """documents.parquet staged as a stream directory (the
+    `_staged_events_dir` device; testdata is read-only)."""
+    stage = os.path.join(
+        "/tmp/smdp_stream",
+        hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
+        "documents",
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "documents.parquet")
+    if os.path.lexists(link) and not os.path.exists(link):
+        os.remove(link)
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/documents.parquet", link)
+    return stage
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents table (one landed crawl
+    file per micro-batch under maxFilesPerTrigger=1 — the nightly
+    drop directory). No timestamp column, so no ts-encoding probe is
+    needed here, unlike `stream_events`."""
+    staged = _staged_documents_dir(sf_dir)
+    return (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(staged)
+    )
+
+
+_INCR_CHAIN_ORACLE = f"""
+WITH b AS (SELECT text FROM documents
+           WHERE {doc_bucket_sql('doc_id')} < {INCR_BASE_BUCKETS}),
+i AS (SELECT doc_id, text FROM documents
+      WHERE {doc_bucket_sql('doc_id')} >= {INCR_BASE_BUCKETS})
+SELECT i.doc_id,
+       EXISTS (SELECT 1 FROM b WHERE b.text = i.text) AS dup_of_base,
+       EXISTS (SELECT 1 FROM i i2 WHERE i2.text = i.text
+               AND i2.doc_id < i.doc_id) AS dup_in_increment,
+       (NOT EXISTS (SELECT 1 FROM b WHERE b.text = i.text)
+        AND NOT EXISTS (SELECT 1 FROM i i2 WHERE i2.text = i.text
+                        AND i2.doc_id < i.doc_id)) AS is_new
+FROM i
+"""
+
+
+@register("stream_dedup_incremental_chain", oracle=_INCR_CHAIN_ORACLE)
+def stream_dedup_incremental_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nightly-ingest + incremental-dedup path as ONE drained
+    streaming contract (r9 verdict item 4b): documents arrive in
+    micro-batches (the crawl drop), each batch is fingerprinted
+    in-stream, and the chain maintains the running fingerprint index
+    a nightly dedup pipeline actually keeps — then flags every
+    increment document against (a) the STATIC base corpus
+    (`ext_dedup_incremental`'s md5-bucket split: buckets 0-7 base,
+    8-9 increment) and (b) all OTHER increment documents, with
+    first-copy-wins by doc_id. Emits (doc_id, dup_of_base,
+    dup_in_increment, is_new); the keep-set is the `is_new` rows plus
+    the in-increment canonical copies.
+
+    Batch-order independence (the `stream_upsert_keyed` device): the
+    cross-batch state is (fingerprint -> min doc_id), merged per
+    micro-batch with an ALGEBRAIC min — associative and commutative,
+    so ANY partitioning of the crawl into micro-batches converges to
+    the same index, and "first copy" is the doc_id order, not
+    arrival order. The flags are then one drained join, not
+    per-batch lookups, so a doc that precedes its duplicate in a
+    LATER batch still wins. The multi-batch merge is proven in
+    tests/test_streaming.py with a 3-file split; the registered
+    availableNow drain over the single landed file is batch 1 of the
+    same query.
+
+    Scale shape: per batch one (32-byte fingerprint)-keyed agg over
+    batch ∪ index — state is one row per DISTINCT increment text,
+    bounded by the increment's content diversity, with lineage cut
+    per batch (localCheckpoint). The drain joins increment rows
+    against the index (fingerprint equi-join) and LEFT-joins the
+    base's distinct fingerprints — at 100 TB the base side is the
+    bucketed fingerprint table of `ext_dedup_incremental_bucketed`
+    (co-located, zero base shuffle per night) with the bloom
+    prefilter of `ext_dedup_incremental_bloom` in front. Document
+    text never crosses the wire — fingerprints are computed in the
+    batch scan. (Oracle compares raw text: identical grouping absent
+    SHA-256 collisions.)"""
+    from ..functions.hashing import doc_bucket
+
+    bucket = doc_bucket("doc_id")
+    incr_stream = (
+        stream_documents(spark, sf_dir)
+        .filter(bucket >= INCR_BASE_BUCKETS)
+        .select("doc_id", F.sha2(F.col("text"), 256).alias("h"))
+    )
+    state: dict = {"rows": None, "index": None}
+
+    def _fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df
+        idx = rows.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+        if state["rows"] is not None:
+            rows = state["rows"].unionByName(rows)
+            idx = (
+                state["index"]
+                .unionByName(idx)
+                .groupBy("h")
+                .agg(F.min("first_doc").alias("first_doc"))
+            )
+        state["rows"] = rows.localCheckpoint()
+        state["index"] = idx.localCheckpoint()
+
+    with scoped_shuffle_partitions(spark, 8):
+        q = (
+            incr_stream.writeStream.foreachBatch(_fold_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    rows, index = state["rows"], state["index"]
+    if rows is None:  # empty source
+        rows = spark.createDataFrame([], "doc_id long, h string")
+        index = spark.createDataFrame([], "h string, first_doc long")
+    base = (
+        load(spark, sf_dir, "documents")
+        .filter(doc_bucket("doc_id") < INCR_BASE_BUCKETS)
+        .select(F.sha2(F.col("text"), 256).alias("h"))
+        .distinct()
+        .withColumn("in_base", F.lit(True))
+    )
+    flagged = (
+        rows.join(index, "h", "left")
+        .join(base, "h", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("in_base"), F.lit(False)).alias("dup_of_base"),
+            F.coalesce(
+                F.col("first_doc") < F.col("doc_id"), F.lit(False)
+            ).alias("dup_in_increment"),
+        )
+    )
+    return flagged.withColumn(
+        "is_new", ~F.col("dup_of_base") & ~F.col("dup_in_increment")
     )

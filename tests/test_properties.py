@@ -1805,3 +1805,144 @@ def test_epoch_day_bucketing_matches_floor_division_both_engines(spark, epochs):
         ).fetchone()
         assert ddb_date == want_date, (e, ddb_date, want_date)
         assert ddb_floor == want_day_num, (e, ddb_floor)
+
+
+@given(
+    st.lists(
+        st.sampled_from([1, 2, 3, 4, 7, 12]), min_size=1, max_size=60
+    )
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_tail_hill_nano_sum_matches_reference_across_tie_patterns(
+    spark, counts
+):
+    """agg_tail_hill (r9) vs an independent Python replica across
+    arbitrary TIE patterns (r9 verdict item 5): counts drawn from a
+    small value set force ties at and across the rank-(k+1) cut, the
+    exact case where the (c DESC, user_id) total order and the
+    round-once-to-nano-BIGINT sum must agree between engines. Also
+    pins the <2-users empty contract and the all-tied NULL-alpha
+    guard. The sampled value set keeps the ln() argument domain
+    finite, so the floor(x*1e9+0.5) knife-edge is deterministic."""
+    import datetime as dt
+    import math
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.relational import (
+        HILL_K,
+        agg_tail_hill,
+    )
+
+    rows = []
+    eid = 0
+    for u, c in enumerate(counts, start=1):
+        for _ in range(c):
+            rows.append((eid, dt.datetime(2023, 1, 5), u, "post", 1.0, "{}"))
+            eid += 1
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_hillprop_")
+    e.coalesce(1).write.parquet(os.path.join(tmp, "events.parquet"))
+    got = agg_tail_hill(spark, tmp).collect()
+
+    n = len(counts)
+    if n < 2:
+        assert got == []
+        return
+    ordered = sorted(
+        ((u, c) for u, c in enumerate(counts, start=1)),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    k = min(HILL_K, n - 1)
+    c_cut = ordered[k][1]
+    s_nano = sum(
+        math.floor(math.log(c / c_cut) * 1e9 + 0.5) for _, c in ordered[:k]
+    )
+    (r,) = got
+    assert r.n_users == n and r.k == k and r.c_cut == c_cut
+    assert r.hill_mean == round(s_nano / (k * 1e9), 6)
+    if s_nano == 0:
+        assert r.alpha is None
+    else:
+        assert r.alpha == round(k * 1e9 / s_nano, 6)
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from([-1.0, 0.0, 1.0, 2.0]), min_size=8, max_size=8
+        ),
+        min_size=1,
+        max_size=14,
+    )
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pq_codebook_argmin_tiebreak_matches_reference(spark, vecs):
+    """ext_emb_pq_codebook (r9) vs an independent Python replica of
+    the full chain (absmax int8 quantize -> sub-vector slice -> exact
+    integer SSE argmin with enc = sse*K + cid tie-break) under heavy
+    TIES (r9 verdict item 5): the tiny component value set makes
+    duplicate sub-vectors and duplicate SEEDS common, so the
+    lowest-centroid-id tie rule decides most assignments — any
+    min_by-style ambiguity or a wrong enc encoding diverges
+    immediately. Covers n < K corpora (codebook smaller than K) and
+    all-zero vectors (amax = 0 -> zero codes)."""
+    import math
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        ext_emb_pq_codebook,
+    )
+
+    rows = [(vid, v, 0) for vid, v in enumerate(vecs)]
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_pqprop_")
+    e.coalesce(1).write.parquet(os.path.join(tmp, "embeddings.parquet"))
+    out = {
+        (r.subspace, r.centroid): (r.n_assigned, r.sse_sum)
+        for r in ext_emb_pq_codebook(spark, tmp).collect()
+    }
+
+    def _codes(v):
+        amax = max(abs(x) for x in v)
+        if amax == 0.0:
+            return [0] * len(v)
+        s = amax / 127.0
+        return [
+            max(-127, min(127, math.floor(x / s + 0.5))) for x in v
+        ]
+
+    codes = {vid: _codes(v) for vid, v in enumerate(vecs)}
+    ds = 8 // PQ_M
+    seeds = [codes[vid] for vid in sorted(codes)[:PQ_K]]
+    expect = {}
+    for vid, c in codes.items():
+        for sp in range(PQ_M):
+            sub = c[sp * ds : (sp + 1) * ds]
+            best = min(
+                (
+                    sum(
+                        (a - b) ** 2
+                        for a, b in zip(
+                            sub, seeds[cid][sp * ds : (sp + 1) * ds]
+                        )
+                    ),
+                    cid,
+                )
+                for cid in range(len(seeds))
+            )
+            key = (sp, best[1])
+            n, sse = expect.get(key, (0, 0))
+            expect[key] = (n + 1, sse + best[0])
+    assert out == expect
