@@ -5560,3 +5560,92 @@ def agg_tail_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("alpha"),
         )
     )
+
+
+# ----------------------- audience-overlap matrix (r10)
+
+_AUD_OVERLAP_ORACLE = """
+WITH tu AS (SELECT DISTINCT event_type, user_id FROM events
+            WHERE user_id IS NOT NULL),
+n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+      FROM tu GROUP BY 1),
+i AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM tu a JOIN tu b ON a.user_id = b.user_id
+                         AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+SELECT i.type_a, i.type_b, na.n_users AS users_a, nb.n_users AS users_b,
+       i.n_common,
+       round(i.n_common * 1e0
+             / (na.n_users + nb.n_users - i.n_common), 6) AS jaccard
+FROM i JOIN n na ON na.event_type = i.type_a
+       JOIN n nb ON nb.event_type = i.type_b
+"""
+
+
+@register("agg_audience_overlap", oracle=_AUD_OVERLAP_ORACLE)
+def agg_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: for every pair of event types, how
+    many users do BOTH, and the Jaccard of the two audiences — the
+    feature-adoption cross-tab product analytics asks first
+    ("do posters also comment?"). Complements `agg_user_type_venn`
+    (exact 2-set inclusion/exclusion for ONE designated pair) with
+    the ALL-PAIRS matrix, and `agg_event_transitions` (temporal
+    sequencing) with pure set overlap. Pairs with zero common users
+    are absent by construction on both engines (the join produces
+    no row — the matrix is sparse, stated).
+
+    Exactness: all counts are exact BIGINTs over DISTINCT
+    (type, user) memberships; NULL users are out of frame by stated
+    contract (the `agg_tail_hill` convention); jaccard is one
+    round-6 division whose denominator na + nb − common ≥ 1
+    whenever a row exists.
+
+    Scale shape: the event stream collapses to DISTINCT
+    (type, user) in one partial-aggregated shuffle (|types| ×
+    |users| upper bound, tiny vs event volume); the self-join on
+    user_id fans out ≤ |types| rows per user (bounded — types are
+    an enum), and the pair agg runs over ≤ |types|² keys with
+    map-side partials. The per-type totals broadcast into the
+    final |types|²-row projection. A hot user contributes
+    |types|² pair rows, not event-volume rows."""
+    tu = compute_once(
+        load(spark, sf_dir, "events")
+        .where("user_id IS NOT NULL")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    n = tu.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    i = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    na = n.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("users_a")
+    )
+    nb = n.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("users_b")
+    )
+    return (
+        i.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "users_a",
+            "users_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                * 1.0
+                / (F.col("users_a") + F.col("users_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -2759,3 +2759,114 @@ def ext_emb_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rank"),
     )
     return r.where(f"rank <= {PQ_TOP_K}")
+
+
+# -------------------- 1-bit sign-sketch Hamming serving (r10)
+
+BITSIGN_PACK = 32  # bits per packed word: keeps every word in
+# [0, 2^32) so neither engine's left shift or xor ever touches the
+# BIGINT sign bit (DuckDB's `<<` hard-errors on 1 << 63)
+
+_BITSIGN_WORDS_SPARK = (
+    "transform(sequence(0, CAST((size(dv) + {p} - 1) div {p} - 1 AS INT)), "
+    "w -> aggregate(sequence(0, {p} - 1), 0L, (acc, j) -> acc + "
+    "CASE WHEN w * {p} + j < size(dv) "
+    "AND element_at(dv, w * {p} + j + 1) > 0d "
+    "THEN shiftleft(1L, j) ELSE 0L END))"
+).format(p=BITSIGN_PACK)
+
+_BITSIGN_WORDS_DUCK = (
+    "list_transform(generate_series(0, CAST(ceil(len(dv) * 1.0 / {p}) "
+    "AS BIGINT) - 1), w -> list_sum(list_transform("
+    "generate_series(0, {p} - 1), j -> CASE WHEN w * {p} + j < len(dv) "
+    "AND dv[CAST(w * {p} + j + 1 AS BIGINT)] > 0 "
+    "THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)))"
+).format(p=BITSIGN_PACK)
+
+_BITSIGN_ORACLE = f"""
+WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv
+           FROM embeddings
+           WHERE {_fin_emb_duck('embedding')}),
+b AS (SELECT vec_id, {_BITSIGN_WORDS_DUCK} AS words FROM s),
+q AS (SELECT vec_id AS query_id, words AS qw FROM b
+      WHERE vec_id < {N_QUERY_VECS}),
+c AS (SELECT vec_id AS neighbor_id, words AS cw FROM b),
+h AS (SELECT query_id, neighbor_id,
+        CAST(list_sum(list_transform(generate_series(1, least(len(qw),
+             len(cw))), i -> bit_count(xor(qw[i], cw[i])))) AS BIGINT)
+          AS hamming
+      FROM q, c WHERE neighbor_id <> query_id)
+SELECT query_id, neighbor_id, hamming, rank
+FROM (SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY hamming, neighbor_id)
+      AS BIGINT) AS rank FROM h)
+WHERE rank <= {TOP_K}
+"""
+
+
+@register("ext_sim_topk_bitsign", oracle=_BITSIGN_ORACLE)
+def ext_sim_topk_bitsign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-BIT similarity serving: sign-binarized embeddings packed
+    into {BITSIGN_PACK}-bit words, ranked by Hamming distance — the
+    bottom rung of the quantization ladder (float brute force →
+    int8 flat → PQ codes → sign bits), i.e. the 32-64x-compressed
+    first-pass filter binary-embedding retrieval ships (Hamming on
+    packed words is XOR + popcount — the cheapest distance there
+    is; re-rank the survivors with int8/float upstream). Per query
+    (vec_id < {N_QUERY_VECS}): top-{TOP_K} neighbors by
+    (hamming ASC, neighbor_id).
+
+    Exactness: the sketch is integer end to end — bit j of word w
+    is [component > 0] (strict: zeros and negatives are 0), words
+    stay in [0, 2^{BITSIGN_PACK}) so no shift or xor ever touches
+    the BIGINT sign bit (DuckDB's `<<` HARD-ERRORS on 1 << 63 —
+    found designing this; {BITSIGN_PACK}-bit packing is the
+    portable contract), and hamming = Σ bit_count(xor(words)) is an
+    exact BIGINT on both engines. Non-finite vectors leave the
+    universe via the shared _fin_emb gate (NaN > 0 reads TRUE under
+    NaN-greatest comparisons on BOTH engines, so the gate — not the
+    sign rule — is what keeps them out).
+
+    Scale shape: packing is scan-local (D floats → D/{BITSIGN_PACK}
+    BIGINTs, a ~{BITSIGN_PACK}x shrink BEFORE any motion); the
+    query side broadcasts ({N_QUERY_VECS} rows); scoring is a
+    map-only broadcast join + in-row fold; the rank window rides
+    the `_rank_topk` WindowGroupLimit device. At billions of
+    vectors this exact plan serves as the coarse filter in front
+    of `ext_sim_topk_int8`'s re-rank."""
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.expr(_fin_emb_spark()))
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("dv")
+        )
+        .select("vec_id", F.expr(_BITSIGN_WORDS_SPARK).alias("words"))
+    )
+    e = compute_once(e)  # feeds BOTH the query and corpus sides
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("words").alias("qw")
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("words").alias("cw")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                "aggregate(zip_with(slice(qw, 1, least(size(qw), size(cw))), "
+                "slice(cw, 1, least(size(qw), size(cw))), "
+                "(x, y) -> CAST(bit_count(x ^ y) AS BIGINT)), "
+                "0L, (acc, v) -> acc + v)"
+            ).alias("hamming"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        scored.withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        )
+        .filter(F.col("rank") <= TOP_K)
+    )

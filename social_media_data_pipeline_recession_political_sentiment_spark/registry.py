@@ -102,6 +102,8 @@ _WINDOW_PRIORITY = (
     "ext_datacard_diff",
     "ext_packing_waste",
     "ext_rank_rbo",
+    "ext_sim_topk_bitsign",
+    "agg_audience_overlap",
     # -- rewritten this round (r9 ADVICE fixes: oracle or plan changed) --
     "agg_time_spine_fill",
     "ext_sample_temperature",
@@ -148,14 +150,13 @@ _WINDOW_PRIORITY = (
     "ext_ngram_census",
     "udaf_value_range",
     "join_similarity_topk",
-    "ext_sim_ivf_exhaustive",
-    "ext_sim_lsh_verify",
-    # r4 spill to r11's natural head from here (14 tags):
-    # ext_emb_norm, ext_text_repetition, ext_tfidf_topterms,
-    # ext_lm_unigram_score, ext_quality_gate, ext_url_domains,
-    # fn_unicode_nfc, ext_sample_per_group, ext_shard_manifest,
-    # ext_sample_mixture, ext_mm_decode_stub, ext_mm_frame_sample,
-    # scan_schema_evolution, stream_join_static
+    # r4 spill to r11's natural head from here (16 tags):
+    # ext_sim_ivf_exhaustive, ext_sim_lsh_verify, ext_emb_norm,
+    # ext_text_repetition, ext_tfidf_topterms, ext_lm_unigram_score,
+    # ext_quality_gate, ext_url_domains, fn_unicode_nfc,
+    # ext_sample_per_group, ext_shard_manifest, ext_sample_mixture,
+    # ext_mm_decode_stub, ext_mm_frame_sample, scan_schema_evolution,
+    # stream_join_static
 )
 
 

@@ -1319,6 +1319,66 @@ AUDIT = {
         "metadata-sized (why RRF is THE production hybrid combiner); "
         "per-partition heaps keep both top-k paths shuffle-free",
     ),
+    "ext_dedup_embcos_pipeline_recall": (
+        "two composed component chains reading pinned keeper frames "
+        "(ExistingRDD); three 1-row scalar aggs crossJoined via "
+        "BroadcastNestedLoopJoin; one keeper-keyed join of two "
+        "deduplicated id sets",
+        "the comparison itself moves only keeper ids and scalars; "
+        "the exact arm's triangle join is the audit's cost by "
+        "contract (bucket-sampled at 100 TB)",
+    ),
+    "ext_datacard_diff": (
+        "ONE documents scan behind the compute_once pin (ExistingRDD "
+        "reads for v1/v2 cells and the status join); doc_id-keyed "
+        "full-outer SortMergeJoin; null-safe (source, lang) joins "
+        "over kilobyte-scale aggregates",
+        "text reduces to fingerprint + token count in the scan and "
+        "never shuffles; output bounded by |sources| x |langs|",
+    ),
+    "ext_packing_waste": (
+        "1-column text ReadSchema; n_tok computed in the scan "
+        "projection; Generate (3-row explode) over single-int rows; "
+        "partial/final HashAggregate on context_window",
+        "the only shuffle carries (window, partial sums) — 3 keys; "
+        "nothing data-sized moves regardless of corpus scale",
+    ),
+    "ext_rank_rbo": (
+        "the two fusion arms' TakeOrderedAndProject legs; the "
+        "agreement math (greatest + in-row sequence fold) runs over "
+        "<= K joined rows; final 1-row agg",
+        "corpus cost is the two retriever scans (shared shape with "
+        "ext_hybrid_rank_fusion); the RBO fold is exact-integer so "
+        "the one row hashes cross-engine",
+    ),
+    "stream_dedup_incremental_chain": (
+        "drained plan = increment rows (checkpointed ExistingRDD) "
+        "joined to the min-doc fingerprint index and left-joined to "
+        "the base corpus's DISTINCT sha2 set; sha2 computed in the "
+        "scan projections on both sides",
+        "state is one row per distinct increment text, merged with "
+        "an algebraic min per micro-batch; document text never "
+        "crosses the wire — 32-byte fingerprints do",
+    ),
+    "ext_sim_topk_bitsign": (
+        "bit packing in the scan projection (pinned once, feeds "
+        "query + corpus sides); BroadcastNestedLoopJoin with the "
+        "5-row query side as build; in-row zip_with xor/bit_count "
+        "fold; per-query rank Window with WindowGroupLimit",
+        "D floats shrink to D/32 BIGINT words BEFORE any motion; "
+        "scoring is map-only against a broadcast probe — the coarse "
+        "filter shape in front of the int8 re-rank",
+    ),
+    "agg_audience_overlap": (
+        "partial/final HashAggregate to DISTINCT (type, user); "
+        "user_id-keyed self-join; (type_a, type_b) HashAggregate "
+        "with map-side partials; two BroadcastHashJoins of the "
+        "|types|-row totals",
+        "event volume collapses before the join; per-user fan-out "
+        "is enum-bounded (<= |types| rows), pair keyspace <= "
+        "|types|^2 — a hot user costs |types|^2 rows, not its "
+        "event count",
+    ),
 }
 
 
