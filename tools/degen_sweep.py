@@ -160,10 +160,21 @@ then the FULL oracle gate on the fixture AND on real data, all
 under the same TZ:
 
     python tools/degen_sweep.py --tz
-    TZ=America/New_York SMDP_VERIFY_VANILLA=1 \
+    SMDP_VERIFY_TZ=America/New_York SMDP_VERIFY_VANILLA=1 \
         python tools/verify_local.py /tmp/smdp_degen
-    TZ=America/New_York SMDP_VERIFY_VANILLA=1 \
+    SMDP_VERIFY_TZ=America/New_York SMDP_VERIFY_VANILLA=1 \
         python tools/verify_local.py /root/testdata/sf0.001
+
+(SMDP_VERIFY_TZ, not TZ: the flag moves BOTH engines' default zone
+— JVM user.timezone, DuckDB SET TimeZone — while the Python
+comparison layer stays put. Exporting TZ instead ALSO moves
+PySpark's collect() rendering (TimestampType.fromInternal goes
+through the Python process's local zone, where DST fall-back folds
+two instants onto one wallclock) — a lossy REPRESENTATION seam of
+the collection API that reads as ~21 false timestamp-column
+mismatches gate-wide; the engine microseconds stay exact, pinned by
+tests/test_registry.py's TZ tests. Re-learned the hard way in the
+r10 battery.)
 
 --dups probes duplicate PRIMARY KEYS (r8) — the shape every
 at-least-once ingest and re-crawl produces (the reference's own
@@ -206,6 +217,23 @@ crash pass, then the FULL oracle gate on the fixture:
 
     python tools/degen_sweep.py --skew
     SMDP_VERIFY_VANILLA=1 python tools/verify_local.py /tmp/smdp_degen
+
+On the PROPOSED tenth mode (r9 verdict item 7: planted 60-bit
+gram-hash collisions for `ext_dup_span_profile` /
+`ext_dedup_substr_spans`): adjudicated INFEASIBLE as specified and
+not faked. The gram hash is the first 60 bits of
+md5('<salt>:<gram>'); planting a TRUE collision is a birthday
+search over ~2^30.5 md5 digests (~1.5e9 hashes + an ~18 GB
+sort-and-match) — not a fixture builder, a mining job. What the
+caveat needs is already covered without it: the collision CLASS is
+stated in both operators' docstrings (the oracle compares raw gram
+strings, so any real collision surfaces as a driver hash MISMATCH,
+never silent corruption — the gate is the detector by
+construction), and hash-domain stress (mass-duplicated grams,
+oversized buckets, boilerplate chains) is exactly the --skew and
+--dups fixtures. A deliberately WEAKENED hash (e.g. masked to 20
+bits to force collisions) would test a code path the engine never
+ships, so it proves nothing about the shipped contract.
 
 Exit code = number of crashing queries.
 """
