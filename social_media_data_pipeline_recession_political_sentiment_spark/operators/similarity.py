@@ -902,22 +902,34 @@ def ext_sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared recursive-CTE fragment: exact embcos threshold pairs ->
+# undirected edges -> reachability -> comp(vec_id, component) with
+# component = min reachable vec_id over the ALL-embeddings universe.
+# Consumed by the `ext_dedup_semantic` oracle AND the
+# `ext_dedup_embcos_pipeline_recall` oracle — the recall
+# certificate's "same chain" claim requires these CTEs to stay
+# character-identical, so they live once.
+_EMBCOS_COMP_CTES = (
+    "p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
+    "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+    f"WHERE {_COS_SQL} >= {COS_DUP_THRESHOLD} "
+    f"AND {_fin_emb_duck('a.embedding')} "
+    f"AND {_fin_emb_duck('b.embedding')}), "
+    "edges AS (SELECT vec_a AS src, vec_b AS dst FROM p "
+    "UNION ALL SELECT vec_b, vec_a FROM p), "
+    "reach(node, lbl) AS ("
+    "  SELECT vec_id, vec_id FROM embeddings "
+    "  UNION "
+    "  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node), "
+    "comp AS (SELECT node AS vec_id, min(lbl) AS component "
+    "FROM reach GROUP BY node)"
+)
+
+
 @register(
     "ext_dedup_semantic",
     oracle=(
-        "WITH RECURSIVE p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
-        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
-        f"WHERE {_COS_SQL} >= {COS_DUP_THRESHOLD} "
-        f"AND {_fin_emb_duck('a.embedding')} "
-        f"AND {_fin_emb_duck('b.embedding')}), "
-        "edges AS (SELECT vec_a AS src, vec_b AS dst FROM p "
-        "UNION ALL SELECT vec_b, vec_a FROM p), "
-        "reach(node, lbl) AS ("
-        "  SELECT vec_id, vec_id FROM embeddings "
-        "  UNION "
-        "  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node), "
-        "comp AS (SELECT node AS vec_id, min(lbl) AS component "
-        "FROM reach GROUP BY node), "
+        f"WITH RECURSIVE {_EMBCOS_COMP_CTES}, "
         "sz AS (SELECT component, count(*) AS cluster_size FROM comp "
         "GROUP BY component) "
         "SELECT c.vec_id, c.component, s.cluster_size, "
@@ -986,19 +998,7 @@ def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_similarity.py, same asymmetry as the `_recall` floors.
 
 _EMB_PIPE_RECALL_ORACLE = (
-    "WITH RECURSIVE p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
-    "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
-    f"WHERE {_COS_SQL} >= {COS_DUP_THRESHOLD} "
-    f"AND {_fin_emb_duck('a.embedding')} "
-    f"AND {_fin_emb_duck('b.embedding')}), "
-    "edges AS (SELECT vec_a AS src, vec_b AS dst FROM p "
-    "UNION ALL SELECT vec_b, vec_a FROM p), "
-    "reach(node, lbl) AS ("
-    "  SELECT vec_id, vec_id FROM embeddings "
-    "  UNION "
-    "  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node), "
-    "comp AS (SELECT node AS vec_id, min(lbl) AS component "
-    "FROM reach GROUP BY node), "
+    f"WITH RECURSIVE {_EMBCOS_COMP_CTES}, "
     "tot AS (SELECT (SELECT count(*) FROM embeddings) AS n, "
     "(SELECT count(*) FROM comp WHERE vec_id = component) AS ke) "
     "SELECT CAST(n AS BIGINT) AS n_vectors, "

@@ -3139,6 +3139,59 @@ f AS (SELECT coalesce(l.doc_id, v.vec_id) AS doc_id,
       FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.vec_id)"""
 
 
+def _fusion_rank_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of `_fusion_arms_cte`: the full-outer join of the
+    lexical and vector top-{FUSE_POOL_K} rank arms, f(doc_id,
+    lex_rank, vec_rank). Consumed by `ext_hybrid_rank_fusion` (which
+    adds the RRF score + fused rank) and `ext_rank_rbo` (which stops
+    here — the agreement measure never needs the fused ranking)."""
+    from pyspark.sql import Window as W
+
+    from .similarity import _INT8_SCORED_SQL, _with_int8_codes
+
+    lex_top = (
+        bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("score_micros"), "doc_id")
+        .limit(FUSE_POOL_K)
+    )
+    lexr = lex_top.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("score_micros"), "doc_id"))
+        .cast("long")
+        .alias("lex_rank"),
+    )
+    z = _with_int8_codes(load(spark, sf_dir, "embeddings"))
+    qv = z.filter(F.col("vec_id") == FUSE_QUERY_VEC).select(
+        F.col("scale").alias("qs"), F.col("codes").alias("qc")
+    )
+    vsc = (
+        z.filter(F.col("vec_id") != FUSE_QUERY_VEC)
+        .select("vec_id", F.col("scale").alias("cs"), F.col("codes").alias("cc"))
+        .crossJoin(F.broadcast(qv))
+        .withColumn("int_dot", F.expr(_INT8_SCORED_SQL))
+        .withColumn(
+            "score",
+            F.col("int_dot").cast("double") * (F.col("qs") * F.col("cs")),
+        )
+    )
+    vec_top = vsc.orderBy(F.desc("score"), "vec_id").limit(FUSE_POOL_K)
+    vecr = vec_top.select(
+        F.col("vec_id").alias("nid"),
+        F.row_number()
+        .over(W.orderBy(F.desc("score"), "vec_id"))
+        .cast("long")
+        .alias("vec_rank"),
+    )
+    return lexr.join(
+        vecr, lexr["doc_id"] == vecr["nid"], "full_outer"
+    ).select(
+        F.coalesce(F.col("doc_id"), F.col("nid")).alias("doc_id"),
+        "lex_rank",
+        "vec_rank",
+    )
+
+
 def _hybrid_fusion_oracle() -> str:
     return f"""
 WITH {_fusion_arms_cte()},
@@ -3185,49 +3238,7 @@ def ext_hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheap hybrid combiner."""
     from pyspark.sql import Window as W
 
-    from .similarity import _INT8_SCORED_SQL, _with_int8_codes
-
-    lex_top = (
-        bm25_scored(spark, sf_dir)
-        .orderBy(F.desc("score_micros"), "doc_id")
-        .limit(FUSE_POOL_K)
-    )
-    lexr = lex_top.select(
-        "doc_id",
-        F.row_number()
-        .over(W.orderBy(F.desc("score_micros"), "doc_id"))
-        .cast("long")
-        .alias("lex_rank"),
-    )
-    z = _with_int8_codes(load(spark, sf_dir, "embeddings"))
-    qv = z.filter(F.col("vec_id") == FUSE_QUERY_VEC).select(
-        F.col("scale").alias("qs"), F.col("codes").alias("qc")
-    )
-    vsc = (
-        z.filter(F.col("vec_id") != FUSE_QUERY_VEC)
-        .select("vec_id", F.col("scale").alias("cs"), F.col("codes").alias("cc"))
-        .crossJoin(F.broadcast(qv))
-        .withColumn("int_dot", F.expr(_INT8_SCORED_SQL))
-        .withColumn(
-            "score",
-            F.col("int_dot").cast("double") * (F.col("qs") * F.col("cs")),
-        )
-    )
-    vec_top = vsc.orderBy(F.desc("score"), "vec_id").limit(FUSE_POOL_K)
-    vecr = vec_top.select(
-        F.col("vec_id").alias("nid"),
-        F.row_number()
-        .over(W.orderBy(F.desc("score"), "vec_id"))
-        .cast("long")
-        .alias("vec_rank"),
-    )
-    f = lexr.join(
-        vecr, lexr["doc_id"] == vecr["nid"], "full_outer"
-    ).select(
-        F.coalesce(F.col("doc_id"), F.col("nid")).alias("doc_id"),
-        "lex_rank",
-        "vec_rank",
-    )
+    f = _fusion_rank_arms(spark, sf_dir)
     r = f.select(
         "doc_id",
         "lex_rank",
@@ -6003,7 +6014,7 @@ def ext_rank_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤ K-element in-row sequence — corpus cost is the two retriever
     scans, the measure itself is metadata-sized (the
     `ext_hybrid_rank_fusion` asymmetry, verbatim)."""
-    f = ext_hybrid_rank_fusion(spark, sf_dir).select("lex_rank", "vec_rank")
+    f = _fusion_rank_arms(spark, sf_dir).select("lex_rank", "vec_rank")
     b = f.where(
         F.col("lex_rank").isNotNull() & F.col("vec_rank").isNotNull()
     ).select(F.greatest("lex_rank", "vec_rank").alias("m"))

@@ -47,22 +47,28 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 )
 
 
-def _staged_events_dir(sf_dir: str) -> str:
-    """The file source requires a *directory*; stage the events
-    parquet into /tmp via symlink (testdata is read-only)."""
+def _staged_table_dir(sf_dir: str, table: str) -> str:
+    """The file source requires a *directory*; stage a table's
+    parquet into /tmp via symlink (testdata is read-only). ONE
+    staging device for every streamed table — the dangling-link
+    repair below must not fork per table."""
     stage = os.path.join(
-        "/tmp/smdp_stream", hashlib.sha1(sf_dir.encode()).hexdigest()[:10], "events"
+        "/tmp/smdp_stream", hashlib.sha1(sf_dir.encode()).hexdigest()[:10], table
     )
     os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
+    link = os.path.join(stage, f"{table}.parquet")
     # exists() follows symlinks: a link left dangling by a testdata
     # regeneration would crash the eager ts-type probe below, so
     # re-create it when the target is gone
     if os.path.lexists(link) and not os.path.exists(link):
         os.remove(link)
     if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
+        os.symlink(f"{sf_dir}/{table}.parquet", link)
     return stage
+
+
+def _staged_events_dir(sf_dir: str) -> str:
+    return _staged_table_dir(sf_dir, "events")
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -665,29 +671,12 @@ DOCS_STREAM_SCHEMA = T.StructType(
 )
 
 
-def _staged_documents_dir(sf_dir: str) -> str:
-    """documents.parquet staged as a stream directory (the
-    `_staged_events_dir` device; testdata is read-only)."""
-    stage = os.path.join(
-        "/tmp/smdp_stream",
-        hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
-        "documents",
-    )
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "documents.parquet")
-    if os.path.lexists(link) and not os.path.exists(link):
-        os.remove(link)
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/documents.parquet", link)
-    return stage
-
-
 def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the documents table (one landed crawl
     file per micro-batch under maxFilesPerTrigger=1 — the nightly
     drop directory). No timestamp column, so no ts-encoding probe is
     needed here, unlike `stream_events`."""
-    staged = _staged_documents_dir(sf_dir)
+    staged = _staged_table_dir(sf_dir, "documents")
     return (
         spark.readStream.schema(DOCS_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -738,18 +727,21 @@ def stream_dedup_incremental_chain(spark: SparkSession, sf_dir: str) -> DataFram
     availableNow drain over the single landed file is batch 1 of the
     same query.
 
-    Scale shape: per batch one (32-byte fingerprint)-keyed agg over
-    batch ∪ index — state is one row per DISTINCT increment text,
-    bounded by the increment's content diversity, with lineage cut
-    per batch (localCheckpoint). The drain joins increment rows
-    against the index (fingerprint equi-join) and LEFT-joins the
-    base's distinct fingerprints — at 100 TB the base side is the
-    bucketed fingerprint table of `ext_dedup_incremental_bucketed`
-    (co-located, zero base shuffle per night) with the bloom
-    prefilter of `ext_dedup_incremental_bloom` in front. Document
-    text never crosses the wire — fingerprints are computed in the
-    batch scan. (Oracle compares raw text: identical grouping absent
-    SHA-256 collisions.)"""
+    Scale shape: per batch, the batch's rows checkpoint ONCE (a list
+    of per-batch frames, unioned at drain — never re-unioned and
+    re-checkpointed per batch, which would be O(B²) checkpoint I/O
+    over B landed files) and the (fingerprint → min doc_id) INDEX is
+    re-merged — the index is the only per-batch-growing state and it
+    is one row per DISTINCT increment text. The drain joins
+    increment rows against the index (fingerprint equi-join) and
+    LEFT-joins the base's distinct fingerprints — at 100 TB the base
+    side is the bucketed fingerprint table of
+    `ext_dedup_incremental_bucketed` (co-located, zero base shuffle
+    per night) with the bloom prefilter of
+    `ext_dedup_incremental_bloom` in front. Document text never
+    crosses the wire — fingerprints are computed in the batch scan.
+    (Oracle compares raw text: identical grouping absent SHA-256
+    collisions.)"""
     from ..functions.hashing import doc_bucket
 
     bucket = doc_bucket("doc_id")
@@ -758,20 +750,36 @@ def stream_dedup_incremental_chain(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(bucket >= INCR_BASE_BUCKETS)
         .select("doc_id", F.sha2(F.col("text"), 256).alias("h"))
     )
-    state: dict = {"rows": None, "index": None}
+    base = (
+        load(spark, sf_dir, "documents")
+        .filter(doc_bucket("doc_id") < INCR_BASE_BUCKETS)
+        .select(F.sha2(F.col("text"), 256).alias("h"))
+        .distinct()
+    )
+    return drain_incremental_dedup(spark, incr_stream, base)
+
+
+def drain_incremental_dedup(
+    spark: SparkSession, incr_stream: DataFrame, base: DataFrame
+) -> DataFrame:
+    """Core of `stream_dedup_incremental_chain`, parameterized over
+    the (doc_id, h) increment stream and the base fingerprint set so
+    tests can drive it with a multi-file `maxFilesPerTrigger=1`
+    source and prove the cross-micro-batch merge."""
+    batches: list[DataFrame] = []
+    state: dict = {"index": None}
 
     def _fold_batch(batch_df: DataFrame, batch_id: int) -> None:
-        rows = batch_df
-        idx = rows.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
-        if state["rows"] is not None:
-            rows = state["rows"].unionByName(rows)
+        # each batch checkpoints exactly once and is never rewritten
+        batches.append(batch_df.localCheckpoint())
+        idx = batch_df.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+        if state["index"] is not None:
             idx = (
                 state["index"]
                 .unionByName(idx)
                 .groupBy("h")
                 .agg(F.min("first_doc").alias("first_doc"))
             )
-        state["rows"] = rows.localCheckpoint()
         state["index"] = idx.localCheckpoint()
 
     with scoped_shuffle_partitions(spark, 8):
@@ -781,20 +789,17 @@ def stream_dedup_incremental_chain(spark: SparkSession, sf_dir: str) -> DataFram
             .start()
         )
         q.awaitTermination()
-    rows, index = state["rows"], state["index"]
-    if rows is None:  # empty source
+    if not batches:  # empty source
         rows = spark.createDataFrame([], "doc_id long, h string")
         index = spark.createDataFrame([], "h string, first_doc long")
-    base = (
-        load(spark, sf_dir, "documents")
-        .filter(doc_bucket("doc_id") < INCR_BASE_BUCKETS)
-        .select(F.sha2(F.col("text"), 256).alias("h"))
-        .distinct()
-        .withColumn("in_base", F.lit(True))
-    )
+    else:
+        rows = batches[0]
+        for b in batches[1:]:
+            rows = rows.unionByName(b)
+        index = state["index"]
     flagged = (
         rows.join(index, "h", "left")
-        .join(base, "h", "left")
+        .join(base.withColumn("in_base", F.lit(True)), "h", "left")
         .select(
             "doc_id",
             F.coalesce(F.col("in_base"), F.lit(False)).alias("dup_of_base"),

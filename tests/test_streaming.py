@@ -407,3 +407,46 @@ def test_sliding_count_double_counts_each_event(spark):
     for et in {t for _, t in by_ws}:
         expect = per_day.get((mid, et), 0) + per_day.get((nxt, et), 0)
         assert by_ws.get((mid, et), 0) == expect
+
+
+def test_incremental_dedup_chain_merges_across_batches(spark):
+    """drain_incremental_dedup across REAL micro-batches
+    (maxFilesPerTrigger=1, 3 files): the (fingerprint -> min doc_id)
+    index must be batch-order independent — a doc whose DUPLICATE
+    arrives in an EARLIER batch is still flagged by doc_id order
+    (first-copy-wins), dup_of_base comes from the static base set,
+    and a doc unseen anywhere is is_new."""
+    from social_media_data_pipeline_recession_political_sentiment_spark.streaming.queries import (
+        drain_incremental_dedup,
+    )
+
+    work = tempfile.mkdtemp(prefix="smdp_incrchain_")
+    schema = "doc_id long, h string"
+    # batch 0 carries doc 20 (a LATER copy of content B); batch 1
+    # carries doc 10 (the EARLIEST copy of B) — arrival order is the
+    # reverse of doc_id order. Batch 2 repeats content B again (30),
+    # carries base-duplicated content A (40) and fresh content C (50).
+    b0 = [(20, "B")]
+    b1 = [(10, "B"), (11, None)]  # NULL text -> NULL fingerprint
+    b2 = [(30, "B"), (40, "A"), (50, "C")]
+    for i, rows in enumerate([b0, b1, b2]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(work, f"b{i}")
+        )
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(work, "b*"))
+    )
+    base = spark.createDataFrame([("A",)], "h string")
+    out = {r.doc_id: r for r in drain_incremental_dedup(spark, src, base).collect()}
+    assert set(out) == {10, 11, 20, 30, 40, 50}
+    # doc 10 is the min-doc_id copy of B despite arriving in batch 1
+    assert not out[10].dup_in_increment and out[10].is_new
+    assert out[20].dup_in_increment and not out[20].is_new
+    assert out[30].dup_in_increment and not out[30].is_new
+    # base hit: flagged dup_of_base, not dup_in_increment (unique in incr)
+    assert out[40].dup_of_base and not out[40].dup_in_increment
+    assert out[50].is_new and not out[50].dup_of_base
+    # NULL fingerprint never matches anything (SQL NULL-key semantics)
+    assert out[11].is_new and not out[11].dup_of_base and not out[11].dup_in_increment

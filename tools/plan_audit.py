@@ -1356,9 +1356,10 @@ AUDIT = {
         "joined to the min-doc fingerprint index and left-joined to "
         "the base corpus's DISTINCT sha2 set; sha2 computed in the "
         "scan projections on both sides",
-        "state is one row per distinct increment text, merged with "
-        "an algebraic min per micro-batch; document text never "
-        "crosses the wire — 32-byte fingerprints do",
+        "the per-batch-growing state is the INDEX (one row per "
+        "distinct increment text, algebraic min-merge); batch row "
+        "frames checkpoint once each — O(B), not O(B^2); document "
+        "text never crosses the wire — 32-byte fingerprints do",
     ),
     "ext_sim_topk_bitsign": (
         "bit packing in the scan projection (pinned once, feeds "
