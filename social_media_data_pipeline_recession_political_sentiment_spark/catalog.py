@@ -101,6 +101,107 @@ def compute_once(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=False)
 
 
+# ---------------------------------------------------------------------------
+# Session-pinned shared frames (the "mine once, consume many" seam).
+#
+# Several operator families derive the SAME expensive intermediate
+# from the same source — the shingle relation, the exact-Jaccard pair
+# graph, the banded-MinHash candidate set, the LSS component
+# assignment. Within one session (the bench, the verify gate, a
+# production dedup run) each consumer re-mining its own copy multiplies
+# the dominant cost (r10 verdict: the miner family re-mined the pair
+# graph up to 6x per bench pass) AND leaks storage: every per-query
+# `compute_once` localCheckpoint pins new executor blocks until the
+# Python frame is GC'd and the ContextCleaner runs — nondeterministic
+# in a long 311-query sweep (the r10 driver-bench 3x miner-family
+# regression's pressure source).
+#
+# `session_pin` fixes both: ONE `persist(MEMORY_AND_DISK)`-backed frame
+# per (application, source-fingerprint, tag), explicitly `unpersist`ed
+# on eviction / `clear_session_pins()` — blocks are released
+# deterministically, not left to finalizers. Unlike localCheckpoint,
+# persist KEEPS LINEAGE: a pinned partition lost to executor failure
+# recomputes from source instead of permanently failing the memo entry
+# (the r10-ADVICE failure mode — a broken checkpointed frame served
+# forever — cannot occur, no invalidation hook needed).
+#
+# Invalidation: the cache key folds in a RECURSIVE source fingerprint
+# (every file's relpath + mtime_ns + size + the file count — r10
+# ADVICE: a non-recursive lexicographic (mtime, size) max missed
+# nested layouts and mtime-preserving part-file rewrites). An
+# unstatable source is NEVER pinned: serving a possibly-stale frame
+# from an exactness-contract operator is the one failure mode this
+# cache must not have.
+
+_SESSION_PINS: dict = {}
+_SESSION_PIN_CAP = 12  # >= tags-per-sf_dir x concurrently-live sf_dirs
+
+
+def source_fingerprint(path: str):
+    """Recursive content-layout fingerprint of a file or directory:
+    (file_count, sha1 over every file's (relpath, mtime_ns, size)),
+    deterministic walk order. None when unstatable."""
+    import hashlib
+    import os as _os
+
+    try:
+        st = _os.stat(path)
+        if not _os.path.isdir(path):
+            return (1, f"{st.st_mtime_ns}:{st.st_size}")
+        h = hashlib.sha1()
+        n = 0
+        for root, dirs, files in _os.walk(path):
+            dirs.sort()
+            for name in sorted(files):
+                s = _os.stat(_os.path.join(root, name))
+                rel = _os.path.relpath(_os.path.join(root, name), path)
+                h.update(f"{rel}\x00{s.st_mtime_ns}\x00{s.st_size}\x00".encode())
+                n += 1
+        return (n, h.hexdigest())
+    except OSError:
+        return None
+
+
+def session_pin(
+    spark: SparkSession,
+    sf_dir: str,
+    tag: str,
+    build,
+    source: str = "documents.parquet",
+) -> DataFrame:
+    """Return the session-shared frame for (sf_dir, tag), building and
+    persisting it on first use. `build()` may itself run jobs (the LSS
+    star contraction does); a build that raises stores nothing, so the
+    next call retries from scratch. FIFO eviction above the cap
+    explicitly unpersists the evicted frame (lineage survives — any
+    plan still referencing it recomputes, never errors)."""
+    import os as _os
+
+    fp = source_fingerprint(_os.path.join(sf_dir, source))
+    if fp is None:  # unstatable source: no safe cache key — don't pin
+        return build()
+    key = (spark.sparkContext.applicationId, tag, _os.path.realpath(sf_dir), fp)
+    df = _SESSION_PINS.get(key)
+    if df is None:
+        from pyspark import StorageLevel
+
+        df = build().persist(StorageLevel.MEMORY_AND_DISK)
+        while len(_SESSION_PINS) >= _SESSION_PIN_CAP:  # FIFO evict + free
+            _SESSION_PINS.pop(next(iter(_SESSION_PINS))).unpersist(False)
+        _SESSION_PINS[key] = df
+    return df
+
+
+def clear_session_pins() -> None:
+    """Release every session pin's storage (bench/gate hygiene hook)."""
+    while _SESSION_PINS:
+        _, df = _SESSION_PINS.popitem()
+        try:
+            df.unpersist(False)
+        except Exception:
+            pass  # a dead SparkContext can't unpersist — nothing to free
+
+
 def ntz_as_utc_instant(col: str):
     """TIMESTAMP_NTZ -> TimestampType with the wall clock interpreted
     as UTC, independent of `spark.sql.session.timeZone` (see `load`)."""

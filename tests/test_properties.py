@@ -1946,3 +1946,165 @@ def test_pq_codebook_argmin_tiebreak_matches_reference(spark, vecs):
             n, sse = expect.get(key, (0, 0))
             expect[key] = (n + 1, sse + best[0])
     assert out == expect
+
+
+# --------------------------------------------------------------------------
+# session_pin / source_fingerprint invalidation (r10 verdict item 8 +
+# ADVICE: the memo seam is correctness-critical cache logic — prove
+# that file-layout mutations recompute and identical layouts reuse)
+
+_pin_ops = st.lists(
+    st.sampled_from(["noop", "append", "append_nested", "delete", "rewrite"]),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(_pin_ops)
+@settings(**_SETTINGS)
+def test_session_pin_recompute_vs_reuse(spark, tmp_path_factory, ops):
+    """`session_pin` is keyed by the recursive source fingerprint:
+    it rebuilds exactly when the current file layout has never been
+    pinned before, and reuses a (still-valid) pin whenever the layout
+    matches one already seen — including a delete that restores an
+    earlier layout. Mutations exercised: append (top-level AND nested
+    — the r10-ADVICE non-recursive-fingerprint gap), delete, and an
+    mtime-preserving rewrite that changes the file size."""
+    import os
+    import shutil
+
+    from social_media_data_pipeline_recession_political_sentiment_spark import catalog
+
+    sf_dir = str(tmp_path_factory.mktemp("pin_sf"))
+    src = os.path.join(sf_dir, "documents.parquet")
+    os.makedirs(src)
+    with open(os.path.join(src, "part-0"), "wb") as f:
+        f.write(b"x" * 8)
+
+    builds = []
+
+    def build():
+        builds.append(1)
+        return spark.range(3)
+
+    saved = dict(catalog._SESSION_PINS)
+    catalog.clear_session_pins()
+    try:
+        tag = f"pin_prop_{id(ops)}"
+        catalog.session_pin(spark, sf_dir, tag, build)
+        assert len(builds) == 1  # cold build
+        catalog.session_pin(spark, sf_dir, tag, build)
+        assert len(builds) == 1  # warm reuse, nothing changed
+        seen = {catalog.source_fingerprint(src)}
+        n_extra = 0  # files added beyond part-0 (delete candidates)
+        for i, op in enumerate(ops):
+            before = len(builds)
+            if op == "append":
+                with open(os.path.join(src, f"part-a{i}"), "wb") as f:
+                    f.write(b"y" * (i + 1))
+                n_extra += 1
+            elif op == "append_nested":
+                sub = os.path.join(src, f"bucket={i}")
+                os.makedirs(sub, exist_ok=True)
+                with open(os.path.join(sub, "part-n"), "wb") as f:
+                    f.write(b"z" * (i + 1))
+                n_extra += 1
+            elif op == "delete" and n_extra:
+                for root, _, files in os.walk(src):
+                    victim = [n for n in files if n != "part-0"]
+                    if victim:
+                        os.remove(os.path.join(root, victim[0]))
+                        n_extra -= 1
+                        break
+            elif op == "rewrite":
+                p = os.path.join(src, "part-0")
+                st_ = os.stat(p)
+                with open(p, "wb") as f:  # grow by one byte...
+                    f.write(b"x" * (st_.st_size + 1))
+                os.utime(p, ns=(st_.st_atime_ns, st_.st_mtime_ns))  # ...same mtime
+            fp = catalog.source_fingerprint(src)
+            fresh = fp not in seen
+            seen.add(fp)
+            catalog.session_pin(spark, sf_dir, tag, build)
+            want = before + 1 if fresh else before
+            assert len(builds) == want, (
+                f"{op}: rebuild iff this layout was never pinned before"
+            )
+            # invariant: a second immediate call never rebuilds
+            catalog.session_pin(spark, sf_dir, tag, build)
+            assert len(builds) == want
+    finally:
+        catalog.clear_session_pins()
+        catalog._SESSION_PINS.update(saved)
+        shutil.rmtree(sf_dir, ignore_errors=True)
+
+
+def test_session_pin_failure_stores_nothing_and_clear_releases(spark, tmp_path):
+    """A build that raises must store no memo entry (the next call
+    retries from scratch — the r10-ADVICE 'broken frame served
+    forever' failure mode), and clear_session_pins() releases
+    storage without breaking later rebuilds."""
+    import os
+
+    from social_media_data_pipeline_recession_political_sentiment_spark import catalog
+
+    sf_dir = str(tmp_path)
+    src = os.path.join(sf_dir, "documents.parquet")
+    with open(src, "wb") as f:
+        f.write(b"q" * 16)
+
+    calls = []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) == 1:
+            raise RuntimeError("executor lost")
+        return spark.range(2)
+
+    saved = dict(catalog._SESSION_PINS)
+    catalog.clear_session_pins()
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError):
+            catalog.session_pin(spark, sf_dir, "flaky", flaky)
+        df = catalog.session_pin(spark, sf_dir, "flaky", flaky)
+        assert len(calls) == 2 and df.count() == 2
+        catalog.session_pin(spark, sf_dir, "flaky", flaky)
+        assert len(calls) == 2  # pinned now
+        catalog.clear_session_pins()
+        assert not catalog._SESSION_PINS
+        df2 = catalog.session_pin(spark, sf_dir, "flaky", flaky)
+        assert len(calls) == 3 and df2.count() == 2  # rebuilt cleanly
+    finally:
+        catalog.clear_session_pins()
+        catalog._SESSION_PINS.update(saved)
+
+
+def test_source_fingerprint_recursive_and_unstatable(tmp_path):
+    """Fingerprint folds nested files (recursion), per-file identity
+    (not a lexicographic max), and file COUNT; an unstatable path
+    fingerprints to None (=> never pinned)."""
+    import os
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.catalog import (
+        source_fingerprint,
+    )
+
+    d = tmp_path / "t.parquet"
+    os.makedirs(d / "k=1")
+    (d / "part-0").write_bytes(b"a" * 4)
+    (d / "k=1" / "part-1").write_bytes(b"b" * 4)
+    fp1 = source_fingerprint(str(d))
+    assert fp1 is not None and fp1[0] == 2
+
+    # nested mutation changes the digest (the non-recursive max missed this
+    # when the nested file wasn't the lexicographic/mtime max)
+    (d / "k=1" / "part-1").write_bytes(b"b" * 5)
+    fp2 = source_fingerprint(str(d))
+    assert fp2 != fp1 and fp2[0] == 2
+
+    # same layout -> same fingerprint (stat-stable)
+    assert source_fingerprint(str(d)) == fp2
+
+    assert source_fingerprint(str(tmp_path / "missing.parquet")) is None
