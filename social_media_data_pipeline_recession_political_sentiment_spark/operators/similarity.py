@@ -21,6 +21,8 @@ Scale design:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -30,6 +32,9 @@ from ..registry import register
 TOP_K = 10
 N_QUERY_VECS = 5  # vec_id < 5 are the query set
 COS_DUP_THRESHOLD = 0.4
+EMB_DIM = 64  # driver-testdata embedding dimensionality (TESTDATA.md);
+# the Spark miners read the dim from the data at runtime — only the
+# static DuckDB oracle strings need it pinned
 
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)"
 
@@ -149,8 +154,112 @@ register("join_similarity_topk", oracle=_TOPK_ORACLE)(ext_sim_topk)
 IVF_ITERS = 5
 IVF_TRAIN_CAP = 4096  # quantizer training rows collected to the driver
 
+# portable pseudo-random sample order (the doc_bucket md5 device, full
+# 60-bit value): identical on Spark (conv/substring/md5) and DuckDB
+_IVF_HASH_SQL = (
+    "CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+)
 
-@register("ext_sim_ivf")  # approximate => rows-only; recall in pytest
+
+def _ivf_d2_sql(x: str, c: str) -> str:
+    """Engine-shared squared-distance tree (twin of the NumPy
+    per-dimension fold in `_ivf_scored`): (x·x + c·c) − 2·(x·c)."""
+    return (
+        f"list_dot_product({x}, {x}) + list_dot_product({c}, {c}) "
+        f"- 2.0 * list_dot_product({x}, {c})"
+    )
+
+
+def _ivf_oracle() -> str:
+    """DuckDB replay of the ENTIRE IVF path (r10 verdict item 4 — the
+    last `no_oracle` row becomes hash-checked): bounded md5-ordered
+    training sample, lowest-vec_id centroid seeds, IVF_ITERS unrolled
+    Lloyd iterations with per-dimension fold-sum centroid means
+    (list_dot_product against a ones-list ≙ the NumPy row-wise
+    sequential accumulation in vec_id order), argmin assignment with
+    the (d2, cid) tiebreak, nprobe nearest-list probing, and the
+    fold-cosine top-k. Every float op mirrors the Spark side's
+    sequential-fold arithmetic, so the result — including which
+    candidates the APPROXIMATION admits — is bit-reproducible;
+    recall < 1 is part of the contract, exactly as for the banded
+    MinHash and LSH miners."""
+    fin = _fin_emb_duck("embedding")
+    d2_sc = _ivf_d2_sql("s.dv", "c.cv")
+    d2_ec = _ivf_d2_sql("e.dv", "c.cv")
+    d2_qc = _ivf_d2_sql("q.qv", "c.cv")
+    ctes = [
+        f"e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv "
+        f"FROM embeddings WHERE {fin})",
+        f"samp AS (SELECT vec_id, dv FROM e ORDER BY {_IVF_HASH_SQL}, vec_id "
+        f"LIMIT {IVF_TRAIN_CAP})",
+        "prm AS (SELECT greatest(2, least(64, CAST(floor(sqrt(CAST("
+        "count(*) AS DOUBLE))) AS BIGINT))) AS nlist FROM samp)",
+        f"dims AS (SELECT unnest(range(1, {EMB_DIM} + 1)) AS i)",
+        "c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 "
+        "AS BIGINT) AS cid, dv AS cv FROM samp "
+        "QUALIFY row_number() OVER (ORDER BY vec_id) <= "
+        "(SELECT nlist FROM prm))",
+    ]
+    for t in range(1, IVF_ITERS + 1):
+        ctes.append(
+            f"a{t} AS (SELECT vec_id, dv, cid FROM ("
+            f"SELECT s.vec_id, s.dv, c.cid, row_number() OVER ("
+            f"PARTITION BY s.vec_id ORDER BY {d2_sc}, c.cid) AS rn "
+            f"FROM samp s CROSS JOIN c{t - 1} c) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"m{t} AS (SELECT cid, i, list(x ORDER BY vec_id) AS l, "
+            f"CAST(count(*) AS BIGINT) AS cnt FROM ("
+            f"SELECT a.cid, d.i, a.vec_id, a.dv[d.i] AS x "
+            f"FROM a{t} a CROSS JOIN dims d) GROUP BY cid, i)"
+        )
+        ctes.append(
+            f"u{t} AS (SELECT cid, list(list_dot_product(l, "
+            f"list_transform(l, x -> 1.0)) / cnt ORDER BY i) AS cv "
+            f"FROM m{t} GROUP BY cid)"
+        )
+        ctes.append(
+            f"c{t} AS (SELECT p.cid, coalesce(u.cv, p.cv) AS cv "
+            f"FROM c{t - 1} p LEFT JOIN u{t} u ON u.cid = p.cid)"
+        )
+    last = f"c{IVF_ITERS}"
+    ctes.append(
+        "asg AS (SELECT vec_id, cid FROM ("
+        "SELECT e.vec_id, c.cid, row_number() OVER ("
+        f"PARTITION BY e.vec_id ORDER BY {d2_ec}, c.cid) AS rn "
+        f"FROM e CROSS JOIN {last} c) WHERE rn = 1)"
+    )
+    ctes.append(
+        f"q AS (SELECT vec_id AS query_id, dv AS qv FROM e "
+        f"WHERE vec_id < {N_QUERY_VECS})"
+    )
+    ctes.append(
+        "pr AS (SELECT query_id, cid FROM ("
+        "SELECT q.query_id, c.cid, row_number() OVER ("
+        f"PARTITION BY q.query_id ORDER BY {d2_qc}, c.cid) AS rn "
+        f"FROM q CROSS JOIN {last} c) "
+        "WHERE rn <= (SELECT greatest(1, nlist // 4) FROM prm))"
+    )
+    ctes.append(
+        "sc AS (SELECT p.query_id, a.vec_id AS neighbor_id, "
+        "list_dot_product(q.qv, n.dv) / "
+        "(sqrt(list_dot_product(q.qv, q.qv)) * "
+        "sqrt(list_dot_product(n.dv, n.dv))) AS cos "
+        "FROM pr p JOIN asg a ON a.cid = p.cid "
+        "JOIN q ON q.query_id = p.query_id "
+        "JOIN e n ON n.vec_id = a.vec_id "
+        "WHERE a.vec_id != p.query_id)"
+    )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT query_id, neighbor_id, cos, rank FROM ("
+        "SELECT query_id, neighbor_id, cos, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank "
+        f"FROM sc) WHERE rank <= {TOP_K}"
+    )
+
+
+@register("ext_sim_ivf", oracle=_ivf_oracle())
 def ext_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: a k-means coarse quantizer partitions the
     corpus into nlist inverted lists; each query probes only its
@@ -175,28 +284,67 @@ def ext_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract as `ext_sim_topk`.
 
     nlist ~ sqrt(n_train) and nprobe = nlist/4; at deployment scale
-    assignment lands partitioned by list id for list-local serving."""
-    scored = _ivf_scored(spark, sf_dir, probe_all=False)
-    return _rank_topk(scored)
+    assignment lands partitioned by list id for list-local serving.
+
+    HARD-oracle-checked since r11 (`_ivf_oracle`): the training
+    sample order is the portable md5 device, every distance /
+    centroid-mean is a sequential fold mirrored in SQL, and the
+    emitted cos is re-scored JVM-side with the shared `_cosine`
+    kernel (`ext_sim_ivf_exhaustive`'s device) — so the driver
+    hash-checks the approximate result itself, not just its
+    recall/exhaustive siblings."""
+    cand = _ivf_scored(spark, sf_dir, probe_all=False)
+    return _ivf_rescore_topk(spark, sf_dir, cand)
 
 
 def _ivf_train_sample(e: DataFrame) -> DataFrame:
     """The quantizer's bounded driver sample: pseudo-random but
-    deterministic order by murmur3(vec_id), capped at IVF_TRAIN_CAP.
-    Compiles to TakeOrderedAndProject (per-partition heap merge,
-    never a global sort) — the O(cap × dim) driver-memory contract
-    tests/test_similarity.py pins against THIS function, which is
-    exactly what `_ivf_scored` collects."""
-    return e.orderBy(F.hash("vec_id").asc(), F.col("vec_id").asc()).limit(
-        IVF_TRAIN_CAP
-    )
+    deterministic order by the portable md5 hash of vec_id (the
+    `doc_bucket` device, full 60-bit value — DuckDB-replayable, which
+    murmur3 F.hash was not; r11 oracle-ization), capped at
+    IVF_TRAIN_CAP. Compiles to TakeOrderedAndProject (per-partition
+    heap merge, never a global sort) — the O(cap × dim)
+    driver-memory contract tests/test_similarity.py pins against
+    THIS function, which is exactly what `_ivf_scored` collects."""
+    h = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return e.orderBy(h.asc(), F.col("vec_id").asc()).limit(IVF_TRAIN_CAP)
+
+
+def _ivf_fold_d2(x, c):
+    """(len(x), len(c)) squared distances via LEFT-TO-RIGHT folds over
+    dimensions (never BLAS): (x·x + c·c) − 2·(x·c) with every dot a
+    sequential accumulation — bit-equal to `_ivf_d2_sql`'s
+    list_dot_product tree, which is what lets the oracle replay
+    assignment and probe selection exactly."""
+    import numpy as np
+
+    sx = np.zeros(x.shape[0])
+    sc = np.zeros(c.shape[0])
+    dots = np.zeros((x.shape[0], c.shape[0]))
+    for i in range(x.shape[1]):
+        sx += x[:, i] * x[:, i]
+        sc += c[:, i] * c[:, i]
+        dots += np.outer(x[:, i], c[:, i])
+    return (sx[:, None] + sc[None, :]) - 2.0 * dots
 
 
 def _ivf_scored(spark: SparkSession, sf_dir: str, probe_all: bool) -> DataFrame:
-    """IVF candidate generation + NumPy scoring; `probe_all=True`
-    probes every inverted list (nprobe = nlist), making the candidate
-    set provably exhaustive — the seam `ext_sim_ivf_exhaustive`'s
-    exactness contract exercises."""
+    """IVF candidate generation: (query_id, neighbor_id) pairs each
+    query's probed inverted lists admit; `probe_all=True` probes every
+    list (nprobe = nlist), making the candidate set provably
+    exhaustive — the seam `ext_sim_ivf_exhaustive`'s exactness
+    contract exercises. Scoring/ranking happens JVM-side in
+    `_ivf_rescore_topk` (shared by the approximate and exhaustive
+    paths), so candidate generation here ships ids only.
+
+    Engine-replay contract (r11): the sample is collected in portable
+    md5-hash order and re-sorted by vec_id, centroid seeds are the
+    sample's lowest vec_ids, Lloyd means accumulate members
+    SEQUENTIALLY in vec_id order, and all distances use
+    `_ivf_fold_d2` with first-min (lowest cid) tiebreaks — every step
+    mirrored, op for op, in `_ivf_oracle`'s SQL."""
     import numpy as np
     import pandas as pd
 
@@ -207,84 +355,104 @@ def _ivf_scored(spark: SparkSession, sf_dir: str, probe_all: bool) -> DataFrame:
     )
     sample = _ivf_train_sample(e).toPandas()
     if len(sample) == 0:  # empty corpus => no neighbors
-        return spark.createDataFrame(
-            [], "query_id bigint, neighbor_id bigint, cos double"
-        )
+        return spark.createDataFrame([], "query_id bigint, neighbor_id bigint")
+    sample = sample.sort_values("vec_id")  # member order for Lloyd means
     ids = sample["vec_id"].to_numpy(dtype=np.int64)
     mat = np.stack([np.asarray(v, dtype=np.float64) for v in sample["embedding"]])
     n = len(ids)
+    dim = mat.shape[1]
     nlist = max(2, min(64, int(np.sqrt(n))))
     nprobe = nlist if probe_all else max(1, nlist // 4)
 
-    def _nearest(x: "np.ndarray", c: "np.ndarray") -> "np.ndarray":
-        # argmin over ||x-c||² = x²+c²-2xcᵀ: one BLAS matmul instead of
-        # an (n, k, dim) broadcast temp
-        d2 = (x**2).sum(axis=1)[:, None] + (c**2).sum(axis=1)[None, :] - 2.0 * (x @ c.T)
-        return d2.argmin(axis=1)
-
-    order = np.argsort(ids)
-    cent = mat[order[:nlist]].copy()
+    # ids ascend, so the first nlist rows ARE the lowest-vec_id seeds
+    cent = mat[:nlist].copy()
     for _ in range(IVF_ITERS):
-        assign = _nearest(mat, cent)
-        for k in range(nlist):
+        # ties -> first (lowest) cid, matching the oracle's (d2, cid)
+        assign = _ivf_fold_d2(mat, cent).argmin(axis=1)
+        for k in range(len(cent)):
             members = mat[assign == k]
             if len(members):
-                cent[k] = members.mean(axis=0)
+                acc = np.zeros(dim)
+                for row in members:  # sequential fold in vec_id order
+                    acc += row
+                cent[k] = acc / len(members)
 
     # query-side probe sets (vec_id < N_QUERY_VECS): tiny, collected
     # directly — independent of the training sample so bounding the
     # sample can never drop a query vector
     qpdf = e.filter(F.col("vec_id") < N_QUERY_VECS).toPandas()
     if len(qpdf) == 0:  # no query vectors => no neighbors
-        return spark.createDataFrame(
-            [], "query_id bigint, neighbor_id bigint, cos double"
-        )
+        return spark.createDataFrame([], "query_id bigint, neighbor_id bigint")
     q_ids = qpdf["vec_id"].to_numpy(dtype=np.int64)
     q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in qpdf["embedding"]])
-    qd2 = (
-        (q_mat**2).sum(axis=1)[:, None]
-        + (cent**2).sum(axis=1)[None, :]
-        - 2.0 * (q_mat @ cent.T)
-    )
-    probes = np.argsort(qd2, axis=1)[:, :nprobe]
-    q_norm = np.sqrt((q_mat**2).sum(axis=1))
-    bc = spark.sparkContext.broadcast((cent, q_ids, q_mat, probes, q_norm))
+    qd2 = _ivf_fold_d2(q_mat, cent)
+    # stable sort: equal distances keep ascending-cid order (= the
+    # oracle's (d2, cid) ranking; default quicksort would not)
+    probes = np.argsort(qd2, axis=1, kind="stable")[:, :nprobe]
+    bc = spark.sparkContext.broadcast((cent, q_ids, probes))
 
     def score(batches):
-        cent_b, q_ids_b, q_mat_b, probes_b, q_norm_b = bc.value
+        cent_b, q_ids_b, probes_b = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            c_mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-            c_assign = (
-                (c_mat**2).sum(axis=1)[:, None]
-                + (cent_b**2).sum(axis=1)[None, :]
-                - 2.0 * (c_mat @ cent_b.T)
-            ).argmin(axis=1)
-            c_norm = np.sqrt((c_mat**2).sum(axis=1))
-            out_q, out_n, out_cos = [], [], []
+            c_mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            c_assign = _ivf_fold_d2(c_mat, cent_b).argmin(axis=1)
+            out_q, out_n = [], []
             for qi in range(len(q_ids_b)):
                 cand = np.isin(c_assign, probes_b[qi]) & (c_ids != q_ids_b[qi])
                 if not cand.any():
                     continue
-                cos = (c_mat[cand] @ q_mat_b[qi]) / (c_norm[cand] * q_norm_b[qi])
-                out_q.append(np.full(cand.sum(), q_ids_b[qi]))
+                out_q.append(np.full(int(cand.sum()), q_ids_b[qi]))
                 out_n.append(c_ids[cand])
-                out_cos.append(cos)
             if not out_q:
                 continue
             yield pd.DataFrame(
                 {
                     "query_id": np.concatenate(out_q),
                     "neighbor_id": np.concatenate(out_n),
-                    "cos": np.concatenate(out_cos),
                 }
             )
 
     return e.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
-        score, "query_id bigint, neighbor_id bigint, cos double"
+        score, "query_id bigint, neighbor_id bigint"
     )
+
+
+def _ivf_rescore_topk(
+    spark: SparkSession, sf_dir: str, cand: DataFrame
+) -> DataFrame:
+    """JVM-side exact re-score + top-k over an IVF candidate id set:
+    two vec_id equi-joins (broadcast query side with its pushed-down
+    vec_id < N filter) and the shared `_cosine` sequential-fold
+    kernel (≙ DuckDB list_dot_product bit for bit), then the shared
+    `_rank_topk` contract. Candidates ≪ corpus², so the re-score is
+    linear in candidate count. Shared by `ext_sim_ivf` and
+    `ext_sim_ivf_exhaustive` so the two paths can never diverge on
+    scoring or tie rules."""
+    e = load(spark, sf_dir, "embeddings")
+    # deliberately NOT compute_once (r6 sweep review): the query-side
+    # reference keeps its vec_id < N_QUERY_VECS pushdown (a ~one-row-
+    # group scan at scale), and pinning would materialize the WHOLE
+    # corpus widened to double — costlier than the cheap cast re-scan
+    ev = _with_double_vec(e, "v")
+    joined = cand.join(
+        F.broadcast(
+            ev.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+            .filter(F.col("query_id") < N_QUERY_VECS)
+        ),
+        "query_id",
+    ).join(
+        ev.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")),
+        "neighbor_id",
+    )
+    scored = joined.select(
+        "query_id", "neighbor_id", _cosine("qv", "cv").alias("cos")
+    )
+    return _rank_topk(scored)
 
 
 @register("ext_sim_ivf_exhaustive", oracle=_TOPK_ORACLE)
@@ -311,32 +479,8 @@ def ext_sim_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle contract. Candidates ≪ corpus² so the re-score is linear
     in candidate count; the exhaustive variant is a VERIFICATION
     query (driver SF), never the serving path."""
-    cand = _ivf_scored(spark, sf_dir, probe_all=True).select(
-        "query_id", "neighbor_id"
-    )
-    e = load(spark, sf_dir, "embeddings")
-    # deliberately NOT compute_once (r6 sweep review): the query-side
-    # reference keeps its vec_id < N_QUERY_VECS pushdown (a ~one-row-
-    # group scan at scale), and pinning would materialize the WHOLE
-    # corpus widened to double — costlier than the cheap cast re-scan
-    ev = _with_double_vec(e, "v")
-    joined = (
-        cand.join(
-            F.broadcast(
-                ev.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
-                .filter(F.col("query_id") < N_QUERY_VECS)
-            ),
-            "query_id",
-        )
-        .join(
-            ev.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")),
-            "neighbor_id",
-        )
-    )
-    scored = joined.select(
-        "query_id", "neighbor_id", _cosine("qv", "cv").alias("cos")
-    )
-    return _rank_topk(scored)
+    cand = _ivf_scored(spark, sf_dir, probe_all=True)
+    return _ivf_rescore_topk(spark, sf_dir, cand)
 
 
 EMBCOS_BLOCKS = 8  # triangle-join block count; tasks hold ≤ 2N/B vectors
@@ -458,6 +602,96 @@ LSH_BUCKET_CAP = 1024  # salt buckets above this size (skew guard)
 EMBCOS_LSH_BUCKET_LEN = 1.0  # unit-sphere mining: w ~ threshold distance
 
 
+def _lsh_tables(dim: int, bucket_len: float):
+    """The L seeded random-projection tables [(p, b)] with p unit-row
+    (m, dim) planes and b the per-hash offsets in [0, bucket_len) —
+    ONE generation procedure (np.default_rng(42), normals then
+    uniforms per table, byte-identical to what the r5-r10 miner drew
+    inside its first Arrow batch) shared by the Spark bucketing UDF
+    and the DuckDB oracle generator, so the two engines can never
+    disagree on the planes. Cached per (dim, bucket_len)."""
+    import numpy as np
+
+    key = (dim, float(bucket_len))
+    t = _lsh_tables._cache.get(key)
+    if t is None:
+        rng = np.random.default_rng(42)
+        t = []
+        for _ in range(LSH_TABLES):
+            p = rng.standard_normal((LSH_HASHES_PER_TABLE, dim))
+            # unit-normalize so bucket width is in data units
+            # (matches BucketedRandomProjectionLSH)
+            p /= np.linalg.norm(p, axis=1, keepdims=True)
+            b = rng.uniform(0.0, bucket_len, LSH_HASHES_PER_TABLE)
+            t.append((p, b))
+        _lsh_tables._cache[key] = t
+    return t
+
+
+_lsh_tables._cache = {}
+
+
+def _lsh_pairs_oracle(
+    bucket_len: float, dist_threshold: float, unit_sphere: bool, tail: str
+) -> str:
+    """DuckDB replay of the ENTIRE salted-LSH mining path (r10 verdict
+    item 4 — retires the `no_oracle` rows): inline the seeded
+    projection planes as double literals (repr round-trips exactly),
+    rebuild every per-table bucket key with the same
+    fold-dot + offset + floor arithmetic the Spark miner computes
+    (sequential list_dot_product ≙ the NumPy per-dimension fold), join
+    within buckets per table, DISTINCT the pair set, and re-score with
+    the identical sqrt(greatest(0, a·a + b·b − 2·a·b)) distance. The
+    salting sub-blocks need no modelling: they partition each bucket's
+    pair space without changing its union. `unit_sphere` prepends the
+    float32 normalization used by the cosine miner."""
+    tables = _lsh_tables(EMB_DIM, bucket_len)
+    fin = _fin_emb_duck("embedding")
+    if unit_sphere:
+        src = (
+            f"raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS rv "
+            f"FROM embeddings WHERE {fin}), "
+            "nm AS (SELECT vec_id, rv, sqrt(list_dot_product(rv, rv)) AS nrm "
+            "FROM raw), "
+            "e AS (SELECT vec_id, CAST(list_transform(rv, x -> "
+            "CAST(x / nrm AS REAL)) AS DOUBLE[]) AS dv FROM nm "
+            "WHERE nrm > 0 AND NOT isnan(nrm) "
+            "AND nrm < CAST('Infinity' AS DOUBLE))"
+        )
+    else:
+        src = (
+            f"e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv "
+            f"FROM embeddings WHERE {fin})"
+        )
+    arms = []
+    for t, (p, b) in enumerate(tables):
+        keys = ", ".join(
+            f"floor((list_dot_product(dv, "
+            f"[{', '.join(repr(float(x)) for x in p[j])}]) "
+            f"+ {float(b[j])!r}) / {float(bucket_len)!r}) AS k{j}"
+            for j in range(LSH_HASHES_PER_TABLE)
+        )
+        arms.append(f"SELECT vec_id, {t} AS tbl, {keys} FROM e")
+    kond = " AND ".join(
+        f"a.k{j} = b.k{j}" for j in range(LSH_HASHES_PER_TABLE)
+    )
+    return (
+        f"WITH {src}, "
+        f"k AS ({' UNION ALL '.join(arms)}), "
+        "cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b "
+        f"FROM k a JOIN k b ON a.tbl = b.tbl AND {kond} "
+        "AND a.vec_id < b.vec_id), "
+        "p2 AS (SELECT c.vec_a, c.vec_b, "
+        "sqrt(greatest(CAST(0.0 AS DOUBLE), "
+        "list_dot_product(ea.dv, ea.dv) + list_dot_product(eb.dv, eb.dv) "
+        "- 2.0 * list_dot_product(ea.dv, eb.dv))) AS dist "
+        "FROM cand c JOIN e ea ON ea.vec_id = c.vec_a "
+        "JOIN e eb ON eb.vec_id = c.vec_b) "
+        f"SELECT vec_a, vec_b, {tail} FROM p2 "
+        f"WHERE dist < {float(dist_threshold)!r}"
+    )
+
+
 def lsh_candidate_pairs(
     spark: SparkSession,
     e: DataFrame,
@@ -473,23 +707,24 @@ def lsh_candidate_pairs(
     import pandas as pd
 
     def hash_to_buckets(batches):
-        tables = None  # seeded per task => identical planes everywhere
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-            if tables is None:
-                rng = np.random.default_rng(42)
-                tables = []
-                for _ in range(LSH_TABLES):
-                    p = rng.standard_normal((LSH_HASHES_PER_TABLE, mat.shape[1]))
-                    # unit-normalize so bucket width is in data units
-                    # (matches BucketedRandomProjectionLSH)
-                    p /= np.linalg.norm(p, axis=1, keepdims=True)
-                    b = rng.uniform(0.0, bucket_len, LSH_HASHES_PER_TABLE)
-                    tables.append((p, b))
+            # seeded planes, shared with the DuckDB oracle generator
+            tables = _lsh_tables(mat.shape[1], bucket_len)
             for t, (p, b) in enumerate(tables):
-                keys = np.floor((mat @ p.T + b) / bucket_len).astype(np.int64)
+                # left-to-right fold over dimensions instead of a BLAS
+                # matmul: bit-equal to the SQL engines' sequential
+                # list_dot_product/aggregate accumulation, which is
+                # what lets the bucket keys (and so the whole
+                # candidate set) be DuckDB-oracle-checked (r10
+                # verdict item 4); floor boundaries leave no room
+                # for a 1-ulp pairwise-vs-fold gap
+                proj = np.zeros((mat.shape[0], LSH_HASHES_PER_TABLE))
+                for i in range(mat.shape[1]):
+                    proj += mat[:, i : i + 1] * p[:, i]
+                keys = np.floor((proj + b) / bucket_len).astype(np.int64)
                 yield pd.DataFrame(
                     {
                         "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
@@ -547,11 +782,18 @@ def lsh_candidate_pairs(
         ids_b = b["vec_id"].to_numpy(dtype=np.int64)
         mat_a = np.stack([np.asarray(v, dtype=np.float64) for v in a["embedding"]])
         mat_b = np.stack([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
-        d2 = (
-            (mat_a**2).sum(axis=1)[:, None]
-            + (mat_b**2).sum(axis=1)[None, :]
-            - 2.0 * (mat_a @ mat_b.T)
-        )
+        # left-to-right folds over dimensions (NOT BLAS): bit-equal to
+        # the oracle's sqrt(greatest(0, dot(a,a) + dot(b,b) -
+        # 2*dot(a,b))) sequential-fold arithmetic, so the emitted
+        # dist — and the strict < threshold cut — hash-match DuckDB
+        da = np.zeros(len(ids_a))
+        db = np.zeros(len(ids_b))
+        dots = np.zeros((len(ids_a), len(ids_b)))
+        for i in range(mat_a.shape[1]):
+            da += mat_a[:, i] * mat_a[:, i]
+            db += mat_b[:, i] * mat_b[:, i]
+            dots += np.outer(mat_a[:, i], mat_b[:, i])
+        d2 = (da[:, None] + db[None, :]) - 2.0 * dots
         np.maximum(d2, 0.0, out=d2)
         d = np.sqrt(d2)
         if sa == sb:  # upper triangle within the sub-block
@@ -564,7 +806,7 @@ def lsh_candidate_pairs(
             {
                 "vec_a": np.minimum(ids_a[ai], ids_b[bi]),
                 "vec_b": np.maximum(ids_a[ai], ids_b[bi]),
-                "dist": np.round(d[ai, bi], 6),
+                "dist": d[ai, bi],
             }
         )
 
@@ -574,13 +816,25 @@ def lsh_candidate_pairs(
     return pairs.dropDuplicates(["vec_a", "vec_b"])
 
 
-@register("ext_sim_lsh")  # approximate => rows-only; recall asserted in pytest
+@register(
+    "ext_sim_lsh",
+    oracle=_lsh_pairs_oracle(LSH_BUCKET_LEN, LSH_DIST_THRESHOLD, False, "dist"),
+)
 def ext_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path for similarity: bucketed random-projection LSH with
     bucket-LOCAL verification. Per table l, a vector's key is the
     tuple of m floors floor((v.r_li + b_li)/w) (AND-composition — m
     projections per table sharpen selectivity; OR across L tables
     recovers recall; seeded gaussian projections => deterministic).
+
+    HARD-oracle-checked since r11 (r10 verdict item 4): the planes are
+    seeded constants shared with the oracle generator
+    (`_lsh_tables`), bucket keys and pair distances are per-dimension
+    LEFT-TO-RIGHT folds (≙ DuckDB list_dot_product bit for bit), so
+    the full mine — bucketing, candidate join, verify cut — replays
+    in SQL and the driver hash-checks it; approximation (recall < 1)
+    is part of the contract, not noise, exactly as for
+    `ext_dedup_minhash`'s banding.
 
     Physical shape, sized for corpus scale: one NumPy pass over Arrow
     batches emits (vec_id, embedding, tbl, bucket) — shuffle volume is
@@ -600,12 +854,25 @@ def ext_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         load(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
-        .filter(F.col("embedding").isNotNull())  # NULL-embedding pin (r7 sweep): no vector, no similarity op
+        # finite-vector pin (upgraded from the r7 NULL pin in r11 to
+        # match the oracle's universe; emission-invariant — a
+        # non-finite vector's every distance is NaN/Inf and fails the
+        # strict < threshold cut on both engines, it only ever
+        # occupied bucket slots)
+        .filter(F.expr(_fin_emb_spark()))
     )
     return lsh_candidate_pairs(spark, e, LSH_DIST_THRESHOLD).orderBy("vec_a", "vec_b")
 
 
-@register("ext_dedup_embcos_lsh")  # approximate => rows-only; recall in pytest
+@register(
+    "ext_dedup_embcos_lsh",
+    oracle=_lsh_pairs_oracle(
+        EMBCOS_LSH_BUCKET_LEN,
+        math.sqrt(2.0 - 2.0 * COS_DUP_THRESHOLD),
+        True,
+        "1.0 - dist * dist / 2.0 AS cos",
+    ),
+)
 def ext_dedup_embcos_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed APPROXIMATE scale path for embedding-cosine
     near-dup mining: normalize vectors JVM-side to the unit sphere
@@ -614,8 +881,10 @@ def ext_dedup_embcos_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cos = 1 − d²/2). Versus the exact `ext_dedup_embcos` triangle
     join this replaces O(N²) scored pairs with bucket-local work at
     the cost of recall — the classic SemDeDup-style trade. Recall vs
-    the exact operator is asserted in tests/test_similarity.py."""
-    import math
+    the exact operator is asserted in tests/test_similarity.py, and
+    since r11 the whole approximate mine is ALSO hard-oracle-checked
+    (see `ext_sim_lsh` — same seeded-plane + fold-arithmetic replay,
+    plus the float32 unit-normalization mirrored in SQL)."""
 
     e = (
         load(spark, sf_dir, "embeddings")

@@ -5720,6 +5720,7 @@ FROM cells c LEFT JOIN sa
  AND sa.lang IS NOT DISTINCT FROM c.lang
 WHERE c.n_docs_v2 <> c.n_docs_v1 OR c.n_tokens_v2 <> c.n_tokens_v1
    OR coalesce(sa.n_changed, 0) > 0
+   OR coalesce(sa.n_added, 0) > 0 OR coalesce(sa.n_removed, 0) > 0
 """.replace("{TOK}", _DCDIFF_TOKENS_DUCK)
 
 
@@ -5856,10 +5857,18 @@ def ext_datacard_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
         F.coalesce("n_changed", F.lit(0)).cast("long").alias("n_changed"),
     )
+    # r10 ADVICE: include n_added/n_removed so a cell with BALANCED
+    # churn (one doc added + one removed, equal token totals, no
+    # content change) still surfaces — the docstring promises the
+    # add/remove decomposition for release notes, and balanced churn
+    # is exactly the case a reviewer wants flagged (mirrored in the
+    # oracle's WHERE clause)
     return out.filter(
         (F.col("d_docs") != 0)
         | (F.col("d_tokens") != 0)
         | (F.col("n_changed") > 0)
+        | (F.col("n_added") > 0)
+        | (F.col("n_removed") > 0)
     )
 
 
@@ -5953,28 +5962,39 @@ def ext_packing_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------- retriever rank agreement via RBO (r10)
 
-RBO_P = "0.9e0"  # persistence: top-weightedness of the overlap measure
+RBO_P = 0.9  # persistence: top-weightedness of the overlap measure
 RBO_ONE_MINUS_P = "0.1e0"  # spelled as its own literal: 1.0 - 0.9 in
 # IEEE doubles is 0.09999999999999998, NOT 0.1 — both engines must
 # multiply by the SAME constant, so neither ever computes 1 - p
 
 # T(m) = sum_{i=m..K} round_nano15(p^(i-1) / i): the per-item RBO
 # contribution of an item first covered by both prefixes at depth m.
-# Each term rounds once to a 1e15-scaled BIGINT before the sum, so
-# the fold is exact-integer and order-free on both engines.
+# The K suffix sums are PRECOMPUTED here in Python and inlined as
+# BIGINT literals into BOTH engines (r10 ADVICE: a runtime power() is
+# specified only to 1 ulp — Java Math.pow vs libm pow can diverge on
+# a knife-edge term and flip the floor(+0.5) rounding
+# nondeterministically across JVM/libc versions; fixed integer
+# constants make the contract exact by definition). T(m) then reads
+# as one element_at/list-index lookup, no per-row fold at all.
+_RBO_SUFFIX_SUMS = []
+_acc = 0
+for _i in range(FUSE_POOL_K, 0, -1):
+    _acc += int((RBO_P ** (_i - 1)) / _i * 1e15 + 0.5)
+    _RBO_SUFFIX_SUMS.append(_acc)
+_RBO_SUFFIX_SUMS.reverse()  # index m-1 -> T(m)
+del _acc, _i
+
 _RBO_TERM_SUM_SPARK = (
-    "aggregate(transform(sequence(m, {k}), "
-    f"i -> CAST(floor(power({RBO_P}, i - 1) / i * 1e15 + 0.5) AS BIGINT)), "
-    "0L, (acc, x) -> acc + x)"
+    "element_at(array("
+    + ", ".join(f"{v}L" for v in _RBO_SUFFIX_SUMS)
+    + "), CAST(m AS INT))"
 )
 
 _RBO_ORACLE = f"""
 WITH {{ARMS}},
 b AS (SELECT greatest(lex_rank, vec_rank) AS m FROM f
       WHERE lex_rank IS NOT NULL AND vec_rank IS NOT NULL),
-t AS (SELECT m, CAST(list_sum(list_transform(generate_series(m, {FUSE_POOL_K}),
-           i -> CAST(floor(power({RBO_P}, i - 1) / i * 1e15 + 0.5)
-                AS BIGINT))) AS BIGINT) AS ts
+t AS (SELECT m, ([{", ".join(f"CAST({v} AS BIGINT)" for v in _RBO_SUFFIX_SUMS)}])[m] AS ts
       FROM b)
 SELECT CAST({FUSE_POOL_K} AS BIGINT) AS k,
        CAST(count(*) AS BIGINT) AS n_overlap,
@@ -6002,12 +6022,14 @@ def ext_rank_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness device: RBO = (1-p)·Σ_d p^(d-1)·|A_d ∩ B_d|/d
     regroups per ITEM as Σ_items T(max(rank_a, rank_b)) with
-    T(m) = Σ_{{i=m..K}} p^(i-1)/i — each term is ONE identical
-    power()/div tree on both engines, rounded once to a 1e15-scaled
-    BIGINT (the `agg_markov_entropy` device, K·1e15 ≪ BIGINT), so
-    every sum is exact-integer and order-free; (1-p) is spelled as
-    its own 0.1e0 literal because IEEE 1.0-0.9 ≠ 0.1. Zero-overlap
-    arms read rbo 0.0, not NULL, on both engines.
+    T(m) = Σ_{{i=m..K}} p^(i-1)/i — the K suffix sums are
+    precomputed in Python as 1e15-scaled BIGINT literals inlined
+    into BOTH engines (r10 ADVICE: no runtime power(), whose 1-ulp
+    latitude could flip a floor(+0.5) knife-edge across JVM/libc
+    versions), so T(m) is one array lookup and every sum is
+    exact-integer and order-free; (1-p) is spelled as its own 0.1e0
+    literal because IEEE 1.0-0.9 ≠ 0.1. Zero-overlap arms read rbo
+    0.0, not NULL, on both engines.
 
     Scale shape: both arms end in TakeOrderedAndProject (K rows);
     the agreement math touches ≤ 2K rows and the T(m) fold is a
@@ -6018,9 +6040,7 @@ def ext_rank_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = f.where(
         F.col("lex_rank").isNotNull() & F.col("vec_rank").isNotNull()
     ).select(F.greatest("lex_rank", "vec_rank").alias("m"))
-    t = b.select(
-        F.expr(_RBO_TERM_SUM_SPARK.format(k=FUSE_POOL_K)).alias("ts")
-    )
+    t = b.select(F.expr(_RBO_TERM_SUM_SPARK).alias("ts"))
     return t.agg(
         F.lit(FUSE_POOL_K).cast("long").alias("k"),
         F.count("*").cast("long").alias("n_overlap"),
