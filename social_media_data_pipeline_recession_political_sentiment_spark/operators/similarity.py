@@ -7,8 +7,10 @@ Scale design:
   — O(Q*N) work, zero shuffle of the corpus, embarrassingly parallel.
   This is exactly how a 1000-executor batch scorer should run when Q
   is small.
-- Two scale paths, both approximate => rows-only driver check +
-  recall-vs-brute-force assertions in tests/test_similarity.py:
+- Two scale paths, both approximate AND (since r11) hard-oracle-
+  checked — the seeded planes / trained quantizer replay in DuckDB
+  via fold-exact arithmetic — plus recall-vs-brute-force assertions
+  in tests/test_similarity.py:
   `ext_sim_lsh` (bucketed random projections; candidate pairs from a
   bucket equi-join) and `ext_sim_ivf` (k-means coarse quantizer;
   queries probe only their nearest inverted lists). LSH suits
@@ -458,7 +460,10 @@ def _ivf_rescore_topk(
 @register("ext_sim_ivf_exhaustive", oracle=_TOPK_ORACLE)
 def ext_sim_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-checkable exactness contract for the IVF path
-    (`ext_sim_ivf` itself is rows-only): run the SAME IVF machinery —
+    (hash-checked end to end; `ext_sim_ivf` itself is ALSO
+    hash-checked since r11 via the full `_ivf_oracle` replay — this
+    operator remains the PROBE-RESTRICTION-free contract): run the
+    SAME IVF machinery —
     bounded quantizer training, Lloyd iterations, corpus assignment,
     probe-set candidate generation over Arrow batches — but probe ALL
     nlist inverted lists. With nprobe = nlist the inverted lists must
@@ -937,7 +942,8 @@ def ext_dedup_embcos_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ext_dedup_embcos_lsh_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable contract for the APPROXIMATE cosine-dedup path
-    (`ext_dedup_embcos_lsh` itself is rows-only): take the LSH
+    (`ext_dedup_embcos_lsh` is additionally hash-checked end to end
+    since r11 via the seeded-plane oracle replay): take the LSH
     candidate pairs and re-score them with the exact sequential-fold
     cosine JVM-side (`aggregate`/`zip_with` ≙ DuckDB
     `list_dot_product`, bit-identical), keeping only pairs at or above
@@ -947,7 +953,7 @@ def ext_dedup_embcos_lsh_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     the brute-force oracle additionally certifies 100% RECALL at the
     driver's SF (measured 1.0 at sf0.001 and sf0.01; a bucketing
     regression that drops a true pair now FAILS the driver check
-    instead of hiding in a rows-only entry). Statistical recall at
+    instead of hiding silently). Statistical recall at
     other scales stays asserted in tests/test_similarity.py.
 
     Scale shape: candidates ≪ corpus, so the re-score is two vec_id
@@ -981,7 +987,8 @@ def ext_dedup_embcos_lsh_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ext_sim_lsh_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable PRECISION contract for the raw-space LSH pair
-    miner (`ext_sim_lsh` stays rows-only): re-score every emitted
+    miner (`ext_sim_lsh` is additionally hash-checked end to end
+    since r11 via the seeded-plane oracle replay): re-score every emitted
     candidate pair with the exact sequential-fold euclidean distance
     JVM-side and emit only CONTRACT VIOLATIONS — pairs whose exact
     distance exceeds the threshold (beyond a 1e-9 guard for the
@@ -1140,11 +1147,13 @@ def ext_sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketing regression that drops recall below the floor (measured
     ~660 millis at sf0.001/sf0.01 with the seeded projections; floor
     500 leaves honest noise margin) flips the boolean and fails the
-    driver's value hash. The exact FOUND count can't be
-    SQL-expressed (seeded gaussian projections), so the precise
-    recall value stays a pytest assertion
-    (tests/test_similarity.py) — what the driver certifies is the
-    floor, which is the part a regression would break.
+    driver's value hash. (Since r11 the miner's own oracle replays
+    the seeded projections exactly, so the found count IS also
+    SQL-expressible — this floor contract is kept as the
+    SF-independent statement of the recall requirement: the
+    miner's hash check certifies the r-sf0.01 pair set, the floor
+    certifies the property a larger corpus must keep; the precise
+    recall value stays a pytest assertion.)
 
     Scale shape: the miner side is the production path (vectors×L
     shuffle); the brute-force denominator is quadratic BY CONTRACT
@@ -1258,11 +1267,13 @@ def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                             its component, hence the min of any
 #                             LSH subcomponent containing it)
 # plus the quality number removal_recall_pm. The oracle's LSH arm is
-# the exact arm itself: numpy random-projection bucketing is not
-# SQL-expressible, and measured LSH recall at driver SFs is 1.0 (the
+# the exact arm itself: measured LSH recall at driver SFs is 1.0 (the
 # `ext_dedup_embcos_lsh_verify` contract), so keep_lsh == keep_exact
 # there — a bucketing regression that drops a true pair now FAILS
-# this hash check instead of hiding in the rows-only miner. At other
+# this hash check instead of hiding in the miner. (Since r11 the
+# miner ALSO carries its own seeded-plane oracle replay; this
+# output-level certificate keeps the simpler exact-arm oracle — the
+# equality IS the statement being certified.) At other
 # scales the statistical-recall assertion lives in
 # tests/test_similarity.py, same asymmetry as the `_recall` floors.
 
@@ -1742,9 +1753,10 @@ def ext_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe-selection regression that drops recall below the floor
     (measured 860–900 millis across all three driver SFs; floor 700
     leaves noise margin) flips the boolean and fails the driver's
-    value hash. The exact found count is not SQL-expressible (the
-    coarse quantizer is trained, not declared) — the precise recall
-    stays a pytest statistic, the floor is the driver contract.
+    value hash. (Since r11 the quantizer training replays in SQL —
+    `_ivf_oracle` — so the found count is also expressible; the
+    floor stays as the SF-independent recall contract, the precise
+    recall a pytest statistic.)
 
     Scale: both sides are the existing operators' plans (broadcast
     query side, map-only scoring, window top-k); the intersection is
@@ -3138,4 +3150,189 @@ def ext_sim_topk_bitsign(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank", F.row_number().over(w).cast("long")
         )
         .filter(F.col("rank") <= TOP_K)
+    )
+
+
+# ----------------------- cross-rung retrieval-eval kit (r11 add)
+
+# nDCG position weights, precomputed in Python and inlined into BOTH
+# engines as 1e12-scaled BIGINT literals (the `ext_rank_rbo` device:
+# no runtime log2() whose 1-ulp latitude could flip a rounding):
+# W[r] = round_e12(1 / log2(r + 1)), P[s] = the prefix sums (the
+# ideal DCG of s relevant slots). 1e12 — not the rbo device's 1e15 —
+# keeps dcg*1000 inside BIGINT on Spark's ANSI multiply (Q·k·1e12·1e3
+# ~ 5e16 ≪ 2^63; at 1e15 the permille step overflowed, and DuckDB's
+# silent hugeint widening would have masked the asymmetry).
+_NDCG_W = [int(1e12 / math.log2(r + 1) + 0.5) for r in range(1, TOP_K + 1)]
+_NDCG_P = []
+_acc = 0
+for _w in _NDCG_W:
+    _acc += _w
+    _NDCG_P.append(_acc)
+del _acc, _w
+
+
+def _retrieval_rungs():
+    """(name, callable) for every serving rung the eval table scores —
+    the quantization ladder (int8 flat, PQ codes, sign bits) plus the
+    IVF probe path. All four are themselves hash-checked operators;
+    this table is the cross-rung comparison SURVEY's ladder prose
+    promises but no single query previously emitted."""
+    return (
+        ("bitsign", ext_sim_topk_bitsign),
+        ("int8", ext_sim_topk_int8),
+        ("ivf", ext_sim_ivf),
+        ("pq", ext_emb_topk_pq),
+    )
+
+
+def _retrieval_eval_oracle() -> str:
+    w_rows = ", ".join(
+        f"({r}, CAST({v} AS BIGINT))"
+        for r, v in zip(range(1, TOP_K + 1), _NDCG_W)
+    )
+    p_rows = ", ".join(
+        f"({s}, CAST({v} AS BIGINT))"
+        for s, v in zip(range(1, TOP_K + 1), _NDCG_P)
+    )
+    rung_sql = (
+        ("bitsign", _BITSIGN_ORACLE),
+        ("int8", _TOPK_INT8_ORACLE),
+        ("ivf", _ivf_oracle()),
+        ("pq", _PQ_TOPK_ORACLE),
+    )
+    ctes = [
+        f"truth AS (SELECT query_id, neighbor_id FROM ({_TOPK_ORACLE}))",
+        f"wt(r, v) AS (VALUES {w_rows})",
+        f"pw(s, v) AS (VALUES {p_rows})",
+        "base AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries, "
+        "CAST(count(*) AS BIGINT) AS total_slots FROM truth)",
+        "idcg AS (SELECT CAST(coalesce(sum(pw.v), 0) AS BIGINT) AS idcg_e12 "
+        "FROM (SELECT query_id, count(*) AS s FROM truth GROUP BY 1) tq "
+        "JOIN pw ON pw.s = tq.s)",
+    ]
+    for name, sql in rung_sql:
+        ctes.append(
+            f"r_{name} AS (SELECT query_id, neighbor_id, rank FROM ({sql}))"
+        )
+        ctes.append(
+            f"h_{name} AS (SELECT a.query_id, a.rank FROM r_{name} a "
+            f"JOIN truth t ON t.query_id = a.query_id "
+            f"AND t.neighbor_id = a.neighbor_id)"
+        )
+        ctes.append(
+            f"m_{name} AS (SELECT '{name}' AS rung, "
+            f"(SELECT CAST(count(*) AS BIGINT) FROM h_{name}) AS hits, "
+            f"(SELECT CAST(coalesce(sum(w.v), 0) AS BIGINT) "
+            f"FROM h_{name} h JOIN wt w ON w.r = h.rank) AS dcg_e12, "
+            f"(SELECT CAST(coalesce(sum(1000000 // mr), 0) AS BIGINT) FROM "
+            f"(SELECT query_id, min(rank) AS mr FROM h_{name} GROUP BY 1)) "
+            f"AS mrr_sum_micro)"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM m_{name}" for name, _ in rung_sql)
+    return (
+        "WITH " + ", ".join(ctes) + f", m AS ({union}) "
+        "SELECT m.rung, b.n_queries, b.total_slots, m.hits, "
+        "m.hits * 1000 // nullif(b.total_slots, 0) AS recall_pm, "
+        "m.mrr_sum_micro, m.dcg_e12, i.idcg_e12, "
+        "m.dcg_e12 * 1000 // nullif(i.idcg_e12, 0) AS ndcg_pm "
+        "FROM m, base b, idcg i"
+    )
+
+
+@register("ext_retrieval_eval", oracle=_retrieval_eval_oracle())
+def ext_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-rung retrieval evaluation (r10 verdict item 6a): ONE
+    parameterized table scoring every approximate serving rung —
+    bitsign Hamming, int8 flat, IVF probes, PQ codes — against the
+    float brute-force ground truth (`ext_sim_topk`), with the three
+    standard ANN-serving metrics per rung:
+
+      recall_pm       hits·1000 ÷ truth slots (floor)
+      mrr_sum_micro   Σ_queries floor(1e6 / first-hit rank) — the
+                      un-normalized MRR numerator; exact BIGINT
+                      (per-query reciprocal ranks as integer
+                      micro-units, so the sum is order-free)
+      ndcg_pm         DCG·1000 ÷ ideal-DCG with binary relevance and
+                      the precomputed 1e12-scaled 1/log2(r+1) weight
+                      literals shared with the oracle
+
+    The ladder's per-rung recall previously lived only in pytest
+    pins; this registers the comparison as a driver-hash-checked
+    corpus artifact (every rung's result is itself an oracle-checked
+    query, so the eval composes four proven plans plus one truth
+    join per rung).
+
+    Scale shape: truth and each rung end in TakeOrderedAndProject /
+    window-top-k plans over ONE corpus scan each; the metric joins
+    touch ≤ Q·k rows. The truth frame is pinned (`compute_once`) —
+    it feeds the base/idcg aggregates and all four hit joins."""
+    truth = compute_once(
+        ext_sim_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    )
+    base = truth.agg(
+        F.countDistinct("query_id").cast("long").alias("n_queries"),
+        F.count("*").cast("long").alias("total_slots"),
+    )
+    w_arr = "array(" + ", ".join(f"{v}L" for v in _NDCG_W) + ")"
+    p_arr = "array(" + ", ".join(f"{v}L" for v in _NDCG_P) + ")"
+    idcg = (
+        truth.groupBy("query_id")
+        .agg(F.count("*").alias("s"))
+        .agg(
+            F.coalesce(
+                F.sum(F.expr(f"element_at({p_arr}, CAST(s AS INT))")),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("idcg_e12")
+        )
+    )
+    rows = None
+    for name, fn in _retrieval_rungs():
+        a = fn(spark, sf_dir).select("query_id", "neighbor_id", "rank")
+        h = a.join(truth, ["query_id", "neighbor_id"]).select(
+            "query_id", "rank"
+        )
+        h = compute_once(h)  # feeds the hit/DCG agg AND the MRR agg
+        agg1 = h.agg(
+            F.count("*").cast("long").alias("hits"),
+            F.coalesce(
+                F.sum(F.expr(f"element_at({w_arr}, CAST(rank AS INT))")),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("dcg_e12"),
+        )
+        mrr = (
+            h.groupBy("query_id")
+            .agg(F.min("rank").alias("mr"))
+            .agg(
+                F.coalesce(F.sum(F.expr("1000000 div mr")), F.lit(0))
+                .cast("long")
+                .alias("mrr_sum_micro")
+            )
+        )
+        row = agg1.crossJoin(F.broadcast(mrr)).select(
+            F.lit(name).alias("rung"), "hits", "dcg_e12", "mrr_sum_micro"
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return (
+        rows.crossJoin(F.broadcast(base))
+        .crossJoin(F.broadcast(idcg))
+        .select(
+            "rung",
+            "n_queries",
+            "total_slots",
+            "hits",
+            F.expr("hits * 1000 div nullif(total_slots, 0)")
+            .cast("long")
+            .alias("recall_pm"),
+            "mrr_sum_micro",
+            "dcg_e12",
+            "idcg_e12",
+            F.expr("dcg_e12 * 1000 div nullif(idcg_e12, 0)")
+            .cast("long")
+            .alias("ndcg_pm"),
+        )
     )

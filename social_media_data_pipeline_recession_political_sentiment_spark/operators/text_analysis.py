@@ -4825,6 +4825,27 @@ def ext_bpe_learn_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------- BPE application
 
 
+def _bpe_seq_expr(merges: dict) -> str:
+    """The Spark apply chain: char-split `term`, then each learned
+    merge in step order as the boundary-padded two-sub-pass replace.
+    Shared by `ext_bpe_apply` and `ext_bpe_roundtrip` so the serving
+    transform lives once."""
+    seq = "array_join(split(term, ''), ' ')"
+    for k in sorted(merges):
+        pair, merged = merges[k]
+        # Spark string literals process backslash escapes (DuckDB's do
+        # not), so backslashes must double BEFORE quote-doubling or a
+        # corpus merge pair containing '\' silently corrupts the
+        # pattern on the Spark side only (r6 review finding).
+        p = pair.replace("\\", "\\\\").replace("'", "''")
+        m = merged.replace("\\", "\\\\").replace("'", "''")
+        seq = (
+            f"trim(replace(replace(' ' || {seq} || ' ', ' {p} ', ' {m} '), "
+            f"' {p} ', ' {m} '))"
+        )
+    return seq
+
+
 def _bpe_apply_oracle() -> str:
     # the learned merge table (step, pair, merged) from the learner's
     # oracle, applied in step order to every word of every document
@@ -4888,19 +4909,7 @@ def ext_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     ).filter(F.col("term") != "")
-    seq = "array_join(split(term, ''), ' ')"
-    for k in sorted(merges):
-        pair, merged = merges[k]
-        # Spark string literals process backslash escapes (DuckDB's do
-        # not), so backslashes must double BEFORE quote-doubling or a
-        # corpus merge pair containing '\' silently corrupts the
-        # pattern on the Spark side only (r6 review finding).
-        p = pair.replace("\\", "\\\\").replace("'", "''")
-        m = merged.replace("\\", "\\\\").replace("'", "''")
-        seq = (
-            f"trim(replace(replace(' ' || {seq} || ' ', ' {p} ', ' {m} '), "
-            f"' {p} ', ' {m} '))"
-        )
+    seq = _bpe_seq_expr(merges)
     pieces = tok.select(
         "doc_id", F.expr(f"size(split({seq}, ' '))").alias("n_pieces")
     )
@@ -4910,6 +4919,108 @@ def ext_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(sum(n_pieces) * 1000000 div count(*) AS BIGINT)").alias(
             "fertility_micro"
         ),
+    )
+
+
+# -------------------------------- BPE round-trip audit (r11 add)
+
+
+def _bpe_roundtrip_oracle() -> str:
+    learner = _bpe_oracle()
+    applies = "array_to_string(string_split(term, ''), ' ')"
+    for k in range(1, BPE_STEPS + 1):
+        applies = (
+            f"trim(replace(replace(' ' || {applies} || ' ', "
+            f"' ' || (SELECT pair FROM mm WHERE step = {k}) || ' ', "
+            f"' ' || (SELECT merged FROM mm WHERE step = {k}) || ' '), "
+            f"' ' || (SELECT pair FROM mm WHERE step = {k}) || ' ', "
+            f"' ' || (SELECT merged FROM mm WHERE step = {k}) || ' '))"
+        )
+    return f"""
+WITH mm AS MATERIALIZED ({learner}),
+tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+tok2 AS (SELECT term FROM tok WHERE term <> ''),
+pieced AS (SELECT term, {applies} AS seq FROM tok2),
+flags AS (SELECT term, seq,
+                 CASE WHEN replace(seq, ' ', '') = term THEN 1 ELSE 0 END
+                   AS ok,
+                 len(string_split(seq, ' ')) AS np FROM pieced),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS n_words,
+               CAST(coalesce(sum(ok), 0) AS BIGINT) AS n_ok,
+               CAST(count(*) - coalesce(sum(ok), 0) AS BIGINT) AS n_bad,
+               CAST(coalesce(sum(np), 0) AS BIGINT) AS n_pieces
+        FROM flags),
+voc AS (SELECT CAST(count(DISTINCT piece) AS BIGINT) AS vocab_size FROM
+        (SELECT unnest(string_split(seq, ' ')) AS piece FROM pieced))
+SELECT a.n_words, a.n_ok, a.n_bad, a.n_pieces, v.vocab_size,
+       a.n_ok * 1000 // nullif(a.n_words, 0) AS roundtrip_pm
+FROM agg a, voc v
+"""
+
+
+@register("ext_bpe_roundtrip", oracle=_bpe_roundtrip_oracle())
+def ext_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer ROUND-TRIP audit (r10 verdict item 6c): apply the
+    engine-learned BPE merge table to every word instance, reassemble
+    each word from its pieces (strip the piece separators), and
+    census equality with the original word — the lossless-ness check
+    a tokenizer release gate runs (BPE merges only ever CONCATENATE
+    adjacent pieces, so reassembly must be the identity; a corrupted
+    merge artifact, a mis-escaped pattern — the r6 backslash class —
+    or a boundary-replace bug shows up as n_bad > 0 and, because the
+    oracle replays the same apply chain from the same learned table,
+    any ENGINE asymmetry in the apply path breaks the value hash).
+    Also reports total pieces and the realized piece vocabulary.
+
+    One row: (n_words, n_ok, n_bad, n_pieces, vocab_size,
+    roundtrip_pm) — all exact BIGINTs, the ratio an integer floor
+    division.
+
+    Scale shape: inherits `ext_bpe_apply`'s serving plan (K broadcast
+    merges folded into scan-local column transforms, one corpus
+    scan); the reassembly equality is another scan-local expression;
+    the only new motion is the piece-vocabulary DISTINCT — a
+    hashed-piece agg the size of the realized vocab. The pieced
+    relation is pinned (`compute_once`): the flag agg and the vocab
+    census would otherwise each replay the whole apply chain."""
+    merges = {
+        r.step: (r.pair, r.merged)
+        for r in ext_bpe_learn_steps(spark, sf_dir).collect()
+    }
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    pieced = compute_once(
+        tok.select("term", F.expr(_bpe_seq_expr(merges)).alias("seq"))
+    )
+    flags = pieced.select(
+        (F.expr("replace(seq, ' ', '')") == F.col("term"))
+        .cast("int")
+        .alias("ok"),
+        F.expr("size(split(seq, ' '))").alias("np"),
+    )
+    agg = flags.agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.coalesce(F.sum("ok"), F.lit(0)).cast("long").alias("n_ok"),
+        (F.count("*") - F.coalesce(F.sum("ok"), F.lit(0)))
+        .cast("long")
+        .alias("n_bad"),
+        F.coalesce(F.sum("np"), F.lit(0)).cast("long").alias("n_pieces"),
+    )
+    voc = (
+        pieced.select(F.explode(F.split("seq", " ")).alias("piece"))
+        .agg(F.countDistinct("piece").cast("long").alias("vocab_size"))
+    )
+    return agg.crossJoin(F.broadcast(voc)).select(
+        "n_words",
+        "n_ok",
+        "n_bad",
+        "n_pieces",
+        "vocab_size",
+        F.expr("n_ok * 1000 div nullif(n_words, 0)")
+        .cast("long")
+        .alias("roundtrip_pm"),
     )
 
 

@@ -95,68 +95,89 @@ def register(name: str, oracle: Optional[str] = None):
 # and the r4 tier in registration order until the 50-slot window is
 # spent. 57 stale tags + head adds > 50, so the r4 tail
 # (ext_sample_mixture onward) spills to r11's natural head.
+# Round 11 window (VERDICT r10 items 3/4/6): head = the three r11
+# adds (retrieval-eval kit, incremental datacard, BPE round-trip),
+# then every query whose Spark plan or oracle CHANGED this round —
+# the three ex-`no_oracle` miners that gained hard oracles with
+# fold-exact rewrites (ext_sim_ivf / ext_sim_lsh /
+# ext_dedup_embcos_lsh), their verify/recall siblings (consume the
+# changed miners), the two r10-ADVICE fixes (ext_rank_rbo inlined
+# nano-term literals; ext_datacard_diff balanced-churn filter), and
+# the miner family restructured onto the session-pinned pair graph
+# (ngram_jaccard / minhash / both pipelines / pipeline_recall) —
+# then the final r4 evidence tier (r10 item 3; 16 tags, of which
+# ext_sim_ivf_exhaustive and ext_sim_lsh_verify already sit in the
+# rewrite block), then r5 tags in registration order to fill the 50
+# slots. After this window the oldest evidence tier is r5.
+# (ext_bpe_apply was refactored onto the shared _bpe_seq_expr helper
+# with a character-identical expression — per the r8 sink_sorted_runs
+# precedent it does not re-consume a slot. The components/census/
+# graph consumers of the pinned pair graph keep their plans' shapes
+# and r10 checks; the pin changes WHERE the miner result comes from,
+# not what any of them compute — all were re-verified green at
+# sf0.01 this round, log in tools/.)
 _WINDOW_PRIORITY = (
-    # -- added this round (session 1) --
-    "ext_dedup_embcos_pipeline_recall",
-    "stream_dedup_incremental_chain",
-    "ext_datacard_diff",
-    "ext_packing_waste",
-    "ext_rank_rbo",
-    "ext_sim_topk_bitsign",
-    "agg_audience_overlap",
-    # -- rewritten this round (r9 ADVICE fixes: oracle or plan changed) --
-    "agg_time_spine_fill",
-    "ext_sample_temperature",
-    "ext_dedup_embcos_lsh",
-    "ext_dedup_embcos_lsh_verify",
-    # -- r3 evidence tier --
+    # -- added this round (r11) --
+    "ext_retrieval_eval",
+    "stream_datacard_incremental",
+    "ext_bpe_roundtrip",
+    # -- rewritten this round (plan or oracle changed): the three
+    #    ex-no_oracle miners gained hard oracles (+ their fold-exact
+    #    implementation rewrites), their verify/recall siblings
+    #    consume the changed miners, the two r10-ADVICE fixes, and
+    #    the pipelines restructured onto the session-pinned pair
+    #    graph --
     "ext_sim_ivf",
     "ext_sim_lsh",
-    "ext_text_quality",
-    "fn_text_stats",
-    "ext_token_count",
-    "ext_props_map",
-    "ext_mm_metadata",
-    "ext_mm_resize_stub",
-    # -- r4 evidence tier, registration order --
-    "scan_table",
-    "scan_csv",
-    "project_columns",
-    "project_flatten_json",
-    "filter_time_range",
-    "filter_between",
-    "filter_recency",
-    "filter_cast_date",
-    "filter_nonempty",
-    "join_star_schema",
-    "agg_rollup",
-    "window_lag_delta",
-    "join_salted_skew",
-    "agg_hourly_heatmap",
-    "join_semi_exists",
-    "agg_running_total",
-    "join_multihop_topk",
-    "agg_pivot_matrix",
-    "agg_unpivot_long",
-    "window_moving_range",
-    "join_interval_overlap",
-    "agg_grouping_sets",
-    "ext_dedup_incremental",
-    "ext_dedup_cluster_pick",
-    "ext_dedup_components",
-    "ext_dedup_components_lss",
+    "ext_dedup_embcos_lsh",
+    "ext_dedup_embcos_lsh_verify",
+    "ext_sim_lsh_verify",
+    "ext_sim_lsh_recall",
+    "ext_sim_ivf_exhaustive",
+    "ext_sim_ivf_recall",
+    "ext_rank_rbo",
+    "ext_datacard_diff",
+    "ext_dedup_ngram_jaccard",
+    "ext_dedup_minhash",
     "ext_dedup_pipeline",
-    "ext_contamination_check",
-    "ext_ngram_census",
-    "udaf_value_range",
-    "join_similarity_topk",
-    # r4 spill to r11's natural head from here (16 tags):
-    # ext_sim_ivf_exhaustive, ext_sim_lsh_verify, ext_emb_norm,
-    # ext_text_repetition, ext_tfidf_topterms, ext_lm_unigram_score,
-    # ext_quality_gate, ext_url_domains, fn_unicode_nfc,
-    # ext_sample_per_group, ext_shard_manifest, ext_sample_mixture,
-    # ext_mm_decode_stub, ext_mm_frame_sample, scan_schema_evolution,
-    # stream_join_static
+    "ext_dedup_pipeline_minhash",
+    "ext_dedup_pipeline_recall",
+    # -- the final r4 evidence tier (r10 verdict item 3; the two r4
+    #    tags already consumed above as rewrites are not repeated) --
+    "ext_emb_norm",
+    "ext_text_repetition",
+    "ext_tfidf_topterms",
+    "ext_lm_unigram_score",
+    "ext_quality_gate",
+    "ext_url_domains",
+    "fn_unicode_nfc",
+    "ext_sample_per_group",
+    "ext_shard_manifest",
+    "ext_sample_mixture",
+    "ext_mm_decode_stub",
+    "ext_mm_frame_sample",
+    "scan_schema_evolution",
+    "stream_join_static",
+    # -- oldest remaining tier (r5), registration order, filling the
+    #    50-slot window --
+    "join_enriched_raw",
+    "join_anti_dedup",
+    "join_broadcast_dim",
+    "join_range",
+    "agg_count_star",
+    "agg_group_count",
+    "agg_topk_groups",
+    "agg_daily_counts",
+    "agg_distinct_tuples",
+    "agg_multi_dim",
+    "sql_interface",
+    "agg_salted_skew",
+    "agg_approx_distinct",
+    "sort_by_time",
+    "sort_desc_limit",
+    "limit_n",
+    "window_rank_latest",
+    "union_pages",
 )
 
 

@@ -811,3 +811,103 @@ def drain_incremental_dedup(
     return flagged.withColumn(
         "is_new", ~F.col("dup_of_base") & ~F.col("dup_in_increment")
     )
+
+
+# ---------------- incremental datacard maintenance (r11 add)
+
+_STREAM_DATACARD_ORACLE = """
+SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(len(string_split(text, ' '))), 0) AS BIGINT)
+         AS n_tokens,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(max(doc_id) AS BIGINT) AS last_doc
+FROM documents GROUP BY 1, 2
+"""
+
+
+@register("stream_datacard_incremental", oracle=_STREAM_DATACARD_ORACLE)
+def stream_datacard_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained corpus datacard (r10 verdict item 6b —
+    the streaming twin of the release-notes datacard family): documents
+    arrive in micro-batches (the nightly crawl drop), and each batch
+    folds its per-(source, lang) cell partials — doc count, token
+    count, min/max doc_id — into the running card, so the curated-
+    corpus summary is ALWAYS current instead of recomputed from
+    scratch per release (`ext_datacard_diff` compares two frozen
+    cards; this maintains one card as data lands).
+
+    Batch-order independence (the `stream_upsert_keyed` /
+    `drain_incremental_dedup` device): every maintained statistic is
+    ALGEBRAIC — counts and token sums merge by +, first/last doc ids
+    by min/max, all associative and commutative — so ANY partitioning
+    of the corpus into micro-batches converges to the same card,
+    proven with a 3-file split in tests/test_streaming.py; the
+    registered availableNow drain over the single landed file is
+    batch 1 of the same query. Drained card == the batch GROUP BY,
+    which is the DuckDB oracle.
+
+    Scale shape: per batch ONE hash-agg over the batch's rows (cells
+    shuffle as (source, lang, 4 longs) — never text), then a
+    cell-keyed merge against the running card, which is bounded by
+    |sources| × |langs| regardless of corpus size; the card frame
+    localCheckpoints per batch so lineage stays O(1) across B
+    batches. NULL text contributes NULL to the token sum on BOTH
+    engines (Spark size(split(NULL)) and DuckDB len(string_split(
+    NULL)) are both NULL, and sum skips NULLs); an all-NULL cell
+    reads token 0 via the shared coalesce."""
+    doc_stream = stream_documents(spark, sf_dir).select(
+        "doc_id", "source", "lang", "text"
+    )
+    return drain_datacard(spark, doc_stream)
+
+
+def drain_datacard(spark: SparkSession, doc_stream: DataFrame) -> DataFrame:
+    """Core of `stream_datacard_incremental`, parameterized over the
+    document stream so tests can drive it with a multi-file
+    `maxFilesPerTrigger=1` source and prove the cross-micro-batch
+    algebraic merge."""
+    state: dict = {"card": None}
+
+    def _fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cells = batch_df.groupBy("source", "lang").agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        if state["card"] is not None:
+            cells = (
+                state["card"]
+                .unionByName(cells)
+                .groupBy("source", "lang")
+                .agg(
+                    F.sum("n_docs").alias("n_docs"),
+                    F.sum("n_tokens").alias("n_tokens"),
+                    F.min("first_doc").alias("first_doc"),
+                    F.max("last_doc").alias("last_doc"),
+                )
+            )
+        # one bounded frame per batch; checkpoint cuts the B-deep lineage
+        state["card"] = cells.localCheckpoint()
+
+    with scoped_shuffle_partitions(spark, 8):
+        q = (
+            doc_stream.writeStream.foreachBatch(_fold_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    if state["card"] is None:  # empty source
+        return spark.createDataFrame(
+            [],
+            "source string, lang string, n_docs long, n_tokens long, "
+            "first_doc long, last_doc long",
+        )
+    return state["card"].select(
+        "source",
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.col("first_doc").cast("long").alias("first_doc"),
+        F.col("last_doc").cast("long").alias("last_doc"),
+    )

@@ -41,8 +41,10 @@ def test_window_priority_fills_driver_window_exactly():
 def test_rows_only_queries_are_the_documented_approximate_set():
     qs, os_ = registry.queries(), registry.oracles()
     rows_only = sorted(set(qs) - set(os_))
-    # genuinely non-SQL-expressible (approximate ANN) ops only
-    assert rows_only == ["ext_dedup_embcos_lsh", "ext_sim_ivf", "ext_sim_lsh"]
+    # r11: the last three approximate miners gained full SQL replays
+    # (seeded-plane LSH, Lloyd-unrolled IVF) — the gate is now 100%
+    # hash-checkable and must STAY that way
+    assert rows_only == []
 
 
 def test_registry_imports_without_spark_session():

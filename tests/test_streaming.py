@@ -450,3 +450,65 @@ def test_incremental_dedup_chain_merges_across_batches(spark):
     assert out[50].is_new and not out[50].dup_of_base
     # NULL fingerprint never matches anything (SQL NULL-key semantics)
     assert out[11].is_new and not out[11].dup_of_base and not out[11].dup_in_increment
+
+
+def test_datacard_incremental_multibatch(spark):
+    """drain_datacard across REAL micro-batches (maxFilesPerTrigger=1,
+    3 files): the per-(source, lang) card must be batch-order
+    independent — counts and token sums merge by +, first/last doc
+    ids by min/max — and equal the one-shot batch GROUP BY over the
+    union of all batches. NULL text contributes NULL to the token sum
+    (skipped), an all-NULL cell reads 0 via the final coalesce."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.streaming.queries import (
+        drain_datacard,
+    )
+
+    work = tempfile.mkdtemp(prefix="smdp_dcinc_")
+    schema = "doc_id long, source string, lang string, text string"
+    # arrival order deliberately scrambles doc_id order per cell
+    b0 = [(20, "s1", "en", "a b c"), (30, "s2", "en", None)]
+    b1 = [(10, "s1", "en", "x"), (40, "s2", "en", None)]
+    b2 = [(50, "s1", "de", "p q"), (60, "s1", "en", "m n o p")]
+    rows = b0 + b1 + b2
+    for i, batch in enumerate([b0, b1, b2]):
+        spark.createDataFrame(batch, schema).coalesce(1).write.parquet(
+            os.path.join(work, f"b{i}")
+        )
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(work, "b*"))
+    )
+    out = {
+        (r.source, r.lang): r for r in drain_datacard(spark, src).collect()
+    }
+    # one-shot batch reference over the same rows
+    ref = {
+        (r.source, r.lang): r
+        for r in spark.createDataFrame(rows, schema)
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum(F.size(F.split("text", " "))), F.lit(0)).alias(
+                "n_tokens"
+            ),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .collect()
+    }
+    assert set(out) == set(ref) == {("s1", "en"), ("s2", "en"), ("s1", "de")}
+    for k in ref:
+        for c in ("n_docs", "n_tokens", "first_doc", "last_doc"):
+            assert getattr(out[k], c) == getattr(ref[k], c), (k, c)
+    # the cross-batch cell: docs 10,20,60 -> 3 docs, 1+3+4 tokens,
+    # first 10 (arrived in batch 1), last 60
+    r = out[("s1", "en")]
+    assert (r.n_docs, r.n_tokens, r.first_doc, r.last_doc) == (3, 8, 10, 60)
+    # all-NULL-text cell: token sum coalesces to 0
+    assert out[("s2", "en")].n_tokens == 0
