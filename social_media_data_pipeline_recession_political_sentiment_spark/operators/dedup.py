@@ -287,6 +287,24 @@ def _salted_hash_sql(salt: str, expr: str) -> str:
     return f"CAST(('0x' || substr(md5(concat_ws(':', {salt}, {expr})), 1, 15)) AS BIGINT)"
 
 
+# 120-bit two-column key from ONE md5 digest (hex chars 1-15 and
+# 17-31 parsed base-16 — two independent 60-bit halves, no second
+# hash evaluation). The gram-census operators whose ORACLES compare
+# raw gram strings (`ext_dup_span_profile`, `ext_dedup_substr_spans`)
+# key on the PAIR: a silent Spark-side gram merge now requires a
+# 120-bit md5 collision (birthday ~2^60 grams) instead of a 60-bit
+# one — which at 100 TB (~1e12 distinct grams) expected ~4e5 merges,
+# an exposure proven REAL by a mined md5 collision pair in r11
+# (tools/mine_gram_collision.py; regression-pinned in
+# tests/test_dedup.py and exercised by the --grams sweep mode).
+def _salted_hash_pair(salt, col):
+    h = F.md5(F.concat_ws(":", salt, col))
+    return (
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long"),
+        F.conv(F.substring(h, 17, 15), 16, 10).cast("long"),
+    )
+
+
 # Two-hash composition (Kirsch–Mitzenmacher): the j-th MinHash function
 # is (h1 + j*h2') mod 2^60 with h2' = h2 mod 2^55, so each shingle pays
 # TWO md5 evaluations instead of N_MINHASH — identical arithmetic on
@@ -1830,22 +1848,29 @@ def ext_dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     No all-pairs anywhere; a boilerplate gram shared by a million
     docs costs one hash-agg row per doc, with map-side partial
     combine absorbing in-doc repeats. (Oracle compares raw gram
-    strings: identical absent 60-bit collisions, the `ext_dedup_exact`
-    sha2 caveat.)"""
+    strings; the Spark key is the 120-bit `_salted_hash_pair` since
+    r11 — a mined TRUE 60-bit collision proved the old single-column
+    key silently merged distinct grams, an exposure worth ~4e5 merges
+    at 100 TB gram counts; the pair key needs a 120-bit md5
+    collision, the `ext_dedup_exact` sha2-caveat class.)"""
     d = _load_docs(spark, sf_dir)
+    gh, gh2 = _salted_hash_pair(F.lit("sp"), F.col("g"))
     grams = (
         d.withColumn("tk", _tokens(F.col("text")))
         .select("doc_id", F.explode_outer(F.expr(_dup_span_gram_expr())).alias("g"))
         .filter(F.col("g").isNotNull())
-        .select("doc_id", _salted_hash(F.lit("sp"), F.col("g")).alias("gh"))
+        # 120-bit (gh, gh2) pair key from one md5 — see _salted_hash_pair
+        .select("doc_id", gh.alias("gh"), gh2.alias("gh2"))
     )
     # (gram-hash, doc, count) feeds the doc-frequency branch AND the
     # join-back — pin it or both replay the scan-hash-explode chain
     # (r6 scan audit)
-    dg = compute_once(grams.groupBy("gh", "doc_id").agg(F.count("*").alias("c")))
-    gd = dg.groupBy("gh").agg(F.count("*").alias("n_docs"))
+    dg = compute_once(
+        grams.groupBy("gh", "gh2", "doc_id").agg(F.count("*").alias("c"))
+    )
+    gd = dg.groupBy("gh", "gh2").agg(F.count("*").alias("n_docs"))
     per_doc = (
-        dg.join(gd, "gh")
+        dg.join(gd, ["gh", "gh2"])
         .groupBy("doc_id")
         .agg(
             F.sum("c").alias("n_grams"),
@@ -2962,25 +2987,28 @@ def ext_dedup_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     p <= prev_max_end + 1, i.e. p <= max(prev p) + {SUBSTR_L}, so
     island ids, span lengths, and coverage are engine-identical
     BIGINTs; dup_frac is one rounded division. The Spark side joins
-    on the salted 60-bit gram hash while the oracle compares raw
-    gram strings (identical absent 60-bit collisions — the
-    `ext_dup_span_profile` caveat). DISTINCT (doc_id, p) before the
+    on the 120-bit `_salted_hash_pair` gram key (since r11: a mined
+    TRUE 60-bit collision proved the old single-column key silently
+    merged distinct grams — the `ext_dup_span_profile` caveat, now
+    closed to the 120-bit md5-collision class) while the oracle
+    compares raw gram strings. DISTINCT (doc_id, p) before the
     span merge keeps the windows deterministic under PK-violating
     duplicate doc rows.
 
-    Scale shape: grams hash to 60-bit ints IN THE SCAN, so no
-    shuffle carries gram text — the census shuffles (hash, count)
-    with map-side partial combine absorbing boilerplate repeats, and
-    the join back is gram-hash-keyed on both sides (AQE reuses the
-    exchange). The interval merge is two windows partitioned by
-    doc_id — a sort run bounded by document length, never global.
-    No all-pairs stage anywhere; candidate volume is positions whose
-    gram census count >= 2, linear in corpus size. At 100 TB the
-    census is the one big shuffle and it moves 16-byte rows.
-    Reference has no counterpart (EXT tier)."""
+    Scale shape: grams hash to two 60-bit ints from ONE md5 IN THE
+    SCAN, so no shuffle carries gram text — the census shuffles
+    (hash-pair, count) with map-side partial combine absorbing
+    boilerplate repeats, and the join back is gram-hash-keyed on
+    both sides (AQE reuses the exchange). The interval merge is two
+    windows partitioned by doc_id — a sort run bounded by document
+    length, never global. No all-pairs stage anywhere; candidate
+    volume is positions whose gram census count >= 2, linear in
+    corpus size. At 100 TB the census is the one big shuffle and it
+    moves 24-byte rows. Reference has no counterpart (EXT tier)."""
     from pyspark.sql import Window as W
 
     d = _load_docs(spark, sf_dir)
+    gh, gh2 = _salted_hash_pair(F.lit("ss"), F.col("g"))
     grams = (
         d.withColumn("tk", _tokens(F.col("text")))
         .select(
@@ -2993,19 +3021,20 @@ def ext_dedup_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             (F.col("i") + 1).alias("p"),
-            _salted_hash(F.lit("ss"), F.col("g")).alias("gh"),
+            gh.alias("gh"),
+            gh2.alias("gh2"),
         )
     )
     # (doc, pos, hash) feeds the corpus census AND the join-back —
     # pin it or both replay the scan-gram-hash chain (r6 scan audit)
     grams = compute_once(grams)
     dup_gh = (
-        grams.groupBy("gh")
+        grams.groupBy("gh", "gh2")
         .agg(F.count("*").alias("c"))
         .filter(F.col("c") >= 2)
-        .select("gh")
+        .select("gh", "gh2")
     )
-    dup = grams.join(dup_gh, "gh").select("doc_id", "p").distinct()
+    dup = grams.join(dup_gh, ["gh", "gh2"]).select("doc_id", "p").distinct()
     w_prev = (
         W.partitionBy("doc_id").orderBy("p").rowsBetween(W.unboundedPreceding, -1)
     )

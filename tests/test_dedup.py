@@ -8,6 +8,10 @@ import pytest
 from social_media_data_pipeline_recession_political_sentiment_spark.registry import queries
 from tests.conftest import SF_SMOKE
 
+import os.path as _osp
+
+TOOLS_DIR = _osp.join(_osp.dirname(_osp.dirname(_osp.abspath(__file__))), "tools")
+
 
 def _docs_view(spark, rows):
     """Register a temp documents table and monkey-load via a tmp dir."""
@@ -975,3 +979,88 @@ def test_cluster_diversity_planted_indexes(spark):
     assert row.shannon_nats == round(h, 6)
     assert row.eff_clusters == round(math.exp(h), 6)
     assert row.simpson_concentration == 0.5  # 3*2 / (4*3)
+
+
+def test_mined_gram_hash_collision_does_not_merge_spans(spark, tmp_path):
+    """Regression pin for the r11 120-bit gram-key fix: a MINED true
+    60-bit md5 collision (tools/mine_gram_collision.py — two distinct
+    word-5-grams whose salted digests share the first 15 hex chars)
+    must NOT read as a cross-document duplicated span. Under the
+    legacy single-column _salted_hash key the two docs below scored
+    dup_positions=1 each (Spark-side silent merge; the raw-string
+    oracle disagreed); the _salted_hash_pair key separates them. At
+    100 TB gram counts (~1e12) the 60-bit birthday bound expects
+    ~4e5 such merges, so this fixture exercises a real scale class,
+    not a curiosity."""
+    import hashlib
+    import os
+    import sys
+
+    sys.path.insert(0, TOOLS_DIR)
+    from mine_gram_collision import MINED, hash60
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.dedup import (
+        ext_dup_span_profile,
+    )
+
+    g1, g2, prefix = MINED["sp"]
+    # the fixture's load-bearing property, re-proven from scratch so a
+    # hash-device change can't silently rot the pin
+    assert g1 != g2
+    assert hash60("sp", g1) == hash60("sp", g2)
+    h1 = hashlib.md5(f"sp:{g1}".encode()).hexdigest()
+    h2 = hashlib.md5(f"sp:{g2}".encode()).hexdigest()
+    assert h1[:15] == h2[:15] == prefix and h1[16:31] != h2[16:31]
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, g1, "en", "src1", len(g1)), (2, g2, "en", "src1", len(g2))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(os.path.join(sf, "documents.parquet"))
+
+    out = {r.doc_id: r for r in ext_dup_span_profile(spark, sf).collect()}
+    assert set(out) == {1, 2}
+    for d in (1, 2):
+        # each doc is exactly one 5-gram; a merged key would count it
+        # as appearing in 2 docs => dup_positions 1, dup_frac 1.0
+        assert out[d].n_grams == 1
+        assert out[d].dup_positions == 0, (
+            "60-bit-colliding grams merged — the 120-bit pair key regressed"
+        )
+        assert out[d].dup_frac == 0.0
+
+
+def test_mined_gram_hash_collision_substr_spans(spark, tmp_path):
+    """The `ext_dedup_substr_spans` twin of the mined-collision pin
+    (salt 'ss', word-8-grams): the colliding pair must not read as a
+    corpus-duplicated substring span under the 120-bit pair key."""
+    import hashlib
+    import os
+    import sys
+
+    sys.path.insert(0, TOOLS_DIR)
+    from mine_gram_collision import MINED, hash60
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.dedup import (
+        ext_dedup_substr_spans,
+    )
+
+    g1, g2, prefix = MINED["ss"]
+    assert g1 != g2 and hash60("ss", g1) == hash60("ss", g2)
+    h1 = hashlib.md5(f"ss:{g1}".encode()).hexdigest()
+    h2 = hashlib.md5(f"ss:{g2}".encode()).hexdigest()
+    assert h1[:15] == h2[:15] == prefix and h1[16:31] != h2[16:31]
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, g1, "en", "src1", len(g1)), (2, g2, "en", "src1", len(g2))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(os.path.join(sf, "documents.parquet"))
+
+    out = {r.doc_id: r for r in ext_dedup_substr_spans(spark, sf).collect()}
+    assert set(out) == {1, 2}
+    for d in (1, 2):
+        assert out[d].n_tokens == 8
+        assert out[d].dup_tokens == 0 and out[d].n_spans == 0, (
+            "60-bit-colliding grams merged — the 120-bit pair key regressed"
+        )

@@ -32,6 +32,7 @@ Usage:  python tools/degen_sweep.py [query ...]
         python tools/degen_sweep.py --unicode [query ...]
         python tools/degen_sweep.py --json [query ...]
         python tools/degen_sweep.py --skew [query ...]
+        python tools/degen_sweep.py --grams [query ...]
 --empty swaps the fixture for ZERO-ROW documents/events/embeddings
 AND orders (the "my filter matched nothing" case that is routine at
 100 TB — every date-range or partition predicate can come back
@@ -218,22 +219,31 @@ crash pass, then the FULL oracle gate on the fixture:
     python tools/degen_sweep.py --skew
     SMDP_VERIFY_VANILLA=1 python tools/verify_local.py /tmp/smdp_degen
 
-On the PROPOSED tenth mode (r9 verdict item 7: planted 60-bit
-gram-hash collisions for `ext_dup_span_profile` /
-`ext_dedup_substr_spans`): adjudicated INFEASIBLE as specified and
-not faked. The gram hash is the first 60 bits of
-md5('<salt>:<gram>'); planting a TRUE collision is a birthday
-search over ~2^30.5 md5 digests (~1.5e9 hashes + an ~18 GB
-sort-and-match) — not a fixture builder, a mining job. What the
-caveat needs is already covered without it: the collision CLASS is
-stated in both operators' docstrings (the oracle compares raw gram
-strings, so any real collision surfaces as a driver hash MISMATCH,
-never silent corruption — the gate is the detector by
-construction), and hash-domain stress (mass-duplicated grams,
-oversized buckets, boilerplate chains) is exactly the --skew and
---dups fixtures. A deliberately WEAKENED hash (e.g. masked to 20
-bits to force collisions) would test a code path the engine never
-ships, so it proves nothing about the shipped contract.
+--grams is the TENTH mode (r9 verdict item 7, carried through r10 as
+"infeasible as specified"; r11 ran the mining job and landed it for
+real): tools/mine_gram_collision.py birthday-searched ~2.4e9 salted
+md5 digests per salt (~5 min on 30 cores) and found TRUE 60-bit
+collisions — two distinct word-grams whose md5('<salt>:<gram>')
+digests share the first 15 hex chars. The fixture is the REAL
+sf0.001 documents table plus planted docs carrying the colliding
+grams; under the legacy single-column _salted_hash key the two span
+operators silently merged the grams Spark-side (the raw-string
+oracle disagreed — a driver hash MISMATCH, demonstrated before the
+fix), and the r11 120-bit _salted_hash_pair key (hex chars 1-15 AND
+17-31 of ONE digest) separates them: the mode now expects a fully
+GREEN gate. At 100 TB gram counts (~1e12) the 60-bit birthday bound
+expects ~4e5 such merges, so this was a real scale exposure, not a
+test curiosity. Run the crash pass, then the directed family gate:
+
+    python tools/degen_sweep.py --grams
+    SMDP_VERIFY_VANILLA=1 python tools/verify_local.py /tmp/smdp_degen \
+        ext_dup_span_profile ext_dedup_substr_spans \
+        ext_fingerprint_winnow ext_dedup_ngram_jaccard ext_ngram_census
+
+(`ext_fingerprint_winnow` keys windows on the 60-bit hash in BOTH
+engines — a collision alters the selected fingerprints identically
+on both sides, a documented sketch property, not a divergence; it
+rides the gate to prove exactly that.)
 
 Exit code = number of crashing queries.
 """
@@ -320,6 +330,7 @@ def build_fixture(
     tz: bool = False,
     dups: bool = False,
     skew: bool = False,
+    grams: bool = False,
 ) -> str:
     import glob
 
@@ -345,6 +356,37 @@ def build_fixture(
         (shutil.copytree if os.path.isdir(f) else shutil.copy)(
             f, os.path.join(FIXTURE, name)
         )
+
+    if grams:
+        # real sf0.001 docs + planted docs carrying MINED 60-bit-
+        # colliding grams (one gram per doc, the gram IS the text)
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from mine_gram_collision import MINED
+
+        import pyarrow.parquet as _pq
+
+        real = _pq.read_table(os.path.join(SRC_SF, "documents.parquet"))
+        next_id = 1_000_001
+        rows = {c: [] for c in ("doc_id", "text", "lang", "source", "n_chars")}
+        for salt, (g1, g2, _pfx) in sorted(MINED.items()):
+            for g in (g1, g2):
+                rows["doc_id"].append(next_id)
+                rows["text"].append(g)
+                rows["lang"].append("en")
+                rows["source"].append("planted")
+                rows["n_chars"].append(len(g))
+                next_id += 1
+        planted = pa.table(rows).cast(real.schema)
+        pq.write_table(
+            pa.concat_tables([real, planted]),
+            os.path.join(FIXTURE, "documents.parquet"),
+        )
+        for name in ("events", "embeddings"):
+            src = os.path.join(SRC_SF, f"{name}.parquet")
+            (shutil.copytree if os.path.isdir(src) else shutil.copy)(
+                src, os.path.join(FIXTURE, f"{name}.parquet")
+            )
+        return FIXTURE
 
     if dups:
         # every table carries duplicate primary keys: true redelivery
@@ -962,11 +1004,12 @@ def main() -> int:
     tz = "--tz" in args
     dups = "--dups" in args
     skew = "--skew" in args
+    grams = "--grams" in args
     args = [
         a
         for a in args
         if a not in ("--empty", "--nulls", "--nonfinite", "--unicode",
-                     "--json", "--tz", "--dups", "--skew")
+                     "--json", "--tz", "--dups", "--skew", "--grams")
     ]
     build_fixture(
         empty=empty,
@@ -977,6 +1020,7 @@ def main() -> int:
         tz=tz,
         dups=dups,
         skew=skew,
+        grams=grams,
     )
     if tz:
         # BEFORE the JVM spawns: the child java process inherits TZ as
@@ -1013,6 +1057,8 @@ def main() -> int:
         if tz
         else "duplicate primary keys"
         if dups
+        else "planted 60-bit gram-hash collisions"
+        if grams
         else "extreme single-key skew"
         if skew
         else "degenerate input"

