@@ -352,19 +352,27 @@ _MINHASH_ORACLE = (
 )
 
 
-def _banded_signatures(sh: DataFrame) -> DataFrame:
-    """(doc_id, band_id, band_hash) banded-MinHash rows from
-    (doc_id, s) shingle rows — the signature+banding core shared by
-    the candidate miner and the bucket census."""
+def _minhash_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh{N_MINHASH-1}) raw MinHash signatures from
+    (doc_id, s) shingle rows — factored out of `_banded_signatures`
+    (r11) so the estimator-error audit can compare per-function
+    agreement without re-deriving the two-hash composition."""
     h1 = _salted_hash(F.lit("1"), F.col("s"))
     h2 = _salted_hash(F.lit("2"), F.col("s")) % F.lit(_MH_STEP_MOD)
     hashed = sh.select("doc_id", h1.alias("h1"), h2.alias("h2"))
-    sigs = hashed.groupBy("doc_id").agg(
+    return hashed.groupBy("doc_id").agg(
         *[
             F.min((F.col("h1") + F.lit(j) * F.col("h2")) % F.lit(_MH_MOD)).alias(f"mh{j}")
             for j in range(N_MINHASH)
         ]
     )
+
+
+def _banded_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_hash) banded-MinHash rows from
+    (doc_id, s) shingle rows — the signature+banding core shared by
+    the candidate miner and the bucket census."""
+    sigs = _minhash_signatures(sh)
     # band key = md5 of the band's minhash rows
     bands = F.array(
         *[
@@ -1157,9 +1165,16 @@ k AS (SELECT doc_id, idx, passage,
       FROM c)
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages,
        CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-       coalesce(string_agg(CASE WHEN keep THEN passage END, ' ' ORDER BY idx), '') AS dedup_text
+       coalesce(string_agg(CASE WHEN keep THEN passage END, ' '
+                           ORDER BY idx, passage), '') AS dedup_text
 FROM k GROUP BY doc_id
 """
+# ^ ORDER BY (idx, passage), not idx alone: under PK-violating
+# duplicate doc_id rows two DIFFERENT passages can share an idx, and
+# the Spark side's array_sort(collect_list(struct(idx, passage)))
+# already totals that tie — the r11 extended --dups gate caught the
+# oracle picking an arbitrary tie order (value-neutral on unique-PK
+# corpora, where (doc_id, idx) is unique by construction)
 
 
 @register("ext_dedup_passage", oracle=_PASSAGE_ORACLE)
@@ -1913,7 +1928,12 @@ _CDC_ORACLE = (
     f"% {CDC_MODULUS} = 0 THEN 1 ELSE 0 END AS bd FROM p), "
     "c AS (SELECT doc_id, pos, w, sum(bd) OVER (PARTITION BY doc_id ORDER BY pos) "
     "AS chunk_id FROM b), "
-    "ch AS (SELECT doc_id, chunk_id, md5(string_agg(w, ' ' ORDER BY pos)) AS chash "
+    # ORDER BY (pos, w), not pos alone: under PK-violating duplicate
+    # doc_id rows two DIFFERENT words can share a pos, and the Spark
+    # side's array_sort(collect_list(struct(pos, w))) totals that tie
+    # (r11 extended --dups gate finding; value-neutral on unique-PK
+    # corpora where (doc_id, pos) is unique)
+    "ch AS (SELECT doc_id, chunk_id, md5(string_agg(w, ' ' ORDER BY pos, w)) AS chash "
     "FROM c GROUP BY doc_id, chunk_id), "
     "gd AS (SELECT chash, count(DISTINCT doc_id) AS nd FROM ch GROUP BY chash), "
     "per AS (SELECT ch.doc_id, count(*) AS n_chunks, "
@@ -1952,7 +1972,14 @@ def ext_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     bd = (_salted_hash(F.lit("cdc"), F.col("w")) % CDC_MODULUS == 0).cast("int")
     from pyspark.sql import Window as W
 
-    cw = W.partitionBy("doc_id").orderBy("pos").rowsBetween(W.unboundedPreceding, 0)
+    # RANGE frame (the ORDER BY default on BOTH engines), not ROWS:
+    # under PK-violating duplicate doc_id rows two words share a pos,
+    # and a ROWS running sum assigns tied rows order-dependent
+    # chunk_ids (engine- and partitioning-nondeterministic) where the
+    # peers-inclusive RANGE frame gives every tied row the same
+    # deterministic value — the r11 extended --dups gate finding;
+    # identical on unique-PK corpora where (doc_id, pos) is unique
+    cw = W.partitionBy("doc_id").orderBy("pos")
     c = p.select("doc_id", "pos", "w", F.sum(bd).over(cw).alias("chunk_id"))
     # (doc, chunk, digest) feeds the duplicate census AND the
     # join-back — pin it or both replay the explode-window-digest
@@ -3234,5 +3261,104 @@ def ext_dedup_pipeline_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("removal_recall_pm"),
+        )
+    )
+
+
+# ------------------- MinHash estimator-error audit (r11 add)
+
+_MH_EST_ORACLE = (
+    f"WITH {_SHINGLE_CTE}, {_MH_CAND_CTES}, "
+    "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+    "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i "
+    "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+    "pairs AS (SELECT c.doc_a, c.doc_b, "
+    + " + ".join(
+        f"(CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END)"
+        for j in range(N_MINHASH)
+    )
+    + " AS matches, coalesce(i.i, 0) AS i, sa.n AS na, sb.n AS nb "
+    "FROM cand c JOIN mh a ON a.doc_id = c.doc_a "
+    "JOIN mh b ON b.doc_id = c.doc_b "
+    "LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b "
+    "JOIN sizes sa ON sa.doc_id = c.doc_a "
+    "JOIN sizes sb ON sb.doc_id = c.doc_b), "
+    f"e AS (SELECT matches * 1000 // {N_MINHASH} AS est_pm, "
+    "i * 1000 // (na + nb - i) AS exact_pm FROM pairs) "
+    "SELECT CAST(abs(est_pm - exact_pm) // 100 AS BIGINT) AS err_decile, "
+    "CAST(count(*) AS BIGINT) AS n_pairs, "
+    "CAST(min(abs(est_pm - exact_pm)) AS BIGINT) AS min_err_pm, "
+    "CAST(max(abs(est_pm - exact_pm)) AS BIGINT) AS max_err_pm "
+    "FROM e GROUP BY 1"
+)
+
+
+@register("ext_dedup_minhash_est_audit", oracle=_MH_EST_ORACLE)
+def ext_dedup_minhash_est_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATOR-error audit: for every banded candidate pair,
+    compare the signature-agreement Jaccard estimate (matching
+    components / {N}) against the exact shingle Jaccard, reporting the
+    absolute-error distribution as a permille-decile histogram —
+    `ext_dedup_minhash_eval` certifies the BANDING (who becomes a
+    candidate: confusion matrix vs truth); this certifies the
+    ESTIMATOR (how wrong matches/{N} is on the pairs the bands
+    surface), which is what sizes N_MINHASH: a fat error tail says
+    add hash functions before trusting signature-only dedup decisions
+    at 100 TB, where the verify join is the cost you're trying to
+    skip.
+
+    Exactness: agreement counts are integer sums over deterministic
+    salted-md5 signatures (the oracle recomputes all {N} minhashes per
+    doc in SQL); est and exact are both permille FLOOR divisions;
+    candidate pairs sharing NO shingle (a raw band-hash coincidence)
+    read exact_pm = 0 via the LEFT-join coalesce on both engines.
+
+    Scale shape: signatures and candidates come from the session pins
+    (one doc-keyed row each — the audit adds two broadcast-ish
+    signature joins and one pair-keyed LEFT join against the
+    intersection table the Jaccard miner already computes); the
+    histogram is a ≤ 11-key agg. Nothing new is quadratic: the pair
+    universe is the banded candidate set by construction."""
+    cand = _mh_cand_pinned(spark, sf_dir)
+    sigs = _minhash_signatures(_shingles_pinned(spark, sf_dir))
+    inter, sizes = _shingle_pair_intersections(spark, sf_dir)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(N_MINHASH)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(N_MINHASH)],
+    )
+    matches = None
+    for j in range(N_MINHASH):
+        term = (F.col(f"a{j}") == F.col(f"b{j}")).cast("int")
+        matches = term if matches is None else matches + term
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    p = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .select(
+            matches.alias("matches"),
+            F.coalesce(F.col("i"), F.lit(0)).alias("i"),
+            "na",
+            "nb",
+        )
+    )
+    e = p.select(
+        F.expr(f"matches * 1000 div {N_MINHASH}").alias("est_pm"),
+        F.expr("i * 1000 div (na + nb - i)").alias("exact_pm"),
+    )
+    err = F.abs(F.col("est_pm") - F.col("exact_pm"))
+    return (
+        e.groupBy(F.expr("abs(est_pm - exact_pm) div 100").cast("long").alias("err_decile"))
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.min(err).cast("long").alias("min_err_pm"),
+            F.max(err).cast("long").alias("max_err_pm"),
         )
     )

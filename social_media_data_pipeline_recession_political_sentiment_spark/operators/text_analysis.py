@@ -4115,20 +4115,21 @@ CDC_DIVISOR = 8  # anchor where hash % DIVISOR == 0 => ~8-token chunks
 
 
 _CDC_ORACLE = f"""
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-pos AS (SELECT doc_id, w,
+WITH t AS (SELECT row_number() OVER () AS rid, string_split(text, ' ') AS w
+           FROM documents),
+pos AS (SELECT rid, w,
                unnest(generate_series(2, len(w) - {CDC_GRAM} + 1)) AS p
         FROM t WHERE len(w) >= {CDC_GRAM} + 1),
-anch AS (SELECT doc_id, w, CAST(p AS INT) AS start FROM pos
+anch AS (SELECT rid, w, CAST(p AS INT) AS start FROM pos
          WHERE {{h}} % {CDC_DIVISOR} = 0),
-starts AS (SELECT doc_id, w, 1 AS start FROM t
-           UNION ALL SELECT doc_id, w, start FROM anch),
-bounds AS (SELECT doc_id, w, start,
-                  coalesce(lead(start) OVER (PARTITION BY doc_id
+starts AS (SELECT rid, w, 1 AS start FROM t
+           UNION ALL SELECT rid, w, start FROM anch),
+bounds AS (SELECT rid, w, start,
+                  coalesce(lead(start) OVER (PARTITION BY rid
                                              ORDER BY start) - 1,
                            len(w)) AS fin
            FROM starts),
-ch AS (SELECT doc_id,
+ch AS (SELECT rid,
               md5(array_to_string(w[start:fin], ' ')) AS chunk_fp,
               fin - start + 1 AS n_tok
        FROM bounds),
@@ -4156,6 +4157,12 @@ FROM cha, docs
     # NULL-text — still yields the one report row (zero counts, NULL
     # ratio/mean) that the Spark side's crossJoin of two aggregates
     # always emits (r8 ADVICE boundary fix).
+    # PARTITION BY rid (a per-ROW synthetic key), not doc_id: the
+    # Spark side chunks each ROW's token array independently, so under
+    # PK-violating duplicate doc_id rows a doc_id partition would mix
+    # two documents' anchor sets (r11 extended --dups gate finding;
+    # identical on unique-PK corpora). rid is only a partition
+    # identity — it never reaches the output.
     # THE hash swap point is dedup._salted_hash(_sql) — route through it
     # so a hash-function swap reaches the CDC boundary contract too.
     h=_dedup._salted_hash_sql(

@@ -121,6 +121,7 @@ _WINDOW_PRIORITY = (
     "ext_retrieval_eval",
     "stream_datacard_incremental",
     "ext_bpe_roundtrip",
+    "ext_dedup_minhash_est_audit",
     # -- rewritten this round (plan or oracle changed): the three
     #    ex-no_oracle miners gained hard oracles (+ their fold-exact
     #    implementation rewrites), their verify/recall siblings
@@ -142,6 +143,12 @@ _WINDOW_PRIORITY = (
     "ext_dedup_pipeline",
     "ext_dedup_pipeline_minhash",
     "ext_dedup_pipeline_recall",
+    # -- r11 session-2 rewrites (the extended --dups gate findings:
+    #    passage/cdc tie-order + frame fixes, chunk_cdc oracle
+    #    partition key) --
+    "ext_dedup_passage",
+    "ext_dedup_cdc",
+    "ext_chunk_cdc",
     # -- the final r4 evidence tier (r10 verdict item 3; the two r4
     #    tags already consumed above as rewrites are not repeated) --
     "ext_emb_norm",
@@ -174,10 +181,6 @@ _WINDOW_PRIORITY = (
     "agg_salted_skew",
     "agg_approx_distinct",
     "sort_by_time",
-    "sort_desc_limit",
-    "limit_n",
-    "window_rank_latest",
-    "union_pages",
 )
 
 
