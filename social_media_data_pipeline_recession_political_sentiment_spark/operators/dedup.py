@@ -2370,10 +2370,18 @@ def ext_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     textbook bound. LCC is one shared round(2.0*n/(d*(d-1)), 6) tree
     on both engines."""
     # the miner result feeds 3 plan branches (degrees, orientation,
-    # closing probe); the session pin materializes the small edge
-    # list ONCE so the shingle equi-join — the dominant cost — can't
-    # be re-evaluated per branch (or per query, since r11)
-    pairs = _pair_graph_pinned(spark, sf_dir).select("doc_a", "doc_b")
+    # closing probe); the session pin materializes the MINING once per
+    # session, and the per-query localCheckpoint FLATTENS the pin's
+    # embedded plan subtree out of the 3 branches: without it each
+    # branch re-plans/codegens the whole pinned-miner subtree — idle
+    # A/B at sf0.1 (fresh session, warm pin, 3 reps): pin-direct
+    # 11.1/6.2/4.0 s vs flattened 3.1/1.7/1.3 s. The checkpoint
+    # itself is one tiny job reading the cached pair list.
+    pairs = (
+        _pair_graph_pinned(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
     deg = (
         pairs.select(F.col("doc_a").alias("node"))
         .unionAll(pairs.select(F.col("doc_b").alias("node")))
@@ -2521,9 +2529,15 @@ def ext_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     the is_new flag. |N(x)∪N(y)| = dx + dy - common is exact
     integer arithmetic; the ratio is ONE shared rounded division."""
     # edge list feeds 4 plan branches (adjacency x2, degrees, is_new
-    # probe) — the session pin materializes the miner once (same
-    # rationale as ext_graph_triangle_count)
-    pairs = _pair_graph_pinned(spark, sf_dir).select("doc_a", "doc_b")
+    # probe) — the session pin materializes the miner once; the
+    # per-query localCheckpoint flattens the pin's embedded plan
+    # subtree out of the 4 branches (the ext_graph_triangle_count
+    # idle-A/B note)
+    pairs = (
+        _pair_graph_pinned(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
     adj = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).unionAll(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
