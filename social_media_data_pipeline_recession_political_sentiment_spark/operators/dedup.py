@@ -3376,3 +3376,72 @@ def ext_dedup_minhash_est_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(err).cast("long").alias("max_err_pm"),
         )
     )
+
+
+# ------------------------- eval-set n-gram coverage (r11 add)
+
+_EVAL_COVERAGE_ORACLE = (
+    f"WITH {_SHINGLE_CTE}, "
+    f"ev AS (SELECT doc_id, s FROM sh WHERE doc_id < {EVAL_SET_MAX_ID}), "
+    f"corp AS (SELECT DISTINCT s FROM sh WHERE doc_id >= {EVAL_SET_MAX_ID}), "
+    "cov AS (SELECT ev.doc_id, count(*) AS n_shingles, "
+    "CAST(sum(CASE WHEN corp.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_covered FROM ev LEFT JOIN corp ON corp.s = ev.s GROUP BY 1) "
+    "SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles, n_covered, "
+    "n_covered * 1000 // n_shingles AS coverage_pm FROM cov"
+)
+
+
+@register("ext_eval_coverage", oracle=_EVAL_COVERAGE_ORACLE)
+def ext_eval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EVAL-item n-gram coverage by the training corpus — the DUAL
+    of `ext_contamination_check` (that flags TRAINING docs sharing
+    ≥ K shingles with the eval set; this scores each EVAL item by the
+    fraction of its own word-3-grams found ANYWHERE in the corpus).
+    High coverage_pm marks benchmark items answerable from surface
+    memorization even when no single training doc crosses the
+    contamination threshold — the per-item decontamination triage
+    column (cf. the n-gram-overlap protocols of GPT-3 appx C / PaLM
+    §6, applied from the eval side). Same fixture convention:
+    doc_id < EVAL_SET_MAX_ID stands in for the benchmark.
+
+    Exactness: counts are BIGINTs over the distinct-per-doc shingle
+    relation, coverage a permille floor division; an eval shingle
+    counts as covered iff it appears in at least one corpus doc
+    (EXISTS via left-join null-probe — identical on both engines).
+
+    Scale shape: the eval side is tiny, so its distinct shingles
+    broadcast and the 100 TB corpus side streams through ONE
+    map-side semi-join probe (no corpus shuffle — the
+    `ext_contamination_check` asymmetry, reversed: here the DISTINCT
+    of matched shingles is bounded by the eval set's own size); the
+    per-item rollup aggregates eval-sized rows. Reads the session
+    shingle pin."""
+    sh = _shingles_pinned(spark, sf_dir)
+    ev = sh.filter(F.col("doc_id") < EVAL_SET_MAX_ID)
+    evs = ev.select("s").distinct()
+    matched = (
+        sh.filter(F.col("doc_id") >= EVAL_SET_MAX_ID)
+        .join(F.broadcast(evs), "s", "left_semi")
+        .select("s")
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    return (
+        ev.join(F.broadcast(matched), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("hit"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_covered"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_covered",
+            F.expr("n_covered * 1000 div n_shingles")
+            .cast("long")
+            .alias("coverage_pm"),
+        )
+    )

@@ -122,6 +122,7 @@ _WINDOW_PRIORITY = (
     "stream_datacard_incremental",
     "ext_bpe_roundtrip",
     "ext_dedup_minhash_est_audit",
+    "ext_eval_coverage",
     # -- rewritten this round (plan or oracle changed): the three
     #    ex-no_oracle miners gained hard oracles (+ their fold-exact
     #    implementation rewrites), their verify/recall siblings
@@ -180,7 +181,6 @@ _WINDOW_PRIORITY = (
     "sql_interface",
     "agg_salted_skew",
     "agg_approx_distinct",
-    "sort_by_time",
 )
 
 
