@@ -134,7 +134,16 @@ def compute_once(df: DataFrame) -> DataFrame:
 # cache must not have.
 
 _SESSION_PINS: dict = {}
-_SESSION_PIN_CAP = 12  # >= tags-per-sf_dir x concurrently-live sf_dirs
+# Cap audit (r11 verdict item 7): 6 live tag families — dedup.py's
+# shingles / exact-Jaccard pair graph / MinHash candidates /
+# lss_components, plus similarity.py's embcos_pairs and
+# embcos_lsh_pairs — × 3 concurrently-live sf_dirs (0.001/0.01/0.1
+# in one gate session) = 18 keys; 24 leaves slack for the next two
+# tag families before any mid-gate thrash. tests/test_properties.py::
+# test_session_pin_no_eviction_full_single_sf_sweep asserts zero
+# evictions across a single-sf_dir sweep of every pin family.
+_SESSION_PIN_CAP = 24
+_EVICTIONS: list = []  # keys FIFO-evicted under cap pressure (test hook)
 
 
 def source_fingerprint(path: str):
@@ -162,6 +171,16 @@ def source_fingerprint(path: str):
         return None
 
 
+def _unpin(df: DataFrame) -> None:
+    """Evict-path unpersist, guarded like `clear_session_pins` (r11
+    ADVICE): a pin created under a since-stopped SparkContext cannot
+    unpersist — that must not fail the CURRENT, unrelated pin call."""
+    try:
+        df.unpersist(False)
+    except Exception:
+        pass  # dead SparkContext — its blocks are already gone
+
+
 def session_pin(
     spark: SparkSession,
     sf_dir: str,
@@ -174,20 +193,44 @@ def session_pin(
     star contraction does); a build that raises stores nothing, so the
     next call retries from scratch. FIFO eviction above the cap
     explicitly unpersists the evicted frame (lineage survives — any
-    plan still referencing it recomputes, never errors)."""
+    plan still referencing it recomputes, never errors).
+
+    Staleness trade-off (r11 ADVICE, stated for the record): because
+    persist KEEPS lineage, a pinned partition lost to executor failure
+    recomputes by RE-READING the source path — if the source files
+    were rewritten in place after pinning, the rebuilt partitions
+    would silently mix new data into an exactness-contract frame,
+    where the old localCheckpoint design failed loudly (job error).
+    The fingerprint-in-key guards every LOOKUP (a rewritten source
+    always misses and rebuilds fresh; superseded same-tag pins are
+    evicted below, so the stale frame also stops occupying storage) —
+    the residual window is a block loss DURING a job whose source
+    changed mid-flight, which no cache policy can close without
+    re-cutting lineage. We take lineage (never-fails-forever) over
+    checkpoint (never-mixes-mid-job); testdata and production corpus
+    snapshots are immutable-per-path, making the mid-job rewrite a
+    non-event there."""
     import os as _os
 
     fp = source_fingerprint(_os.path.join(sf_dir, source))
     if fp is None:  # unstatable source: no safe cache key — don't pin
         return build()
-    key = (spark.sparkContext.applicationId, tag, _os.path.realpath(sf_dir), fp)
+    realdir = _os.path.realpath(sf_dir)
+    key = (spark.sparkContext.applicationId, tag, realdir, fp)
     df = _SESSION_PINS.get(key)
     if df is None:
         from pyspark import StorageLevel
 
+        # drop superseded pins for the same (app, tag, sf_dir) whose
+        # fingerprint no longer matches — the source was rewritten, so
+        # those frames can never be looked up again; free their blocks
+        # now instead of waiting for FIFO pressure (r11 ADVICE)
+        for k in [k for k in _SESSION_PINS if k[:3] == key[:3] and k[3] != fp]:
+            _unpin(_SESSION_PINS.pop(k))
         df = build().persist(StorageLevel.MEMORY_AND_DISK)
         while len(_SESSION_PINS) >= _SESSION_PIN_CAP:  # FIFO evict + free
-            _SESSION_PINS.pop(next(iter(_SESSION_PINS))).unpersist(False)
+            _EVICTIONS.append(next(iter(_SESSION_PINS)))
+            _unpin(_SESSION_PINS.pop(next(iter(_SESSION_PINS))))
         _SESSION_PINS[key] = df
     return df
 

@@ -1964,12 +1964,18 @@ _pin_ops = st.lists(
 @settings(**_SETTINGS)
 def test_session_pin_recompute_vs_reuse(spark, tmp_path_factory, ops):
     """`session_pin` is keyed by the recursive source fingerprint:
-    it rebuilds exactly when the current file layout has never been
-    pinned before, and reuses a (still-valid) pin whenever the layout
-    matches one already seen — including a delete that restores an
-    earlier layout. Mutations exercised: append (top-level AND nested
-    — the r10-ADVICE non-recursive-fingerprint gap), delete, and an
-    mtime-preserving rewrite that changes the file size."""
+    it rebuilds exactly when the current file layout differs from the
+    LIVE pin's layout, and reuses the pin when the layout is
+    unchanged. Since r12, pinning a NEW layout evicts the same-tag
+    pin built under the old one (r11 ADVICE) — so a delete that
+    RESTORES an earlier layout rebuilds rather than reusing: the old
+    frame's partitions could have been lineage-recomputed under the
+    interim layout (executor block loss re-reads the source), and
+    serving it after a restore would silently mix interim data into
+    an exactness-contract frame. Mutations exercised: append
+    (top-level AND nested — the r10-ADVICE non-recursive-fingerprint
+    gap), delete, and an mtime-preserving rewrite that changes the
+    file size."""
     import os
     import shutil
 
@@ -1995,7 +2001,7 @@ def test_session_pin_recompute_vs_reuse(spark, tmp_path_factory, ops):
         assert len(builds) == 1  # cold build
         catalog.session_pin(spark, sf_dir, tag, build)
         assert len(builds) == 1  # warm reuse, nothing changed
-        seen = {catalog.source_fingerprint(src)}
+        live = catalog.source_fingerprint(src)  # the LIVE pin's layout
         n_extra = 0  # files added beyond part-0 (delete candidates)
         for i, op in enumerate(ops):
             before = len(builds)
@@ -2023,12 +2029,16 @@ def test_session_pin_recompute_vs_reuse(spark, tmp_path_factory, ops):
                     f.write(b"x" * (st_.st_size + 1))
                 os.utime(p, ns=(st_.st_atime_ns, st_.st_mtime_ns))  # ...same mtime
             fp = catalog.source_fingerprint(src)
-            fresh = fp not in seen
-            seen.add(fp)
+            fresh = fp != live
+            live = fp
             catalog.session_pin(spark, sf_dir, tag, build)
             want = before + 1 if fresh else before
             assert len(builds) == want, (
-                f"{op}: rebuild iff this layout was never pinned before"
+                f"{op}: rebuild iff the layout differs from the live pin's"
+            )
+            # the superseded pin is gone — exactly one live key per tag
+            assert (
+                len([k for k in catalog._SESSION_PINS if k[1] == tag]) == 1
             )
             # invariant: a second immediate call never rebuilds
             catalog.session_pin(spark, sf_dir, tag, build)
@@ -2108,3 +2118,51 @@ def test_source_fingerprint_recursive_and_unstatable(tmp_path):
     assert source_fingerprint(str(d)) == fp2
 
     assert source_fingerprint(str(tmp_path / "missing.parquet")) is None
+
+
+def test_session_pin_no_eviction_full_single_sf_sweep(spark):
+    """Cap audit (r11 verdict item 7): one representative query per
+    pin tag family, all at ONE sf_dir, must complete with ZERO FIFO
+    evictions and exactly the six live tag families pinned —
+    mid-gate thrash (evicting a hot pin that a later query rebuilds)
+    would silently multiply the dominant mining cost without failing
+    anything."""
+    from conftest import SF_SMOKE
+
+    from social_media_data_pipeline_recession_political_sentiment_spark import (
+        catalog,
+        registry,
+    )
+
+    registry.load_all()
+    saved = dict(catalog._SESSION_PINS)
+    catalog.clear_session_pins()
+    catalog._EVICTIONS.clear()
+    try:
+        for q in (
+            "udtf_explode_shingles",  # shingles
+            "ext_dedup_ngram_jaccard",  # jaccard_pairs
+            "ext_dedup_minhash",  # mh_cand
+            "ext_dedup_components_lss",  # lss_components
+            "ext_dedup_embcos",  # embcos_pairs
+            "ext_dedup_embcos_lsh",  # embcos_lsh_pairs
+        ):
+            registry.QUERIES[q](spark, SF_SMOKE).collect()
+        assert catalog._EVICTIONS == [], (
+            "FIFO eviction during a single-sf_dir sweep — bump "
+            "_SESSION_PIN_CAP (a new tag family outgrew the cap audit)"
+        )
+        tags = {k[1] for k in catalog._SESSION_PINS}
+        assert tags == {
+            "shingles",
+            "jaccard_pairs",
+            "mh_cand",
+            "lss_components",
+            "embcos_pairs",
+            "embcos_lsh_pairs",
+        }
+        # headroom: 3 concurrently-live sf_dirs of every family fit
+        assert 3 * len(tags) <= catalog._SESSION_PIN_CAP
+    finally:
+        catalog.clear_session_pins()
+        catalog._SESSION_PINS.update(saved)
