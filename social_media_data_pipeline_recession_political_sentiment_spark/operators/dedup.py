@@ -3445,3 +3445,87 @@ def ext_eval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("coverage_pm"),
         )
     )
+
+
+# ----------- eval coverage decomposed by corpus SOURCE (r12 add —
+# r11 verdict item 6a: `ext_eval_coverage` says WHICH eval items are
+# surface-covered; this says WHICH CORPUS SOURCES cover them, the
+# table a decontamination run actually acts on: drop or downweight a
+# source, re-run, watch its rows disappear)
+
+_EVAL_COVERAGE_SRC_ORACLE = (
+    f"WITH {_SHINGLE_CTE}, "
+    f"ev AS (SELECT doc_id, s FROM sh WHERE doc_id < {EVAL_SET_MAX_ID}), "
+    "sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles "
+    "FROM ev GROUP BY 1), "
+    "srcs AS (SELECT DISTINCT sh.s, coalesce(d.source, '') AS source "
+    "FROM sh JOIN documents d USING (doc_id) "
+    f"WHERE sh.doc_id >= {EVAL_SET_MAX_ID} "
+    "AND sh.s IN (SELECT s FROM ev)), "
+    "cov AS (SELECT ev.doc_id, srcs.source, "
+    "CAST(count(*) AS BIGINT) AS n_covered "
+    "FROM ev JOIN srcs ON srcs.s = ev.s GROUP BY 1, 2) "
+    "SELECT c.doc_id, c.source, z.n_shingles, c.n_covered, "
+    "c.n_covered * 1000 // z.n_shingles AS coverage_pm "
+    "FROM cov c JOIN sz z USING (doc_id)"
+)
+
+
+@register("ext_eval_coverage_by_source", oracle=_EVAL_COVERAGE_SRC_ORACLE)
+def ext_eval_coverage_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(EVAL-item, corpus SOURCE) n-gram coverage — the
+    decomposition `ext_eval_coverage` aggregates away: for every eval
+    item and every corpus source that shares at least one of its
+    word-3-grams, the count and permille of the item's shingles that
+    source covers. This is the ACTIONABLE contamination table: a
+    decontamination pass drops or downweights SOURCES (a crawl, a
+    dump, a site), not individual matched documents, and this table
+    says which source buys how much coverage of which benchmark item
+    (one extra group key on the coverage probe — the r11 verdict's
+    phrasing — so the two operators can never disagree on what
+    "covered" means). Emits only (item, source) pairs with ≥ 1
+    covered shingle; `n_shingles` repeats the item's total so
+    coverage_pm reads standalone.
+
+    Exactness: BIGINT counts over the distinct-per-doc shingle
+    relation; coverage a permille floor division; a shingle counts
+    toward a source iff ANY doc of that source contains it (the
+    DISTINCT (s, source) projection — identical on both engines);
+    NULL source coalesces to '' (nulls-sweep convention).
+
+    Scale shape: the eval side is tiny, so its distinct shingles
+    broadcast and the 100 TB corpus streams through ONE map-side
+    semi-join probe (the `ext_eval_coverage` asymmetry); matched
+    (doc, shingle) hits — bounded by the contamination surface, not
+    the corpus — then take ONE doc-keyed join to attach `source`
+    (AQE broadcasts the hit side at real ratios) and a DISTINCT
+    bounded by |eval shingles| × |sources|. The per-item rollup and
+    the size join are eval-sized. Reads the session shingle pin."""
+    sh = _shingles_pinned(spark, sf_dir)
+    ev = sh.filter(F.col("doc_id") < EVAL_SET_MAX_ID)
+    evs = ev.select("s").distinct()
+    srcmap = load(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("source"), F.lit("")).alias("source")
+    )
+    hits = sh.filter(F.col("doc_id") >= EVAL_SET_MAX_ID).join(
+        F.broadcast(evs), "s", "left_semi"
+    )
+    srcs = hits.join(srcmap, "doc_id").select("s", "source").distinct()
+    sz = ev.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_shingles")
+    )
+    return (
+        ev.join(F.broadcast(srcs), "s")
+        .groupBy("doc_id", "source")
+        .agg(F.count("*").cast("long").alias("n_covered"))
+        .join(sz, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "n_shingles",
+            "n_covered",
+            F.expr("n_covered * 1000 div n_shingles")
+            .cast("long")
+            .alias("coverage_pm"),
+        )
+    )

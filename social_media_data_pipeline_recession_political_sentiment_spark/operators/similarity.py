@@ -29,7 +29,9 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import compute_once, load, session_pin
+from ..functions.hashing import doc_bucket, doc_bucket_sql
 from ..registry import register
+from .dedup import INCR_BASE_BUCKETS
 
 TOP_K = 10
 N_QUERY_VECS = 5  # vec_id < 5 are the query set
@@ -3133,21 +3135,32 @@ BITSIGN_PACK = 32  # bits per packed word: keeps every word in
 # [0, 2^32) so neither engine's left shift or xor ever touches the
 # BIGINT sign bit (DuckDB's `<<` hard-errors on 1 << 63)
 
-_BITSIGN_WORDS_SPARK = (
-    "transform(sequence(0, CAST((size(dv) + {p} - 1) div {p} - 1 AS INT)), "
-    "w -> aggregate(sequence(0, {p} - 1), 0L, (acc, j) -> acc + "
-    "CASE WHEN w * {p} + j < size(dv) "
-    "AND element_at(dv, w * {p} + j + 1) > 0d "
-    "THEN shiftleft(1L, j) ELSE 0L END))"
-).format(p=BITSIGN_PACK)
+def _bitsign_words_spark(p: int) -> str:
+    """Sign bits packed into p-bit words, Spark side (p ≤ 32 keeps
+    every word clear of the BIGINT sign bit on both engines)."""
+    return (
+        "transform(sequence(0, CAST((size(dv) + {p} - 1) div {p} - 1 AS INT)), "
+        "w -> aggregate(sequence(0, {p} - 1), 0L, (acc, j) -> acc + "
+        "CASE WHEN w * {p} + j < size(dv) "
+        "AND element_at(dv, w * {p} + j + 1) > 0d "
+        "THEN shiftleft(1L, j) ELSE 0L END))"
+    ).format(p=p)
 
-_BITSIGN_WORDS_DUCK = (
-    "list_transform(generate_series(0, CAST(ceil(len(dv) * 1.0 / {p}) "
-    "AS BIGINT) - 1), w -> list_sum(list_transform("
-    "generate_series(0, {p} - 1), j -> CASE WHEN w * {p} + j < len(dv) "
-    "AND dv[CAST(w * {p} + j + 1 AS BIGINT)] > 0 "
-    "THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)))"
-).format(p=BITSIGN_PACK)
+
+def _bitsign_words_duck(p: int) -> str:
+    """The identical packing in DuckDB SQL (integer end to end)."""
+    return (
+        "list_transform(generate_series(0, CAST(ceil(len(dv) * 1.0 / {p}) "
+        "AS BIGINT) - 1), w -> list_sum(list_transform("
+        "generate_series(0, {p} - 1), j -> CASE WHEN w * {p} + j < len(dv) "
+        "AND dv[CAST(w * {p} + j + 1 AS BIGINT)] > 0 "
+        "THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)))"
+    ).format(p=p)
+
+
+_BITSIGN_WORDS_SPARK = _bitsign_words_spark(BITSIGN_PACK)
+
+_BITSIGN_WORDS_DUCK = _bitsign_words_duck(BITSIGN_PACK)
 
 _BITSIGN_ORACLE = f"""
 WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv
@@ -3235,6 +3248,226 @@ def ext_sim_topk_bitsign(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank", F.row_number().over(w).cast("long")
         )
         .filter(F.col("rank") <= TOP_K)
+    )
+
+
+# -------------- 1-bit Hamming-band PAIR miner (r12 add — r11
+# verdict item 6b: `ext_sim_topk_bitsign` SERVES queries at the
+# 1-bit rung, but no pair MINER existed there)
+
+HAMMING_BAND_BITS = 8  # band = one 8-bit packed word => 8 bands @ 64d
+HAMMING_PAIR_MAX = 7  # pigeonhole-exact: bands (8) > max differing bits (7)
+HAMMING_REENC_MOD = 5  # every 5th vector also lands re-embedded...
+HAMMING_REENC_OFFSET = 1_000_000  # ...under vec_id + offset
+
+_HAMMING_WORDS_DUCK = _bitsign_words_duck(HAMMING_BAND_BITS)
+
+# exact brute force IS the oracle: banding with B bands is provably
+# lossless for hamming <= B - 1 (pigeonhole), so the mined pair set
+# must EQUAL the all-pairs scan — recall 1.0 by theorem, not by
+# measurement (contrast the LSH miners, whose oracles must replay
+# the bucketing because recall < 1 is part of their contract).
+# The fixture corpus has no organic 1-bit near-dups (measured min
+# pairwise sign-hamming 15 at sf0.01 — random-ish sign patterns), so
+# the ingest plants the scenario the operator exists for, exactly as
+# `ext_mm_dedup_phash` does on the media tier: every
+# HAMMING_REENC_MOD-th vector also lands as a simulated nightly
+# RE-EMBED with ONE sign flipped (component vec_id mod EMB_DIM — a
+# pure function of the row; -x is an exact float op, so both engines
+# flip the identical bit). Re-embed pairs sit at hamming ≤ 1 and are
+# found; everything organic stays ≥ 13 and is honestly excluded.
+# Shared CTE chain (universe -> re-embeds -> sign words -> scored
+# pairs) — consumed by the pair-miner oracle AND the components
+# oracle below, so the two can never diverge on what a "pair" is
+# (the `_EMBCOS_COMP_CTES` convention).
+_HAMMING_CTES = f"""s0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv
+            FROM embeddings
+            WHERE {_fin_emb_duck('embedding')}),
+re AS (SELECT vec_id + {HAMMING_REENC_OFFSET} AS vec_id,
+         list_transform(dv, (x, i) -> CASE WHEN i = c THEN -x ELSE x END)
+           AS dv
+       FROM (SELECT vec_id, dv, vec_id % {EMB_DIM} + 1 AS c FROM s0
+             WHERE vec_id % {HAMMING_REENC_MOD} = 0)),
+s AS (SELECT vec_id, dv FROM s0 UNION ALL SELECT vec_id, dv FROM re),
+bs AS (SELECT vec_id, {_HAMMING_WORDS_DUCK} AS words FROM s),
+hp AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        CAST(list_sum(list_transform(generate_series(1,
+             least(len(a.words), len(b.words))),
+             i -> bit_count(xor(a.words[i], b.words[i])))) AS BIGINT)
+          AS hamming
+      FROM bs a JOIN bs b ON a.vec_id < b.vec_id)"""
+
+_HAMMING_PAIRS_ORACLE = (
+    f"WITH {_HAMMING_CTES} "
+    f"SELECT vec_a, vec_b, hamming FROM hp "
+    f"WHERE hamming <= {HAMMING_PAIR_MAX}"
+)
+
+
+def _hamming_universe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, dv) over finite base vectors ∪ the planted re-embeds —
+    the Spark twin of the oracle's `s` CTE, shared by the pair miner
+    and the components consumer."""
+    base = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.expr(_fin_emb_spark()))
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("dv")
+        )
+    )
+    # simulated re-embeds: one sign flipped at component vec_id mod
+    # EMB_DIM (Spark transform's index is 0-based; the oracle's
+    # DuckDB lambda index is 1-based — both select the same slot)
+    re = base.filter(F.col("vec_id") % HAMMING_REENC_MOD == 0).select(
+        (F.col("vec_id") + HAMMING_REENC_OFFSET).alias("vec_id"),
+        F.expr(
+            f"transform(dv, (x, i) -> CASE WHEN i = cast(vec_id % {EMB_DIM} "
+            "as int) THEN -x ELSE x END)"
+        ).alias("dv"),
+    )
+    return base.unionByName(re)
+
+
+@register("ext_sim_hamming_pairs", oracle=_HAMMING_PAIRS_ORACLE)
+def ext_sim_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-BIT near-duplicate PAIR mining: sign-binarized embeddings
+    packed into {HAMMING_BAND_BITS}-bit words, band-bucketed
+    candidate generation, exact Hamming verify at distance ≤
+    {HAMMING_PAIR_MAX} — the miner that completes the bitsign rung
+    (`ext_sim_topk_bitsign` answers top-k QUERIES; this emits the
+    corpus-wide dup-pair graph a binary-sketch dedup pass feeds to
+    the component machinery, the `ext_mm_dedup_phash` pattern on the
+    embedding tier).
+
+    EXACT, not approximate: with B = 8 bands and threshold r = 7 < B,
+    any pair within Hamming r is identical on ≥ B − r ≥ 1 full band
+    (pigeonhole), so the band buckets provably surface every
+    qualifying pair — the oracle is the brute-force all-pairs scan,
+    and equality certifies recall 1.0 as a THEOREM at every SF
+    (the `ext_dedup_simhash` banding argument, word-aligned).
+
+    The fixture has no organic 1-bit near-dups (min pairwise
+    sign-hamming 15 — see the oracle comment), so the ingest plants
+    deterministic RE-EMBEDS: every {HAMMING_REENC_MOD}-th vector also
+    lands with one sign flipped (the `ext_mm_dedup_phash` /
+    `ext_dataset_diff` snapshot-simulation device) — the nightly
+    re-embedding drift this rung's dedup actually hunts.
+
+    Exactness: integer end to end — bit j of word w is
+    [component > 0], words stay below the BIGINT sign bit, hamming =
+    Σ bit_count(xor) — no float ever touches the contract (the
+    non-finite gate only sets membership, as in the bitsign server).
+
+    Like every content miner, assumes key-deduplicated (bronze-
+    cleaned) input: under PK-violating vec_ids the oracle's id-keyed
+    re-pairing changes the QUESTION, not the arithmetic — the
+    documented `--dups` boundary class (tools/degen_sweep.py), where
+    this op is crash-free and the ingest-dedup family upstream is the
+    enforcement point.
+
+    Scale shape: packing is scan-local (D floats → D/{HAMMING_BAND_BITS}
+    small ints — payload never exceeds 8 bytes/vector after the
+    projection, so carrying `words` THROUGH the band explode is
+    cheaper than the phash miner's rescore joins); mining shuffles
+    B rows per vector keyed (band, word); the bucket self-join's
+    fan-out is bounded by bucket occupancy with AQE skew-join
+    splitting the degenerate all-same-sign bucket (the LSH miner's
+    salting device is the manual fallback, noted not needed while
+    candidates stay integer-slim); verify is codegen'd xor/bit_count
+    before the dedup shuffle, so only true pairs reach it."""
+    # the packed frame feeds BOTH sides of the band self-join — pin it
+    # or the sign packing (and its embeddings scan) runs twice
+    sig = compute_once(
+        _hamming_universe(spark, sf_dir).select(
+            "vec_id",
+            F.expr(_bitsign_words_spark(HAMMING_BAND_BITS)).alias("words"),
+        )
+    )
+    k = sig.select(
+        "vec_id", "words", F.posexplode("words").alias("band", "bv")
+    )
+    ham = F.expr(
+        "aggregate(zip_with(slice(wa, 1, least(size(wa), size(wb))), "
+        "slice(wb, 1, least(size(wa), size(wb))), "
+        "(x, y) -> CAST(bit_count(x ^ y) AS BIGINT)), "
+        "0L, (acc, v) -> acc + v)"
+    )
+    return (
+        k.alias("a")
+        .join(
+            k.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.words").alias("wa"),
+            F.col("b.words").alias("wb"),
+        )
+        .select("vec_a", "vec_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= HAMMING_PAIR_MAX)
+        .dropDuplicates(["vec_a", "vec_b"])
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+_HAMMING_COMP_ORACLE = (
+    f"WITH RECURSIVE {_HAMMING_CTES}, "
+    f"p AS (SELECT vec_a, vec_b FROM hp WHERE hamming <= {HAMMING_PAIR_MAX}), "
+    "edges AS (SELECT vec_a AS src, vec_b AS dst FROM p "
+    "UNION ALL SELECT vec_b, vec_a FROM p), "
+    "reach(node, lbl) AS ("
+    "  SELECT vec_id, vec_id FROM s "
+    "  UNION "
+    "  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node), "
+    "comp AS (SELECT node AS vec_id, min(lbl) AS component "
+    "FROM reach GROUP BY node), "
+    "sz AS (SELECT component, count(*) AS cluster_size FROM comp "
+    "GROUP BY component) "
+    "SELECT c.vec_id, c.component, s.cluster_size, "
+    "(c.vec_id = c.component) AS is_keeper "
+    "FROM comp c JOIN sz s USING (component)"
+)
+
+
+@register("ext_sim_hamming_components", oracle=_HAMMING_COMP_ORACLE)
+def ext_sim_hamming_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 1-bit dedup chain END TO END — `ext_dedup_semantic`'s shape
+    on the bitsign rung: Hamming pair graph (`ext_sim_hamming_pairs`,
+    pigeonhole-exact) → connected components via large-star/small-star
+    → full cluster assignment with a keeper flag (keeper = the
+    component's min vec_id). A base vector whose re-embed landed
+    becomes a 2-cluster whose ORIGINAL id is kept and whose re-embed
+    is dropped — exactly the nightly re-embedding cleanup the 1-bit
+    sketch exists to make cheap.
+
+    Exactness: the pair stage is exact by pigeonhole (recall 1.0 as
+    a theorem — see the miner), components are engine-independent
+    set algebra, so the whole chain hash-checks against a recursive
+    CTE over the SAME shared pair CTEs (`_HAMMING_CTES` — one
+    definition, two oracles, the `_EMBCOS_COMP_CTES` convention).
+
+    Scale shape: inherited — B small-int rows per vector into the
+    band join, star contraction O(log² n) rounds on a pair-sized
+    edge list, sizes one window over the component key; output is
+    the full assignment so retention ratios stay visible."""
+    from .dedup import _large_small_star
+
+    universe = _hamming_universe(spark, sf_dir).select("vec_id")
+    pairs = ext_sim_hamming_pairs(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    comp = _large_small_star(
+        universe.select(F.col("vec_id").alias("doc_id")), pairs
+    ).select(F.col("doc_id").alias("vec_id"), "component")
+    w = W.partitionBy("component")
+    return comp.select(
+        "vec_id",
+        "component",
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("vec_id") == F.col("component")).alias("is_keeper"),
     )
 
 
@@ -3419,5 +3652,152 @@ def ext_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("dcg_e12 * 1000 div nullif(idcg_e12, 0)")
             .cast("long")
             .alias("ndcg_pm"),
+        )
+    )
+
+
+# ------------- incremental embedding dedup (r12 add — r11 verdict
+# item 6c: the embcos twin of `stream_dedup_incremental_chain` /
+# `ext_dedup_incremental_bucketed`, the nightly-embeddings pattern:
+# a fresh increment of vectors lands, and only IT is checked — first
+# against the standing base index, then within itself)
+
+
+def _cos_sql_xy(x: str, y: str) -> str:
+    """`_COS_SQL` parameterized over the two vector expressions (the
+    same fold-cosine arithmetic, so any alias pair can be scored)."""
+    return (
+        f"list_dot_product(CAST({x} AS DOUBLE[]), CAST({y} AS DOUBLE[])) / "
+        f"(sqrt(list_dot_product(CAST({x} AS DOUBLE[]), CAST({x} AS DOUBLE[]))) * "
+        f"sqrt(list_dot_product(CAST({y} AS DOUBLE[]), CAST({y} AS DOUBLE[]))))"
+    )
+
+
+_EMBCOS_INCR_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings
+           WHERE {_fin_emb_duck('embedding')}),
+b AS (SELECT vec_id, embedding FROM e
+      WHERE {doc_bucket_sql('vec_id')} < {INCR_BASE_BUCKETS}),
+i AS (SELECT vec_id, embedding FROM e
+      WHERE {doc_bucket_sql('vec_id')} >= {INCR_BASE_BUCKETS})
+SELECT i.vec_id,
+  EXISTS (SELECT 1 FROM b
+          WHERE {_cos_sql_xy('i.embedding', 'b.embedding')}
+                >= {COS_DUP_THRESHOLD}) AS dup_of_base,
+  EXISTS (SELECT 1 FROM i i2 WHERE i2.vec_id < i.vec_id
+          AND {_cos_sql_xy('i.embedding', 'i2.embedding')}
+              >= {COS_DUP_THRESHOLD}) AS dup_in_increment,
+  (NOT EXISTS (SELECT 1 FROM b
+               WHERE {_cos_sql_xy('i.embedding', 'b.embedding')}
+                     >= {COS_DUP_THRESHOLD})
+   AND NOT EXISTS (SELECT 1 FROM i i2 WHERE i2.vec_id < i.vec_id
+                   AND {_cos_sql_xy('i.embedding', 'i2.embedding')}
+                       >= {COS_DUP_THRESHOLD})) AS is_new
+FROM i
+"""
+
+
+@register("ext_dedup_embcos_incremental", oracle=_EMBCOS_INCR_ORACLE)
+def ext_dedup_embcos_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding-cosine dedup — the nightly-embeddings
+    pattern: the corpus splits into a standing BASE (md5 buckets
+    0-{INCR_BASE_BUCKETS}) and tonight's INCREMENT (the rest — the
+    `ext_dedup_incremental` split, applied to vec_id), and ONLY the
+    increment is scored: each new vector is flagged against the base
+    (dup_of_base), against earlier increment vectors by vec_id
+    (dup_in_increment — first copy wins, the
+    `stream_dedup_incremental_chain` convention), else is_new. The
+    point of incremental dedup is what this plan never does: base ×
+    base is never rescored — nightly cost is |inc| × base + |inc|²,
+    not corpus².
+
+    Exactness: cosine is the engine-shared sequential fold with
+    per-side norms precomputed once per row (sqrt of the self-dot
+    fold — the multiply/divide order matches the oracle's
+    expression character for character, so values are bit-equal);
+    zero-norm vectors read NULL cosine on both engines (nullif vs
+    DuckDB's NULL on double division by zero) and fail every ≥ t
+    cut, so a padding/failed-encode vector can flag nothing and
+    nothing flags against it — it lands is_new, on both engines.
+
+    Scale shape: the increment is SMALL by construction (that is the
+    premise of running incrementally), so it broadcasts and the base
+    streams through a map-only broadcast nested-loop probe — zero
+    base shuffle per night, the
+    `ext_dedup_incremental_bucketed` economics on the vector tier;
+    the in-increment triangle is |inc|²-bounded. At 100 TB the probe
+    composes with the LSH-bucketed base index
+    (`ext_dedup_embcos_lsh`'s buckets persist; tonight's vectors
+    hash into them and only bucket-local candidates rescore — the
+    exact-probe arm here is the audit/verification shape, the same
+    asymmetry as every `_exhaustive` rung)."""
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.expr(_fin_emb_spark()))
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("dv"),
+            doc_bucket("vec_id").alias("bkt"),
+        )
+        .withColumn(
+            "nrm", F.sqrt(F.expr(_DOT.format(a="dv", b="dv")))
+        )
+    )
+    base = emb.filter(F.col("bkt") < INCR_BASE_BUCKETS).select(
+        F.col("vec_id").alias("b_id"),
+        F.col("dv").alias("bdv"),
+        F.col("nrm").alias("bn"),
+    )
+    # the increment feeds the probe, the triangle (twice), and the
+    # output spine — pin it or five branches re-scan embeddings
+    inc = compute_once(emb.filter(F.col("bkt") >= INCR_BASE_BUCKETS))
+
+    def _cos(acol: str, bcol: str, an: str, bn: str):
+        dot = F.expr(_DOT.format(a=acol, b=bcol))
+        return dot / F.nullif(F.col(an) * F.col(bn), F.lit(0.0))
+
+    inc_probe = inc.select(
+        F.col("vec_id").alias("i_id"),
+        F.col("dv").alias("idv"),
+        F.col("nrm").alias("inn"),
+    )
+    dob = (
+        base.crossJoin(F.broadcast(inc_probe))
+        .filter(_cos("bdv", "idv", "bn", "inn") >= COS_DUP_THRESHOLD)
+        .select(F.col("i_id").alias("vec_id"))
+        .distinct()
+        .withColumn("f_base", F.lit(True))
+    )
+    early = inc.select(
+        F.col("vec_id").alias("e_id"),
+        F.col("dv").alias("edv"),
+        F.col("nrm").alias("en"),
+    )
+    dii = (
+        inc_probe.crossJoin(F.broadcast(early))
+        .filter(
+            (F.col("e_id") < F.col("i_id"))
+            & (_cos("edv", "idv", "en", "inn") >= COS_DUP_THRESHOLD)
+        )
+        .select(F.col("i_id").alias("vec_id"))
+        .distinct()
+        .withColumn("f_incr", F.lit(True))
+    )
+    return (
+        inc.select("vec_id")
+        .join(F.broadcast(dob), "vec_id", "left")
+        .join(F.broadcast(dii), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("f_base"), F.lit(False)).alias("dup_of_base"),
+            F.coalesce(F.col("f_incr"), F.lit(False)).alias(
+                "dup_in_increment"
+            ),
+            (
+                ~(
+                    F.coalesce(F.col("f_base"), F.lit(False))
+                    | F.coalesce(F.col("f_incr"), F.lit(False))
+                )
+            ).alias("is_new"),
         )
     )

@@ -116,8 +116,88 @@ def register(name: str, oracle: Optional[str] = None):
 # and r10 checks; the pin changes WHERE the miner result comes from,
 # not what any of them compute — all were re-verified green at
 # sf0.01 this round, log in tools/.)
+# Round 12 window (VERDICT r11 items 1/2/3/6): head = the four r12
+# adds (eval-coverage source decomposition, 1-bit Hamming pair miner
+# + its end-to-end components chain, incremental embcos dedup), then
+# every query whose Spark plan
+# CHANGED this round — the LSH family rewritten onto JVM-side bucket
+# keys + the broadcastable oversized-bucket salt map (ext_sim_lsh,
+# ext_dedup_embcos_lsh + _verify, ext_sim_lsh_verify/_recall), and
+# the embcos family restructured onto the session-pinned exact pair
+# graph (ext_dedup_embcos, ext_dedup_semantic,
+# ext_dedup_embcos_pipeline_recall) — then the FULL r5 evidence tier
+# (r11 item 3; 31 tags — ext_dedup_semantic already sits in the
+# rewrite block), then r6 tags in registration order filling the 50
+# slots. After this window the oldest tier is r6. (ext_sim_ivf
+# gained only a Python-side dim assert and ext_sim_topk_bitsign's
+# packing strings are character-identical after the p-parameterized
+# refactor — per the r8 sink_sorted_runs precedent neither
+# re-consumes a slot.)
 _WINDOW_PRIORITY = (
-    # -- added this round (r11) --
+    # -- added this round (r12) --
+    "ext_eval_coverage_by_source",
+    "ext_sim_hamming_pairs",
+    "ext_sim_hamming_components",
+    "ext_dedup_embcos_incremental",
+    # -- rewritten this round (plan changed): JVM-side LSH bucketing
+    #    + oversized-bucket salt map; session-pinned embcos pair
+    #    graph and its consumers --
+    "ext_sim_lsh",
+    "ext_dedup_embcos_lsh",
+    "ext_dedup_embcos_lsh_verify",
+    "ext_sim_lsh_verify",
+    "ext_sim_lsh_recall",
+    "ext_dedup_embcos",
+    "ext_dedup_semantic",
+    "ext_dedup_embcos_pipeline_recall",
+    # -- the full r5 evidence tier (r11 item 3), registration order --
+    "sort_by_time",
+    "sort_desc_limit",
+    "limit_n",
+    "window_rank_latest",
+    "union_pages",
+    "union_platforms",
+    "fn_strip_urls",
+    "fn_normalize_text",
+    "udf_clean_comment",
+    "fn_strip_html",
+    "fn_epoch_to_ts",
+    "fn_parse_iso_ts",
+    "fn_date_format",
+    "fn_json_parse",
+    "fn_null_guards",
+    "fn_sentiment_bucket",
+    "fn_hate_flag",
+    "ext_dedup_exact",
+    "udtf_explode_shingles",
+    "ext_dedup_simhash",
+    "agg_cube",
+    "join_bucketed_colocated",
+    "join_asof",
+    "agg_percentiles",
+    "ext_pack_sequences",
+    "ext_dedup_incremental_bucketed",
+    "ext_sim_knn_graph",
+    "agg_sessionize_batch",
+    "ext_mm_pair_filter",
+    "ext_lm_perplexity_buckets",
+    "ext_corpus_datacard",
+    # -- oldest remaining tier (r6), registration order, filling the
+    #    50-slot window --
+    "sink_partitioned_prune",
+    "agg_funnel_steps",
+    "agg_retention_cohorts",
+    "agg_rolling_wau",
+    "agg_ingest_anomaly",
+    "agg_ewma_volume",
+    "join_asof_nearest",
+    # (window_dedup_recent was the 51st tag once the fourth r12 add
+    # landed — it stays in the r6 tier for the r13 head)
+)
+
+# Round 11 window, retired (kept for the evidence-rotation history):
+_R11_WINDOW = (
+    # -- added r11 --
     "ext_retrieval_eval",
     "stream_datacard_incremental",
     "ext_bpe_roundtrip",

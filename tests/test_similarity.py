@@ -105,7 +105,9 @@ def test_lsh_degenerate_bucket_salting(spark, monkeypatch):
 
     monkeypatch.setattr(sim, "LSH_BUCKET_CAP", 40)
     n = 200
-    rows = [(i, [1.0, 2.0, 3.0, 4.0], 0) for i in range(n)]
+    # EMB_DIM-wide since r12: the miner's inlined plane literals (and
+    # its dim guard) are pinned to the oracle's dimensionality
+    rows = [(i, [float(j % 4 + 1) for j in range(sim.EMB_DIM)], 0) for i in range(n)]
     tmp = _emb_dir(spark, rows)
     out = queries()["ext_sim_lsh"](spark, tmp).collect()
     assert len(out) == n * (n - 1) // 2  # every pair, no dupes, none lost
@@ -121,7 +123,8 @@ def test_lsh_salting_preserves_pairs_vs_unsalted(spark, monkeypatch):
 
     rng = random.Random(7)
     rows = [
-        (i, [rng.gauss(0, 1) for _ in range(8)], 0) for i in range(120)
+        (i, [rng.gauss(0, 1) for _ in range(sim.EMB_DIM)], 0)
+        for i in range(120)
     ]
     tmp = _emb_dir(spark, rows)
     baseline = {(r.vec_a, r.vec_b) for r in queries()["ext_sim_lsh"](spark, tmp).collect()}
@@ -905,3 +908,179 @@ def test_pq_topk_matches_python_replica(spark):
     assert set(out) == set(expect)
     for key, (d, rank) in expect.items():
         assert out[key].sdc == d and out[key].rank == rank
+
+
+def test_hamming_pairs_equal_brute_force_with_reembeds(spark):
+    """`ext_sim_hamming_pairs` must EQUAL the brute-force pair scan
+    over base ∪ planted re-embeds (pigeonhole banding is lossless at
+    r < B), and every planted re-embed pair must surface at
+    hamming ≤ 1 (one flipped sign — or 0 when the flipped component
+    was exactly 0.0)."""
+    import numpy as np
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.similarity import (
+        HAMMING_PAIR_MAX,
+        HAMMING_REENC_MOD,
+        HAMMING_REENC_OFFSET,
+    )
+
+    out = {
+        (r.vec_a, r.vec_b): r.hamming
+        for r in queries()["ext_sim_hamming_pairs"](spark, SF_SMOKE).collect()
+    }
+    raw = [
+        (r.vec_id, np.asarray(r.embedding, dtype=np.float64))
+        for r in spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+        if r.embedding is not None
+        and np.all(np.isfinite(r.embedding))
+        and np.abs(np.asarray(r.embedding, dtype=np.float64)).max() < 1e150
+    ]
+    allv = dict(raw)
+    for vid, v in raw:
+        if vid % HAMMING_REENC_MOD == 0:
+            w = v.copy()
+            w[vid % len(v)] = -w[vid % len(v)]
+            allv[vid + HAMMING_REENC_OFFSET] = w
+    bits = {vid: (v > 0) for vid, v in allv.items()}
+    ids = sorted(bits)
+    expect = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = int((bits[a] != bits[b]).sum())
+            if h <= HAMMING_PAIR_MAX:
+                expect[(a, b)] = h
+    assert out == expect
+    planted = [
+        (vid, vid + HAMMING_REENC_OFFSET)
+        for vid, _ in raw
+        if vid % HAMMING_REENC_MOD == 0
+    ]
+    assert planted and all(p in out and out[p] <= 1 for p in planted)
+
+
+def test_embcos_incremental_flags_vs_brute_force(spark):
+    """Incremental flags recomputed with NumPy over the md5 bucket
+    split: dup_of_base ⟺ some base vector at cos ≥ t, dup_in_increment
+    ⟺ some EARLIER increment vector at cos ≥ t, is_new = neither; the
+    spine is exactly the increment."""
+    import hashlib
+
+    import numpy as np
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.dedup import (
+        INCR_BASE_BUCKETS,
+    )
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.similarity import (
+        COS_DUP_THRESHOLD,
+    )
+
+    rows = queries()["ext_dedup_embcos_incremental"](spark, SF_SMOKE).collect()
+    got = {r.vec_id: (r.dup_of_base, r.dup_in_increment, r.is_new) for r in rows}
+
+    def bucket(vid: int) -> int:
+        return int(hashlib.md5(str(vid).encode()).hexdigest()[:15], 16) % 10
+
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+        if r.embedding is not None
+        and np.all(np.isfinite(r.embedding))
+        and np.abs(np.asarray(r.embedding, dtype=np.float64)).max() < 1e150
+    }
+    base = {v: e for v, e in vecs.items() if bucket(v) < INCR_BASE_BUCKETS}
+    inc = {v: e for v, e in vecs.items() if bucket(v) >= INCR_BASE_BUCKETS}
+
+    def cos(a, b):
+        na, nb = np.sqrt(a @ a), np.sqrt(b @ b)
+        if na * nb == 0:
+            return None
+        return (a @ b) / (na * nb)
+
+    assert set(got) == set(inc)
+    for v, e in inc.items():
+        dob = any(
+            (c := cos(e, be)) is not None and c >= COS_DUP_THRESHOLD
+            for be in base.values()
+        )
+        dii = any(
+            (c := cos(e, inc[u])) is not None and c >= COS_DUP_THRESHOLD
+            for u in inc
+            if u < v
+        )
+        assert got[v] == (dob, dii, not (dob or dii)), v
+
+
+def test_eval_coverage_by_source_consistent_with_total(spark):
+    """The source decomposition must agree with `ext_eval_coverage`:
+    an item has source rows iff it has covered shingles; each source
+    covers ≤ the item's union count; the union count is ≤ the sum
+    over sources (shingles can be covered by several sources); and
+    n_shingles repeats the item total on every row."""
+    tot = {
+        r.doc_id: r
+        for r in queries()["ext_eval_coverage"](spark, SF_SMOKE).collect()
+    }
+    from social_media_data_pipeline_recession_political_sentiment_spark.registry import (
+        queries as _q,
+    )
+
+    rows = _q()["ext_eval_coverage_by_source"](spark, SF_SMOKE).collect()
+    by_item: dict = {}
+    for r in rows:
+        by_item.setdefault(r.doc_id, []).append(r)
+        assert r.n_shingles == tot[r.doc_id].n_shingles
+        assert 1 <= r.n_covered <= tot[r.doc_id].n_covered
+        assert r.coverage_pm == r.n_covered * 1000 // r.n_shingles
+    for doc_id, t in tot.items():
+        srcs = by_item.get(doc_id, [])
+        assert (t.n_covered > 0) == bool(srcs)
+        if srcs:
+            assert t.n_covered <= sum(r.n_covered for r in srcs)
+
+
+def test_hamming_components_keepers_vs_pairs(spark):
+    """Components recomputed from the miner's own pair list via
+    union-find: assignment, cluster sizes, and keeper flags must all
+    match; every planted re-embed must land in its original's cluster
+    with the ORIGINAL id as keeper."""
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.similarity import (
+        HAMMING_REENC_MOD,
+        HAMMING_REENC_OFFSET,
+    )
+
+    pairs = [
+        (r.vec_a, r.vec_b)
+        for r in queries()["ext_sim_hamming_pairs"](spark, SF_SMOKE).collect()
+    ]
+    rows = queries()["ext_sim_hamming_components"](spark, SF_SMOKE).collect()
+    ids = [r.vec_id for r in rows]
+    parent = {v: v for v in ids}
+
+    def find(v):
+        while parent[v] != v:
+            parent[v] = parent[parent[v]]
+            v = parent[v]
+        return v
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {v: find(v) for v in ids}
+    # min-id labeling: find() roots at the smallest id only if unions
+    # always attach larger to smaller (they do above), but path order
+    # can leave a non-min root — normalize by true min per group
+    groups: dict = {}
+    for v, c in comp.items():
+        groups.setdefault(c, []).append(v)
+    lbl = {v: min(g) for c, g in groups.items() for v in g}
+    size = {v: len(groups[comp[v]]) for v in ids}
+    for r in rows:
+        assert r.component == lbl[r.vec_id]
+        assert r.cluster_size == size[r.vec_id]
+        assert r.is_keeper == (r.vec_id == lbl[r.vec_id])
+    for r in rows:
+        if r.vec_id >= HAMMING_REENC_OFFSET:
+            orig = r.vec_id - HAMMING_REENC_OFFSET
+            assert orig % HAMMING_REENC_MOD == 0
+            assert r.component <= orig and not r.is_keeper

@@ -89,13 +89,37 @@ AUDIT = {
         "from band-bucket equi-collisions, not an O(n^2) pair join",
     ),
     "ext_sim_lsh": (
-        "MapInPandas hash stage, Window count on (tbl, bucket), "
-        "salt explode, one Exchange into FlatMapGroupsInPandas, pair dedup",
-        "shuffle volume is vectors x L tables (never candidate "
-        "pairs); the quadratic distance work is bucket-local NumPy, "
-        "and buckets above LSH_BUCKET_CAP are salted into sub-block "
-        "pair groups so per-task work is bounded even for degenerate "
-        "all-identical corpora",
+        "JVM Generate (inline of L bucket-key structs — NO Python "
+        "stage before the scorer), a broadcast LEFT join against the "
+        "pre-aggregated oversized-bucket map, salt explode, one "
+        "Exchange into FlatMapGroupsInPandas, pair dedup",
+        "bucketing is a codegen'd fold over inlined plane literals "
+        "(r12 — the r11 mapInPandas stage and its Arrow round trip "
+        "are gone); shuffle volume is vectors x L tables (never "
+        "candidate pairs); bucket sizes come from a count>cap map "
+        "that is broadcastable AT ANY SCALE (≤ N·L/cap rows), not a "
+        "window buffering embedding rows; oversized buckets salt "
+        "into sub-block pair groups so per-task work stays bounded "
+        "even for degenerate all-identical corpora",
+    ),
+    "ext_sim_hamming_pairs": (
+        "scan-local sign packing + re-embed union, posexplode of 8 "
+        "band words, a self equi-join on (band, word), codegen'd "
+        "xor/bit_count verify BEFORE the dedup Exchange",
+        "the 1-bit pair miner moves 8 small-int rows per vector and "
+        "verifies in codegen — only true pairs reach the dedup "
+        "shuffle; banding is pigeonhole-lossless at r < B so the "
+        "plan's candidate set is provably sufficient",
+    ),
+    "ext_dedup_embcos_incremental": (
+        "one embeddings scan split by the md5 bucket; the increment "
+        "side BROADCAST into a nested-loop probe over the base scan; "
+        "the in-increment triangle over two broadcast copies; flag "
+        "joins broadcast",
+        "the nightly pattern's whole point in one plan: base x base "
+        "is never rescored and the base NEVER SHUFFLES — per-night "
+        "cost is a map-only probe linear in base rows plus an "
+        "increment-bounded triangle",
     ),
     "ext_dedup_embcos": (
         "Generate (explode of B block copies) above the embeddings "
