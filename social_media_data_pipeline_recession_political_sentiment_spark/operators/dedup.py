@@ -3500,7 +3500,9 @@ def ext_eval_coverage_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus — then take ONE doc-keyed join to attach `source`
     (AQE broadcasts the hit side at real ratios) and a DISTINCT
     bounded by |eval shingles| × |sources|. The per-item rollup and
-    the size join are eval-sized. Reads the session shingle pin."""
+    the size join are eval-sized. Reads the session shingle pin.
+    (Scan audit: documents ×2 — the (doc_id, source) map is a second
+    2-column pruned scan beside the shingle pin's lineage.)"""
     sh = _shingles_pinned(spark, sf_dir)
     ev = sh.filter(F.col("doc_id") < EVAL_SET_MAX_ID)
     evs = ev.select("s").distinct()

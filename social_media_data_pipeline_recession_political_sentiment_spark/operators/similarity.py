@@ -3452,7 +3452,10 @@ def ext_sim_hamming_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: inherited — B small-int rows per vector into the
     band join, star contraction O(log² n) rounds on a pair-sized
     edge list, sizes one window over the component key; output is
-    the full assignment so retention ratios stay visible."""
+    the full assignment so retention ratios stay visible. (Scan
+    audit: embeddings ×2 — the universe SPINE re-scans a
+    vec_id-only pruned projection; the packed-signature frame the
+    expensive branch reads is compute_once-pinned in the miner.)"""
     from .dedup import _large_small_star
 
     universe = _hamming_universe(spark, sf_dir).select("vec_id")
