@@ -3804,3 +3804,107 @@ def ext_dedup_embcos_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_new"),
         )
     )
+
+
+# The LSH-probe arm of the incremental chain: same flags, but the
+# pair evidence comes from the session-pinned APPROXIMATE mine
+# (`ext_dedup_embcos_lsh`) instead of the exact bipartite probe —
+# the shape a nightly run at 100 TB actually executes (tonight's
+# vectors hash into the standing seeded buckets; only bucket-local
+# candidates rescore). The oracle replays the ENTIRE seeded mine
+# (`_lsh_pairs_oracle` embedded as a derived table) and derives the
+# flags from that pair set, so approximation-induced flag flips are
+# part of the hash-checked contract, not noise.
+
+_EMBCOS_INCR_LSH_ORACLE = f"""
+WITH ap AS (SELECT vec_a, vec_b FROM (
+{_lsh_pairs_oracle(EMBCOS_LSH_BUCKET_LEN, math.sqrt(2.0 - 2.0 * COS_DUP_THRESHOLD), True, "dist")}
+)),
+sym AS (SELECT vec_a AS vid, vec_b AS partner FROM ap
+        UNION ALL SELECT vec_b, vec_a FROM ap),
+i AS (SELECT vec_id FROM embeddings
+      WHERE {_fin_emb_duck('embedding')}
+      AND {doc_bucket_sql('vec_id')} >= {INCR_BASE_BUCKETS})
+SELECT i.vec_id,
+  EXISTS (SELECT 1 FROM sym WHERE sym.vid = i.vec_id
+          AND {doc_bucket_sql('sym.partner')} < {INCR_BASE_BUCKETS})
+    AS dup_of_base,
+  EXISTS (SELECT 1 FROM sym WHERE sym.vid = i.vec_id
+          AND {doc_bucket_sql('sym.partner')} >= {INCR_BASE_BUCKETS}
+          AND sym.partner < i.vec_id) AS dup_in_increment,
+  (NOT EXISTS (SELECT 1 FROM sym WHERE sym.vid = i.vec_id
+               AND {doc_bucket_sql('sym.partner')} < {INCR_BASE_BUCKETS})
+   AND NOT EXISTS (SELECT 1 FROM sym WHERE sym.vid = i.vec_id
+                   AND {doc_bucket_sql('sym.partner')} >= {INCR_BASE_BUCKETS}
+                   AND sym.partner < i.vec_id)) AS is_new
+FROM i
+"""
+
+
+@register("ext_dedup_embcos_incremental_lsh", oracle=_EMBCOS_INCR_LSH_ORACLE)
+def ext_dedup_embcos_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding-cosine dedup, LSH-PROBE arm — the same
+    (vec_id, dup_of_base, dup_in_increment, is_new) contract as
+    `ext_dedup_embcos_incremental`, with the pair evidence drawn from
+    the session-pinned approximate mine (`ext_dedup_embcos_lsh`)
+    instead of the exact bipartite probe. This IS the nightly shape
+    at 100 TB: the base's bucket index stands, tonight's vectors
+    hash into it, only bucket-local candidates are scored — per-night
+    cost is increment-proportional, and the standing mine is shared
+    with every other consumer of the pin.
+
+    Hash-checked APPROXIMATION contract (the `ext_sim_lsh` doctrine):
+    the oracle replays the full seeded-plane mine in SQL and derives
+    the flags from that exact pair set, so which dup a bucketing
+    recall miss drops is deterministic and driver-checked — and at
+    driver SFs measured LSH recall is 1.0, so the flags EQUAL the
+    exact arm's (asserted in tests/test_similarity.py; at other
+    scales the recall floor is the statistical statement).
+
+    Scale shape: derives everything from the pinned pair frame —
+    one symmetric explode of a pair-sized list, two md5-bucket
+    predicates, two id-keyed semi-joins against the increment spine.
+    Nothing here rescans or reshuffles the corpus; the mine's cost
+    is paid once per session (or per night, amortized across every
+    consumer of the standing index)."""
+    pairs = ext_dedup_embcos_lsh(spark, sf_dir).select("vec_a", "vec_b")
+    sym = pairs.select(
+        F.col("vec_a").alias("vid"), F.col("vec_b").alias("partner")
+    ).unionByName(
+        pairs.select(
+            F.col("vec_b").alias("vid"), F.col("vec_a").alias("partner")
+        )
+    ).withColumn("pbkt", doc_bucket("partner"))
+    spine = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.expr(_fin_emb_spark()))
+        .filter(doc_bucket("vec_id") >= INCR_BASE_BUCKETS)
+        .select("vec_id")
+    )
+    dob = (
+        sym.filter(F.col("pbkt") < INCR_BASE_BUCKETS)
+        .select(F.col("vid").alias("vec_id"))
+        .distinct()
+        .withColumn("f_base", F.lit(True))
+    )
+    dii = (
+        sym.filter(
+            (F.col("pbkt") >= INCR_BASE_BUCKETS)
+            & (F.col("partner") < F.col("vid"))
+        )
+        .select(F.col("vid").alias("vec_id"))
+        .distinct()
+        .withColumn("f_incr", F.lit(True))
+    )
+    fb = F.coalesce(F.col("f_base"), F.lit(False))
+    fi = F.coalesce(F.col("f_incr"), F.lit(False))
+    return (
+        spine.join(F.broadcast(dob), "vec_id", "left")
+        .join(F.broadcast(dii), "vec_id", "left")
+        .select(
+            "vec_id",
+            fb.alias("dup_of_base"),
+            fi.alias("dup_in_increment"),
+            (~(fb | fi)).alias("is_new"),
+        )
+    )

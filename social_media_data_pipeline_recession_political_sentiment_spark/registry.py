@@ -116,9 +116,10 @@ def register(name: str, oracle: Optional[str] = None):
 # and r10 checks; the pin changes WHERE the miner result comes from,
 # not what any of them compute — all were re-verified green at
 # sf0.01 this round, log in tools/.)
-# Round 12 window (VERDICT r11 items 1/2/3/6): head = the four r12
+# Round 12 window (VERDICT r11 items 1/2/3/6): head = the five r12
 # adds (eval-coverage source decomposition, 1-bit Hamming pair miner
-# + its end-to-end components chain, incremental embcos dedup), then
+# + its end-to-end components chain, incremental embcos dedup in
+# both its exact-probe and LSH-probe arms), then
 # every query whose Spark plan
 # CHANGED this round — the LSH family rewritten onto JVM-side bucket
 # keys + the broadcastable oversized-bucket salt map (ext_sim_lsh,
@@ -139,6 +140,7 @@ _WINDOW_PRIORITY = (
     "ext_sim_hamming_pairs",
     "ext_sim_hamming_components",
     "ext_dedup_embcos_incremental",
+    "ext_dedup_embcos_incremental_lsh",
     # -- rewritten this round (plan changed): JVM-side LSH bucketing
     #    + oversized-bucket salt map; session-pinned embcos pair
     #    graph and its consumers --
@@ -190,9 +192,9 @@ _WINDOW_PRIORITY = (
     "agg_rolling_wau",
     "agg_ingest_anomaly",
     "agg_ewma_volume",
-    "join_asof_nearest",
-    # (window_dedup_recent was the 51st tag once the fourth r12 add
-    # landed — it stays in the r6 tier for the r13 head)
+    # (join_asof_nearest and window_dedup_recent became the 51st/52nd
+    # tags as the fourth and fifth r12 adds landed — they stay in the
+    # r6 tier for the r13 head)
 )
 
 # Round 11 window, retired (kept for the evidence-rotation history):

@@ -1084,3 +1084,23 @@ def test_hamming_components_keepers_vs_pairs(spark):
             orig = r.vec_id - HAMMING_REENC_OFFSET
             assert orig % HAMMING_REENC_MOD == 0
             assert r.component <= orig and not r.is_keeper
+
+
+def test_embcos_incremental_lsh_equals_exact_arm(spark):
+    """At driver SFs measured LSH recall is 1.0, so the LSH-probe
+    arm's flags must EQUAL the exact bipartite probe's — a bucketing
+    regression that drops a true pair flips a flag here before it
+    hides anywhere else."""
+    exact = {
+        r.vec_id: (r.dup_of_base, r.dup_in_increment, r.is_new)
+        for r in queries()["ext_dedup_embcos_incremental"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    lsh = {
+        r.vec_id: (r.dup_of_base, r.dup_in_increment, r.is_new)
+        for r in queries()["ext_dedup_embcos_incremental_lsh"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert lsh == exact
