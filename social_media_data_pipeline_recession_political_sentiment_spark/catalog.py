@@ -134,16 +134,18 @@ def compute_once(df: DataFrame) -> DataFrame:
 # cache must not have.
 
 _SESSION_PINS: dict = {}
-# Cap audit (r11 verdict item 7): 6 live tag families — dedup.py's
-# shingles / exact-Jaccard pair graph / MinHash candidates /
-# lss_components, plus similarity.py's embcos_pairs and
-# embcos_lsh_pairs — × 3 concurrently-live sf_dirs (0.001/0.01/0.1
-# in one gate session) = 18 keys; 24 leaves slack for the next two
-# tag families before any mid-gate thrash. tests/test_properties.py::
+# Cap audit (r11 verdict item 7, re-run r13): 7 live tag families —
+# dedup.py's shingles / exact-Jaccard pair graph / MinHash candidates
+# / lss_components, similarity.py's embcos_pairs and embcos_lsh_pairs,
+# and text_analysis.py's lm_doc_scores (r13) — × 3 concurrently-live
+# sf_dirs (0.001/0.01/0.1 in one gate session) = 21 keys; 24 leaves
+# one more tag family of slack before any mid-gate thrash.
+# tests/test_properties.py::
 # test_session_pin_no_eviction_full_single_sf_sweep asserts zero
 # evictions across a single-sf_dir sweep of every pin family.
 _SESSION_PIN_CAP = 24
 _EVICTIONS: list = []  # keys FIFO-evicted under cap pressure (test hook)
+_EVICTIONS_MAX = 256  # bound the log in a long-lived session (r12 ADVICE)
 
 
 def source_fingerprint(path: str):
@@ -229,8 +231,13 @@ def session_pin(
             _unpin(_SESSION_PINS.pop(k))
         df = build().persist(StorageLevel.MEMORY_AND_DISK)
         while len(_SESSION_PINS) >= _SESSION_PIN_CAP:  # FIFO evict + free
-            _EVICTIONS.append(next(iter(_SESSION_PINS)))
-            _unpin(_SESSION_PINS.pop(next(iter(_SESSION_PINS))))
+            # hoist the evictee key ONCE (r12 ADVICE): evaluating
+            # next(iter(...)) twice logs one key and pops another if
+            # anything is ever inserted between the two calls
+            k = next(iter(_SESSION_PINS))
+            _EVICTIONS.append(k)
+            del _EVICTIONS[:-_EVICTIONS_MAX]  # bounded log, newest kept
+            _unpin(_SESSION_PINS.pop(k))
         _SESSION_PINS[key] = df
     return df
 

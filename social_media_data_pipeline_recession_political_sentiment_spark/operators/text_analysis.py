@@ -23,7 +23,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import types as T
 
-from ..catalog import compute_once, load
+from ..catalog import compute_once, load, session_pin
 from ..functions.hashing import (
     WS_CLASS,
     content_fp,
@@ -782,10 +782,32 @@ def ext_lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared unigram-LM scorer: (doc_id, n_tokens, logprob_micro,
-    avg_logprob_micro) with the integer micro-nats contract —
-    `ext_lm_unigram_score` emits it directly and
-    `ext_lm_perplexity_buckets` ranks over it."""
+    """SESSION-SHARED unigram-LM document scores: (doc_id, n_tokens,
+    logprob_micro, avg_logprob_micro) with the integer micro-nats
+    contract — `ext_lm_unigram_score` emits it directly,
+    `ext_lm_perplexity_buckets` ranks over it, and
+    `ext_curation_scorecard` joins it as a score column.
+
+    Session-pinned (r12 verdict item 1 — the exact catalog.py
+    pattern that fixed the text-mine and embcos families): the LM
+    family held the two worst driver-bench rows (perplexity_buckets
+    1.84×, bigram_score 1.78×) because every consumer re-ran the
+    tokenize → census → score chain; the pinned frame is SLIM (four
+    numeric columns per doc) and the dominant cost — two token
+    explodes over the corpus — now runs once per session. Tagged
+    `lm_doc_scores` in the catalog cap audit (7th family)."""
+    return session_pin(
+        spark,
+        sf_dir,
+        "lm_doc_scores",
+        lambda: _lm_doc_scores_build(spark, sf_dir),
+    )
+
+
+def _lm_doc_scores_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual two-pass LM scoring plan (built once per session by
+    the pin seam above — see `ext_lm_unigram_score` for the contract
+    and scale notes)."""
     d = load(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")

@@ -2121,12 +2121,12 @@ def test_source_fingerprint_recursive_and_unstatable(tmp_path):
 
 
 def test_session_pin_no_eviction_full_single_sf_sweep(spark):
-    """Cap audit (r11 verdict item 7): one representative query per
-    pin tag family, all at ONE sf_dir, must complete with ZERO FIFO
-    evictions and exactly the six live tag families pinned —
-    mid-gate thrash (evicting a hot pin that a later query rebuilds)
-    would silently multiply the dominant mining cost without failing
-    anything."""
+    """Cap audit (r11 verdict item 7, extended r13): one
+    representative query per pin tag family, all at ONE sf_dir, must
+    complete with ZERO FIFO evictions and exactly the seven live tag
+    families pinned — mid-gate thrash (evicting a hot pin that a
+    later query rebuilds) would silently multiply the dominant
+    mining cost without failing anything."""
     from conftest import SF_SMOKE
 
     from social_media_data_pipeline_recession_political_sentiment_spark import (
@@ -2146,6 +2146,7 @@ def test_session_pin_no_eviction_full_single_sf_sweep(spark):
             "ext_dedup_components_lss",  # lss_components
             "ext_dedup_embcos",  # embcos_pairs
             "ext_dedup_embcos_lsh",  # embcos_lsh_pairs
+            "ext_lm_unigram_score",  # lm_doc_scores (r13)
         ):
             registry.QUERIES[q](spark, SF_SMOKE).collect()
         assert catalog._EVICTIONS == [], (
@@ -2160,6 +2161,7 @@ def test_session_pin_no_eviction_full_single_sf_sweep(spark):
             "lss_components",
             "embcos_pairs",
             "embcos_lsh_pairs",
+            "lm_doc_scores",
         }
         # headroom: 3 concurrently-live sf_dirs of every family fit
         assert 3 * len(tags) <= catalog._SESSION_PIN_CAP

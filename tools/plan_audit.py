@@ -90,14 +90,18 @@ AUDIT = {
     ),
     "ext_sim_lsh": (
         "JVM Generate (inline of L bucket-key structs — NO Python "
-        "stage before the scorer), a broadcast LEFT join against the "
-        "pre-aggregated oversized-bucket map, salt explode, one "
-        "Exchange into FlatMapGroupsInPandas, pair dedup",
-        "bucketing is a codegen'd fold over inlined plane literals "
-        "(r12 — the r11 mapInPandas stage and its Arrow round trip "
-        "are gone); shuffle volume is vectors x L tables (never "
-        "candidate pairs); bucket sizes come from a count>cap map "
-        "that is broadcastable AT ANY SCALE (≤ N·L/cap rows), not a "
+        "stage before the scorer), an AQE-brokered LEFT join against "
+        "the pre-aggregated oversized-bucket map (broadcast at "
+        "runtime when small — the common case — shuffle when not), "
+        "salt explode, one Exchange into FlatMapGroupsInPandas, "
+        "pair dedup",
+        "bucketing is a codegen'd fold over inlined plane literals, "
+        "computed ONCE (the hashed frame is compute_once-pinned; r12 "
+        "ADVICE — the sizing agg and the salt join no longer each "
+        "re-run the L×m fold); shuffle volume is vectors x L tables "
+        "(never candidate pairs); bucket sizes come from a count>cap "
+        "map (≤ N·L/cap rows — linear in corpus, so NOT force-"
+        "broadcast: AQE decides at runtime, r12 ADVICE), not a "
         "window buffering embedding rows; oversized buckets salt "
         "into sub-block pair groups so per-task work stays bounded "
         "even for degenerate all-identical corpora",

@@ -150,6 +150,25 @@ def compare_query(
     return problems
 
 
+DUCKDB_PINNED = "1.0.0"  # requirements-oracle.txt — fold-order contract
+
+
+def check_duckdb_pin() -> None:
+    """Warn LOUDLY when the installed duckdb differs from the pinned
+    oracle version: the bit-equality assumptions documented at
+    similarity._lsh_pairs_oracle (sequential-fold list_dot_product)
+    are installed-version properties, so a drifted version makes any
+    hash mismatch a triage-the-upgrade event, not an engine bug."""
+    if duckdb.__version__ != DUCKDB_PINNED:
+        print(
+            f"WARNING: duckdb {duckdb.__version__} != pinned "
+            f"{DUCKDB_PINNED} (requirements-oracle.txt) — fold-order "
+            "bit-equality is certified against the pin; treat any "
+            "hash mismatch below as a version-drift triage first.",
+            flush=True,
+        )
+
+
 def main():
     args = [a for a in sys.argv[1:]]
     sf_dir = "/root/testdata/sf0.01"
@@ -157,6 +176,7 @@ def main():
         sf_dir = args.pop(0)
     only = set(args)
 
+    check_duckdb_pin()
     con = duckdb.connect()
     # SMDP_VERIFY_TZ=<zone>: run BOTH engines with a non-UTC DEFAULT
     # timezone (JVM user.timezone for Spark, SET TimeZone for DuckDB)
