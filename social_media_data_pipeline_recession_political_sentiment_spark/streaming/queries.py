@@ -498,11 +498,20 @@ def stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "10 minutes"))
         .count()
     )
-    emitted: list = []
+    # parquet APPEND sink (r12 verdict item 5): this was the one
+    # foreachBatch in the package that extended a driver-side Python
+    # list — aggregate-sized here, but the wrong template for anyone
+    # copying it into a row-level stream. The finalized windows now
+    # land in a bronze parquet dir (the production shape: a sink you
+    # can re-read, not driver memory) and the audit row joins in as
+    # a 1-row frame; the only driver-side values are the P scalar
+    # progress metrics the drop counter always read.
+    out_dir = os.path.join(work, "out")
     with scoped_shuffle_partitions(spark, 4):
         q = (
             agg.writeStream.outputMode("append")
-            .foreachBatch(lambda b, _e: emitted.extend(b.collect()))
+            .format("parquet")
+            .option("path", out_dir)
             .option("checkpointLocation", os.path.join(work, "ckpt"))
             .trigger(availableNow=True)
             .start()
@@ -513,12 +522,22 @@ def stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         for p in q.recentProgress
         for so in p["stateOperators"]
     )
-    rows = [
-        ("window", r["window"]["start"], r["count"]) for r in emitted
-    ] + [("late_dropped", None, dropped)]
-    return spark.createDataFrame(
-        rows, "kind string, window_start timestamp, n long"
+    wins = (
+        spark.read.schema(
+            "window struct<start:timestamp,end:timestamp>, count long"
+        )
+        .parquet(out_dir)
+        .select(
+            F.lit("window").alias("kind"),
+            F.col("window.start").alias("window_start"),
+            F.col("count").alias("n"),
+        )
     )
+    drop_row = spark.createDataFrame(
+        [("late_dropped", None, dropped)],
+        "kind string, window_start timestamp, n long",
+    )
+    return wins.unionByName(drop_row)
 
 
 # ------------------------------------------- foreachBatch keyed upsert
