@@ -3531,3 +3531,127 @@ def ext_eval_coverage_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("coverage_pm"),
         )
     )
+
+
+# ------------- incremental MinHash dedup (r13 add — r12 verdict
+# item 3a: the TEXT twin of `ext_dedup_embcos_incremental_lsh`: a
+# nightly crawl increment probes the SESSION-PINNED standing
+# band-bucket index instead of re-mining the corpus)
+
+_MH_INCR_ORACLE = f"""
+WITH {_SHINGLE_CTE}, {_MH_CAND_CTES},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+          FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+          GROUP BY 1, 2),
+vp AS (SELECT doc_a, doc_b FROM inter
+       JOIN sizes sa ON sa.doc_id = doc_a
+       JOIN sizes sb ON sb.doc_id = doc_b
+       WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}),
+sym AS (SELECT doc_a AS did, doc_b AS partner FROM vp
+        UNION ALL SELECT doc_b, doc_a FROM vp),
+i AS (SELECT doc_id FROM documents
+      WHERE {doc_bucket_sql('doc_id')} >= {INCR_BASE_BUCKETS})
+SELECT i.doc_id,
+  EXISTS (SELECT 1 FROM sym WHERE sym.did = i.doc_id
+          AND {doc_bucket_sql('sym.partner')} < {INCR_BASE_BUCKETS})
+    AS dup_of_base,
+  EXISTS (SELECT 1 FROM sym WHERE sym.did = i.doc_id
+          AND {doc_bucket_sql('sym.partner')} >= {INCR_BASE_BUCKETS}
+          AND sym.partner < i.doc_id) AS dup_in_increment,
+  (NOT EXISTS (SELECT 1 FROM sym WHERE sym.did = i.doc_id
+               AND {doc_bucket_sql('sym.partner')} < {INCR_BASE_BUCKETS})
+   AND NOT EXISTS (SELECT 1 FROM sym WHERE sym.did = i.doc_id
+                   AND {doc_bucket_sql('sym.partner')} >= {INCR_BASE_BUCKETS}
+                   AND sym.partner < i.doc_id)) AS is_new
+FROM i
+"""
+
+
+@register("ext_dedup_minhash_incremental", oracle=_MH_INCR_ORACLE)
+def ext_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash near-dup dedup — the TEXT twin of
+    `ext_dedup_embcos_incremental_lsh` (r12 verdict item 3a), the
+    nightly-crawl pattern: the corpus splits into a standing BASE
+    (md5 buckets 0-{INCR_BASE_BUCKETS}) and tonight's INCREMENT (the
+    `ext_dedup_incremental` split), and each increment document is
+    flagged against the base (dup_of_base), against earlier-doc_id
+    increment documents (dup_in_increment — first copy wins, the
+    `stream_dedup_incremental_chain` convention), else is_new.
+
+    Pair evidence = the PRODUCTION near-dup edge set: banded-MinHash
+    candidates verified at exact Jaccard ≥ {JACCARD_THRESHOLD} —
+    exactly `ext_dedup_pipeline_minhash`'s verified stage, read as
+    pair_pin ⋉ cand_pin (two session-pinned frames, three
+    broadcast-sized joins; the banding and the verify execute once
+    per session no matter how many consumers run). The oracle
+    replays the full banding + candidate-restricted verify in SQL,
+    so banding recall misses are part of the hash-checked contract
+    (the `ext_sim_lsh` doctrine), never noise.
+
+    Like every content miner, assumes key-deduplicated
+    (bronze-cleaned) input — under PK-violating doc_ids the oracle's
+    id-keyed re-pairing changes the QUESTION, not the arithmetic
+    (the documented `--dups` boundary class, tools/degen_sweep.py;
+    the ingest-dedup family upstream is the enforcement point).
+
+    Scale shape — the point of incremental dedup is what this plan
+    never does: base × base is never re-mined. The standing band
+    buckets persist (the pin here; a bucketed band table at 100 TB —
+    `ext_dedup_incremental_bucketed`'s layout on the signature
+    tier); tonight's documents shingle + hash map-locally, land in
+    their buckets, and only bucket-local candidates incident to the
+    increment are verified — per-night cost is
+    increment-proportional. The flag derivation itself is one
+    symmetric explode of a pair-sized list, two md5-bucket
+    predicates, and two id-keyed broadcast joins against the
+    increment spine; nothing rescans or reshuffles the corpus."""
+    pairs = (
+        _pair_graph_pinned(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .join(_mh_cand_pinned(spark, sf_dir), ["doc_a", "doc_b"], "left_semi")
+    )
+    sym = (
+        pairs.select(
+            F.col("doc_a").alias("did"), F.col("doc_b").alias("partner")
+        )
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("did"), F.col("doc_a").alias("partner")
+            )
+        )
+        .withColumn("pbkt", doc_bucket("partner"))
+    )
+    spine = (
+        load(spark, sf_dir, "documents")
+        .filter(doc_bucket("doc_id") >= INCR_BASE_BUCKETS)
+        .select("doc_id")
+    )
+    dob = (
+        sym.filter(F.col("pbkt") < INCR_BASE_BUCKETS)
+        .select(F.col("did").alias("doc_id"))
+        .distinct()
+        .withColumn("f_base", F.lit(True))
+    )
+    dii = (
+        sym.filter(
+            (F.col("pbkt") >= INCR_BASE_BUCKETS)
+            & (F.col("partner") < F.col("did"))
+        )
+        .select(F.col("did").alias("doc_id"))
+        .distinct()
+        .withColumn("f_incr", F.lit(True))
+    )
+    fb = F.coalesce(F.col("f_base"), F.lit(False))
+    fi = F.coalesce(F.col("f_incr"), F.lit(False))
+    return (
+        spine.join(F.broadcast(dob), "doc_id", "left")
+        .join(F.broadcast(dii), "doc_id", "left")
+        .select(
+            "doc_id",
+            fb.alias("dup_of_base"),
+            fi.alias("dup_in_increment"),
+            (~(fb | fi)).alias("is_new"),
+        )
+    )

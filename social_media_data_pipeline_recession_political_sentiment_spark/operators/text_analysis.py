@@ -1503,17 +1503,28 @@ CASE doc_id % 3
 END
 """
 
+def _url_canon_chain(extra: str = "") -> str:
+    """The raw→canon CTE chain (expects a CTE `raw` with doc_id, u
+    [+ `extra` carried columns]; yields `canon` with the canonical
+    `url`). ONE definition consumed by `ext_url_canonical`'s census
+    oracle AND `ext_dedup_url_content_cross`'s triage oracle, so the
+    canonicalization rules can never drift between them (the
+    `_SHINGLE_CTE` convention)."""
+    e = extra
+    return f"""split_head AS (SELECT doc_id{e}, u,
+        regexp_extract(u, '(?i)^(https?://[^/]*)', 1) AS head FROM raw),
+lowered AS (SELECT doc_id{e}, u,
+        lower(head) || substr(u, length(head) + 1) AS c FROM split_head),
+c1 AS (SELECT doc_id{e}, u, replace(c, 'https://www.', 'https://') AS c FROM lowered),
+c2 AS (SELECT doc_id{e}, u, regexp_replace(c, '#[^ ]*$', '', 'g') AS c FROM c1),
+c3 AS (SELECT doc_id{e}, u,
+        regexp_replace(c, '[?&]utm_[a-z]+=[^&# ]*', '', 'g') AS c FROM c2),
+canon AS (SELECT doc_id{e}, u, regexp_replace(c, '/$', '', 'g') AS url FROM c3)"""
+
+
 _URL_CANON_ORACLE = f"""
 WITH raw AS (SELECT doc_id, {_URL_VARIANT_SQL} AS u FROM documents),
-split_head AS (SELECT doc_id, u,
-        regexp_extract(u, '(?i)^(https?://[^/]*)', 1) AS head FROM raw),
-lowered AS (SELECT doc_id, u,
-        lower(head) || substr(u, length(head) + 1) AS c FROM split_head),
-c1 AS (SELECT doc_id, u, replace(c, 'https://www.', 'https://') AS c FROM lowered),
-c2 AS (SELECT doc_id, u, regexp_replace(c, '#[^ ]*$', '', 'g') AS c FROM c1),
-c3 AS (SELECT doc_id, u,
-        regexp_replace(c, '[?&]utm_[a-z]+=[^&# ]*', '', 'g') AS c FROM c2),
-canon AS (SELECT doc_id, u, regexp_replace(c, '/$', '', 'g') AS url FROM c3)
+{_url_canon_chain()}
 SELECT url, CAST(count(*) AS BIGINT) AS n_refs,
        CAST(count(DISTINCT u) AS BIGINT) AS n_variants
 FROM canon GROUP BY url
@@ -1543,9 +1554,20 @@ def ext_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant count, a two-phase agg on (url, u)). Hot URLs are real at
     crawl scale — the salted/AQE agg patterns apply unchanged."""
     d = load(spark, sf_dir, "documents")
+    raw = d.select(_url_variant_col().alias("u"))
+    canon = raw.select(F.col("u"), _url_canon_col().alias("url"))
+    return canon.groupBy("url").agg(
+        F.count("*").alias("n_refs"),
+        F.countDistinct("u").alias("n_variants"),
+    )
+
+
+def _url_variant_col():
+    """The deterministic synthetic raw-URL decoration (Spark twin of
+    `_URL_VARIANT_SQL`) — expects `doc_id` in scope."""
     k = (F.col("doc_id") % 20).cast("string")
     p = (F.col("doc_id") % 25).cast("string")
-    u = (
+    return (
         F.when(
             F.col("doc_id") % 3 == 0,
             F.concat(
@@ -1565,31 +1587,210 @@ def ext_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    raw = d.select(u.alias("u"))
-    canon = raw.select(
-        F.col("u"),
+
+
+def _url_canon_col():
+    """The canonicalization expression (Spark twin of
+    `_url_canon_chain`) — expects a column named `u` in scope; see
+    `ext_url_canonical` for the engine-portability notes."""
+    return F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(
-                F.regexp_replace(
-                    F.expr(
-                        "replace(concat(lower(regexp_extract(u, '(?i)^(https?://[^/]*)', 1)), "
-                        "substr(u, length(regexp_extract(u, '(?i)^(https?://[^/]*)', 1)) + 1)), "
-                        "'https://www.', 'https://')"
-                    ),
-                    r"#[^ ]*$",
-                    "",
+                F.expr(
+                    "replace(concat(lower(regexp_extract(u, '(?i)^(https?://[^/]*)', 1)), "
+                    "substr(u, length(regexp_extract(u, '(?i)^(https?://[^/]*)', 1)) + 1)), "
+                    "'https://www.', 'https://')"
                 ),
-                r"[?&]utm_[a-z]+=[^&# ]*",
+                r"#[^ ]*$",
                 "",
             ),
-            r"/$",
+            r"[?&]utm_[a-z]+=[^&# ]*",
             "",
-        ).alias("url"),
+        ),
+        r"/$",
+        "",
     )
-    return canon.groupBy("url").agg(
-        F.count("*").alias("n_refs"),
-        F.countDistinct("u").alias("n_variants"),
+
+
+# --------------- URL × content cross dedup (r13 add — r12 verdict
+# item 3b: join URL-level dedup with content-level dedup into the
+# re-crawl triage table)
+
+# The fixture corpus has NO organic exact-text duplicates at the
+# gate SF (measured: zero same-text groups at sf0.01, 8 at sf0.1),
+# so the ingest plants the two scenarios this operator exists for —
+# the `ext_sim_hamming_pairs` re-embed / `ext_dataset_diff` snapshot
+# device: every URLX_REFETCH_MOD-th document also lands as an
+# identical RE-FETCH of the same raw URL (offset id), and documents
+# ≡ URLX_MIRROR_RES (mod URLX_MIRROR_MOD) also land under a
+# different syndication host with identical content. Organic dup
+# texts (present at sf0.1) flow through the same classification.
+URLX_REFETCH_MOD = 5
+URLX_MIRROR_MOD = 7
+URLX_MIRROR_RES = 3
+URLX_REFETCH_OFFSET = 10_000_000
+URLX_MIRROR_OFFSET = 20_000_000
+
+_URLX_MIRROR_URL_SQL = (
+    "'https://syndic' || CAST(doc_id % 20 AS VARCHAR) "
+    "|| '.example.net/p/' || CAST(doc_id % 25 AS VARCHAR)"
+)
+
+_URL_CONTENT_CROSS_ORACLE = f"""
+WITH s0 AS (SELECT doc_id, md5(text) AS h, {_URL_VARIANT_SQL} AS u
+            FROM documents),
+raw AS (
+  SELECT doc_id, h, u FROM s0
+  UNION ALL
+  SELECT doc_id + {URLX_REFETCH_OFFSET}, h, u FROM s0
+  WHERE doc_id % {URLX_REFETCH_MOD} = 0
+  UNION ALL
+  SELECT doc_id + {URLX_MIRROR_OFFSET}, h, {_URLX_MIRROR_URL_SQL} FROM s0
+  WHERE doc_id % {URLX_MIRROR_MOD} = {URLX_MIRROR_RES}),
+{_url_canon_chain(", h")},
+rc AS (SELECT lag(doc_id) OVER w AS doc_a, doc_id AS doc_b,
+              url AS url_a, url AS url_b,
+              CASE WHEN lag(h) OVER w = h THEN 'recrawl_unchanged'
+                   ELSE 'recrawl_changed' END AS relation
+       FROM canon
+       WINDOW w AS (PARTITION BY url
+                    ORDER BY doc_id % {URLX_REFETCH_OFFSET}, doc_id)),
+mir AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.url AS url_a, b.url AS url_b,
+               'mirrored_content' AS relation
+        FROM canon a JOIN canon b
+        ON a.h = b.h AND a.doc_id < b.doc_id AND a.url <> b.url)
+SELECT doc_a, doc_b, url_a, url_b, relation FROM rc WHERE doc_a IS NOT NULL
+UNION ALL
+SELECT doc_a, doc_b, url_a, url_b, relation FROM mir
+"""
+
+
+@register("ext_dedup_url_content_cross", oracle=_URL_CONTENT_CROSS_ORACLE)
+def ext_dedup_url_content_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL × content CROSS dedup — the re-crawl triage table (r12
+    verdict item 3b): canonical-URL identity (`ext_url_canonical`'s
+    rules) joined against content identity (`ext_dedup_exact`'s
+    fingerprint idea, md5 here so the oracle shares it) classifies
+    every related document pair the way a crawl curator acts on it:
+
+    - `recrawl_unchanged` — consecutive snapshots of the SAME
+      canonical URL with identical content: the fetch was wasted;
+      dedup keeps one and the scheduler should back off.
+    - `recrawl_changed` — same canonical URL, content moved: a real
+      page update; keep both versions (or the newest), and the URL
+      is live — schedule it more often.
+    - `mirrored_content` — identical content under DIFFERENT
+      canonical URLs: a mirror/syndication cluster; content-level
+      dedup must catch what URL-level dedup structurally cannot.
+
+    The snapshot stream per URL is the fixture's synthetic variant
+    decoration (same device as `ext_url_canonical` — doc_id mod 100
+    keys the canonical page, so each page accumulates a re-crawl
+    history), with planted re-fetches and mirror copies supplying
+    the unchanged/mirrored scenarios (see the oracle comment — the
+    `ext_sim_hamming_pairs` planted-scenario device; organic dup
+    texts classify identically where the corpus has them). Snapshot
+    order within a URL is (original id, generation) — the ordering
+    key doc_id % offset puts each re-fetch directly after the fetch
+    it re-serves, which is the crawl-time sequence. Both
+    classification arms are window/join compositions of proven
+    operators, and the oracle's canon chain is THE SAME CTE text as
+    the census oracle (`_url_canon_chain`), so the two URL operators
+    cannot drift. Id-space guard: an organic doc_id at or above the
+    re-fetch offset would silently merge snapshot identities (both
+    engines apply the same union), so it fails loudly at the scan —
+    the `_hamming_universe` doctrine.
+
+    Scale shape: the re-crawl arm is a lag window per canonical URL —
+    one url-keyed shuffle, state = one previous row per URL, output
+    linear in fetches (snapshot history per URL is
+    crawl-cadence-bounded); the mirror arm is a content-hash
+    equi-join whose group sizes are dup-multiplicity-bounded (the
+    `ext_dedup_exact` cluster census shape — a pathological viral
+    page is exactly the skew AQE's skew-join split handles, and the
+    md5 key spreads uniformly otherwise). Text never shuffles —
+    the md5 fingerprint is computed in the scan and 16 bytes ride
+    the wire."""
+    from pyspark.sql import Window as W
+
+    id_guard = (
+        f"CASE WHEN doc_id < {URLX_REFETCH_OFFSET} THEN doc_id "
+        "ELSE raise_error(concat('url-content cross: organic doc_id ', "
+        "cast(doc_id as string), "
+        f"' >= URLX_REFETCH_OFFSET ({URLX_REFETCH_OFFSET}) — planted "
+        "snapshot ids would collide with organic ids; raise the offset "
+        "(text_analysis.URLX_REFETCH_OFFSET)')) END"
     )
+    s0 = load(spark, sf_dir, "documents").select(
+        F.expr(id_guard).alias("doc_id"),
+        F.md5(F.col("text")).alias("h"),
+        _url_variant_col().alias("u"),
+    )
+    mirror_u = F.concat(
+        F.lit("https://syndic"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit(".example.net/p/"),
+        (F.col("doc_id") % 25).cast("string"),
+    )
+    raw = (
+        s0.unionByName(
+            s0.filter(F.col("doc_id") % URLX_REFETCH_MOD == 0).select(
+                (F.col("doc_id") + URLX_REFETCH_OFFSET).alias("doc_id"),
+                "h",
+                "u",
+            )
+        )
+        .unionByName(
+            s0.filter(
+                F.col("doc_id") % URLX_MIRROR_MOD == URLX_MIRROR_RES
+            ).select(
+                (F.col("doc_id") + URLX_MIRROR_OFFSET).alias("doc_id"),
+                "h",
+                mirror_u.alias("u"),
+            )
+        )
+    )
+    # the slim (id, md5, url) snapshot table feeds the lag window and
+    # BOTH sides of the mirror self-join — pin it or the scan +
+    # decorate + canonicalize chain runs three times
+    canon = compute_once(
+        raw.select("doc_id", "h", _url_canon_col().alias("url"))
+    )
+    w = W.partitionBy("url").orderBy(
+        F.col("doc_id") % URLX_REFETCH_OFFSET, "doc_id"
+    )
+    rc = (
+        canon.select(
+            F.lag("doc_id").over(w).alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            F.col("url").alias("url_a"),
+            F.col("url").alias("url_b"),
+            F.when(
+                F.lag("h").over(w) == F.col("h"), F.lit("recrawl_unchanged")
+            )
+            .otherwise(F.lit("recrawl_changed"))
+            .alias("relation"),
+        )
+        .filter(F.col("doc_a").isNotNull())
+    )
+    a, b = canon.alias("a"), canon.alias("b")
+    mir = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.url") != F.col("b.url")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.url").alias("url_a"),
+            F.col("b.url").alias("url_b"),
+            F.lit("mirrored_content").alias("relation"),
+        )
+    )
+    return rc.unionByName(mir)
 
 
 # ------------------------------------------- per-language top terms

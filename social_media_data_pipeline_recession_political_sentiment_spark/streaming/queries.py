@@ -930,3 +930,188 @@ def drain_datacard(spark: SparkSession, doc_stream: DataFrame) -> DataFrame:
         F.col("first_doc").cast("long").alias("first_doc"),
         F.col("last_doc").cast("long").alias("last_doc"),
     )
+
+
+# ------- nightly embedding ingest + incremental embcos dedup, one
+# chain (r13 add — r12 verdict item 3c: the VECTOR arm of
+# `stream_dedup_incremental_chain`, streaming twin of
+# `ext_dedup_embcos_incremental`)
+
+EMB_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]
+)
+
+
+def stream_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the embeddings table (one landed
+    nightly-encode file per micro-batch under maxFilesPerTrigger=1)."""
+    staged = _staged_table_dir(sf_dir, "embeddings")
+    return (
+        spark.readStream.schema(EMB_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(staged)
+    )
+
+
+def _emb_cos(acol: str, bcol: str, an: str, bn: str):
+    """The engine-shared fold cosine over precomputed norms —
+    CHARACTER-IDENTICAL arithmetic to `ext_dedup_embcos_incremental`'s
+    `_cos` so the streamed flags hash-match the same oracle."""
+    from ..operators.similarity import _DOT
+
+    dot = F.expr(_DOT.format(a=acol, b=bcol))
+    return dot / F.nullif(F.col(an) * F.col(bn), F.lit(0.0))
+
+
+def stream_embcos_incremental_chain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Nightly embedding ingest + incremental cosine dedup as ONE
+    drained streaming contract — the VECTOR arm of
+    `stream_dedup_incremental_chain` (r12 verdict item 3c): tonight's
+    encoded vectors arrive in micro-batches, EACH batch is probed
+    against the standing base corpus as it lands (dup_of_base — the
+    map-only broadcast probe of `ext_dedup_embcos_incremental`, paid
+    per batch and proportional to the batch), and the in-increment
+    triangle (dup_in_increment, first-copy-wins by vec_id) runs once
+    at drain over the checkpointed union — so the flags are
+    batch-order INDEPENDENT: cosine-vs-base is a per-row predicate,
+    and the id-ordered triangle sees the same union no matter how
+    the crawl split into batches (proven with a 3-file
+    maxFilesPerTrigger=1 source in tests/test_streaming.py; the
+    registered availableNow drain over the single landed file is
+    batch 1 of the same query).
+
+    Emits the exact-arm contract (vec_id, dup_of_base,
+    dup_in_increment, is_new) and shares `ext_dedup_embcos_incremental`'s
+    oracle verbatim — the sequential-fold cosine with precomputed
+    norms is character-identical, so the streamed chain is
+    hash-checked against the same SQL replay.
+
+    Scale shape: per batch, the batch broadcasts and the base
+    STREAMS through the probe (zero base shuffle per night; at
+    100 TB the probe composes with the standing LSH bucket index
+    exactly as the batch arm's docstring lays out); each batch
+    checkpoints once (never re-unioned per batch — the
+    `drain_incremental_dedup` O(B²) note); the drain triangle is
+    |inc|²-bounded with the increment broadcast."""
+    from ..functions.hashing import doc_bucket
+    from ..operators.similarity import _DOT, _fin_emb_spark
+
+    prep = (
+        stream_embeddings(spark, sf_dir)
+        .filter(F.expr(_fin_emb_spark()))
+        .filter(doc_bucket("vec_id") >= INCR_BASE_BUCKETS)
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("dv")
+        )
+        .withColumn("nrm", F.sqrt(F.expr(_DOT.format(a="dv", b="dv"))))
+    )
+    base = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.expr(_fin_emb_spark()))
+        .filter(doc_bucket("vec_id") < INCR_BASE_BUCKETS)
+        .select(
+            F.col("vec_id").alias("b_id"),
+            F.col("embedding").cast("array<double>").alias("bdv"),
+        )
+        .withColumn("bn", F.sqrt(F.expr(_DOT.format(a="bdv", b="bdv"))))
+    )
+    return drain_embcos_incremental(spark, prep, base)
+
+
+def drain_embcos_incremental(
+    spark: SparkSession, incr_stream: DataFrame, base: DataFrame
+) -> DataFrame:
+    """Core of `stream_embcos_incremental_chain`, parameterized over
+    the (vec_id, dv, nrm) increment stream and the (b_id, bdv, bn)
+    base frame so tests can drive it with a multi-file
+    `maxFilesPerTrigger=1` source and prove batch-order
+    independence."""
+    from ..operators.similarity import COS_DUP_THRESHOLD
+
+    batches: list[DataFrame] = []
+
+    def _probe_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # each batch checkpoints exactly once; the base probe runs
+        # DURING the batch (the nightly increment-proportional cost)
+        rows = batch_df.localCheckpoint()
+        probe = rows.select(
+            F.col("vec_id").alias("i_id"),
+            F.col("dv").alias("idv"),
+            F.col("nrm").alias("inn"),
+        )
+        dob = (
+            base.crossJoin(F.broadcast(probe))
+            .filter(_emb_cos("bdv", "idv", "bn", "inn") >= COS_DUP_THRESHOLD)
+            .select(F.col("i_id").alias("vec_id"))
+            .distinct()
+            .withColumn("f_base", F.lit(True))
+        )
+        batches.append(
+            rows.join(F.broadcast(dob), "vec_id", "left").localCheckpoint()
+        )
+
+    with scoped_shuffle_partitions(spark, 8):
+        q = (
+            incr_stream.writeStream.foreachBatch(_probe_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    if not batches:  # empty source
+        rows = spark.createDataFrame(
+            [], "vec_id long, dv array<double>, nrm double, f_base boolean"
+        )
+    else:
+        rows = batches[0]
+        for b in batches[1:]:
+            rows = rows.unionByName(b)
+    early = rows.select(
+        F.col("vec_id").alias("e_id"),
+        F.col("dv").alias("edv"),
+        F.col("nrm").alias("en"),
+    )
+    dii = (
+        rows.select(
+            F.col("vec_id").alias("i_id"),
+            F.col("dv").alias("idv"),
+            F.col("nrm").alias("inn"),
+        )
+        .crossJoin(F.broadcast(early))
+        .filter(
+            (F.col("e_id") < F.col("i_id"))
+            & (_emb_cos("edv", "idv", "en", "inn") >= COS_DUP_THRESHOLD)
+        )
+        .select(F.col("i_id").alias("vec_id"))
+        .distinct()
+        .withColumn("f_incr", F.lit(True))
+    )
+    fb = F.coalesce(F.col("f_base"), F.lit(False))
+    fi = F.coalesce(F.col("f_incr"), F.lit(False))
+    return (
+        rows.select("vec_id", "f_base")
+        .join(F.broadcast(dii), "vec_id", "left")
+        .select(
+            "vec_id",
+            fb.alias("dup_of_base"),
+            fi.alias("dup_in_increment"),
+            (~(fb | fi)).alias("is_new"),
+        )
+    )
+
+
+def _register_embcos_chain() -> None:
+    from ..operators.similarity import _EMBCOS_INCR_ORACLE
+
+    register("stream_embcos_incremental_chain", oracle=_EMBCOS_INCR_ORACLE)(
+        stream_embcos_incremental_chain
+    )
+
+
+_register_embcos_chain()

@@ -1064,3 +1064,38 @@ def test_mined_gram_hash_collision_substr_spans(spark, tmp_path):
         assert out[d].dup_tokens == 0 and out[d].n_spans == 0, (
             "60-bit-colliding grams merged — the 120-bit pair key regressed"
         )
+
+
+def test_minhash_incremental_flag_consistency(spark):
+    """`ext_dedup_minhash_incremental` (r13): the spine is exactly the
+    increment md5-bucket of documents, is_new is the complement of
+    the two dup flags, and every dup_in_increment doc has a
+    SMALLER-id verified partner in the increment (first-copy-wins —
+    the min-id member of any in-increment dup group is never
+    flagged)."""
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.dedup import (
+        INCR_BASE_BUCKETS,
+        ext_dedup_minhash_incremental,
+    )
+    from social_media_data_pipeline_recession_political_sentiment_spark.catalog import load
+    from social_media_data_pipeline_recession_political_sentiment_spark.functions.hashing import (
+        doc_bucket,
+    )
+    from conftest import SF_SMOKE
+
+    out = ext_dedup_minhash_incremental(spark, SF_SMOKE).collect()
+    spine = {
+        r.doc_id
+        for r in load(spark, SF_SMOKE, "documents")
+        .filter(doc_bucket("doc_id") >= INCR_BASE_BUCKETS)
+        .select("doc_id")
+        .collect()
+    }
+    assert {r.doc_id for r in out} == spine
+    for r in out:
+        assert r.is_new == (not r.dup_of_base and not r.dup_in_increment)
+    flagged_incr = {r.doc_id for r in out if r.dup_in_increment}
+    if flagged_incr:
+        # the smallest flagged id must have an even smaller unflagged
+        # partner — first-copy-wins means min(group) is never flagged
+        assert min(flagged_incr) > min(spine)

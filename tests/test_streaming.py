@@ -512,3 +512,60 @@ def test_datacard_incremental_multibatch(spark):
     assert (r.n_docs, r.n_tokens, r.first_doc, r.last_doc) == (3, 8, 10, 60)
     # all-NULL-text cell: token sum coalesces to 0
     assert out[("s2", "en")].n_tokens == 0
+
+
+def test_embcos_incremental_chain_merges_across_batches(spark):
+    """drain_embcos_incremental across REAL micro-batches
+    (maxFilesPerTrigger=1, 3 files): flags must be batch-order
+    independent — dup_of_base is a per-row probe against the static
+    base, dup_in_increment comes from the drain-time id-ordered
+    triangle (first-copy-wins by vec_id even when the earlier copy
+    ARRIVES later), and a zero-norm vector (NULL cosine) can flag
+    nothing and nothing flags against it — is_new, the padding/
+    failed-encode contract of `ext_dedup_embcos_incremental`."""
+    import os
+    import tempfile
+
+    from social_media_data_pipeline_recession_political_sentiment_spark.streaming.queries import (
+        drain_embcos_incremental,
+    )
+
+    work = tempfile.mkdtemp(prefix="smdp_embchain_")
+    schema = "vec_id long, dv array<double>, nrm double"
+    B = [1.0, 0.0, 0.0]
+    A = [0.0, 1.0, 0.0]
+    C = [0.0, 0.0, 1.0]
+    Z = [0.0, 0.0, 0.0]
+    # batch 0 carries vec 20 (a LATER copy of content B); batch 1
+    # carries vec 10 (the EARLIEST copy of B) — arrival order is the
+    # reverse of vec_id order — plus the zero vector 11. Batch 2
+    # repeats B (30), duplicates base content A (40), and adds C (50).
+    b0 = [(20, B, 1.0)]
+    b1 = [(10, B, 1.0), (11, Z, 0.0)]
+    b2 = [(30, B, 1.0), (40, A, 1.0), (50, C, 1.0)]
+    for i, rows in enumerate([b0, b1, b2]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(work, f"b{i}")
+        )
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(work, "b*"))
+    )
+    base = spark.createDataFrame(
+        [(100, A, 1.0)], "b_id long, bdv array<double>, bn double"
+    )
+    out = {
+        r.vec_id: r
+        for r in drain_embcos_incremental(spark, src, base).collect()
+    }
+    assert set(out) == {10, 11, 20, 30, 40, 50}
+    # vec 10 is the min-vec_id copy of B despite arriving in batch 1
+    assert not out[10].dup_in_increment and out[10].is_new
+    assert out[20].dup_in_increment and not out[20].is_new
+    assert out[30].dup_in_increment and not out[30].is_new
+    # base hit: flagged dup_of_base, not dup_in_increment (unique in incr)
+    assert out[40].dup_of_base and not out[40].dup_in_increment
+    assert out[50].is_new and not out[50].dup_of_base
+    # zero norm -> NULL cosine fails every >= t cut on both sides
+    assert out[11].is_new and not out[11].dup_of_base and not out[11].dup_in_increment

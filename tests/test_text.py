@@ -1887,3 +1887,36 @@ def test_char_ngram_profile_counts_and_rank(spark):
     # tie between aba and bab -> lexicographic
     assert out[("en", "aba")].rank == 2 and out[("en", "bab")].rank == 3
     assert len(out) == 3
+
+
+def test_url_content_cross_planted_classes(spark):
+    """`ext_dedup_url_content_cross` (r13): at the smoke SF the corpus
+    has NO organic exact-text dups, so the classification is fully
+    determined by the planted snapshot universe — every
+    recrawl_unchanged pair is (original, its re-fetch), mirrored
+    pairs always span two different canonical URLs with equal
+    content hash, and all three classes are non-empty."""
+    from social_media_data_pipeline_recession_political_sentiment_spark.operators.text_analysis import (
+        URLX_REFETCH_MOD,
+        URLX_REFETCH_OFFSET,
+        ext_dedup_url_content_cross,
+    )
+    from conftest import SF_SMOKE
+
+    rows = ext_dedup_url_content_cross(spark, SF_SMOKE).collect()
+    by_rel = {}
+    for r in rows:
+        by_rel.setdefault(r.relation, []).append(r)
+    assert set(by_rel) == {
+        "recrawl_unchanged",
+        "recrawl_changed",
+        "mirrored_content",
+    }
+    for r in by_rel["recrawl_unchanged"]:
+        assert r.doc_b == r.doc_a + URLX_REFETCH_OFFSET
+        assert r.doc_a % URLX_REFETCH_MOD == 0
+        assert r.url_a == r.url_b
+    for r in by_rel["mirrored_content"]:
+        assert r.url_a != r.url_b
+    for r in by_rel["recrawl_changed"]:
+        assert r.url_a == r.url_b
