@@ -134,14 +134,97 @@ def register(name: str, oracle: Optional[str] = None):
 # packing strings are character-identical after the p-parameterized
 # refactor — per the r8 sink_sorted_runs precedent neither
 # re-consumes a slot.)
+# Round 13 window (VERDICT r12 items 2/3): head = the three r13 adds
+# (incremental MinHash probe, URL×content cross dedup, streaming
+# embcos incremental chain), then the six HEADLINE rewrites whose
+# Spark plan changed this round — the session-pinned LM doc-score
+# frame's two direct emitters (ext_lm_unigram_score /
+# ext_lm_perplexity_buckets; verdict item 1), the LSH miner family's
+# compute_once + AQE-brokered oversized-map join (ext_sim_lsh /
+# ext_dedup_embcos_lsh and the incremental probe arm over the
+# changed pin), and the late-data audit's parquet-sink conversion —
+# then the FULL r6 evidence tier (r12 item 2; 38 tags, of which
+# ext_curation_scorecard and ext_url_canonical are ALSO rewrites:
+# scorecard consumes the new LM pin, url_canonical was refactored
+# onto the shared canon helpers with character-identical output),
+# then the remaining rewrites fill and overflow the 50 slots:
+# ext_dedup_embcos_pipeline_recall + the two LSH verify arms make
+# 50; ext_sim_lsh_recall and the two hamming ops (id-guard
+# passthrough added to the shared universe; all three hold fresh
+# r11/r12 checks and full local certification) are the 51st-53rd
+# tags and stay at the r14 head. After this window the oldest
+# evidence tier is r7 (49 tags — r14's natural window).
 _WINDOW_PRIORITY = (
-    # -- added this round (r12) --
+    # -- added this round (r13) --
+    "ext_dedup_minhash_incremental",
+    "ext_dedup_url_content_cross",
+    "stream_embcos_incremental_chain",
+    # -- headline rewrites (plan changed): pinned LM doc-score frame;
+    #    LSH miner compute_once + AQE oversized-map join; parquet
+    #    late-audit sink --
+    "ext_lm_unigram_score",
+    "ext_lm_perplexity_buckets",
+    "ext_sim_lsh",
+    "ext_dedup_embcos_lsh",
+    "ext_dedup_embcos_incremental_lsh",
+    "stream_late_data_audit",
+    # -- the full r6 evidence tier (r12 item 2), registration order --
+    "fn_lang_detect",
+    "udf_vader_sentiment",
+    "udf_hatespeech_api",
+    "enrich_table",
+    "stream_join_stream",
+    "stream_medallion_gold",
+    "agg_user_lifetime",
+    "agg_interevent_gap",
+    "agg_event_transitions",
+    "agg_user_gini",
+    "window_dedup_recent",
+    "join_asof_nearest",
+    "join_asof_tolerance",
+    "dash_summary_onepass",
+    "ext_corpus_curation",
+    "ext_pii_redact",
+    "ext_data_split",
+    "ext_dataset_diff",
+    "ext_dedup_cluster_census",
+    "ext_graph_degree_census",
+    "ext_dedup_component_census",
+    "ext_dedup_minhash_eval",
+    "ext_doc_dup_profile",
+    "ext_graph_pagerank",
+    "ext_emb_centroids_int8",
+    "ext_label_balance",
+    "ext_sim_topk",
+    "ext_length_histogram",
+    "ext_vocab_census",
+    "ext_url_canonical",
+    "ext_lang_id_eval",
+    "ext_topterms_per_lang",
+    "ext_social_tags",
+    "ext_sample_stratified_exact",
+    "ext_curation_scorecard",
+    "ext_bigram_pmi",
+    "ext_mm_dedup_phash",
+    "ext_mm_phash_cluster",
+    # -- remaining rewrites, filling the 50 slots --
+    "ext_dedup_embcos_pipeline_recall",
+    "ext_sim_lsh_verify",
+    "ext_dedup_embcos_lsh_verify",
+    # (overflow rewrites — ext_sim_lsh_recall and the two hamming
+    # ops — would be the 51st-53rd tags; they stay in their fresh
+    # r11/r12 tiers for the r14 head, locally certified this round)
+)
+
+# Round 12 window, retired (kept for the evidence-rotation history):
+_R12_WINDOW = (
+    # -- added r12 --
     "ext_eval_coverage_by_source",
     "ext_sim_hamming_pairs",
     "ext_sim_hamming_components",
     "ext_dedup_embcos_incremental",
     "ext_dedup_embcos_incremental_lsh",
-    # -- rewritten this round (plan changed): JVM-side LSH bucketing
+    # -- rewritten r12 (plan changed): JVM-side LSH bucketing
     #    + oversized-bucket salt map; session-pinned embcos pair
     #    graph and its consumers --
     "ext_sim_lsh",
@@ -184,85 +267,13 @@ _WINDOW_PRIORITY = (
     "ext_mm_pair_filter",
     "ext_lm_perplexity_buckets",
     "ext_corpus_datacard",
-    # -- oldest remaining tier (r6), registration order, filling the
-    #    50-slot window --
+    # -- oldest remaining tier (r6), registration order --
     "sink_partitioned_prune",
     "agg_funnel_steps",
     "agg_retention_cohorts",
     "agg_rolling_wau",
     "agg_ingest_anomaly",
     "agg_ewma_volume",
-    # (join_asof_nearest and window_dedup_recent became the 51st/52nd
-    # tags as the fourth and fifth r12 adds landed — they stay in the
-    # r6 tier for the r13 head)
-)
-
-# Round 11 window, retired (kept for the evidence-rotation history):
-_R11_WINDOW = (
-    # -- added r11 --
-    "ext_retrieval_eval",
-    "stream_datacard_incremental",
-    "ext_bpe_roundtrip",
-    "ext_dedup_minhash_est_audit",
-    "ext_eval_coverage",
-    # -- rewritten this round (plan or oracle changed): the three
-    #    ex-no_oracle miners gained hard oracles (+ their fold-exact
-    #    implementation rewrites), their verify/recall siblings
-    #    consume the changed miners, the two r10-ADVICE fixes, and
-    #    the pipelines restructured onto the session-pinned pair
-    #    graph --
-    "ext_sim_ivf",
-    "ext_sim_lsh",
-    "ext_dedup_embcos_lsh",
-    "ext_dedup_embcos_lsh_verify",
-    "ext_sim_lsh_verify",
-    "ext_sim_lsh_recall",
-    "ext_sim_ivf_exhaustive",
-    "ext_sim_ivf_recall",
-    "ext_rank_rbo",
-    "ext_datacard_diff",
-    "ext_dedup_ngram_jaccard",
-    "ext_dedup_minhash",
-    "ext_dedup_pipeline",
-    "ext_dedup_pipeline_minhash",
-    "ext_dedup_pipeline_recall",
-    # -- r11 session-2 rewrites (the extended --dups gate findings:
-    #    passage/cdc tie-order + frame fixes, chunk_cdc oracle
-    #    partition key) --
-    "ext_dedup_passage",
-    "ext_dedup_cdc",
-    "ext_chunk_cdc",
-    # -- the final r4 evidence tier (r10 verdict item 3; the two r4
-    #    tags already consumed above as rewrites are not repeated) --
-    "ext_emb_norm",
-    "ext_text_repetition",
-    "ext_tfidf_topterms",
-    "ext_lm_unigram_score",
-    "ext_quality_gate",
-    "ext_url_domains",
-    "fn_unicode_nfc",
-    "ext_sample_per_group",
-    "ext_shard_manifest",
-    "ext_sample_mixture",
-    "ext_mm_decode_stub",
-    "ext_mm_frame_sample",
-    "scan_schema_evolution",
-    "stream_join_static",
-    # -- oldest remaining tier (r5), registration order, filling the
-    #    50-slot window --
-    "join_enriched_raw",
-    "join_anti_dedup",
-    "join_broadcast_dim",
-    "join_range",
-    "agg_count_star",
-    "agg_group_count",
-    "agg_topk_groups",
-    "agg_daily_counts",
-    "agg_distinct_tuples",
-    "agg_multi_dim",
-    "sql_interface",
-    "agg_salted_skew",
-    "agg_approx_distinct",
 )
 
 
