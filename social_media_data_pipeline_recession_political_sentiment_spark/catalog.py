@@ -134,16 +134,16 @@ def compute_once(df: DataFrame) -> DataFrame:
 # cache must not have.
 
 _SESSION_PINS: dict = {}
-# Cap audit (r11 verdict item 7, re-run r13): 7 live tag families —
+# Cap audit (r11 verdict item 7, re-run r13): 8 live tag families —
 # dedup.py's shingles / exact-Jaccard pair graph / MinHash candidates
 # / lss_components, similarity.py's embcos_pairs and embcos_lsh_pairs,
-# and text_analysis.py's lm_doc_scores (r13) — × 3 concurrently-live
-# sf_dirs (0.001/0.01/0.1 in one gate session) = 21 keys; 24 leaves
-# one more tag family of slack before any mid-gate thrash.
-# tests/test_properties.py::
+# text_analysis.py's lm_doc_scores (r13), and multimodal.py's
+# phash_pairs (r13) — × 3 concurrently-live sf_dirs (0.001/0.01/0.1
+# in one gate session) = 24 keys; 30 leaves two more tag families of
+# slack before any mid-gate thrash. tests/test_properties.py::
 # test_session_pin_no_eviction_full_single_sf_sweep asserts zero
 # evictions across a single-sf_dir sweep of every pin family.
-_SESSION_PIN_CAP = 24
+_SESSION_PIN_CAP = 30
 _EVICTIONS: list = []  # keys FIFO-evicted under cap pressure (test hook)
 _EVICTIONS_MAX = 256  # bound the log in a long-lived session (r12 ADVICE)
 

@@ -467,7 +467,32 @@ def ext_mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out is bounded by bucket occupancy; band width is the knob
     (wider bands => fewer, cleaner candidates) and salting splits
     the degenerate all-same-band bucket, as in the LSH miner.
-    Hamming verify is codegen xor/bit_count on the bands."""
+    Hamming verify is codegen xor/bit_count on the bands.
+
+    Returns the SESSION pin (`_phash_pairs_pinned`, r13): the
+    cluster chain and the incremental probe arm consume this same
+    pair graph, and each previously re-ran the Arrow phash + mine
+    (the r10 text-miner regression's shape on the media tier). One
+    persisted (doc_a, doc_b, hamming) frame per
+    (app, documents-fingerprint) — slim: ids + one small int."""
+    return _phash_pairs_pinned(spark, sf_dir)
+
+
+def _phash_pairs_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SESSION-SHARED phash near-dup pair graph (`session_pin`
+    semantics: persist + lineage, recursive source-fingerprint
+    invalidation, explicit release on eviction)."""
+    from ..catalog import session_pin
+
+    return session_pin(
+        spark, sf_dir, "phash_pairs",
+        lambda: _phash_pairs_build(spark, sf_dir),
+    )
+
+
+def _phash_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual phash mine plan (built once per session by the pin
+    seam above — see `ext_mm_dedup_phash` for the contract)."""
     d = load(spark, sf_dir, "documents")
     reenc = (
         d.filter(
@@ -761,4 +786,125 @@ def ext_mm_tile_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (tx * TILE_PATCH * (ty * TILE_PATCH) - F.col("width") * F.col("height")).alias(
             "pad_px"
         ),
+    )
+
+
+# ------------- incremental media dedup (r13 add): the MEDIA arm of
+# the incremental family — text exact (`ext_dedup_incremental`),
+# text MinHash (`ext_dedup_minhash_incremental`), vector embcos
+# (`ext_dedup_embcos_incremental[_lsh]`), and now perceptual-hash
+# media — same flags contract on every tier.
+
+def _phash_incr_oracle() -> str:
+    from .dedup import INCR_BASE_BUCKETS
+    from ..functions.hashing import doc_bucket_sql
+
+    return f"""
+WITH {_PHASH_BANDS_SQL},
+hp AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+      + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+      <= {PHASH_HAMMING_MAX}),
+sym AS (SELECT doc_a AS mid, doc_b AS partner FROM hp
+        UNION ALL SELECT doc_b, doc_a FROM hp),
+i AS (SELECT doc_id FROM media
+      WHERE {doc_bucket_sql('doc_id')} >= {INCR_BASE_BUCKETS})
+SELECT i.doc_id AS media_id,
+  EXISTS (SELECT 1 FROM sym WHERE sym.mid = i.doc_id
+          AND {doc_bucket_sql('sym.partner')} < {INCR_BASE_BUCKETS})
+    AS dup_of_base,
+  EXISTS (SELECT 1 FROM sym WHERE sym.mid = i.doc_id
+          AND {doc_bucket_sql('sym.partner')} >= {INCR_BASE_BUCKETS}
+          AND sym.partner < i.doc_id) AS dup_in_increment,
+  (NOT EXISTS (SELECT 1 FROM sym WHERE sym.mid = i.doc_id
+               AND {doc_bucket_sql('sym.partner')} < {INCR_BASE_BUCKETS})
+   AND NOT EXISTS (SELECT 1 FROM sym WHERE sym.mid = i.doc_id
+                   AND {doc_bucket_sql('sym.partner')} >= {INCR_BASE_BUCKETS}
+                   AND sym.partner < i.doc_id)) AS is_new
+FROM i
+"""
+
+
+@register("ext_mm_dedup_phash_incremental", oracle=_phash_incr_oracle())
+def ext_mm_dedup_phash_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental perceptual-hash media dedup — the MEDIA arm of the
+    incremental family (r13): the media corpus (originals + planted
+    re-encodes) splits into a standing BASE (md5 buckets
+    0-7 of the media id) and tonight's INCREMENT, and each new
+    payload is flagged against the base (dup_of_base), against
+    earlier-id increment media (dup_in_increment — first-copy-wins),
+    else is_new. This is the LAION-style nightly image drop: only
+    tonight's blobs are phashed and probed; base × base is never
+    re-mined.
+
+    Pair evidence = the session-pinned exact phash pair graph
+    (`_phash_pairs_pinned` — pigeonhole-exact at Hamming ≤
+    {PHASH_HAMMING_MAX}, so unlike the LSH arms there is NO
+    recall-miss clause: the flags provably equal what a brute-force
+    all-pairs scan implies, and the oracle IS that scan plus the
+    same md5-bucket split).
+
+    Scale shape: flag derivation is one symmetric explode of the
+    pair-sized list, two md5-bucket predicates, and two broadcast
+    id-joins against the increment spine — payload bytes never move
+    (the mine's map-only Arrow phash already ran, once per session /
+    once per corpus snapshot in production); per-night cost is
+    increment-proportional: tonight's blobs phash map-locally into
+    the standing band buckets and only bucket-local candidates
+    verify."""
+    from ..functions.hashing import doc_bucket
+    from .dedup import INCR_BASE_BUCKETS
+
+    pairs = _phash_pairs_pinned(spark, sf_dir).select("doc_a", "doc_b")
+    sym = (
+        pairs.select(
+            F.col("doc_a").alias("mid"), F.col("doc_b").alias("partner")
+        )
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("mid"), F.col("doc_a").alias("partner")
+            )
+        )
+        .withColumn("pbkt", doc_bucket("partner"))
+    )
+    d = load(spark, sf_dir, "documents")
+    reenc_ids = d.filter(
+        (F.col("doc_id") % PHASH_REENC_MOD == 0) & (F.length("text") > 1)
+    ).select((F.col("doc_id") + PHASH_REENC_OFFSET).alias("doc_id"))
+    spine = (
+        d.select("doc_id")
+        .unionByName(reenc_ids)
+        .filter(doc_bucket("doc_id") >= INCR_BASE_BUCKETS)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    dob = (
+        sym.filter(F.col("pbkt") < INCR_BASE_BUCKETS)
+        .select(F.col("mid").alias("media_id"))
+        .distinct()
+        .withColumn("f_base", F.lit(True))
+    )
+    dii = (
+        sym.filter(
+            (F.col("pbkt") >= INCR_BASE_BUCKETS)
+            & (F.col("partner") < F.col("mid"))
+        )
+        .select(F.col("mid").alias("media_id"))
+        .distinct()
+        .withColumn("f_incr", F.lit(True))
+    )
+    fb = F.coalesce(F.col("f_base"), F.lit(False))
+    fi = F.coalesce(F.col("f_incr"), F.lit(False))
+    return (
+        spine.join(F.broadcast(dob), "media_id", "left")
+        .join(F.broadcast(dii), "media_id", "left")
+        .select(
+            "media_id",
+            fb.alias("dup_of_base"),
+            fi.alias("dup_in_increment"),
+            (~(fb | fi)).alias("is_new"),
+        )
     )

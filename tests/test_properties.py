@@ -2123,7 +2123,7 @@ def test_source_fingerprint_recursive_and_unstatable(tmp_path):
 def test_session_pin_no_eviction_full_single_sf_sweep(spark):
     """Cap audit (r11 verdict item 7, extended r13): one
     representative query per pin tag family, all at ONE sf_dir, must
-    complete with ZERO FIFO evictions and exactly the seven live tag
+    complete with ZERO FIFO evictions and exactly the eight live tag
     families pinned — mid-gate thrash (evicting a hot pin that a
     later query rebuilds) would silently multiply the dominant
     mining cost without failing anything."""
@@ -2147,6 +2147,7 @@ def test_session_pin_no_eviction_full_single_sf_sweep(spark):
             "ext_dedup_embcos",  # embcos_pairs
             "ext_dedup_embcos_lsh",  # embcos_lsh_pairs
             "ext_lm_unigram_score",  # lm_doc_scores (r13)
+            "ext_mm_dedup_phash",  # phash_pairs (r13)
         ):
             registry.QUERIES[q](spark, SF_SMOKE).collect()
         assert catalog._EVICTIONS == [], (
@@ -2162,6 +2163,7 @@ def test_session_pin_no_eviction_full_single_sf_sweep(spark):
             "embcos_pairs",
             "embcos_lsh_pairs",
             "lm_doc_scores",
+            "phash_pairs",
         }
         # headroom: 3 concurrently-live sf_dirs of every family fit
         assert 3 * len(tags) <= catalog._SESSION_PIN_CAP
