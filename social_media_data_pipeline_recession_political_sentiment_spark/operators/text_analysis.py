@@ -1636,8 +1636,12 @@ _URLX_MIRROR_URL_SQL = (
     "|| '.example.net/p/' || CAST(doc_id % 25 AS VARCHAR)"
 )
 
-_URL_CONTENT_CROSS_ORACLE = f"""
-WITH s0 AS (SELECT doc_id, md5(text) AS h, {_URL_VARIANT_SQL} AS u
+# The shared snapshot UNIVERSE (originals + planted re-fetches +
+# planted mirrors, canonicalized) — ONE CTE text consumed by the
+# cross-classification oracle AND the frontier-schedule oracle, so
+# the two re-crawl operators can never disagree on what a snapshot
+# is (the `_url_canon_chain` convention, one level up).
+_URLX_UNIVERSE_CTES = f"""s0 AS (SELECT doc_id, md5(text) AS h, {_URL_VARIANT_SQL} AS u
             FROM documents),
 raw AS (
   SELECT doc_id, h, u FROM s0
@@ -1647,7 +1651,10 @@ raw AS (
   UNION ALL
   SELECT doc_id + {URLX_MIRROR_OFFSET}, h, {_URLX_MIRROR_URL_SQL} FROM s0
   WHERE doc_id % {URLX_MIRROR_MOD} = {URLX_MIRROR_RES}),
-{_url_canon_chain(", h")},
+{_url_canon_chain(", h")}"""
+
+_URL_CONTENT_CROSS_ORACLE = f"""
+WITH {_URLX_UNIVERSE_CTES},
 rc AS (SELECT lag(doc_id) OVER w AS doc_a, doc_id AS doc_b,
               url AS url_a, url AS url_b,
               CASE WHEN lag(h) OVER w = h THEN 'recrawl_unchanged'
@@ -1664,6 +1671,55 @@ SELECT doc_a, doc_b, url_a, url_b, relation FROM rc WHERE doc_a IS NOT NULL
 UNION ALL
 SELECT doc_a, doc_b, url_a, url_b, relation FROM mir
 """
+
+
+def _urlx_canon_universe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark twin of `_URLX_UNIVERSE_CTES`: the canonicalized
+    snapshot universe (doc_id, h, url) over originals + planted
+    re-fetches + planted mirrors, shared by
+    `ext_dedup_url_content_cross` and `ext_url_frontier_schedule`.
+    Id-space guard: an organic doc_id at or above the re-fetch
+    offset would silently merge snapshot identities (both engines
+    apply the same union), so it fails loudly at the scan — the
+    `_hamming_universe` doctrine."""
+    id_guard = (
+        f"CASE WHEN doc_id < {URLX_REFETCH_OFFSET} THEN doc_id "
+        "ELSE raise_error(concat('url-content cross: organic doc_id ', "
+        "cast(doc_id as string), "
+        f"' >= URLX_REFETCH_OFFSET ({URLX_REFETCH_OFFSET}) — planted "
+        "snapshot ids would collide with organic ids; raise the offset "
+        "(text_analysis.URLX_REFETCH_OFFSET)')) END"
+    )
+    s0 = load(spark, sf_dir, "documents").select(
+        F.expr(id_guard).alias("doc_id"),
+        F.md5(F.col("text")).alias("h"),
+        _url_variant_col().alias("u"),
+    )
+    mirror_u = F.concat(
+        F.lit("https://syndic"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit(".example.net/p/"),
+        (F.col("doc_id") % 25).cast("string"),
+    )
+    raw = (
+        s0.unionByName(
+            s0.filter(F.col("doc_id") % URLX_REFETCH_MOD == 0).select(
+                (F.col("doc_id") + URLX_REFETCH_OFFSET).alias("doc_id"),
+                "h",
+                "u",
+            )
+        )
+        .unionByName(
+            s0.filter(
+                F.col("doc_id") % URLX_MIRROR_MOD == URLX_MIRROR_RES
+            ).select(
+                (F.col("doc_id") + URLX_MIRROR_OFFSET).alias("doc_id"),
+                "h",
+                mirror_u.alias("u"),
+            )
+        )
+    )
+    return raw.select("doc_id", "h", _url_canon_col().alias("url"))
 
 
 @register("ext_dedup_url_content_cross", oracle=_URL_CONTENT_CROSS_ORACLE)
@@ -1714,49 +1770,10 @@ def ext_dedup_url_content_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     the wire."""
     from pyspark.sql import Window as W
 
-    id_guard = (
-        f"CASE WHEN doc_id < {URLX_REFETCH_OFFSET} THEN doc_id "
-        "ELSE raise_error(concat('url-content cross: organic doc_id ', "
-        "cast(doc_id as string), "
-        f"' >= URLX_REFETCH_OFFSET ({URLX_REFETCH_OFFSET}) — planted "
-        "snapshot ids would collide with organic ids; raise the offset "
-        "(text_analysis.URLX_REFETCH_OFFSET)')) END"
-    )
-    s0 = load(spark, sf_dir, "documents").select(
-        F.expr(id_guard).alias("doc_id"),
-        F.md5(F.col("text")).alias("h"),
-        _url_variant_col().alias("u"),
-    )
-    mirror_u = F.concat(
-        F.lit("https://syndic"),
-        (F.col("doc_id") % 20).cast("string"),
-        F.lit(".example.net/p/"),
-        (F.col("doc_id") % 25).cast("string"),
-    )
-    raw = (
-        s0.unionByName(
-            s0.filter(F.col("doc_id") % URLX_REFETCH_MOD == 0).select(
-                (F.col("doc_id") + URLX_REFETCH_OFFSET).alias("doc_id"),
-                "h",
-                "u",
-            )
-        )
-        .unionByName(
-            s0.filter(
-                F.col("doc_id") % URLX_MIRROR_MOD == URLX_MIRROR_RES
-            ).select(
-                (F.col("doc_id") + URLX_MIRROR_OFFSET).alias("doc_id"),
-                "h",
-                mirror_u.alias("u"),
-            )
-        )
-    )
     # the slim (id, md5, url) snapshot table feeds the lag window and
     # BOTH sides of the mirror self-join — pin it or the scan +
     # decorate + canonicalize chain runs three times
-    canon = compute_once(
-        raw.select("doc_id", "h", _url_canon_col().alias("url"))
-    )
+    canon = compute_once(_urlx_canon_universe(spark, sf_dir))
     w = W.partitionBy("url").orderBy(
         F.col("doc_id") % URLX_REFETCH_OFFSET, "doc_id"
     )
@@ -1791,6 +1808,109 @@ def ext_dedup_url_content_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return rc.unionByName(mir)
+
+
+# ------------- re-crawl frontier scheduling (r13 add): the cadence
+# planner a crawler derives FROM the cross table's change history
+
+URLX_CADENCE_HOURLY_PM = 600  # change ratio ≥ 600‰ → hottest cadence
+URLX_CADENCE_DAILY_PM = 300
+
+_URL_FRONTIER_ORACLE = f"""
+WITH {_URLX_UNIVERSE_CTES},
+rc AS (SELECT url, lag(h) OVER w AS ph, h
+       FROM canon
+       WINDOW w AS (PARTITION BY url
+                    ORDER BY doc_id % {URLX_REFETCH_OFFSET}, doc_id)),
+st AS (SELECT url, CAST(count(*) AS BIGINT) AS n_fetches,
+              CAST(sum(CASE WHEN ph IS NOT NULL AND ph <> h
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+              CAST(sum(CASE WHEN ph IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_pairs
+       FROM rc GROUP BY url)
+SELECT url, n_fetches, n_changed,
+       CASE WHEN n_pairs = 0 THEN NULL
+            ELSE n_changed * 1000 // n_pairs END AS change_permille,
+       CASE WHEN n_pairs = 0 THEN 'probe'
+            WHEN n_changed * 1000 // n_pairs >= {URLX_CADENCE_HOURLY_PM}
+              THEN 'fetch_hourly'
+            WHEN n_changed * 1000 // n_pairs >= {URLX_CADENCE_DAILY_PM}
+              THEN 'fetch_daily'
+            WHEN n_changed > 0 THEN 'fetch_weekly'
+            ELSE 'archive' END AS cadence
+FROM st
+"""
+
+
+@register("ext_url_frontier_schedule", oracle=_URL_FRONTIER_ORACLE)
+def ext_url_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-crawl FRONTIER scheduling — the table a crawler's scheduler
+    actually reads (r13): per canonical URL, the fetch count, how
+    many consecutive-snapshot transitions changed content, the
+    integer change ratio in permille, and the derived cadence
+    recommendation — `fetch_hourly` (≥{URLX_CADENCE_HOURLY_PM}‰
+    changed), `fetch_daily` (≥{URLX_CADENCE_DAILY_PM}‰),
+    `fetch_weekly` (any change), `archive` (never changed), `probe`
+    (single fetch, no evidence yet). This is the actionable consumer
+    of `ext_dedup_url_content_cross`'s change history, the
+    adaptive-revisit policy of production crawl frontiers
+    (Cho & Garcia-Molina's revisit-frequency result, reduced to the
+    integer evidence a 100 TB pipeline can maintain per URL).
+
+    Shares the snapshot universe with the cross operator at the CTE
+    level (`_URLX_UNIVERSE_CTES` / `_urlx_canon_universe` — one
+    definition, two oracles) and the same lag-window ordering, so
+    "changed" can never drift between classification and scheduling.
+    Exactness: counts are BIGINTs, the ratio is integer floor
+    permille, the CASE cuts sit on integer boundaries — no float
+    ever touches the contract. Class coverage note (stated, not
+    hidden): the fixture's decoration exercises probe / fetch_daily /
+    fetch_hourly; weekly and archive need mostly-static snapshot
+    histories the planted universe doesn't contain — the CASE arms
+    are still engine-checked (both engines evaluate them on every
+    row).
+
+    Scale shape: one lag window per canonical URL (url-keyed
+    shuffle, one previous row of state) feeding a url-keyed count
+    agg with map-side partials — strictly cheaper than the cross
+    table it summarizes; at crawl scale the frontier table is
+    url-count-sized and replaces the per-URL scheduler state a
+    frontier service keeps anyway."""
+    from pyspark.sql import Window as W
+
+    canon = _urlx_canon_universe(spark, sf_dir)
+    w = W.partitionBy("url").orderBy(
+        F.col("doc_id") % URLX_REFETCH_OFFSET, "doc_id"
+    )
+    rc = canon.select(
+        "url", F.lag("h").over(w).alias("ph"), F.col("h")
+    )
+    st = rc.groupBy("url").agg(
+        F.count("*").alias("n_fetches"),
+        F.sum(
+            F.when(
+                F.col("ph").isNotNull() & (F.col("ph") != F.col("h")), 1
+            ).otherwise(0)
+        ).alias("n_changed"),
+        F.sum(F.when(F.col("ph").isNotNull(), 1).otherwise(0)).alias(
+            "n_pairs"
+        ),
+    )
+    pm = F.expr("n_changed * 1000 div n_pairs")
+    return st.select(
+        "url",
+        "n_fetches",
+        "n_changed",
+        F.when(F.col("n_pairs") == 0, F.lit(None).cast("long"))
+        .otherwise(pm)
+        .alias("change_permille"),
+        F.when(F.col("n_pairs") == 0, F.lit("probe"))
+        .when(pm >= URLX_CADENCE_HOURLY_PM, F.lit("fetch_hourly"))
+        .when(pm >= URLX_CADENCE_DAILY_PM, F.lit("fetch_daily"))
+        .when(F.col("n_changed") > 0, F.lit("fetch_weekly"))
+        .otherwise(F.lit("archive"))
+        .alias("cadence"),
+    )
 
 
 # ------------------------------------------- per-language top terms
