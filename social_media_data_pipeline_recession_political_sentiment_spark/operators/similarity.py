@@ -3939,3 +3939,136 @@ def ext_dedup_embcos_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFr
             (~(fb | fi)).alias("is_new"),
         )
     )
+
+
+# ------------- incremental embedding-distribution drift (r13 add):
+# the "did tonight's encoder (or tonight's content) drift?" monitor
+# every nightly embedding pipeline runs BEFORE trusting the
+# increment enough to dedup/index it
+
+_EMB_DRIFT_ORACLE = f"""
+WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+m AS (SELECT vec_id, dv, list_max(list_transform(dv, x -> abs(x))) AS amax FROM q),
+c AS (SELECT vec_id,
+        CASE WHEN amax = 0.0 THEN list_transform(dv, x -> CAST(0 AS BIGINT))
+             ELSE list_transform(dv, x -> CAST(greatest(-127, least(127,
+                  CAST(floor(x / (amax / 127.0) + 0.5) AS INTEGER))) AS BIGINT))
+        END AS codes
+      FROM m WHERE NOT isnan(amax) AND amax < CAST('Infinity' AS DOUBLE)),
+lab AS (SELECT e.vec_id, e.label, c.codes FROM embeddings e
+        JOIN c ON c.vec_id = e.vec_id),
+pos AS (SELECT vec_id, label, codes,
+               unnest(generate_series(1, len(codes))) AS d FROM lab),
+bp AS (SELECT label, CAST(d AS BIGINT) AS dim,
+              CAST(sum(codes[CAST(d AS INT)]) AS BIGINT) AS cs,
+              CAST(count(*) AS BIGINT) AS n
+       FROM pos WHERE {doc_bucket_sql('vec_id')} < {INCR_BASE_BUCKETS}
+       GROUP BY 1, 2),
+ip AS (SELECT label, CAST(d AS BIGINT) AS dim,
+              CAST(sum(codes[CAST(d AS INT)]) AS BIGINT) AS cs,
+              CAST(count(*) AS BIGINT) AS n
+       FROM pos WHERE {doc_bucket_sql('vec_id')} >= {INCR_BASE_BUCKETS}
+       GROUP BY 1, 2),
+bc AS (SELECT label, dim, n, cs * 1000000 // n AS c FROM bp),
+ic AS (SELECT label, dim, n, cs * 1000000 // n AS c FROM ip)
+SELECT bc.label,
+       CAST(max(bc.n) AS BIGINT) AS n_base,
+       CAST(max(ic.n) AS BIGINT) AS n_inc,
+       CAST(sum(bc.c * ic.c) AS BIGINT) AS dot_e12,
+       CAST(sum(bc.c * bc.c) AS BIGINT) AS base_norm2_e12,
+       CAST(sum(ic.c * ic.c) AS BIGINT) AS inc_norm2_e12,
+       CASE WHEN sum(bc.c * bc.c) = 0 OR sum(ic.c * ic.c) = 0 THEN NULL
+            ELSE CAST(sum(bc.c * ic.c) AS DOUBLE)
+                 / (sqrt(CAST(sum(bc.c * bc.c) AS DOUBLE))
+                    * sqrt(CAST(sum(ic.c * ic.c) AS DOUBLE))) END AS drift_cos
+FROM bc JOIN ic ON bc.label = ic.label AND bc.dim = ic.dim
+GROUP BY bc.label
+"""
+
+
+@register("ext_emb_drift_incremental", oracle=_EMB_DRIFT_ORACLE)
+def ext_emb_drift_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding-distribution DRIFT probe — the per-label
+    base-vs-increment centroid comparison a nightly embedding
+    pipeline checks before trusting tonight's encode run (encoder
+    regression, content shift, or a silently changed normalization
+    all show up as centroid rotation long before they show up in
+    downstream metrics; cf. the model-version drift monitoring
+    `ext_emb_centroids_int8` exists for — this is that operator's
+    two-snapshot consumer, `agg_dist_drift_probe`'s question asked
+    on the vector tier).
+
+    Per label present on BOTH sides of the `ext_dedup_incremental`
+    md5 split: vector counts, the exact integer dot of the two
+    micro-scaled int8 centroids, both centroid norm², and the
+    centroid cosine (`drift_cos` ≈ 1 ⇒ stable; lower ⇒ the class
+    moved). Sums are BIGINT-exact under any partitioning
+    (`ext_emb_centroids_int8`'s order-independence argument — int8
+    code sums, never float accumulation; |c| ≤ 127e6 so a 64-dim dot
+    peaks ~1e18, inside int64); the cosine is three IEEE ops
+    (sqrt, sqrt, divide) from identical exact integers, so even the
+    float column is bit-equal cross-engine. Zero-norm centroids
+    read NULL drift (no direction to compare — the degenerate
+    all-zero class).
+
+    Scale shape: quantization is scan-local; the transpose explode
+    emits (side, label, dim, code) ints reduced by map-side partials
+    to ≤ 2 × labels × dims rows; everything after is
+    label-cardinality-sized. The corpus never shuffles and no
+    vector reaches the driver."""
+    z = _with_int8_codes(
+        load(spark, sf_dir, "embeddings"), extra_cols=("label",)
+    )
+    cell = (
+        z.select(
+            "label",
+            (doc_bucket("vec_id") < INCR_BASE_BUCKETS).alias("in_base"),
+            F.posexplode("codes").alias("dim0", "code"),
+        )
+        .groupBy("in_base", "label", "dim0")
+        .agg(F.sum("code").alias("cs"), F.count("*").alias("n"))
+        .select(
+            "in_base",
+            "label",
+            (F.col("dim0") + 1).cast("long").alias("dim"),
+            "n",
+            F.expr("cs * 1000000 div n").alias("c"),
+        )
+    )
+    # one transpose agg feeds both sides of the label join
+    cell = compute_once(cell)
+    bc = cell.filter(F.col("in_base")).select(
+        "label", "dim", F.col("n").alias("bn"), F.col("c").alias("bcv")
+    )
+    ic = cell.filter(~F.col("in_base")).select(
+        "label", "dim", F.col("n").alias("inn"), F.col("c").alias("icv")
+    )
+    agg = (
+        bc.join(ic, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.max("bn").alias("n_base"),
+            F.max("inn").alias("n_inc"),
+            F.sum(F.col("bcv") * F.col("icv")).alias("dot_e12"),
+            F.sum(F.col("bcv") * F.col("bcv")).alias("base_norm2_e12"),
+            F.sum(F.col("icv") * F.col("icv")).alias("inc_norm2_e12"),
+        )
+    )
+    cos = F.col("dot_e12").cast("double") / (
+        F.sqrt(F.col("base_norm2_e12").cast("double"))
+        * F.sqrt(F.col("inc_norm2_e12").cast("double"))
+    )
+    return agg.select(
+        "label",
+        "n_base",
+        "n_inc",
+        "dot_e12",
+        "base_norm2_e12",
+        "inc_norm2_e12",
+        F.when(
+            (F.col("base_norm2_e12") == 0) | (F.col("inc_norm2_e12") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(cos)
+        .alias("drift_cos"),
+    )

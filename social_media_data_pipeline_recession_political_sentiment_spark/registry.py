@@ -134,12 +134,13 @@ def register(name: str, oracle: Optional[str] = None):
 # packing strings are character-identical after the p-parameterized
 # refactor — per the r8 sink_sorted_runs precedent neither
 # re-consumes a slot.)
-# Round 13 window (VERDICT r12 items 2/3): head = the five r13 adds
+# Round 13 window (VERDICT r12 items 2/3): head = the six r13 adds
 # (incremental MinHash probe, URL×content cross dedup, streaming
 # embcos incremental chain, incremental phash media dedup — the
 # fourth landed with the phash_pairs session pin, whose two
-# rewritten consumers sit in the r6 tier below — and the re-crawl
-# frontier scheduler over the shared snapshot universe), then the
+# rewritten consumers sit in the r6 tier below — the re-crawl
+# frontier scheduler over the shared snapshot universe, and the
+# incremental embedding-drift probe), then the
 # six HEADLINE rewrites whose
 # Spark plan changed this round — the session-pinned LM doc-score
 # frame's two direct emitters (ext_lm_unigram_score /
@@ -165,6 +166,7 @@ _WINDOW_PRIORITY = (
     "stream_embcos_incremental_chain",
     "ext_mm_dedup_phash_incremental",
     "ext_url_frontier_schedule",
+    "ext_emb_drift_incremental",
     # -- headline rewrites (plan changed): pinned LM doc-score frame;
     #    LSH miner compute_once + AQE oversized-map join; parquet
     #    late-audit sink --
@@ -214,14 +216,13 @@ _WINDOW_PRIORITY = (
     "ext_mm_dedup_phash",
     "ext_mm_phash_cluster",
     # -- remaining rewrites, filling the 50 slots --
-    "ext_dedup_embcos_pipeline_recall",
-    # (overflow rewrites — ext_sim_lsh_verify,
-    # ext_dedup_embcos_lsh_verify, ext_sim_lsh_recall and the two
-    # hamming ops — would be the 51st-55th tags; they stay in their
-    # fresh r11/r12 tiers for the r14 head, locally certified this
-    # round. ext_mm_dedup_phash and ext_mm_phash_cluster, rewritten
-    # onto the phash_pairs session pin, already sit in the r6 tier
-    # block above.)
+    # (overflow rewrites — ext_dedup_embcos_pipeline_recall,
+    # ext_sim_lsh_verify, ext_dedup_embcos_lsh_verify,
+    # ext_sim_lsh_recall and the two hamming ops — would be the
+    # 51st-56th tags; they stay in their fresh r11/r12 tiers for the
+    # r14 head, locally certified this round. ext_mm_dedup_phash and
+    # ext_mm_phash_cluster, rewritten onto the phash_pairs session
+    # pin, already sit in the r6 tier block above.)
 )
 
 # Round 12 window, retired (kept for the evidence-rotation history):
