@@ -134,16 +134,24 @@ def compute_once(df: DataFrame) -> DataFrame:
 # cache must not have.
 
 _SESSION_PINS: dict = {}
-# Cap audit (r11 verdict item 7, re-run r13): 8 live tag families —
-# dedup.py's shingles / exact-Jaccard pair graph / MinHash candidates
-# / lss_components, similarity.py's embcos_pairs and embcos_lsh_pairs,
-# text_analysis.py's lm_doc_scores (r13), and multimodal.py's
-# phash_pairs (r13) — × 3 concurrently-live sf_dirs (0.001/0.01/0.1
-# in one gate session) = 24 keys; 30 leaves two more tag families of
-# slack before any mid-gate thrash. tests/test_properties.py::
+# Cap audit (r11 verdict item 7; re-run for the r13 OPTIMIZATION pass,
+# which grew the pin inventory to 23 live tag families):
+# dedup.py — shingles, shingle_inter, jaccard_pairs, mh_signatures,
+#   mh_cand, lss_components, pipeline_comp, pipeline_mh_comp;
+# similarity.py — embcos_pairs, embcos_lsh_pairs, embcos_lss,
+#   embcos_lsh_lss, sim_topk, sim_int8_topk, sim_pq_topk,
+#   sim_bitsign_topk, ivf_cand, ivf_cand_all, sim_lsh_fin_cand,
+#   sim_lsh_nn_cand, emb_gram;
+# text_analysis.py — lm_doc_scores; multimodal.py — phash_pairs.
+# × 3 concurrently-live sf_dirs (0.001/0.01/0.1 in one gate session)
+# = 69 keys; 96 leaves nine more tag families of slack before any
+# mid-gate thrash. Every pinned frame is SLIM by construction (id
+# pairs, doc-keyed signatures, Q×k top-ks, component assignments,
+# the d(d+1)/2 Gram) so the cap bounds bookkeeping, not a storage
+# risk. tests/test_properties.py::
 # test_session_pin_no_eviction_full_single_sf_sweep asserts zero
 # evictions across a single-sf_dir sweep of every pin family.
-_SESSION_PIN_CAP = 30
+_SESSION_PIN_CAP = 96
 _EVICTIONS: list = []  # keys FIFO-evicted under cap pressure (test hook)
 _EVICTIONS_MAX = 256  # bound the log in a long-lived session (r12 ADVICE)
 
@@ -250,6 +258,41 @@ def clear_session_pins() -> None:
             df.unpersist(False)
         except Exception:
             pass  # a dead SparkContext can't unpersist — nothing to free
+
+
+def literal_frame(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """Tiny literal DataFrame built JVM-side — `F.explode` of a
+    struct-array literal — instead of `spark.createDataFrame(list)`'s
+    Python-RDD path (guide §4: that path pays an
+    `applySchemaToPythonRDD` pickle round trip and an extra job PER
+    INVOCATION, ~0.2-0.5 s of pure boundary overhead for a 5-row
+    constant grid; r13 optimization pass). Values are embedded as
+    literals and cast to the declared field types, so the resulting
+    schema and bits are identical to the createDataFrame output.
+    Supports the scalar types the engine's literal frames use
+    (NULL-able); falls back to createDataFrame for empty row lists,
+    where there is nothing to explode."""
+    struct_t = (
+        schema
+        if isinstance(schema, T.StructType)
+        else T._parse_datatype_string(schema)
+    )
+    if not rows:
+        return spark.createDataFrame([], struct_t)
+    structs = [
+        F.struct(
+            *[
+                F.lit(v).cast(f.dataType).alias(f.name)
+                for v, f in zip(row, struct_t.fields)
+            ]
+        )
+        for row in rows
+    ]
+    return (
+        spark.range(1)
+        .select(F.explode(F.array(*structs)).alias("_r"))
+        .select("_r.*")
+    )
 
 
 def ntz_as_utc_instant(col: str):

@@ -29,7 +29,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import compute_once, load, session_pin
+from ..catalog import compute_once, literal_frame, load, session_pin
 from ..functions.hashing import (
     content_fp,
     content_fp_sql,
@@ -368,11 +368,24 @@ def _minhash_signatures(sh: DataFrame) -> DataFrame:
     )
 
 
-def _banded_signatures(sh: DataFrame) -> DataFrame:
-    """(doc_id, band_id, band_hash) banded-MinHash rows from
-    (doc_id, s) shingle rows — the signature+banding core shared by
-    the candidate miner and the bucket census."""
-    sigs = _minhash_signatures(sh)
+def _mh_sigs_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION-SHARED raw MinHash signatures (doc_id, mh0..mh15) over
+    the pinned shingle relation (r13 optimization pass): the 16-way
+    min-agg is one full shuffle pass over every shingle, and the
+    candidate-miner build, the bucket census and the estimator audit
+    each re-ran it per invocation. One doc-keyed 16×8-byte frame per
+    (app, documents-fingerprint) replaces three signature passes."""
+    return session_pin(
+        spark,
+        sf_dir,
+        "mh_signatures",
+        lambda: _minhash_signatures(_shingles_pinned(spark, sf_dir)),
+    )
+
+
+def _bands_from_sigs(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_hash) banding projection over a raw
+    signature frame — a scan-local md5+posexplode, no shuffle."""
     # band key = md5 of the band's minhash rows
     bands = F.array(
         *[
@@ -391,13 +404,17 @@ def _banded_signatures(sh: DataFrame) -> DataFrame:
     )
 
 
-def _minhash_candidates(sh: DataFrame) -> DataFrame:
-    """Banded-MinHash candidate pairs (doc_a < doc_b, distinct) from
-    (doc_id, s) shingle rows — the sub-quadratic candidate generator
-    shared by `ext_dedup_minhash` (standalone, oracle-checked) and
-    `ext_dedup_pipeline_minhash` (composed into the production dedup
-    chain). See `ext_dedup_minhash` for the physical-shape notes."""
-    banded = _banded_signatures(sh)
+def _banded_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_hash) banded-MinHash rows from
+    (doc_id, s) shingle rows — the signature+banding core shared by
+    the candidate miner and the bucket census (pin-backed call sites
+    go through `_mh_sigs_pinned` + `_bands_from_sigs` since r13)."""
+    return _bands_from_sigs(_minhash_signatures(sh))
+
+
+def _candidates_from_banded(banded: DataFrame) -> DataFrame:
+    """Band-bucket equi-collision candidate pairs (doc_a < doc_b,
+    distinct) from (doc_id, band_id, band_hash) rows."""
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -410,6 +427,15 @@ def _minhash_candidates(sh: DataFrame) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def _minhash_candidates(sh: DataFrame) -> DataFrame:
+    """Banded-MinHash candidate pairs (doc_a < doc_b, distinct) from
+    (doc_id, s) shingle rows — the sub-quadratic candidate generator
+    shared by `ext_dedup_minhash` (standalone, oracle-checked) and
+    `ext_dedup_pipeline_minhash` (composed into the production dedup
+    chain). See `ext_dedup_minhash` for the physical-shape notes."""
+    return _candidates_from_banded(_banded_signatures(sh))
 
 
 @register("ext_dedup_minhash", oracle=_MINHASH_ORACLE)
@@ -439,7 +465,11 @@ def _mh_cand_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole miner family."""
     return session_pin(
         spark, sf_dir, "mh_cand",
-        lambda: _minhash_candidates(_shingles_pinned(spark, sf_dir)),
+        # band over the PINNED signature frame (r13): a cold session
+        # pays scan+shingle+signature once for the whole miner family
+        lambda: _candidates_from_banded(
+            _bands_from_sigs(_mh_sigs_pinned(spark, sf_dir))
+        ),
     )
 
 
@@ -536,19 +566,34 @@ def _shingle_pair_intersections(spark: SparkSession, sf_dir: str):
     materialized relation is ~3x the text it came from; one write +
     N cache reads beats N columnar scans PLUS N shingling passes
     (the chain is regex/alloc CPU-bound), which is also why
-    production MinHash pipelines materialize their feature relation."""
+    production MinHash pipelines materialize their feature relation.
+
+    The intersection table itself is ALSO a session pin since r13
+    (guide §2.4 — remove the repeated shuffle outright): the shingle
+    self-join is the single most expensive stage this family runs,
+    and `ext_dedup_containment`, `ext_dedup_edit_distance`,
+    `ext_dedup_minhash_est_audit` and the pinned pair-graph build each
+    re-ran it per invocation. One (doc_a, doc_b, i) frame per
+    (app, documents-fingerprint) — pairs, never shingles — replaces
+    four self-joins with one."""
     sh = _shingles_pinned(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+
+    def _build_inter() -> DataFrame:
+        a, b = sh.alias("a"), sh.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.s") == F.col("b.s"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .agg(F.count("*").alias("i"))
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("i"))
-    )
+
+    inter = session_pin(spark, sf_dir, "shingle_inter", _build_inter)
     return inter, sizes
 
 
@@ -930,6 +975,60 @@ SELECT doc_id AS keep_id, component, cluster_size FROM ranked WHERE rn = 1
 """
 
 
+def _gated_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end pipelines' quality-gate id set (scan-local token
+    gate; SLIM doc_id projection)."""
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.size(_tokens(F.col("text"))) >= E2E_MIN_TOKENS)
+        .select("doc_id")
+    )
+
+
+def _pipeline_comp_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION-SHARED component assignment (doc_id, component) over the
+    GATED exact-Jaccard pair graph — the label-prop stage of
+    `ext_dedup_pipeline`, consumed there AND (via the composed plan) by
+    `ext_dedup_pipeline_recall` (r13 optimization pass: the iterative
+    round loop is eager driver-coordinated work that ran once per
+    invocation; one pin per (app, documents-fingerprint) makes it once
+    per session)."""
+
+    def _build() -> DataFrame:
+        gids = _gated_ids(spark, sf_dir)
+        pairs = (
+            _pair_graph_pinned(spark, sf_dir)
+            .select("doc_a", "doc_b")
+            .join(gids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
+            .join(gids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
+        )
+        return _label_propagate(gids, pairs)
+
+    return session_pin(spark, sf_dir, "pipeline_comp", _build)
+
+
+def _pipeline_mh_comp_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION-SHARED component assignment over the gated
+    BANDED-CANDIDATE-verified pair graph — `ext_dedup_pipeline_minhash`'s
+    label-prop stage, consumed there and by
+    `ext_dedup_pipeline_recall`'s banded arm (r13, same rationale as
+    `_pipeline_comp_pinned`)."""
+
+    def _build() -> DataFrame:
+        gids = _gated_ids(spark, sf_dir)
+        pairs = (
+            _pair_graph_pinned(spark, sf_dir)
+            .select("doc_a", "doc_b")
+            .join(_mh_cand_pinned(spark, sf_dir), ["doc_a", "doc_b"], "left_semi")
+            .join(gids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
+            .join(gids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
+        )
+        return _label_propagate(gids, pairs)
+
+    return session_pin(spark, sf_dir, "pipeline_mh_comp", _build)
+
+
 @register("ext_dedup_pipeline", oracle=_PIPELINE_ORACLE)
 def ext_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END dedup: quality gate → candidate pairs → connected
@@ -949,24 +1048,17 @@ def ext_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair stage swaps for MinHash banding (`ext_dedup_minhash`) — same
     downstream graph machinery, sub-quadratic candidate generation;
     exact pairs keep this composition oracle-checkable end to end
-    (recursive CTE on the DuckDB side)."""
+    (recursive CTE on the DuckDB side). The component assignment is a
+    SESSION pin since r13 (`_pipeline_comp_pinned`): the label-prop
+    round loop ran per invocation before — here AND inside
+    `ext_dedup_pipeline_recall`'s exact arm."""
     from pyspark.sql import Window as W
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
-    f = compute_once(
-        d.filter(F.size(_tokens(F.col("text"))) >= E2E_MIN_TOKENS).select(
-            "doc_id", "n_chars"
-        )
+    f = d.filter(F.size(_tokens(F.col("text"))) >= E2E_MIN_TOKENS).select(
+        "doc_id", "n_chars"
     )
-    gids = f.select("doc_id")
-    pairs = (
-        _pair_graph_pinned(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .join(gids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
-        .join(gids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
-    )
-
-    comp = _label_propagate(gids, pairs)
+    comp = _pipeline_comp_pinned(spark, sf_dir)
     ranked = comp.join(f.select("doc_id", "n_chars"), "doc_id")
     w = W.partitionBy("component").orderBy(F.desc("n_chars"), "doc_id")
     wc = W.partitionBy("component")
@@ -1043,25 +1135,16 @@ def ext_dedup_pipeline_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     was scored by the exhaustive miner). verified = pair_pin ⋉ cand_pin
     restricted to gated endpoints — three broadcast-sized semi-joins
     replacing a per-query re-mine, identical output by construction,
-    same oracle."""
+    same oracle. The component assignment is a SESSION pin since r13
+    (`_pipeline_mh_comp_pinned` — the label-prop loop ran per
+    invocation here and in `ext_dedup_pipeline_recall`'s banded arm)."""
     from pyspark.sql import Window as W
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
-    f = compute_once(
-        d.filter(F.size(_tokens(F.col("text"))) >= E2E_MIN_TOKENS).select(
-            "doc_id", "n_chars"
-        )
+    f = d.filter(F.size(_tokens(F.col("text"))) >= E2E_MIN_TOKENS).select(
+        "doc_id", "n_chars"
     )
-    gids = f.select("doc_id")
-    pairs = (
-        _pair_graph_pinned(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .join(_mh_cand_pinned(spark, sf_dir), ["doc_a", "doc_b"], "left_semi")
-        .join(gids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
-        .join(gids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
-    )
-
-    comp = _label_propagate(gids, pairs)
+    comp = _pipeline_mh_comp_pinned(spark, sf_dir)
     ranked = comp.join(f.select("doc_id", "n_chars"), "doc_id")
     w = W.partitionBy("component").orderBy(F.desc("n_chars"), "doc_id")
     wc = W.partitionBy("component")
@@ -2257,7 +2340,7 @@ def ext_lsh_param_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: a 5-row constant-folded query; the VALUE is that the
     knob decision for a petabyte dedup is derived inside the same
     engine, versioned with the code that uses it."""
-    cfg = spark.createDataFrame([(b,) for b in (1, 2, 4, 8, 16)], "b int")
+    cfg = literal_frame(spark, [(b,) for b in (1, 2, 4, 8, 16)], "b int")
     r = (F.lit(N_MINHASH) / F.col("b")).cast("int")
 
     def p_at(s: float):
@@ -2307,7 +2390,7 @@ def ext_lsh_bucket_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     32-byte bucket keys, map-side combine throughout, output bounded
     by bands x distinct sizes. Strictly cheaper than the mining join
     it de-risks."""
-    banded = _banded_signatures(_shingles_pinned(spark, sf_dir))
+    banded = _bands_from_sigs(_mh_sigs_pinned(spark, sf_dir))
     bs = banded.groupBy("band_id", "band_hash").agg(
         F.count("*").alias("bucket_size")
     )
@@ -3334,7 +3417,7 @@ def ext_dedup_minhash_est_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram is a ≤ 11-key agg. Nothing new is quadratic: the pair
     universe is the banded candidate set by construction."""
     cand = _mh_cand_pinned(spark, sf_dir)
-    sigs = _minhash_signatures(_shingles_pinned(spark, sf_dir))
+    sigs = _mh_sigs_pinned(spark, sf_dir)
     inter, sizes = _shingle_pair_intersections(spark, sf_dir)
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),

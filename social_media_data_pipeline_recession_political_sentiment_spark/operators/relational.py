@@ -26,7 +26,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..catalog import compute_once, load
+from ..catalog import compute_once, literal_frame, load
 from ..functions.json_contract import (
     json_int_field,
     json_int_field_sql,
@@ -343,7 +343,7 @@ def range_join(fact: DataFrame, value_col: str, intervals: list[tuple]) -> DataF
     back to the nested-loop form for overlapping intervals (where a
     row can match several)."""
     spark = fact.sparkSession
-    dim = spark.createDataFrame(intervals, "bucket string, lo double, hi double")
+    dim = literal_frame(spark, intervals, "bucket string, lo double, hi double")
     non_overlapping = all(
         a[2] <= b[1] for a, b in zip(sorted(intervals, key=lambda t: t[1]),
                                      sorted(intervals, key=lambda t: t[1])[1:])
@@ -2550,8 +2550,8 @@ def agg_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     gini = (
         float(2 * wsum - (n + 1) * tot) / float(n * tot) if n and tot else None
     )
-    return spark.createDataFrame(
-        [(n, tot, gini)], "n_users long, total_events long, gini double"
+    return literal_frame(
+        spark, [(n, tot, gini)], "n_users long, total_events long, gini double"
     )
 
 

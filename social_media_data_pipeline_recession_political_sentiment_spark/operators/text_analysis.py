@@ -23,7 +23,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import types as T
 
-from ..catalog import compute_once, load, session_pin
+from ..catalog import compute_once, literal_frame, load, session_pin
 from ..functions.hashing import (
     WS_CLASS,
     content_fp,
@@ -2730,8 +2730,8 @@ def ext_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tot = inv.agg(F.sum("n_tokens").alias("total_tokens"))
-    tgt = d.sparkSession.createDataFrame(
-        list(_MIX_TARGETS), "lang string, target_share double"
+    tgt = literal_frame(
+        d.sparkSession, list(_MIX_TARGETS), "lang string, target_share double"
     )
     ts = F.coalesce(F.col("target_share"), F.lit(0.0))
     rate_expr = ts * F.col("total_tokens") / F.col("n_tokens")

@@ -17,7 +17,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import literal_frame, load
 from ..enrich.hatespeech import enrich_hatespeech
 from ..enrich.sentiment import enrich_sentiment
 from ..functions.text import clean_comment
@@ -129,7 +129,8 @@ def maintenance_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).count()
 
     compacted = spark.read.parquet(compact_dir)
-    return spark.createDataFrame(
+    return literal_frame(
+        spark,
         [
             (
                 n_files(frag_dir),

@@ -31,7 +31,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import literal_frame, load
 from ..operators.relational import FINITE_CENTS_SQL
 from ..registry import register
 from ..session import prune_stale_workdirs
@@ -694,7 +694,8 @@ def scan_schema_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols = set(_pq.read_schema(files[0]).names) if files else set()
         for c in _DRIFT_COLS:
             present_rows.append((v, c, c in cols))
-    presence = spark.createDataFrame(
+    presence = literal_frame(
+        spark,
         present_rows,
         T.StructType(
             [
@@ -844,4 +845,4 @@ def sink_minmax_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 mn = st.min if mn is None else min(mn, st.min)
                 mx = st.max if mx is None else max(mx, st.max)
         rows.append((run, n, mn, mx, mx < lo or mn > hi))
-    return spark.createDataFrame(rows, out_schema)
+    return literal_frame(spark, rows, out_schema)

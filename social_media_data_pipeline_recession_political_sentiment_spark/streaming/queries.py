@@ -958,16 +958,6 @@ def stream_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _emb_cos(acol: str, bcol: str, an: str, bn: str):
-    """The engine-shared fold cosine over precomputed norms —
-    CHARACTER-IDENTICAL arithmetic to `ext_dedup_embcos_incremental`'s
-    `_cos` so the streamed flags hash-match the same oracle."""
-    from ..operators.similarity import _DOT
-
-    dot = F.expr(_DOT.format(a=acol, b=bcol))
-    return dot / F.nullif(F.col(an) * F.col(bn), F.lit(0.0))
-
-
 def stream_embcos_incremental_chain(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1032,27 +1022,30 @@ def drain_embcos_incremental(
     the (vec_id, dv, nrm) increment stream and the (b_id, bdv, bn)
     base frame so tests can drive it with a multi-file
     `maxFilesPerTrigger=1` source and prove batch-order
-    independence."""
-    from ..operators.similarity import COS_DUP_THRESHOLD
+    independence.
 
+    r13 optimization pass: both the per-batch base probe and the
+    drain triangle run the blocked NumPy fold kernel
+    (`similarity.embcos_flagged_ids` — guide §4.2) instead of a
+    broadcast nested-loop join evaluating the interpreted
+    `aggregate()` fold per pair; the flag sets compare the identical
+    IEEE doubles, see the kernel docstring."""
+    from ..operators.similarity import embcos_flagged_ids
+
+    base_k = base.select(
+        F.col("b_id").alias("vec_id"),
+        F.col("bdv").alias("dv"),
+        F.col("bn").alias("nrm"),
+    )
     batches: list[DataFrame] = []
 
     def _probe_batch(batch_df: DataFrame, batch_id: int) -> None:
         # each batch checkpoints exactly once; the base probe runs
         # DURING the batch (the nightly increment-proportional cost)
         rows = batch_df.localCheckpoint()
-        probe = rows.select(
-            F.col("vec_id").alias("i_id"),
-            F.col("dv").alias("idv"),
-            F.col("nrm").alias("inn"),
-        )
-        dob = (
-            base.crossJoin(F.broadcast(probe))
-            .filter(_emb_cos("bdv", "idv", "bn", "inn") >= COS_DUP_THRESHOLD)
-            .select(F.col("i_id").alias("vec_id"))
-            .distinct()
-            .withColumn("f_base", F.lit(True))
-        )
+        dob = embcos_flagged_ids(
+            base_k, rows.select("vec_id", "dv", "nrm"), lt_only=False
+        ).withColumn("f_base", F.lit(True))
         batches.append(
             rows.join(F.broadcast(dob), "vec_id", "left").localCheckpoint()
         )
@@ -1072,25 +1065,9 @@ def drain_embcos_incremental(
         rows = batches[0]
         for b in batches[1:]:
             rows = rows.unionByName(b)
-    early = rows.select(
-        F.col("vec_id").alias("e_id"),
-        F.col("dv").alias("edv"),
-        F.col("nrm").alias("en"),
-    )
-    dii = (
-        rows.select(
-            F.col("vec_id").alias("i_id"),
-            F.col("dv").alias("idv"),
-            F.col("nrm").alias("inn"),
-        )
-        .crossJoin(F.broadcast(early))
-        .filter(
-            (F.col("e_id") < F.col("i_id"))
-            & (_emb_cos("edv", "idv", "en", "inn") >= COS_DUP_THRESHOLD)
-        )
-        .select(F.col("i_id").alias("vec_id"))
-        .distinct()
-        .withColumn("f_incr", F.lit(True))
+    inc_k = rows.select("vec_id", "dv", "nrm")
+    dii = embcos_flagged_ids(inc_k, inc_k, lt_only=True).withColumn(
+        "f_incr", F.lit(True)
     )
     fb = F.coalesce(F.col("f_base"), F.lit(False))
     fi = F.coalesce(F.col("f_incr"), F.lit(False))

@@ -2121,12 +2121,13 @@ def test_source_fingerprint_recursive_and_unstatable(tmp_path):
 
 
 def test_session_pin_no_eviction_full_single_sf_sweep(spark):
-    """Cap audit (r11 verdict item 7, extended r13): one
-    representative query per pin tag family, all at ONE sf_dir, must
-    complete with ZERO FIFO evictions and exactly the eight live tag
-    families pinned — mid-gate thrash (evicting a hot pin that a
-    later query rebuilds) would silently multiply the dominant
-    mining cost without failing anything."""
+    """Cap audit (r11 verdict item 7, extended for the r13
+    optimization pass's pin inventory): one representative query per
+    pin tag family, all at ONE sf_dir, must complete with ZERO FIFO
+    evictions and exactly the twenty-three live tag families pinned —
+    mid-gate thrash (evicting a hot pin that a later query rebuilds)
+    would silently multiply the dominant mining cost without failing
+    anything."""
     from conftest import SF_SMOKE
 
     from social_media_data_pipeline_recession_political_sentiment_spark import (
@@ -2141,11 +2142,24 @@ def test_session_pin_no_eviction_full_single_sf_sweep(spark):
     try:
         for q in (
             "udtf_explode_shingles",  # shingles
-            "ext_dedup_ngram_jaccard",  # jaccard_pairs
-            "ext_dedup_minhash",  # mh_cand
+            "ext_dedup_ngram_jaccard",  # jaccard_pairs + shingle_inter (r13)
+            "ext_dedup_minhash",  # mh_cand + mh_signatures (r13)
             "ext_dedup_components_lss",  # lss_components
+            "ext_dedup_pipeline",  # pipeline_comp (r13)
+            "ext_dedup_pipeline_minhash",  # pipeline_mh_comp (r13)
             "ext_dedup_embcos",  # embcos_pairs
             "ext_dedup_embcos_lsh",  # embcos_lsh_pairs
+            "ext_dedup_semantic",  # embcos_lss (r13)
+            "ext_dedup_embcos_pipeline_recall",  # embcos_lsh_lss (r13)
+            "ext_sim_topk",  # sim_topk (r13)
+            "ext_sim_topk_int8",  # sim_int8_topk (r13)
+            "ext_sim_topk_bitsign",  # sim_bitsign_topk (r13)
+            "ext_emb_topk_pq",  # sim_pq_topk (r13)
+            "ext_emb_gram_int8",  # emb_gram (r13)
+            "ext_sim_ivf",  # ivf_cand (r13)
+            "ext_sim_ivf_exhaustive",  # ivf_cand_all (r13)
+            "ext_sim_lsh",  # sim_lsh_fin_cand (r13)
+            "ext_sim_lsh_verify",  # sim_lsh_nn_cand (r13)
             "ext_lm_unigram_score",  # lm_doc_scores (r13)
             "ext_mm_dedup_phash",  # phash_pairs (r13)
         ):
@@ -2157,11 +2171,26 @@ def test_session_pin_no_eviction_full_single_sf_sweep(spark):
         tags = {k[1] for k in catalog._SESSION_PINS}
         assert tags == {
             "shingles",
+            "shingle_inter",
             "jaccard_pairs",
+            "mh_signatures",
             "mh_cand",
             "lss_components",
+            "pipeline_comp",
+            "pipeline_mh_comp",
             "embcos_pairs",
             "embcos_lsh_pairs",
+            "embcos_lss",
+            "embcos_lsh_lss",
+            "sim_topk",
+            "sim_int8_topk",
+            "sim_bitsign_topk",
+            "sim_pq_topk",
+            "emb_gram",
+            "ivf_cand",
+            "ivf_cand_all",
+            "sim_lsh_fin_cand",
+            "sim_lsh_nn_cand",
             "lm_doc_scores",
             "phash_pairs",
         }
