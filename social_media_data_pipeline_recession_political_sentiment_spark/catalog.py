@@ -135,16 +135,18 @@ def compute_once(df: DataFrame) -> DataFrame:
 
 _SESSION_PINS: dict = {}
 # Cap audit (r11 verdict item 7; re-run for the r13 OPTIMIZATION pass,
-# which grew the pin inventory to 23 live tag families):
-# dedup.py — shingles, shingle_inter, jaccard_pairs, mh_signatures,
+# which grew the pin inventory to 29 live tag families):
+# dedup.py — shingles, shingle_inter, shingle_sizes, jaccard_pairs,
+#   mh_signatures, lp_components,
 #   mh_cand, lss_components, pipeline_comp, pipeline_mh_comp;
 # similarity.py — embcos_pairs, embcos_lsh_pairs, embcos_lss,
 #   embcos_lsh_lss, sim_topk, sim_int8_topk, sim_pq_topk,
 #   sim_bitsign_topk, ivf_cand, ivf_cand_all, sim_lsh_fin_cand,
-#   sim_lsh_nn_cand, emb_gram;
-# text_analysis.py — lm_doc_scores; multimodal.py — phash_pairs.
+#   sim_lsh_nn_cand, emb_gram, hamming_pairs, hamming_lss;
+# text_analysis.py — lm_doc_scores, bpe_merges;
+# multimodal.py — phash_pairs, phash_lss.
 # × 3 concurrently-live sf_dirs (0.001/0.01/0.1 in one gate session)
-# = 69 keys; 96 leaves nine more tag families of slack before any
+# = 87 keys; 96 leaves three more tag families of slack before any
 # mid-gate thrash. Every pinned frame is SLIM by construction (id
 # pairs, doc-keyed signatures, Q×k top-ks, component assignments,
 # the d(d+1)/2 Gram) so the cap bounds bookkeeping, not a storage

@@ -577,7 +577,14 @@ def _shingle_pair_intersections(spark: SparkSession, sf_dir: str):
     (app, documents-fingerprint) — pairs, never shingles — replaces
     four self-joins with one."""
     sh = _shingles_pinned(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # the per-doc size frame is a full pass over the pinned shingle
+    # relation — pinned too since r13 (four consumers re-ran it)
+    sizes = session_pin(
+        spark,
+        sf_dir,
+        "shingle_sizes",
+        lambda: sh.groupBy("doc_id").agg(F.count("*").alias("n")),
+    )
 
     def _build_inter() -> DataFrame:
         a, b = sh.alias("a"), sh.alias("b")
@@ -723,10 +730,20 @@ def ext_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     round (the classic Spark iterative-algorithm trap); the edge list
     is re-partitioned on src once and reused every round. At larger
     diameters you'd switch to large-star/small-star (Kiveris et al.,
-    "Connected Components in MapReduce"), same DataFrame vocabulary."""
-    docs = load(spark, sf_dir, "documents").select("doc_id")
-    pairs = ext_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    return _label_propagate(docs, pairs)
+    "Connected Components in MapReduce"), same DataFrame vocabulary.
+
+    Session-pinned since r13 (optimization pass — the lss_components
+    precedent, which backs the LSS twin of this same assignment): the
+    driver-coordinated round loop runs once per session, not once per
+    invocation; the pinned frame is the slim (doc_id, component)
+    assignment."""
+
+    def _build() -> DataFrame:
+        docs = load(spark, sf_dir, "documents").select("doc_id")
+        pairs = ext_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+        return _label_propagate(docs, pairs)
+
+    return session_pin(spark, sf_dir, "lp_components", _build)
 
 
 LABEL_PROP_MAX_ROUNDS = 50  # >= graph diameter; dedup graphs converge in a few

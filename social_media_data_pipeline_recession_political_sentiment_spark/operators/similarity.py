@@ -28,7 +28,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..catalog import compute_once, load, session_pin
+from ..catalog import compute_once, literal_frame, load, session_pin
 from ..functions.hashing import doc_bucket, doc_bucket_sql
 from ..registry import register
 from .dedup import INCR_BASE_BUCKETS
@@ -2575,85 +2575,67 @@ def ext_emb_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     costs ~1e-6 relative — absorbed by the rounding contract.
 
     Scale shape: ALL data-sized work is the Gram partial-merge
-    (vectors never shuffle, P x d(d+1)/2 partial rows); the K
-    iterations run on d-row/d^2-row broadcast joins — driver-free,
-    corpus-size-free. Cited shape: power iteration on a distributed
-    Gram is how Spark MLlib's own PCA avoids collecting vectors."""
-    gram = ext_emb_gram_int8(spark, sf_dir)
-    # all three checkpoints below are LAZY since r13 (the
-    # _label_propagate r9 device): each iteration frame is d rows, so
-    # eleven eager per-step jobs cost more driver round-trips than the
-    # whole computation — one final action materializes the chain,
-    # with every marked frame persisted for its multiple consumers
-    full = gram.unionAll(
-        gram.filter(F.col("i") != F.col("j")).select(
-            F.col("j").alias("i"), F.col("i").alias("j"), "gram"
-        )
-    ).localCheckpoint(eager=False)
-    gm = full.agg(
-        F.greatest(
-            F.lit(1).cast("long"),
-            F.expr(f"max(abs(gram)) div {ANISO_GCAP}"),
-        ).alias("dd")
+    (vectors never shuffle, P x d(d+1)/2 partial rows); the K power
+    steps then run as DRIVER-SIDE integer model math over the
+    collected d(d+1)/2-row statistic (r13 optimization pass) — the
+    same dimension-bounded-driver contract as the IVF quantizer
+    trainer and the "driver-side d x d eigendecomposition" this
+    module's Gram docstring already names as the standard consumer:
+    the collected frame is O(d²) — corpus-size-FREE — while the
+    previous in-engine loop paid ~30 scheduler/AQE round trips
+    (measured 4.8 s at sf0.1) to move 64-row frames. Every step
+    reproduces the engine-shared arithmetic exactly (int64 sums,
+    floor divisions on non-negative operands, (|x| desc, dim) argmax
+    tie-break), and the final Rayleigh division + 6dp rounding stays
+    IN the engine over the exact integer literals, so the oracle
+    hash is unchanged bit for bit."""
+    gram_rows = ext_emb_gram_int8(spark, sf_dir).collect()  # ≤ d(d+1)/2
+    out_schema = (
+        "d long, trace long, lambda1 double, aniso_share double, "
+        "top_dim long"
     )
-    sign_g = F.when(F.col("gram") < 0, -1).otherwise(1).cast("long")
-    g = (
-        full.crossJoin(F.broadcast(gm))
-        .select("i", "j", (sign_g * F.expr("abs(gram) div dd")).alias("g"))
-        .localCheckpoint(eager=False)
-    )
-    x = g.select(F.col("i").alias("dim")).distinct().withColumn(
-        "x", F.lit(ANISO_SCALE).cast("long")
-    )
+    if not gram_rows:
+        # empty corpus: the previous plan's final crossJoin against an
+        # empty LIMIT-1 top frame emitted ZERO rows — reproduce that
+        return literal_frame(spark, [], out_schema)
+    # symmetrize: off-diagonal rows count once per direction (the
+    # previous unionAll), diagonal once
+    sym = [(r.i, r.j, r.gram) for r in gram_rows]
+    sym += [(j, i, v) for (i, j, v) in sym if i != j]
+    dd = max(1, max(abs(v) for (_, _, v) in sym) // ANISO_GCAP)
+    g = [(i, j, (-1 if v < 0 else 1) * (abs(v) // dd)) for (i, j, v) in sym]
+    dims = sorted({i for (i, _, _) in g})
+    x = {i: ANISO_SCALE for i in dims}
     for _ in range(ANISO_ITERS):
-        y = (
-            g.join(F.broadcast(x), g.j == x.dim)
-            .groupBy("i")
-            .agg(F.sum(F.col("g") * F.col("x")).alias("y"))
-        )
-        m = y.agg(
-            F.greatest(F.lit(1).cast("long"), F.max(F.abs(F.col("y")))).alias("m")
-        )
-        sign_y = F.when(F.col("y") < 0, -1).otherwise(1).cast("long")
-        x = (
-            y.crossJoin(F.broadcast(m))
-            .select(
-                F.col("i").alias("dim"),
-                (sign_y * F.expr(f"(abs(y) * {ANISO_SCALE}) div m")).alias("x"),
-            )
-            .localCheckpoint(eager=False)
-        )
-    xi = x.select(F.col("dim").alias("di"), F.col("x").alias("xi"))
-    xj = x.select(F.col("dim").alias("dj"), F.col("x").alias("xj"))
-    xga = (
-        g.join(F.broadcast(xi), g.i == xi.di)
-        .join(F.broadcast(xj), g.j == xj.dj)
-        .agg(F.sum(F.col("g") * F.col("xi") * F.col("xj")).alias("xgx"))
+        y = {i: 0 for i in dims}
+        for (i, j, v) in g:
+            y[i] += v * x[j]
+        m = max(1, max(abs(v) for v in y.values()))
+        x = {
+            i: (-1 if y[i] < 0 else 1) * ((abs(y[i]) * ANISO_SCALE) // m)
+            for i in dims
+        }
+    xgx = sum(v * x[i] * x[j] for (i, j, v) in g)
+    xx = sum(v * v for v in x.values())
+    trace = sum(v for (i, j, v) in g if i == j)
+    top_dim = min(dims, key=lambda i: (-abs(x[i]), i))
+    ints = literal_frame(
+        spark,
+        [(len(dims), trace, xgx, xx, top_dim)],
+        "d long, trace long, xgx long, xx long, top_dim long",
     )
-    xxa = x.agg(
-        F.sum(F.col("x") * F.col("x")).alias("xx"), F.count("*").alias("d")
-    )
-    tra = g.filter(F.col("i") == F.col("j")).agg(F.sum("g").alias("trace"))
-    top = (
-        x.orderBy(F.abs(F.col("x")).desc(), "dim")
-        .limit(1)
-        .select(F.col("dim").alias("top_dim"))
-    )
-    return (
-        xxa.crossJoin(F.broadcast(xga))
-        .crossJoin(F.broadcast(tra))
-        .crossJoin(F.broadcast(top))
-        .select(
-            "d",
-            "trace",
-            F.round(F.col("xgx").cast("double") / F.col("xx"), 6).alias("lambda1"),
-            F.round(
-                F.col("xgx").cast("double")
-                / (F.col("xx").cast("double") * F.col("trace")),
-                6,
-            ).alias("aniso_share"),
-            "top_dim",
-        )
+    # the float division + HALF_UP rounding stay engine-side, on the
+    # identical exact-integer operands the in-engine plan produced
+    return ints.select(
+        "d",
+        "trace",
+        F.round(F.col("xgx").cast("double") / F.col("xx"), 6).alias("lambda1"),
+        F.round(
+            F.col("xgx").cast("double")
+            / (F.col("xx").cast("double") * F.col("trace")),
+            6,
+        ).alias("aniso_share"),
+        "top_dim",
     )
 
 
@@ -3664,42 +3646,55 @@ def ext_sim_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     splitting the degenerate all-same-sign bucket (the LSH miner's
     salting device is the manual fallback, noted not needed while
     candidates stay integer-slim); verify is codegen'd xor/bit_count
-    before the dedup shuffle, so only true pairs reach it."""
-    # the packed frame feeds BOTH sides of the band self-join — pin it
-    # or the sign packing (and its embeddings scan) runs twice
-    sig = compute_once(
-        _hamming_universe(spark, sf_dir).select(
-            "vec_id",
-            F.expr(_bitsign_words_spark(HAMMING_BAND_BITS)).alias("words"),
+    before the dedup shuffle, so only true pairs reach it.
+
+    Session-pinned since r13 (optimization pass — the embcos_pairs
+    convention): `ext_sim_hamming_components` consumes this SAME pair
+    graph, so the band mine ran twice per session before; only the
+    presentation orderBy stays per-query."""
+    return _hamming_pairs_pinned(spark, sf_dir).orderBy("vec_a", "vec_b")
+
+
+def _hamming_pairs_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def _build() -> DataFrame:
+        # the packed frame feeds BOTH sides of the band self-join — pin
+        # it or the sign packing (and its embeddings scan) runs twice
+        sig = compute_once(
+            _hamming_universe(spark, sf_dir).select(
+                "vec_id",
+                F.expr(_bitsign_words_spark(HAMMING_BAND_BITS)).alias("words"),
+            )
         )
-    )
-    k = sig.select(
-        "vec_id", "words", F.posexplode("words").alias("band", "bv")
-    )
-    ham = F.expr(
-        "aggregate(zip_with(slice(wa, 1, least(size(wa), size(wb))), "
-        "slice(wb, 1, least(size(wa), size(wb))), "
-        "(x, y) -> CAST(bit_count(x ^ y) AS BIGINT)), "
-        "0L, (acc, v) -> acc + v)"
-    )
-    return (
-        k.alias("a")
-        .join(
-            k.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        k = sig.select(
+            "vec_id", "words", F.posexplode("words").alias("band", "bv")
         )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.words").alias("wa"),
-            F.col("b.words").alias("wb"),
+        ham = F.expr(
+            "aggregate(zip_with(slice(wa, 1, least(size(wa), size(wb))), "
+            "slice(wb, 1, least(size(wa), size(wb))), "
+            "(x, y) -> CAST(bit_count(x ^ y) AS BIGINT)), "
+            "0L, (acc, v) -> acc + v)"
         )
-        .select("vec_a", "vec_b", ham.alias("hamming"))
-        .filter(F.col("hamming") <= HAMMING_PAIR_MAX)
-        .dropDuplicates(["vec_a", "vec_b"])
-        .orderBy("vec_a", "vec_b")
+        return (
+            k.alias("a")
+            .join(
+                k.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bv") == F.col("b.bv"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                F.col("a.words").alias("wa"),
+                F.col("b.words").alias("wb"),
+            )
+            .select("vec_a", "vec_b", ham.alias("hamming"))
+            .filter(F.col("hamming") <= HAMMING_PAIR_MAX)
+            .dropDuplicates(["vec_a", "vec_b"])
+        )
+
+    return session_pin(
+        spark, sf_dir, "hamming_pairs", _build, source="embeddings.parquet"
     )
 
 
@@ -3741,20 +3736,28 @@ def ext_sim_hamming_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: inherited — B small-int rows per vector into the
     band join, star contraction O(log² n) rounds on a pair-sized
-    edge list, sizes one window over the component key; output is
-    the full assignment so retention ratios stay visible. (Scan
-    audit: embeddings ×2 — the universe SPINE re-scans a
-    vec_id-only pruned projection; the packed-signature frame the
-    expensive branch reads is compute_once-pinned in the miner.)"""
-    from .dedup import _large_small_star
+    edge list — ONCE per session via the `hamming_lss` pin since r13
+    (the `_embcos_lss_pinned` convention) — sizes one window over the
+    component key; output is the full assignment so retention ratios
+    stay visible. (Scan audit: embeddings ×2 — the universe SPINE
+    re-scans a vec_id-only pruned projection; the packed-signature
+    frame the expensive branch reads is compute_once-pinned in the
+    miner.)"""
 
-    universe = _hamming_universe(spark, sf_dir).select("vec_id")
-    pairs = ext_sim_hamming_pairs(spark, sf_dir).select(
-        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    def _build() -> DataFrame:
+        from .dedup import _large_small_star
+
+        universe = _hamming_universe(spark, sf_dir).select("vec_id")
+        pairs = _hamming_pairs_pinned(spark, sf_dir).select(
+            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+        )
+        return _large_small_star(
+            universe.select(F.col("vec_id").alias("doc_id")), pairs
+        ).select(F.col("doc_id").alias("vec_id"), "component")
+
+    comp = session_pin(
+        spark, sf_dir, "hamming_lss", _build, source="embeddings.parquet"
     )
-    comp = _large_small_star(
-        universe.select(F.col("vec_id").alias("doc_id")), pairs
-    ).select(F.col("doc_id").alias("vec_id"), "component")
     w = W.partitionBy("component")
     return comp.select(
         "vec_id",

@@ -533,7 +533,10 @@ def stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("count").alias("n"),
         )
     )
-    drop_row = spark.createDataFrame(
+    from ..catalog import literal_frame
+
+    drop_row = literal_frame(
+        spark,
         [("late_dropped", None, dropped)],
         "kind string, window_start timestamp, n long",
     )

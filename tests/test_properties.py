@@ -2124,7 +2124,7 @@ def test_session_pin_no_eviction_full_single_sf_sweep(spark):
     """Cap audit (r11 verdict item 7, extended for the r13
     optimization pass's pin inventory): one representative query per
     pin tag family, all at ONE sf_dir, must complete with ZERO FIFO
-    evictions and exactly the twenty-three live tag families pinned —
+    evictions and exactly the twenty-nine live tag families pinned —
     mid-gate thrash (evicting a hot pin that a later query rebuilds)
     would silently multiply the dominant mining cost without failing
     anything."""
@@ -2142,9 +2142,10 @@ def test_session_pin_no_eviction_full_single_sf_sweep(spark):
     try:
         for q in (
             "udtf_explode_shingles",  # shingles
-            "ext_dedup_ngram_jaccard",  # jaccard_pairs + shingle_inter (r13)
+            "ext_dedup_ngram_jaccard",  # jaccard_pairs + shingle_inter/sizes (r13)
             "ext_dedup_minhash",  # mh_cand + mh_signatures (r13)
             "ext_dedup_components_lss",  # lss_components
+            "ext_dedup_components",  # lp_components (r13)
             "ext_dedup_pipeline",  # pipeline_comp (r13)
             "ext_dedup_pipeline_minhash",  # pipeline_mh_comp (r13)
             "ext_dedup_embcos",  # embcos_pairs
@@ -2160,8 +2161,11 @@ def test_session_pin_no_eviction_full_single_sf_sweep(spark):
             "ext_sim_ivf_exhaustive",  # ivf_cand_all (r13)
             "ext_sim_lsh",  # sim_lsh_fin_cand (r13)
             "ext_sim_lsh_verify",  # sim_lsh_nn_cand (r13)
+            "ext_sim_hamming_components",  # hamming_pairs + hamming_lss (r13)
             "ext_lm_unigram_score",  # lm_doc_scores (r13)
+            "ext_bpe_learn_steps",  # bpe_merges (r13)
             "ext_mm_dedup_phash",  # phash_pairs (r13)
+            "ext_mm_phash_cluster",  # phash_lss (r13)
         ):
             registry.QUERIES[q](spark, SF_SMOKE).collect()
         assert catalog._EVICTIONS == [], (
@@ -2172,10 +2176,12 @@ def test_session_pin_no_eviction_full_single_sf_sweep(spark):
         assert tags == {
             "shingles",
             "shingle_inter",
+            "shingle_sizes",
             "jaccard_pairs",
             "mh_signatures",
             "mh_cand",
             "lss_components",
+            "lp_components",
             "pipeline_comp",
             "pipeline_mh_comp",
             "embcos_pairs",
@@ -2191,8 +2197,12 @@ def test_session_pin_no_eviction_full_single_sf_sweep(spark):
             "ivf_cand_all",
             "sim_lsh_fin_cand",
             "sim_lsh_nn_cand",
+            "hamming_pairs",
+            "hamming_lss",
             "lm_doc_scores",
+            "bpe_merges",
             "phash_pairs",
+            "phash_lss",
         }
         # headroom: 3 concurrently-live sf_dirs of every family fit
         assert 3 * len(tags) <= catalog._SESSION_PIN_CAP
