@@ -135,7 +135,7 @@ def compute_once(df: DataFrame) -> DataFrame:
 
 _SESSION_PINS: dict = {}
 # Cap audit (r11 verdict item 7; re-run for the r13 OPTIMIZATION pass,
-# which grew the pin inventory to 29 live tag families):
+# which grew the pin inventory to 32 live tag families):
 # dedup.py — shingles, shingle_inter, shingle_sizes, jaccard_pairs,
 #   mh_signatures, lp_components,
 #   mh_cand, lss_components, pipeline_comp, pipeline_mh_comp;
@@ -143,17 +143,18 @@ _SESSION_PINS: dict = {}
 #   embcos_lsh_lss, sim_topk, sim_int8_topk, sim_pq_topk,
 #   sim_bitsign_topk, ivf_cand, ivf_cand_all, sim_lsh_fin_cand,
 #   sim_lsh_nn_cand, emb_gram, hamming_pairs, hamming_lss;
-# text_analysis.py — lm_doc_scores, bpe_merges;
+# text_analysis.py — lm_doc_scores, bpe_merges, bigram_census,
+#   bm25_scored, fusion_arms;
 # multimodal.py — phash_pairs, phash_lss.
 # × 3 concurrently-live sf_dirs (0.001/0.01/0.1 in one gate session)
-# = 87 keys; 96 leaves three more tag families of slack before any
+# = 96 keys; 108 leaves four more tag families of slack before any
 # mid-gate thrash. Every pinned frame is SLIM by construction (id
 # pairs, doc-keyed signatures, Q×k top-ks, component assignments,
 # the d(d+1)/2 Gram) so the cap bounds bookkeeping, not a storage
 # risk. tests/test_properties.py::
 # test_session_pin_no_eviction_full_single_sf_sweep asserts zero
 # evictions across a single-sf_dir sweep of every pin family.
-_SESSION_PIN_CAP = 96
+_SESSION_PIN_CAP = 108
 _EVICTIONS: list = []  # keys FIFO-evicted under cap pressure (test hook)
 _EVICTIONS_MAX = 256  # bound the log in a long-lived session (r12 ADVICE)
 
@@ -230,6 +231,29 @@ def session_pin(
     realdir = _os.path.realpath(sf_dir)
     key = (spark.sparkContext.applicationId, tag, realdir, fp)
     df = _SESSION_PINS.get(key)
+    if df is not None:
+        # self-heal pins whose storage was released behind the seam's
+        # back (r13: the test harness's clear-and-restore, an external
+        # unpersist) — serving one unpersisted is silently correct but
+        # silently re-executes the whole mine per consumer branch, the
+        # exact failure mode the pin exists to prevent. When the
+        # accessed entry is stale, every same-app sibling almost
+        # certainly is too (the release paths are app-wide), so the
+        # WHOLE app's entries re-persist in insertion order — inner
+        # (build-time) pins before the outer frames built on them, so
+        # re-registered cache plans substitute their children's caches
+        # again. persist() re-registers the same frames; lineage is
+        # intact and nothing recomputes until next use.
+        from pyspark import StorageLevel
+
+        try:
+            if df.storageLevel == StorageLevel.NONE:
+                app = spark.sparkContext.applicationId
+                for k, sib in _SESSION_PINS.items():
+                    if k[0] == app and sib.storageLevel == StorageLevel.NONE:
+                        sib.persist(StorageLevel.MEMORY_AND_DISK)
+        except Exception:
+            df = None  # dead context behind the entry — rebuild below
     if df is None:
         from pyspark import StorageLevel
 
@@ -260,6 +284,42 @@ def clear_session_pins() -> None:
             df.unpersist(False)
         except Exception:
             pass  # a dead SparkContext can't unpersist — nothing to free
+
+
+RANGE_PART_TARGET_BYTES = 256 * 1024 * 1024  # ~one healthy shuffle partition
+
+
+def range_parts(sf_dir: str, table: str = "documents") -> int:
+    """Scale-ADAPTIVE partition count for the two-phase range-exchange
+    devices (guide §2: derive partitioning from input size, never a
+    constant tuned for one deployment): ceil(source parquet bytes /
+    256 MB), floor 2. At bench SFs the sources are a few MB, so the
+    range exchange collapses to 2 partitions instead of one tiny task
+    per core (the devices' ranks/offsets are partition-count-
+    independent by construction, so the OUTPUT is identical — only
+    the task count changes); at cluster scale the byte-derived count
+    restores full parallelism at a healthy partition size.
+    `SMDP_RANGE_PART_BYTES` overrides the target for deployments that
+    want a different granularity. An unstatable source falls back to
+    the old defaultParallelism-shaped floor (2)."""
+    import os as _os
+
+    target = (
+        int(_os.environ.get("SMDP_RANGE_PART_BYTES") or 0)
+        or RANGE_PART_TARGET_BYTES
+    )
+    path = _os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        if _os.path.isdir(path):
+            size = 0
+            for root, _dirs, files in _os.walk(path):
+                for name in files:
+                    size += _os.stat(_os.path.join(root, name)).st_size
+        else:
+            size = _os.stat(path).st_size
+    except OSError:
+        size = 0
+    return max(2, -(-size // target))
 
 
 def literal_frame(spark: SparkSession, rows, schema: str) -> DataFrame:

@@ -26,7 +26,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..catalog import compute_once, literal_frame, load
+from ..catalog import compute_once, literal_frame, load, range_parts
 from ..functions.json_contract import (
     json_int_field,
     json_int_field_sql,
@@ -2480,7 +2480,9 @@ def gini_partition_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "events").groupBy("user_id").agg(
         F.count("*").alias("x")
     )
-    n_parts = max(2, spark.sparkContext.defaultParallelism)
+    # scale-adaptive range-partition count (r13, guide §2) — output is
+    # partition-count-independent by the offset construction
+    n_parts = range_parts(sf_dir, "events")
     ranged = (
         c.repartitionByRange(n_parts, F.col("x"), F.col("user_id"))
         .sortWithinPartitions("x", "user_id")
@@ -2691,7 +2693,8 @@ def agg_quantiles_exact_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("value", "event_id")
         .where(FINITE_MEASURE_SQL)  # r9 nonfinite-gate pin
     )
-    n_parts = max(2, spark.sparkContext.defaultParallelism)
+    # scale-adaptive range-partition count (r13, guide §2)
+    n_parts = range_parts(sf_dir, "events")
     ranged = (
         e.repartitionByRange(n_parts, F.col("value"), F.col("event_id"))
         .sortWithinPartitions("value", "event_id")

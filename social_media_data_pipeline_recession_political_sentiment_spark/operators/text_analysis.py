@@ -23,7 +23,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import types as T
 
-from ..catalog import compute_once, literal_frame, load, session_pin
+from ..catalog import compute_once, literal_frame, load, range_parts, session_pin
 from ..functions.hashing import (
     WS_CLASS,
     content_fp,
@@ -1051,7 +1051,8 @@ def ext_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("n_tokens"),
         F.md5(F.col("doc_id").cast("string")).alias("k"),
     )
-    n_parts = max(2, spark.sparkContext.defaultParallelism)
+    # scale-adaptive range-partition count (r13, guide §2)
+    n_parts = range_parts(sf_dir, "documents")
     ranged = d.repartitionByRange(n_parts, "k", "doc_id").sortWithinPartitions(
         "k", "doc_id"
     )
@@ -1227,7 +1228,8 @@ def ext_lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = _lm_doc_scores(spark, sf_dir).select(
         "doc_id", "n_tokens", "avg_logprob_micro"
     )
-    n_parts = max(2, spark.sparkContext.defaultParallelism)
+    # scale-adaptive range-partition count (r13, guide §2)
+    n_parts = range_parts(sf_dir, "documents")
     ranged = scores.repartitionByRange(
         n_parts, F.col("avg_logprob_micro").desc(), F.col("doc_id")
     ).sortWithinPartitions(F.col("avg_logprob_micro").desc(), F.col("doc_id"))
@@ -2136,6 +2138,27 @@ def _adjacent_bigrams(toks: DataFrame, carry: tuple = ()) -> DataFrame:
     )
 
 
+
+def _bigram_census_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION-SHARED adjacent-bigram census (a, b, cab) over the
+    corpus tokenization (r13 optimization pass): `ext_bigram_pmi`,
+    `ext_token_entropy_rate`, `ext_lm_bigram_score` and
+    `ext_keywords_textrank` each re-ran the scan-explode-census chain
+    per invocation; the census is vocab²-bounded and slim."""
+
+    def _build() -> DataFrame:
+        toks = load(spark, sf_dir, "documents").select(
+            F.split(F.col("text"), " ").alias("w")
+        )
+        return (
+            _adjacent_bigrams(toks)
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("cab"))
+        )
+
+    return session_pin(spark, sf_dir, "bigram_census", _build)
+
+
 _PMI_ORACLE = f"""
 WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
 uni AS (SELECT unnest(w) AS term FROM t),
@@ -2191,8 +2214,9 @@ def ext_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scans before, 2 after)
     u = compute_once(uni.groupBy("term").agg(F.count("*").alias("c")))
     n = u.agg(F.sum("c").alias("n"))
-    bi = _adjacent_bigrams(toks)
-    b2u = compute_once(bi.groupBy("a", "b").agg(F.count("*").alias("n_pair")))
+    b2u = _bigram_census_pinned(spark, sf_dir).withColumnRenamed(
+        "cab", "n_pair"
+    )  # session pin (r13)
     m = b2u.agg(F.sum("n_pair").alias("m"))
     b2 = b2u.filter(F.col("n_pair") >= PMI_MIN_COUNT)
     ua = u.select(F.col("term").alias("a"), F.col("c").alias("ca"))
@@ -3362,7 +3386,15 @@ SELECT doc_id, score_micros, n_terms_hit, rank FROM (
 def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of `BM25_DS_CTES`: per-doc fixed-point BM25 scores
     (doc_id, score_micros, n_terms_hit) for the fixed query — shared
-    by `ext_bm25_topk` and `ext_hybrid_rank_fusion`."""
+    by `ext_bm25_topk` and `ext_hybrid_rank_fusion`. SESSION-PINNED
+    since r13 (optimization pass): both consumers re-ran the corpus
+    scoring pass per invocation; the frame is doc-keyed and slim."""
+    return session_pin(
+        spark, sf_dir, "bm25_scored", lambda: _bm25_scored_build(spark, sf_dir)
+    )
+
+
+def _bm25_scored_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("tk")
     )
@@ -3482,12 +3514,23 @@ f AS (SELECT coalesce(l.doc_id, v.vec_id) AS doc_id,
       FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.vec_id)"""
 
 
+def _fusion_arms_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION-SHARED fusion rank-arm table (r13 optimization pass):
+    `ext_hybrid_rank_fusion` and `ext_rank_rbo` each re-ran BOTH
+    retriever arms (the BM25 corpus pass + the int8 scoring pass) per
+    invocation; the pinned frame is ≤ 2·FUSE_POOL_K rows."""
+    return session_pin(
+        spark, sf_dir, "fusion_arms", lambda: _fusion_rank_arms(spark, sf_dir)
+    )
+
+
 def _fusion_rank_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of `_fusion_arms_cte`: the full-outer join of the
     lexical and vector top-{FUSE_POOL_K} rank arms, f(doc_id,
     lex_rank, vec_rank). Consumed by `ext_hybrid_rank_fusion` (which
     adds the RRF score + fused rank) and `ext_rank_rbo` (which stops
-    here — the agreement measure never needs the fused ranking)."""
+    here — the agreement measure never needs the fused ranking),
+    both via the `fusion_arms` session pin."""
     from pyspark.sql import Window as W
 
     from .similarity import _INT8_SCORED_SQL, _with_int8_codes
@@ -3581,7 +3624,7 @@ def ext_hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheap hybrid combiner."""
     from pyspark.sql import Window as W
 
-    f = _fusion_rank_arms(spark, sf_dir)
+    f = _fusion_arms_pinned(spark, sf_dir)
     r = f.select(
         "doc_id",
         "lex_rank",
@@ -4793,8 +4836,7 @@ def ext_token_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum("term").alias("hu_sum"))
     )
-    bi = _adjacent_bigrams(toks)
-    b2 = compute_once(bi.groupBy("a", "b").agg(F.count("*").alias("cab")))
+    b2 = _bigram_census_pinned(spark, sf_dir)  # session pin (r13)
     ra = b2.groupBy("a").agg(F.sum("cab").alias("ca"))
     mm = b2.agg(
         F.sum("cab").alias("m"), F.count("*").alias("n_bigram_types")
@@ -4900,7 +4942,7 @@ def ext_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both or each replays the scan-explode chain (r6 scan audit:
     # 4 document scans before, 2 after)
     bi = compute_once(_adjacent_bigrams(toks, carry=("doc_id",)))
-    b2 = compute_once(bi.groupBy("a", "b").agg(F.count("*").alias("cab")))
+    b2 = _bigram_census_pinned(spark, sf_dir)  # session pin (r13)
     ra = b2.groupBy("a").agg(F.sum("cab").alias("ca"))
     lp = (
         b2.join(ra, "a")
@@ -4996,10 +5038,7 @@ def ext_keywords_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     table checkpointed once; each round is ONE src-keyed join and
     ONE dst-keyed sum over vocab²-bounded narrow rows; final
     TakeOrderedAndProject({TR_TOP_K})."""
-    d = load(spark, sf_dir, "documents")
-    toks = d.select(F.split(F.col("text"), " ").alias("w"))
-    bi = _adjacent_bigrams(toks)
-    b2 = bi.groupBy("a", "b").agg(F.count("*").alias("cab"))
+    b2 = _bigram_census_pinned(spark, sf_dir)  # session pin (r13)
     e = (
         b2.select("a", "b", F.col("cab").alias("w"))
         .unionAll(
@@ -6513,7 +6552,7 @@ def ext_rank_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤ K-element in-row sequence — corpus cost is the two retriever
     scans, the measure itself is metadata-sized (the
     `ext_hybrid_rank_fusion` asymmetry, verbatim)."""
-    f = _fusion_rank_arms(spark, sf_dir).select("lex_rank", "vec_rank")
+    f = _fusion_arms_pinned(spark, sf_dir).select("lex_rank", "vec_rank")
     b = f.where(
         F.col("lex_rank").isNotNull() & F.col("vec_rank").isNotNull()
     ).select(F.greatest("lex_rank", "vec_rank").alias("m"))

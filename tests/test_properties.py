@@ -2049,6 +2049,63 @@ def test_session_pin_recompute_vs_reuse(spark, tmp_path_factory, ops):
         shutil.rmtree(sf_dir, ignore_errors=True)
 
 
+def test_session_pin_self_heals_released_storage(spark, tmp_path):
+    """r13: a pin whose storage was released behind the seam's back
+    (an external unpersist, the clear-and-restore some harnesses do)
+    must re-persist on next access — ALL same-app entries, inner
+    build-time pins included — instead of silently serving an
+    unpersisted frame that re-executes its mine per consumer branch.
+    No rebuild happens: the same frame objects are re-registered."""
+    import os
+
+    from pyspark import StorageLevel
+
+    from social_media_data_pipeline_recession_political_sentiment_spark import (
+        catalog,
+    )
+
+    sf_dir = str(tmp_path)
+    with open(os.path.join(sf_dir, "documents.parquet"), "wb") as f:
+        f.write(b"h" * 8)
+
+    builds = []
+
+    def inner():
+        builds.append("inner")
+        return spark.range(3)
+
+    def outer():
+        builds.append("outer")
+        return catalog.session_pin(spark, sf_dir, "heal_inner", inner).select(
+            "id"
+        )
+
+    saved = dict(catalog._SESSION_PINS)
+    catalog.clear_session_pins()
+    try:
+        df = catalog.session_pin(spark, sf_dir, "heal_outer", outer)
+        df.count()
+        assert builds == ["outer", "inner"]
+        # release storage behind the seam's back, keep the entries
+        stale = dict(catalog._SESSION_PINS)
+        catalog.clear_session_pins()
+        catalog._SESSION_PINS.update(stale)
+        assert all(
+            v.storageLevel == StorageLevel.NONE
+            for v in catalog._SESSION_PINS.values()
+        )
+        healed = catalog.session_pin(spark, sf_dir, "heal_outer", outer)
+        assert builds == ["outer", "inner"]  # re-persisted, NOT rebuilt
+        assert all(
+            v.storageLevel != StorageLevel.NONE
+            for v in catalog._SESSION_PINS.values()
+        ), "self-heal must re-persist every same-app entry"
+        assert healed.count() == 3
+    finally:
+        catalog.clear_session_pins()
+        catalog._SESSION_PINS.update(saved)
+
+
 def test_session_pin_failure_stores_nothing_and_clear_releases(spark, tmp_path):
     """A build that raises must store no memo entry (the next call
     retries from scratch — the r10-ADVICE 'broken frame served
@@ -2124,7 +2181,7 @@ def test_session_pin_no_eviction_full_single_sf_sweep(spark):
     """Cap audit (r11 verdict item 7, extended for the r13
     optimization pass's pin inventory): one representative query per
     pin tag family, all at ONE sf_dir, must complete with ZERO FIFO
-    evictions and exactly the twenty-nine live tag families pinned —
+    evictions and exactly the thirty-two live tag families pinned —
     mid-gate thrash (evicting a hot pin that a later query rebuilds)
     would silently multiply the dominant mining cost without failing
     anything."""
@@ -2164,6 +2221,9 @@ def test_session_pin_no_eviction_full_single_sf_sweep(spark):
             "ext_sim_hamming_components",  # hamming_pairs + hamming_lss (r13)
             "ext_lm_unigram_score",  # lm_doc_scores (r13)
             "ext_bpe_learn_steps",  # bpe_merges (r13)
+            "ext_bigram_pmi",  # bigram_census (r13)
+            "ext_bm25_topk",  # bm25_scored (r13)
+            "ext_hybrid_rank_fusion",  # fusion_arms (r13)
             "ext_mm_dedup_phash",  # phash_pairs (r13)
             "ext_mm_phash_cluster",  # phash_lss (r13)
         ):
@@ -2201,6 +2261,9 @@ def test_session_pin_no_eviction_full_single_sf_sweep(spark):
             "hamming_lss",
             "lm_doc_scores",
             "bpe_merges",
+            "bigram_census",
+            "bm25_scored",
+            "fusion_arms",
             "phash_pairs",
             "phash_lss",
         }
