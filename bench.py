@@ -57,12 +57,18 @@ def main() -> None:
 
     # full-precision per-query record for BASELINE.md / the judge;
     # best-effort side channel — never let it kill the primary output.
-    # Only the canonical sf0.1 run may write it: a quick sf0.01 smoke
-    # run once silently clobbered the sf0.1 record (r6 session 5).
+    # Only the canonical sf0.1 32-core run may write it: a quick sf0.01
+    # smoke run once silently clobbered the sf0.1 record (r6 session
+    # 5), and the r13 close 8-core scaling run clobbered the 32-core
+    # record the same way (VERDICT r13 item 7) — reduced-core runs now
+    # land in BENCH_FULL_c{cpus}.json instead.
     try:
+        here = os.path.dirname(os.path.abspath(__file__))
         if payload["sf"] == 0.1:
-            here = os.path.dirname(os.path.abspath(__file__))
-            with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+            fname = (
+                "BENCH_FULL.json" if cpus == 32 else f"BENCH_FULL_c{cpus}.json"
+            )
+            with open(os.path.join(here, fname), "w") as f:
                 json.dump(payload, f, indent=1)
                 f.write("\n")
     except OSError:

@@ -26,9 +26,26 @@ TABLES = (
 )
 
 
+# Plan-level memo for `load` (r14 optimization pass, the per-query
+# constant-floor attack): every `spark.read.parquet` call re-lists the
+# source and re-reads the parquet footer for schema inference — a pure
+# driver-side ~75 ms bill paid ~345 times per bench pass for the SAME
+# ten immutable tables. DataFrames are immutable, so returning the one
+# already-analyzed frame is pure plan reuse: NOTHING is computed or
+# cached result-wise (every action still scans the parquet files), the
+# plan shape is byte-identical, and the key folds in the same
+# applicationId + source fingerprint discipline as session_pin, so a
+# rewritten source or a fresh session always misses and re-reads the
+# footer. Unstatable sources are never memoized.
+_LOAD_MEMO: dict = {}
+_LOAD_MEMO_CAP = 256  # 10 tables x 3 sf_dirs x a few sessions; FIFO
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table (columnar parquet scan; SURVEY §2.1
     `scan_table`, reference `Data Analysis/Reddit_4chan_Analysis.py:106-113`).
+    Memoized per (application, realpath, table, source-fingerprint) —
+    see _LOAD_MEMO above; `_load_build` is the actual scan plan.
 
     Timestamp normalization (the "one choke point" of session.py's
     docstring): driver testdata has shipped ts columns in two parquet
@@ -48,6 +65,28 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     through the SESSION zone first — verified empirically under an
     America/New_York session — and would shift every epoch on a
     non-UTC driver session.)"""
+    import os as _os
+
+    fp = source_fingerprint(_os.path.join(sf_dir, f"{name}.parquet"))
+    if fp is None:  # unstatable: no safe key — build (and surface errors)
+        return _load_build(spark, sf_dir, name)
+    key = (
+        spark.sparkContext.applicationId,
+        _os.path.realpath(sf_dir),
+        name,
+        fp,
+    )
+    df = _LOAD_MEMO.get(key)
+    if df is None:
+        df = _load_build(spark, sf_dir, name)
+        while len(_LOAD_MEMO) >= _LOAD_MEMO_CAP:
+            _LOAD_MEMO.pop(next(iter(_LOAD_MEMO)))
+        _LOAD_MEMO[key] = df
+    return df
+
+
+def _load_build(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """The actual scan plan behind `load` (docstring there)."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # legacy nanos encoding: long of nanos -> micros TimestampType
@@ -134,24 +173,30 @@ def compute_once(df: DataFrame) -> DataFrame:
 # cache must not have.
 
 _SESSION_PINS: dict = {}
-# Cap audit (r11 verdict item 7; re-run for the r13 OPTIMIZATION pass,
-# which grew the pin inventory to 32 live tag families):
+# Cap audit (r11 verdict item 7; re-run for the r14 OPTIMIZATION
+# pass). r14 pin-economics rule (verdict r13 item 2): every pin tag
+# must have ≥2 consumers — the four r13 single-consumer pins
+# (lp_components, phash_lss, ivf_cand_all, sim_lsh_fin_cand) were
+# DROPPED and embcos_lsh_lss became a within-invocation compute_once;
+# per-family build-inclusive (pass-1) vs cached (pass-2) costs are
+# published in OPTIMIZATION_r14.md. 28 live tag families:
 # dedup.py — shingles, shingle_inter, shingle_sizes, jaccard_pairs,
-#   mh_signatures, lp_components,
+#   mh_signatures,
 #   mh_cand, lss_components, pipeline_comp, pipeline_mh_comp;
 # similarity.py — embcos_pairs, embcos_lsh_pairs, embcos_lss,
-#   embcos_lsh_lss, sim_topk, sim_int8_topk, sim_pq_topk,
-#   sim_bitsign_topk, ivf_cand, ivf_cand_all, sim_lsh_fin_cand,
+#   sim_topk, sim_int8_topk, sim_pq_topk,
+#   sim_bitsign_topk, ivf_cand,
 #   sim_lsh_nn_cand, emb_gram, hamming_pairs, hamming_lss;
-# text_analysis.py — lm_doc_scores, bpe_merges, bigram_census,
-#   bm25_scored, fusion_arms;
-# multimodal.py — phash_pairs, phash_lss.
+# text_analysis.py — lm_doc_scores, bpe_merges, bi_doc_stream,
+#   bigram_census, bm25_scored, fusion_arms;
+# multimodal.py — phash_pairs.
 # × 3 concurrently-live sf_dirs (0.001/0.01/0.1 in one gate session)
-# = 96 keys; 108 leaves four more tag families of slack before any
+# = 84 keys; 108 leaves eight more tag families of slack before any
 # mid-gate thrash. Every pinned frame is SLIM by construction (id
 # pairs, doc-keyed signatures, Q×k top-ks, component assignments,
-# the d(d+1)/2 Gram) so the cap bounds bookkeeping, not a storage
-# risk. tests/test_properties.py::
+# the d(d+1)/2 Gram; bi_doc_stream and shingles are the two
+# corpus-sized exceptions, both ~the text they came from, both
+# multi-consumer mines). tests/test_properties.py::
 # test_session_pin_no_eviction_full_single_sf_sweep asserts zero
 # evictions across a single-sf_dir sweep of every pin family.
 _SESSION_PIN_CAP = 108

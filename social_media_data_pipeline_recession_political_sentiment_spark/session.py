@@ -45,17 +45,35 @@ ENGINE_CONFS: dict[str, str] = {
 }
 
 
+# applicationIds whose session already had ENGINE_CONFS applied — the
+# driver contract wraps EVERY queries() entry in apply_engine_confs, so
+# a 327-query gate paid len(ENGINE_CONFS) py4j conf round trips per
+# query per pass for values that were already set (r14 optimization
+# pass, guide §1/§5: pure driver-side overhead). Keyed by applicationId
+# (unique per SparkContext instance), so a fresh driver session is
+# always configured on its first query. Deliberate trade-off: a caller
+# that mutates one of these confs mid-session is no longer re-pinned on
+# the next query call — no harness path does that (the one scoped
+# mutation, scoped_shuffle_partitions, restores what it changed).
+_CONFS_APPLIED: set = set()
+
+
 def apply_engine_confs(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine confs to an existing session.
 
     Used when the driver hands us a session it built (driver contract:
     ``entry(spark)``). Only runtime-mutable confs are set here.
-    """
+    Idempotent per session: subsequent calls on an already-configured
+    applicationId return immediately (see _CONFS_APPLIED)."""
+    app = spark.sparkContext.applicationId
+    if app in _CONFS_APPLIED:
+        return spark
     for k, v in ENGINE_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # static conf on a running session -- keep going
+    _CONFS_APPLIED.add(app)
     return spark
 
 
