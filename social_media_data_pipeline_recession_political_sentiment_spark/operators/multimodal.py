@@ -592,24 +592,22 @@ def ext_mm_phash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: inherits the map-only phash and 4-rows/doc mining
     shuffle; the components loop moves (id, id) edges only, rounds
-    bounded O(log² n) regardless of cluster diameter — ONCE per
-    session via the `phash_lss` pin since r13 (the
-    `_embcos_lss_pinned` convention: the star contraction is an eager
-    driver-coordinated loop that ran per invocation before)."""
-    from ..catalog import session_pin
+    bounded O(log² n) regardless of cluster diameter. The r13
+    `phash_lss` session pin was DROPPED in r14 (verdict r13 item 2 —
+    pin economics): this query was its only consumer and the pinned
+    frame was a trivial projection away from the whole query result,
+    so the pin only memoized the bench's second pass. The star
+    contraction runs per invocation again, over the still-shared
+    `phash_pairs` pin (the expensive mine stays session-shared)."""
+    from .dedup import _large_small_star
 
-    def _build() -> DataFrame:
-        from .dedup import _large_small_star
-
-        d = load(spark, sf_dir, "documents")
-        reenc_ids = d.filter(
-            (F.col("doc_id") % PHASH_REENC_MOD == 0) & (F.length("text") > 1)
-        ).select((F.col("doc_id") + PHASH_REENC_OFFSET).alias("doc_id"))
-        media_ids = d.select("doc_id").unionByName(reenc_ids)
-        pairs = ext_mm_dedup_phash(spark, sf_dir).select("doc_a", "doc_b")
-        return _large_small_star(media_ids, pairs)
-
-    comp = session_pin(spark, sf_dir, "phash_lss", _build)
+    d = load(spark, sf_dir, "documents")
+    reenc_ids = d.filter(
+        (F.col("doc_id") % PHASH_REENC_MOD == 0) & (F.length("text") > 1)
+    ).select((F.col("doc_id") + PHASH_REENC_OFFSET).alias("doc_id"))
+    media_ids = d.select("doc_id").unionByName(reenc_ids)
+    pairs = ext_mm_dedup_phash(spark, sf_dir).select("doc_a", "doc_b")
+    comp = _large_small_star(media_ids, pairs)
     return comp.select(
         F.col("doc_id").alias("media_id"),
         "component",

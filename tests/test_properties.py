@@ -2178,13 +2178,18 @@ def test_source_fingerprint_recursive_and_unstatable(tmp_path):
 
 
 def test_session_pin_no_eviction_full_single_sf_sweep(spark):
-    """Cap audit (r11 verdict item 7, extended for the r13
-    optimization pass's pin inventory): one representative query per
+    """Cap audit (r11 verdict item 7, extended for the r13/r14
+    optimization passes' pin inventory): one representative query per
     pin tag family, all at ONE sf_dir, must complete with ZERO FIFO
-    evictions and exactly the thirty-two live tag families pinned —
+    evictions and exactly the twenty-eight live tag families pinned —
     mid-gate thrash (evicting a hot pin that a later query rebuilds)
     would silently multiply the dominant mining cost without failing
-    anything."""
+    anything. The r14 pin-economics pass (verdict r13 item 2) DROPPED
+    the four single-consumer pins (lp_components, phash_lss,
+    ivf_cand_all, sim_lsh_fin_cand), converted embcos_lsh_lss to a
+    within-invocation compute_once, and added bi_doc_stream (census
+    build + LM bigram scoring) — this set also locks that no dropped
+    tag quietly comes back."""
     from conftest import SF_SMOKE
 
     from social_media_data_pipeline_recession_political_sentiment_spark import (
@@ -2202,30 +2207,30 @@ def test_session_pin_no_eviction_full_single_sf_sweep(spark):
             "ext_dedup_ngram_jaccard",  # jaccard_pairs + shingle_inter/sizes (r13)
             "ext_dedup_minhash",  # mh_cand + mh_signatures (r13)
             "ext_dedup_components_lss",  # lss_components
-            "ext_dedup_components",  # lp_components (r13)
+            "ext_dedup_components",  # consumes jaccard_pairs (pin dropped r14)
             "ext_dedup_pipeline",  # pipeline_comp (r13)
             "ext_dedup_pipeline_minhash",  # pipeline_mh_comp (r13)
             "ext_dedup_embcos",  # embcos_pairs
             "ext_dedup_embcos_lsh",  # embcos_lsh_pairs
             "ext_dedup_semantic",  # embcos_lss (r13)
-            "ext_dedup_embcos_pipeline_recall",  # embcos_lsh_lss (r13)
+            "ext_dedup_embcos_pipeline_recall",  # embcos_lss + compute_once LSH arm (r14)
             "ext_sim_topk",  # sim_topk (r13)
             "ext_sim_topk_int8",  # sim_int8_topk (r13)
             "ext_sim_topk_bitsign",  # sim_bitsign_topk (r13)
             "ext_emb_topk_pq",  # sim_pq_topk (r13)
             "ext_emb_gram_int8",  # emb_gram (r13)
             "ext_sim_ivf",  # ivf_cand (r13)
-            "ext_sim_ivf_exhaustive",  # ivf_cand_all (r13)
-            "ext_sim_lsh",  # sim_lsh_fin_cand (r13)
+            "ext_sim_ivf_exhaustive",  # unpinned build (pin dropped r14)
+            "ext_sim_lsh",  # unpinned mine (pin dropped r14)
             "ext_sim_lsh_verify",  # sim_lsh_nn_cand (r13)
             "ext_sim_hamming_components",  # hamming_pairs + hamming_lss (r13)
             "ext_lm_unigram_score",  # lm_doc_scores (r13)
             "ext_bpe_learn_steps",  # bpe_merges (r13)
-            "ext_bigram_pmi",  # bigram_census (r13)
+            "ext_bigram_pmi",  # bigram_census (r13) + bi_doc_stream (r14)
             "ext_bm25_topk",  # bm25_scored (r13)
             "ext_hybrid_rank_fusion",  # fusion_arms (r13)
             "ext_mm_dedup_phash",  # phash_pairs (r13)
-            "ext_mm_phash_cluster",  # phash_lss (r13)
+            "ext_mm_phash_cluster",  # consumes phash_pairs (pin dropped r14)
         ):
             registry.QUERIES[q](spark, SF_SMOKE).collect()
         assert catalog._EVICTIONS == [], (
@@ -2241,31 +2246,27 @@ def test_session_pin_no_eviction_full_single_sf_sweep(spark):
             "mh_signatures",
             "mh_cand",
             "lss_components",
-            "lp_components",
             "pipeline_comp",
             "pipeline_mh_comp",
             "embcos_pairs",
             "embcos_lsh_pairs",
             "embcos_lss",
-            "embcos_lsh_lss",
             "sim_topk",
             "sim_int8_topk",
             "sim_bitsign_topk",
             "sim_pq_topk",
             "emb_gram",
             "ivf_cand",
-            "ivf_cand_all",
-            "sim_lsh_fin_cand",
             "sim_lsh_nn_cand",
             "hamming_pairs",
             "hamming_lss",
             "lm_doc_scores",
             "bpe_merges",
+            "bi_doc_stream",
             "bigram_census",
             "bm25_scored",
             "fusion_arms",
             "phash_pairs",
-            "phash_lss",
         }
         # headroom: 3 concurrently-live sf_dirs of every family fit
         assert 3 * len(tags) <= catalog._SESSION_PIN_CAP
