@@ -2139,19 +2139,44 @@ def _adjacent_bigrams(toks: DataFrame, carry: tuple = ()) -> DataFrame:
 
 
 
+def _bi_doc_stream_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION-SHARED doc-carried adjacent-bigram instance stream
+    (doc_id, a, b) — the census PRE-AGGREGATION input (r14, verdict
+    r13 item 3; the `lm_doc_scores` seam one n-gram up). Two
+    consumers: `_bigram_census_pinned`'s build aggregates it into the
+    (a, b, cab) census, and `ext_lm_bigram_score` joins its per-doc
+    instances to the per-type scores — previously that query re-ran
+    the whole scan-split-posexplode chain per invocation (its one
+    >1.3×-frozen row in r13). Like the shingle relation, this pin is
+    ~the size of the text it came from (one row per adjacent token
+    pair), the documented corpus-sized-pin exception: one
+    materialization vs two scan+explode re-derivations per bench
+    pass, and the downstream census build becomes a cache-read agg."""
+
+    def _build() -> DataFrame:
+        toks = load(spark, sf_dir, "documents").select(
+            "doc_id", F.split(F.col("text"), " ").alias("w")
+        )
+        return _adjacent_bigrams(toks, carry=("doc_id",))
+
+    return session_pin(spark, sf_dir, "bi_doc_stream", _build)
+
+
 def _bigram_census_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SESSION-SHARED adjacent-bigram census (a, b, cab) over the
     corpus tokenization (r13 optimization pass): `ext_bigram_pmi`,
     `ext_token_entropy_rate`, `ext_lm_bigram_score` and
     `ext_keywords_textrank` each re-ran the scan-explode-census chain
-    per invocation; the census is vocab²-bounded and slim."""
+    per invocation; the census is vocab²-bounded and slim. Since r14
+    the census aggregates the pinned doc-carried instance stream
+    (`_bi_doc_stream_pinned`) — the added doc_id column changes no
+    (a, b) instance multiset, so the census is bit-identical, and the
+    scan-split-posexplode chain now exists ONCE per session for both
+    the census and the per-doc LM score join."""
 
     def _build() -> DataFrame:
-        toks = load(spark, sf_dir, "documents").select(
-            F.split(F.col("text"), " ").alias("w")
-        )
         return (
-            _adjacent_bigrams(toks)
+            _bi_doc_stream_pinned(spark, sf_dir)
             .groupBy("a", "b")
             .agg(F.count("*").alias("cab"))
         )
@@ -4937,11 +4962,12 @@ def ext_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("term") != "")
         .agg(F.countDistinct("term").alias("v"))
     )
-    # the bigram instance stream feeds the census AND the per-doc
-    # score join; the census feeds context rollup AND scores — pin
-    # both or each replays the scan-explode chain (r6 scan audit:
-    # 4 document scans before, 2 after)
-    bi = compute_once(_adjacent_bigrams(toks, carry=("doc_id",)))
+    # the bigram instance stream and the census are both SESSION pins
+    # (r14, verdict r13 item 3): the per-doc instance stream was the
+    # one piece still re-derived per invocation (scan + split +
+    # posexplode); it is the census's own pre-aggregation input, so
+    # the chain now runs once per session for both consumers
+    bi = _bi_doc_stream_pinned(spark, sf_dir)
     b2 = _bigram_census_pinned(spark, sf_dir)  # session pin (r13)
     ra = b2.groupBy("a").agg(F.sum("cab").alias("ca"))
     lp = (
@@ -5039,7 +5065,12 @@ def ext_keywords_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE dst-keyed sum over vocab²-bounded narrow rows; final
     TakeOrderedAndProject({TR_TOP_K})."""
     b2 = _bigram_census_pinned(spark, sf_dir)  # session pin (r13)
-    e = (
+    # edge/strength tables pinned with compute_once (r14, verdict r13
+    # item 6 — one-time edge partitioning built once): `e` feeds the
+    # strength rollup AND the edge join, `st` feeds the edge join AND
+    # the score init, so each symmetric-merge agg previously ran twice
+    # per invocation inside the checkpointed chain
+    e = compute_once(
         b2.select("a", "b", F.col("cab").alias("w"))
         .unionAll(
             b2.select(
@@ -5049,7 +5080,7 @@ def ext_keywords_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("a", "b")
         .agg(F.sum("w").alias("w"))
     )
-    st = e.groupBy("a").agg(F.sum("w").alias("strength"))
+    st = compute_once(e.groupBy("a").agg(F.sum("w").alias("strength")))
     # lazy checkpoints (r9, the ext_graph_pagerank note): no per-round
     # collect, so the final TakeOrdered action materializes the chain
     ed = e.join(st, "a").localCheckpoint(eager=False)
