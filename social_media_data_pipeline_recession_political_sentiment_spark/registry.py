@@ -159,8 +159,83 @@ def register(name: str, oracle: Optional[str] = None):
 # r11/r12 checks and full local certification) are the 51st-53rd
 # tags and stay at the r14 head. After this window the oldest
 # evidence tier is r7 (49 tags — r14's natural window).
+# Round 14 window (VERDICT r13 items 2/8, the r7 staleness burn):
+# head = the three r13 overflow rewrites (above), then every query
+# whose Spark plan CHANGED this OPTIMIZATION round — the four
+# un-pinned single-consumer queries (components / phash_cluster /
+# ivf_exhaustive / sim_lsh now rebuild per invocation; verdict r13
+# item 2), the pipeline-recall certificate's compute_once LSH arm,
+# the lm_bigram_score instance-stream pin (item 3), the fused
+# retrieval-eval aggregation (item 4), the weighted-jaccard
+# pin-riding rewrite (item 5), the two iterative-loop stage fusions
+# (item 6), and the six consumers whose pinned shingle_inter/sizes
+# frames gained the wi/tw columns or whose census now aggregates the
+# pinned doc-carried instance stream — then the r7 evidence tier in
+# registration order filling the 50 slots (31 of 46 remaining r7
+# tags; the r7 tail — agg_occupancy_hours onward — spills to r15's
+# natural head alongside whatever r15 touches).
 _WINDOW_PRIORITY = (
-    # -- added this round (r13) --
+    # -- r13 overflow rewrites (held fresh r11/r12 checks; certified
+    #    locally in r13, hard-checked here) --
+    "ext_sim_lsh_recall",
+    "ext_sim_hamming_pairs",
+    "ext_sim_hamming_components",
+    # -- r14 rewrites (plan changed this round) --
+    "ext_dedup_components",
+    "ext_mm_phash_cluster",
+    "ext_sim_ivf_exhaustive",
+    "ext_sim_lsh",
+    "ext_dedup_embcos_pipeline_recall",
+    "ext_lm_bigram_score",
+    "ext_retrieval_eval",
+    "ext_dedup_weighted_jaccard",
+    "ext_graph_pagerank",
+    "ext_keywords_textrank",
+    # -- r14 pin-plan-affected consumers (wi/tw pin columns; census
+    #    aggregated from the pinned doc-carried instance stream) --
+    "ext_dedup_ngram_jaccard",
+    "ext_dedup_containment",
+    "ext_dedup_edit_distance",
+    "ext_dedup_minhash_est_audit",
+    "ext_bigram_pmi",
+    "ext_token_entropy_rate",
+    # -- the r7 evidence tier, registration order, filling 50 --
+    "join_scd2_dim",
+    "agg_quantiles_exact_dist",
+    "join_null_skew_split",
+    "agg_decayed_score",
+    "join_attribution_first_touch",
+    "agg_new_vs_returning",
+    "agg_trend_slope",
+    "agg_winsorize_bounds",
+    "agg_benford_audit",
+    "agg_hll_union_rollup",
+    "ext_dedup_cross_source",
+    "ext_dup_span_profile",
+    "ext_dedup_incremental_bloom",
+    "ext_fingerprint_winnow",
+    "ext_lsh_param_plan",
+    "ext_lsh_bucket_census",
+    "ext_graph_triangle_count",
+    "ext_graph_jaccard_neighbors",
+    "fn_confusable_fold",
+    "ext_emb_gram_int8",
+    "ext_contamination_semantic",
+    "ext_emb_outlier_int8",
+    "ext_hard_negative_mine",
+    "ext_label_knn_noise",
+    "ext_tokenize_ids",
+    "ext_text_langmix",
+    "ext_dsir_weights",
+    "ext_mixture_schedule",
+    "ext_gopher_repetition",
+    "ext_tokenizer_fertility",
+    "ext_source_overlap_matrix",
+)
+
+# Round 13 window, retired (kept for the evidence-rotation history):
+_R13_WINDOW = (
+    # -- added r13 --
     "ext_dedup_minhash_incremental",
     "ext_dedup_url_content_cross",
     "stream_embcos_incremental_chain",
@@ -215,14 +290,6 @@ _WINDOW_PRIORITY = (
     "ext_bigram_pmi",
     "ext_mm_dedup_phash",
     "ext_mm_phash_cluster",
-    # -- remaining rewrites, filling the 50 slots --
-    # (overflow rewrites — ext_dedup_embcos_pipeline_recall,
-    # ext_sim_lsh_verify, ext_dedup_embcos_lsh_verify,
-    # ext_sim_lsh_recall and the two hamming ops — would be the
-    # 51st-56th tags; they stay in their fresh r11/r12 tiers for the
-    # r14 head, locally certified this round. ext_mm_dedup_phash and
-    # ext_mm_phash_cluster, rewritten onto the phash_pairs session
-    # pin, already sit in the r6 tier block above.)
 )
 
 # Round 12 window, retired (kept for the evidence-rotation history):
